@@ -1,0 +1,47 @@
+"""Credit cost + token-count scalar functions.
+
+Reference: packages/libs/src/credits.ts:96-139 — per-page cost is
+``1 + (stealth proxy ? 2 : 0) + (json extraction ? 5 (x2 when
+extract_source == 'html') : 0)``; token counting is tiktoken with a
+``len(text)/4`` fallback (packages/ai/src/agents/BaseAgent.ts:116-123 — no
+tiktoken in this sandbox, so the fallback IS the implementation, plus a
+whitespace tokenizer used by the text-analysis stages).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN_RE = re.compile(r"\S+")
+# BPE-ish split: words, numbers, or single non-space symbols
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+
+def per_page_cost(
+    proxy_mode: str | None = None,
+    formats: list[str] | None = None,
+    json_options: bool = False,
+    extract_source: str = "markdown",
+) -> int:
+    """Per-page credit cost (credits.ts:96-139)."""
+    cost = 1
+    if proxy_mode == "stealth":
+        cost += 2
+    if json_options and formats and "json" in formats:
+        cost += 10 if extract_source == "html" else 5
+    return cost
+
+
+def count_tokens_approx(text: str) -> int:
+    """tiktoken-unavailable fallback: ceil(len/4) (BaseAgent.ts:116-123)."""
+    return (len(text) + 3) // 4
+
+
+def count_ws_tokens(text: str) -> int:
+    """Whitespace token count (used by quality scoring / chunking)."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def bpe_ish_tokens(text: str) -> list[str]:
+    """Regex 'BPE-ish' tokenization: letter runs, digit runs, single symbols."""
+    return _BPE_RE.findall(text)

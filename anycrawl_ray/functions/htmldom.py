@@ -1,0 +1,303 @@
+"""Minimal DOM on top of the stdlib ``html.parser`` — the rebuild's cheerio.
+
+The reference parses pages with cheerio (packages/scrape/src/core/
+DataExtractor.ts:85-131) and manipulates them with simple selectors
+(tag / ``.class`` / ``#id`` — the full selector vocabulary used by
+HTMLTransformer.ts:21-66 and the SERP parsers). This module provides exactly
+that surface with zero third-party dependencies:
+
+- lenient parsing (void elements, implicit ``<p>`` closing, stray end tags);
+- document-order traversal;
+- simple-selector queries ``tag``, ``.cls``, ``#id``, ``tag.cls``,
+  ``tag[attr]``, ``tag[attr=val]`` plus a single descendant combinator
+  ``"a h3"`` (what Google.ts:201-257 needs);
+- node removal and attribute mutation;
+- HTML re-serialization.
+
+Not a general CSS engine by design — the supported subset is asserted by
+tests and documented here.
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# Tags whose open auto-closes an open <p> (HTML5 parsing rules subset)
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details div dl fieldset figcaption figure "
+    "footer form h1 h2 h3 h4 h5 h6 header hr main menu nav ol p pre section "
+    "table ul".split()
+)
+RAW_TEXT_ELEMENTS = frozenset(("script", "style"))
+
+BLOCK_TAGS = frozenset(
+    "address article aside blockquote body center dd details dir div dl dt "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr html "
+    "li main menu nav ol p pre section summary table tbody td tfoot th thead "
+    "tr ul".split()
+)
+
+
+class Node:
+    __slots__ = ("kind", "tag", "attrs", "children", "parent", "text")
+
+    def __init__(self, kind: str, tag: str = "", attrs: dict | None = None, text: str = ""):
+        self.kind = kind  # 'document' | 'element' | 'text' | 'comment' | 'doctype'
+        self.tag = tag
+        self.attrs: dict[str, str | None] = attrs or {}
+        self.children: list[Node] = []
+        self.parent: Node | None = None
+        self.text = text
+
+    # -- tree ops ---------------------------------------------------------
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def detach(self) -> None:
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+
+    def iter(self):
+        """Document-order traversal including self."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+    def elements(self):
+        for n in self.iter():
+            if n.kind == "element":
+                yield n
+
+    # -- accessors --------------------------------------------------------
+    def get(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    def classes(self) -> list[str]:
+        return (self.attrs.get("class") or "").split()
+
+    def text_content(self) -> str:
+        out: list[str] = []
+        for n in self.iter():
+            if n.kind == "text":
+                out.append(n.text)
+        return "".join(out)
+
+    def next_sibling(self) -> "Node | None":
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        i = sibs.index(self)
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    def prev_sibling(self) -> "Node | None":
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        i = sibs.index(self)
+        return sibs[i - 1] if i > 0 else None
+
+    def ancestors(self):
+        cur = self.parent
+        while cur is not None:
+            yield cur
+            cur = cur.parent
+
+    # -- selectors --------------------------------------------------------
+    def select(self, selector: str) -> list["Node"]:
+        """All elements under (and incl.) self matching a selector list."""
+        matchers = [_compile_selector(s.strip()) for s in selector.split(",") if s.strip()]
+        return [e for e in self.elements() if any(m(e) for m in matchers)]
+
+    def select_one(self, selector: str) -> "Node | None":
+        hits = self.select(selector)
+        return hits[0] if hits else None
+
+    def remove_all(self, selector: str) -> int:
+        hits = self.select(selector)
+        for h in hits:
+            h.detach()
+        return len(hits)
+
+    # -- serialization ----------------------------------------------------
+    def to_html(self) -> str:
+        buf: list[str] = []
+        self._serialize(buf)
+        return "".join(buf)
+
+    def inner_html(self) -> str:
+        buf: list[str] = []
+        for c in self.children:
+            c._serialize(buf)
+        return "".join(buf)
+
+    def _serialize(self, buf: list[str]) -> None:
+        if self.kind == "text":
+            buf.append(escape(self.text, quote=False))
+        elif self.kind == "comment":
+            buf.append(f"<!--{self.text}-->")
+        elif self.kind == "doctype":
+            buf.append(f"<!{self.text}>")
+        elif self.kind == "document":
+            for c in self.children:
+                c._serialize(buf)
+        else:
+            buf.append("<" + self.tag)
+            for k, v in self.attrs.items():
+                if v is None:
+                    buf.append(f" {k}")
+                else:
+                    buf.append(f' {k}="{escape(v)}"')
+            buf.append(">")
+            if self.tag in VOID_ELEMENTS:
+                return
+            if self.tag in RAW_TEXT_ELEMENTS:
+                for c in self.children:
+                    if c.kind == "text":
+                        buf.append(c.text)  # raw, unescaped
+                    else:
+                        c._serialize(buf)
+            else:
+                for c in self.children:
+                    c._serialize(buf)
+            buf.append(f"</{self.tag}>")
+
+    def __repr__(self) -> str:  # pragma: no cover
+        if self.kind == "element":
+            return f"<Node {self.tag} {self.attrs}>"
+        return f"<Node {self.kind} {self.text[:30]!r}>"
+
+
+_SIMPLE_SEL = re.compile(
+    r"^(?P<tag>[a-zA-Z][\w-]*|\*)?"
+    r"(?P<id>#[\w-]+)?"
+    r"(?P<classes>(?:\.[\w-]+)+)?"
+    r"(?P<attr>\[[^\]]+\])?$"
+)
+
+
+def _compile_simple(sel: str):
+    m = _SIMPLE_SEL.match(sel)
+    if not m or not sel:
+        return lambda e: False
+    tag = m.group("tag")
+    want_tag = tag.lower() if tag and tag != "*" else None
+    want_id = m.group("id")[1:] if m.group("id") else None
+    want_classes = m.group("classes")[1:].split(".") if m.group("classes") else []
+    attr = m.group("attr")
+    attr_name = attr_val = None
+    if attr:
+        inner = attr[1:-1]
+        if "=" in inner:
+            attr_name, attr_val = inner.split("=", 1)
+            attr_val = attr_val.strip("\"'")
+        else:
+            attr_name = inner
+
+    def match(e: Node) -> bool:
+        if want_tag is not None and e.tag != want_tag:
+            return False
+        if want_id is not None and e.attrs.get("id") != want_id:
+            return False
+        if want_classes:
+            cls = e.classes()
+            if any(c not in cls for c in want_classes):
+                return False
+        if attr_name is not None:
+            if attr_name not in e.attrs:
+                return False
+            if attr_val is not None and e.attrs.get(attr_name) != attr_val:
+                return False
+        return True
+
+    return match
+
+
+def _compile_selector(sel: str):
+    parts = sel.split()
+    if len(parts) == 1:
+        return _compile_simple(parts[0])
+    # descendant combinator chain: rightmost must match, each earlier part
+    # must match some ancestor in order
+    matchers = [_compile_simple(p) for p in parts]
+
+    def match(e: Node) -> bool:
+        if not matchers[-1](e):
+            return False
+        idx = len(matchers) - 2
+        for anc in e.ancestors():
+            if idx < 0:
+                break
+            if anc.kind == "element" and matchers[idx](anc):
+                idx -= 1
+        return idx < 0
+
+    return match
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("document")
+        self.stack: list[Node] = [self.root]
+
+    # current insertion point
+    @property
+    def top(self) -> Node:
+        return self.stack[-1]
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _P_CLOSERS:
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "p":
+                    del self.stack[i:]
+                    break
+                if self.stack[i].tag in ("div", "section", "article", "td", "li", "body", "html"):
+                    break
+        node = Node("element", tag, dict(attrs))
+        self.top.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.top.append(Node("element", tag.lower(), dict(attrs)))
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self.top.append(Node("text", text=data))
+
+    def handle_comment(self, data):
+        self.top.append(Node("comment", text=data))
+
+    def handle_decl(self, decl):
+        self.top.append(Node("doctype", text=decl))
+
+
+def parse_html(html: str) -> Node:
+    """Parse HTML into a document Node (lenient, never raises on markup)."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        pass
+    return builder.root

@@ -1,0 +1,137 @@
+"""Fetch stages: resolve wave URLs to (status, html, bytes).
+
+The reference's Cheerio engine is an HTTP GET + HTML parse
+(packages/scrape/src/engines/Cheerio.ts:31-57); in this sandbox the network
+is replaced by a deterministic lookup against the synthetic site table
+(FIXTURES.md F2), shipped to every fetch actor ONCE via ``ray.put`` —
+broadcast, not re-shipped per batch (SURVEY.md §2.1 S3).
+
+``SyntheticFetcher`` is a callable class for ``map_batches(...,
+concurrency=N)`` — an actor pool whose per-actor ``__init__`` materializes
+the url->page dict from the broadcast object ref, mirroring how a real
+fetcher pool would hold connection pools / sessions (reference T1,
+EngineConfigurator.ts:481-507). ``HttpFetcher`` sketches the real-network
+path (manual retry loop + proxy-rotation hook, HttpClient.ts:31-129) and is
+excluded from sandbox tests.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+# per-worker-process lookup cache: Ray reuses worker processes across tasks
+# and dataset executions, so the url->page dict is built once per worker for
+# a given broadcast ref — the broadcast-not-reshipped property without the
+# per-execution cost of spinning up a fresh actor pool every crawl wave.
+_LOOKUP_CACHE: dict[str, dict] = {}
+
+
+def cached_lookup(pages_ref) -> dict[str, tuple[int, str, int]]:
+    key = pages_ref.hex() if hasattr(pages_ref, "hex") else str(id(pages_ref))
+    lookup = _LOOKUP_CACHE.get(key)
+    if lookup is None:
+        import ray
+
+        pages = ray.get(pages_ref) if not isinstance(pages_ref, pa.Table) else pages_ref
+        lookup = build_lookup(pages)
+        if len(_LOOKUP_CACHE) > 2:
+            _LOOKUP_CACHE.clear()
+        _LOOKUP_CACHE[key] = lookup
+    return lookup
+
+
+def build_lookup(pages: pa.Table) -> dict[str, tuple[int, str, int]]:
+    """site table -> {url: (status_code, html, content_bytes)}."""
+    urls = pages.column("url").to_pylist()
+    statuses = pages.column("status_code").to_pylist()
+    htmls = pages.column("html").to_pylist()
+    nbytes = pages.column("content_bytes").to_pylist()
+    return {u: (s, h, b) for u, s, h, b in zip(urls, statuses, htmls, nbytes)}
+
+
+def fetch_batch(batch: pa.Table, lookup: dict[str, tuple[int, str, int]]) -> pa.Table:
+    """Append status_code / html / content_bytes columns to a wave batch.
+    Unknown URLs -> 404 with empty body (error path, Base.ts:60-113)."""
+    urls = batch.column("url").to_pylist()
+    statuses, htmls, sizes = [], [], []
+    for u in urls:
+        status, html, nb = lookup.get(u, (404, "", 0))
+        statuses.append(status)
+        htmls.append(html)
+        sizes.append(nb)
+    return (
+        batch.append_column("status_code", pa.array(statuses, pa.int32()))
+        .append_column("html", pa.array(htmls, pa.string()))
+        .append_column("content_bytes", pa.array(sizes, pa.int64()))
+    )
+
+
+class SyntheticFetcher:
+    """Actor-pool fetch stage: ``map_batches(SyntheticFetcher,
+    fn_constructor_args=(pages_ref,), concurrency=N, batch_format='pyarrow')``.
+
+    ``pages_ref`` is a ``ray.put`` ObjectRef of the site table — read once
+    per actor in ``__init__`` (zero-copy from the local object store), never
+    per batch."""
+
+    def __init__(self, pages_ref) -> None:
+        import ray
+
+        pages = ray.get(pages_ref) if not isinstance(pages_ref, pa.Table) else pages_ref
+        self.lookup = build_lookup(pages)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return fetch_batch(batch, self.lookup)
+
+
+class HttpFetcher:
+    """Real-network fetch stage (NOT exercised in the sandbox — no network).
+
+    Mirrors HttpClient.ts:31-129: bounded manual retries with a proxy list
+    rotated per attempt. Plug in as the fetch stage class in place of
+    ``SyntheticFetcher`` when running outside the sandbox."""
+
+    def __init__(self, timeout_s: float = 30.0, retries: int = 3,
+                 proxies: list[str] | None = None) -> None:
+        self.timeout_s = timeout_s
+        self.retries = retries
+        self.proxies = proxies or []
+        self._attempt = 0
+
+    def _fetch_one(self, url: str) -> tuple[int, str, int]:
+        import urllib.error
+        import urllib.request
+
+        last_status = 0
+        for attempt in range(self.retries + 1):
+            handlers = []
+            if self.proxies:
+                proxy = self.proxies[(self._attempt + attempt) % len(self.proxies)]
+                handlers.append(urllib.request.ProxyHandler({"http": proxy, "https": proxy}))
+            opener = urllib.request.build_opener(*handlers)
+            try:
+                with opener.open(url, timeout=self.timeout_s) as resp:
+                    body = resp.read()
+                    return resp.status, body.decode("utf-8", "replace"), len(body)
+            except urllib.error.HTTPError as e:
+                last_status = e.code
+                if e.code not in (403, 429) and e.code < 500:
+                    return e.code, "", 0  # non-retryable (selective retry policy)
+            except OSError:
+                last_status = 0
+        self._attempt += 1
+        return last_status or 599, "", 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        triples = [self._fetch_one(u) for u in urls]
+        return (
+            batch.append_column(
+                "status_code", pa.array([t[0] for t in triples], pa.int32())
+            )
+            .append_column("html", pa.array([t[1] for t in triples], pa.string()))
+            .append_column(
+                "content_bytes", pa.array([t[2] for t in triples], pa.int64())
+            )
+        )

@@ -1,0 +1,133 @@
+"""Partitioned cuckoo filter for the URL-seen set (north_rule component).
+
+The reference deduplicates URLs through Crawlee's persistent RequestQueueV2
+uniqueKey index (packages/scrape/src/engines/Base.ts:412-420,
+packages/scrape/src/managers/EngineQueue.ts:122-127) — an exact disk-backed
+set. At 10^10-URL frontier scale an exact in-memory set per shard is too
+large, so each frontier shard holds:
+
+- a **cuckoo filter** (this module): 16-bit fingerprints, 4-slot buckets,
+  ~95% load factor => ~2.5 bytes/URL, ~0.003% false-positive rate — the
+  fast-path membership test;
+- an exact per-shard key set (in-memory at test scale; the design doc's
+  sorted Lance ``seen`` table at production scale) consulted only when the
+  filter says "maybe present", keeping the seen-set semantics exact.
+
+Standard cuckoo-filter algorithm (Fan et al., "Cuckoo Filter: Practically
+Better Than Bloom", CoNEXT'14): two candidate buckets
+``i1 = hash(x)``, ``i2 = i1 xor hash(fp)``, bounded eviction chain with a
+deterministic (seeded LCG) victim choice so runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_KICKS = 500
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — cheap int hash for 64-bit keys."""
+    x &= (1 << 64) - 1
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+    return x ^ (x >> 31)
+
+
+class CuckooFilter:
+    """Cuckoo filter over 64-bit integer keys."""
+
+    def __init__(self, capacity: int = 1 << 16, seed: int = 12345) -> None:
+        nb = 1
+        while nb * 4 * 0.95 < capacity:
+            nb <<= 1
+        self.num_buckets = nb
+        self.table = np.zeros((nb, 4), dtype=np.uint16)
+        self.count = 0
+        self._rng_state = seed or 1
+
+    # deterministic LCG for eviction victim choice
+    def _rand(self, n: int) -> int:
+        self._rng_state = (self._rng_state * 6364136223846793005 + 1442695040888963407) & (
+            (1 << 64) - 1
+        )
+        return (self._rng_state >> 33) % n
+
+    def _fingerprint(self, key: int) -> int:
+        fp = _mix64(key) & 0xFFFF
+        return fp or 1  # 0 marks an empty slot
+
+    def _i1(self, key: int) -> int:
+        return _mix64(key ^ 0x9E3779B97F4A7C15) & (self.num_buckets - 1)
+
+    def _alt(self, i: int, fp: int) -> int:
+        return (i ^ _mix64(fp)) & (self.num_buckets - 1)
+
+    def contains(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        i1 = self._i1(key)
+        row = self.table[i1]
+        if fp in row:
+            return True
+        i2 = self._alt(i1, fp)
+        return fp in self.table[i2]
+
+    def insert(self, key: int) -> bool:
+        """Insert; False only when the filter is saturated (caller should
+        grow / rely on the exact set)."""
+        fp = self._fingerprint(key)
+        i1 = self._i1(key)
+        i2 = self._alt(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict
+        i = i1 if self._rand(2) == 0 else i2
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            slot = self._rand(4)
+            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            i = self._alt(i, cur)
+            row = self.table[i]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        return False
+
+    def delete(self, key: int) -> bool:
+        fp = self._fingerprint(key)
+        i1 = self._i1(key)
+        for i in (i1, self._alt(i1, fp)):
+            row = self.table[i]
+            hit = np.flatnonzero(row == fp)
+            if hit.size:
+                row[hit[0]] = 0
+                self.count -= 1
+                return True
+        return False
+
+    def __len__(self) -> int:
+        return self.count
+
+    # -- serialization (checkpointing) -----------------------------------
+    def to_bytes(self) -> bytes:
+        header = np.array([self.num_buckets, self.count, self._rng_state], dtype=np.uint64)
+        return header.tobytes() + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        header = np.frombuffer(blob[:24], dtype=np.uint64)
+        obj = cls.__new__(cls)
+        obj.num_buckets = int(header[0])
+        obj.count = int(header[1])
+        obj._rng_state = int(header[2])
+        obj.table = (
+            np.frombuffer(blob[24:], dtype=np.uint16).reshape(obj.num_buckets, 4).copy()
+        )
+        return obj

@@ -1,0 +1,589 @@
+"""Sharded URL frontier + seen-set — the stateful heart of the crawl engine.
+
+Replaces the reference's four state stores (Crawlee RequestQueueV2 on disk,
+Redis progress hash, SQL job counters, BullMQ job data — SURVEY.md §3.2)
+with a pool of Ray actors plus a thin driver-side facade:
+
+- **seen-set sharding** by ``url_key % num_shards`` (uniform): each shard
+  holds a cuckoo filter fast path + exact key set (see state/cuckoo.py),
+  reproducing RequestQueueV2's exact uniqueKey dedup (Base.ts:412-420)
+  with first-sight-wins semantics (SURVEY.md §2.7);
+- **queue sharding** by ``host_hash % num_shards`` (locality): per-(job,
+  host) FIFO deques holding breadth-first ``(depth, host_seq)``-ordered
+  entries — per-host FIFO politeness (north_rule);
+- per-shard counters replace the Redis progress hash
+  (packages/scrape/src/managers/Progress.ts:8-18).
+
+**Deterministic admission order** (SURVEY.md §7.1): each epoch the crawl
+driver offers candidate links grouped per parent page, parents in admission
+order, links in DOM order. The facade assigns the global
+``discovered_seq`` in that order — exactly the admission order the
+reference produces at ``maxConcurrency=1``. Seed URLs are admitted
+*without* entering the seen set (the reference seeds with a
+``randomUUID()-`` uniqueKey that never dedups,
+packages/scrape/src/managers/EngineQueue.ts:122-127), so a crawled link
+back to the seed is re-admitted — faithfully reproduced here.
+
+**Limit semantics** (Base.ts:324-337 + EngineConfigurator.ts:63-136): a
+parent whose pre-enqueue check sees ``enqueued >= limit`` enqueues nothing
+(its links never touch the seen set); a parent that starts under the limit
+enqueues ALL its new links (the per-call cap equals the job limit). The
+fetch gate (``done >= limit``) lives in the crawl driver.
+
+**Two-pass dedup, no rollback**: pass 1 is a read-only ``contains`` fan-out
+to key shards; the driver then walks parent groups in order simulating the
+limit gate exactly; pass 2 inserts only the truly admitted keys and
+enqueues them on host shards. Epoch-synchronous execution makes this free
+of write races by construction.
+
+**Scale path**: payloads are columnar; one epoch costs two bounded RPC
+fan-outs per shard. Hot hosts: ``take_wave`` budgets per host per wave, so
+a hot host streams at its politeness rate while other hosts fill the wave
+(SURVEY.md §4 skew row). Checkpoint/resume: per-shard snapshot blobs + a
+JSON manifest written atomically (tmp dir + rename); ``restore`` rebuilds
+the pool from the latest manifest (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from collections import defaultdict, deque
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.urls import canonicalize, host_of, xxh64
+from .cuckoo import CuckooFilter
+
+WAVE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("canonical_url", pa.string()),
+        ("url_key", pa.uint64()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("job_id", pa.string()),
+        ("parent_url", pa.string()),
+        ("discovered_seq", pa.int64()),
+        ("host_seq", pa.int64()),
+    ]
+)
+
+_WAVE_FIELDS = WAVE_SCHEMA.names
+
+
+class ShardState:
+    """Pure-Python shard logic (actor-wrapped below; used inline in tests)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 17) -> None:
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity=capacity, seed=1000 + shard_id)
+        # exact authoritative seen set: {job_id: {url_key: (canonical, seq)}}
+        self.seen: dict[str, dict[int, tuple[str, int]]] = defaultdict(dict)
+        # per-(job, host) FIFO queues of pending entries
+        self.queues: dict[tuple[str, str], deque] = defaultdict(deque)
+        self.counters: dict[str, dict[str, int]] = defaultdict(
+            lambda: {"enqueued": 0, "done": 0, "succeeded": 0, "failed": 0,
+                     "bytes_fetched": 0, "credits_used": 0}
+        )
+
+    # -- seen-set (key-sharded calls) ------------------------------------
+    def contains(self, job_id: str, keys: list[int]) -> list[bool]:
+        """Membership probe: cuckoo-filter negative short-circuits; positive
+        confirmed against the exact set (keeps semantics exact)."""
+        job_seen = self.seen.get(job_id, {})
+        return [(k in job_seen) if self.filter.contains(k) else False for k in keys]
+
+    def insert_seen(self, job_id: str, keys: list[int], urls: list[str],
+                    seqs: list[int]) -> None:
+        job_seen = self.seen[job_id]
+        for k, u, s in zip(keys, urls, seqs):
+            if k not in job_seen:
+                self.filter.insert(k)
+                job_seen[k] = (u, s)
+
+    # -- queues (host-sharded calls) -------------------------------------
+    def enqueue(self, rows: dict) -> int:
+        n = len(rows["url"])
+        for i in range(n):
+            job = rows["job_id"][i]
+            self.queues[(job, rows["host"][i])].append(
+                (
+                    rows["depth"][i],
+                    rows["host_seq"][i],
+                    rows["discovered_seq"][i],
+                    rows["url"][i],
+                    rows["canonical_url"][i],
+                    rows["url_key"][i],
+                    rows["parent_url"][i],
+                )
+            )
+            self.counters[job]["enqueued"] += 1
+        return n
+
+    def enqueue_front(self, rows: dict) -> int:
+        """Push rows back to the FRONT of their host queues preserving order
+        (used when a wave budget truncates an already-popped wave)."""
+        n = len(rows["url"])
+        for i in range(n - 1, -1, -1):
+            job = rows["job_id"][i]
+            self.queues[(job, rows["host"][i])].appendleft(
+                (
+                    rows["depth"][i],
+                    rows["host_seq"][i],
+                    rows["discovered_seq"][i],
+                    rows["url"][i],
+                    rows["canonical_url"][i],
+                    rows["url_key"][i],
+                    rows["parent_url"][i],
+                )
+            )
+        return n
+
+    def take_wave(self, job_id: str, per_host_budget: int, max_total: int) -> list[tuple]:
+        """Pop up to ``per_host_budget`` entries per host (FIFO), up to
+        ``max_total`` across this shard. Never reorders within a host."""
+        out: list[tuple] = []
+        for (job, host), q in list(self.queues.items()):
+            if job != job_id or not q:
+                continue
+            take = min(per_host_budget, len(q), max(0, max_total - len(out)))
+            for _ in range(take):
+                out.append(q.popleft() + (host,))
+            if len(out) >= max_total:
+                break
+        return out
+
+    def pending_count(self, job_id: str) -> int:
+        return sum(len(q) for (job, _h), q in self.queues.items() if job == job_id)
+
+    def mark_done(self, job_id: str, n_ok: int, n_fail: int, nbytes: int, credits: int) -> None:
+        c = self.counters[job_id]
+        c["done"] += n_ok + n_fail
+        c["succeeded"] += n_ok
+        c["failed"] += n_fail
+        c["bytes_fetched"] += nbytes
+        c["credits_used"] += credits
+
+    def stats(self, job_id: str) -> dict[str, int]:
+        return dict(self.counters[job_id])
+
+    def seen_rows(self, job_id: str) -> dict:
+        job_seen = self.seen.get(job_id, {})
+        keys = list(job_seen.keys())
+        return {
+            "job_id": [job_id] * len(keys),
+            "url_key": keys,
+            "canonical_url": [job_seen[k][0] for k in keys],
+            "first_seen_seq": [job_seen[k][1] for k in keys],
+        }
+
+    # -- checkpoint -------------------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "filter": self.filter.to_bytes(),
+                "seen": {j: dict(v) for j, v in self.seen.items()},
+                "queues": {k: list(v) for k, v in self.queues.items()},
+                "counters": {j: dict(v) for j, v in self.counters.items()},
+            }
+        )
+
+    @classmethod
+    def from_snapshot(cls, blob: bytes) -> "ShardState":
+        data = pickle.loads(blob)
+        obj = cls(data["shard_id"])
+        obj.filter = CuckooFilter.from_bytes(data["filter"])
+        for j, v in data["seen"].items():
+            obj.seen[j] = dict(v)
+        for k, v in data["queues"].items():
+            obj.queues[k] = deque(tuple(e) for e in v)
+        for j, v in data["counters"].items():
+            obj.counters[j].update(v)
+        return obj
+
+
+def _make_actor_class():
+    import ray
+
+    @ray.remote
+    class FrontierShard:
+        def __init__(self, shard_id: int, capacity: int):
+            self.state = ShardState(shard_id, capacity)
+
+        def contains(self, job_id, keys):
+            return self.state.contains(job_id, keys)
+
+        def insert_seen(self, job_id, keys, urls, seqs):
+            return self.state.insert_seen(job_id, keys, urls, seqs)
+
+        def enqueue(self, rows):
+            return self.state.enqueue(rows)
+
+        def enqueue_front(self, rows):
+            return self.state.enqueue_front(rows)
+
+        def take_wave(self, job_id, per_host_budget, max_total):
+            return self.state.take_wave(job_id, per_host_budget, max_total)
+
+        def pending_count(self, job_id):
+            return self.state.pending_count(job_id)
+
+        def mark_done(self, job_id, n_ok, n_fail, nbytes, credits):
+            return self.state.mark_done(job_id, n_ok, n_fail, nbytes, credits)
+
+        def stats(self, job_id):
+            return self.state.stats(job_id)
+
+        def seen_rows(self, job_id):
+            return self.state.seen_rows(job_id)
+
+        def snapshot(self):
+            return self.state.snapshot()
+
+        def load_snapshot(self, blob):
+            self.state = ShardState.from_snapshot(blob)
+            return True
+
+    return FrontierShard
+
+
+def _empty_rows() -> dict[str, list]:
+    return {f: [] for f in _WAVE_FIELDS}
+
+
+class Frontier:
+    """Driver-side facade over the shard pool.
+
+    ``use_actors=False`` runs shards inline (unit tests / the conformance
+    oracle run without a Ray session); semantics are identical — actors
+    distribute the memory and CPU of dedup at scale.
+    """
+
+    def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 17,
+                 use_actors: bool = True) -> None:
+        self.num_shards = num_shards
+        self.use_actors = use_actors
+        if use_actors:
+            cls = _make_actor_class()
+            self.shards = [
+                cls.options(num_cpus=0.25).remote(i, capacity_per_shard)
+                for i in range(num_shards)
+            ]
+        else:
+            self.shards = [ShardState(i, capacity_per_shard) for i in range(num_shards)]
+        # driver-held admission state (authoritative, checkpointed)
+        self.next_seq: dict[str, int] = defaultdict(int)
+        self.host_seq: dict[tuple[str, str], int] = defaultdict(int)
+        self.enqueued: dict[str, int] = defaultdict(int)
+        # diagnostic admission log (golden_order oracle; not checkpointed)
+        self.admission_log: dict[str, list[tuple]] = defaultdict(list)
+
+    # -- shard RPC helpers -------------------------------------------------
+    def _call(self, shard_idx: int, method: str, *args):
+        shard = self.shards[shard_idx]
+        if self.use_actors:
+            return getattr(shard, method).remote(*args)
+        return getattr(shard, method)(*args)
+
+    def _gather(self, futures):
+        if self.use_actors:
+            import ray
+
+            return ray.get(futures)
+        return futures
+
+    def _key_shard(self, k: int) -> int:
+        return k % self.num_shards
+
+    def _host_shard(self, host: str) -> int:
+        return xxh64(host) % self.num_shards
+
+    # -- admission ---------------------------------------------------------
+    def _admit(self, job_id: str, url: str, canon: str, key: int, depth: int,
+               parent: str, admit_rows: dict[int, dict[str, list]]) -> None:
+        host = host_of(canon)
+        hseq = self.host_seq[(job_id, host)]
+        self.host_seq[(job_id, host)] = hseq + 1
+        seq = self.next_seq[job_id]
+        self.next_seq[job_id] = seq + 1
+        self.enqueued[job_id] += 1
+        self.admission_log[job_id].append((seq, url, canon, depth, parent))
+        rows = admit_rows[self._host_shard(host)]
+        rows["url"].append(url)
+        rows["canonical_url"].append(canon)
+        rows["url_key"].append(key)
+        rows["host"].append(host)
+        rows["depth"].append(depth)
+        rows["job_id"].append(job_id)
+        rows["parent_url"].append(parent)
+        rows["discovered_seq"].append(seq)
+        rows["host_seq"].append(hseq)
+
+    def add_seeds(self, job_id: str, urls: list[str]) -> int:
+        """Admit seed URLs unconditionally, bypassing the seen set
+        (EngineQueue.ts:122-127 random-uniqueKey behavior; enqueued counter
+        +1 per seed, Worker.ts:150-152)."""
+        admit_rows: dict[int, dict[str, list]] = defaultdict(_empty_rows)
+        for u in urls:
+            canon = canonicalize(u)
+            self._admit(job_id, u, canon, xxh64(canon), 0, "", admit_rows)
+        self._gather([self._call(s, "enqueue", r) for s, r in admit_rows.items()])
+        return len(urls)
+
+    def offer_groups(
+        self,
+        job_id: str,
+        groups: list[tuple[str, list[str], int]],
+        limit: int | None = None,
+    ) -> int:
+        """Offer candidate links per parent page, in deterministic order.
+
+        ``groups`` is ordered by parent admission order; each entry is
+        ``(parent_url, child_urls_in_dom_order, child_depth)``. Scope /
+        include / exclude / depth filtering happened upstream. Returns the
+        number admitted. Semantics per module docstring (limit gate before
+        dedup; first-sight-wins; per-call cap = limit)."""
+        flat: list[tuple[int, str, str, int, str, int]] = []  # (gi, url, canon, key, parent, depth)
+        for gi, (parent, children, depth) in enumerate(groups):
+            for u in children:
+                c = canonicalize(u)
+                flat.append((gi, u, c, xxh64(c), parent, depth))
+        if not flat:
+            return 0
+        # pass 1: read-only membership probe, fanned out by key shard
+        by_shard: dict[int, list[int]] = defaultdict(list)
+        for i, item in enumerate(flat):
+            by_shard[self._key_shard(item[3])].append(i)
+        futures, order = [], []
+        for s, idxs in by_shard.items():
+            futures.append(self._call(s, "contains", job_id, [flat[i][3] for i in idxs]))
+            order.append(idxs)
+        in_seen = [False] * len(flat)
+        for idxs, res in zip(order, futures if not self.use_actors else self._gather(futures)):
+            for i, hit in zip(idxs, res):
+                in_seen[i] = hit
+        # driver-side exact gate simulation in offer order
+        admit_rows: dict[int, dict[str, list]] = defaultdict(_empty_rows)
+        insert_rows: dict[int, dict[str, list]] = defaultdict(
+            lambda: {"keys": [], "urls": [], "seqs": []}
+        )
+        batch_seen: set[int] = set()
+        admitted = 0
+        cur_group = -1
+        group_gated = False
+        group_count = 0
+        for i, (gi, url, canon, key, parent, depth) in enumerate(flat):
+            if gi != cur_group:
+                cur_group = gi
+                group_gated = limit is not None and self.enqueued[job_id] >= limit
+                group_count = 0
+            if group_gated:
+                continue
+            if in_seen[i] or key in batch_seen:
+                continue
+            if limit is not None and group_count >= limit:
+                continue  # per-enqueueLinks-call cap (Base.ts:385-387)
+            batch_seen.add(key)
+            seq = self.next_seq[job_id]  # seq that _admit will assign
+            self._admit(job_id, url, canon, key, depth, parent, admit_rows)
+            ks = self._key_shard(key)
+            insert_rows[ks]["keys"].append(key)
+            insert_rows[ks]["urls"].append(canon)
+            insert_rows[ks]["seqs"].append(seq)
+            admitted += 1
+            group_count += 1
+        # pass 2: persist seen inserts + enqueue on host shards
+        futures = [
+            self._call(s, "insert_seen", job_id, r["keys"], r["urls"], r["seqs"])
+            for s, r in insert_rows.items()
+        ]
+        futures += [self._call(s, "enqueue", r) for s, r in admit_rows.items()]
+        self._gather(futures)
+        return admitted
+
+    def next_wave(self, job_id: str, per_host_budget: int = 1_000_000,
+                  max_pages: int | None = None) -> pa.Table:
+        """Collect the next BFS wave, globally sorted by
+        ``(depth, discovered_seq)`` — the deterministic admission order.
+        Overflow beyond ``max_pages`` is pushed back to queue FRONTS."""
+        cap = max_pages if max_pages is not None else 1 << 62
+        futures = [
+            self._call(s, "take_wave", job_id, per_host_budget, cap)
+            for s in range(self.num_shards)
+        ]
+        all_rows: list[tuple] = []
+        for rows in self._gather(futures):
+            all_rows.extend(rows)
+        # tuple: (depth, host_seq, discovered_seq, url, canonical, key, parent) + (host,)
+        all_rows.sort(key=lambda r: (r[0], r[2]))
+        if max_pages is not None and len(all_rows) > max_pages:
+            self._requeue_front(job_id, all_rows[max_pages:])
+            all_rows = all_rows[:max_pages]
+        return pa.table(
+            {
+                "url": [r[3] for r in all_rows],
+                "canonical_url": [r[4] for r in all_rows],
+                "url_key": pa.array([r[5] for r in all_rows], pa.uint64()),
+                "host": [r[7] for r in all_rows],
+                "depth": pa.array([r[0] for r in all_rows], pa.int32()),
+                "job_id": [job_id] * len(all_rows),
+                "parent_url": [r[6] for r in all_rows],
+                "discovered_seq": pa.array([r[2] for r in all_rows], pa.int64()),
+                "host_seq": pa.array([r[1] for r in all_rows], pa.int64()),
+            },
+            schema=WAVE_SCHEMA,
+        )
+
+    def _requeue_front(self, job_id: str, rows: list[tuple]) -> None:
+        by_shard: dict[int, dict[str, list]] = defaultdict(_empty_rows)
+        for depth, hseq, seq, url, canon, key, parent, host in rows:
+            r = by_shard[self._host_shard(host)]
+            r["url"].append(url)
+            r["canonical_url"].append(canon)
+            r["url_key"].append(key)
+            r["host"].append(host)
+            r["depth"].append(depth)
+            r["job_id"].append(job_id)
+            r["parent_url"].append(parent)
+            r["discovered_seq"].append(seq)
+            r["host_seq"].append(hseq)
+        self._gather([self._call(s, "enqueue_front", r) for s, r in by_shard.items()])
+
+    def pending(self, job_id: str) -> int:
+        return sum(self._gather(
+            [self._call(s, "pending_count", job_id) for s in range(self.num_shards)]
+        ))
+
+    def mark_done_batch(self, job_id: str, hosts: list[str], ok: list[bool],
+                        nbytes: list[int], credits_each: int = 1) -> None:
+        """Completion accounting, attributed to the host-owning shard so the
+        lineage table stays per-partition (Progress.ts:143-265 analogue)."""
+        per_shard: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
+        for h, is_ok, b in zip(hosts, ok, nbytes):
+            acc = per_shard[self._host_shard(h)]
+            acc[0] += int(is_ok)
+            acc[1] += int(not is_ok)
+            acc[2] += b
+        self._gather([
+            self._call(s, "mark_done", job_id, a[0], a[1], a[2],
+                       (a[0] + a[1]) * credits_each)
+            for s, a in per_shard.items()
+        ])
+
+    def stats(self, job_id: str) -> dict[str, int]:
+        """Global counters = reduce over shard counters (replaces the Redis
+        hash + Lua finalize of Progress.ts:270-355; epoch-synchronous
+        termination needs no in-flight gauge — SURVEY.md §2.5 A2)."""
+        totals = {"enqueued": 0, "done": 0, "succeeded": 0, "failed": 0,
+                  "bytes_fetched": 0, "credits_used": 0}
+        for st in self._gather([self._call(s, "stats", job_id) for s in range(self.num_shards)]):
+            for k, v in st.items():
+                totals[k] += v
+        totals["enqueued"] = self.enqueued[job_id]
+        return totals
+
+    def lineage_rows(self, job_id: str, epoch: int) -> pa.Table:
+        """Per-shard lineage/metrics rows (schemas.LINEAGE shape)."""
+        stats = self._gather([self._call(s, "stats", job_id) for s in range(self.num_shards)])
+        return pa.table(
+            {
+                "job_id": [job_id] * self.num_shards,
+                "partition_id": pa.array(range(self.num_shards), pa.int32()),
+                "epoch": pa.array([epoch] * self.num_shards, pa.int64()),
+                "enqueued": pa.array([s["enqueued"] for s in stats], pa.int64()),
+                "done": pa.array([s["done"] for s in stats], pa.int64()),
+                "succeeded": pa.array([s["succeeded"] for s in stats], pa.int64()),
+                "failed": pa.array([s["failed"] for s in stats], pa.int64()),
+                "bytes_fetched": pa.array([s["bytes_fetched"] for s in stats], pa.int64()),
+                "credits_used": pa.array([s["credits_used"] for s in stats], pa.int64()),
+            }
+        )
+
+    def seen_table(self, job_id: str) -> pa.Table:
+        parts = self._gather(
+            [self._call(s, "seen_rows", job_id) for s in range(self.num_shards)]
+        )
+        cols: dict[str, list] = {"job_id": [], "url_key": [], "canonical_url": [],
+                                 "first_seen_seq": []}
+        for p in parts:
+            for k in cols:
+                cols[k].extend(p[k])
+        order = np.argsort(np.array(cols["first_seen_seq"], dtype=np.int64), kind="stable")
+        return pa.table(
+            {
+                "job_id": [cols["job_id"][i] for i in order],
+                "url_key": pa.array([int(cols["url_key"][i]) for i in order], pa.uint64()),
+                "canonical_url": [cols["canonical_url"][i] for i in order],
+                "first_seen_seq": pa.array(
+                    [int(cols["first_seen_seq"][i]) for i in order], pa.int64()
+                ),
+            }
+        )
+
+    # -- checkpoint / restore ---------------------------------------------
+    def checkpoint(self, ckpt_dir: str, epoch: int, extra: dict | None = None) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        blobs = self._gather([self._call(s, "snapshot") for s in range(self.num_shards)])
+        tmp = os.path.join(ckpt_dir, f".epoch_{epoch}.tmp")
+        final = os.path.join(ckpt_dir, f"epoch_{epoch}")
+        os.makedirs(tmp, exist_ok=True)
+        for i, blob in enumerate(blobs):
+            with open(os.path.join(tmp, f"shard_{i}.bin"), "wb") as f:
+                f.write(blob)
+        manifest = {
+            "epoch": epoch,
+            "num_shards": self.num_shards,
+            "next_seq": dict(self.next_seq),
+            "host_seq": {f"{j}\t{h}": v for (j, h), v in self.host_seq.items()},
+            "enqueued": dict(self.enqueued),
+            "extra": extra or {},
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
+            f.write(str(epoch))
+        return final
+
+    @classmethod
+    def latest_epoch(cls, ckpt_dir: str) -> int | None:
+        latest = os.path.join(ckpt_dir, "LATEST")
+        if not os.path.exists(latest):
+            return None
+        with open(latest) as f:
+            return int(f.read().strip())
+
+    @classmethod
+    def restore(cls, ckpt_dir: str, use_actors: bool = True) -> tuple["Frontier", dict]:
+        epoch = cls.latest_epoch(ckpt_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+        path = os.path.join(ckpt_dir, f"epoch_{epoch}")
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        obj = cls(num_shards=manifest["num_shards"], use_actors=use_actors)
+        blobs = []
+        for i in range(manifest["num_shards"]):
+            with open(os.path.join(path, f"shard_{i}.bin"), "rb") as f:
+                blobs.append(f.read())
+        if use_actors:
+            import ray
+
+            ray.get([s.load_snapshot.remote(b) for s, b in zip(obj.shards, blobs)])
+        else:
+            obj.shards = [ShardState.from_snapshot(b) for b in blobs]
+        obj.next_seq.update(manifest["next_seq"])
+        for k, v in manifest["host_seq"].items():
+            j, h = k.split("\t", 1)
+            obj.host_seq[(j, h)] = v
+        obj.enqueued.update(manifest["enqueued"])
+        manifest["epoch"] = epoch
+        return obj, manifest

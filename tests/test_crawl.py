@@ -1,0 +1,227 @@
+"""Crawl conformance: admission order, seen-set, span invariants, resume.
+
+The oracle is tests/reference_sim.py (independent FIFO simulator of the
+reference at concurrency 1). Per BASELINE.json the invariants are:
+span-sequence equality (kind, text, media_ref, order), exact admission
+order, final URL-seen-set equality.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+from anycrawl_ray.sources.synthetic_site import (
+    build_site_table,
+    page_url,
+    site_table_from_rows,
+)
+from tests.reference_sim import simulate_crawl
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _check_conformance(job: CrawlJob, pages: pa.Table, **kw):
+    res = run_crawl(job, pages, use_ray=False, **kw)
+    sim = simulate_crawl(job, pages)
+    # exact admission order
+    got = list(
+        zip(
+            res.order.column("admission_seq").to_pylist(),
+            res.order.column("url").to_pylist(),
+            res.order.column("depth").to_pylist(),
+            res.order.column("parent_url").to_pylist(),
+        )
+    )
+    want = [(s, u, d, p) for (s, u, _c, d, p) in sim["admission"]]
+    assert got == want, f"admission order mismatch: {got[:5]} vs {want[:5]}"
+    # URL-seen set equality
+    assert set(res.seen.column("canonical_url").to_pylist()) == sim["seen"]
+    # fetched pages = limit-prefix of admission order
+    fetched_urls = res.documents.column("url").to_pylist()
+    want_fetch = [u for u in sim["fetched"]]
+    # documents are doc_id (= admission seq) ordered; drop skipped (scrape_paths)
+    if not job.scrape_paths:
+        assert fetched_urls == want_fetch
+    assert res.stats["done"] == sim["done"]
+    return res, sim
+
+
+@pytest.mark.parametrize("strategy", ["all", "same-hostname", "same-domain"])
+def test_conformance_strategies(strategy):
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy=strategy,
+                   max_depth=12, limit=120)
+    _check_conformance(job, pages)
+
+
+@pytest.mark.parametrize("max_depth", [1, 2, 4])
+def test_conformance_depth_gate(max_depth):
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=max_depth, limit=500)
+    res, sim = _check_conformance(job, pages)
+    assert max(res.order.column("depth").to_pylist()) <= max_depth
+
+
+def test_conformance_include_exclude():
+    pages = build_site_table(DOCS)
+    job = CrawlJob(
+        job_id="t", seed_urls=[page_url(0)], strategy="all", max_depth=10, limit=200,
+        include_paths=["**/p/0000*", "/p\\/0001\\d{2}$/"],
+        exclude_paths=["**/p/00001?"],
+    )
+    res, _ = _check_conformance(job, pages)
+    urls = res.order.column("url").to_pylist()
+    assert all("/p/0000" in u or "/p/0001" in u for u in urls[1:])
+    assert not any("/p/000010" in u for u in urls[1:])
+
+
+def test_conformance_scrape_paths():
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=10, limit=60, scrape_paths=["**/p/00000?"])
+    res, sim = _check_conformance(job, pages)
+    stored = res.documents.column("url").to_pylist()
+    # only matching pages stored; links still followed (60 pages done)
+    assert all(u[-2] == "0" for u in stored)
+    assert res.stats["done"] == 60
+
+
+def test_limit_exact_page_count():
+    pages = build_site_table(DOCS)
+    for limit in (1, 7, 33):
+        job = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all", limit=limit)
+        res, sim = _check_conformance(job, pages)
+        assert res.documents.num_rows == limit
+
+
+def test_seed_bypasses_dedup():
+    # a page linking back to the seed re-admits it (EngineQueue.ts:122-127)
+    rows = [
+        {"url": "http://s.test/", "html": "", "links": ["http://s.test/a"]},
+        {"url": "http://s.test/a", "html": "", "links": ["http://s.test/"]},
+    ]
+    for r in rows:
+        r["html"] = "<html><body>" + "".join(
+            f'<a href="{l}">x</a>' for l in r["links"]
+        ) + "</body></html>"
+    pages = site_table_from_rows(rows)
+    job = CrawlJob(job_id="t", seed_urls=["http://s.test/"], strategy="all", limit=10)
+    res, sim = _check_conformance(job, pages)
+    urls = res.order.column("url").to_pylist()
+    assert urls.count("http://s.test/") == 2  # seed + re-discovered
+
+
+def test_failed_pages_accounted_no_links():
+    rows = [
+        {"url": "http://s.test/", "status_code": 200,
+         "html": '<a href="/bad">b</a><a href="/ok">o</a>',
+         "links": ["http://s.test/bad", "http://s.test/ok"]},
+        {"url": "http://s.test/bad", "status_code": 500,
+         "html": '<a href="/never">n</a>', "links": ["http://s.test/never"]},
+        {"url": "http://s.test/ok", "status_code": 200, "html": "fine", "links": []},
+    ]
+    pages = site_table_from_rows(rows)
+    job = CrawlJob(job_id="t", seed_urls=["http://s.test/"], strategy="all", limit=10)
+    res, sim = _check_conformance(job, pages)
+    assert res.stats["failed"] == 1
+    assert res.stats["succeeded"] == 2
+    statuses = dict(zip(res.documents.column("url").to_pylist(),
+                        res.documents.column("status").to_pylist()))
+    assert statuses["http://s.test/bad"] == "failed"
+    assert "http://s.test/never" not in res.order.column("url").to_pylist()
+
+
+def test_politeness_budget_invariants():
+    """Finite politeness deliberately throttles hot hosts, so cross-host
+    admission order may differ from the unthrottled FIFO (the reference has
+    no politeness — the conformance config is budget=inf, covered above).
+    The politeness contract is: (a) runs are deterministic, (b) per-host
+    fetch order is FIFO by host_seq, (c) an exhaustive crawl reaches the
+    same URL-seen set."""
+    pages = build_site_table(DOCS)
+    exhaustive = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all",
+                          max_depth=30, limit=1000)
+    res_full = run_crawl(exhaustive, pages, use_ray=False)
+    polite = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all",
+                      max_depth=30, limit=1000, politeness_max_inflight_per_host=1)
+    res_p1 = run_crawl(polite, pages, use_ray=False)
+    res_p2 = run_crawl(polite, pages, use_ray=False)
+    # (a) deterministic
+    assert res_p1.order.equals(res_p2.order)
+    assert res_p1.documents.equals(res_p2.documents)
+    # (b) per-host FIFO: doc order restricted to one host is host_seq-ordered
+    fetched = res_p1.documents.column("url").to_pylist()
+    admitted_pos = {u: i for i, u in enumerate(res_p1.order.column("url").to_pylist())}
+    for host in ("site0.test", "site1.test"):
+        host_fetch = [admitted_pos[u] for u in fetched if host in u]
+        assert host_fetch == sorted(host_fetch)
+    # (c) exhaustive crawl: same seen set, many more epochs (throttled waves)
+    assert set(res_p1.seen.column("canonical_url").to_pylist()) == set(
+        res_full.seen.column("canonical_url").to_pylist()
+    )
+    assert res_p1.epochs > res_full.epochs
+
+
+def test_span_sequence_golden():
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="g", seed_urls=[page_url(0)], strategy="all", limit=1,
+                   formats=["markdown", "html", "text", "rawHtml", "screenshot", "json"])
+    res = run_crawl(job, pages, use_ray=False)
+    spans = res.documents.column("spans").to_pylist()[0]
+    kinds = [s["kind"] for s in spans]
+    # order: title, rawHtml, metadata*, html, markdown*, text, media*, screenshot, json
+    assert kinds[0] == "title" and spans[0]["text"] == "Doc 0"
+    assert kinds[1] == "rawHtml"
+    assert kinds[2:4] == ["metadata", "metadata"]
+    assert spans[2]["text"] == "description=synthetic page 0"
+    assert kinds[4] == "html"
+    i = kinds.index("text")
+    assert all(k == "markdown" for k in kinds[5:i])
+    assert kinds[i + 1] == "media"
+    assert spans[i + 1]["media_ref"].startswith("http://site0.test/img/")
+    assert kinds[i + 2] == "screenshot"
+    assert spans[i + 2]["media_ref"].startswith("screenshot://")
+    assert kinds[i + 3] == "json"
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    # cleaned html excludes nav/ads/footer; absolute links
+    html_span = spans[4]["text"]
+    assert "site nav" not in html_span and "buy things" not in html_span
+    assert "footer text" not in html_span and "<!--" not in html_span
+    assert 'href="http://site1.test/p/000001"' in html_span
+
+
+def test_resume_no_duplicates(tmp_path):
+    pages = build_site_table(DOCS)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    job = CrawlJob(job_id="r", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=10, limit=150)
+    # full run for the golden
+    golden = run_crawl(job, pages, use_ray=False)
+    # crashed run
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_crawl(job, pages, use_ray=False, out_dir=out, checkpoint_dir=ckpt,
+                  crash_after_epoch=2)
+    # resume
+    res = run_crawl(job, pages, use_ray=False, out_dir=out, checkpoint_dir=ckpt,
+                    resume=True)
+    doc_ids = res.documents.column("doc_id").to_pylist()
+    assert len(doc_ids) == len(set(doc_ids)) == 150
+    assert res.documents.equals(golden.documents)
+    assert res.seen.to_pydict()["canonical_url"] == golden.seen.to_pydict()["canonical_url"]
+
+
+def test_crawl_via_ray_matches_inline(ray_session):
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=10, limit=150)
+    res_ray = run_crawl(job, pages, use_ray=True, ray_wave_threshold=4, num_shards=3)
+    res_inline = run_crawl(job, pages, use_ray=False)
+    assert res_ray.order.equals(res_inline.order)
+    assert res_ray.documents.equals(res_inline.documents)
+    assert res_ray.seen.equals(res_inline.seen)
