@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in ``anycrawl_ray``) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship crawl pipeline at sf0.001 — synthetic site derived
+  from the documents table, epoch-synchronous BFS crawl through the
+  sharded frontier + fetch/parse map_batches stages, returning the
+  interleaved span-document table (BASELINE.json input_hint shape plus
+  provenance columns).
+- ``queries()`` / ``oracle_sql()``: see anycrawl_ray/pipelines/queries.py —
+  one entry per implemented operator family from SURVEY.md §2 plus the
+  training-data additions; SQL oracles cover everything relationally
+  expressible (crawl reachability included, via a recursive CTE over the
+  synthetic graph rule).
 """
 
 from __future__ import annotations
@@ -20,25 +22,33 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: crawl the synthetic
+    site graph and return the span-documents table."""
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    job = CrawlJob(
+        job_id="flagship",
+        seed_urls=[page_url(0)],
+        strategy="all",
+        max_depth=20,
+        limit=500,
+        formats=["markdown", "html", "text"],
+    )
+    import ray
+
+    res = run_crawl(job, pages, use_ray=ray.is_initialized())
+    return res.documents
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from anycrawl_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from anycrawl_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

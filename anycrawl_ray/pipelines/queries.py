@@ -1,0 +1,743 @@
+"""Driver-facing query registry: Ray pipelines + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 plus the training-data additions
+is exposed here as ``QUERIES[name](sf_dir)``; ``ORACLE_SQL[name]`` holds
+the ANSI-SQL equivalent the driver runs through DuckDB on the same parquet
+views (``documents events lineitem orders customer part nation region
+supplier embeddings``). Names of computed columns match exactly — the
+driver hash-compares sorted columns.
+
+Float policy: float aggregates are emitted as scaled BIGINT on both sides
+(see ``_scaled`` — rounded floats can differ by 1 ulp between engines);
+similarity queries return integer (id, rank) columns only — float64 cosine
+on both sides makes rank flips require |delta| < 1e-12, which the random
+embeddings never produce.
+
+Crawl/SERP queries run over synthetic fixtures **derived from the
+documents table by SQL-replicable rules** (sources/synthetic_site.py graph
+rule, sources/serp_fixtures.py field rules), so even the crawler's
+reachable-set and the SERP parsers get exact relational oracles; ordering
+and span-level invariants (not SQL-expressible) are pinned by pytest
+instead (tests/test_crawl.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_HOSTS = 4  # keep in sync with sources/synthetic_site.py
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _scaled(table: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Float -> scaled BIGINT for driver-hash-stable comparison.
+
+    Rounded floats are unsafe across engines (two correct round(x, n)
+    implementations can emit doubles 1 ulp apart — observed between
+    pyarrow and DuckDB); ``rint(x * scale)`` with error << 0.5 is exact on
+    both sides. The matching SQL is CAST(ROUND(x * scale) AS BIGINT)."""
+    for col, scale in cols.items():
+        idx = table.schema.get_field_index(col)
+        vals = np.rint(
+            table.column(col).to_numpy(zero_copy_only=False).astype("float64") * scale
+        ).astype("int64")
+        table = table.set_column(idx, col, pa.array(vals, pa.int64()))
+    return table
+
+
+# ===================================================================
+# Relational / aggregate operators (engine fundamentals)
+# ===================================================================
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with pre-projection (Q1-style): demonstrates
+    column-pruned read -> vectorized derived column -> groupby.aggregate."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return b.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _scaled(table, {"sum_qty": 100, "sum_base_price": 10_000,
+                           "sum_disc_price": 10_000, "avg_qty": 1_000_000})
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT)                          AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 10000) AS BIGINT)                   AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_disc_price,
+       CAST(ROUND(AVG(l_quantity) * 1000000) AS BIGINT)                      AS avg_qty,
+       COUNT(*)                                             AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_brand(sf_dir: str):
+    """Broadcast hash join (small dimension) + map-side partial aggregation
+    before the shuffle (SURVEY.md J1 pattern at data scale)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_of = dict(zip(part.column("p_partkey").to_pylist(),
+                        part.column("p_brand").to_pylist()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["p_brand"] = df["l_partkey"].map(brand_of)
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("p_brand", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("p_brand").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items")
+    )
+    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _scaled(table, {"revenue": 10_000})
+
+
+_REVENUE_BRAND_SQL = """
+SELECT p.p_brand,
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def orders_by_nation(sf_dir: str):
+    """Two-hop broadcast join (customer -> nation chain) onto the fact."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    nation_of = {c: nname[nk] for c, nk in zip(cust.column("c_custkey").to_pylist(),
+                                               cust.column("c_nationkey").to_pylist())}
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["n_name"] = df["o_custkey"].map(nation_of)
+        return pa.Table.from_pandas(df[["n_name", "o_totalprice"]], preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    out = ds.map_batches(add_nation, batch_format="pyarrow").groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    )
+    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _scaled(table, {"total_price": 10_000})
+
+
+_ORDERS_NATION_SQL = """
+SELECT n.n_name, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(o.o_totalprice) * 10000) AS BIGINT) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def top_users_by_value(sf_dir: str):
+    """Aggregate + global sort + limit (top-k)."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    out = (
+        ds.groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        .sort(["total_value", "user_id"], descending=[True, False])
+        .limit(10)
+    )
+    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _scaled(table, {"total_value": 10_000})
+
+
+_TOP_USERS_SQL = """
+SELECT user_id, CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS total_value, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY SUM(value) DESC, user_id LIMIT 10
+"""
+
+
+# ===================================================================
+# Streaming-shaped: windows + sessionization over the events log
+# ===================================================================
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type (map-side partial, then groupby)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["hour_epoch"] = (df["ts"].dt.floor("h") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        g = df.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "hour_epoch"]
+    ).aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    table = table.set_column(table.schema.get_field_index("n"), "n",
+                             pc.cast(table.column("n"), pa.int64()))
+    return _scaled(table, {"sum_value": 10_000})
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n, CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def sessionize(sf_dir: str):
+    """Gap-based sessionization (30 min) per user — ``groupby(user).
+    map_groups`` over ts-sorted groups, the engine's窗口 pattern for
+    stream-shaped data (ray_guide streaming section)."""
+    rd = _rd()
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gaps.cumsum()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sid.iloc[-1]) + 1 if len(g) else 0],
+                "n_events": [len(g)],
+                "max_session_events": [int(sid.value_counts().max())],
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+       MAX(n) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# ===================================================================
+# Text analysis over documents
+# ===================================================================
+
+
+def docs_text_stats(sf_dir: str):
+    rd = _rd()
+    from ..stages.text_analysis import text_stats_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(text_stats_batch, batch_format="pyarrow")
+    table = pa.concat_tables(
+        [b for b in out.iter_batches(batch_size=8192, batch_format="pyarrow")]
+    ).select(["doc_id", "n_chars_calc", "n_tokens", "stop_hits", "punct_hits", "quality"])
+    return _scaled(table, {"quality": 1_000_000})
+
+
+_TEXT_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS stop_hits,
+       length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct_hits,
+       CAST(ROUND(LEAST(1.0, len(toks) / 64.0) *
+             (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))
+                         * 1.0 / len(toks) END) * 1000000) AS BIGINT) AS quality
+FROM t
+"""
+
+
+def docs_vocab(sf_dir: str):
+    """Distinct-word count per doc (tokenizer parity check)."""
+    rd = _rd()
+    import re
+
+    tok = re.compile(r"\S+")
+
+    def vocab(b: pa.Table) -> pa.Table:
+        counts = [len(set(tok.findall(t))) for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_distinct_words": pa.array(counts, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pa.concat_tables(
+        ds.map_batches(vocab, batch_format="pyarrow").iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        )
+    )
+
+
+_VOCAB_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+       END AS n_distinct_words
+FROM documents
+"""
+
+
+def docs_by_lang(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _scaled(table, {"avg_chars": 1_000_000})
+
+
+_BY_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       CAST(ROUND(AVG(n_chars) * 1000000) AS BIGINT) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def docs_exact_dedup(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()[["doc_id", "text", "n_copies"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def docs_lang_guess(sf_dir: str):
+    """Language-ID heuristic (no SQL oracle — model-ish stage; rows-only)."""
+    from ..stages.text_analysis import LangId
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return pa.concat_tables(
+        out.iter_batches(batch_size=8192, batch_format="pyarrow")
+    ).select(["doc_id", "lang", "lang_guess"])
+
+
+def docs_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprints (rows-only: uint64 poly hash not in SQL)."""
+    from ..stages.text_analysis import Fingerprinter
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
+    return pa.concat_tables(
+        out.iter_batches(batch_size=8192, batch_format="pyarrow")
+    ).select(["doc_id", "fingerprint"])
+
+
+def docs_minhash_pairs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, threshold=0.5)
+    return _scaled(out, {"jaccard": 1_000_000})
+
+
+def docs_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def embeddings_neardup(sf_dir: str):
+    from ..stages.dedup import embedding_neardup_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, threshold=0.95)
+    return out.select(["a", "b"])  # ints only for stability
+
+
+# ===================================================================
+# Similarity search
+# ===================================================================
+
+_KNN_QUERIES = 5
+_KNN_K = 10
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, list[int]]:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl.column("vec_id").to_pylist()))[: _KNN_QUERIES]
+    ids = [int(tbl.column("vec_id")[int(i)].as_py()) for i in order]
+    qs = np.asarray([tbl.column("embedding")[int(i)].as_py() for i in order],
+                    dtype=np.float64)
+    return qs, ids
+
+
+def embeddings_knn(sf_dir: str):
+    """Brute-force cosine top-k for the first 5 vectors as queries."""
+    from ..stages.similarity import knn_brute
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qs, ids = _load_queries(sf_dir)
+    out = knn_brute(ds, qs, ids, k=_KNN_K)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {_KNN_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_KNN_K}
+"""
+
+
+def embeddings_knn_ivf(sf_dir: str):
+    """IVF ANN variant (rows-only; recall vs brute force pinned in tests)."""
+    from ..stages.similarity import ivf_knn
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qs, ids = _load_queries(sf_dir)
+    out = ivf_knn(ds, qs, ids, k=_KNN_K, n_clusters=16, nprobe=6)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+# ===================================================================
+# Crawl / scrape / SERP over SQL-replicable synthetic fixtures
+# ===================================================================
+
+
+def crawl_reachable(sf_dir: str):
+    """Full crawl of the synthetic graph; output = distinct fetched URL +
+    BFS depth. Oracle = recursive CTE over the same graph rule."""
+    from ..sources.synthetic_site import build_site_table, page_url
+    from .crawl import CrawlJob, run_crawl
+
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    job = CrawlJob(job_id="cr", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=1_000_000)
+    import ray
+
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
+    df = res.order.to_pandas()[["canonical_url", "depth"]]
+    out = df.groupby("canonical_url", as_index=False)["depth"].min()
+    out = out.rename(columns={"canonical_url": "url"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_CRAWL_REACHABLE_SQL = f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0
+),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20
+)
+SELECT 'http://site' || CAST(id % {_HOSTS} AS VARCHAR) || '.test/p/' ||
+       lpad(CAST(id AS VARCHAR), 6, '0') AS url,
+       CAST(MIN(depth) AS INT) AS depth
+FROM reach GROUP BY id
+"""
+
+
+def crawl_lineage(sf_dir: str):
+    """Lineage counter totals for the same crawl (counters vs graph size)."""
+    from ..sources.synthetic_site import build_site_table, page_url
+    from .crawl import CrawlJob, run_crawl
+
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    job = CrawlJob(job_id="cl", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=1_000_000)
+    import ray
+
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
+    lin = res.lineage.to_pandas()
+    return pa.table(
+        {
+            "done": pa.array([int(lin["done"].sum())], pa.int64()),
+            "succeeded": pa.array([int(lin["succeeded"].sum())], pa.int64()),
+            "failed": pa.array([int(lin["failed"].sum())], pa.int64()),
+        }
+    )
+
+
+_CRAWL_LINEAGE_SQL = """
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0
+),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20
+)
+-- done = distinct reachable pages + 1 (the seed is re-admitted once when
+-- rediscovered, EngineQueue.ts:122-127 bypass) iff some page links to it
+SELECT (SELECT COUNT(DISTINCT id) FROM reach)
+       + (SELECT CASE WHEN EXISTS (SELECT 1 FROM edges WHERE dst = 0) THEN 1 ELSE 0 END)
+       AS done,
+       (SELECT COUNT(DISTINCT id) FROM reach)
+       + (SELECT CASE WHEN EXISTS (SELECT 1 FROM edges WHERE dst = 0) THEN 1 ELSE 0 END)
+       AS succeeded,
+       0 AS failed
+"""
+
+
+def scrape_titles(sf_dir: str):
+    """Batched scrape of every synthetic page; titles are SQL-derivable."""
+    from ..pipelines.scrape import run_scrape_many
+    from ..sources.synthetic_site import build_site_table
+
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    urls = pages.column("url").to_pylist()
+    import ray
+
+    docs = run_scrape_many(urls, pages, formats=["markdown"],
+                           use_ray=ray.is_initialized())
+    titles = []
+    for spans in docs.column("spans").to_pylist():
+        titles.append(next((s["text"] for s in spans if s["kind"] == "title"), ""))
+    return pa.table({"url": docs.column("url"),
+                     "title": pa.array(titles, pa.string()),
+                     "status": docs.column("status")})
+
+
+_SCRAPE_TITLES_SQL = f"""
+SELECT 'http://site' || CAST(doc_id % {_HOSTS} AS VARCHAR) || '.test/p/' ||
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'completed' AS status
+FROM documents
+"""
+
+
+def _serp_query(engine: str, limit: int = 100):
+    def run(sf_dir: str):
+        from ..pipelines.search import run_search
+        from ..sources.serp_fixtures import build_serp_pages
+
+        pages = build_serp_pages(f"{sf_dir}/documents.parquet", engine, limit=limit)
+        import ray
+
+        return run_search(pages, limit=limit, use_ray=ray.is_initialized())
+
+    return run
+
+
+_SERP_COMMON = """
+WITH d AS (
+  SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT {limit}
+)
+SELECT '{engine}' AS engine, 'q' AS query,
+       {page_expr} AS page,
+       {pos_expr} AS position,
+       {category_expr} AS category,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' result' AS title,
+       'http://result.test/d/' || CAST(doc_id AS VARCHAR) AS url,
+       'about doc ' || CAST(doc_id AS VARCHAR) || ' (' || CAST(n_chars AS VARCHAR)
+           || ' chars)' AS description,
+       {source_expr} AS source
+FROM d
+"""
+
+
+def _serp_sql(engine: str, limit: int = 100) -> str:
+    if engine == "google":
+        return _SERP_COMMON.format(
+            limit=limit, engine=engine,
+            page_expr="CAST(doc_id // 10 + 1 AS INT)",
+            pos_expr="CAST(doc_id % 10 AS INT)",
+            category_expr="'web'",
+            source_expr="'Google Search Result'",
+        )
+    if engine == "searxng":
+        return _SERP_COMMON.format(
+            limit=limit, engine=engine,
+            page_expr="CAST(doc_id // 10 + 1 AS INT)",
+            pos_expr="CAST(doc_id % 10 AS INT)",
+            category_expr="CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'images' ELSE 'news' END",
+            source_expr="'SearXNG (fixture)'",
+        )
+    return _SERP_COMMON.format(
+        limit=limit, engine=engine,
+        page_expr="1",
+        pos_expr="CAST(doc_id AS INT)",
+        category_expr="CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'images' ELSE 'news' END",
+        source_expr="'AC-Engine'",
+    )
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload table -> actor-pool feature
+    extraction (stub codec; rows-only check)."""
+    from ..stages.media import extract_media_features, media_table_from_documents
+
+    rd = _rd()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_table_from_documents(docs)
+    ds = rd.from_arrow(media)
+    out = extract_media_features(ds, concurrency=2, batch_size=64)
+    table = pa.concat_tables(out.iter_batches(batch_size=8192, batch_format="pyarrow"))
+    return table.select(["media_id", "payload_hash"])
+
+
+# ===================================================================
+# Registry
+# ===================================================================
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_brand": revenue_by_brand,
+    "orders_by_nation": orders_by_nation,
+    "top_users_by_value": top_users_by_value,
+    "events_hourly": events_hourly,
+    "sessionize": sessionize,
+    "docs_text_stats": docs_text_stats,
+    "docs_vocab": docs_vocab,
+    "docs_by_lang": docs_by_lang,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_lang_guess": docs_lang_guess,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_simhash_pairs": docs_simhash_pairs,
+    "embeddings_neardup": embeddings_neardup,
+    "embeddings_knn": embeddings_knn,
+    "embeddings_knn_ivf": embeddings_knn_ivf,
+    "crawl_reachable": crawl_reachable,
+    "crawl_lineage": crawl_lineage,
+    "scrape_titles": scrape_titles,
+    "serp_google": _serp_query("google"),
+    "serp_searxng": _serp_query("searxng"),
+    "serp_ac_engine": _serp_query("ac-engine"),
+    "media_features": media_features,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": _Q1_SQL,
+    "revenue_by_brand": _REVENUE_BRAND_SQL,
+    "orders_by_nation": _ORDERS_NATION_SQL,
+    "top_users_by_value": _TOP_USERS_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+    "sessionize": _SESSIONIZE_SQL,
+    "docs_text_stats": _TEXT_STATS_SQL,
+    "docs_vocab": _VOCAB_SQL,
+    "docs_by_lang": _BY_LANG_SQL,
+    "docs_exact_dedup": _EXACT_DEDUP_SQL,
+    "embeddings_knn": _KNN_SQL,
+    "crawl_reachable": _CRAWL_REACHABLE_SQL,
+    "crawl_lineage": _CRAWL_LINEAGE_SQL,
+    "scrape_titles": _SCRAPE_TITLES_SQL,
+    "serp_google": _serp_sql("google"),
+    "serp_searxng": _serp_sql("searxng"),
+    "serp_ac_engine": _serp_sql("ac-engine"),
+    # rows-only (non-SQL-expressible): docs_lang_guess, docs_fingerprint,
+    # docs_minhash_pairs, docs_simhash_pairs, embeddings_neardup,
+    # embeddings_knn_ivf, media_features
+}

@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute``: baseline exact top-k cosine — per-batch numpy matmul of
+  the batch's vectors against a **broadcast** query matrix, emitting each
+  batch's local top-k; a driver-side merge of the tiny per-batch top-k
+  tables yields the global top-k (classic map-side top-k + small reduce —
+  never an all-pairs shuffle).
+- ``ivf_knn``: the scale path — a seeded numpy k-means (few iterations on a
+  sample) builds centroids once, vectors get a cluster id via
+  ``map_batches``, and each query probes only the ``nprobe`` nearest
+  clusters. Recall vs the brute-force baseline is pinned in tests.
+
+Scores are computed in float64 so results are comparable with the DuckDB
+``list_cosine_similarity`` oracle to ~1e-15.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _batch_embeddings(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def knn_brute(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
+    """-> pa.Table (query_id, neighbor_id, rank, cosine), rank 1..k by
+    descending cosine (ties broken by neighbor_id, deterministic)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_batch_embeddings(batch))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        sims = qn @ emb.T  # (Q, n)
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.extend([query_ids[qi]] * kk)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(row[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return _merge_topk(partials, k)
+
+
+def _merge_topk(partials, k: int) -> pa.Table:
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.table({
+        "query_id": pa.array(top["query_id"].tolist(), pa.int64()),
+        "neighbor_id": pa.array(top["neighbor_id"].tolist(), pa.int64()),
+        "rank": pa.array(top["rank"].tolist(), pa.int32()),
+        "cosine": pa.array(top["cosine"].tolist(), pa.float64()),
+    })
+
+
+def kmeans_fit(sample: np.ndarray, n_clusters: int = 16, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Seeded lightweight k-means on normalized vectors (spherical-ish)."""
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                                  replace=False)]
+    for _ in range(iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_knn(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
+            n_clusters: int = 16, nprobe: int = 4, sample_size: int = 2048,
+            seed: int = 42):
+    """IVF-style ANN: centroids from a seeded sample (driver, once,
+    broadcast), cluster assignment via map_batches, queries probe their
+    nprobe nearest centroids only."""
+    sample = ds.limit(sample_size).to_pandas()["embedding"].tolist()
+    centroids = kmeans_fit(np.asarray(sample), n_clusters, seed=seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probe_sets = [set(p.tolist()) for p in probe]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_batch_embeddings(batch))
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        assign = (emb @ centroids.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(qn.shape[0]):
+            mask = np.isin(assign, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            row = qn[qi] @ emb[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, row.size)
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.extend([query_ids[qi]] * kk)
+            out_n.extend(sub_ids[idx].tolist())
+            out_s.extend(row[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return _merge_topk(partials, k)

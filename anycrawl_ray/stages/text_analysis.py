@@ -1,0 +1,144 @@
+"""Text-analysis stages for training-data pipelines (first-class additions
+beyond the reference's operator set, per the build brief): language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` functions over Arrow batches
+of the ``documents`` table; the heavier tokenizing paths use compiled
+regexes held in a callable class (actor-pool-friendly). The arithmetic is
+kept SQL-replicable so the DuckDB oracle can verify exactly
+(pipelines/queries.py::docs_text_stats).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# whole-word stopword set; synthetic corpus is lowercase space-separated
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_TOKEN_RE = re.compile(r"\S+")
+
+# marker-word tables for the n-gram-free language heuristic; unknown -> 'en'
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "is", "with"},
+    "de": {"der", "die", "und", "ist", "mit"},
+    "fr": {"le", "la", "et", "est", "avec"},
+    "es": {"el", "la", "y", "es", "con"},
+    "zh": set(),  # han-script detection below
+}
+_HAN = re.compile(r"[一-鿿]")
+
+
+def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized stats: chars, tokens, stopword hits, punct chars, quality.
+
+    quality = min(1, tokens/64) * (1 - stop_ratio) — a length/stopword
+    heuristic in the spirit of Gopher/C4 quality rules, chosen to be exactly
+    expressible in SQL for the oracle."""
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(text, r"\S+")
+    stop_pat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    stop_hits = pc.count_substring_regex(text, stop_pat)
+    punct_hits = pc.count_substring_regex(text, r"[^\w\s]")
+    tok = n_tokens.to_numpy(zero_copy_only=False).astype("float64")
+    stop = stop_hits.to_numpy(zero_copy_only=False).astype("float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_ratio = np.where(tok > 0, stop / tok, 0.0)
+    quality = np.minimum(1.0, tok / 64.0) * (1.0 - stop_ratio)
+    return (
+        batch.append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
+        .append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+        .append_column("stop_hits", pc.cast(stop_hits, pa.int64()))
+        .append_column("punct_hits", pc.cast(punct_hits, pa.int64()))
+        .append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
+        .append_column("quality", pa.array(quality, pa.float64()))
+    )
+
+
+class LangId:
+    """Marker-word + script language guesser (n-gram-heuristic class of
+    detectors; a real model would slot into the same actor-pool stage)."""
+
+    def __init__(self) -> None:
+        self.token_re = _TOKEN_RE
+        self.markers = {k: v for k, v in _LANG_MARKERS.items() if v}
+
+    def guess(self, text: str) -> str:
+        if _HAN.search(text):
+            return "zh"
+        toks = set(self.token_re.findall(text.lower())[:200])
+        best, best_hits = "en", 0
+        for lang, markers in self.markers.items():
+            hits = len(toks & markers)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        guesses = [self.guess(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_guess", pa.array(guesses, pa.string()))
+
+
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """Per-token 64-bit hashes (FNV-1a seed then splitmix finalize) —
+    shared by fingerprinting / simhash / minhash shingling."""
+    toks = _TOKEN_RE.findall(text)
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    h = np.fromiter(
+        (_fnv1a(t) for t in toks), count=len(toks), dtype=np.uint64
+    )
+    return _mix64_np(h)
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) & ((1 << 64) - 1)
+    return h
+
+
+class Fingerprinter:
+    """Rolling-hash document fingerprint (polynomial over token hashes) —
+    order-sensitive, whitespace-insensitive; uint64 per doc."""
+
+    BASE = np.uint64(1099511628211)
+
+    def fingerprint(self, text: str) -> int:
+        h = token_hashes(text)
+        if h.size == 0:
+            return 0
+        # polynomial hash sum(h[i] * BASE^(n-1-i)) with uint64 wraparound,
+        # fully vectorized (np uint64 arithmetic wraps mod 2^64)
+        with np.errstate(over="ignore"):
+            powers = np.full(h.size, self.BASE, dtype=np.uint64)
+            powers[0] = 1
+            powers = np.cumprod(powers)[::-1]
+            return int((h * powers).sum(dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+def analyze_documents(ds, include_lang: bool = True):
+    """documents Dataset -> stats (+ lang_guess) Dataset. Vectorized stats as
+    a task stage; lang-id as an actor pool (compiled state per actor)."""
+    out = ds.map_batches(text_stats_batch, batch_format="pyarrow")
+    if include_lang:
+        out = out.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return out

@@ -1,0 +1,198 @@
+"""Training-data operator tests: dedup family, similarity search, text
+analysis, media plumbing. These run small in-memory datasets through the
+same map_batches/groupby code paths the queries use."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from anycrawl_ray.stages.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_pairs,
+    shingle_hashes,
+    simhash64,
+    simhash_pairs,
+)
+from anycrawl_ray.stages.similarity import ivf_knn, kmeans_fit, knn_brute
+from anycrawl_ray.stages.text_analysis import (
+    Fingerprinter,
+    LangId,
+    text_stats_batch,
+)
+from anycrawl_ray.stages.media import (
+    MediaFeatureExtractor,
+    extract_media_features,
+    media_table_from_documents,
+)
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": [r[1] for r in rows],
+    }))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight")
+
+
+def test_exact_dedup_keeps_min_doc_id(ray_session):
+    ds = _docs_ds([(5, "aaa"), (2, "bbb"), (9, "aaa"), (1, "aaa"), (7, "ccc")])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert dict(zip(out["text"], out["doc_id"])) == {"aaa": 1, "bbb": 2, "ccc": 7}
+    assert dict(zip(out["text"], out["n_copies"])) == {"aaa": 3, "bbb": 1, "ccc": 1}
+
+
+def test_jaccard_and_shingles():
+    assert jaccard(BASE, BASE) == 1.0
+    assert jaccard(BASE, "completely different words here entirely") == 0.0
+    near = BASE + " extra"
+    assert 0.7 < jaccard(BASE, near) < 1.0
+    assert shingle_hashes("a b", k=3).size == 2  # falls back to unique tokens
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(60):
+        words = rng.choice(vocab, size=60).tolist()
+        rows.append((i, " ".join(words)))
+    # plant: 100/101 near-identical, 102/103 identical
+    rows.append((100, BASE))
+    rows.append((101, BASE + " tail"))
+    rows.append((102, "x " + BASE))
+    rows.append((103, "x " + BASE))
+    pairs = minhash_lsh_pairs(_docs_ds(rows), threshold=0.5)
+    found = set(zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()))
+    assert (100, 101) in found
+    assert (102, 103) in found
+    # verified jaccard values are exact
+    jac = dict(zip(zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()),
+                   pairs.column("jaccard").to_pylist()))
+    assert jac[(102, 103)] == 1.0
+    assert jac[(100, 101)] == pytest.approx(jaccard(BASE, BASE + " tail"))
+
+
+def test_simhash_blocking_finds_hamming_neighbors(ray_session):
+    s1 = simhash64(BASE)
+    s2 = simhash64(BASE + " tail")
+    assert bin(s1 ^ s2).count("1") <= 8  # similar docs -> close hashes
+    rows = [(1, BASE), (2, BASE), (3, "unrelated totally different content here")]
+    pairs = simhash_pairs(_docs_ds(rows), max_hamming=3)
+    got = set(zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()))
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def _emb_ds(mat, ids=None):
+    import ray.data as rd
+
+    ids = ids if ids is not None else list(range(len(mat)))
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def test_embedding_neardup_planted(ray_session):
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 16))
+    mat[10] = mat[4] + 0.01 * rng.standard_normal(16)  # plant near-dup
+    out = embedding_neardup_pairs(_emb_ds(mat), threshold=0.95)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (4, 10) in pairs
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((200, 16))
+    ds = _emb_ds(mat)
+    q = mat[:3]
+    out = knn_brute(ds, q, [0, 1, 2], k=5).to_pandas()
+    # numpy ground truth
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = (q / np.linalg.norm(q, axis=1, keepdims=True)) @ nm.T
+    for qi in range(3):
+        want = np.argsort(-sims[qi], kind="stable")[:5].tolist()
+        got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert got[0] == qi  # self is rank 1
+        assert set(got) == set(want)
+
+
+def test_ivf_recall_vs_brute(ray_session):
+    rng = np.random.default_rng(2)
+    centers = rng.standard_normal((8, 32)) * 3
+    mat = np.concatenate([c + rng.standard_normal((40, 32)) for c in centers])
+    ds = _emb_ds(mat)
+    q = mat[:5]
+    ids = list(range(5))
+    brute = knn_brute(ds, q, ids, k=10).to_pandas()
+    approx = ivf_knn(ds, q, ids, k=10, n_clusters=8, nprobe=3).to_pandas()
+    recalls = []
+    for qi in ids:
+        b = set(brute[brute["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.8
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(5)
+    sample = rng.standard_normal((100, 8))
+    c1 = kmeans_fit(sample, n_clusters=4, seed=9)
+    c2 = kmeans_fit(sample, n_clusters=4, seed=9)
+    assert np.array_equal(c1, c2)
+
+
+def test_text_stats_vectorized():
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["the cat and a dog!", ""]})
+    out = text_stats_batch(batch)
+    row = out.to_pylist()[0]
+    assert row["n_tokens"] == 5
+    assert row["stop_hits"] == 3  # the, and, a
+    assert row["punct_hits"] == 1
+    empty = out.to_pylist()[1]
+    assert empty["n_tokens"] == 0 and empty["quality"] == 0.0
+
+
+def test_langid_and_fingerprint():
+    lid = LangId()
+    assert lid.guess("der hund ist gut und die katze") == "de"
+    assert lid.guess("le chat est sur la table et il dort") == "fr"
+    assert lid.guess("数据 处理 系统") == "zh"
+    assert lid.guess("plain words only") == "en"
+    fp = Fingerprinter()
+    a = fp.fingerprint("one two three")
+    assert a == fp.fingerprint("one   two\tthree")  # whitespace-insensitive
+    assert a != fp.fingerprint("three two one")  # order-sensitive
+    assert fp.fingerprint("") == 0
+
+
+def test_media_pipeline_plumbing(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).slice(0, 50)
+    media = media_table_from_documents(docs)
+    assert media.schema.field("payload").type == pa.binary()
+    out_ds = extract_media_features(rd.from_arrow(media), concurrency=2, batch_size=16)
+    out = pa.concat_tables(out_ds.iter_batches(batch_size=1024, batch_format="pyarrow"))
+    assert out.num_rows == 50
+    assert "payload" not in out.schema.names  # blobs dropped after featurize
+    feat = out.column("feature").to_pylist()[0]
+    assert len(feat) == 8 and all(0.0 <= v <= 1.0 for v in feat)
+    # deterministic features
+    direct = MediaFeatureExtractor()(media.slice(0, 4))
+    assert direct.column("payload_hash").to_pylist() == out.column(
+        "payload_hash").to_pylist()[:4]
