@@ -159,12 +159,18 @@ def extract_clean_html(
             for el in root.select(selector):
                 buf.append(el.to_html())
         return "".join(buf)
+    clean_tree(root, exclude_tags)
+    return root.to_html()
+
+
+def clean_tree(root: Node, exclude_tags: list[str] | None = None) -> None:
+    """In-place standard cleaning: non-main selectors, exclude_tags,
+    comments (the mutation half of ``extract_clean_html``)."""
     root.remove_all(_NON_MAIN_SELECTOR)
     if exclude_tags:
         for selector in exclude_tags:
             root.remove_all(selector)
     remove_comments(root)
-    return root.to_html()
 
 
 def transform_html(
@@ -188,7 +194,13 @@ _WS = re.compile(r"\s+")
 def extract_page(html: str, url: str) -> PageExtract:
     """One-pass page extract: title, metadata, absolute links and images in
     DOM order (DataExtractor.ts:136-198 + Base.ts link walk)."""
-    root = parse_html(html)
+    return extract_page_from_tree(parse_html(html), url)
+
+
+def extract_page_from_tree(root: Node, url: str) -> PageExtract:
+    """Read-only extraction from an already-parsed tree — lets the parse
+    stage share ONE DOM parse between extraction and transformation
+    (the extraction never mutates; callers may mutate afterwards)."""
     out = PageExtract(url=url)
     title_el = root.select_one("title")
     if title_el is not None:

@@ -114,7 +114,10 @@ class Node:
     # -- selectors --------------------------------------------------------
     def select(self, selector: str) -> list["Node"]:
         """All elements under (and incl.) self matching a selector list."""
-        matchers = [_compile_selector(s.strip()) for s in selector.split(",") if s.strip()]
+        matchers = _compiled_list(selector)
+        if len(matchers) == 1:
+            m = matchers[0]
+            return [e for e in self.elements() if m(e)]
         return [e for e in self.elements() if any(m(e) for m in matchers)]
 
     def select_one(self, selector: str) -> "Node | None":
@@ -174,6 +177,22 @@ class Node:
         if self.kind == "element":
             return f"<Node {self.tag} {self.attrs}>"
         return f"<Node {self.kind} {self.text[:30]!r}>"
+
+
+_COMPILED_SELECTORS: dict[str, list] = {}
+
+
+def _compiled_list(selector: str) -> list:
+    """Cached compilation of a comma-separated selector list (selector
+    strings are a small fixed vocabulary per job — compile once per
+    process, not once per page)."""
+    cached = _COMPILED_SELECTORS.get(selector)
+    if cached is None:
+        cached = [_compile_selector(s.strip()) for s in selector.split(",") if s.strip()]
+        if len(_COMPILED_SELECTORS) > 512:
+            _COMPILED_SELECTORS.clear()
+        _COMPILED_SELECTORS[selector] = cached
+    return cached
 
 
 _SIMPLE_SEL = re.compile(

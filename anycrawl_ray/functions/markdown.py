@@ -54,7 +54,13 @@ _ESCAPES: list[tuple[re.Pattern, str]] = [
 ]
 
 
+# fast-path probe: only texts containing one of these can need escaping
+_MAYBE_ESCAPE = re.compile(r"[\\*`\[\]_~#>=+\-]|\d")
+
+
 def _escape_text(text: str) -> str:
+    if _MAYBE_ESCAPE.search(text) is None:
+        return text
     for rx, repl in _ESCAPES:
         text = rx.sub(repl, text)
     return text
@@ -289,8 +295,57 @@ def html_to_markdown(html: str) -> str:
     root = parse_html(html)
     for tag in _REMOVE_TAGS:
         root.remove_all(tag)
+    return _convert_tree(root)
+
+
+def _convert_tree(root: Node) -> str:
     markdown = _Converter().convert_children(root)
     markdown = _normalize_bracket_wrapped_images(markdown)
     markdown = _normalize_link_text_whitespace(markdown)
     markdown = _MULTI_BLANK.sub("\n\n", markdown).strip()
     return markdown
+
+
+# ASCII whitespace only: the string pre-pass runs BEFORE entity decoding,
+# so literal NBSP-class characters produced by entities must survive the
+# tree-path collapse exactly like they survive the string path
+_ASCII_WS = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def _collapse_tree_whitespace(root: Node) -> None:
+    """Tree-level equivalent of the string pre-pass (``>\\s+<`` -> ``><``,
+    ``\\s+`` -> ' '): merge adjacent text siblings, drop whitespace-only
+    text nodes (they sit between tags), collapse runs inside the rest.
+    Equivalence with the string path is pinned by tests over the golden
+    cases and the synthetic corpus."""
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        merged: list[Node] = []
+        for child in node.children:
+            if child.kind == "text" and merged and merged[-1].kind == "text":
+                merged[-1].text += child.text
+                continue
+            child.parent = node
+            merged.append(child)
+        kept: list[Node] = []
+        for child in merged:
+            if child.kind == "text":
+                if not child.text.strip():
+                    continue
+                child.text = _ASCII_WS.sub(" ", child.text)
+            kept.append(child)
+        node.children = kept
+        stack.extend(kept)
+
+
+def markdown_from_tree(root: Node) -> str:
+    """Markdown straight from an (already URL-transformed, cleaned) tree —
+    skips the serialize + re-parse round trip of ``html_to_markdown``.
+    MUTATES the tree (noise-tag removal + whitespace collapse); call after
+    every other consumer of the tree. Output equality with
+    ``html_to_markdown(root.to_html())`` is asserted by tests."""
+    for tag in _REMOVE_TAGS:
+        root.remove_all(tag)
+    _collapse_tree_whitespace(root)
+    return _convert_tree(root)

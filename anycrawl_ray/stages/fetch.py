@@ -41,18 +41,39 @@ def cached_lookup(pages_ref) -> dict[str, tuple[int, str, int]]:
     return lookup
 
 
-def build_lookup(pages: pa.Table) -> dict[str, tuple[int, str, int]]:
-    """site table -> {url: (status_code, html, content_bytes)}."""
-    urls = pages.column("url").to_pylist()
-    statuses = pages.column("status_code").to_pylist()
-    htmls = pages.column("html").to_pylist()
-    nbytes = pages.column("content_bytes").to_pylist()
-    return {u: (s, h, b) for u, s, h, b in zip(urls, statuses, htmls, nbytes)}
+class PageLookup:
+    """Arrow-backed url -> (status, html, bytes) lookup.
+
+    Only the url -> row-index dict is materialized per worker (O(#urls)
+    small strings); html payloads stay zero-copy Arrow in the object store
+    and are converted per row on access. Each page is fetched once per
+    crawl, so total conversion cost equals one corpus pass spread across
+    workers instead of one full to_pylist per worker (that eager version
+    cost seconds per worker at ~100 MB corpora — measured)."""
+
+    def __init__(self, pages: pa.Table) -> None:
+        self._idx = {u: i for i, u in enumerate(pages.column("url").to_pylist())}
+        self._status = pages.column("status_code").combine_chunks()
+        self._html = pages.column("html").combine_chunks()
+        self._nbytes = pages.column("content_bytes").combine_chunks()
+
+    def get(self, url: str, default: tuple[int, str, int] = (404, "", 0)):
+        i = self._idx.get(url)
+        if i is None:
+            return default
+        return (self._status[i].as_py(), self._html[i].as_py(),
+                self._nbytes[i].as_py())
 
 
-def fetch_batch(batch: pa.Table, lookup: dict[str, tuple[int, str, int]]) -> pa.Table:
+def build_lookup(pages: pa.Table) -> PageLookup:
+    """site table -> lazy PageLookup (see class docstring)."""
+    return PageLookup(pages)
+
+
+def fetch_batch(batch: pa.Table, lookup) -> pa.Table:
     """Append status_code / html / content_bytes columns to a wave batch.
-    Unknown URLs -> 404 with empty body (error path, Base.ts:60-113)."""
+    Unknown URLs -> 404 with empty body (error path, Base.ts:60-113).
+    ``lookup`` is a PageLookup or any mapping with ``.get(url, default)``."""
     urls = batch.column("url").to_pylist()
     statuses, htmls, sizes = [], [], []
     for u in urls:

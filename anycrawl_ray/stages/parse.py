@@ -36,13 +36,26 @@ import json
 
 import pyarrow as pa
 
-from ..functions.cleaner import extract_clean_html, extract_page, transform_relative_urls
-from ..functions.htmldom import parse_html
-from ..functions.markdown import html_to_markdown
+from ..functions.cleaner import (
+    clean_tree,
+    extract_clean_html,
+    extract_page_from_tree,
+    transform_relative_urls,
+)
+from ..functions.htmldom import Node, parse_html
+from ..functions.markdown import html_to_markdown, markdown_from_tree
 from ..functions.patterns import PathRules
-from ..functions.textconv import html_to_text
+from ..functions.textconv import html_to_text_tree
 from ..functions.urls import same_scope
 from ..schemas import SPAN
+
+
+def _imgs_of(root: Node) -> list[dict]:
+    return [
+        {"src": img.get("src") or "", "alt": (img.get("alt") or "").strip()}
+        for img in root.select("img")
+        if img.get("src")
+    ]
 
 DEFAULT_FORMATS = ["markdown"]
 
@@ -87,12 +100,17 @@ class PageParser:
 
     # -- single page ------------------------------------------------------
     def parse_page(self, url: str, html: str, status: int, depth: int,
-                   seq: int) -> tuple[str, list[dict], bool, list[str], str]:
+                   seq: int, job_id: str | None = None
+                   ) -> tuple[str, list[dict], bool, list[str], str]:
         """-> (doc_id, spans, should_scrape, candidate_links, title)."""
-        doc_id = f"{self.job_id}_{seq:08d}"
+        doc_id = f"{job_id or self.job_id}_{seq:08d}"
         if not _is_success(status):
             return doc_id, [], False, [], ""
-        page = extract_page(html, url)
+        # ONE DOM parse shared by extraction (read-only) and transformation
+        # (mutating) — the serialized result is identical to a fresh parse
+        # because parsing is deterministic
+        root = parse_html(html)
+        page = extract_page_from_tree(root, url)
         spans: list[dict] = []
 
         def add(kind: str, text: str = "", media_ref: str = "") -> None:
@@ -107,30 +125,42 @@ class PageParser:
         for m in page.metadata:
             add("metadata", f"{m['name']}={m['content']}")
 
+        # text conversion reads the RAW tree (DataExtractor.ts:276 converts
+        # rawHtml) — compute before the mutating transform, emit in order
+        text_out: str | None = None
+        if "text" in self.formats:
+            text_out = html_to_text_tree(root)
+
         transformed: str | None = None
+        markdown: str | None = None
         media_imgs: list[dict] = page.images
+        need_md = "markdown" in self.formats or "json" in self.formats
         if any(f in self.formats for f in ("html", "markdown", "json")):
-            root = parse_html(html)
             transform_relative_urls(root, url)
-            transformed = extract_clean_html(root, self.include_tags, self.exclude_tags)
-            # media spans reflect the transformed (absolute-src) DOM
-            troot = parse_html(transformed)
-            media_imgs = [
-                {"src": img.get("src") or "", "alt": (img.get("alt") or "").strip()}
-                for img in troot.select("img")
-                if img.get("src")
-            ]
-        markdown = None
-        if "markdown" in self.formats or "json" in self.formats:
-            markdown = html_to_markdown(transformed or "")
+            if self.include_tags:
+                # include_tags builds a collected fragment — string path
+                transformed = extract_clean_html(root, self.include_tags,
+                                                 self.exclude_tags)
+                media_root = parse_html(transformed)
+                media_imgs = _imgs_of(media_root)
+                if need_md:
+                    markdown = html_to_markdown(transformed)
+            else:
+                clean_tree(root, self.exclude_tags)
+                transformed = root.to_html() if "html" in self.formats else None
+                media_imgs = _imgs_of(root)
+                if need_md:
+                    # tree path: equals html_to_markdown(root.to_html()),
+                    # pinned by tests; mutates root LAST
+                    markdown = markdown_from_tree(root)
         if "html" in self.formats:
             add("html", transformed or "")
         if "markdown" in self.formats and markdown is not None:
             for block in markdown.split("\n\n"):
                 if block.strip():
                     add("markdown", block)
-        if "text" in self.formats:
-            add("text", html_to_text(html))
+        if "text" in self.formats and text_out is not None:
+            add("text", text_out)
         for img in media_imgs:
             add("media", img["alt"], img["src"])
         if "screenshot" in self.formats or "screenshot@fullPage" in self.formats:
@@ -164,12 +194,18 @@ class PageParser:
         statuses = batch.column("status_code").to_pylist()
         depths = batch.column("depth").to_pylist()
         seqs = batch.column("discovered_seq").to_pylist()
+        if "job_id" in batch.schema.names:
+            job_ids = batch.column("job_id").to_pylist()
+        else:
+            job_ids = [self.job_id] * batch.num_rows
         doc_ids, spans_col, status_col, scrape_col, cand_col, title_col = (
             [], [], [], [], [], []
         )
-        for url, html, status, depth, seq in zip(urls, htmls, statuses, depths, seqs):
+        for url, html, status, depth, seq, jid in zip(
+            urls, htmls, statuses, depths, seqs, job_ids
+        ):
             doc_id, spans, should_scrape, candidates, title = self.parse_page(
-                url, html, status, depth, seq
+                url, html, status, depth, seq, jid
             )
             doc_ids.append(doc_id)
             spans_col.append(spans)

@@ -1,0 +1,149 @@
+"""Extension-surface tests: URL templates, proxy rules, chunker+merge,
+robots cache, credits."""
+
+from __future__ import annotations
+
+from anycrawl_ray.functions.credits import count_tokens_approx, per_page_cost
+from anycrawl_ray.functions.proxy import ProxyConfig, ProxyRotator, ProxyRule
+from anycrawl_ray.functions.templates import render_text_template, render_url_template
+from anycrawl_ray.stages.llm_extract import (
+    StubExtractor,
+    merge_results,
+    split_text_into_chunks,
+)
+from anycrawl_ray.state.robots import RobotsCache
+
+
+# ------------------------------------------------------------- templates
+def test_url_template_filters():
+    v = {"q": "a b/c", "site": {"host": "Ex!ample.COM"}, "n": 7}
+    assert render_url_template("http://x/{{q|query}}", v) == "http://x/a%20b%2Fc"
+    assert render_url_template("http://x/{{q|path}}", v) == "http://x/a%20b/c"
+    assert render_url_template("http://{{site.host|host}}/", v) == "http://example.com/"
+    assert render_url_template("{{n}}", v) == "7"
+    # missing variable stays verbatim; escaped braces restored
+    assert render_url_template("{{missing}} \\{{x}}", v) == "{{missing}} {{x}}"
+    # text templates force raw
+    assert render_text_template("{{q|query}}", v) == "a b/c"
+
+
+# ----------------------------------------------------------------- proxy
+def test_proxy_rule_priority():
+    cfg = ProxyConfig(rules=[
+        ProxyRule(proxy="p-domain", domain="*.example.com"),
+        ProxyRule(proxy="p-pattern", pattern="https://*.example.com/admin/*"),
+        ProxyRule(proxy="p-exact", url="https://www.example.com/admin/x"),
+    ])
+    assert cfg.find_proxy_for_url("https://www.example.com/admin/x") == "p-exact"
+    assert cfg.find_proxy_for_url("https://www.example.com/admin/y") == "p-pattern"
+    assert cfg.find_proxy_for_url("https://www.example.com/other") == "p-domain"
+    assert cfg.find_proxy_for_url("https://nope.test/") is None
+
+
+def test_proxy_tiers_and_rotation():
+    cfg = ProxyConfig(base_url="http://base", stealth_url="http://stealth")
+    assert cfg.resolve_tiers("auto") == ["http://base", "http://stealth"]
+    assert cfg.resolve_tiers("base") == ["http://base"]
+    assert cfg.resolve_tiers("stealth") == ["http://stealth", "http://base"]
+    assert cfg.resolve_tiers("http://custom") == ["http://custom"]
+    rot = ProxyRotator(["a", "b"])
+    assert [rot.next() for _ in range(4)] == ["a", "b", "a", "b"]
+    assert ProxyRotator([]).next() is None
+
+
+# --------------------------------------------------------------- chunker
+def test_chunker_packs_lines_with_overlap():
+    text = "\n".join(f"line {i} " + "w" * 20 for i in range(20))
+    chunks = split_text_into_chunks(text, max_tokens=30, overlap_tokens=8)
+    assert len(chunks) > 1
+    # every chunk within budget-ish; consecutive chunks overlap by content
+    for a, b in zip(chunks, chunks[1:]):
+        assert a["end_index"] >= b["start_index"] - 1
+    joined = "\n".join(c["chunk"] for c in chunks)
+    for i in range(20):
+        assert f"line {i} " in joined
+    # single small text -> one chunk
+    assert len(split_text_into_chunks("short", 100, 10)) == 1
+
+
+def test_merge_results_semantics():
+    # LLMExtract.ts:211-257: first-non-null, array concat+dedup, object
+    # shallow merge, prefer non-empty primitives
+    merged = merge_results([
+        {"a": 1, "arr": [1, 2], "obj": {"x": 1}, "s": ""},
+        {"a": 2, "arr": [2, 3], "obj": {"y": 2}, "s": "val", "extra": None},
+    ])
+    assert merged == {"a": 1, "arr": [1, 2, 3], "obj": {"x": 1, "y": 2},
+                      "s": "val"}
+    assert merge_results([]) is None
+    assert merge_results([None, {"k": 1}]) == {"k": 1}
+
+
+def test_stub_extractor_deterministic():
+    ex = StubExtractor(max_input_tokens=64, overlap_tokens=8)
+    text = "alpha beta alpha gamma " * 30
+    r1, r2 = ex.extract_document(text), ex.extract_document(text)
+    assert r1 == r2
+    assert "alpha" in r1["top_words"]
+
+
+# ---------------------------------------------------------------- robots
+class _FakeLookup:
+    def __init__(self, robots_by_host):
+        self.robots = robots_by_host
+
+    def get(self, url, default=(404, "", 0)):
+        for host, body in self.robots.items():
+            if url == f"http://{host}/robots.txt":
+                return (200, body, len(body))
+        return default
+
+
+def test_robots_cache_rules():
+    lookup = _FakeLookup({
+        "a.test": "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n",
+        "b.test": "User-agent: anycrawl\nDisallow: /\n",
+    })
+    rc = RobotsCache(lookup)
+    assert rc.allowed("http://a.test/public/x")
+    assert not rc.allowed("http://a.test/private/x")
+    assert not rc.allowed("http://b.test/anything")
+    assert rc.allowed("http://nohost.test/x")  # no robots.txt -> allow
+    assert rc.crawl_delay("a.test") == 2.0
+
+
+def test_crawl_with_robots_gate():
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import site_table_from_rows
+
+    rows = [
+        {"url": "http://s.test/", "html": '<a href="/ok">a</a><a href="/private/no">b</a>',
+         "links": []},
+        {"url": "http://s.test/ok", "html": "fine", "links": []},
+        {"url": "http://s.test/private/no", "html": "secret", "links": []},
+        {"url": "http://s.test/robots.txt", "html": "User-agent: *\nDisallow: /private/\n",
+         "links": []},
+    ]
+    pages = site_table_from_rows(rows)
+    job = CrawlJob(job_id="r", seed_urls=["http://s.test/"], strategy="all",
+                   limit=10, obey_robots=True)
+    res = run_crawl(job, pages, use_ray=False)
+    urls = res.order.column("url").to_pylist()
+    assert "http://s.test/ok" in urls
+    assert "http://s.test/private/no" not in urls
+    # without robots the private page is crawled
+    job2 = CrawlJob(job_id="r2", seed_urls=["http://s.test/"], strategy="all",
+                    limit=10, obey_robots=False)
+    res2 = run_crawl(job2, pages, use_ray=False)
+    assert "http://s.test/private/no" in res2.order.column("url").to_pylist()
+
+
+# --------------------------------------------------------------- credits
+def test_credits_costs():
+    # credits.ts:96-139
+    assert per_page_cost() == 1
+    assert per_page_cost(proxy_mode="stealth") == 3
+    assert per_page_cost(formats=["json"], json_options=True) == 6
+    assert per_page_cost(formats=["json"], json_options=True,
+                         extract_source="html") == 11
+    assert count_tokens_approx("x" * 10) == 3
