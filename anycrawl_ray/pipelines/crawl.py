@@ -398,6 +398,7 @@ def run_crawl(
     wave_engine: str = "actors",
     batch_size: int = 256,
     pool_size: int | None = None,
+    hot_host_lane_size: int = 1 << 30,
     crash_after_epoch: int | None = None,
 ) -> CrawlResult:
     """Run one crawl job to completion (or until ``crash_after_epoch`` for
@@ -423,7 +424,8 @@ def run_crawl(
         epoch = manifest["epoch"] + 1
         done = manifest["extra"].get("done", 0)
     else:
-        frontier = Frontier(num_shards=num_shards, use_actors=use_ray)
+        frontier = Frontier(num_shards=num_shards, use_actors=use_ray,
+                            hot_host_lane_size=hot_host_lane_size)
         frontier.add_seeds(job.job_id, job.seed_urls)
 
     doc_tables: list[pa.Table] = []

@@ -97,17 +97,23 @@ def page_html(i: int, n: int, text: str, num_hosts: int = NUM_HOSTS,
 
 
 def build_site_table(documents_path: str, num_hosts: int = NUM_HOSTS,
-                     max_pages: int | None = None, repeat: int = 1) -> pa.Table:
-    """documents.parquet -> SITE_PAGES-shaped Arrow table (FIXTURES.md F2)."""
+                     max_pages: int | None = None, repeat: int = 1,
+                     total_pages: int | None = None) -> pa.Table:
+    """documents.parquet -> SITE_PAGES-shaped Arrow table (FIXTURES.md F2).
+
+    ``total_pages`` grows the graph beyond the documents row count by
+    cycling texts deterministically (page i uses text[i % n_docs]) — used
+    by the bench to exercise wave sizes closer to production scale."""
     docs = pq.read_table(documents_path, columns=["doc_id", "text"])
     ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     order = sorted(range(len(ids)), key=lambda k: ids[k])
-    ids = [ids[k] for k in order]
     texts = [texts[k] for k in order]
+    if total_pages is not None:
+        texts = [texts[i % len(texts)] for i in range(total_pages)]
     if max_pages is not None:
-        ids, texts = ids[:max_pages], texts[:max_pages]
-    n = len(ids)
+        texts = texts[:max_pages]
+    n = len(texts)
     urls, hosts, htmls, links_col, nbytes = [], [], [], [], []
     for pos, (i, text) in enumerate(zip(range(n), texts)):
         html = page_html(i, n, text, num_hosts, repeat)

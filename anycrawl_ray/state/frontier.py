@@ -264,9 +264,18 @@ class Frontier:
     """
 
     def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 17,
-                 use_actors: bool = True) -> None:
+                 use_actors: bool = True, hot_host_lane_size: int = 1 << 30) -> None:
+        """``hot_host_lane_size``: north_rule skew control — a host's queue
+        entries are split into lanes of this many URLs, lane ``k`` routed to
+        shard ``hash(host + '#' + k)``. A hot domain therefore spreads over
+        shards instead of pinning one actor's memory/CPU, while global
+        admission order is untouched (next_wave sorts by (depth, seq)) and
+        per-host FIFO is preserved (lane index is monotone in host_seq; the
+        global sort interleaves lanes back into seq order). Default = no
+        splitting (determinism fixtures)."""
         self.num_shards = num_shards
         self.use_actors = use_actors
+        self.hot_host_lane_size = hot_host_lane_size
         if use_actors:
             cls = _make_actor_class()
             self.shards = [
@@ -299,8 +308,10 @@ class Frontier:
     def _key_shard(self, k: int) -> int:
         return k % self.num_shards
 
-    def _host_shard(self, host: str) -> int:
-        return xxh64(host) % self.num_shards
+    def _host_shard(self, host: str, host_seq: int = 0) -> int:
+        lane = host_seq // self.hot_host_lane_size
+        key = host if lane == 0 else f"{host}#{lane}"
+        return xxh64(key) % self.num_shards
 
     # -- admission ---------------------------------------------------------
     def _admit(self, job_id: str, url: str, canon: str, key: int, depth: int,
@@ -312,7 +323,7 @@ class Frontier:
         self.next_seq[job_id] = seq + 1
         self.enqueued[job_id] += 1
         self.admission_log[job_id].append((seq, url, canon, depth, parent))
-        rows = admit_rows[self._host_shard(host)]
+        rows = admit_rows[self._host_shard(host, hseq)]
         rows["url"].append(url)
         rows["canonical_url"].append(canon)
         rows["url_key"].append(key)
@@ -441,7 +452,7 @@ class Frontier:
     def _requeue_front(self, job_id: str, rows: list[tuple]) -> None:
         by_shard: dict[int, dict[str, list]] = defaultdict(_empty_rows)
         for depth, hseq, seq, url, canon, key, parent, host in rows:
-            r = by_shard[self._host_shard(host)]
+            r = by_shard[self._host_shard(host, hseq)]
             r["url"].append(url)
             r["canonical_url"].append(canon)
             r["url_key"].append(key)

@@ -225,3 +225,25 @@ def test_crawl_via_ray_matches_inline(ray_session):
     assert res_ray.order.equals(res_inline.order)
     assert res_ray.documents.equals(res_inline.documents)
     assert res_ray.seen.equals(res_inline.seen)
+
+
+def test_hot_host_lane_splitting():
+    """north_rule skew control: a hot host's queue spreads across shards
+    when lanes are enabled; admission order and results are unchanged."""
+    from anycrawl_ray.state.frontier import Frontier
+
+    pages = build_site_table(DOCS, num_hosts=1)  # everything on one host
+    job = CrawlJob(job_id="t", seed_urls=[page_url(0, num_hosts=1)],
+                   strategy="all", max_depth=12, limit=200)
+    base = run_crawl(job, pages, use_ray=False)
+    split = run_crawl(job, pages, use_ray=False, hot_host_lane_size=8)
+    assert split.order.equals(base.order)
+    assert split.documents.equals(base.documents)
+    assert split.seen.equals(base.seen)
+    # verify lanes actually spread pending entries over multiple shards
+    f = Frontier(num_shards=4, use_actors=False, hot_host_lane_size=8)
+    f.add_seeds("j", [page_url(0, num_hosts=1)])
+    f.offer_groups("j", [(page_url(0, num_hosts=1),
+                          [page_url(i, num_hosts=1) for i in range(1, 64)], 1)])
+    occupied = sum(1 for s in f.shards if s.pending_count("j") > 0)
+    assert occupied >= 3
