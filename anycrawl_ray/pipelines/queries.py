@@ -674,6 +674,89 @@ def _serp_sql(engine: str, limit: int = 100) -> str:
     )
 
 
+def crawl_span_stats(sf_dir: str):
+    """Span-level structural check with a relational oracle: per crawled
+    page, the title span text, metadata-span count and media-span count
+    must match what the SQL-replicable page generator emitted."""
+    from ..sources.synthetic_site import build_site_table, page_url
+    from .crawl import CrawlJob, run_crawl
+
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    job = CrawlJob(job_id="ss", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=1_000_000, formats=["markdown"])
+    import ray
+
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
+    docs = res.documents
+    urls, titles, n_meta, n_media = [], [], [], []
+    seen_urls = set()
+    for url, spans in zip(docs.column("url").to_pylist(),
+                          docs.column("spans").to_pylist()):
+        if url in seen_urls:  # seed re-admission duplicate
+            continue
+        seen_urls.add(url)
+        urls.append(url)
+        titles.append(next((s["text"] for s in spans if s["kind"] == "title"), ""))
+        n_meta.append(sum(1 for s in spans if s["kind"] == "metadata"))
+        n_media.append(sum(1 for s in spans if s["kind"] == "media"))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "title": pa.array(titles, pa.string()),
+        "n_metadata": pa.array(n_meta, pa.int64()),
+        "n_media": pa.array(n_media, pa.int64()),
+    })
+
+
+_CRAWL_SPAN_STATS_SQL = f"""
+SELECT 'http://site' || CAST(doc_id % {_HOSTS} AS VARCHAR) || '.test/p/' ||
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       2 AS n_metadata,
+       CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_media
+FROM documents
+"""
+
+
+def training_pipeline(sf_dir: str):
+    """Flagship composition (rows-only): crawl the synthetic site, flatten
+    markdown spans to document text, score quality, drop low-quality docs,
+    exact-dedup by text — the end-to-end shape of a training-data
+    curation pipeline over crawl output."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.synthetic_site import build_site_table, page_url
+    from ..stages.dedup import exact_dedup
+    from ..stages.text_analysis import text_stats_batch
+    from .crawl import CrawlJob, run_crawl
+
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    job = CrawlJob(job_id="tp", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=1_000_000, formats=["markdown"])
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
+
+    def spans_to_text(batch: pa.Table) -> pa.Table:
+        texts = []
+        for spans in batch.column("spans").to_pylist():
+            texts.append(
+                "\n\n".join(s["text"] for s in spans if s["kind"] == "markdown")
+            )
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = rd.from_arrow(res.documents).map_batches(
+        spans_to_text, batch_format="pyarrow"
+    ).map_batches(text_stats_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.greater(b.column("quality"), 0.3)),
+        batch_format="pyarrow",
+    )
+    deduped = exact_dedup(ds).to_pandas()
+    out = deduped[["doc_id", "n_tokens", "quality", "n_copies"]].sort_values("doc_id")
+    table = pa.Table.from_pandas(out, preserve_index=False)
+    return _scaled(table, {"quality": 1_000_000})
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: binary payload table -> actor-pool feature
     extraction (stub codec; rows-only check)."""
@@ -717,6 +800,8 @@ QUERIES = {
     "serp_searxng": _serp_query("searxng"),
     "serp_ac_engine": _serp_query("ac-engine"),
     "media_features": media_features,
+    "training_pipeline": training_pipeline,
+    "crawl_span_stats": crawl_span_stats,
 }
 
 ORACLE_SQL = {
@@ -737,6 +822,7 @@ ORACLE_SQL = {
     "serp_google": _serp_sql("google"),
     "serp_searxng": _serp_sql("searxng"),
     "serp_ac_engine": _serp_sql("ac-engine"),
+    "crawl_span_stats": _CRAWL_SPAN_STATS_SQL,
     # rows-only (non-SQL-expressible): docs_lang_guess, docs_fingerprint,
     # docs_minhash_pairs, docs_simhash_pairs, embeddings_neardup,
     # embeddings_knn_ivf, media_features

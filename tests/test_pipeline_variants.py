@@ -1,0 +1,103 @@
+"""Secondary pipeline paths: dataset wave engine, politeness delay,
+multi-job frontier isolation, include_tags scrape, composed pipeline."""
+
+from __future__ import annotations
+
+import time
+
+from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+from anycrawl_ray.pipelines.scrape import run_scrape
+from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+from anycrawl_ray.state.frontier import Frontier
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_dataset_wave_engine_matches_actors(ray_session, tmp_path):
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=10, limit=150)
+    res_a = run_crawl(job, pages, use_ray=True, ray_wave_threshold=8,
+                      wave_engine="actors", out_dir=str(tmp_path / "a"))
+    res_d = run_crawl(job, pages, use_ray=True, ray_wave_threshold=8,
+                      wave_engine="dataset", out_dir=str(tmp_path / "d"))
+    assert res_a.order.equals(res_d.order)
+    assert res_a.documents.equals(res_d.documents)
+
+
+def test_politeness_min_delay_slows_epochs():
+    pages = build_site_table(DOCS)
+    job_fast = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all", limit=30)
+    job_slow = CrawlJob(job_id="t", seed_urls=[page_url(0)], strategy="all", limit=30,
+                        politeness_min_delay_ms=100)
+    t0 = time.perf_counter()
+    r1 = run_crawl(job_fast, pages, use_ray=False)
+    fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r2 = run_crawl(job_slow, pages, use_ray=False)
+    slow = time.perf_counter() - t0
+    assert r1.order.equals(r2.order)  # delay never changes results
+    assert slow >= fast + 0.1 * (r2.epochs - 1) * 0.9
+
+
+def test_multi_job_frontier_isolation():
+    f = Frontier(num_shards=3, use_actors=False)
+    f.add_seeds("job1", ["http://a.test/"])
+    f.add_seeds("job2", ["http://a.test/"])  # same URL, different job
+    f.offer_groups("job1", [("http://a.test/", ["http://a.test/x"], 1)])
+    f.offer_groups("job2", [("http://a.test/", ["http://a.test/y"], 1)])
+    w1 = f.next_wave("job1")
+    w2 = f.next_wave("job2")
+    assert w1.column("url").to_pylist() == ["http://a.test/", "http://a.test/x"]
+    assert w2.column("url").to_pylist() == ["http://a.test/", "http://a.test/y"]
+    # per-job seen sets are independent
+    assert f.seen_table("job1").column("canonical_url").to_pylist() == ["http://a.test/x"]
+    assert f.seen_table("job2").column("canonical_url").to_pylist() == ["http://a.test/y"]
+    assert f.stats("job1")["enqueued"] == 2
+
+
+def test_scrape_include_exclude_tags():
+    pages = build_site_table(DOCS)
+    doc = run_scrape(page_url(0), pages, formats=["html", "markdown"],
+                     include_tags=["h1"])
+    html_span = next(s for s in doc["spans"] if s["kind"] == "html")
+    assert html_span["text"] == "<h1>Doc 0</h1>"
+    md_span = [s for s in doc["spans"] if s["kind"] == "markdown"]
+    assert md_span[0]["text"].startswith("Doc 0")
+    doc2 = run_scrape(page_url(0), pages, formats=["html"], exclude_tags=["h1"])
+    html2 = next(s for s in doc2["spans"] if s["kind"] == "html")
+    assert "<h1>" not in html2["text"]
+
+
+def test_training_pipeline_compose(ray_session):
+    """Flagship composition: crawl -> text spans -> quality -> dedup."""
+    from anycrawl_ray.pipelines.queries import training_pipeline
+
+    out = training_pipeline(DOCS.rsplit("/", 1)[0])
+    assert out.num_rows > 0
+    cols = set(out.schema.names)
+    assert {"doc_id", "n_tokens", "quality"} <= cols
+    ids = out.column("doc_id").to_pylist()
+    assert len(ids) == len(set(ids))
+
+
+def test_paginated_results_reader(tmp_path):
+    from anycrawl_ray.sources.results import iter_job_results, read_job_results
+
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="pg", seed_urls=[page_url(0)], strategy="all", limit=250)
+    res = run_crawl(job, pages, use_ray=False, out_dir=str(tmp_path))
+    page1, next_skip = read_job_results(str(tmp_path), "pg", skip=0)
+    assert page1.num_rows == 100 and next_skip == 100
+    page2, next2 = read_job_results(str(tmp_path), "pg", skip=next_skip)
+    assert page2.num_rows == 100 and next2 == 200
+    page3, next3 = read_job_results(str(tmp_path), "pg", skip=next2)
+    assert page3.num_rows == 50 and next3 is None
+    all_ids = [r for p in (page1, page2, page3) for r in p.column("doc_id").to_pylist()]
+    assert all_ids == res.documents.column("doc_id").to_pylist()
+    # generator covers everything exactly once
+    total = sum(p.num_rows for p in iter_job_results(str(tmp_path), "pg"))
+    assert total == 250
+    # missing job -> empty
+    empty, nxt = read_job_results(str(tmp_path), "nope")
+    assert empty.num_rows == 0 and nxt is None
