@@ -71,23 +71,33 @@ def q1_pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount"],
     )
 
-    def derive(b: pa.Table) -> pa.Table:
-        disc = pc.multiply(b.column("l_extendedprice"),
-                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return b.append_column("disc_price", disc)
+    def partial(b: pa.Table) -> pa.Table:
+        # map-side combine: shuffle carries one row per (flag,status) per
+        # batch instead of every lineitem row
+        df = b.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
-    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    pdf = out.to_pandas()
+    pdf["avg_qty"] = pdf["sum_qty"] / pdf["count_order"]
+    pdf["count_order"] = pdf["count_order"].astype("int64")
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
     return _scaled(table, {"sum_qty": 100, "sum_base_price": 10_000,
                            "sum_disc_price": 10_000, "avg_qty": 1_000_000})
 
@@ -182,14 +192,24 @@ def top_users_by_value(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Count, Sum
 
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("user_id", as_index=False).agg(
+            total_value=("value", "sum"), n_events=("value", "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     out = (
-        ds.groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("total_value", alias_name="total_value"),
+                   Sum("n_events", alias_name="n_events"))
         .sort(["total_value", "user_id"], descending=[True, False])
         .limit(10)
     )
-    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    pdf = out.to_pandas()
+    pdf["n_events"] = pdf["n_events"].astype("int64")
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
     return _scaled(table, {"total_value": 10_000})
 
 

@@ -28,8 +28,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: raylet/worker warnings would otherwise land
+        # on OUR stdout and break the one-JSON-line output contract
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -74,7 +76,36 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _eprint(f"crawl: {done}/{n_pages} pages in {crawl_sec:.2f}s "
             f"({done / crawl_sec:.1f} pages/s, {res.epochs} epochs)")
 
-    # ---- operator timings
+    # ---- frontier ops/sec (BASELINE metric component): admission
+    # throughput of offer_groups (canonicalize + xxh64 + sharded two-pass
+    # dedup) over fresh synthetic URLs, actors live
+    from anycrawl_ray.state.frontier import Frontier
+
+    fr = Frontier(num_shards=8, use_actors=True)
+    fr.add_seeds("fb", ["http://bench.test/"])
+    n_urls = 50_000
+    groups = [
+        (f"http://bench.test/p{g}",
+         [f"http://h{g % 97}.test/x{g}_{i}" for i in range(50)], 1)
+        for g in range(n_urls // 50)
+    ]
+    t0 = time.perf_counter()
+    admitted = 0
+    for i in range(0, len(groups), 100):
+        admitted += fr.offer_groups("fb", groups[i : i + 100])
+    frontier_ops = admitted / (time.perf_counter() - t0)
+    _eprint(f"frontier: {admitted} admissions at {frontier_ops:.0f} ops/s")
+
+    # ---- operator timings (untimed ray.data warmup first: the crawl uses
+    # its own actor pool, so the first Dataset execution would otherwise
+    # pay the ray.data worker cold-start inside a query's timing)
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    rd.range(10_000).map_batches(lambda b: b).groupby("id").aggregate(
+        _Sum("id", alias_name="s")
+    ).to_pandas()
+
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
@@ -102,6 +133,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "pages": int(done),
         "pages_per_sec": round(done / crawl_sec, 1),
+        "frontier_ops_per_sec": round(frontier_ops, 1),
     }
 
 
@@ -155,14 +187,24 @@ def run_scaling(sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    # the ONE-JSON-line stdout contract: ray's raylet warnings print to fd 1
+    # regardless of log_to_driver, so reroute fd 1 to stderr for the whole
+    # run and keep a private handle to the real stdout for the result line
+    real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
     if "--scaling" in sys.argv:
         result = run_scaling(sf_dir)
+        real_stdout.write(json.dumps(result) + "\n")
+        real_stdout.flush()
     else:
         result = run_bench(sf_dir, num_cpus)
+        # write before shutdown: a hung teardown must never eat the result
+        real_stdout.write(json.dumps(result) + "\n")
+        real_stdout.flush()
         import ray
 
         ray.shutdown()
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
