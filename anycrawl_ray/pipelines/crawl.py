@@ -72,6 +72,27 @@ class CrawlJob:
     politeness_min_delay_ms: int = 0
     obey_robots: bool = False  # north_rule addition; reference never checks
 
+    # option validation = the reference's Zod crawlSchema bounds
+    # (CrawlSchema.ts:6-49: depth 1-50 -> we also allow 0 for scrape mode,
+    # limit 1-50000, strategy enum, formats subset)
+    _STRATEGIES = ("all", "same-domain", "same-hostname", "same-origin")
+    _FORMATS = ("markdown", "html", "text", "rawHtml", "screenshot",
+                "screenshot@fullPage", "json")
+
+    def __post_init__(self) -> None:
+        if not self.seed_urls and self.limit > 0:
+            pass  # empty seed list is a no-op crawl, allowed
+        if not 0 <= self.max_depth <= 50:
+            raise ValueError(f"max_depth must be in [0, 50], got {self.max_depth}")
+        if not 0 <= self.limit <= 50_000:
+            raise ValueError(f"limit must be in [0, 50000], got {self.limit}")
+        if self.strategy not in self._STRATEGIES:
+            raise ValueError(
+                f"strategy must be one of {self._STRATEGIES}, got {self.strategy!r}")
+        bad = [f for f in self.formats if f not in self._FORMATS]
+        if bad:
+            raise ValueError(f"unknown formats {bad}; allowed: {self._FORMATS}")
+
     def to_dict(self) -> dict:
         return {
             "job_id": self.job_id,

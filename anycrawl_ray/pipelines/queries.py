@@ -524,7 +524,7 @@ def crawl_reachable(sf_dir: str):
 
     pages = build_site_table(f"{sf_dir}/documents.parquet")
     job = CrawlJob(job_id="cr", seed_urls=[page_url(0)], strategy="all",
-                   max_depth=20, limit=1_000_000)
+                   max_depth=20, limit=50_000)
     import ray
 
     res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
@@ -566,7 +566,7 @@ def crawl_lineage(sf_dir: str):
 
     pages = build_site_table(f"{sf_dir}/documents.parquet")
     job = CrawlJob(job_id="cl", seed_urls=[page_url(0)], strategy="all",
-                   max_depth=20, limit=1_000_000)
+                   max_depth=20, limit=50_000)
     import ray
 
     res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
@@ -703,7 +703,7 @@ def crawl_span_stats(sf_dir: str):
 
     pages = build_site_table(f"{sf_dir}/documents.parquet")
     job = CrawlJob(job_id="ss", seed_urls=[page_url(0)], strategy="all",
-                   max_depth=20, limit=1_000_000, formats=["markdown"])
+                   max_depth=20, limit=50_000, formats=["markdown"])
     import ray
 
     res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
@@ -752,7 +752,7 @@ def training_pipeline(sf_dir: str):
 
     pages = build_site_table(f"{sf_dir}/documents.parquet")
     job = CrawlJob(job_id="tp", seed_urls=[page_url(0)], strategy="all",
-                   max_depth=20, limit=1_000_000, formats=["markdown"])
+                   max_depth=20, limit=50_000, formats=["markdown"])
     res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
 
     def spans_to_text(batch: pa.Table) -> pa.Table:

@@ -60,12 +60,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # wave 1 (BASELINE metric is "the reference seed-list crawl")
     seeds = [page_url(i) for i in range(0, n_pages, max(1, n_pages // 64))][:64]
     warm = CrawlJob(job_id="warm", seed_urls=seeds, strategy="all",
-                    max_depth=30, limit=10_000_000,
+                    max_depth=30, limit=50_000,
                     formats=["markdown", "html", "text"])
     run_crawl(warm, pages, use_ray=True, ray_wave_threshold=32, batch_size=128,
               num_shards=8)
     job = CrawlJob(job_id="bench", seed_urls=seeds, strategy="all",
-                   max_depth=30, limit=10_000_000,
+                   max_depth=30, limit=50_000,
                    formats=["markdown", "html", "text"])
     t0 = time.perf_counter()
     res = run_crawl(job, pages, use_ray=True, ray_wave_threshold=32,

@@ -101,3 +101,34 @@ def test_paginated_results_reader(tmp_path):
     # missing job -> empty
     empty, nxt = read_job_results(str(tmp_path), "nope")
     assert empty.num_rows == 0 and nxt is None
+
+
+def test_job_validation_bounds():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_depth"):
+        CrawlJob(job_id="x", seed_urls=["http://a/"], max_depth=51)
+    with _pytest.raises(ValueError, match="limit"):
+        CrawlJob(job_id="x", seed_urls=["http://a/"], limit=50_001)
+    with _pytest.raises(ValueError, match="strategy"):
+        CrawlJob(job_id="x", seed_urls=["http://a/"], strategy="everything")
+    with _pytest.raises(ValueError, match="formats"):
+        CrawlJob(job_id="x", seed_urls=["http://a/"], formats=["pdf"])
+    CrawlJob(job_id="x", seed_urls=["http://a/"])  # defaults valid
+
+
+def test_engine_registry():
+    import pytest as _pytest
+
+    from anycrawl_ray.registry import available_engines, get_engine, register_engine
+
+    assert {"cheerio", "http"} <= set(available_engines())
+    assert get_engine("cheerio") is not None
+    with _pytest.raises(ValueError, match="unknown engine"):
+        get_engine("nope")
+    calls = []
+    register_engine("custom-test", lambda pages: calls.append(pages) or (lambda b: b))
+    assert "custom-test" in available_engines()
+    with _pytest.raises(ValueError, match="already registered"):
+        register_engine("custom-test", lambda p: p)
+    register_engine("custom-test", lambda p: p, overwrite=True)
