@@ -421,6 +421,7 @@ def run_crawl(
     pool_size: int | None = None,
     hot_host_lane_size: int = 1 << 30,
     crash_after_epoch: int | None = None,
+    crash_before_checkpoint: int | None = None,
 ) -> CrawlResult:
     """Run one crawl job to completion (or until ``crash_after_epoch`` for
     resume tests). Ray must already be initialised when ``use_ray``."""
@@ -517,6 +518,11 @@ def run_crawl(
             if os.path.exists(epoch_dir):
                 shutil.rmtree(epoch_dir)
             os.rename(tmp_dir, epoch_dir)
+        if crash_before_checkpoint is not None and epoch >= crash_before_checkpoint:
+            # simulates dying after the epoch dir was published but before
+            # the frontier checkpoint — resume must redo this epoch
+            # deterministically, overwriting the published dir
+            raise RuntimeError(f"simulated crash before checkpoint {epoch}")
         if checkpoint_dir:
             frontier.checkpoint(checkpoint_dir, epoch, extra={"done": done})
         if crash_after_epoch is not None and epoch >= crash_after_epoch:

@@ -247,3 +247,39 @@ def test_hot_host_lane_splitting():
                           [page_url(i, num_hosts=1) for i in range(1, 64)], 1)])
     occupied = sum(1 for s in f.shards if s.pending_count("j") > 0)
     assert occupied >= 3
+
+
+def test_resume_after_crash_before_checkpoint(tmp_path):
+    """Crash in the window between epoch-dir publish and frontier
+    checkpoint: resume redoes that epoch deterministically (idempotent
+    overwrite), no duplicate or missing doc_ids."""
+    pages = build_site_table(DOCS)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    job = CrawlJob(job_id="r", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=10, limit=150)
+    golden = run_crawl(job, pages, use_ray=False)
+    with pytest.raises(RuntimeError, match="before checkpoint"):
+        run_crawl(job, pages, use_ray=False, out_dir=out, checkpoint_dir=ckpt,
+                  crash_before_checkpoint=3)
+    res = run_crawl(job, pages, use_ray=False, out_dir=out, checkpoint_dir=ckpt,
+                    resume=True)
+    ids = res.documents.column("doc_id").to_pylist()
+    assert len(ids) == len(set(ids)) == 150
+    assert res.documents.equals(golden.documents)
+
+
+def test_resume_with_ray_actors(ray_session, tmp_path):
+    pages = build_site_table(DOCS)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    job = CrawlJob(job_id="ra", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=10, limit=150)
+    golden = run_crawl(job, pages, use_ray=False)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_crawl(job, pages, use_ray=True, ray_wave_threshold=8, out_dir=out,
+                  checkpoint_dir=ckpt, crash_after_epoch=2)
+    res = run_crawl(job, pages, use_ray=True, ray_wave_threshold=8, out_dir=out,
+                    checkpoint_dir=ckpt, resume=True)
+    assert res.documents.equals(golden.documents)
+    assert res.seen.to_pydict() == golden.seen.to_pydict()
