@@ -278,8 +278,12 @@ class Frontier:
         self.hot_host_lane_size = hot_host_lane_size
         if use_actors:
             cls = _make_actor_class()
+            # num_cpus=0: shard work is tiny bookkeeping and parallelism is
+            # bounded by num_shards; a CPU reservation would let idle shards
+            # starve Dataset stages in small sessions (observed deadlock at
+            # num_cpus=2 with 8 shards at 0.25 each)
             self.shards = [
-                cls.options(num_cpus=0.25).remote(i, capacity_per_shard)
+                cls.options(num_cpus=0).remote(i, capacity_per_shard)
                 for i in range(num_shards)
             ]
         else:

@@ -95,6 +95,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         admitted += fr.offer_groups("fb", groups[i : i + 100])
     frontier_ops = admitted / (time.perf_counter() - t0)
     _eprint(f"frontier: {admitted} admissions at {frontier_ops:.0f} ops/s")
+    del fr  # release shard actors before the query timings
 
     # ---- operator timings (untimed ray.data warmup first: the crawl uses
     # its own actor pool, so the first Dataset execution would otherwise
