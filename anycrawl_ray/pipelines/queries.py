@@ -301,6 +301,145 @@ FROM per_session GROUP BY user_id
 """
 
 
+def events_sliding(sf_dir: str):
+    """Sliding window (1 h length, 30 min slide) per event_type: each event
+    contributes to the two windows covering it — emitted as two partial
+    rows map-side, then one small groupby (no per-window re-scan)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        half = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(minutes=30)
+        rows = []
+        for shift in (0, 1):
+            d = pd.DataFrame({
+                "event_type": df["event_type"],
+                "window_start": (half - shift) * 1800,
+                "value": df["value"],
+            })
+            rows.append(d)
+        all_rows = pd.concat(rows)
+        g = all_rows.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "window_start"]
+    ).aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["window_start"] = pdf["window_start"].astype("int64")
+    return _scaled(pa.Table.from_pandas(pdf, preserve_index=False),
+                   {"sum_value": 10_000})
+
+
+_EVENTS_SLIDING_SQL = """
+WITH halves AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) // 1800 AS half  -- floor, not
+         -- DuckDB's rounding double->bigint cast
+  FROM events
+), expanded AS (
+  SELECT event_type, value, half * 1800 AS window_start FROM halves
+  UNION ALL
+  SELECT event_type, value, (half - 1) * 1800 FROM halves
+)
+SELECT event_type, window_start, COUNT(*) AS n,
+       CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+FROM expanded GROUP BY event_type, window_start
+"""
+
+
+def top_events_per_type(sf_dir: str):
+    """Per-group top-k (groupby.map_groups over value-sorted groups)."""
+    rd = _rd()
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)[
+            ["event_type", "event_id"]
+        ]
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+    out = ds.groupby("event_type").map_groups(top3, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_TOP_EVENTS_SQL = """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def events_distinct_users(sf_dir: str):
+    """Distinct-count via mergeable per-batch sets (map-side partial sets,
+    set-union reduce in map_groups — the exact-sketch pattern; an HLL slots
+    into the same shape at scale)."""
+    rd = _rd()
+
+    def partial_sets(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("event_type")["user_id"].agg(lambda s: list(set(s)))
+        return pa.table({"event_type": list(g.index),
+                         "users": pa.array([sorted(v) for v in g.values],
+                                           pa.list_(pa.int64()))})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        all_users = set()
+        for lst in g["users"]:
+            all_users.update(lst)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_users": [len(all_users)]})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    out = ds.map_batches(partial_sets, batch_format="pyarrow").groupby(
+        "event_type"
+    ).map_groups(merge, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def lineitem_recent(sf_dir: str):
+    """Predicate pushdown at the read: row-group filter + column pruning,
+    then a tiny aggregate — the prune-at-the-read pattern."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_returnflag"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(pd.Timestamp("1997-01-01"))),
+    )
+    out = ds.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    pdf = out.to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    return _scaled(pa.Table.from_pandas(pdf, preserve_index=False), {"sum_qty": 100})
+
+
+_LINEITEM_RECENT_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
 # ===================================================================
 # Text analysis over documents
 # ===================================================================
@@ -801,6 +940,10 @@ QUERIES = {
     "orders_by_nation": orders_by_nation,
     "top_users_by_value": top_users_by_value,
     "events_hourly": events_hourly,
+    "events_sliding": events_sliding,
+    "top_events_per_type": top_events_per_type,
+    "events_distinct_users": events_distinct_users,
+    "lineitem_recent": lineitem_recent,
     "sessionize": sessionize,
     "docs_text_stats": docs_text_stats,
     "docs_vocab": docs_vocab,
@@ -830,6 +973,10 @@ ORACLE_SQL = {
     "orders_by_nation": _ORDERS_NATION_SQL,
     "top_users_by_value": _TOP_USERS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "events_sliding": _EVENTS_SLIDING_SQL,
+    "top_events_per_type": _TOP_EVENTS_SQL,
+    "events_distinct_users": _DISTINCT_USERS_SQL,
+    "lineitem_recent": _LINEITEM_RECENT_SQL,
     "sessionize": _SESSIONIZE_SQL,
     "docs_text_stats": _TEXT_STATS_SQL,
     "docs_vocab": _VOCAB_SQL,
