@@ -301,6 +301,44 @@ FROM per_session GROUP BY user_id
 """
 
 
+def orderkey_union_count(sf_dir: str):
+    """Set ops: union of two sources + distinct (Dataset.union/unique)."""
+    rd = _rd()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["k"]), batch_format="pyarrow"
+    )
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["k"]), batch_format="pyarrow"
+    )
+    uni = li.union(od).unique("k")
+    return pa.table({"n_distinct_keys": pa.array([len(uni)], pa.int64())})
+
+
+_UNION_COUNT_SQL = """
+SELECT COUNT(*) AS n_distinct_keys FROM (
+  SELECT DISTINCT k FROM (
+    SELECT l_orderkey AS k FROM lineitem
+    UNION ALL SELECT o_orderkey FROM orders
+  )
+)
+"""
+
+
+def docs_llm_extract(sf_dir: str):
+    """Chunk -> stub-extract -> merge over documents (the LLM actor-pool
+    stage T4/T5 end to end; deterministic stub, rows-only)."""
+    from ..stages.llm_extract import StubExtractor
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(StubExtractor, batch_format="pyarrow", concurrency=2,
+                         batch_size=128)
+    return pa.concat_tables(
+        out.iter_batches(batch_size=8192, batch_format="pyarrow")
+    ).select(["doc_id", "n_chunks", "extracted_json"])
+
+
 def events_sliding(sf_dir: str):
     """Sliding window (1 h length, 30 min slide) per event_type: each event
     contributes to the two windows covering it — emitted as two partial
@@ -941,6 +979,8 @@ QUERIES = {
     "top_users_by_value": top_users_by_value,
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
+    "orderkey_union_count": orderkey_union_count,
+    "docs_llm_extract": docs_llm_extract,
     "top_events_per_type": top_events_per_type,
     "events_distinct_users": events_distinct_users,
     "lineitem_recent": lineitem_recent,
@@ -974,6 +1014,7 @@ ORACLE_SQL = {
     "top_users_by_value": _TOP_USERS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sliding": _EVENTS_SLIDING_SQL,
+    "orderkey_union_count": _UNION_COUNT_SQL,
     "top_events_per_type": _TOP_EVENTS_SQL,
     "events_distinct_users": _DISTINCT_USERS_SQL,
     "lineitem_recent": _LINEITEM_RECENT_SQL,
