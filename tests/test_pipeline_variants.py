@@ -132,3 +132,13 @@ def test_engine_registry():
     with _pytest.raises(ValueError, match="already registered"):
         register_engine("custom-test", lambda p: p)
     register_engine("custom-test", lambda p: p, overwrite=True)
+
+
+def test_query_registry_consistency():
+    from anycrawl_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    assert all(callable(fn) for fn in QUERIES.values())
+    assert all(isinstance(sql, str) and "SELECT" in sql.upper()
+               for sql in ORACLE_SQL.values())
+    assert len(QUERIES) >= 32 and len(ORACLE_SQL) >= 23
