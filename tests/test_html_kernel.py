@@ -198,3 +198,25 @@ def test_cuckoo_deterministic():
         a.insert(i * 7919)
         b.insert(i * 7919)
     assert a.to_bytes() == b.to_bytes()
+
+
+def test_fast_prune_equals_selector_path():
+    """The set-based non-main pruner must match the 44-selector remove_all
+    path exactly (same list, two implementations)."""
+    from anycrawl_ray.functions.cleaner import _NON_MAIN_SELECTOR, remove_comments
+    from anycrawl_ray.functions.cleaner import clean_tree
+    from anycrawl_ray.sources.synthetic_site import build_site_table
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    extra = [
+        '<html><body><div class="x ad y">a</div><div id="footer"><p>f</p></div>'
+        '<header><nav>n</nav></header><section class="menu social">s</section>'
+        "<p>keep<!-- c --></p><aside><aside>nested</aside></aside></body></html>",
+    ]
+    for html in pages.column("html").to_pylist()[:60] + extra:
+        slow = parse_html(html)
+        slow.remove_all(_NON_MAIN_SELECTOR)
+        remove_comments(slow)
+        fast = parse_html(html)
+        clean_tree(fast)
+        assert fast.to_html() == slow.to_html()
