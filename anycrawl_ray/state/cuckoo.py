@@ -85,12 +85,19 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
-        # evict
+        # evict with a recorded kick chain; on failure the chain is rolled
+        # back so no EARLIER key's fingerprint is ever lost (a dropped
+        # victim would turn into a false negative for a key the caller
+        # believes inserted — callers only know about THIS key's failure)
         i = i1 if self._rand(2) == 0 else i2
         cur = fp
+        chain: list[tuple[int, int, int]] = []  # (bucket, slot, old_value)
         for _ in range(_MAX_KICKS):
             slot = self._rand(4)
-            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            displaced = int(self.table[i][slot])
+            chain.append((i, slot, displaced))
+            self.table[i][slot] = cur
+            cur = displaced
             i = self._alt(i, cur)
             row = self.table[i]
             empty = np.flatnonzero(row == 0)
@@ -98,6 +105,8 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return True
+        for bucket, slot, old in reversed(chain):
+            self.table[bucket][slot] = old
         return False
 
     def delete(self, key: int) -> bool:

@@ -80,6 +80,9 @@ class ShardState:
     def __init__(self, shard_id: int, capacity: int = 1 << 17) -> None:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity=capacity, seed=1000 + shard_id)
+        # keys the saturated filter rejected — checked alongside the filter
+        # so a full filter degrades to exact lookups, never to missed dedup
+        self.overflow: set[int] = set()
         # exact authoritative seen set: {job_id: {url_key: (canonical, seq)}}
         self.seen: dict[str, dict[int, tuple[str, int]]] = defaultdict(dict)
         # per-(job, host) FIFO queues of pending entries
@@ -94,14 +97,19 @@ class ShardState:
         """Membership probe: cuckoo-filter negative short-circuits; positive
         confirmed against the exact set (keeps semantics exact)."""
         job_seen = self.seen.get(job_id, {})
-        return [(k in job_seen) if self.filter.contains(k) else False for k in keys]
+        return [
+            (k in job_seen) if (self.filter.contains(k) or k in self.overflow)
+            else False
+            for k in keys
+        ]
 
     def insert_seen(self, job_id: str, keys: list[int], urls: list[str],
                     seqs: list[int]) -> None:
         job_seen = self.seen[job_id]
         for k, u, s in zip(keys, urls, seqs):
             if k not in job_seen:
-                self.filter.insert(k)
+                if not self.filter.insert(k):
+                    self.overflow.add(k)
                 job_seen[k] = (u, s)
 
     # -- queues (host-sharded calls) -------------------------------------
@@ -186,6 +194,7 @@ class ShardState:
             {
                 "shard_id": self.shard_id,
                 "filter": self.filter.to_bytes(),
+                "overflow": sorted(self.overflow),
                 "seen": {j: dict(v) for j, v in self.seen.items()},
                 "queues": {k: list(v) for k, v in self.queues.items()},
                 "counters": {j: dict(v) for j, v in self.counters.items()},
@@ -197,6 +206,7 @@ class ShardState:
         data = pickle.loads(blob)
         obj = cls(data["shard_id"])
         obj.filter = CuckooFilter.from_bytes(data["filter"])
+        obj.overflow = set(data.get("overflow", ()))
         for j, v in data["seen"].items():
             obj.seen[j] = dict(v)
         for k, v in data["queues"].items():

@@ -283,3 +283,27 @@ def test_resume_with_ray_actors(ray_session, tmp_path):
                     checkpoint_dir=ckpt, resume=True)
     assert res.documents.equals(golden.documents)
     assert res.seen.to_pydict() == golden.seen.to_pydict()
+
+
+def test_seen_set_exact_under_filter_saturation():
+    """A saturated cuckoo filter must degrade to exact lookups, never to
+    missed dedup (duplicate admission)."""
+    from anycrawl_ray.state.frontier import Frontier
+
+    # capacity 64 per shard, 1 shard -> guaranteed saturation at 5k keys
+    f = Frontier(num_shards=1, capacity_per_shard=64, use_actors=False)
+    f.add_seeds("j", ["http://s.test/"])
+    urls = [f"http://s.test/p{i}" for i in range(5000)]
+    n1 = f.offer_groups("j", [("http://s.test/", urls, 1)])
+    assert n1 == 5000
+    assert len(f.shards[0].overflow) > 0  # filter actually saturated
+    # re-offering every URL must admit zero
+    n2 = f.offer_groups("j", [("http://s.test/x", urls, 2)])
+    assert n2 == 0
+    # saturation survives checkpoint/restore
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    f.checkpoint(d, 0)
+    g, _ = Frontier.restore(d, use_actors=False)
+    assert g.offer_groups("j", [("http://s.test/y", urls, 2)]) == 0
