@@ -74,10 +74,84 @@ WAVE_SCHEMA = pa.schema(
 _WAVE_FIELDS = WAVE_SCHEMA.names
 
 
+class SpillQueue:
+    """FIFO queue with disk-spilled middle segments (ARCHITECTURE.md §2:
+    a 10^10-entry pending frontier is ~1 TB — only the head and the
+    freshest tail stay in memory).
+
+    Order invariant: ``head ++ segments (oldest first) ++ tail``.
+    ``appendleft`` targets the head (wave-overflow requeue), ``append``
+    the tail (new admissions), ``popleft`` drains head, then segments in
+    order, then tail — byte-identical ordering to a plain deque (tests
+    compare against one)."""
+
+    __slots__ = ("head", "tail", "segments", "seg_counts", "spill_dir",
+                 "segment_size", "_seg_id")
+
+    def __init__(self, spill_dir: str | None = None, segment_size: int = 1024,
+                 items=()):
+        self.head: deque = deque(items)
+        self.tail: deque = deque()
+        self.segments: list[str] = []
+        self.seg_counts: list[int] = []
+        self.spill_dir = spill_dir
+        self.segment_size = segment_size
+        self._seg_id = 0
+
+    def append(self, item) -> None:
+        self.tail.append(item)
+        if self.spill_dir is not None and len(self.tail) >= self.segment_size:
+            self._flush_tail()
+
+    def appendleft(self, item) -> None:
+        self.head.appendleft(item)
+
+    def _flush_tail(self) -> None:
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(self.spill_dir, f"seg_{id(self)}_{self._seg_id}.pkl")
+        self._seg_id += 1
+        with open(path, "wb") as f:
+            pickle.dump(list(self.tail), f)
+        self.segments.append(path)
+        self.seg_counts.append(len(self.tail))
+        self.tail.clear()
+
+    def popleft(self):
+        if not self.head:
+            if self.segments:
+                path = self.segments.pop(0)
+                self.seg_counts.pop(0)
+                with open(path, "rb") as f:
+                    self.head.extend(pickle.load(f))
+                os.unlink(path)
+            elif self.tail:
+                self.head, self.tail = self.tail, self.head
+        return self.head.popleft()
+
+    def __len__(self) -> int:
+        return len(self.head) + sum(self.seg_counts) + len(self.tail)
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def __iter__(self):
+        yield from self.head
+        for path in self.segments:
+            with open(path, "rb") as f:
+                yield from pickle.load(f)
+        yield from self.tail
+
+    @property
+    def spilled_entries(self) -> int:
+        return sum(self.seg_counts)
+
+
 class ShardState:
     """Pure-Python shard logic (actor-wrapped below; used inline in tests)."""
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 17) -> None:
+    def __init__(self, shard_id: int, capacity: int = 1 << 17,
+                 spill_dir: str | None = None,
+                 spill_segment_size: int = 4096) -> None:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity=capacity, seed=1000 + shard_id)
         # keys the saturated filter rejected — checked alongside the filter
@@ -85,8 +159,13 @@ class ShardState:
         self.overflow: set[int] = set()
         # exact authoritative seen set: {job_id: {url_key: (canonical, seq)}}
         self.seen: dict[str, dict[int, tuple[str, int]]] = defaultdict(dict)
-        # per-(job, host) FIFO queues of pending entries
-        self.queues: dict[tuple[str, str], deque] = defaultdict(deque)
+        # per-(job, host) FIFO queues of pending entries (disk-spilled
+        # middles when spill_dir is set)
+        self._spill_dir = spill_dir
+        self._spill_segment_size = spill_segment_size
+        self.queues: dict[tuple[str, str], SpillQueue] = defaultdict(
+            lambda: SpillQueue(spill_dir, spill_segment_size)
+        )
         self.counters: dict[str, dict[str, int]] = defaultdict(
             lambda: {"enqueued": 0, "done": 0, "succeeded": 0, "failed": 0,
                      "bytes_fetched": 0, "credits_used": 0}
@@ -210,7 +289,8 @@ class ShardState:
         for j, v in data["seen"].items():
             obj.seen[j] = dict(v)
         for k, v in data["queues"].items():
-            obj.queues[k] = deque(tuple(e) for e in v)
+            obj.queues[k] = SpillQueue(obj._spill_dir, obj._spill_segment_size,
+                                       (tuple(e) for e in v))
         for j, v in data["counters"].items():
             obj.counters[j].update(v)
         return obj
@@ -221,8 +301,10 @@ def _make_actor_class():
 
     @ray.remote
     class FrontierShard:
-        def __init__(self, shard_id: int, capacity: int):
-            self.state = ShardState(shard_id, capacity)
+        def __init__(self, shard_id: int, capacity: int,
+                     spill_dir: str | None = None, spill_segment_size: int = 4096):
+            self.state = ShardState(shard_id, capacity, spill_dir,
+                                    spill_segment_size)
 
         def contains(self, job_id, keys):
             return self.state.contains(job_id, keys)
@@ -274,7 +356,9 @@ class Frontier:
     """
 
     def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 17,
-                 use_actors: bool = True, hot_host_lane_size: int = 1 << 30) -> None:
+                 use_actors: bool = True, hot_host_lane_size: int = 1 << 30,
+                 spill_dir: str | None = None,
+                 spill_segment_size: int = 4096) -> None:
         """``hot_host_lane_size``: north_rule skew control — a host's queue
         entries are split into lanes of this many URLs, lane ``k`` routed to
         shard ``hash(host + '#' + k)``. A hot domain therefore spreads over
@@ -282,7 +366,10 @@ class Frontier:
         admission order is untouched (next_wave sorts by (depth, seq)) and
         per-host FIFO is preserved (lane index is monotone in host_seq; the
         global sort interleaves lanes back into seq order). Default = no
-        splitting (determinism fixtures)."""
+        splitting (determinism fixtures). ``spill_dir`` enables disk-spilled
+        queue middles (SpillQueue)."""
+        self._spill_dir = spill_dir
+        self._spill_segment_size = spill_segment_size
         self.num_shards = num_shards
         self.use_actors = use_actors
         self.hot_host_lane_size = hot_host_lane_size
@@ -293,11 +380,15 @@ class Frontier:
             # starve Dataset stages in small sessions (observed deadlock at
             # num_cpus=2 with 8 shards at 0.25 each)
             self.shards = [
-                cls.options(num_cpus=0).remote(i, capacity_per_shard)
+                cls.options(num_cpus=0).remote(i, capacity_per_shard,
+                                               spill_dir, spill_segment_size)
                 for i in range(num_shards)
             ]
         else:
-            self.shards = [ShardState(i, capacity_per_shard) for i in range(num_shards)]
+            self.shards = [
+                ShardState(i, capacity_per_shard, spill_dir, spill_segment_size)
+                for i in range(num_shards)
+            ]
         # driver-held admission state (authoritative, checkpointed)
         self.next_seq: dict[str, int] = defaultdict(int)
         self.host_seq: dict[tuple[str, str], int] = defaultdict(int)
@@ -562,6 +653,8 @@ class Frontier:
         manifest = {
             "epoch": epoch,
             "num_shards": self.num_shards,
+            "spill_dir": getattr(self, "_spill_dir", None),
+            "spill_segment_size": getattr(self, "_spill_segment_size", 4096),
             "next_seq": dict(self.next_seq),
             "host_seq": {f"{j}\t{h}": v for (j, h), v in self.host_seq.items()},
             "enqueued": dict(self.enqueued),
@@ -594,7 +687,9 @@ class Frontier:
         path = os.path.join(ckpt_dir, f"epoch_{epoch}")
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
-        obj = cls(num_shards=manifest["num_shards"], use_actors=use_actors)
+        obj = cls(num_shards=manifest["num_shards"], use_actors=use_actors,
+                  spill_dir=manifest.get("spill_dir"),
+                  spill_segment_size=manifest.get("spill_segment_size", 4096))
         blobs = []
         for i in range(manifest["num_shards"]):
             with open(os.path.join(path, f"shard_{i}.bin"), "rb") as f:

@@ -1,0 +1,83 @@
+"""Spill-queue semantics: order-identical to a deque; crawl with spilling
+matches crawl without."""
+
+from __future__ import annotations
+
+from collections import deque
+
+from anycrawl_ray.state.frontier import Frontier, SpillQueue
+
+
+def test_spillqueue_order_matches_deque(tmp_path):
+    import random
+
+    rng = random.Random(7)
+    sq = SpillQueue(str(tmp_path), segment_size=16)
+    dq = deque()
+    popped_sq, popped_dq = [], []
+    for step in range(3000):
+        op = rng.random()
+        if op < 0.55:
+            item = ("it", step)
+            sq.append(item)
+            dq.append(item)
+        elif op < 0.7 and dq:
+            item = ("front", step)
+            sq.appendleft(item)
+            dq.appendleft(item)
+        elif dq:
+            popped_sq.append(sq.popleft())
+            popped_dq.append(dq.popleft())
+        assert len(sq) == len(dq)
+    assert popped_sq == popped_dq
+    assert list(sq) == list(dq)
+    # something actually hit disk during the run
+    total_spilled = sq.spilled_entries
+    while dq:
+        assert sq.popleft() == dq.popleft()
+    assert len(sq) == 0
+
+
+def test_crawl_with_spilling_matches(tmp_path):
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    job = CrawlJob(job_id="sp", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=400)
+    base = run_crawl(job, pages, use_ray=False)
+
+    # frontier with aggressive spilling (segment 8) — identical results
+    import anycrawl_ray.pipelines.crawl as C
+
+    orig = C.Frontier
+
+    class SpillingFrontier(C.Frontier):
+        def __init__(self, *a, **k):
+            k.setdefault("spill_dir", str(tmp_path / "spill"))
+            k.setdefault("spill_segment_size", 8)
+            super().__init__(*a, **k)
+
+    C.Frontier = SpillingFrontier
+    try:
+        res = run_crawl(job, pages, use_ray=False)
+    finally:
+        C.Frontier = orig
+    assert res.order.equals(base.order)
+    assert res.documents.equals(base.documents)
+    assert res.seen.to_pydict() == base.seen.to_pydict()
+
+
+def test_spill_survives_snapshot(tmp_path):
+    f = Frontier(num_shards=2, use_actors=False,
+                 spill_dir=str(tmp_path / "sp"), spill_segment_size=4)
+    f.add_seeds("j", ["http://s.test/"])
+    urls = [f"http://s.test/p{i}" for i in range(100)]
+    f.offer_groups("j", [("http://s.test/", urls, 1)])
+    assert sum(q.spilled_entries for s in f.shards for q in s.queues.values()) > 0
+    f.checkpoint(str(tmp_path / "ck"), 0)
+    g, _ = Frontier.restore(str(tmp_path / "ck"), use_actors=False)
+    assert g.pending("j") == f.pending("j")
+    w_f = f.next_wave("j")
+    w_g = g.next_wave("j")
+    assert w_f.equals(w_g)
