@@ -146,19 +146,94 @@ class SpillQueue:
         return sum(self.seg_counts)
 
 
+class SeenStore:
+    """Exact seen-set for one (shard, job): in-memory delta + sorted runs
+    flushed to disk (ARCHITECTURE.md §2's disk-resident exact side).
+
+    Only consulted on cuckoo-filter positives, so run lookups are rare
+    (~FP-rate x candidate rate). A run stores its sorted key array on
+    disk; memory holds (path, min, max, count) plus a one-run read cache.
+    Values (canonical url, first_seen_seq) ride along for the ``seen``
+    table export."""
+
+    __slots__ = ("delta", "runs", "spill_dir", "threshold", "_run_id",
+                 "_cache_path", "_cache_keys")
+
+    def __init__(self, spill_dir: str | None, threshold: int):
+        self.delta: dict[int, tuple[str, int]] = {}
+        self.runs: list[tuple[str, int, int, int]] = []  # (path, min, max, n)
+        self.spill_dir = spill_dir
+        self.threshold = threshold
+        self._run_id = 0
+        self._cache_path: str | None = None
+        self._cache_keys = None
+
+    def __contains__(self, k: int) -> bool:
+        if k in self.delta:
+            return True
+        for path, lo, hi, _n in self.runs:
+            if lo <= k <= hi and self._run_has(path, k):
+                return True
+        return False
+
+    def _run_has(self, path: str, k: int) -> bool:
+        if self._cache_path != path:
+            with open(path, "rb") as f:
+                self._cache_keys = pickle.load(f)["keys"]
+            self._cache_path = path
+        keys = self._cache_keys
+        import bisect
+
+        i = bisect.bisect_left(keys, k)
+        return i < len(keys) and keys[i] == k
+
+    def add(self, k: int, url: str, seq: int) -> None:
+        self.delta[k] = (url, seq)
+        if self.spill_dir is not None and len(self.delta) >= self.threshold:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self.delta:
+            return
+        os.makedirs(self.spill_dir, exist_ok=True)
+        items = sorted(self.delta.items())
+        path = os.path.join(self.spill_dir,
+                            f"seen_{id(self)}_{self._run_id}.pkl")
+        self._run_id += 1
+        with open(path, "wb") as f:
+            pickle.dump({"keys": [k for k, _ in items],
+                         "vals": [v for _, v in items]}, f)
+        self.runs.append((path, items[0][0], items[-1][0], len(items)))
+        self.delta = {}
+
+    def items(self):
+        for path, *_ in self.runs:
+            with open(path, "rb") as f:
+                data = pickle.load(f)
+            yield from zip(data["keys"], data["vals"])
+        yield from self.delta.items()
+
+    def __len__(self) -> int:
+        return len(self.delta) + sum(n for *_x, n in self.runs)
+
+
 class ShardState:
     """Pure-Python shard logic (actor-wrapped below; used inline in tests)."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 17,
                  spill_dir: str | None = None,
-                 spill_segment_size: int = 4096) -> None:
+                 spill_segment_size: int = 4096,
+                 seen_spill_threshold: int = 1 << 30) -> None:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity=capacity, seed=1000 + shard_id)
         # keys the saturated filter rejected — checked alongside the filter
         # so a full filter degrades to exact lookups, never to missed dedup
         self.overflow: set[int] = set()
-        # exact authoritative seen set: {job_id: {url_key: (canonical, seq)}}
-        self.seen: dict[str, dict[int, tuple[str, int]]] = defaultdict(dict)
+        # exact authoritative seen set: delta + disk runs per job
+        self._seen_threshold = seen_spill_threshold
+        self.seen: dict[str, SeenStore] = defaultdict(
+            lambda: SeenStore(spill_dir, seen_spill_threshold)
+        )
         # per-(job, host) FIFO queues of pending entries (disk-spilled
         # middles when spill_dir is set)
         self._spill_dir = spill_dir
@@ -175,7 +250,9 @@ class ShardState:
     def contains(self, job_id: str, keys: list[int]) -> list[bool]:
         """Membership probe: cuckoo-filter negative short-circuits; positive
         confirmed against the exact set (keeps semantics exact)."""
-        job_seen = self.seen.get(job_id, {})
+        job_seen = self.seen.get(job_id)
+        if job_seen is None:
+            return [False] * len(keys)
         return [
             (k in job_seen) if (self.filter.contains(k) or k in self.overflow)
             else False
@@ -189,7 +266,7 @@ class ShardState:
             if k not in job_seen:
                 if not self.filter.insert(k):
                     self.overflow.add(k)
-                job_seen[k] = (u, s)
+                job_seen.add(k, u, s)
 
     # -- queues (host-sharded calls) -------------------------------------
     def enqueue(self, rows: dict) -> int:
@@ -258,13 +335,13 @@ class ShardState:
         return dict(self.counters[job_id])
 
     def seen_rows(self, job_id: str) -> dict:
-        job_seen = self.seen.get(job_id, {})
-        keys = list(job_seen.keys())
+        job_seen = self.seen.get(job_id)
+        items = list(job_seen.items()) if job_seen is not None else []
         return {
-            "job_id": [job_id] * len(keys),
-            "url_key": keys,
-            "canonical_url": [job_seen[k][0] for k in keys],
-            "first_seen_seq": [job_seen[k][1] for k in keys],
+            "job_id": [job_id] * len(items),
+            "url_key": [k for k, _ in items],
+            "canonical_url": [v[0] for _, v in items],
+            "first_seen_seq": [v[1] for _, v in items],
         }
 
     # -- checkpoint -------------------------------------------------------
@@ -274,7 +351,7 @@ class ShardState:
                 "shard_id": self.shard_id,
                 "filter": self.filter.to_bytes(),
                 "overflow": sorted(self.overflow),
-                "seen": {j: dict(v) for j, v in self.seen.items()},
+                "seen": {j: list(store.items()) for j, store in self.seen.items()},
                 "queues": {k: list(v) for k, v in self.queues.items()},
                 "counters": {j: dict(v) for j, v in self.counters.items()},
             }
@@ -287,7 +364,10 @@ class ShardState:
         obj.filter = CuckooFilter.from_bytes(data["filter"])
         obj.overflow = set(data.get("overflow", ()))
         for j, v in data["seen"].items():
-            obj.seen[j] = dict(v)
+            store = obj.seen[j]  # defaultdict creates with shard config
+            if isinstance(v, dict):  # pre-SeenStore snapshot shape
+                v = v.items()
+            store.delta = {int(k): tuple(val) for k, val in v}
         for k, v in data["queues"].items():
             obj.queues[k] = SpillQueue(obj._spill_dir, obj._spill_segment_size,
                                        (tuple(e) for e in v))
@@ -302,9 +382,10 @@ def _make_actor_class():
     @ray.remote
     class FrontierShard:
         def __init__(self, shard_id: int, capacity: int,
-                     spill_dir: str | None = None, spill_segment_size: int = 4096):
+                     spill_dir: str | None = None, spill_segment_size: int = 4096,
+                     seen_spill_threshold: int = 1 << 30):
             self.state = ShardState(shard_id, capacity, spill_dir,
-                                    spill_segment_size)
+                                    spill_segment_size, seen_spill_threshold)
 
         def contains(self, job_id, keys):
             return self.state.contains(job_id, keys)
@@ -358,7 +439,8 @@ class Frontier:
     def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 17,
                  use_actors: bool = True, hot_host_lane_size: int = 1 << 30,
                  spill_dir: str | None = None,
-                 spill_segment_size: int = 4096) -> None:
+                 spill_segment_size: int = 4096,
+                 seen_spill_threshold: int = 1 << 30) -> None:
         """``hot_host_lane_size``: north_rule skew control — a host's queue
         entries are split into lanes of this many URLs, lane ``k`` routed to
         shard ``hash(host + '#' + k)``. A hot domain therefore spreads over
@@ -370,6 +452,7 @@ class Frontier:
         queue middles (SpillQueue)."""
         self._spill_dir = spill_dir
         self._spill_segment_size = spill_segment_size
+        self._seen_spill_threshold = seen_spill_threshold
         self.num_shards = num_shards
         self.use_actors = use_actors
         self.hot_host_lane_size = hot_host_lane_size
@@ -381,12 +464,14 @@ class Frontier:
             # num_cpus=2 with 8 shards at 0.25 each)
             self.shards = [
                 cls.options(num_cpus=0).remote(i, capacity_per_shard,
-                                               spill_dir, spill_segment_size)
+                                               spill_dir, spill_segment_size,
+                                               seen_spill_threshold)
                 for i in range(num_shards)
             ]
         else:
             self.shards = [
-                ShardState(i, capacity_per_shard, spill_dir, spill_segment_size)
+                ShardState(i, capacity_per_shard, spill_dir, spill_segment_size,
+                           seen_spill_threshold)
                 for i in range(num_shards)
             ]
         # driver-held admission state (authoritative, checkpointed)

@@ -81,3 +81,44 @@ def test_spill_survives_snapshot(tmp_path):
     w_f = f.next_wave("j")
     w_g = g.next_wave("j")
     assert w_f.equals(w_g)
+
+
+def test_seen_store_spills_and_stays_exact(tmp_path):
+    """SeenStore with a tiny flush threshold: dedup stays exact across disk
+    runs; seen-table export merges runs + delta; crawl results identical."""
+    f = Frontier(num_shards=2, use_actors=False,
+                 spill_dir=str(tmp_path / "seen"), seen_spill_threshold=16)
+    f.add_seeds("j", ["http://s.test/"])
+    urls = [f"http://s.test/p{i}" for i in range(300)]
+    assert f.offer_groups("j", [("http://s.test/", urls, 1)]) == 300
+    assert any(len(s.seen["j"].runs) > 0 for s in f.shards)  # spilled
+    # exactness: nothing re-admits, including keys that live in disk runs
+    assert f.offer_groups("j", [("http://s.test/q", urls, 2)]) == 0
+    table = f.seen_table("j")
+    assert table.num_rows == 300
+    assert sorted(table.column("canonical_url").to_pylist()) == sorted(urls)
+
+    # full crawl with aggressive seen-spilling matches the plain crawl
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+    import anycrawl_ray.pipelines.crawl as C
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    job = CrawlJob(job_id="se", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=400)
+    base = run_crawl(job, pages, use_ray=False)
+    orig = C.Frontier
+
+    class SpillSeenFrontier(C.Frontier):
+        def __init__(self, *a, **k):
+            k.setdefault("spill_dir", str(tmp_path / "seen2"))
+            k.setdefault("seen_spill_threshold", 8)
+            super().__init__(*a, **k)
+
+    C.Frontier = SpillSeenFrontier
+    try:
+        res = run_crawl(job, pages, use_ray=False)
+    finally:
+        C.Frontier = orig
+    assert res.order.equals(base.order)
+    assert res.seen.to_pydict() == base.seen.to_pydict()
