@@ -550,6 +550,11 @@ class Frontier:
         dedup; first-sight-wins; per-call cap = limit)."""
         flat: list[tuple[int, str, str, int, str, int]] = []  # (gi, url, canon, key, parent, depth)
         for gi, (parent, children, depth) in enumerate(groups):
+            # Crawlee's enqueueLinks slices the filtered candidate list at
+            # `limit` BEFORE dedup/transform (per-call cap on candidates
+            # considered, not on admissions)
+            if limit is not None:
+                children = children[:limit]
             for u in children:
                 c = canonicalize(u)
                 flat.append((gi, u, c, xxh64(c), parent, depth))
@@ -576,18 +581,14 @@ class Frontier:
         admitted = 0
         cur_group = -1
         group_gated = False
-        group_count = 0
         for i, (gi, url, canon, key, parent, depth) in enumerate(flat):
             if gi != cur_group:
                 cur_group = gi
                 group_gated = limit is not None and self.enqueued[job_id] >= limit
-                group_count = 0
             if group_gated:
                 continue
             if in_seen[i] or key in batch_seen:
                 continue
-            if limit is not None and group_count >= limit:
-                continue  # per-enqueueLinks-call cap (Base.ts:385-387)
             batch_seen.add(key)
             seq = self.next_seq[job_id]  # seq that _admit will assign
             self._admit(job_id, url, canon, key, depth, parent, admit_rows)
@@ -596,7 +597,6 @@ class Frontier:
             insert_rows[ks]["urls"].append(canon)
             insert_rows[ks]["seqs"].append(seq)
             admitted += 1
-            group_count += 1
         # pass 2: persist seen inserts + enqueue on host shards
         futures = [
             self._call(s, "insert_seen", job_id, r["keys"], r["urls"], r["seqs"])

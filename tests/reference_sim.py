@@ -52,7 +52,8 @@ def simulate_crawl(job, pages) -> dict:
             continue
         if enqueued >= job.limit:
             continue  # pre-enqueue gate: skip the whole page's enqueue
-        added_this_call = 0
+        # Crawlee slices filtered candidates at `limit` pre-dedup
+        filtered = []
         for link in links:
             if depth + 1 > job.max_depth:
                 continue
@@ -60,15 +61,14 @@ def simulate_crawl(job, pages) -> dict:
                 continue
             if not rules.should_follow(link, current_url=url):
                 continue
+            filtered.append(link)
+        for link in filtered[: job.limit]:
             canon = canonicalize(link)
             if canon in seen:
                 continue
-            if added_this_call >= job.limit:
-                continue  # per-enqueueLinks-call cap
             seen.add(canon)
             admission.append((seq, link, canon, depth + 1, url))
             queue.append((link, depth + 1))
             enqueued += 1
             seq += 1
-            added_this_call += 1
     return {"admission": admission, "fetched": fetched, "seen": seen, "done": done}

@@ -307,3 +307,27 @@ def test_seen_set_exact_under_filter_saturation():
     f.checkpoint(d, 0)
     g, _ = Frontier.restore(d, use_actors=False)
     assert g.offer_groups("j", [("http://s.test/y", urls, 2)]) == 0
+
+
+def test_per_call_limit_slices_candidates_pre_dedup():
+    """Crawlee's enqueueLinks `limit` slices the filtered candidate list
+    BEFORE dedup: a page with more candidates than `limit` only considers
+    the first `limit`, and already-seen candidates inside that window eat
+    into the budget."""
+    many = [f"http://s.test/x{i}" for i in range(8)]
+    rows = [
+        {"url": "http://s.test/", "links": ["http://s.test/a"]},
+        # /a links to /a (seen) then 8 fresh urls; with limit=3 only
+        # [/a, x0, x1] are considered -> admits x0, x1 (2 new)
+        {"url": "http://s.test/a", "links": ["http://s.test/a"] + many},
+    ] + [{"url": u, "links": []} for u in many]
+    for r in rows:
+        r["html"] = "<html><body>" + "".join(
+            f'<a href="{l}">x</a>' for l in r["links"]) + "</body></html>"
+    pages = site_table_from_rows(rows)
+    job = CrawlJob(job_id="t", seed_urls=["http://s.test/"], strategy="all",
+                   limit=3, max_depth=10)
+    res, sim = _check_conformance(job, pages)
+    admitted = res.order.column("url").to_pylist()
+    assert "http://s.test/x0" in admitted and "http://s.test/x1" in admitted
+    assert "http://s.test/x2" not in admitted
