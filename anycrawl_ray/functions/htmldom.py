@@ -144,7 +144,11 @@ class Node:
 
     def _serialize(self, buf: list[str]) -> None:
         if self.kind == "text":
-            buf.append(escape(self.text, quote=False))
+            # cheerio (decodeEntities) re-encodes NBSP on serialization;
+            # matching that keeps the markdown string pre-pass (`\s+` which
+            # matches \xa0) from ever seeing a literal NBSP — reference
+            # behavior (entities survive the pre-pass)
+            buf.append(escape(self.text, quote=False).replace("\xa0", "&nbsp;"))
         elif self.kind == "comment":
             buf.append(f"<!--{self.text}-->")
         elif self.kind == "doctype":
@@ -158,7 +162,7 @@ class Node:
                 if v is None:
                     buf.append(f" {k}")
                 else:
-                    buf.append(f' {k}="{escape(v)}"')
+                    buf.append(f' {k}="{escape(v).replace(chr(160), "&nbsp;")}"')
             buf.append(">")
             if self.tag in VOID_ELEMENTS:
                 return

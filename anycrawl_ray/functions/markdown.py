@@ -344,7 +344,9 @@ def markdown_from_tree(root: Node) -> str:
     skips the serialize + re-parse round trip of ``html_to_markdown``.
     MUTATES the tree (noise-tag removal + whitespace collapse); call after
     every other consumer of the tree. Output equality with
-    ``html_to_markdown(root.to_html())`` is asserted by tests."""
+    ``html_to_markdown(root.to_html())`` is asserted by tests (the
+    serializer encodes NBSP as &nbsp;, so both paths preserve it — the
+    cheerio-faithful behavior)."""
     for tag in _REMOVE_TAGS:
         root.remove_all(tag)
     _collapse_tree_whitespace(root)

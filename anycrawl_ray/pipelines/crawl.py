@@ -133,16 +133,29 @@ class CrawlResult:
         return self._documents
 
 
-def _read_docs(job_out: str | None) -> pa.Table:
+def epoch_part_files(job_out: str | None) -> list[str]:
+    """All document part files of a job, epochs in NUMERIC order (a
+    lexicographic listdir would read epoch=10 before epoch=2)."""
     if not job_out or not os.path.isdir(job_out):
-        return _empty_docs()
-    parts: list[pa.Table] = []
-    for name in sorted(os.listdir(job_out)):
-        if name.startswith("epoch="):
-            edir = os.path.join(job_out, name)
-            for f in sorted(os.listdir(edir)):
-                if f.endswith(".parquet"):
-                    parts.append(pq.read_table(os.path.join(edir, f)))
+        return []
+    epochs = sorted(
+        (int(name.split("=", 1)[1]), name)
+        for name in os.listdir(job_out)
+        if name.startswith("epoch=") and name.split("=", 1)[1].isdigit()
+    )
+    files: list[str] = []
+    for _n, name in epochs:
+        edir = os.path.join(job_out, name)
+        files.extend(
+            os.path.join(edir, f)
+            for f in sorted(os.listdir(edir))
+            if f.endswith(".parquet")
+        )
+    return files
+
+
+def _read_docs(job_out: str | None) -> pa.Table:
+    parts = [pq.read_table(f) for f in epoch_part_files(job_out)]
     docs = pa.concat_tables(parts) if parts else _empty_docs()
     return docs.sort_by("doc_id")
 

@@ -18,19 +18,9 @@ PAGE_SIZE = 100
 
 
 def _part_files(out_dir: str, job_id: str) -> list[str]:
-    job_out = os.path.join(out_dir, job_id)
-    files: list[str] = []
-    if not os.path.isdir(job_out):
-        return files
-    for name in sorted(os.listdir(job_out)):
-        if name.startswith("epoch="):
-            edir = os.path.join(job_out, name)
-            files.extend(
-                os.path.join(edir, f)
-                for f in sorted(os.listdir(edir))
-                if f.endswith(".parquet")
-            )
-    return files
+    from ..pipelines.crawl import epoch_part_files
+
+    return epoch_part_files(os.path.join(out_dir, job_id))
 
 
 def read_job_results(out_dir: str, job_id: str, skip: int = 0,

@@ -37,8 +37,9 @@ def page_url(i: int, num_hosts: int = NUM_HOSTS) -> str:
 
 
 def page_links(i: int, n: int) -> list[int]:
-    """Out-neighbor page indices in DOM order (keep in sync with the SQL
-    oracle in pipelines/queries.py::_CRAWL_EDGES_SQL)."""
+    """Out-neighbor page indices in DOM order. Keep in sync with BOTH
+    copies of the edges CTE in pipelines/queries.py
+    (_CRAWL_REACHABLE_SQL and _CRAWL_LINEAGE_SQL)."""
     out = []
     if 2 * i + 1 < n:
         out.append(2 * i + 1)

@@ -150,7 +150,9 @@ class PageParser:
                 transformed = root.to_html() if "html" in self.formats else None
                 media_imgs = _imgs_of(root)
                 if need_md:
-                    # tree path: equals html_to_markdown(root.to_html()),
+                    # tree path: equals html_to_markdown(root.to_html())
+                    # (the serializer encodes NBSP as &nbsp;, so the string
+                    # pre-pass never collapses it — cheerio-faithful);
                     # pinned by tests; mutates root LAST
                     markdown = markdown_from_tree(root)
         if "html" in self.formats:

@@ -306,18 +306,20 @@ class ShardState:
             )
         return n
 
-    def take_wave(self, job_id: str, per_host_budget: int, max_total: int) -> list[tuple]:
-        """Pop up to ``per_host_budget`` entries per host (FIFO), up to
-        ``max_total`` across this shard. Never reorders within a host."""
+    def take_wave(self, job_id: str, per_host_budget: int) -> list[tuple]:
+        """Pop up to ``per_host_budget`` entries per host (FIFO). No shard-
+        local total cap: a cap here would select by queue-insertion order
+        and starve earlier-discovered URLs on later-created queues (the
+        facade is the only truncation point — it sorts globally by
+        (depth, seq) and front-requeues overflow). Wave size is bounded by
+        budget x live hosts; finite politeness bounds it at scale."""
         out: list[tuple] = []
         for (job, host), q in list(self.queues.items()):
             if job != job_id or not q:
                 continue
-            take = min(per_host_budget, len(q), max(0, max_total - len(out)))
+            take = min(per_host_budget, len(q))
             for _ in range(take):
                 out.append(q.popleft() + (host,))
-            if len(out) >= max_total:
-                break
         return out
 
     def pending_count(self, job_id: str) -> int:
@@ -358,9 +360,13 @@ class ShardState:
         )
 
     @classmethod
-    def from_snapshot(cls, blob: bytes) -> "ShardState":
+    def from_snapshot(cls, blob: bytes, spill_dir: str | None = None,
+                      spill_segment_size: int = 4096,
+                      seen_spill_threshold: int = 1 << 30) -> "ShardState":
         data = pickle.loads(blob)
-        obj = cls(data["shard_id"])
+        obj = cls(data["shard_id"], spill_dir=spill_dir,
+                  spill_segment_size=spill_segment_size,
+                  seen_spill_threshold=seen_spill_threshold)
         obj.filter = CuckooFilter.from_bytes(data["filter"])
         obj.overflow = set(data.get("overflow", ()))
         for j, v in data["seen"].items():
@@ -399,8 +405,8 @@ def _make_actor_class():
         def enqueue_front(self, rows):
             return self.state.enqueue_front(rows)
 
-        def take_wave(self, job_id, per_host_budget, max_total):
-            return self.state.take_wave(job_id, per_host_budget, max_total)
+        def take_wave(self, job_id, per_host_budget):
+            return self.state.take_wave(job_id, per_host_budget)
 
         def pending_count(self, job_id):
             return self.state.pending_count(job_id)
@@ -418,7 +424,11 @@ def _make_actor_class():
             return self.state.snapshot()
 
         def load_snapshot(self, blob):
-            self.state = ShardState.from_snapshot(blob)
+            # restored shards keep THIS shard's spill/seen configuration
+            old = self.state
+            self.state = ShardState.from_snapshot(
+                blob, old._spill_dir, old._spill_segment_size,
+                old._seen_threshold)
             return True
 
     return FrontierShard
@@ -611,9 +621,8 @@ class Frontier:
         """Collect the next BFS wave, globally sorted by
         ``(depth, discovered_seq)`` — the deterministic admission order.
         Overflow beyond ``max_pages`` is pushed back to queue FRONTS."""
-        cap = max_pages if max_pages is not None else 1 << 62
         futures = [
-            self._call(s, "take_wave", job_id, per_host_budget, cap)
+            self._call(s, "take_wave", job_id, per_host_budget)
             for s in range(self.num_shards)
         ]
         all_rows: list[tuple] = []
@@ -740,6 +749,8 @@ class Frontier:
             "num_shards": self.num_shards,
             "spill_dir": getattr(self, "_spill_dir", None),
             "spill_segment_size": getattr(self, "_spill_segment_size", 4096),
+            "seen_spill_threshold": getattr(self, "_seen_spill_threshold", 1 << 30),
+            "hot_host_lane_size": self.hot_host_lane_size,
             "next_seq": dict(self.next_seq),
             "host_seq": {f"{j}\t{h}": v for (j, h), v in self.host_seq.items()},
             "enqueued": dict(self.enqueued),
@@ -774,7 +785,9 @@ class Frontier:
             manifest = json.load(f)
         obj = cls(num_shards=manifest["num_shards"], use_actors=use_actors,
                   spill_dir=manifest.get("spill_dir"),
-                  spill_segment_size=manifest.get("spill_segment_size", 4096))
+                  spill_segment_size=manifest.get("spill_segment_size", 4096),
+                  seen_spill_threshold=manifest.get("seen_spill_threshold", 1 << 30),
+                  hot_host_lane_size=manifest.get("hot_host_lane_size", 1 << 30))
         blobs = []
         for i in range(manifest["num_shards"]):
             with open(os.path.join(path, f"shard_{i}.bin"), "rb") as f:
@@ -784,7 +797,12 @@ class Frontier:
 
             ray.get([s.load_snapshot.remote(b) for s, b in zip(obj.shards, blobs)])
         else:
-            obj.shards = [ShardState.from_snapshot(b) for b in blobs]
+            obj.shards = [
+                ShardState.from_snapshot(
+                    b, obj._spill_dir, obj._spill_segment_size,
+                    obj._seen_spill_threshold)
+                for b in blobs
+            ]
         obj.next_seq.update(manifest["next_seq"])
         for k, v in manifest["host_seq"].items():
             j, h = k.split("\t", 1)

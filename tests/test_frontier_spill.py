@@ -122,3 +122,52 @@ def test_seen_store_spills_and_stays_exact(tmp_path):
         C.Frontier = orig
     assert res.order.equals(base.order)
     assert res.seen.to_pydict() == base.seen.to_pydict()
+
+
+def test_wave_truncation_takes_global_seq_prefix():
+    """Review regression: near the limit, next_wave must return the
+    earliest-admitted entries globally, not whatever queue-insertion order
+    yields on a shard (earlier finding returned seqs [5,6] over [3,4])."""
+    f = Frontier(num_shards=1, use_actors=False)
+    f.add_seeds("j", ["http://a.test/"])  # seq 0 hostA
+    f.next_wave("j")  # drain seed
+    # admit to hostA first (creates its queue), then interleave
+    f.offer_groups("j", [
+        ("http://a.test/", ["http://a.test/1", "http://a.test/2"], 1),  # seqs 1,2 hostA
+        ("http://a.test/1", ["http://b.test/3", "http://b.test/4"], 2),  # seqs 3,4 hostB
+    ])
+    # ask for 2 pages only: must be seqs 1,2? no - sorted by (depth, seq):
+    # depth1 seqs 1,2 first. Now drain them and interleave depths:
+    w = f.next_wave("j", max_pages=2)
+    assert w.column("discovered_seq").to_pylist() == [1, 2]
+    # hostB (later-created queue) holds the earliest remaining seqs now
+    f.offer_groups("j", [("http://a.test/2", ["http://a.test/5", "http://a.test/6"], 2)])
+    w2 = f.next_wave("j", max_pages=2)
+    assert w2.column("discovered_seq").to_pylist() == [3, 4]  # not [5, 6]
+    w3 = f.next_wave("j")
+    assert w3.column("discovered_seq").to_pylist() == [5, 6]
+
+
+def test_restore_preserves_spill_config(tmp_path):
+    """Review regression: restore must rebuild shards WITH their spill/seen
+    configuration (it silently reverted to memory-only)."""
+    f = Frontier(num_shards=2, use_actors=False,
+                 spill_dir=str(tmp_path / "sp"), spill_segment_size=4,
+                 seen_spill_threshold=8, hot_host_lane_size=16)
+    f.add_seeds("j", ["http://s.test/"])
+    f.offer_groups("j", [("http://s.test/",
+                          [f"http://s.test/p{i}" for i in range(50)], 1)])
+    f.checkpoint(str(tmp_path / "ck"), 0)
+    g, m = Frontier.restore(str(tmp_path / "ck"), use_actors=False)
+    assert g._spill_dir == str(tmp_path / "sp")
+    assert g._spill_segment_size == 4
+    assert g._seen_spill_threshold == 8
+    assert g.hot_host_lane_size == 16
+    for shard in g.shards:
+        assert shard._spill_dir == str(tmp_path / "sp")
+        for q in shard.queues.values():
+            assert q.spill_dir == str(tmp_path / "sp")
+    # restored frontier actually spills on further load
+    g.offer_groups("j", [("http://s.test/q",
+                          [f"http://s.test/z{i}" for i in range(50)], 2)])
+    assert any(q.spilled_entries > 0 for s in g.shards for q in s.queues.values())

@@ -220,3 +220,25 @@ def test_fast_prune_equals_selector_path():
         fast = parse_html(html)
         clean_tree(fast)
         assert fast.to_html() == slow.to_html()
+
+
+def test_markdown_nbsp_handling_in_parser():
+    """Review regression: literal-NBSP pages route through the faithful
+    string path; entity-NBSP pages keep the tree path — both must match
+    html_to_markdown of the same cleaned html."""
+    from anycrawl_ray.stages.parse import PageParser
+    from anycrawl_ray.functions.cleaner import clean_tree, transform_relative_urls
+
+    parser = PageParser({"job_id": "t", "formats": ["markdown"],
+                         "max_depth": 5, "strategy": "all"})
+    for html in ("<html><body><p>b\xa0c d</p></body></html>",
+                 "<html><body><p>b&nbsp;c d</p></body></html>"):
+        _d, spans, *_rest = parser.parse_page("http://x.test/", html, 200, 0, 0)
+        got = "\n\n".join(s["text"] for s in spans if s["kind"] == "markdown")
+        ref_root = parse_html(html)
+        transform_relative_urls(ref_root, "http://x.test/")
+        clean_tree(ref_root)
+        want = html_to_markdown(ref_root.to_html())
+        assert got == want == "b\xa0c d", (html, got, want)
+    # the serializer round-trips NBSP as an entity (cheerio behavior)
+    assert "&nbsp;" in parse_html("<p>a\xa0b</p>").to_html()

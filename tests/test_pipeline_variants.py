@@ -142,3 +142,36 @@ def test_query_registry_consistency():
     assert all(isinstance(sql, str) and "SELECT" in sql.upper()
                for sql in ORACLE_SQL.values())
     assert len(QUERIES) >= 32 and len(ORACLE_SQL) >= 23
+
+
+def test_pagination_numeric_epoch_order(tmp_path):
+    """Review regression: epoch dirs must be read in numeric order
+    (lexicographic listdir puts epoch=10 before epoch=2)."""
+    from anycrawl_ray.sources.results import read_job_results
+
+    pages = build_site_table(DOCS)
+    # politeness=1 forces many epochs (>10)
+    job = CrawlJob(job_id="np", seed_urls=[page_url(0)], strategy="all",
+                   limit=120, max_depth=20, politeness_max_inflight_per_host=2)
+    res = run_crawl(job, pages, use_ray=False, out_dir=str(tmp_path))
+    assert res.epochs > 10
+    collected = []
+    skip = 0
+    while skip is not None:
+        page, skip = read_job_results(str(tmp_path), "np", skip or 0)
+        if page.num_rows == 0:
+            break
+        collected.extend(page.column("doc_id").to_pylist())
+    # pagination order = completion (epoch) order, like the reference's
+    # job_results insertion order; epochs must be visited numerically
+    from anycrawl_ray.pipelines.crawl import epoch_part_files
+    import pyarrow.parquet as _pq
+
+    want = []
+    for f in epoch_part_files(str(tmp_path / "np")):
+        want.extend(_pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
+    assert collected == want
+    assert sorted(collected) == res.documents.column("doc_id").to_pylist()
+    # regression: lexicographic epoch walk would misorder epoch>=10
+    names = sorted(x for x in __import__("os").listdir(str(tmp_path / "np")))
+    assert names.index("epoch=10") < names.index("epoch=2")  # lexicographic trap exists
