@@ -73,6 +73,30 @@ WAVE_SCHEMA = pa.schema(
 
 _WAVE_FIELDS = WAVE_SCHEMA.names
 
+# queue-entry tuple layout (single source of truth for the pack/unpack
+# sites below and the (depth, seq) sort in next_wave)
+_ENTRY_FIELDS = ("depth", "host_seq", "discovered_seq", "url",
+                 "canonical_url", "url_key", "parent_url")
+_E_DEPTH, _E_HOST_SEQ, _E_SEQ = 0, 1, 2
+
+
+def _entry_from_rows(rows: dict, i: int) -> tuple:
+    return tuple(rows[f][i] for f in _ENTRY_FIELDS)
+
+
+def _append_wave_row(rows: dict, *, url: str, canon: str, key: int, host: str,
+                     depth: int, job_id: str, parent: str, seq: int,
+                     hseq: int) -> None:
+    rows["url"].append(url)
+    rows["canonical_url"].append(canon)
+    rows["url_key"].append(key)
+    rows["host"].append(host)
+    rows["depth"].append(depth)
+    rows["job_id"].append(job_id)
+    rows["parent_url"].append(parent)
+    rows["discovered_seq"].append(seq)
+    rows["host_seq"].append(hseq)
+
 
 class SpillQueue:
     """FIFO queue with disk-spilled middle segments (ARCHITECTURE.md §2:
@@ -273,17 +297,7 @@ class ShardState:
         n = len(rows["url"])
         for i in range(n):
             job = rows["job_id"][i]
-            self.queues[(job, rows["host"][i])].append(
-                (
-                    rows["depth"][i],
-                    rows["host_seq"][i],
-                    rows["discovered_seq"][i],
-                    rows["url"][i],
-                    rows["canonical_url"][i],
-                    rows["url_key"][i],
-                    rows["parent_url"][i],
-                )
-            )
+            self.queues[(job, rows["host"][i])].append(_entry_from_rows(rows, i))
             self.counters[job]["enqueued"] += 1
         return n
 
@@ -293,17 +307,7 @@ class ShardState:
         n = len(rows["url"])
         for i in range(n - 1, -1, -1):
             job = rows["job_id"][i]
-            self.queues[(job, rows["host"][i])].appendleft(
-                (
-                    rows["depth"][i],
-                    rows["host_seq"][i],
-                    rows["discovered_seq"][i],
-                    rows["url"][i],
-                    rows["canonical_url"][i],
-                    rows["url_key"][i],
-                    rows["parent_url"][i],
-                )
-            )
+            self.queues[(job, rows["host"][i])].appendleft(_entry_from_rows(rows, i))
         return n
 
     def take_wave(self, job_id: str, per_host_budget: int) -> list[tuple]:
@@ -523,16 +527,9 @@ class Frontier:
         self.next_seq[job_id] = seq + 1
         self.enqueued[job_id] += 1
         self.admission_log[job_id].append((seq, url, canon, depth, parent))
-        rows = admit_rows[self._host_shard(host, hseq)]
-        rows["url"].append(url)
-        rows["canonical_url"].append(canon)
-        rows["url_key"].append(key)
-        rows["host"].append(host)
-        rows["depth"].append(depth)
-        rows["job_id"].append(job_id)
-        rows["parent_url"].append(parent)
-        rows["discovered_seq"].append(seq)
-        rows["host_seq"].append(hseq)
+        _append_wave_row(admit_rows[self._host_shard(host, hseq)], url=url,
+                         canon=canon, key=key, host=host, depth=depth,
+                         job_id=job_id, parent=parent, seq=seq, hseq=hseq)
 
     def add_seeds(self, job_id: str, urls: list[str]) -> int:
         """Admit seed URLs unconditionally, bypassing the seen set
@@ -628,8 +625,8 @@ class Frontier:
         all_rows: list[tuple] = []
         for rows in self._gather(futures):
             all_rows.extend(rows)
-        # tuple: (depth, host_seq, discovered_seq, url, canonical, key, parent) + (host,)
-        all_rows.sort(key=lambda r: (r[0], r[2]))
+        # entry tuple layout per _ENTRY_FIELDS, + (host,) appended by take_wave
+        all_rows.sort(key=lambda r: (r[_E_DEPTH], r[_E_SEQ]))
         if max_pages is not None and len(all_rows) > max_pages:
             self._requeue_front(job_id, all_rows[max_pages:])
             all_rows = all_rows[:max_pages]
@@ -651,16 +648,9 @@ class Frontier:
     def _requeue_front(self, job_id: str, rows: list[tuple]) -> None:
         by_shard: dict[int, dict[str, list]] = defaultdict(_empty_rows)
         for depth, hseq, seq, url, canon, key, parent, host in rows:
-            r = by_shard[self._host_shard(host, hseq)]
-            r["url"].append(url)
-            r["canonical_url"].append(canon)
-            r["url_key"].append(key)
-            r["host"].append(host)
-            r["depth"].append(depth)
-            r["job_id"].append(job_id)
-            r["parent_url"].append(parent)
-            r["discovered_seq"].append(seq)
-            r["host_seq"].append(hseq)
+            _append_wave_row(by_shard[self._host_shard(host, hseq)], url=url,
+                             canon=canon, key=key, host=host, depth=depth,
+                             job_id=job_id, parent=parent, seq=seq, hseq=hseq)
         self._gather([self._call(s, "enqueue_front", r) for s, r in by_shard.items()])
 
     def pending(self, job_id: str) -> int:
