@@ -544,6 +544,33 @@ FROM documents
 """
 
 
+def docs_bpe_tokens(sf_dir: str):
+    """BPE-ish token counts (letter runs / digit runs / single symbols) —
+    the tokenizer the chunker family uses, oracle-checked."""
+    rd = _rd()
+    from ..functions.credits import bpe_ish_tokens
+
+    def count(b: pa.Table) -> pa.Table:
+        counts = [len(bpe_ish_tokens(t)) for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_bpe_tokens": pa.array(counts, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pa.concat_tables(
+        ds.map_batches(count, batch_format="pyarrow").iter_batches(
+            batch_size=8192, batch_format="pyarrow"
+        )
+    )
+
+
+_BPE_TOKENS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\t\\r\\n\\fA-Za-z0-9]'))
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
 def docs_by_lang(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Count, Mean, Sum
@@ -986,6 +1013,7 @@ QUERIES = {
     "lineitem_recent": lineitem_recent,
     "sessionize": sessionize,
     "docs_text_stats": docs_text_stats,
+    "docs_bpe_tokens": docs_bpe_tokens,
     "docs_vocab": docs_vocab,
     "docs_by_lang": docs_by_lang,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1020,6 +1048,7 @@ ORACLE_SQL = {
     "lineitem_recent": _LINEITEM_RECENT_SQL,
     "sessionize": _SESSIONIZE_SQL,
     "docs_text_stats": _TEXT_STATS_SQL,
+    "docs_bpe_tokens": _BPE_TOKENS_SQL,
     "docs_vocab": _VOCAB_SQL,
     "docs_by_lang": _BY_LANG_SQL,
     "docs_exact_dedup": _EXACT_DEDUP_SQL,
