@@ -38,6 +38,16 @@ def _rd():
     return rd
 
 
+def _conc(want: int = 2) -> int:
+    """Actor-pool size clamped below the session's CPUs: pools of full-CPU
+    actors equal to the CPU count starve the read/task stages feeding them
+    (observed hang at num_cpus=2). Pair with num_cpus=0.5 actors so at
+    least one whole CPU stays schedulable for tasks."""
+    import ray
+
+    return max(1, min(want, int(ray.cluster_resources().get("CPU", 2)) - 1))
+
+
 def _scaled(table: pa.Table, cols: dict[str, int]) -> pa.Table:
     """Float -> scaled BIGINT for driver-hash-stable comparison.
 
@@ -332,8 +342,8 @@ def docs_llm_extract(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(StubExtractor, batch_format="pyarrow", concurrency=2,
-                         batch_size=128)
+    out = ds.map_batches(StubExtractor, batch_format="pyarrow",
+                         concurrency=_conc(), batch_size=128, num_cpus=0.5)
     return pa.concat_tables(
         out.iter_batches(batch_size=8192, batch_format="pyarrow")
     ).select(["doc_id", "n_chunks", "extracted_json"])
@@ -613,7 +623,8 @@ def docs_lang_guess(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=_conc(),
+                         num_cpus=0.5)
     return pa.concat_tables(
         out.iter_batches(batch_size=8192, batch_format="pyarrow")
     ).select(["doc_id", "lang", "lang_guess"])
@@ -625,7 +636,8 @@ def docs_fingerprint(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow",
+                         concurrency=_conc(), num_cpus=0.5)
     return pa.concat_tables(
         out.iter_batches(batch_size=8192, batch_format="pyarrow")
     ).select(["doc_id", "fingerprint"])
@@ -990,7 +1002,7 @@ def media_features(sf_dir: str):
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = media_table_from_documents(docs)
     ds = rd.from_arrow(media)
-    out = extract_media_features(ds, concurrency=2, batch_size=64)
+    out = extract_media_features(ds, concurrency=_conc(), batch_size=64)
     table = pa.concat_tables(out.iter_batches(batch_size=8192, batch_format="pyarrow"))
     return table.select(["media_id", "payload_hash"])
 

@@ -102,5 +102,7 @@ def extract_media_features(ds, concurrency: int = 2, batch_size: int = 64):
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        # fractional: a full-CPU pool equal to the session's CPU count
+        # starves the feeding tasks (deadlocks small sessions)
+        num_cpus=0.5,
     )
