@@ -13,8 +13,10 @@ from __future__ import annotations
 import re
 
 _TOKEN_RE = re.compile(r"\S+")
-# BPE-ish split: words, numbers, or single non-space symbols
-_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+# BPE-ish split: words, numbers, or single non-space symbols.
+# re.ASCII pins \d and \s to ASCII so the DuckDB oracle's character
+# classes match exactly on non-ASCII text
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.ASCII)
 
 
 def per_page_cost(

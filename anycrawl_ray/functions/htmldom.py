@@ -24,6 +24,18 @@ import re
 from html import escape
 from html.parser import HTMLParser
 
+# every \s-class character that is NOT plain ASCII whitespace (NBSP, thin
+# space, line separator, ...) re-encodes as an entity on serialization —
+# cheerio (decodeEntities) does the same for all non-ASCII, and it keeps
+# the markdown string pre-pass (`\s+`) from collapsing characters the
+# reference pipeline preserves
+_UNICODE_WS = re.compile(r"[^\S \t\n\r\f\v]")
+
+
+def _encode_ws(m: re.Match) -> str:
+    ch = m.group(0)
+    return "&nbsp;" if ch == "\xa0" else f"&#x{ord(ch):x};"
+
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
@@ -144,11 +156,8 @@ class Node:
 
     def _serialize(self, buf: list[str]) -> None:
         if self.kind == "text":
-            # cheerio (decodeEntities) re-encodes NBSP on serialization;
-            # matching that keeps the markdown string pre-pass (`\s+` which
-            # matches \xa0) from ever seeing a literal NBSP — reference
-            # behavior (entities survive the pre-pass)
-            buf.append(escape(self.text, quote=False).replace("\xa0", "&nbsp;"))
+            # unicode-whitespace -> entities (see _UNICODE_WS above)
+            buf.append(_UNICODE_WS.sub(_encode_ws, escape(self.text, quote=False)))
         elif self.kind == "comment":
             buf.append(f"<!--{self.text}-->")
         elif self.kind == "doctype":
@@ -162,7 +171,8 @@ class Node:
                 if v is None:
                     buf.append(f" {k}")
                 else:
-                    buf.append(f' {k}="{escape(v).replace(chr(160), "&nbsp;")}"')
+                    buf.append(
+                        f' {k}="{_UNICODE_WS.sub(_encode_ws, escape(v))}"')
             buf.append(">")
             if self.tag in VOID_ELEMENTS:
                 return

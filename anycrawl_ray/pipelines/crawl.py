@@ -433,6 +433,9 @@ def run_crawl(
     batch_size: int = 256,
     pool_size: int | None = None,
     hot_host_lane_size: int = 1 << 30,
+    spill_dir: str | None = None,
+    spill_segment_size: int = 4096,
+    seen_spill_threshold: int = 1 << 30,
     crash_after_epoch: int | None = None,
     crash_before_checkpoint: int | None = None,
 ) -> CrawlResult:
@@ -460,7 +463,10 @@ def run_crawl(
         done = manifest["extra"].get("done", 0)
     else:
         frontier = Frontier(num_shards=num_shards, use_actors=use_ray,
-                            hot_host_lane_size=hot_host_lane_size)
+                            hot_host_lane_size=hot_host_lane_size,
+                            spill_dir=spill_dir,
+                            spill_segment_size=spill_segment_size,
+                            seen_spill_threshold=seen_spill_threshold)
         frontier.add_seeds(job.job_id, job.seed_urls)
 
     doc_tables: list[pa.Table] = []

@@ -39,13 +39,9 @@ def _rd():
 
 
 def _conc(want: int = 2) -> int:
-    """Actor-pool size clamped below the session's CPUs: pools of full-CPU
-    actors equal to the CPU count starve the read/task stages feeding them
-    (observed hang at num_cpus=2). Pair with num_cpus=0.5 actors so at
-    least one whole CPU stays schedulable for tasks."""
-    import ray
+    from ..util import pool_concurrency
 
-    return max(1, min(want, int(ray.cluster_resources().get("CPU", 2)) - 1))
+    return pool_concurrency(want)
 
 
 def _scaled(table: pa.Table, cols: dict[str, int]) -> pa.Table:
@@ -575,7 +571,7 @@ def docs_bpe_tokens(sf_dir: str):
 
 _BPE_TOKENS_SQL = """
 SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\t\\r\\n\\fA-Za-z0-9]'))
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \\t\\r\\n\\f\\x0bA-Za-z0-9]'))
            AS n_bpe_tokens
 FROM documents
 """

@@ -140,9 +140,8 @@ def analyze_documents(ds, include_lang: bool = True):
     a task stage; lang-id as an actor pool (compiled state per actor)."""
     out = ds.map_batches(text_stats_batch, batch_format="pyarrow")
     if include_lang:
-        import ray
+        from ..util import pool_concurrency
 
-        conc = max(1, min(2, int(ray.cluster_resources().get("CPU", 2)) - 1))
-        out = out.map_batches(LangId, batch_format="pyarrow", concurrency=conc,
-                              num_cpus=0.5)
+        out = out.map_batches(LangId, batch_format="pyarrow",
+                              concurrency=pool_concurrency(), num_cpus=0.5)
     return out

@@ -73,6 +73,16 @@ WAVE_SCHEMA = pa.schema(
 
 _WAVE_FIELDS = WAVE_SCHEMA.names
 
+# process-unique spill-file naming: id(self) alone collides across actor
+# processes sharing one spill_dir (identically-initialized workers reuse
+# addresses); pid + a per-process counter is unique while processes live
+_SPILL_COUNTER = [0]
+
+
+def _spill_name(kind: str) -> str:
+    _SPILL_COUNTER[0] += 1
+    return f"{kind}_{os.getpid()}_{_SPILL_COUNTER[0]}.pkl"
+
 # queue-entry tuple layout (single source of truth for the pack/unpack
 # sites below and the (depth, seq) sort in next_wave)
 _ENTRY_FIELDS = ("depth", "host_seq", "discovered_seq", "url",
@@ -110,7 +120,7 @@ class SpillQueue:
     compare against one)."""
 
     __slots__ = ("head", "tail", "segments", "seg_counts", "spill_dir",
-                 "segment_size", "_seg_id")
+                 "segment_size")
 
     def __init__(self, spill_dir: str | None = None, segment_size: int = 1024,
                  items=()):
@@ -120,7 +130,6 @@ class SpillQueue:
         self.seg_counts: list[int] = []
         self.spill_dir = spill_dir
         self.segment_size = segment_size
-        self._seg_id = 0
 
     def append(self, item) -> None:
         self.tail.append(item)
@@ -132,8 +141,7 @@ class SpillQueue:
 
     def _flush_tail(self) -> None:
         os.makedirs(self.spill_dir, exist_ok=True)
-        path = os.path.join(self.spill_dir, f"seg_{id(self)}_{self._seg_id}.pkl")
-        self._seg_id += 1
+        path = os.path.join(self.spill_dir, _spill_name("seg"))
         with open(path, "wb") as f:
             pickle.dump(list(self.tail), f)
         self.segments.append(path)
@@ -180,7 +188,7 @@ class SeenStore:
     Values (canonical url, first_seen_seq) ride along for the ``seen``
     table export."""
 
-    __slots__ = ("delta", "runs", "spill_dir", "threshold", "_run_id",
+    __slots__ = ("delta", "runs", "spill_dir", "threshold",
                  "_cache_path", "_cache_keys")
 
     def __init__(self, spill_dir: str | None, threshold: int):
@@ -188,7 +196,6 @@ class SeenStore:
         self.runs: list[tuple[str, int, int, int]] = []  # (path, min, max, n)
         self.spill_dir = spill_dir
         self.threshold = threshold
-        self._run_id = 0
         self._cache_path: str | None = None
         self._cache_keys = None
 
@@ -221,9 +228,7 @@ class SeenStore:
             return
         os.makedirs(self.spill_dir, exist_ok=True)
         items = sorted(self.delta.items())
-        path = os.path.join(self.spill_dir,
-                            f"seen_{id(self)}_{self._run_id}.pkl")
-        self._run_id += 1
+        path = os.path.join(self.spill_dir, _spill_name("seen"))
         with open(path, "wb") as f:
             pickle.dump({"keys": [k for k, _ in items],
                          "vals": [v for _, v in items]}, f)
@@ -340,6 +345,26 @@ class ShardState:
     def stats(self, job_id: str) -> dict[str, int]:
         return dict(self.counters[job_id])
 
+    def dispose_spill_files(self) -> None:
+        """Unlink this state's spill artifacts (called before the state is
+        replaced on restore — otherwise dead segment/run files accumulate
+        in spill_dir forever)."""
+        for q in self.queues.values():
+            for path in q.segments:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            q.segments.clear()
+            q.seg_counts.clear()
+        for store in self.seen.values():
+            for path, *_x in store.runs:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            store.runs.clear()
+
     def seen_rows(self, job_id: str) -> dict:
         job_seen = self.seen.get(job_id)
         items = list(job_seen.items()) if job_seen is not None else []
@@ -430,6 +455,7 @@ def _make_actor_class():
         def load_snapshot(self, blob):
             # restored shards keep THIS shard's spill/seen configuration
             old = self.state
+            old.dispose_spill_files()
             self.state = ShardState.from_snapshot(
                 blob, old._spill_dir, old._spill_segment_size,
                 old._seen_threshold)

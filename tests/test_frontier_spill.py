@@ -48,21 +48,8 @@ def test_crawl_with_spilling_matches(tmp_path):
     base = run_crawl(job, pages, use_ray=False)
 
     # frontier with aggressive spilling (segment 8) — identical results
-    import anycrawl_ray.pipelines.crawl as C
-
-    orig = C.Frontier
-
-    class SpillingFrontier(C.Frontier):
-        def __init__(self, *a, **k):
-            k.setdefault("spill_dir", str(tmp_path / "spill"))
-            k.setdefault("spill_segment_size", 8)
-            super().__init__(*a, **k)
-
-    C.Frontier = SpillingFrontier
-    try:
-        res = run_crawl(job, pages, use_ray=False)
-    finally:
-        C.Frontier = orig
+    res = run_crawl(job, pages, use_ray=False,
+                    spill_dir=str(tmp_path / "spill"), spill_segment_size=8)
     assert res.order.equals(base.order)
     assert res.documents.equals(base.documents)
     assert res.seen.to_pydict() == base.seen.to_pydict()
@@ -101,25 +88,13 @@ def test_seen_store_spills_and_stays_exact(tmp_path):
     # full crawl with aggressive seen-spilling matches the plain crawl
     from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
     from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
-    import anycrawl_ray.pipelines.crawl as C
 
     pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
     job = CrawlJob(job_id="se", seed_urls=[page_url(0)], strategy="all",
                    max_depth=20, limit=400)
     base = run_crawl(job, pages, use_ray=False)
-    orig = C.Frontier
-
-    class SpillSeenFrontier(C.Frontier):
-        def __init__(self, *a, **k):
-            k.setdefault("spill_dir", str(tmp_path / "seen2"))
-            k.setdefault("seen_spill_threshold", 8)
-            super().__init__(*a, **k)
-
-    C.Frontier = SpillSeenFrontier
-    try:
-        res = run_crawl(job, pages, use_ray=False)
-    finally:
-        C.Frontier = orig
+    res = run_crawl(job, pages, use_ray=False,
+                    spill_dir=str(tmp_path / "seen2"), seen_spill_threshold=8)
     assert res.order.equals(base.order)
     assert res.seen.to_pydict() == base.seen.to_pydict()
 
@@ -171,3 +146,29 @@ def test_restore_preserves_spill_config(tmp_path):
     g.offer_groups("j", [("http://s.test/q",
                           [f"http://s.test/z{i}" for i in range(50)], 2)])
     assert any(q.spilled_entries > 0 for s in g.shards for q in s.queues.values())
+
+
+def test_spill_with_actor_shards(ray_session, tmp_path):
+    """Review regression: shards are separate PROCESSES sharing one
+    spill_dir — segment filenames must not collide across them (id(self)
+    did; pid+counter doesn't). Crawl with actor shards + aggressive
+    spilling must equal the plain crawl."""
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    job = CrawlJob(job_id="as", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=300)
+    base = run_crawl(job, pages, use_ray=False)
+    res = run_crawl(job, pages, use_ray=True, ray_wave_threshold=8,
+                    num_shards=4, spill_dir=str(tmp_path / "sp"),
+                    spill_segment_size=8, seen_spill_threshold=16)
+    assert res.order.equals(base.order)
+    assert res.documents.equals(base.documents)
+    assert res.seen.to_pydict() == base.seen.to_pydict()
+    # spill files were actually produced by multiple shard processes
+    import os
+
+    names = os.listdir(str(tmp_path / "sp"))
+    pids = {n.split("_")[1] for n in names} if names else set()
+    assert len(names) == len(set(names))
