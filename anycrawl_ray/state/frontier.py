@@ -376,14 +376,52 @@ class ShardState:
         }
 
     # -- checkpoint -------------------------------------------------------
-    def snapshot(self) -> bytes:
+    def snapshot(self, file_dir: str | None = None) -> bytes:
+        """Serialize shard state. With ``file_dir`` (a checkpoint directory
+        on storage this process can write), spilled queue segments and seen
+        runs are COPIED as files and referenced by name — the blob stays
+        O(in-memory state) instead of materializing the whole spilled
+        frontier (ARCHITECTURE.md §2 checkpoint-cost contract). Without
+        ``file_dir`` everything inlines into the blob (small states)."""
+        if file_dir is None:
+            seen = {j: {"delta": list(store.items()), "runs": []}
+                    for j, store in self.seen.items()}
+            queues = {k: {"items": list(v), "segments": []}
+                      for k, v in self.queues.items()}
+        else:
+            os.makedirs(file_dir, exist_ok=True)
+
+            def copy_file(path: str) -> str:
+                base = f"sh{self.shard_id}_{os.path.basename(path)}"
+                import shutil as _sh
+
+                _sh.copyfile(path, os.path.join(file_dir, base))
+                return base
+
+            seen = {}
+            for j, store in self.seen.items():
+                seen[j] = {
+                    "delta": list(store.delta.items()),
+                    "runs": [(copy_file(path), lo, hi, n)
+                             for path, lo, hi, n in store.runs],
+                }
+            queues = {}
+            for k, q in self.queues.items():
+                queues[k] = {
+                    "head": list(q.head),
+                    "tail": list(q.tail),
+                    "segments": [
+                        (copy_file(path), n)
+                        for path, n in zip(q.segments, q.seg_counts)
+                    ],
+                }
         return pickle.dumps(
             {
                 "shard_id": self.shard_id,
                 "filter": self.filter.to_bytes(),
                 "overflow": sorted(self.overflow),
-                "seen": {j: list(store.items()) for j, store in self.seen.items()},
-                "queues": {k: list(v) for k, v in self.queues.items()},
+                "seen": seen,
+                "queues": queues,
                 "counters": {j: dict(v) for j, v in self.counters.items()},
             }
         )
@@ -391,21 +429,44 @@ class ShardState:
     @classmethod
     def from_snapshot(cls, blob: bytes, spill_dir: str | None = None,
                       spill_segment_size: int = 4096,
-                      seen_spill_threshold: int = 1 << 30) -> "ShardState":
+                      seen_spill_threshold: int = 1 << 30,
+                      file_dir: str | None = None) -> "ShardState":
         data = pickle.loads(blob)
         obj = cls(data["shard_id"], spill_dir=spill_dir,
                   spill_segment_size=spill_segment_size,
                   seen_spill_threshold=seen_spill_threshold)
         obj.filter = CuckooFilter.from_bytes(data["filter"])
         obj.overflow = set(data.get("overflow", ()))
+
+        def restore_file(base: str) -> str:
+            # copy a checkpointed spill file back into the live spill_dir
+            # under a fresh name (popleft unlinks; the checkpoint copy must
+            # stay intact for future restores)
+            import shutil as _sh
+
+            target_dir = obj._spill_dir or file_dir
+            os.makedirs(target_dir, exist_ok=True)
+            dest = os.path.join(target_dir, _spill_name("restored"))
+            _sh.copyfile(os.path.join(file_dir, base), dest)
+            return dest
+
         for j, v in data["seen"].items():
             store = obj.seen[j]  # defaultdict creates with shard config
-            if isinstance(v, dict):  # pre-SeenStore snapshot shape
-                v = v.items()
-            store.delta = {int(k): tuple(val) for k, val in v}
+            store.delta = {int(k): tuple(val) for k, val in v["delta"]}
+            for base, lo, hi, n in v.get("runs", ()):
+                store.runs.append((restore_file(base), lo, hi, n))
         for k, v in data["queues"].items():
-            obj.queues[k] = SpillQueue(obj._spill_dir, obj._spill_segment_size,
-                                       (tuple(e) for e in v))
+            if "items" in v:
+                q = SpillQueue(obj._spill_dir, obj._spill_segment_size,
+                               (tuple(e) for e in v["items"]))
+            else:
+                q = SpillQueue(obj._spill_dir, obj._spill_segment_size,
+                               (tuple(e) for e in v["head"]))
+                for base, n in v.get("segments", ()):
+                    q.segments.append(restore_file(base))
+                    q.seg_counts.append(n)
+                q.tail.extend(tuple(e) for e in v["tail"])
+            obj.queues[k] = q
         for j, v in data["counters"].items():
             obj.counters[j].update(v)
         return obj
@@ -449,16 +510,16 @@ def _make_actor_class():
         def seen_rows(self, job_id):
             return self.state.seen_rows(job_id)
 
-        def snapshot(self):
-            return self.state.snapshot()
+        def snapshot(self, file_dir=None):
+            return self.state.snapshot(file_dir)
 
-        def load_snapshot(self, blob):
+        def load_snapshot(self, blob, file_dir=None):
             # restored shards keep THIS shard's spill/seen configuration
             old = self.state
             old.dispose_spill_files()
             self.state = ShardState.from_snapshot(
                 blob, old._spill_dir, old._spill_segment_size,
-                old._seen_threshold)
+                old._seen_threshold, file_dir=file_dir)
             return True
 
     return FrontierShard
@@ -753,10 +814,15 @@ class Frontier:
     # -- checkpoint / restore ---------------------------------------------
     def checkpoint(self, ckpt_dir: str, epoch: int, extra: dict | None = None) -> str:
         os.makedirs(ckpt_dir, exist_ok=True)
-        blobs = self._gather([self._call(s, "snapshot") for s in range(self.num_shards)])
         tmp = os.path.join(ckpt_dir, f".epoch_{epoch}.tmp")
         final = os.path.join(ckpt_dir, f"epoch_{epoch}")
         os.makedirs(tmp, exist_ok=True)
+        # shards copy their spilled segment/run files straight into the
+        # checkpoint dir and reference them by name — blobs stay
+        # O(in-memory state) even with a disk-resident frontier
+        blobs = self._gather(
+            [self._call(s, "snapshot", tmp) for s in range(self.num_shards)]
+        )
         for i, blob in enumerate(blobs):
             with open(os.path.join(tmp, f"shard_{i}.bin"), "wb") as f:
                 f.write(blob)
@@ -811,12 +877,13 @@ class Frontier:
         if use_actors:
             import ray
 
-            ray.get([s.load_snapshot.remote(b) for s, b in zip(obj.shards, blobs)])
+            ray.get([s.load_snapshot.remote(b, path)
+                     for s, b in zip(obj.shards, blobs)])
         else:
             obj.shards = [
                 ShardState.from_snapshot(
                     b, obj._spill_dir, obj._spill_segment_size,
-                    obj._seen_spill_threshold)
+                    obj._seen_spill_threshold, file_dir=path)
                 for b in blobs
             ]
         obj.next_seq.update(manifest["next_seq"])

@@ -172,3 +172,35 @@ def test_spill_with_actor_shards(ray_session, tmp_path):
     names = os.listdir(str(tmp_path / "sp"))
     pids = {n.split("_")[1] for n in names} if names else set()
     assert len(names) == len(set(names))
+
+
+def test_checkpoint_references_spill_files_not_blobs(tmp_path):
+    """Review regression: checkpointing a spilled frontier must copy the
+    segment/run files (bounded blob) and restore must reattach working
+    copies — including a crash-consuming-then-rerestore cycle."""
+    import os
+    import pickle
+
+    f = Frontier(num_shards=2, use_actors=False,
+                 spill_dir=str(tmp_path / "sp"), spill_segment_size=8,
+                 seen_spill_threshold=16)
+    f.add_seeds("j", ["http://s.test/"])
+    urls = [f"http://s.test/p{i}" for i in range(200)]
+    f.offer_groups("j", [("http://s.test/", urls, 1)])
+    ck = str(tmp_path / "ck")
+    f.checkpoint(ck, 0)
+    epoch_dir = os.path.join(ck, "epoch_0")
+    copied = [n for n in os.listdir(epoch_dir) if n.startswith("sh")]
+    assert copied, "spill files were not copied into the checkpoint"
+    # blobs reference files instead of inlining spilled entries
+    blob = pickle.loads(open(os.path.join(epoch_dir, "shard_0.bin"), "rb").read())
+    for q in blob["queues"].values():
+        assert "segments" in q and "items" not in q
+    # restore twice: the checkpoint copy must survive the first restore
+    # consuming its queues
+    g1, _ = Frontier.restore(ck, use_actors=False)
+    w1 = g1.next_wave("j")
+    g2, _ = Frontier.restore(ck, use_actors=False)
+    w2 = g2.next_wave("j")
+    assert w1.equals(w2)
+    assert w1.num_rows == 201
