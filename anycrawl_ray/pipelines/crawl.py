@@ -584,6 +584,9 @@ def run_crawl(
         documents=documents,
         out_path=job_out,
     )
+    # live spill files are no longer needed (checkpoints hold their own
+    # copies); leaving them would leak disk across jobs sharing a spill_dir
+    frontier.dispose_spill_files()
     return result
 
 

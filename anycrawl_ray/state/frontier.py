@@ -79,6 +79,17 @@ _WAVE_FIELDS = WAVE_SCHEMA.names
 _SPILL_COUNTER = [0]
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hardlink when possible (spill files are immutable once written and
+    unlink only drops a directory entry), byte-copy across filesystems."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        import shutil as _sh
+
+        _sh.copyfile(src, dst)
+
+
 def _spill_name(kind: str) -> str:
     _SPILL_COUNTER[0] += 1
     return f"{kind}_{os.getpid()}_{_SPILL_COUNTER[0]}.pkl"
@@ -393,9 +404,7 @@ class ShardState:
 
             def copy_file(path: str) -> str:
                 base = f"sh{self.shard_id}_{os.path.basename(path)}"
-                import shutil as _sh
-
-                _sh.copyfile(path, os.path.join(file_dir, base))
+                _link_or_copy(path, os.path.join(file_dir, base))
                 return base
 
             seen = {}
@@ -439,23 +448,34 @@ class ShardState:
         obj.overflow = set(data.get("overflow", ()))
 
         def restore_file(base: str) -> str:
-            # copy a checkpointed spill file back into the live spill_dir
-            # under a fresh name (popleft unlinks; the checkpoint copy must
-            # stay intact for future restores)
-            import shutil as _sh
+            # re-materialize a checkpointed spill file into the live
+            # spill_dir under a fresh name (popleft unlinks; the checkpoint
+            # copy must stay intact for future restores). Never write into
+            # the checkpoint dir itself — a later rmtree/unlink there would
+            # corrupt either the live frontier or the checkpoint.
+            target_dir = obj._spill_dir
+            if target_dir is None:
+                import tempfile
 
-            target_dir = obj._spill_dir or file_dir
+                target_dir = obj._spill_dir = tempfile.mkdtemp(
+                    prefix="frontier_spill_")
             os.makedirs(target_dir, exist_ok=True)
             dest = os.path.join(target_dir, _spill_name("restored"))
-            _sh.copyfile(os.path.join(file_dir, base), dest)
+            _link_or_copy(os.path.join(file_dir, base), dest)
             return dest
 
         for j, v in data["seen"].items():
             store = obj.seen[j]  # defaultdict creates with shard config
+            if isinstance(v, dict) and "delta" not in v:
+                v = {"delta": list(v.items()), "runs": ()}  # pre-SeenStore dict
+            elif isinstance(v, list):
+                v = {"delta": v, "runs": ()}  # pre-file-reference list shape
             store.delta = {int(k): tuple(val) for k, val in v["delta"]}
             for base, lo, hi, n in v.get("runs", ()):
                 store.runs.append((restore_file(base), lo, hi, n))
         for k, v in data["queues"].items():
+            if isinstance(v, list):
+                v = {"items": v}  # pre-file-reference list shape
             if "items" in v:
                 q = SpillQueue(obj._spill_dir, obj._spill_segment_size,
                                (tuple(e) for e in v["items"]))
@@ -512,6 +532,10 @@ def _make_actor_class():
 
         def snapshot(self, file_dir=None):
             return self.state.snapshot(file_dir)
+
+        def dispose_spill(self):
+            self.state.dispose_spill_files()
+            return True
 
         def load_snapshot(self, blob, file_dir=None):
             # restored shards keep THIS shard's spill/seen configuration
@@ -811,12 +835,30 @@ class Frontier:
             }
         )
 
+    def dispose_spill_files(self) -> None:
+        """Unlink all shards' live spill files (call when the frontier is
+        no longer needed — restored ``restored_*`` copies otherwise
+        accumulate in a shared spill_dir across restore cycles)."""
+        if self.use_actors:
+            import ray
+
+            ray.get([s.dispose_spill.remote() for s in self.shards])
+        else:
+            for shard in self.shards:
+                shard.dispose_spill_files()
+
     # -- checkpoint / restore ---------------------------------------------
     def checkpoint(self, ckpt_dir: str, epoch: int, extra: dict | None = None) -> str:
         os.makedirs(ckpt_dir, exist_ok=True)
         tmp = os.path.join(ckpt_dir, f".epoch_{epoch}.tmp")
         final = os.path.join(ckpt_dir, f"epoch_{epoch}")
-        os.makedirs(tmp, exist_ok=True)
+        if os.path.exists(tmp):
+            # a crashed earlier attempt may have left partial spill copies;
+            # shipping them into the durable dir would orphan them forever
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
         # shards copy their spilled segment/run files straight into the
         # checkpoint dir and reference them by name — blobs stay
         # O(in-memory state) even with a disk-resident frontier

@@ -190,7 +190,8 @@ def test_checkpoint_references_spill_files_not_blobs(tmp_path):
     ck = str(tmp_path / "ck")
     f.checkpoint(ck, 0)
     epoch_dir = os.path.join(ck, "epoch_0")
-    copied = [n for n in os.listdir(epoch_dir) if n.startswith("sh")]
+    copied = [n for n in os.listdir(epoch_dir)
+              if n.startswith("sh") and not n.endswith(".bin")]
     assert copied, "spill files were not copied into the checkpoint"
     # blobs reference files instead of inlining spilled entries
     blob = pickle.loads(open(os.path.join(epoch_dir, "shard_0.bin"), "rb").read())
