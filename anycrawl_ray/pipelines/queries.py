@@ -301,7 +301,7 @@ WITH marked AS (
 ), per_session AS (
   SELECT user_id, sid, COUNT(*) AS n FROM numbered GROUP BY user_id, sid
 )
-SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
        MAX(n) AS max_session_events
 FROM per_session GROUP BY user_id
 """
@@ -592,7 +592,7 @@ def docs_by_lang(sf_dir: str):
 
 
 _BY_LANG_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(ROUND(AVG(n_chars) * 1000000) AS BIGINT) AS avg_chars
 FROM documents GROUP BY lang
 """

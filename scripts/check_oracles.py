@@ -50,11 +50,18 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if len(g) == len(w):
         for c in g.columns:
             gv, wv = g[c], w[c]
-            if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
-                ok = np.allclose(gv.astype(float), wv.astype(float), rtol=0, atol=1e-9,
-                                 equal_nan=True)
-            else:
-                ok = (gv.astype(str).values == wv.astype(str).values).all()
+            # Dtype-strict, like the external driver's value hash: an int64 Ray
+            # column vs a float64 oracle column (e.g. DuckDB HUGEINT SUM) hashes
+            # 150 vs 150.0 and FAILS there, so it must fail here too.
+            g_float = np.issubdtype(gv.dtype, np.floating)
+            w_float = np.issubdtype(wv.dtype, np.floating)
+            if g_float != w_float:
+                problems.append(
+                    f"col {c}: dtype kind mismatch ray={gv.dtype} sql={wv.dtype} "
+                    f"(driver hashes these differently — cast the oracle SQL)"
+                )
+                continue
+            ok = (gv.astype(str).values == wv.astype(str).values).all()
             if not ok:
                 bad = (gv.astype(str).values != wv.astype(str).values)
                 idx = int(np.argmax(bad)) if bad.any() else 0
