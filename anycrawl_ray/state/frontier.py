@@ -81,10 +81,20 @@ _SPILL_COUNTER = [0]
 
 def _link_or_copy(src: str, dst: str) -> None:
     """Hardlink when possible (spill files are immutable once written and
-    unlink only drops a directory entry), byte-copy across filesystems."""
+    unlink only drops a directory entry), byte-copy across filesystems.
+
+    Only link-incapability errors fall back to copy; anything else (notably
+    FileExistsError from a name collision) propagates — silently overwriting
+    the destination would mask data loss."""
+    import errno
+
     try:
         os.link(src, dst)
-    except OSError:
+    except OSError as e:
+        if e.errno not in (errno.EXDEV, errno.EPERM, errno.ENOTSUP,
+                           getattr(errno, "EOPNOTSUPP", errno.ENOTSUP),
+                           errno.EMLINK):
+            raise
         import shutil as _sh
 
         _sh.copyfile(src, dst)
@@ -848,7 +858,14 @@ class Frontier:
                 shard.dispose_spill_files()
 
     # -- checkpoint / restore ---------------------------------------------
-    def checkpoint(self, ckpt_dir: str, epoch: int, extra: dict | None = None) -> str:
+    def checkpoint(self, ckpt_dir: str, epoch: int, extra: dict | None = None,
+                   keep_epochs: int = 2) -> str:
+        """Write epoch_N atomically, update LATEST, prune old epochs.
+
+        ``keep_epochs`` retains the newest K epoch dirs (K>=1; default 2 so a
+        torn LATEST can still fall back one epoch) — without pruning, a long
+        crawl with per-epoch checkpoints grows the dir without bound.
+        """
         os.makedirs(ckpt_dir, exist_ok=True)
         tmp = os.path.join(ckpt_dir, f".epoch_{epoch}.tmp")
         final = os.path.join(ckpt_dir, f"epoch_{epoch}")
@@ -887,17 +904,51 @@ class Frontier:
 
             shutil.rmtree(final)
         os.rename(tmp, final)
-        with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
+        # atomic LATEST update: a crash mid-write must never leave a torn /
+        # empty LATEST that bricks resume (matches the tmp+rename protocol
+        # used for the epoch dir itself)
+        latest_tmp = os.path.join(ckpt_dir, "LATEST.tmp")
+        with open(latest_tmp, "w") as f:
             f.write(str(epoch))
+        os.replace(latest_tmp, os.path.join(ckpt_dir, "LATEST"))
+        if keep_epochs >= 1:
+            import shutil
+
+            for name in os.listdir(ckpt_dir):
+                if not name.startswith("epoch_"):
+                    continue
+                try:
+                    old = int(name[len("epoch_"):])
+                except ValueError:
+                    continue
+                if old <= epoch - keep_epochs:
+                    shutil.rmtree(os.path.join(ckpt_dir, name),
+                                  ignore_errors=True)
         return final
 
     @classmethod
     def latest_epoch(cls, ckpt_dir: str) -> int | None:
         latest = os.path.join(ckpt_dir, "LATEST")
-        if not os.path.exists(latest):
-            return None
-        with open(latest) as f:
-            return int(f.read().strip())
+        try:
+            with open(latest) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            # missing or torn LATEST: fall back to the highest epoch_N dir
+            # that holds a complete manifest (epoch dirs are renamed in
+            # atomically, so a manifest implies a usable checkpoint)
+            best = None
+            if os.path.isdir(ckpt_dir):
+                for name in os.listdir(ckpt_dir):
+                    if not name.startswith("epoch_"):
+                        continue
+                    try:
+                        n = int(name[len("epoch_"):])
+                    except ValueError:
+                        continue
+                    if os.path.exists(os.path.join(ckpt_dir, name,
+                                                   "manifest.json")):
+                        best = n if best is None else max(best, n)
+            return best
 
     @classmethod
     def restore(cls, ckpt_dir: str, use_actors: bool = True) -> tuple["Frontier", dict]:

@@ -169,9 +169,29 @@ def test_spill_with_actor_shards(ray_session, tmp_path):
     # spill files were actually produced by multiple shard processes
     import os
 
-    names = os.listdir(str(tmp_path / "sp"))
-    pids = {n.split("_")[1] for n in names} if names else set()
-    assert len(names) == len(set(names))
+    import re
+
+    # the crawl disposes its spill files on completion (spill hygiene), so
+    # inspect filenames on a LIVE actor-shard frontier: multiple shard
+    # PROCESSES sharing one spill_dir must produce kind_pid_counter names
+    # with distinct pids (a regression to id(self) naming fails this)
+    live = str(tmp_path / "live_sp")
+    f = Frontier(num_shards=4, use_actors=True, spill_dir=live,
+                 spill_segment_size=8)
+    f.add_seeds("fn", ["http://s.test/"])
+    f.offer_groups("fn", [("http://s.test/",
+                           [f"http://h{i % 7}.test/p{i}" for i in range(400)],
+                           1)])
+    names = os.listdir(live)
+    assert names, "no spill files were produced by live actor shards"
+    pat = re.compile(r"^[A-Za-z]+_(\d+)_(\d+)\.pkl$")
+    matches = [pat.match(n) for n in names]
+    assert all(matches), f"unexpected spill filename(s): {names}"
+    pids = {m.group(1) for m in matches}
+    assert len(pids) > 1, (
+        f"expected multiple shard processes to spill, got pids={pids}"
+    )
+    f.dispose_spill_files()
 
 
 def test_checkpoint_references_spill_files_not_blobs(tmp_path):
@@ -205,3 +225,65 @@ def test_checkpoint_references_spill_files_not_blobs(tmp_path):
     w2 = g2.next_wave("j")
     assert w1.equals(w2)
     assert w1.num_rows == 201
+
+
+def test_latest_torn_falls_back_to_epoch_scan(tmp_path):
+    """Advisor fix: a torn/empty LATEST must not brick resume — latest_epoch
+    falls back to the highest epoch_N dir holding a manifest, and LATEST
+    itself is written via tmp+rename (no .tmp residue on success)."""
+    import os
+
+    f = Frontier(num_shards=2, use_actors=False)
+    f.add_seeds("j", ["http://s.test/"])
+    ck = str(tmp_path / "ck")
+    f.checkpoint(ck, 0)
+    f.checkpoint(ck, 1)
+    assert not os.path.exists(os.path.join(ck, "LATEST.tmp"))
+    # simulate the crash-mid-write: truncate LATEST
+    open(os.path.join(ck, "LATEST"), "w").close()
+    assert Frontier.latest_epoch(ck) == 1
+    g, manifest = Frontier.restore(ck, use_actors=False)
+    assert manifest["epoch"] == 1
+    assert g.next_wave("j").num_rows == 1
+    # garbage content likewise
+    with open(os.path.join(ck, "LATEST"), "w") as fh:
+        fh.write("not-a-number")
+    assert Frontier.latest_epoch(ck) == 1
+    # missing entirely
+    os.unlink(os.path.join(ck, "LATEST"))
+    assert Frontier.latest_epoch(ck) == 1
+
+
+def test_checkpoint_prunes_old_epochs(tmp_path):
+    """Advisor fix: per-epoch checkpoints must not grow the dir without
+    bound — only the newest keep_epochs dirs survive."""
+    import os
+
+    f = Frontier(num_shards=1, use_actors=False)
+    f.add_seeds("j", ["http://s.test/"])
+    ck = str(tmp_path / "ck")
+    for e in range(4):
+        f.checkpoint(ck, e)  # default keep_epochs=2
+    dirs = sorted(n for n in os.listdir(ck) if n.startswith("epoch_"))
+    assert dirs == ["epoch_2", "epoch_3"]
+    assert Frontier.latest_epoch(ck) == 3
+    # keep_epochs=0 disables pruning
+    f.checkpoint(ck, 4, keep_epochs=0)
+    dirs = sorted(n for n in os.listdir(ck) if n.startswith("epoch_"))
+    assert dirs == ["epoch_2", "epoch_3", "epoch_4"]
+
+
+def test_link_or_copy_refuses_overwrite(tmp_path):
+    """Advisor fix: a destination-name collision must surface, not be
+    silently overwritten by the cross-filesystem copy fallback."""
+    import pytest
+
+    from anycrawl_ray.state.frontier import _link_or_copy
+
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.write_bytes(b"a")
+    dst.write_bytes(b"b")
+    with pytest.raises(OSError):
+        _link_or_copy(str(src), str(dst))
+    assert dst.read_bytes() == b"b"
