@@ -18,9 +18,15 @@ Scale design:
 - **embedding near-dup**: random-hyperplane signatures bucket candidates,
   exact cosine verifies (same LSH-then-verify shape).
 
-All stages are ``map_batches`` + one ``groupby`` each; candidate
-verification re-reads only candidate docs via a broadcast lookup (pairs
-are << corpus by construction).
+All stages are ``map_batches`` + ``groupby`` shuffles over candidate-sized
+data; verification never streams the corpus through the driver:
+
+- SimHash carries its 8-byte signature through the band explode and
+  verifies Hamming distance INSIDE the bucket ``map_groups``.
+- MinHash / embedding broadcast only the candidate-id set (O(pairs) ids,
+  << corpus), semi-join-filter the corpus worker-side, hash-``join`` the
+  payloads onto both pair sides, and verify per pair in ``map_batches``.
+  The driver holds pair ids and the final (small) result table only.
 """
 
 from __future__ import annotations
@@ -107,7 +113,10 @@ def minhash_bands_batch(batch: pa.Table, num_perm: int = 64, bands: int = 16,
         {
             "doc_id": pa.array(out_doc),
             "band_id": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(out_key, pa.uint64()),
+            # int64 bit-reinterpretation of the uint64 key: pandas-backed
+            # groupby blocks pickle uint64 values above 2^63
+            "band_key": pa.array(
+                np.array(out_key, dtype=np.uint64).view(np.int64)),
         }
     )
 
@@ -121,58 +130,246 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def _combined_bucket_key(batch: pa.Table) -> np.ndarray:
+    """(band_id, band_key) -> one uint64 per row: mix64(band_id) ^ band_key.
+    Collisions only cause spurious collision-filter passes (harmless — the
+    downstream groupby still groups on the true key pair)."""
+    bk = (batch.column("band_key").to_numpy(zero_copy_only=False)
+          .astype(np.int64).view(np.uint64))
+    bi = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    return _mix64_np(bi) ^ bk
+
+
+def _collision_rows(bands_m, max_bucket: int):
+    """Keep only band rows whose bucket holds 2..max_bucket docs.
+
+    Scale shape: a VECTORIZED Count aggregate finds collision buckets; their
+    keys (O(candidates), << corpus) broadcast back as a semi-join filter.
+    Running ``map_groups`` straight over every bucket was the round-1
+    bottleneck — millions of singleton buckets each paid per-group pandas
+    overhead. Returns None when no bucket collides.
+
+    ``bands_m`` must be materialized (it is consumed twice)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = bands_m.groupby(["band_id", "band_key"]).aggregate(
+        Count(alias_name="n"))
+    hot = counts.filter(expr=f"n >= 2 and n <= {max_bucket}").to_pandas()
+    if len(hot) == 0:
+        return None
+    hot_keys = _combined_bucket_key(pa.table({
+        "band_id": pa.array(hot["band_id"]),
+        "band_key": pa.array(hot["band_key"], pa.int64())}))
+    ref = ray.put(pa.array(hot_keys, pa.uint64()))
+
+    def collision_filter(batch: pa.Table) -> pa.Table:
+        value_set = _cached_get(ref)
+        comb = pa.array(_combined_bucket_key(batch), pa.uint64())
+        return batch.filter(pc.is_in(comb, value_set=value_set))
+
+    return bands_m.map_batches(collision_filter, batch_format="pyarrow")
+
+
+def _empty_pairs_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                   "b": pa.array([], pa.int64())}))
+
+
 def _pairs_from_buckets(ds_bands, max_bucket: int = 200):
-    """grouped band rows -> unique candidate (a, b) pairs (a < b)."""
+    """band rows -> candidate (a, b) pairs (a < b), possibly duplicated
+    across buckets. Collision pre-filter first; ``map_groups`` only ever
+    sees buckets that actually collide."""
     import pandas as pd
+
+    bands_m = ds_bands.materialize()
+    hot_rows = _collision_rows(bands_m, max_bucket)
+    if hot_rows is None:
+        return _empty_pairs_ds()
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(group["doc_id"].unique())
         if len(ids) < 2 or len(ids) > max_bucket:
             # oversized bucket = degenerate band (e.g. all-empty docs); skip
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
         pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
         return pd.DataFrame(pairs, columns=["a", "b"])
 
-    return ds_bands.groupby(["band_id", "band_key"]).map_groups(
+    return hot_rows.groupby(["band_id", "band_key"]).map_groups(
         emit_pairs, batch_format="pandas"
     )
 
 
-def minhash_lsh_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
-                      bands: int = 16, k: int = 3):
-    """documents Dataset -> pa.Table (a, b, jaccard) of verified near-dup
-    pairs with exact Jaccard >= threshold. Candidate generation is fully
-    distributed; verification broadcasts only candidate docs' texts."""
+def _dedup_pairs(cand_ds, agg=None):
+    """Distributed (a, b) pair dedup: one VECTORIZED groupby-aggregate over
+    pair-sized data (no per-group Python). ``agg`` carries extra aggregate
+    columns through (e.g. Min of an identical-per-duplicate score)."""
+    aggs = list(agg) if agg else []
+    if not aggs:
+        from ray.data.aggregate import Count
+
+        aggs = [Count(alias_name="_n")]
+        return cand_ds.groupby(["a", "b"]).aggregate(*aggs).drop_columns(["_n"])
+    return cand_ds.groupby(["a", "b"]).aggregate(*aggs)
+
+
+# per-worker-process cache of deserialized broadcast objects (map_batches
+# tasks reuse worker processes, so each candidate-id set deserializes once
+# per worker, not once per batch); bounded so back-to-back jobs don't leak
+_BCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
     import ray
 
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _BCAST_CACHE:
+        if len(_BCAST_CACHE) > 8:
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
+                    verify_fn, score_col: str, threshold: float,
+                    score_type=pa.float64(), payload_encoder=None,
+                    broadcast_limit: int = 100_000):
+    """Verify candidate (a, b) pairs against per-id payloads, worker-side.
+
+    1. dedup pairs (vectorized groupby-aggregate), materialize (small);
+    2. broadcast the candidate-id set (O(pairs) ids) via ``ray.put``;
+    3. semi-join filter ``source_ds`` in ``map_batches`` — only candidate
+       rows survive, the corpus itself never leaves the workers;
+    4. attach payloads to both pair sides:
+       - <= ``broadcast_limit`` candidate ids: broadcast the (small)
+         filtered payload BLOCKS by ObjectRef (never copied through the
+         driver) and look both sides up inside one ``map_batches`` over
+         the pairs — no shuffle;
+       - above the limit: two hash-``join``s (the all-scale path);
+    5. per-pair ``verify_fn(payload_a, payload_b)`` in the same stage,
+       keep score >= threshold.
+
+    Returns the (small) verified pa.Table sorted by (a, b).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      score_col: pa.array([], score_type)})
+    cand = _dedup_pairs(cand_ds).materialize()
+    if cand.count() == 0:
+        return empty
+    # one pass for both sides' distinct ids
+    need = sorted(set(cand.unique("a")) | set(cand.unique("b")))
+    need_ref = ray.put(pa.array(need))
+
+    def semi_join_filter(batch: pa.Table) -> pa.Table:
+        value_set = _cached_get(need_ref)
+        mask = pc.is_in(batch.column(id_col), value_set=value_set)
+        kept = batch.filter(mask).select([id_col, payload_col])
+        if payload_encoder is not None:
+            # Arrow's hash join rejects nested non-key fields (list<float>
+            # embeddings) — carry them as binary instead
+            enc = pa.array([payload_encoder(v) for v in
+                            kept.column(payload_col).to_pylist()],
+                           pa.binary())
+            kept = kept.set_column(1, payload_col, enc)
+        return kept
+
+    cand_payloads = source_ds.map_batches(semi_join_filter,
+                                          batch_format="pyarrow")
+
+    def emit_verified(batch: pa.Table, lookup) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for a, b in zip(batch.column("a").to_pylist(),
+                        batch.column("b").to_pylist()):
+            s = verify_fn(lookup(a), lookup(b))
+            if s >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_s.append(s)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         score_col: pa.array(out_s, score_type)})
+
+    if len(need) <= broadcast_limit:
+        # broadcast path: payload blocks stay in the object store; each
+        # worker assembles the id->payload dict once (cached on the ref key)
+        block_refs = cand_payloads.materialize().to_arrow_refs()
+        ref_keys = tuple(r.hex() for r in block_refs)
+
+        def build_lookup():
+            if ref_keys not in _BCAST_CACHE:
+                if len(_BCAST_CACHE) > 8:
+                    _BCAST_CACHE.clear()
+                table = pa.concat_tables([ray.get(r) for r in block_refs])
+                _BCAST_CACHE[ref_keys] = dict(
+                    zip(table.column(id_col).to_pylist(),
+                        table.column(payload_col).to_pylist()))
+            return _BCAST_CACHE[ref_keys]
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            return emit_verified(batch, build_lookup().__getitem__)
+
+        verified = cand.map_batches(verify_broadcast, batch_format="pyarrow")
+    else:
+        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+        side_a = cand_payloads.map_batches(
+            lambda b: b.rename_columns(["a", "payload_a"]),
+            batch_format="pyarrow")
+        side_b = cand_payloads.map_batches(
+            lambda b: b.rename_columns(["b", "payload_b"]),
+            batch_format="pyarrow")
+        joined = cand.join(side_a, "inner", n_parts, on=("a",)).join(
+            side_b, "inner", n_parts, on=("b",))
+
+        def verify_joined(batch: pa.Table) -> pa.Table:
+            pay_a = batch.column("payload_a").to_pylist()
+            pay_b = batch.column("payload_b").to_pylist()
+            out_a, out_b, out_s = [], [], []
+            for i, (a, b) in enumerate(zip(batch.column("a").to_pylist(),
+                                           batch.column("b").to_pylist())):
+                s = verify_fn(pay_a[i], pay_b[i])
+                if s >= threshold:
+                    out_a.append(int(a))
+                    out_b.append(int(b))
+                    out_s.append(s)
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64()),
+                             score_col: pa.array(out_s, score_type)})
+
+        verified = joined.map_batches(verify_joined, batch_format="pyarrow")
+
+    res = verified.to_pandas()
+    if len(res) == 0:
+        return empty
+    res = res.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table({"a": pa.array(res["a"], pa.int64()),
+                     "b": pa.array(res["b"], pa.int64()),
+                     score_col: pa.array(res[score_col], score_type)})
+
+
+def minhash_lsh_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
+                      bands: int = 16, k: int = 3,
+                      broadcast_limit: int = 100_000):
+    """documents Dataset -> pa.Table (a, b, jaccard) of verified near-dup
+    pairs with exact Jaccard >= threshold. Candidate generation AND
+    verification are distributed (see ``_verified_pairs``)."""
     band_ds = ds.map_batches(
         lambda b: minhash_bands_batch(b, num_perm, bands, k),
         batch_format="pyarrow",
     )
     cand = _pairs_from_buckets(band_ds)
-    pair_rows = cand.to_pandas()
-    if len(pair_rows) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    pair_rows = pair_rows.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    # verify: fetch texts of candidate docs only
-    need = sorted(set(pair_rows["a"]) | set(pair_rows["b"]))
-    need_set = set(need)
-    texts: dict = {}
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            if d in need_set:
-                texts[d] = t
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(pair_rows["a"], pair_rows["b"]):
-        j = jaccard(texts[a], texts[b], k)
-        if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(j)
-    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    return _verified_pairs(
+        ds, cand, id_col="doc_id", payload_col="text",
+        verify_fn=lambda ta, tb: jaccard(ta, tb, k),
+        score_col="jaccard", threshold=threshold,
+        broadcast_limit=broadcast_limit)
 
 
 # ---------------------------------------------------------------- simhash
@@ -198,55 +395,89 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
-def simhash_pairs(ds, max_hamming: int = 3):
-    """Near-dup pairs within Hamming distance <= max_hamming via 4x16-bit
-    band blocking (pigeonhole: <=3 differing bits leave >=1 band equal)."""
-    import pandas as pd
+def simhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """documents batch -> (doc_id, band_id, band_key, simhash) rows,
+    4x16-bit bands.
 
-    sig_ds = ds.map_batches(simhash_batch, batch_format="pyarrow")
-    sig_tbl = sig_ds.to_pandas()
-    sigs = dict(zip(sig_tbl["doc_id"], sig_tbl["simhash"]))
-    # explode to 4 bands — small table (doc_id, band, key), groupby in pandas
-    # at this scale; the band explode + groupby maps 1:1 onto the
-    # minhash_bands pattern for the distributed path
-    rows = []
-    for d, s in sigs.items():
+    The 8-byte signature rides along with each band row so buckets can
+    verify Hamming distance in-place — no second corpus pass needed."""
+    sig_tbl = simhash_batch(batch, text_col)
+    doc_ids = sig_tbl.column("doc_id").to_pylist()
+    sigs = sig_tbl.column("simhash").to_pylist()
+    out_doc, out_band, out_key, out_sig = [], [], [], []
+    for d, s in zip(doc_ids, sigs):
         s = int(s)
         for b in range(4):
-            rows.append((d, b, (s >> (16 * b)) & 0xFFFF))
-    df = pd.DataFrame(rows, columns=["doc_id", "band", "key"])
-    seen_pairs = set()
-    out_a, out_b, out_h = [], [], []
-    for (_b, _k), g in df.groupby(["band", "key"]):
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > 200:
-            continue
+            out_doc.append(d)
+            out_band.append(b)
+            out_key.append((s >> (16 * b)) & 0xFFFF)
+            out_sig.append(s)
+    return pa.table({"doc_id": pa.array(out_doc),
+                     "band_id": pa.array(out_band, pa.int32()),
+                     "band_key": pa.array(out_key, pa.int64()),
+                     "simhash": pa.array(out_sig, pa.uint64())})
+
+
+def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
+    """Near-dup pairs within Hamming distance <= max_hamming via 4x16-bit
+    band blocking (pigeonhole: <=3 differing bits leave >=1 band equal).
+
+    Fully distributed: band explode (signatures ride along) -> collision
+    pre-filter -> bucket ``map_groups`` verifies Hamming in-place ->
+    vectorized pair-dedup aggregate. The driver only collects the final
+    (small) pair table."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    band_ds = ds.map_batches(simhash_bands_batch, batch_format="pyarrow")
+    hot_rows = _collision_rows(band_ds.materialize(), max_bucket)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
+    if hot_rows is None:
+        return empty
+
+    def emit_verified(group: pd.DataFrame) -> pd.DataFrame:
+        by_id = dict(zip(group["doc_id"], group["simhash"]))
+        ids = sorted(by_id)
+        if len(ids) < 2 or len(ids) > max_bucket:
+            # oversized bucket = degenerate band (e.g. all-empty docs); skip
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        out_a, out_b, out_h = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                pair = (ids[i], ids[j])
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                h = bin(int(sigs[pair[0]]) ^ int(sigs[pair[1]])).count("1")
+                h = bin(int(by_id[ids[i]]) ^ int(by_id[ids[j]])).count("1")
                 if h <= max_hamming:
-                    out_a.append(pair[0])
-                    out_b.append(pair[1])
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
                     out_h.append(h)
-    order = np.lexsort((out_b, out_a))
-    return pa.table({"a": pa.array([out_a[i] for i in order], pa.int64()),
-                     "b": pa.array([out_b[i] for i in order], pa.int64()),
-                     "hamming": pa.array([out_h[i] for i in order], pa.int32())})
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "hamming": pd.Series(out_h, dtype="int64")})
+
+    pairs = hot_rows.groupby(["band_id", "band_key"]).map_groups(
+        emit_verified, batch_format="pandas")
+    # dedup (a Hamming distance is identical wherever the pair recurs)
+    res = _dedup_pairs(pairs, agg=[Min("hamming", alias_name="hamming")]
+                       ).to_pandas()
+    if len(res) == 0:
+        return empty
+    res = res.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table({"a": pa.array(res["a"], pa.int64()),
+                     "b": pa.array(res["b"], pa.int64()),
+                     "hamming": pa.array(res["hamming"], pa.int32())})
 
 
 # ----------------------------------------------------- embedding near-dup
 
 
 def embedding_neardup_pairs(ds_embeddings, threshold: float = 0.95,
-                            num_planes: int = 16, bands: int = 4, seed: int = 7):
+                            num_planes: int = 16, bands: int = 4, seed: int = 7,
+                            broadcast_limit: int = 100_000):
     """embeddings Dataset (vec_id, embedding) -> verified cosine>=threshold
     pairs via random-hyperplane LSH bucketing + exact verification."""
-    import pandas as pd
-
     first = ds_embeddings.take_batch(1, batch_format="pyarrow")
     dim = len(first.column("embedding")[0])
     rng = np.random.default_rng(seed)
@@ -266,29 +497,21 @@ def embedding_neardup_pairs(ds_embeddings, threshold: float = 0.95,
                 out_band.append(b)
                 out_key.append(key)
         return pa.table({"doc_id": pa.array(out_id), "band_id": pa.array(out_band, pa.int32()),
-                         "band_key": pa.array(out_key, pa.uint64())})
+                         "band_key": pa.array(out_key, pa.int64())})
 
     band_ds = ds_embeddings.map_batches(sig_batch, batch_format="pyarrow")
-    cand = _pairs_from_buckets(band_ds, max_bucket=500).to_pandas()
-    if len(cand) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
-    cand = cand.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    need = set(cand["a"]) | set(cand["b"])
-    vecs: dict = {}
-    for batch in ds_embeddings.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for vid, e in zip(batch.column("vec_id").to_pylist(),
-                          batch.column("embedding").to_pylist()):
-            if vid in need:
-                vecs[vid] = np.asarray(e, dtype=np.float64)
-    out_a, out_b, out_c = [], [], []
-    for a, b in zip(cand["a"], cand["b"]):
-        va, vb = vecs[a], vecs[b]
+    cand = _pairs_from_buckets(band_ds, max_bucket=500)
+
+    def encode_vec(v) -> bytes:
+        return np.asarray(v, dtype=np.float64).tobytes()
+
+    def cosine(ea: bytes, eb: bytes) -> float:
+        va = np.frombuffer(ea, dtype=np.float64)
+        vb = np.frombuffer(eb, dtype=np.float64)
         denom = np.linalg.norm(va) * np.linalg.norm(vb)
-        c = float(va @ vb / denom) if denom else 0.0
-        if c >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_c.append(c)
-    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-                     "cosine": pa.array(out_c, pa.float64())})
+        return float(va @ vb / denom) if denom else 0.0
+
+    return _verified_pairs(
+        ds_embeddings, cand, id_col="vec_id", payload_col="embedding",
+        verify_fn=cosine, score_col="cosine", threshold=threshold,
+        payload_encoder=encode_vec, broadcast_limit=broadcast_limit)
