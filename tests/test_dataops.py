@@ -196,3 +196,25 @@ def test_media_pipeline_plumbing(ray_session):
     direct = MediaFeatureExtractor()(media.slice(0, 4))
     assert direct.column("payload_hash").to_pylist() == out.column(
         "payload_hash").to_pylist()[:4]
+
+
+def test_verify_join_path_matches_broadcast(ray_session):
+    """The at-scale hash-join verify path (broadcast_limit=0) must produce
+    byte-identical results to the default broadcast path, for both text
+    jaccard and embedding cosine payloads."""
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = [(i, " ".join(rng.choice(vocab, size=60).tolist())) for i in range(60)]
+    rows += [(100, BASE), (101, BASE + " tail"), (102, "x " + BASE),
+             (103, "x " + BASE)]
+    bcast = minhash_lsh_pairs(_docs_ds(rows), threshold=0.5)
+    joined = minhash_lsh_pairs(_docs_ds(rows), threshold=0.5, broadcast_limit=0)
+    assert bcast.equals(joined)
+    assert bcast.num_rows >= 2
+
+    mat = rng.standard_normal((50, 16))
+    mat[10] = mat[4] + 0.01 * rng.standard_normal(16)
+    e_b = embedding_neardup_pairs(_emb_ds(mat), threshold=0.95)
+    e_j = embedding_neardup_pairs(_emb_ds(mat), threshold=0.95, broadcast_limit=0)
+    assert e_b.equals(e_j)
+    assert e_b.num_rows >= 1
