@@ -438,6 +438,7 @@ def run_crawl(
     seen_spill_threshold: int = 1 << 30,
     crash_after_epoch: int | None = None,
     crash_before_checkpoint: int | None = None,
+    record_admissions: bool = True,
 ) -> CrawlResult:
     """Run one crawl job to completion (or until ``crash_after_epoch`` for
     resume tests). Ray must already be initialised when ``use_ray``."""
@@ -466,7 +467,8 @@ def run_crawl(
                             hot_host_lane_size=hot_host_lane_size,
                             spill_dir=spill_dir,
                             spill_segment_size=spill_segment_size,
-                            seen_spill_threshold=seen_spill_threshold)
+                            seen_spill_threshold=seen_spill_threshold,
+                            record_admissions=record_admissions)
         frontier.add_seeds(job.job_id, job.seed_urls)
 
     doc_tables: list[pa.Table] = []
@@ -510,19 +512,25 @@ def run_crawl(
         ok = [s == "completed" for s in statuses]
         frontier.mark_done_batch(job.job_id, hosts, ok, nbytes)
         done += parsed.num_rows
-        # link admission in deterministic parent order
+        # link admission in deterministic parent order; canonical forms and
+        # xxh64 keys were computed worker-side in the parse stage, so the
+        # driver's gate below does no per-URL string work
         groups = []
         urls = parsed.column("url").to_pylist()
         depths = parsed.column("depth").to_pylist()
         cands = parsed.column("candidates").to_pylist()
-        for u, d, c in zip(urls, depths, cands):
+        canons = parsed.column("cand_canon").to_pylist()
+        keys = parsed.column("cand_key").to_pylist()
+        for u, d, c, cc, ck in zip(urls, depths, cands, canons, keys):
             if c:
                 if robots is not None:
                     allowed = robots.allowed_batch(c)
                     c = [link for link, ok in zip(c, allowed) if ok]
+                    cc = [x for x, ok in zip(cc, allowed) if ok]
+                    ck = [x for x, ok in zip(ck, allowed) if ok]
                     if not c:
                         continue
-                groups.append((u, c, d + 1))
+                groups.append((u, c, d + 1, cc, ck))
         frontier.offer_groups(job.job_id, groups, limit=job.limit)
         # persist documents for this epoch
         if not dist_write:
@@ -562,17 +570,7 @@ def run_crawl(
         documents = (
             pa.concat_tables(doc_tables) if doc_tables else _empty_docs()
         ).sort_by("doc_id")
-    log = frontier.admission_log.get(job.job_id, [])
-    order = pa.table(
-        {
-            "job_id": [job.job_id] * len(log),
-            "admission_seq": pa.array([e[0] for e in log], pa.int64()),
-            "url": [e[1] for e in log],
-            "canonical_url": [e[2] for e in log],
-            "depth": pa.array([e[3] for e in log], pa.int32()),
-            "parent_url": [e[4] for e in log],
-        }
-    )
+    order = frontier.admission_table(job.job_id)
     stats = frontier.stats(job.job_id)
     result = CrawlResult(
         job_id=job.job_id,

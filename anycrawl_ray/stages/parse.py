@@ -46,7 +46,7 @@ from ..functions.htmldom import Node, parse_html
 from ..functions.markdown import html_to_markdown, markdown_from_tree
 from ..functions.patterns import PathRules
 from ..functions.textconv import html_to_text_tree
-from ..functions.urls import same_scope
+from ..functions.urls import canonicalize, same_scope, xxh64
 from ..schemas import SPAN
 
 
@@ -66,6 +66,11 @@ PARSED_EXTRA = pa.schema(
         ("status", pa.string()),
         ("should_scrape", pa.bool_()),
         ("candidates", pa.list_(pa.string())),
+        # canonical form + xxh64 key per candidate, computed IN THE WORKER
+        # so the driver's admission gate does no per-URL string work
+        # (round-1 driver-serial chokepoint)
+        ("cand_canon", pa.list_(pa.string())),
+        ("cand_key", pa.list_(pa.uint64())),
         ("title", pa.string()),
     ]
 )
@@ -215,6 +220,10 @@ class PageParser:
             scrape_col.append(should_scrape)
             cand_col.append(candidates)
             title_col.append(title)
+        # canonicalize + hash candidates here (worker side): the frontier's
+        # admission gate then only does O(1) dict/set work per candidate
+        canon_col = [[canonicalize(u) for u in cands] for cands in cand_col]
+        key_col = [[xxh64(c) for c in cs] for cs in canon_col]
         batch = batch.drop_columns(["html"])  # don't carry page bodies forward
         return (
             batch.append_column("doc_id", pa.array(doc_ids, pa.string()))
@@ -222,5 +231,7 @@ class PageParser:
             .append_column("status", pa.array(status_col, pa.string()))
             .append_column("should_scrape", pa.array(scrape_col, pa.bool_()))
             .append_column("candidates", pa.array(cand_col, pa.list_(pa.string())))
+            .append_column("cand_canon", pa.array(canon_col, pa.list_(pa.string())))
+            .append_column("cand_key", pa.array(key_col, pa.list_(pa.uint64())))
             .append_column("title", pa.array(title_col, pa.string()))
         )

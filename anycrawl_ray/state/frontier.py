@@ -563,6 +563,58 @@ def _empty_rows() -> dict[str, list]:
     return {f: [] for f in _WAVE_FIELDS}
 
 
+class AdmissionLog:
+    """Bounded-memory admission record (seq, url, canon, depth, parent).
+
+    Modes:
+    - ``enabled=False``: appends are no-ops (production crawls that don't
+      need the golden-order table pay nothing);
+    - ``spool_dir`` set: buffers spill to disk in pickle segments past
+      ``spool_threshold`` entries — driver memory stays O(threshold);
+    - neither: plain in-memory list (tests / small jobs).
+    """
+
+    def __init__(self, enabled: bool = True, spool_dir: str | None = None,
+                 spool_threshold: int = 1 << 20) -> None:
+        self.enabled = enabled
+        self.spool_dir = spool_dir
+        self.spool_threshold = spool_threshold
+        self._buf: dict[str, list[tuple]] = defaultdict(list)
+        self._segments: dict[str, list[str]] = defaultdict(list)
+
+    def append(self, job_id: str, row: tuple) -> None:
+        if not self.enabled:
+            return
+        buf = self._buf[job_id]
+        buf.append(row)
+        if self.spool_dir is not None and len(buf) >= self.spool_threshold:
+            os.makedirs(self.spool_dir, exist_ok=True)
+            path = os.path.join(self.spool_dir, _spill_name("admlog"))
+            with open(path, "wb") as f:
+                pickle.dump(buf, f, protocol=pickle.HIGHEST_PROTOCOL)
+            self._segments[job_id].append(path)
+            buf.clear()
+
+    def rows(self, job_id: str) -> list[tuple]:
+        """All admissions in seq order (segments were flushed in order)."""
+        out: list[tuple] = []
+        for path in self._segments.get(job_id, []):
+            with open(path, "rb") as f:
+                out.extend(pickle.load(f))
+        out.extend(self._buf.get(job_id, []))
+        return out
+
+    def dispose(self) -> None:
+        for paths in self._segments.values():
+            for p in paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+        self._segments.clear()
+        self._buf.clear()
+
+
 class Frontier:
     """Driver-side facade over the shard pool.
 
@@ -575,7 +627,9 @@ class Frontier:
                  use_actors: bool = True, hot_host_lane_size: int = 1 << 30,
                  spill_dir: str | None = None,
                  spill_segment_size: int = 4096,
-                 seen_spill_threshold: int = 1 << 30) -> None:
+                 seen_spill_threshold: int = 1 << 30,
+                 record_admissions: bool = True,
+                 admission_spool_threshold: int = 1 << 20) -> None:
         """``hot_host_lane_size``: north_rule skew control — a host's queue
         entries are split into lanes of this many URLs, lane ``k`` routed to
         shard ``hash(host + '#' + k)``. A hot domain therefore spreads over
@@ -613,8 +667,12 @@ class Frontier:
         self.next_seq: dict[str, int] = defaultdict(int)
         self.host_seq: dict[tuple[str, str], int] = defaultdict(int)
         self.enqueued: dict[str, int] = defaultdict(int)
-        # diagnostic admission log (golden_order oracle; not checkpointed)
-        self.admission_log: dict[str, list[tuple]] = defaultdict(list)
+        # diagnostic admission log (golden_order oracle; not checkpointed).
+        # Bounded: spools segments to spill_dir past the threshold, so a
+        # 10^9-URL crawl does not hold one driver tuple per admission
+        self.admission_log = AdmissionLog(
+            enabled=record_admissions, spool_dir=spill_dir,
+            spool_threshold=admission_spool_threshold)
 
     # -- shard RPC helpers -------------------------------------------------
     def _call(self, shard_idx: int, method: str, *args):
@@ -647,7 +705,7 @@ class Frontier:
         seq = self.next_seq[job_id]
         self.next_seq[job_id] = seq + 1
         self.enqueued[job_id] += 1
-        self.admission_log[job_id].append((seq, url, canon, depth, parent))
+        self.admission_log.append(job_id, (seq, url, canon, depth, parent))
         _append_wave_row(admit_rows[self._host_shard(host, hseq)], url=url,
                          canon=canon, key=key, host=host, depth=depth,
                          job_id=job_id, parent=parent, seq=seq, hseq=hseq)
@@ -666,26 +724,41 @@ class Frontier:
     def offer_groups(
         self,
         job_id: str,
-        groups: list[tuple[str, list[str], int]],
+        groups: list[tuple],
         limit: int | None = None,
     ) -> int:
         """Offer candidate links per parent page, in deterministic order.
 
         ``groups`` is ordered by parent admission order; each entry is
-        ``(parent_url, child_urls_in_dom_order, child_depth)``. Scope /
+        ``(parent_url, child_urls_in_dom_order, child_depth)`` or the
+        5-tuple form ``(..., canonical_urls, xxh64_keys)`` with the string
+        work pre-computed worker-side (the parse stage emits these — the
+        driver gate then does only O(1) bookkeeping per candidate). Scope /
         include / exclude / depth filtering happened upstream. Returns the
         number admitted. Semantics per module docstring (limit gate before
         dedup; first-sight-wins; per-call cap = limit)."""
         flat: list[tuple[int, str, str, int, str, int]] = []  # (gi, url, canon, key, parent, depth)
-        for gi, (parent, children, depth) in enumerate(groups):
+        for gi, grp in enumerate(groups):
+            if len(grp) == 5:
+                parent, children, depth, canons, keys = grp
+            else:
+                parent, children, depth = grp
+                canons = keys = None
             # Crawlee's enqueueLinks slices the filtered candidate list at
             # `limit` BEFORE dedup/transform (per-call cap on candidates
             # considered, not on admissions)
             if limit is not None:
                 children = children[:limit]
-            for u in children:
-                c = canonicalize(u)
-                flat.append((gi, u, c, xxh64(c), parent, depth))
+                if canons is not None:
+                    canons = canons[:limit]
+                    keys = keys[:limit]
+            if canons is not None:
+                for u, c, k in zip(children, canons, keys):
+                    flat.append((gi, u, c, k, parent, depth))
+            else:
+                for u in children:
+                    c = canonicalize(u)
+                    flat.append((gi, u, c, xxh64(c), parent, depth))
         if not flat:
             return 0
         # pass 1: read-only membership probe, fanned out by key shard
@@ -845,6 +918,21 @@ class Frontier:
             }
         )
 
+    def admission_table(self, job_id: str) -> pa.Table:
+        """Golden admission order as a table (reads back any spooled
+        segments); empty when ``record_admissions=False``."""
+        log = self.admission_log.rows(job_id)
+        return pa.table(
+            {
+                "job_id": [job_id] * len(log),
+                "admission_seq": pa.array([e[0] for e in log], pa.int64()),
+                "url": [e[1] for e in log],
+                "canonical_url": [e[2] for e in log],
+                "depth": pa.array([e[3] for e in log], pa.int32()),
+                "parent_url": [e[4] for e in log],
+            }
+        )
+
     def dispose_spill_files(self) -> None:
         """Unlink all shards' live spill files (call when the frontier is
         no longer needed — restored ``restored_*`` copies otherwise
@@ -856,6 +944,7 @@ class Frontier:
         else:
             for shard in self.shards:
                 shard.dispose_spill_files()
+        self.admission_log.dispose()
 
     # -- checkpoint / restore ---------------------------------------------
     def checkpoint(self, ckpt_dir: str, epoch: int, extra: dict | None = None,
