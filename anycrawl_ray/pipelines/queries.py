@@ -79,16 +79,26 @@ def q1_pricing_summary(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         # map-side combine: shuffle carries one row per (flag,status) per
-        # batch instead of every lineitem row
-        df = b.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # batch instead of every lineitem row. Pure Arrow — no pandas copy.
+        import pyarrow.compute as pc
+
+        disc_price = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "l_quantity": b.column("l_quantity"),
+            "l_extendedprice": b.column("l_extendedprice"),
+            "disc_price": disc_price,
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_quantity", "count"),
+        ])
+        return g.rename_columns([
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "count_order"])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -125,27 +135,45 @@ def revenue_by_brand(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Sum
 
+    import numpy as np
+
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
-    brand_of = dict(zip(part.column("p_partkey").to_pylist(),
-                        part.column("p_brand").to_pylist()))
+    # dense broadcast lookup: partkeys are 1..N, so brand resolution is one
+    # numpy gather (no per-row dict/map); brands stay integer codes until
+    # the tiny final table
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    brand_names, brand_code = np.unique(
+        part.column("p_brand").to_numpy(zero_copy_only=False), return_inverse=True)
+    code_of = np.zeros(int(pk.max()) + 1, dtype=np.int32)
+    code_of[pk] = brand_code
+    n_brands = len(brand_names)
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["p_brand"] = df["l_partkey"].map(brand_of)
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby("p_brand", as_index=False).agg(
-            revenue=("revenue", "sum"), n_items=("revenue", "size")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        codes = code_of[keys]
+        rev = np.bincount(codes, weights=price * (1.0 - disc),
+                          minlength=n_brands)
+        n = np.bincount(codes, minlength=n_brands)
+        return pa.table({
+            "brand_code": pa.array(np.arange(n_brands, dtype=np.int32)),
+            "revenue": pa.array(rev, pa.float64()),
+            "n_items": pa.array(n.astype(np.int64)),
+        })
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     ).map_batches(partial, batch_format="pyarrow")
-    out = ds.groupby("p_brand").aggregate(
+    out = ds.groupby("brand_code").aggregate(
         Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items")
     )
-    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    pdf = out.to_pandas()
+    pdf["p_brand"] = brand_names[pdf["brand_code"]]
+    pdf = pdf[pdf["n_items"] > 0]  # brands with no lineitems don't appear in SQL
+    table = pa.Table.from_pandas(pdf[["p_brand", "revenue", "n_items"]],
+                                 preserve_index=False)
     return _scaled(table, {"revenue": 10_000})
 
 
@@ -163,24 +191,45 @@ def orders_by_nation(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Count, Sum
 
+    import numpy as np
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nname = dict(zip(nation.column("n_nationkey").to_pylist(),
-                     nation.column("n_name").to_pylist()))
-    nation_of = {c: nname[nk] for c, nk in zip(cust.column("c_custkey").to_pylist(),
-                                               cust.column("c_nationkey").to_pylist())}
+    # two-hop broadcast collapsed into one dense gather: custkey -> nation
+    # code (custkeys are 1..N); per-batch bincount partials mean the shuffle
+    # carries 25 rows per batch, not every order
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False)
+    names = nation.column("n_name").to_numpy(zero_copy_only=False)
+    name_of_nk = np.empty(int(nk.max()) + 1, dtype=object)
+    name_of_nk[nk] = names
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    code_of_cust = np.zeros(int(ck.max()) + 1, dtype=np.int32)
+    code_of_cust[ck] = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+    n_nations = int(nk.max()) + 1
 
-    def add_nation(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["n_name"] = df["o_custkey"].map(nation_of)
-        return pa.Table.from_pandas(df[["n_name", "o_totalprice"]], preserve_index=False)
+    def partial(b: pa.Table) -> pa.Table:
+        codes = code_of_cust[b.column("o_custkey").to_numpy(zero_copy_only=False)]
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        total = np.bincount(codes, weights=price, minlength=n_nations)
+        n = np.bincount(codes, minlength=n_nations)
+        return pa.table({
+            "nation_code": pa.array(np.arange(n_nations, dtype=np.int32)),
+            "n_orders": pa.array(n.astype(np.int64)),
+            "total_price": pa.array(total, pa.float64()),
+        })
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_custkey", "o_totalprice"])
-    out = ds.map_batches(add_nation, batch_format="pyarrow").groupby("n_name").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "nation_code").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_price", alias_name="total_price"),
     )
-    table = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    pdf = out.to_pandas()
+    pdf["n_name"] = name_of_nk[pdf["nation_code"]]
+    pdf = pdf[pdf["n_orders"] > 0]
+    table = pa.Table.from_pandas(pdf[["n_name", "n_orders", "total_price"]],
+                                 preserve_index=False)
     return _scaled(table, {"total_price": 10_000})
 
 
@@ -997,8 +1046,11 @@ def media_features(sf_dir: str):
     rd = _rd()
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = media_table_from_documents(docs)
-    ds = rd.from_arrow(media)
-    out = extract_media_features(ds, concurrency=_conc(), batch_size=64)
+    conc = _conc()
+    # from_arrow yields ONE block; split it so every actor in the pool gets
+    # fed (Ray warns and runs at concurrency 1 otherwise)
+    ds = rd.from_arrow(media, override_num_blocks=max(conc * 2, 4))
+    out = extract_media_features(ds, concurrency=conc, batch_size=64)
     table = pa.concat_tables(out.iter_batches(batch_size=8192, batch_format="pyarrow"))
     return table.select(["media_id", "payload_hash"])
 
