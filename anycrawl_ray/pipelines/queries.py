@@ -394,6 +394,36 @@ def docs_llm_extract(sf_dir: str):
     ).select(["doc_id", "n_chunks", "extracted_json"])
 
 
+def docs_llm_extract_schema(sf_dir: str):
+    """json_options extraction: user JSON-Schema -> normalize_schema
+    (LLMExtract.ts:21-70) -> chunk -> schema-conforming stub extraction ->
+    merge -> validate (rows-only; deterministic stub provider)."""
+    from ..stages.llm_extract import SchemaStubExtractor
+
+    json_options = {
+        "prompt": "Extract the company profile",
+        "schema": {
+            "type": "object",
+            "properties": {
+                "summary": {"type": "string", "default": "n/a"},
+                "n_words": {"type": "integer"},
+                "keywords": {"type": "array", "items": {"type": "string"}},
+                "meta": {"type": "object",
+                         "properties": {"ok": {"type": "boolean"}}},
+            },
+            "required": ["summary"],
+        },
+    }
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(SchemaStubExtractor, batch_format="pyarrow",
+                         fn_constructor_kwargs={"json_options": json_options},
+                         concurrency=_conc(), batch_size=128, num_cpus=0.5)
+    return pa.concat_tables(
+        out.iter_batches(batch_size=8192, batch_format="pyarrow")
+    ).select(["doc_id", "n_chunks", "extracted_json", "schema_valid"])
+
+
 def events_sliding(sf_dir: str):
     """Sliding window (1 h length, 30 min slide) per event_type: each event
     contributes to the two windows covering it — emitted as two partial
@@ -1068,6 +1098,7 @@ QUERIES = {
     "events_sliding": events_sliding,
     "orderkey_union_count": orderkey_union_count,
     "docs_llm_extract": docs_llm_extract,
+    "docs_llm_extract_schema": docs_llm_extract_schema,
     "top_events_per_type": top_events_per_type,
     "events_distinct_users": events_distinct_users,
     "lineitem_recent": lineitem_recent,

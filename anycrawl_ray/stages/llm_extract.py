@@ -140,3 +140,85 @@ class StubExtractor:
             batch.append_column("n_chunks", pa.array(n_chunks, pa.int32()))
             .append_column("extracted_json", pa.array(payloads, pa.string()))
         )
+
+
+class SchemaStubExtractor:
+    """``json_options``-aware extraction stage (the reference's headline
+    ``formats: ['json'] + json_options`` path, LLMExtract.ts perform()).
+
+    Actor-pool shape: the user schema is normalized ONCE per actor
+    (``normalize_schema`` — LLMExtract.ts:21-70), the field prompt rendered
+    once (``create_field_prompt`` — :177-206); per document the text is
+    chunked, each chunk yields a deterministic schema-conforming stub
+    object (a real provider call drops in at ``extract_chunk``), chunk
+    results merge via ``merge_results`` (:211-257) and the merged object is
+    validated against the normalized schema — exactly the acceptance the
+    ``ai`` SDK's generateObject enforces."""
+
+    def __init__(self, json_options: dict, max_input_tokens: int = 256,
+                 overlap_tokens: int = 32) -> None:
+        from ..functions.json_schema import (
+            create_field_prompt,
+            normalize_schema,
+            validate_against_schema,
+        )
+
+        self._validate = validate_against_schema
+        user_schema = (json_options or {}).get("schema") or {}
+        self.schema = normalize_schema(user_schema)
+        self.field_prompt = create_field_prompt(self.schema)
+        self.user_prompt = (json_options or {}).get("prompt") or ""
+        self.max_tokens = int(0.8 * max_input_tokens)
+        self.overlap = overlap_tokens
+
+    # -- deterministic conforming stub (provider seam) --------------------
+    def _stub_value(self, prop: dict, words: list[str], field: str):
+        t = prop.get("type")
+        if isinstance(t, list):
+            t = t[0] if t else None
+        if "enum" in prop and prop["enum"]:
+            return prop["enum"][0]
+        if t == "string":
+            return " ".join(words[:2]) if words else ""
+        if t == "number":
+            return float(len(words))
+        if t == "integer":
+            return len(words)
+        if t == "boolean":
+            return len(words) % 2 == 0
+        if t == "array":
+            items = prop.get("items") or {}
+            if not words:
+                return []
+            return [self._stub_value(items, words[i:], field)
+                    for i in range(min(2, len(words)))]
+        if t == "object":
+            return {k: self._stub_value(v if isinstance(v, dict) else {},
+                                        words, k)
+                    for k, v in (prop.get("properties") or {}).items()}
+        return None
+
+    def extract_chunk(self, chunk: str) -> dict:
+        words = chunk.split()
+        out = self._stub_value(self.schema, words, "$")
+        return out if isinstance(out, dict) else {"items": out}
+
+    def extract_document(self, text: str) -> tuple[dict | None, int, bool]:
+        chunks = split_text_into_chunks(text, self.max_tokens, self.overlap)
+        merged = merge_results([self.extract_chunk(c["chunk"]) for c in chunks])
+        valid = (merged is not None
+                 and not self._validate(merged, self.schema))
+        return merged, len(chunks), valid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, n_chunks, valids = [], [], []
+        for t in batch.column("text").to_pylist():
+            merged, n, valid = self.extract_document(t)
+            payloads.append(json.dumps(merged, sort_keys=True) if merged else "")
+            n_chunks.append(n)
+            valids.append(valid)
+        return (
+            batch.append_column("n_chunks", pa.array(n_chunks, pa.int32()))
+            .append_column("extracted_json", pa.array(payloads, pa.string()))
+            .append_column("schema_valid", pa.array(valids, pa.bool_()))
+        )

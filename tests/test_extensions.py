@@ -147,3 +147,148 @@ def test_credits_costs():
     assert per_page_cost(formats=["json"], json_options=True,
                          extract_source="html") == 11
     assert count_tokens_approx("x" * 10) == 3
+
+
+# ----------------------------------------------- json_options / schema
+# conformance vs packages/ai/src/agents/LLMExtract.ts:9-70,177-206 and the
+# behaviors pinned by packages/ai/src/__tests__/llmExtract.test.ts
+def test_remove_default_property_recursive():
+    from anycrawl_ray.functions.json_schema import remove_default_property
+
+    schema = {"type": "object", "default": {"x": 1},
+              "properties": {"a": {"type": "string", "default": "n/a"},
+                             "b": {"type": "array",
+                                   "items": {"type": "number", "default": 0}}}}
+    out = remove_default_property(schema)
+    assert "default" not in out
+    assert "default" not in out["properties"]["a"]
+    assert "default" not in out["properties"]["b"]["items"]
+    # lists are mapped, not dropped
+    assert remove_default_property([{"default": 1, "k": 2}]) == [{"k": 2}]
+
+
+def test_normalize_schema_wraps_top_level_array():
+    from anycrawl_ray.functions.json_schema import normalize_schema
+
+    arr = {"type": "array", "items": {"type": "string"}}
+    out = normalize_schema(arr)
+    assert out["type"] == "object"
+    assert out["required"] == ["items"]
+    assert out["additionalProperties"] is False
+    assert out["properties"]["items"]["type"] == "array"
+
+
+def test_normalize_schema_promotes_property_bag():
+    from anycrawl_ray.functions.json_schema import normalize_schema
+
+    bag = {"company": {"type": "string"},
+           "tags": {"type": "array", "items": {"type": "string"}}}
+    out = normalize_schema(bag)
+    assert out["type"] == "object"
+    assert sorted(out["required"]) == ["company", "tags"]
+    assert out["additionalProperties"] is False
+    assert out["properties"]["company"] == {"type": "string"}
+
+
+def test_normalize_schema_enforces_additional_false_recursively():
+    from anycrawl_ray.functions.json_schema import normalize_schema
+
+    schema = {"type": "object",
+              "properties": {
+                  "nested": {"type": "object",
+                             "properties": {"x": {"type": "string"}}},
+                  "listed": {"type": "array",
+                             "items": {"type": "object",
+                                       "properties": {"y": {"type": "number"}}}},
+                  "open": {"type": "object", "additionalProperties": True},
+              }}
+    out = normalize_schema(schema)
+    assert out["additionalProperties"] is False
+    assert out["properties"]["nested"]["additionalProperties"] is False
+    assert out["properties"]["listed"]["items"]["additionalProperties"] is False
+    # explicit True is preserved (only undefined is forced to False)
+    assert out["properties"]["open"]["additionalProperties"] is True
+
+
+def test_create_field_prompt_format():
+    from anycrawl_ray.functions.json_schema import create_field_prompt
+
+    schema = {"type": "object", "properties": {
+        "name": {"type": "string", "description": "Company name"},
+        "count": {"type": "number"},
+        "tags": {"type": "array", "items": {"type": "string"},
+                 "description": "Tag list"},
+        "people": {"type": "array",
+                   "items": {"type": "object",
+                             "properties": {"n": {"type": "string",
+                                                  "description": "who"}}}},
+        "meta": {"type": "object",
+                 "properties": {"k": {"type": "boolean"}}},
+    }}
+    out = create_field_prompt(schema)
+    lines = out.split("\n")
+    assert lines[0] == "- name (string): Company name"
+    assert lines[1] == "- count (number): "
+    assert lines[2] == "- tags (array of strings): Tag list"
+    assert "- people (array of objects): " in lines[3]
+    assert lines[4] == "    - n (string): who"
+    assert "- meta (object): " in lines[5]
+    assert lines[6] == "    - k (boolean): "
+    # empty / type-less schemas render nothing
+    assert create_field_prompt({}) == ""
+    assert create_field_prompt({"type": "object"}) == ""
+
+
+def test_validate_against_schema():
+    from anycrawl_ray.functions.json_schema import (
+        normalize_schema,
+        validate_against_schema,
+    )
+
+    schema = normalize_schema({
+        "type": "object",
+        "properties": {"name": {"type": "string"},
+                       "n": {"type": "integer"},
+                       "tags": {"type": "array", "items": {"type": "string"}}},
+        "required": ["name"]})
+    assert validate_against_schema({"name": "x", "n": 2, "tags": ["a"]},
+                                   schema) == []
+    assert any("required" in e for e in
+               validate_against_schema({"n": 2}, schema))
+    assert any("expected integer" in e for e in
+               validate_against_schema({"name": "x", "n": "two"}, schema))
+    assert any("additional property" in e for e in
+               validate_against_schema({"name": "x", "zzz": 1}, schema))
+    assert any("[1]" in e for e in
+               validate_against_schema({"name": "x", "tags": ["a", 3]},
+                                       schema))
+    # booleans are not integers/numbers (JS typeof semantics port)
+    assert validate_against_schema(True, {"type": "integer"}) != []
+
+
+def test_schema_stub_extractor_end_to_end():
+    import json as _json
+
+    from anycrawl_ray.stages.llm_extract import SchemaStubExtractor
+
+    opts = {"prompt": "extract", "schema": {
+        "type": "object",
+        "properties": {"summary": {"type": "string", "default": "n/a"},
+                       "n_words": {"type": "integer"},
+                       "keywords": {"type": "array",
+                                    "items": {"type": "string"}},
+                       "meta": {"type": "object",
+                                "properties": {"ok": {"type": "boolean"}}}},
+        "required": ["summary"]}}
+    ex = SchemaStubExtractor(opts, max_input_tokens=64, overlap_tokens=8)
+    long_text = "\n".join(f"line {i} with some words here" for i in range(100))
+    merged, n_chunks, valid = ex.extract_document(long_text)
+    assert n_chunks > 1
+    assert valid, "merged chunk output must conform to the normalized schema"
+    assert isinstance(merged["summary"], str)
+    assert isinstance(merged["n_words"], int)
+    assert isinstance(merged["keywords"], list)
+    assert isinstance(merged["meta"], dict)
+    # determinism
+    merged2, n2, _ = ex.extract_document(long_text)
+    assert _json.dumps(merged, sort_keys=True) == _json.dumps(merged2, sort_keys=True)
