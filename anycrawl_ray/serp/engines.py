@@ -29,21 +29,22 @@ from urllib.parse import urlencode
 
 from ..functions.htmldom import parse_html
 
-# subset of packages/libs/src/data/Google.ts (languages / regions /
-# supported_domains); unknown keys fall back exactly like the reference
-GOOGLE_LANGUAGES = {
-    "en": "lang_en", "fr": "lang_fr", "de": "lang_de", "es": "lang_es",
-    "zh": "lang_zh-CN", "ja": "lang_ja", "pt": "lang_pt", "it": "lang_it",
-}
-GOOGLE_REGIONS = {
-    "en-US": "US", "en-GB": "GB", "fr-FR": "FR", "de-DE": "DE",
-    "es-ES": "ES", "zh-CN": "CN", "ja-JP": "JP", "pt-BR": "BR", "it-IT": "IT",
-}
-GOOGLE_DOMAINS = {
-    "US": "www.google.com", "GB": "www.google.co.uk", "FR": "www.google.fr",
-    "DE": "www.google.de", "ES": "www.google.es", "JP": "www.google.co.jp",
-    "BR": "www.google.com.br", "IT": "www.google.it",
-}
+# full locale tables from packages/libs/src/data/Google.ts (186 domains /
+# 132 languages / 260 regions, file order preserved — the region fallback
+# scans in insertion order like Object.entries)
+from .google_data import (
+    LANGUAGES as GOOGLE_LANGUAGES,
+    REGIONS as GOOGLE_REGIONS,
+    SUPPORTED_DOMAINS as GOOGLE_DOMAINS,
+)
+
+# engines/Google.ts:35-57 — countries whose dominant language makes the
+# lang-country pairing unhelpful for result quality; skipped in both the
+# explicit pairing and the fallback scan
+GOOGLE_SKIP_COUNTRIES = frozenset((
+    "AL", "AZ", "BD", "BN", "BT", "ET", "GE", "GL", "KH", "LA", "LK",
+    "ME", "MK", "MM", "MN", "MV", "MY", "NP", "TJ", "TM", "UZ",
+))
 _TIME_RANGE = {"day": "d", "week": "w", "month": "m", "year": "y"}
 _SAFE = {0: "off", 1: "medium", 2: "high"}
 _ARC_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-"
@@ -67,11 +68,14 @@ def google_url(query: str, page: int = 1, offset: int = 0, lang: str | None = No
     eng_lang = GOOGLE_LANGUAGES.get(lang or "", "en")
     lang_code = eng_lang.split("_")[1] if "_" in eng_lang else eng_lang
     region = None
-    if lang and country:
+    if lang and country and country not in GOOGLE_SKIP_COUNTRIES:
         region = GOOGLE_REGIONS.get(f"{lang}-{country}")
     if not region and lang:
+        # first lang-* region whose country is not skipped (Google.ts:95-103)
         region = next(
-            (v for k, v in GOOGLE_REGIONS.items() if k.startswith(f"{lang}-")), None
+            (v for k, v in GOOGLE_REGIONS.items()
+             if k.startswith(f"{lang}-")
+             and v.upper() not in GOOGLE_SKIP_COUNTRIES), None
         )
     region = region or "US"
     per_page = min(max(limit, 1), 100) if limit else 10

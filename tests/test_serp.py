@@ -112,3 +112,76 @@ def test_build_search_url_dispatch():
         raise AssertionError("should raise")
     except ValueError:
         pass
+
+
+def test_google_locale_tables_complete():
+    """Full GoogleParameters port (packages/libs/src/data/Google.ts):
+    table sizes + spot rows from each section."""
+    from anycrawl_ray.serp.google_data import (
+        LANGUAGES,
+        REGIONS,
+        SUPPORTED_DOMAINS,
+    )
+
+    assert len(SUPPORTED_DOMAINS) == 186
+    assert len(LANGUAGES) == 132
+    assert len(REGIONS) == 260
+    # quirky rows transcribed exactly
+    assert SUPPORTED_DOMAINS["CN"] == "www.google.com.hk"  # mainland -> HK
+    assert SUPPORTED_DOMAINS["CAT"] == "www.google.cat"
+    assert LANGUAGES["zh"] == "lang_zh-CN"
+    assert LANGUAGES["zh_Hant"] == "lang_zh-TW"
+    assert LANGUAGES["en"] == "lang_en"
+    assert REGIONS["en-US"] == "US"
+    assert REGIONS["pt-BR"] == "BR"
+
+
+def test_google_url_every_locale_row():
+    """Table-driven: for EVERY region row, the built URL uses the mapped
+    domain (or the www.google.com fallback), hl = lang_code-REGION,
+    lr = the language table entry, cr = countryREGION."""
+    from urllib.parse import parse_qs, urlparse
+
+    from anycrawl_ray.serp.engines import (
+        GOOGLE_SKIP_COUNTRIES,
+        google_url,
+    )
+    from anycrawl_ray.serp.google_data import (
+        LANGUAGES,
+        REGIONS,
+        SUPPORTED_DOMAINS,
+    )
+
+    for locale, region in REGIONS.items():
+        lang, _, country = locale.partition("-")
+        url = google_url("q", lang=lang, country=country)
+        parsed = urlparse(url)
+        qs = parse_qs(parsed.query)
+        eng_lang = LANGUAGES.get(lang, "en")
+        lang_code = eng_lang.split("_")[1] if "_" in eng_lang else eng_lang
+        if country in GOOGLE_SKIP_COUNTRIES:
+            # pairing skipped -> fallback region for the bare language
+            expect_region = next(
+                (v for k, v in REGIONS.items()
+                 if k.startswith(f"{lang}-")
+                 and v.upper() not in GOOGLE_SKIP_COUNTRIES), "US")
+        else:
+            expect_region = region
+        assert parsed.netloc == SUPPORTED_DOMAINS.get(
+            expect_region.upper(), "www.google.com"), locale
+        assert qs["hl"][0] == f"{lang_code}-{expect_region}", locale
+        assert qs["lr"][0] == eng_lang, locale
+        assert qs["cr"][0] == f"country{expect_region}", locale
+
+
+def test_google_url_unknown_locale_falls_back_to_us():
+    from urllib.parse import parse_qs, urlparse
+
+    from anycrawl_ray.serp.engines import google_url
+
+    url = google_url("q", lang="xx", country="YY")
+    parsed = urlparse(url)
+    qs = parse_qs(parsed.query)
+    assert parsed.netloc == "www.google.com"
+    assert qs["hl"][0] == "en-US"
+    assert qs["cr"][0] == "countryUS"
