@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.fetch import build_lookup, cached_lookup, fetch_batch
+from ..stages.fetch import build_lookup, cached_fetcher, cached_lookup, fetch_batch
 from ..stages.parse import PageParser
 from ..state.frontier import Frontier
 
@@ -71,6 +71,12 @@ class CrawlJob:
     politeness_max_inflight_per_host: int = 1_000_000
     politeness_min_delay_ms: int = 0
     obey_robots: bool = False  # north_rule addition; reference never checks
+    # engine selection + browser option surface (BaseSchema.ts:36-162);
+    # resolved through the engine registry (EngineFactory.ts:141-170)
+    engine: str = "cheerio"
+    wait_for: int | None = None
+    wait_until: str | None = None
+    wait_for_selector: object | None = None
 
     # option validation = the reference's Zod crawlSchema bounds
     # (CrawlSchema.ts:6-49: depth 1-50 -> we also allow 0 for scrape mode,
@@ -105,6 +111,10 @@ class CrawlJob:
             "formats": self.formats,
             "include_tags": self.include_tags,
             "exclude_tags": self.exclude_tags,
+            "engine": self.engine,
+            "wait_for": self.wait_for,
+            "wait_until": self.wait_until,
+            "wait_for_selector": self.wait_for_selector,
         }
 
 
@@ -160,8 +170,8 @@ def _read_docs(job_out: str | None) -> pa.Table:
     return docs.sort_by("doc_id")
 
 
-def _parse_wave_inline(wave: pa.Table, lookup, parser: PageParser) -> pa.Table:
-    return parser(fetch_batch(wave, lookup))
+def _parse_wave_inline(wave: pa.Table, fetcher, parser: PageParser) -> pa.Table:
+    return parser(fetcher(wave))
 
 
 # pages table -> ObjectRef memo (strong table ref pins id()); repeated
@@ -216,11 +226,14 @@ def close_pools() -> None:
 def _fetch_parse_fn(pages_ref, parser: PageParser):
     """Combined fetch+parse task fn. The synthetic fetch is a dict lookup, so
     fusing it with parse halves task dispatch; a real-HTTP fetch would stay
-    its own actor-pool stage (stages/fetch.py HttpFetcher)."""
+    its own actor-pool stage (stages/fetch.py HttpFetcher). The fetch stage
+    is resolved from the engine registry (job['engine'], default cheerio) —
+    browser-sim etc. plug in here with no driver changes."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        lookup = cached_lookup(pages_ref)
-        return parser(fetch_batch(batch, lookup))
+        fetcher = cached_fetcher(parser.job.get("engine") or "cheerio",
+                                 pages_ref, parser.job)
+        return parser(fetcher(batch))
 
     return fn
 
@@ -267,7 +280,9 @@ def _wave_task():
         @ray.remote
         def fetch_parse_chunk(chunk: pa.Table, pages_ref, parser: PageParser,
                               job_id: str = "", write_path: str | None = None) -> pa.Table:
-            parsed = parser(fetch_batch(chunk, cached_lookup(pages_ref)))
+            fetcher = cached_fetcher(parser.job.get("engine") or "cheerio",
+                                     pages_ref, parser.job)
+            parsed = parser(fetcher(chunk))
             if write_path is not None:
                 # sink documents at the worker — span payloads never cross
                 # the driver; only light link/status columns return
@@ -299,7 +314,9 @@ class FetchParsePool:
         @ray.remote(num_cpus=0)
         class _Worker:
             def __init__(self, pages_ref, parser):
-                self.lookup = cached_lookup(pages_ref)
+                self.fetcher = cached_fetcher(
+                    parser.job.get("engine") or "cheerio", pages_ref,
+                    parser.job)
                 self.parser = parser
 
             def ping(self):
@@ -307,7 +324,7 @@ class FetchParsePool:
 
             def run(self, chunk: pa.Table, job_id: str,
                     write_path: str | None) -> pa.Table:
-                parsed = self.parser(fetch_batch(chunk, self.lookup))
+                parsed = self.parser(self.fetcher(chunk))
                 if write_path is not None:
                     pq.write_table(make_doc_table(parsed, job_id), write_path)
                     return parsed.drop_columns(["spans"])
@@ -446,8 +463,11 @@ def run_crawl(
     lookup = None
     if use_ray:
         pages_ref = _memoized_put(pages)
-    # inline lookup also needed for sub-threshold waves
+    # inline lookup also needed for sub-threshold waves + robots; the
+    # inline FETCH stage itself resolves through the engine registry
     lookup = build_lookup(pages)
+    inline_fetcher = cached_fetcher(job.engine or "cheerio", pages,
+                                    job.to_dict())
     parser = PageParser(job.to_dict())
     robots = None
     if job.obey_robots:
@@ -504,7 +524,7 @@ def run_crawl(
                 pool=pool,
             )
         else:
-            parsed = _parse_wave_inline(wave, lookup, parser)
+            parsed = _parse_wave_inline(wave, inline_fetcher, parser)
         # completion accounting (per host shard -> lineage partitions)
         statuses = parsed.column("status").to_pylist()
         hosts = parsed.column("host").to_pylist()

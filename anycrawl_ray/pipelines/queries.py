@@ -850,6 +850,64 @@ FROM reach GROUP BY id
 """
 
 
+def crawl_browser_screenshots(sf_dir: str):
+    """Crawl through the registry-resolved browser engine
+    (``get_engine('browser-sim')``): wait_until/wait_for_selector honored
+    per page, screenshot format captured -> one ``screenshot://{md5_8}``
+    span per page. Oracle = reachable set x the md5-8 key rule
+    (ScreenshotTransformer.ts:104-110)."""
+    from ..sources.synthetic_site import build_site_table, page_url
+    from .crawl import CrawlJob, run_crawl
+
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    job = CrawlJob(job_id="cb", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=50_000, engine="browser-sim",
+                   formats=["markdown", "screenshot"],
+                   wait_until="domcontentloaded",
+                   wait_for_selector=["h1", {"selector": ".nope",
+                                             "timeout": 5, "state": "hidden"}])
+    import ray
+
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(), ray_wave_threshold=64)
+    docs = res.documents.to_pandas()
+    refs = []
+    for url, spans in zip(docs["url"], docs["spans"]):
+        shot = next((s["media_ref"] for s in spans
+                     if s["kind"] == "screenshot"), "")
+        refs.append((url, shot))
+    out = pd.DataFrame(refs, columns=["url", "screenshot_ref"])
+    out = out.drop_duplicates("url").sort_values("url").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_CRAWL_BROWSER_SCREENSHOTS_SQL = f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0
+),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20
+),
+urls AS (
+  SELECT DISTINCT 'http://site' || CAST(id % {_HOSTS} AS VARCHAR) ||
+         '.test/p/' || lpad(CAST(id AS VARCHAR), 6, '0') AS url
+  FROM reach
+)
+SELECT url, 'screenshot://' || substr(md5(url), 1, 8) AS screenshot_ref
+FROM urls ORDER BY url
+"""
+
+
 def crawl_lineage(sf_dir: str):
     """Lineage counter totals for the same crawl (counters vs graph size)."""
     from ..sources.synthetic_site import build_site_table, page_url
@@ -1116,6 +1174,7 @@ QUERIES = {
     "embeddings_knn": embeddings_knn,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "crawl_reachable": crawl_reachable,
+    "crawl_browser_screenshots": crawl_browser_screenshots,
     "crawl_lineage": crawl_lineage,
     "scrape_titles": scrape_titles,
     "serp_google": _serp_query("google"),
@@ -1145,6 +1204,7 @@ ORACLE_SQL = {
     "docs_exact_dedup": _EXACT_DEDUP_SQL,
     "embeddings_knn": _KNN_SQL,
     "crawl_reachable": _CRAWL_REACHABLE_SQL,
+    "crawl_browser_screenshots": _CRAWL_BROWSER_SCREENSHOTS_SQL,
     "crawl_lineage": _CRAWL_LINEAGE_SQL,
     "scrape_titles": _SCRAPE_TITLES_SQL,
     "serp_google": _serp_sql("google"),

@@ -39,6 +39,7 @@ def available_engines() -> list[str]:
 
 
 def _register_defaults() -> None:
+    from .stages.browser import BrowserSimFetcher
     from .stages.fetch import HttpFetcher, SyntheticFetcher
 
     if "cheerio" not in _REGISTRY:
@@ -49,6 +50,11 @@ def _register_defaults() -> None:
     if "http" not in _REGISTRY:
         register_engine("http", lambda *_a, **_k: HttpFetcher(),
                         description="real-network HTTP fetcher (no network in sandbox)")
+    if "browser-sim" not in _REGISTRY:
+        # the Playwright/Puppeteer seam: honors wait_for / wait_until /
+        # wait_for_selector / ad-block / screenshot options (S4/M16/M25/M26)
+        register_engine("browser-sim", BrowserSimFetcher,
+                        description="browser engine simulation (waits, ad-block, screenshots)")
 
 
 _register_defaults()

@@ -96,7 +96,7 @@ class SyntheticFetcher:
     per actor in ``__init__`` (zero-copy from the local object store), never
     per batch."""
 
-    def __init__(self, pages_ref) -> None:
+    def __init__(self, pages_ref, options: dict | None = None) -> None:
         import ray
 
         pages = ray.get(pages_ref) if not isinstance(pages_ref, pa.Table) else pages_ref
@@ -104,6 +104,33 @@ class SyntheticFetcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return fetch_batch(batch, self.lookup)
+
+
+# per-worker fetcher cache, keyed by (engine, broadcast ref, option
+# signature): engine construction (lookup build, option parsing) happens
+# once per worker process, not per wave chunk
+_FETCHER_CACHE: dict[tuple, object] = {}
+
+_FETCHER_OPTION_KEYS = ("wait_for", "wait_until", "wait_for_selector",
+                        "formats")
+
+
+def cached_fetcher(engine: str, pages_ref, options: dict | None = None):
+    """Resolve + memoize a fetch stage from the engine registry."""
+    from ..registry import get_engine
+
+    opts = {k: options[k] for k in _FETCHER_OPTION_KEYS
+            if options and options.get(k) is not None}
+    key = (engine,
+           pages_ref.hex() if hasattr(pages_ref, "hex") else str(id(pages_ref)),
+           repr(sorted(opts.items())))
+    fetcher = _FETCHER_CACHE.get(key)
+    if fetcher is None:
+        if len(_FETCHER_CACHE) > 8:
+            _FETCHER_CACHE.clear()
+        fetcher = get_engine(engine)(pages_ref, options=opts)
+        _FETCHER_CACHE[key] = fetcher
+    return fetcher
 
 
 class HttpFetcher:

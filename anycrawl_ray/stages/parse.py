@@ -224,7 +224,13 @@ class PageParser:
         # admission gate then only does O(1) dict/set work per candidate
         canon_col = [[canonicalize(u) for u in cands] for cands in cand_col]
         key_col = [[xxh64(c) for c in cs] for cs in canon_col]
-        batch = batch.drop_columns(["html"])  # don't carry page bodies forward
+        # don't carry page bodies forward; the browser engine's screenshot
+        # binary is likewise consumed here (a real deployment's blob sink
+        # writes it worker-side before this stage) — only the span's
+        # media_ref key remains
+        drop = ["html"] + (["screenshot"] if "screenshot" in batch.schema.names
+                           else [])
+        batch = batch.drop_columns(drop)
         return (
             batch.append_column("doc_id", pa.array(doc_ids, pa.string()))
             .append_column("spans", pa.array(spans_col, pa.list_(SPAN)))

@@ -292,3 +292,103 @@ def test_schema_stub_extractor_end_to_end():
     # determinism
     merged2, n2, _ = ex.extract_document(long_text)
     assert _json.dumps(merged, sort_keys=True) == _json.dumps(merged2, sort_keys=True)
+
+
+# ------------------------------------------------- browser-engine seam
+def test_browser_sim_registered_and_validates():
+    import pytest
+
+    from anycrawl_ray.registry import available_engines, get_engine
+
+    assert "browser-sim" in available_engines()
+    with pytest.raises(ValueError):
+        get_engine("no-such-engine")
+
+
+def test_browser_sim_wait_and_adblock_semantics():
+    import pyarrow as pa
+
+    from anycrawl_ray.stages.browser import (
+        BrowserSimFetcher,
+        fake_screenshot_bytes,
+        normalize_wait_for_selector,
+    )
+
+    # wait_for_selector normalization (Base.ts:753-766)
+    assert normalize_wait_for_selector("h1") == [
+        {"selector": "h1", "timeout": None, "state": "visible"}]
+    assert normalize_wait_for_selector(
+        [{"selector": ".x", "timeout": 100, "state": "hidden"},
+         {"no_selector": True}, "p"]) == [
+        {"selector": ".x", "timeout": 100, "state": "hidden"},
+        {"selector": "p", "timeout": None, "state": "visible"}]
+    assert normalize_wait_for_selector(None) == []
+
+    pages = pa.table({
+        "url": ["http://b.test/a", "http://b.test/missing-h1"],
+        "status_code": pa.array([200, 200], pa.int32()),
+        "html": [
+            "<html><body><h1>hi</h1>"
+            "<img src='http://doubleclick.net/ad.png'>"
+            "<script src='https://x.google-analytics.com/ga.js'></script>"
+            "<img src='http://b.test/ok.png'></body></html>",
+            "<html><body><p>no header</p></body></html>",
+        ],
+        "content_bytes": pa.array([100, 50], pa.int64()),
+    })
+    wave = pa.table({"url": ["http://b.test/a", "http://b.test/missing-h1",
+                             "http://b.test/404"]})
+    f = BrowserSimFetcher(pages, options={
+        "wait_for": 250, "wait_until": "networkidle",
+        "wait_for_selector": ["h1", {"selector": ".gone", "timeout": 1000,
+                                     "state": "hidden"}],
+        "formats": ["markdown", "screenshot"]})
+    out = f(wave)
+    # ad domains blocked (2 of 3 sub-resources on page a)
+    assert out.column("ads_blocked").to_pylist() == [2, 0, 0]
+    # selector semantics: h1 visible on page a (+.gone hidden) = 2 hits;
+    # page b misses h1 (timeout elapses: 250 base + 30000 default)
+    assert out.column("selector_hits").to_pylist() == [2, 1, 0]
+    assert out.column("sim_wait_ms").to_pylist()[0] == 250
+    assert out.column("sim_wait_ms").to_pylist()[1] == 250 + 30_000
+    # screenshots: deterministic JPEG-framed payload for fetched pages only
+    shots = out.column("screenshot").to_pylist()
+    assert shots[0] == fake_screenshot_bytes("http://b.test/a")
+    assert shots[0][:4] == b"\xff\xd8\xff\xe0" and shots[0][-2:] == b"\xff\xd9"
+    assert shots[2] == b""
+    assert out.column("viewport").to_pylist()[0] == "1920x1080"
+    assert out.column("status_code").to_pylist() == [200, 200, 404]
+
+    # invalid wait_until rejected (EngineConfigurator nav modes)
+    import pytest
+
+    with pytest.raises(ValueError):
+        BrowserSimFetcher(pages, options={"wait_until": "whenever"})
+
+
+def test_browser_sim_crawl_matches_cheerio_reachability(ray_session, tmp_path):
+    """Swapping the engine must not change WHAT is crawled — only the
+    browser columns; screenshot spans appear with the md5-8 key."""
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+    from anycrawl_ray.stages.browser import _md5_8
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    base = run_crawl(CrawlJob(job_id="ch", seed_urls=[page_url(0)],
+                              strategy="all", max_depth=20, limit=200),
+                     pages, use_ray=False)
+    bjob = CrawlJob(job_id="bw", seed_urls=[page_url(0)], strategy="all",
+                    max_depth=20, limit=200, engine="browser-sim",
+                    formats=["markdown", "screenshot"],
+                    wait_for_selector="h1")
+    bres = run_crawl(bjob, pages, use_ray=False)
+    assert (bres.order.column("canonical_url").to_pylist()
+            == base.order.column("canonical_url").to_pylist())
+    docs = bres.documents.to_pandas()
+    row = docs.iloc[0]
+    shot_refs = [s["media_ref"] for s in row["spans"]
+                 if s["kind"] == "screenshot"]
+    assert shot_refs == [f"screenshot://{_md5_8(row['url'])}"]
+    # distributed path produces identical documents
+    bray = run_crawl(bjob, pages, use_ray=True, ray_wave_threshold=8)
+    assert bray.documents.equals(bres.documents)
