@@ -392,3 +392,155 @@ def test_browser_sim_crawl_matches_cheerio_reachability(ray_session, tmp_path):
     # distributed path produces identical documents
     bray = run_crawl(bjob, pages, use_ray=True, ray_wave_threshold=8)
     assert bray.documents.equals(bres.documents)
+
+
+# --------------------------------------------------------------- webhooks
+class _FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        return self.t
+
+
+def _collecting_transport(fail_times=0, status=200):
+    calls = []
+    state = {"n": 0}
+
+    def transport(method, url, headers, body, timeout_s):
+        state["n"] += 1
+        calls.append({"method": method, "url": url, "headers": dict(headers),
+                      "body": body, "timeout": timeout_s})
+        if state["n"] <= fail_times:
+            raise ConnectionError("boom")
+        return status, {}, {"ok": True}
+
+    return transport, calls
+
+
+def test_webhook_delivery_signs_and_delivers():
+    from anycrawl_ray.state.webhooks import (
+        WebhookManager,
+        WebhookSubscription,
+        sign_payload,
+    )
+
+    transport, calls = _collecting_transport()
+    clock = _FakeClock()
+    mgr = WebhookManager(transport, clock=clock)
+    sub = WebhookSubscription(webhook_url="https://hooks.example.com/x",
+                              secret="s3cret", event_types=("crawl.completed",),
+                              custom_headers={"X-Custom": "v"})
+    mgr.subscribe(sub)
+    ids = mgr.trigger_event("crawl.completed", {"job": "j1"}, "crawl", "j1")
+    assert len(ids) == 1
+    mgr.process_queue()
+    d = mgr.deliveries[ids[0]]
+    assert d.status == "delivered"
+    assert calls[0]["headers"]["X-AnyCrawl-Signature"] == sign_payload(
+        {"job": "j1"}, "s3cret")
+    assert calls[0]["headers"]["X-Webhook-Event"] == "crawl.completed"
+    assert calls[0]["headers"]["X-Custom"] == "v"
+    assert sub.successful_deliveries == 1 and sub.consecutive_failures == 0
+    # non-matching event or user delivers nothing
+    assert mgr.trigger_event("scrape.completed", {}, "scrape", "s1") == []
+    sub2 = WebhookSubscription(webhook_url="https://hooks.example.com/y",
+                               event_types=("crawl.completed",),
+                               user_id="alice")
+    mgr.subscribe(sub2)
+    # Webhook.ts:106-108: when a user id is given, ONLY subscriptions with
+    # that exact user id receive the event (unowned subs are skipped too)
+    assert mgr.trigger_event("crawl.completed", {}, "crawl", "j2",
+                             user_id="bob") == []
+    assert len(mgr.trigger_event("crawl.completed", {}, "crawl", "j2",
+                                 user_id="alice")) == 1
+
+
+def test_webhook_retry_backoff_schedule_and_auto_disable():
+    from anycrawl_ray.state.webhooks import WebhookManager, WebhookSubscription
+
+    transport, calls = _collecting_transport(fail_times=10**9)  # always fails
+    clock = _FakeClock()
+    mgr = WebhookManager(transport, clock=clock)
+    sub = WebhookSubscription(webhook_url="https://h.example.com/x",
+                              event_types=("e",), max_retries=3,
+                              auto_disable_after_failures=2)
+    mgr.subscribe(sub)
+    did = mgr.trigger_event("e", {"n": 1}, "job", "j")[0]
+    mgr.process_queue()
+    d = mgr.deliveries[did]
+    # attempt 1 failed -> retrying, backoff = 2^1 min
+    assert d.status == "retrying" and d.attempt_number == 2
+    assert d.next_retry_at == clock.t + 120.0
+    # not due yet
+    clock.t += 60
+    assert mgr.process_retries() == 0
+    clock.t += 61
+    assert mgr.process_retries() == 1
+    assert d.status == "retrying" and d.attempt_number == 3
+    assert d.next_retry_at == clock.t + 240.0  # 2^2 min
+    clock.t += 241
+    mgr.process_retries()
+    # attempt 3 == max_attempts -> permanent failure, consecutive=1
+    assert d.status == "failed"
+    assert sub.consecutive_failures == 1 and sub.failed_deliveries == 1
+    assert sub.is_active
+    # second delivery fails through -> consecutive=2 -> auto-disable
+    did2 = mgr.trigger_event("e", {"n": 2}, "job", "j")[0]
+    mgr.process_queue()
+    for _ in range(3):
+        clock.t += 10_000
+        mgr.process_retries()
+    assert mgr.deliveries[did2].status == "failed"
+    assert sub.consecutive_failures == 2
+    assert not sub.is_active
+    # disabled subscription receives nothing further
+    assert mgr.trigger_event("e", {"n": 3}, "job", "j") == []
+
+
+def test_webhook_private_ip_blocked():
+    from anycrawl_ray.state.webhooks import (
+        WebhookManager,
+        WebhookSubscription,
+        is_private_ip,
+    )
+
+    assert is_private_ip("http://localhost/cb")
+    assert is_private_ip("http://10.1.2.3/cb")
+    assert is_private_ip("http://172.20.0.1/cb")
+    assert is_private_ip("http://192.168.1.1/cb")
+    assert is_private_ip("http://169.254.0.1/cb")
+    assert is_private_ip("http://[fe80::1]/cb")
+    assert is_private_ip("http://[fd00::1]/cb")
+    assert not is_private_ip("https://hooks.example.com/cb")
+    assert not is_private_ip("http://172.32.0.1/cb")  # outside /12
+
+    transport, calls = _collecting_transport()
+    mgr = WebhookManager(transport, clock=_FakeClock())
+    sub = WebhookSubscription(webhook_url="http://192.168.0.9/cb",
+                              event_types=("e",))
+    mgr.subscribe(sub)
+    did = mgr.trigger_event("e", {}, "job", "j")[0]
+    mgr.process_queue()
+    assert mgr.deliveries[did].status == "failed"
+    assert mgr.deliveries[did].error_code == "PRIVATE_IP_BLOCKED"
+    assert calls == []  # transport never touched
+    # allow_local overrides (ALLOW_LOCAL_WEBHOOKS)
+    mgr2 = WebhookManager(transport, clock=_FakeClock(), allow_local=True)
+    mgr2.subscribe(sub)
+    did2 = mgr2.trigger_event("e", {}, "job", "j")[0]
+    mgr2.process_queue()
+    assert mgr2.deliveries[did2].status == "delivered"
+
+
+def test_webhook_scope_filtering():
+    from anycrawl_ray.state.webhooks import WebhookManager, WebhookSubscription
+
+    transport, _ = _collecting_transport()
+    mgr = WebhookManager(transport, clock=_FakeClock())
+    sub = WebhookSubscription(webhook_url="https://h.example.com/x",
+                              event_types=("e",), scope="specific",
+                              specific_task_ids=("job-a",))
+    mgr.subscribe(sub)
+    assert len(mgr.trigger_event("e", {}, "job", "job-a")) == 1
+    assert mgr.trigger_event("e", {}, "job", "job-b") == []
