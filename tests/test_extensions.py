@@ -544,3 +544,111 @@ def test_webhook_scope_filtering():
     mgr.subscribe(sub)
     assert len(mgr.trigger_event("e", {}, "job", "job-a")) == 1
     assert mgr.trigger_event("e", {}, "job", "job-b") == []
+
+
+# --------------------------------------------------------------- scheduler
+def _utc(*args):
+    from datetime import datetime, timezone
+
+    return datetime(*args, tzinfo=timezone.utc)
+
+
+def test_cron_next_fire_times():
+    from anycrawl_ray.state.scheduler import Cron
+
+    c = Cron("*/15 * * * *")
+    assert c.next_after(_utc(2026, 1, 1, 10, 0)) == _utc(2026, 1, 1, 10, 15)
+    assert c.next_after(_utc(2026, 1, 1, 10, 50)) == _utc(2026, 1, 1, 11, 0)
+    c = Cron("30 9 * * 1-5")  # weekdays 09:30
+    assert c.next_after(_utc(2026, 1, 2, 10, 0)) == _utc(2026, 1, 5, 9, 30)  # Fri->Mon
+    c = Cron("0 0 1 * *")  # first of month
+    assert c.next_after(_utc(2026, 1, 15, 0, 0)) == _utc(2026, 2, 1, 0, 0)
+    # dom OR dow when both restricted (Vixie semantics)
+    c = Cron("0 0 13 * 5")  # the 13th OR any Friday
+    assert c.next_after(_utc(2026, 1, 1, 0, 0)) == _utc(2026, 1, 2, 0, 0)  # Fri Jan 2
+    assert c.next_after(_utc(2026, 1, 10, 0, 0)) == _utc(2026, 1, 13, 0, 0)
+    import pytest
+
+    with pytest.raises(ValueError):
+        Cron("* * * *")  # 4 fields
+    with pytest.raises(ValueError):
+        Cron("99 * * * *")
+
+
+def test_scheduler_fires_and_respects_gates():
+    from anycrawl_ray.state.scheduler import ScheduledTask, SchedulerManager
+
+    now = {"t": _utc(2026, 1, 1, 9, 59)}
+    launched = []
+
+    def trigger(task, execution):
+        launched.append((task.name, execution.execution_number))
+        return f"job-{len(launched)}"
+
+    mgr = SchedulerManager(trigger, clock=lambda: now["t"])
+    t = ScheduledTask(name="hourly", cron_expression="0 * * * *",
+                      concurrency_mode="skip")
+    mgr.add_task(t)
+    assert mgr.tick() == []  # 09:59, not due
+    now["t"] = _utc(2026, 1, 1, 10, 0)
+    (e1,) = mgr.tick()
+    assert launched == [("hourly", 1)]
+    assert mgr.executions[e1].status == "running"
+    assert mgr.executions[e1].idempotency_key.startswith(t.uuid)
+    # concurrency skip: still running at 11:00 -> no new execution
+    now["t"] = _utc(2026, 1, 1, 11, 0)
+    assert mgr.tick() == []
+    mgr.complete_execution(e1)
+    # queue mode would have fired; next hour fires again
+    now["t"] = _utc(2026, 1, 1, 12, 0)
+    (e2,) = mgr.tick()
+    assert mgr.executions[e2].execution_number == 2
+    # a long outage fires ONCE, not once per missed hour
+    now["t"] = _utc(2026, 1, 2, 3, 0)
+    mgr.complete_execution(e2)
+    assert len(mgr.tick()) == 1
+    assert t.total_executions == 3
+
+
+def test_scheduler_daily_cap_and_pause():
+    from anycrawl_ray.state.scheduler import ScheduledTask, SchedulerManager
+
+    now = {"t": _utc(2026, 1, 1, 0, 0)}
+    mgr = SchedulerManager(lambda *_: "j", clock=lambda: now["t"])
+    t = ScheduledTask(name="m", cron_expression="* * * * *",
+                      concurrency_mode="queue", max_executions_per_day=3)
+    mgr.add_task(t)
+    fired = 0
+    for minute in range(1, 10):
+        now["t"] = _utc(2026, 1, 1, 0, minute)
+        fired += len(mgr.tick())
+    assert fired == 3  # daily cap
+    # next day resets
+    now["t"] = _utc(2026, 1, 2, 0, 1)
+    assert len(mgr.tick()) == 1
+    # paused tasks don't fire; resume re-arms
+    mgr.pause_task(t.uuid, "manual")
+    now["t"] = _utc(2026, 1, 2, 0, 5)
+    assert mgr.tick() == []
+    mgr.resume_task(t.uuid)
+    now["t"] = _utc(2026, 1, 2, 0, 7)
+    assert len(mgr.tick()) == 1
+
+
+def test_scheduler_credit_auto_pause():
+    from anycrawl_ray.state.scheduler import ScheduledTask, SchedulerManager
+
+    now = {"t": _utc(2026, 1, 1, 0, 0)}
+    mgr = SchedulerManager(lambda *_: "j", clock=lambda: now["t"],
+                           check_credits=lambda task: False,
+                           credits_enabled=True)
+    t = ScheduledTask(name="c", cron_expression="* * * * *",
+                      min_credits_required=5)
+    mgr.add_task(t)
+    now["t"] = _utc(2026, 1, 1, 0, 1)
+    assert mgr.tick() == []
+    assert t.is_paused
+    assert "Insufficient credits" in t.pause_reason
+    # unscheduled: further ticks are no-ops even after time passes
+    now["t"] = _utc(2026, 1, 1, 0, 10)
+    assert mgr.tick() == []
