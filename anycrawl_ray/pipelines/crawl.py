@@ -77,6 +77,8 @@ class CrawlJob:
     wait_for: int | None = None
     wait_until: str | None = None
     wait_for_selector: object | None = None
+    # blob store root for media payloads (S7, s3.ts seam); None = no sink
+    blob_dir: str | None = None
 
     # option validation = the reference's Zod crawlSchema bounds
     # (CrawlSchema.ts:6-49: depth 1-50 -> we also allow 0 for scrape mode,
@@ -115,6 +117,7 @@ class CrawlJob:
             "wait_for": self.wait_for,
             "wait_until": self.wait_until,
             "wait_for_selector": self.wait_for_selector,
+            "blob_dir": self.blob_dir,
         }
 
 
@@ -170,8 +173,22 @@ def _read_docs(job_out: str | None) -> pa.Table:
     return docs.sort_by("doc_id")
 
 
+def _run_fetch_parse(chunk: pa.Table, fetcher, parser: PageParser) -> pa.Table:
+    """Shared worker body for every wave path: fetch, sink media blobs
+    (worker-side — payloads never cross the driver), parse."""
+    fetched = fetcher(chunk)
+    blob_dir = parser.job.get("blob_dir")
+    if blob_dir and "screenshot" in fetched.schema.names:
+        from ..stages.browser import persist_screenshots
+
+        full = "screenshot@fullPage" in (parser.job.get("formats") or [])
+        persist_screenshots(fetched, blob_dir,
+                            parser.job.get("job_id", "job"), full_page=full)
+    return parser(fetched)
+
+
 def _parse_wave_inline(wave: pa.Table, fetcher, parser: PageParser) -> pa.Table:
-    return parser(fetcher(wave))
+    return _run_fetch_parse(wave, fetcher, parser)
 
 
 # pages table -> ObjectRef memo (strong table ref pins id()); repeated
@@ -233,7 +250,7 @@ def _fetch_parse_fn(pages_ref, parser: PageParser):
     def fn(batch: pa.Table) -> pa.Table:
         fetcher = cached_fetcher(parser.job.get("engine") or "cheerio",
                                  pages_ref, parser.job)
-        return parser(fetcher(batch))
+        return _run_fetch_parse(batch, fetcher, parser)
 
     return fn
 
@@ -282,7 +299,7 @@ def _wave_task():
                               job_id: str = "", write_path: str | None = None) -> pa.Table:
             fetcher = cached_fetcher(parser.job.get("engine") or "cheerio",
                                      pages_ref, parser.job)
-            parsed = parser(fetcher(chunk))
+            parsed = _run_fetch_parse(chunk, fetcher, parser)
             if write_path is not None:
                 # sink documents at the worker — span payloads never cross
                 # the driver; only light link/status columns return
@@ -324,7 +341,7 @@ class FetchParsePool:
 
             def run(self, chunk: pa.Table, job_id: str,
                     write_path: str | None) -> pa.Table:
-                parsed = self.parser(self.fetcher(chunk))
+                parsed = _run_fetch_parse(chunk, self.fetcher, self.parser)
                 if write_path is not None:
                     pq.write_table(make_doc_table(parsed, job_id), write_path)
                     return parsed.drop_columns(["spans"])

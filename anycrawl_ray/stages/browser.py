@@ -91,6 +91,35 @@ def normalize_wait_for_selector(value) -> list[dict]:
     return out
 
 
+# per-worker storage cache (one LocalDirStorage per blob root per process)
+_STORAGE_CACHE: dict[str, object] = {}
+
+
+def persist_screenshots(batch: pa.Table, blob_dir: str, job_id: str,
+                        full_page: bool = False) -> int:
+    """Worker-side screenshot sink (S7): write each non-empty screenshot
+    payload to the blob store under the ScreenshotTransformer key scheme.
+    The binary never crosses the driver — this runs inside the fetch+parse
+    worker before the parse stage drops the column. Returns blobs written."""
+    from ..state.blobstore import get_storage, screenshot_key
+
+    storage = _STORAGE_CACHE.get(blob_dir)
+    if storage is None:
+        if len(_STORAGE_CACHE) > 4:
+            _STORAGE_CACHE.clear()
+        storage = get_storage(blob_dir)
+        _STORAGE_CACHE[blob_dir] = storage
+    urls = batch.column("url").to_pylist()
+    shots = batch.column("screenshot").to_pylist()
+    n = 0
+    for url, shot in zip(urls, shots):
+        if shot:
+            storage.upload_image(
+                screenshot_key(job_id, _md5_8(url), full_page), shot)
+            n += 1
+    return n
+
+
 class BrowserSimFetcher:
     """Registry-pluggable browser engine simulation (see module docstring).
 

@@ -652,3 +652,64 @@ def test_scheduler_credit_auto_pause():
     # unscheduled: further ticks are no-ops even after time passes
     now["t"] = _utc(2026, 1, 1, 0, 10)
     assert mgr.tick() == []
+
+
+# --------------------------------------------------------------- blob store
+def test_blobstore_roundtrip_and_safety(tmp_path):
+    import pytest
+
+    from anycrawl_ray.state.blobstore import (
+        LocalDirStorage,
+        NoOpStorage,
+        get_storage,
+        screenshot_key,
+    )
+
+    st = LocalDirStorage(str(tmp_path / "blobs"))
+    st.upload("a/b.bin", b"\x01\x02")
+    assert st.get("a/b.bin") == b"\x01\x02"
+    assert st.exists("a/b.bin")
+    assert st.get_temporary_url("a/b.bin").startswith("file://")
+    with pytest.raises(ValueError):
+        st.upload("../escape.bin", b"x")
+    assert isinstance(get_storage(None), NoOpStorage)
+    assert isinstance(get_storage("noop"), NoOpStorage)
+    noop = NoOpStorage()
+    noop.upload("k", b"x")
+    assert not noop.exists("k")
+    assert screenshot_key("j1", "abcd1234") == "screenshot-j1-abcd1234.jpeg"
+    assert screenshot_key("j1", "abcd1234", full_page=True) == \
+        "screenshot-fullPage-j1-abcd1234.jpeg"
+
+
+def test_crawl_persists_screenshots_to_blob_store(ray_session, tmp_path):
+    """S7 end-to-end: a browser-sim crawl with blob_dir writes one JPEG per
+    page, keyed to match the screenshot:// span refs; payloads never cross
+    the driver (written worker-side), identical for inline and ray paths."""
+    import os
+
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+    from anycrawl_ray.stages.browser import _md5_8, fake_screenshot_bytes
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    blob_dir = str(tmp_path / "blobs")
+    job = CrawlJob(job_id="bs", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=60, engine="browser-sim",
+                   formats=["markdown", "screenshot"], blob_dir=blob_dir)
+    res = run_crawl(job, pages, use_ray=False)
+    names = set(os.listdir(blob_dir))
+    docs = res.documents.to_pandas()
+    assert len(names) == len(set(docs["url"]))
+    for url in docs["url"]:
+        key = f"screenshot-bs-{_md5_8(url)}.jpeg"
+        assert key in names
+        with open(os.path.join(blob_dir, key), "rb") as f:
+            assert f.read() == fake_screenshot_bytes(url)
+    # distributed path writes the same blob set
+    blob_dir2 = str(tmp_path / "blobs2")
+    job2 = CrawlJob(job_id="bs", seed_urls=[page_url(0)], strategy="all",
+                    max_depth=20, limit=60, engine="browser-sim",
+                    formats=["markdown", "screenshot"], blob_dir=blob_dir2)
+    run_crawl(job2, pages, use_ray=True, ray_wave_threshold=8)
+    assert set(os.listdir(blob_dir2)) == names
