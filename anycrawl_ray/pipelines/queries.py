@@ -744,6 +744,39 @@ def embeddings_neardup(sf_dir: str):
     return out.select(["a", "b"])  # ints only for stability
 
 
+def embeddings_neardup_lsh40(sf_dir: str):
+    """LSH near-dup at a threshold the random corpus actually reaches
+    (0.4 -> nonzero pairs), so the banded path is exercised end-to-end;
+    rows-only (LSH recall < 1 by design — the exact set is pinned by the
+    brute-force oracle query below)."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, threshold=0.4, num_planes=16, bands=8)
+    return out.select(["a", "b"])
+
+
+def embeddings_neardup_brute(sf_dir: str):
+    """Exact all-pairs cosine>=0.4 via blocked matmul against a broadcast
+    normalized matrix — full DuckDB oracle (list_cosine_similarity
+    self-join). Margin to the threshold is >=1e-4 on this corpus, so
+    float32-vs-float64 summation order cannot flip membership."""
+    from ..stages.dedup import embedding_brute_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_brute_pairs(ds, threshold=0.4)
+
+
+_EMB_NEARDUP_BRUTE_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY a, b
+"""
+
+
 # ===================================================================
 # Similarity search
 # ===================================================================
@@ -1171,6 +1204,8 @@ QUERIES = {
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
     "embeddings_neardup": embeddings_neardup,
+    "embeddings_neardup_lsh40": embeddings_neardup_lsh40,
+    "embeddings_neardup_brute": embeddings_neardup_brute,
     "embeddings_knn": embeddings_knn,
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "crawl_reachable": crawl_reachable,
@@ -1203,6 +1238,7 @@ ORACLE_SQL = {
     "docs_by_lang": _BY_LANG_SQL,
     "docs_exact_dedup": _EXACT_DEDUP_SQL,
     "embeddings_knn": _KNN_SQL,
+    "embeddings_neardup_brute": _EMB_NEARDUP_BRUTE_SQL,
     "crawl_reachable": _CRAWL_REACHABLE_SQL,
     "crawl_browser_screenshots": _CRAWL_BROWSER_SCREENSHOTS_SQL,
     "crawl_lineage": _CRAWL_LINEAGE_SQL,

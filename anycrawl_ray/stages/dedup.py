@@ -515,3 +515,48 @@ def embedding_neardup_pairs(ds_embeddings, threshold: float = 0.95,
         ds_embeddings, cand, id_col="vec_id", payload_col="embedding",
         verify_fn=cosine, score_col="cosine", threshold=threshold,
         payload_encoder=encode_vec, broadcast_limit=broadcast_limit)
+
+
+def embedding_brute_pairs(ds_embeddings, threshold: float = 0.4):
+    """EXACT all-pairs cosine >= threshold — the oracle-checkable baseline
+    for the LSH near-dup path (SQL: list_cosine_similarity self-join).
+
+    Shape: one streamed pass builds the normalized (N, d) matrix, which is
+    broadcast once via ``ray.put``; each worker batch then does ONE blocked
+    matmul against it (rows x N) and emits its qualifying (a < b) pairs.
+    The matrix is O(N*d) — fine for verification corpora; at web scale the
+    LSH variant (embedding_neardup_pairs) is the path, with this as the
+    recall oracle on samples."""
+    import ray
+
+    ids: list[int] = []
+    vecs: list = []
+    for batch in ds_embeddings.iter_batches(batch_size=8192,
+                                            batch_format="pyarrow"):
+        ids.extend(batch.column("vec_id").to_pylist())
+        vecs.extend(batch.column("embedding").to_pylist())
+    if not ids:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    mat = np.asarray(vecs, dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    all_ids = np.asarray(ids, dtype=np.int64)
+    ref = ray.put((all_ids, mat))
+
+    def block(batch: pa.Table) -> pa.Table:
+        bid, bmat = _cached_get(ref)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        v = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        sims = v @ bmat.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a = vids[ii]
+        b = bid[jj]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    res = ds_embeddings.map_batches(block, batch_format="pyarrow").to_pandas()
+    res = res.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table({"a": pa.array(res["a"], pa.int64()),
+                     "b": pa.array(res["b"], pa.int64())})

@@ -218,3 +218,28 @@ def test_verify_join_path_matches_broadcast(ray_session):
     e_j = embedding_neardup_pairs(_emb_ds(mat), threshold=0.95, broadcast_limit=0)
     assert e_b.equals(e_j)
     assert e_b.num_rows >= 1
+
+
+def test_embedding_brute_matches_numpy_and_lsh_recall(ray_session):
+    """embedding_brute_pairs == exact numpy all-pairs; the LSH variant's
+    output is a subset with high recall at the same threshold."""
+    from anycrawl_ray.stages.dedup import embedding_brute_pairs
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((120, 32))
+    mat[7] = mat[3] + 0.05 * rng.standard_normal(32)
+    ds = _emb_ds(mat)
+    thr = 0.5
+    brute = embedding_brute_pairs(ds, threshold=thr)
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+    want = sorted(zip(ii.tolist(), jj.tolist()))
+    got = sorted(zip(brute.column("a").to_pylist(), brute.column("b").to_pylist()))
+    assert got == want
+    assert (3, 7) in got
+    lsh = embedding_neardup_pairs(_emb_ds(mat), threshold=thr, num_planes=16,
+                                  bands=8)
+    lsh_pairs = set(zip(lsh.column("a").to_pylist(), lsh.column("b").to_pylist()))
+    assert lsh_pairs <= set(got)
+    assert len(lsh_pairs) >= 0.7 * len(got)  # banded recall
