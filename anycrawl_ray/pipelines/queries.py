@@ -744,6 +744,32 @@ def embeddings_neardup(sf_dir: str):
     return out.select(["a", "b"])  # ints only for stability
 
 
+def docs_ngram_jaccard(sf_dir: str):
+    """Exact word-bigram Jaccard >= 25% via distributed inverted index —
+    full SQL oracle (integer threshold arithmetic on both sides)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold_pct=25, n=2)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bg
+       FROM w, UNNEST(range(1, len(w))) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM bg a JOIN bg b ON a.bg = b.bg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT inter.a AS a, inter.b AS b
+FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+           JOIN sizes sb ON sb.doc_id = inter.b
+WHERE i * 100 >= 25 * (sa.n + sb.n - i)
+ORDER BY a, b
+"""
+
+
 def embeddings_neardup_lsh40(sf_dir: str):
     """LSH near-dup at a threshold the random corpus actually reaches
     (0.4 -> nonzero pairs), so the banded path is exercised end-to-end;
@@ -1203,6 +1229,7 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
     "embeddings_neardup": embeddings_neardup,
     "embeddings_neardup_lsh40": embeddings_neardup_lsh40,
     "embeddings_neardup_brute": embeddings_neardup_brute,
@@ -1239,6 +1266,7 @@ ORACLE_SQL = {
     "docs_exact_dedup": _EXACT_DEDUP_SQL,
     "embeddings_knn": _KNN_SQL,
     "embeddings_neardup_brute": _EMB_NEARDUP_BRUTE_SQL,
+    "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "crawl_reachable": _CRAWL_REACHABLE_SQL,
     "crawl_browser_screenshots": _CRAWL_BROWSER_SCREENSHOTS_SQL,
     "crawl_lineage": _CRAWL_LINEAGE_SQL,

@@ -560,3 +560,80 @@ def embedding_brute_pairs(ds_embeddings, threshold: float = 0.4):
     res = res.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.table({"a": pa.array(res["a"], pa.int64()),
                      "b": pa.array(res["b"], pa.int64())})
+
+
+# ------------------------------------------------------ exact n-gram jaccard
+
+
+def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT word n-gram Jaccard near-dup pairs via a distributed inverted
+    index — the SQL-oracle-checkable counterpart of the MinHash estimate.
+
+    Shape: explode distinct n-grams per doc (map_batches) -> per-gram
+    ``map_groups`` emits co-occurring pairs -> vectorized Count aggregate =
+    intersection sizes -> hash-join per-doc gram counts onto both sides ->
+    integer threshold test ``inter * 100 >= pct * union`` (no float
+    boundary risk on either engine).
+
+    Scale note: exact inverted-index Jaccard emits O(df^2) rows per gram —
+    use it for verification corpora / samples; MinHash+LSH is the web-scale
+    estimator (its candidate path caps degenerate buckets)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_gram = [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            words = t.split()
+            grams = {" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)}
+            out_id.extend([d] * len(grams))
+            out_gram.extend(grams)
+        return pa.table({"doc": pa.array(out_id),
+                         "gram": pa.array(out_gram, pa.string())})
+
+    bg = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    sizes = bg.groupby("doc").aggregate(Count(alias_name="n_grams"))
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        pairs = [(ids[i], ids[j]) for i in range(len(ids))
+                 for j in range(i + 1, len(ids))]
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    inter = (bg.groupby("gram").map_groups(emit_pairs, batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="inter")))
+
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+    size_a = sizes.map_batches(
+        lambda b: b.rename_columns(["a", "n_a"]), batch_format="pyarrow")
+    size_b = sizes.map_batches(
+        lambda b: b.rename_columns(["b", "n_b"]), batch_format="pyarrow")
+    joined = inter.join(size_a, "inner", n_parts, on=("a",)).join(
+        size_b, "inner", n_parts, on=("b",))
+
+    def threshold_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.column("inter")
+        union = pc.subtract(pc.add(batch.column("n_a"), batch.column("n_b")), i)
+        keep = pc.greater_equal(pc.multiply(i, pa.scalar(100)),
+                                pc.multiply(union, pa.scalar(threshold_pct)))
+        kept = batch.filter(keep)
+        return pa.table({"a": pc.cast(kept.column("a"), pa.int64()),
+                         "b": pc.cast(kept.column("b"), pa.int64())})
+
+    res = joined.map_batches(threshold_filter, batch_format="pyarrow").to_pandas()
+    if len(res) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    res = res.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table({"a": pa.array(res["a"], pa.int64()),
+                     "b": pa.array(res["b"], pa.int64())})

@@ -713,3 +713,125 @@ def test_crawl_persists_screenshots_to_blob_store(ray_session, tmp_path):
                     formats=["markdown", "screenshot"], blob_dir=blob_dir2)
     run_crawl(job2, pages, use_ray=True, ray_wave_threshold=8)
     assert set(os.listdir(blob_dir2)) == names
+
+
+# --------------------------------------------------------- template system
+def test_option_merge_semantics():
+    from anycrawl_ray.functions.template_system import (
+        deep_merge_options_with_template,
+        merge_options_with_template,
+    )
+
+    tpl = {"a": 1, "b": {"x": 1, "y": 2}, "c": [1, 2]}
+    req = {"a": None, "b": {"x": 9}, "c": [3], "d": 4}
+    # shallow: request wins per top-level key unless None; dicts replace
+    assert merge_options_with_template(tpl, req) == {
+        "a": 1, "b": {"x": 9}, "c": [3], "d": 4}
+    # deep: dict-dict recurses, arrays replace wholesale, None skipped
+    assert deep_merge_options_with_template(req, tpl) == {
+        "a": 1, "b": {"x": 9, "y": 2}, "c": [3], "d": 4}
+
+
+def test_template_access_and_processing():
+    from anycrawl_ray.functions.template_system import (
+        has_template_access,
+        process_template,
+    )
+
+    tpl = {"template_type": "scrape", "created_by": "u1",
+           "status": "draft", "review_status": "pending",
+           "req_options": {"formats": ["markdown"], "timeout": 5},
+           "allowed_domains": ["example.com"], "engine": "cheerio"}
+    assert has_template_access(tpl, None)          # self-hosted
+    assert has_template_access(tpl, "u1")          # owner
+    assert not has_template_access(tpl, "u2")      # draft + other user
+    assert has_template_access({**tpl, "status": "published",
+                                "review_status": "approved"}, "u2")
+
+    res = process_template(tpl, "https://example.com/p", {"timeout": 9},
+                           "scrape", "u1")
+    assert res["success"]
+    assert res["merged_options"] == {"formats": ["markdown"], "timeout": 9}
+    assert res["engine_name"] == "cheerio"
+    # type mismatch / domain / access / engine failures
+    assert not process_template(tpl, "https://example.com/p", {}, "crawl",
+                                "u1")["success"]
+    assert "not allowed" in process_template(
+        tpl, "https://other.com/p", {}, "scrape", "u1")["error"]
+    assert "Access denied" in process_template(
+        tpl, "https://example.com/p", {}, "scrape", "u2")["error"]
+    assert "Invalid engine" in process_template(
+        tpl, "https://example.com/p", {"engine": "warpdrive"}, "scrape",
+        "u1")["error"]
+
+
+def test_domain_validator_glob_candidates():
+    from anycrawl_ray.functions.template_system import (
+        parse_domain_restriction,
+        validate_domain,
+        validate_pattern,
+    )
+
+    # string / list / dict / comma-split forms (parsePatternInput)
+    assert parse_domain_restriction("a.com") == {
+        "type": "exact", "patterns": ["a.com"]}
+    assert parse_domain_restriction(["a.com, b.com", "c.com"]) == {
+        "type": "exact", "patterns": ["a.com", "b.com", "c.com"]}
+    assert parse_domain_restriction({"type": "glob",
+                                     "patterns": ["*.example.com"]}) == {
+        "type": "glob", "patterns": ["*.example.com"]}
+    assert parse_domain_restriction(None) is None
+    assert parse_domain_restriction({"patterns": "notalist"}) is None
+
+    glob = {"type": "glob", "patterns": ["*.example.com"]}
+    assert validate_domain("https://api.example.com/v1?q=1", glob)[0]
+    assert not validate_domain("https://example.org/", glob)[0]
+    # path globs match with and without trailing slash
+    pglob = {"type": "glob", "patterns": ["api.example.com/v1/*"]}
+    assert validate_domain("https://api.example.com/v1/data", pglob)[0]
+    # exact: full URL or bare hostname
+    exact = {"type": "exact", "patterns": ["https://a.com/x", "b.com"]}
+    assert validate_domain("https://a.com/x", exact)[0]
+    assert validate_domain("https://b.com/anything", exact)[0]
+    assert not validate_domain("https://c.com/", exact)[0]
+    # unrestricted / invalid URL
+    assert validate_domain("https://anything.io/", None)[0]
+    assert not validate_domain("not a url", exact)[0]
+    ok, err = validate_pattern("Hello", {"type": "exact",
+                                         "patterns": ["hello"]})
+    assert ok  # case-insensitive
+    assert not validate_pattern("x", {"type": "exact",
+                                      "patterns": ["y"]})[0]
+
+
+def test_prenav_capture_rules():
+    from anycrawl_ray.state.prenav import PreNavCapture
+
+    cap = PreNavCapture([
+        {"key": "tweets", "rules": [
+            {"type": "glob", "pattern": "https://api.x.test/graphql/*"},
+        ]},
+        {"key": "profile", "rules": [
+            {"type": "regex", "pattern": r"https://api\.x\.test/users/\d+"},
+            {"type": "exact", "pattern": "https://api.x.test/me"},
+        ]},
+        {"key": "bad", "rules": [{"type": "regex", "pattern": "("}]},  # invalid
+        {"key": "", "rules": [{"type": "exact", "pattern": "x"}]},  # dropped
+    ])
+    assert cap.enabled
+    assert sorted(cap.pending_keys()) == ["bad", "profile", "tweets"]
+    assert cap.offer_response("https://api.x.test/graphql/UserTweets",
+                              {"n": 1}) == ["tweets"]
+    # first capture wins; later matches for the same key are ignored
+    assert cap.offer_response("https://api.x.test/graphql/More",
+                              {"n": 2}) == []
+    assert cap.get("tweets") == {"n": 1}
+    # regex is fully anchored
+    assert cap.offer_response("https://api.x.test/users/42/extra", {}) == []
+    assert cap.offer_response("https://api.x.test/users/42",
+                              {"id": 42}) == ["profile"]
+    # invalid regex never matches, wait() returns None (no raise)
+    assert cap.offer_response("anything", {}) == []
+    assert cap.wait("bad", timeout_ms=5) is None
+    assert cap.has("profile") and not cap.has("bad")
+    assert not PreNavCapture([]).enabled
