@@ -199,3 +199,12 @@ def same_scope(strategy: str, seed_url: str, link_url: str) -> bool:
     return _domain_of(seed_host.removeprefix("www.")) == _domain_of(
         link_host.removeprefix("www.")
     )
+
+
+def crawl_data_kv_key(job_id: str, url: str) -> str:
+    """Per-page KV summary key: ``crawl-data-{jobId}-{base64(url)}``
+    (Base.ts:507-516 storeCrawlData). Standard base64 with padding, like
+    Buffer.toString('base64')."""
+    import base64
+
+    return f"crawl-data-{job_id}-{base64.b64encode(url.encode()).decode()}"

@@ -77,3 +77,13 @@ def test_scope_strategies():
 def test_host_of():
     assert host_of("http://A.Test:8080/p") == "a.test"
     assert host_of("not a url") == ""
+
+
+def test_crawl_data_kv_key():
+    # Base.ts:509: crawl-data-${jobId}-${Buffer.from(url).toString('base64')}
+    from anycrawl_ray.functions.urls import crawl_data_kv_key
+
+    assert crawl_data_kv_key("j1", "http://a.test/p") == \
+        "crawl-data-j1-aHR0cDovL2EudGVzdC9w"
+    # padding preserved (Buffer emits padded standard base64)
+    assert crawl_data_kv_key("j", "x").endswith("-eA==")
