@@ -629,3 +629,32 @@ def _empty_docs() -> pa.Table:
     from ..schemas import DOCUMENTS_FULL
 
     return DOCUMENTS_FULL.empty_table().select(DOC_COLUMNS)
+
+
+def job_from_template(job_id: str, url: str, template: dict,
+                      request_options: dict | None = None,
+                      current_user_id: str | None = None,
+                      variables: dict | None = None) -> CrawlJob:
+    """Template-driven crawl-job construction: the TemplateHandler flow
+    (templateHandler.ts:75-160) feeding the CrawlJob dataclass — access
+    check, type check, domain validation, deep option merge (request wins),
+    engine resolution against the live registry, {{var}} URL rendering."""
+    from dataclasses import fields as _fields
+
+    from ..functions.template_system import process_template
+    from ..functions.templates import render_url_template
+    from ..registry import available_engines
+
+    url = render_url_template(url, variables)
+    res = process_template(template, url, request_options or {}, "crawl",
+                           current_user_id,
+                           allowed_engines=tuple(available_engines()))
+    if not res["success"]:
+        raise ValueError(res["error"])
+    opts = dict(res["merged_options"])
+    opts.pop("engine", None)
+    known = {f.name for f in _fields(CrawlJob)} - {"job_id", "seed_urls",
+                                                   "engine"}
+    return CrawlJob(job_id=job_id, seed_urls=[url],
+                    engine=res["engine_name"],
+                    **{k: v for k, v in opts.items() if k in known})

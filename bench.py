@@ -101,6 +101,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _eprint(f"frontier: {admitted} admissions at {frontier_ops:.0f} ops/s")
     del fr  # release shard actors before the query timings
 
+    # scaling children measure ONLY the headline crawl (the efficiency
+    # metric) — rerunning every query at each cpu count would quadruple
+    # the scaling run's wall time for numbers it never reads
+    if os.environ.get("GRAFT_CRAWL_ONLY"):
+        return {
+            "metric": "synthetic-site crawl fetch+parse wall time (headline)",
+            "value": round(crawl_sec, 3),
+            "unit": "sec",
+            "queries": {"crawl_full_site": round(crawl_sec, 3)},
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "pages": int(done),
+            "pages_per_sec": round(done / crawl_sec, 1),
+            "frontier_ops_per_sec": round(frontier_ops, 1),
+        }
+
     # ---- operator timings (untimed ray.data warmup first: the crawl uses
     # its own actor pool, so the first Dataset execution would otherwise
     # pay the ray.data worker cold-start inside a query's timing)
@@ -148,7 +164,8 @@ def _run_at(ncpu: int, sf_dir: str, trials: int = 2) -> dict:
     wall-time benchmarks."""
     best = None
     for t in range(trials):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_CRAWL_ONLY="1")
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, capture_output=True, text=True, check=True,
                               cwd=os.path.dirname(os.path.abspath(__file__)))

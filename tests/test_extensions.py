@@ -835,3 +835,31 @@ def test_prenav_capture_rules():
     assert cap.wait("bad", timeout_ms=5) is None
     assert cap.has("profile") and not cap.has("bad")
     assert not PreNavCapture([]).enabled
+
+
+def test_job_from_template_end_to_end():
+    import pytest
+
+    from anycrawl_ray.pipelines.crawl import job_from_template
+
+    tpl = {"template_type": "crawl", "created_by": "u1",
+           "status": "published", "review_status": "approved",
+           "req_options": {"max_depth": 3, "formats": ["markdown", "html"],
+                           "limit": 25, "strategy": "same-domain",
+                           "wait_for": 100},
+           "allowed_domains": {"type": "glob", "patterns": ["*.site.test"]},
+           "engine": "browser-sim"}
+    job = job_from_template(
+        "tj", "http://{{sub}}.site.test/start", tpl,
+        request_options={"limit": 10}, variables={"sub": "a"})
+    assert job.seed_urls == ["http://a.site.test/start"]
+    assert job.engine == "browser-sim"
+    assert job.limit == 10          # request wins
+    assert job.max_depth == 3       # template fills
+    assert job.formats == ["markdown", "html"]
+    assert job.wait_for == 100
+    with pytest.raises(ValueError, match="not allowed"):
+        job_from_template("tj", "http://other.test/", tpl)
+    with pytest.raises(ValueError, match="type mismatch"):
+        job_from_template("tj", "http://a.site.test/",
+                          {**tpl, "template_type": "scrape"})
