@@ -722,7 +722,9 @@ def docs_minhash_pairs(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # 32 blocks: signature compute parallelizes across the session's CPUs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         override_num_blocks=32)
     out = minhash_lsh_pairs(ds, threshold=0.5)
     return _scaled(out, {"jaccard": 1_000_000})
 
@@ -731,7 +733,8 @@ def docs_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                         override_num_blocks=32)
     return simhash_pairs(ds, max_hamming=3)
 
 
