@@ -272,8 +272,14 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
     cand = _dedup_pairs(cand_ds).materialize()
     if cand.count() == 0:
         return empty
-    # one pass for both sides' distinct ids
-    need = sorted(set(cand.unique("a")) | set(cand.unique("b")))
+    # distinct candidate ids in one pass over the (pairs-sized) dataset;
+    # Dataset.unique's set-aggregate chokes on many tiny blocks (ndarray
+    # accumulators), and we need the id list driver-side anyway
+    need_set: set = set()
+    for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        need_set.update(b.column("a").to_pylist())
+        need_set.update(b.column("b").to_pylist())
+    need = sorted(need_set)
     need_ref = ray.put(pa.array(need))
 
     def semi_join_filter(batch: pa.Table) -> pa.Table:
