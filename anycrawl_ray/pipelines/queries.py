@@ -1205,6 +1205,43 @@ def media_features(sf_dir: str):
     return table.select(["media_id", "payload_hash"])
 
 
+def media_resize(sf_dir: str):
+    """Multimodal resize stage (actor pool, stub codec): binary payloads ->
+    4x4 resampled payloads; rows-only (pixel kernels pinned by pytest)."""
+    from ..stages.media import media_table_from_documents, resize_images
+
+    rd = _rd()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_table_from_documents(docs)
+    conc = _conc()
+    ds = rd.from_arrow(media, override_num_blocks=max(conc * 2, 4))
+    out = resize_images(ds, target_w=4, target_h=4, concurrency=conc)
+    table = pa.concat_tables(out.iter_batches(batch_size=8192,
+                                              batch_format="pyarrow"))
+    return table.select(["media_id", "width", "height"])
+
+
+def media_frames(sf_dir: str):
+    """Multimodal frame sampling (flat-map row explosion in an actor
+    pool): durations derived per doc; rows-only."""
+    from ..stages.media import media_table_from_documents, sample_frames
+
+    rd = _rd()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = media_table_from_documents(docs)
+    # deterministic per-row durations so rows explode non-trivially
+    ids = media.column("media_id").to_pylist()
+    dur = pa.array([(i % 5) * 1000 for i in range(len(ids))], pa.int32())
+    media = media.set_column(media.schema.get_field_index("duration_ms"),
+                             "duration_ms", dur)
+    conc = _conc()
+    ds = rd.from_arrow(media, override_num_blocks=max(conc * 2, 4))
+    out = sample_frames(ds, every_ms=1000, concurrency=conc)
+    table = pa.concat_tables(out.iter_batches(batch_size=8192,
+                                              batch_format="pyarrow"))
+    return table.select(["media_id", "frame_idx", "ts_ms"])
+
+
 # ===================================================================
 # Registry
 # ===================================================================
@@ -1246,6 +1283,8 @@ QUERIES = {
     "serp_searxng": _serp_query("searxng"),
     "serp_ac_engine": _serp_query("ac-engine"),
     "media_features": media_features,
+    "media_resize": media_resize,
+    "media_frames": media_frames,
     "training_pipeline": training_pipeline,
     "crawl_span_stats": crawl_span_stats,
 }

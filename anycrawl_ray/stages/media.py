@@ -106,3 +106,92 @@ def extract_media_features(ds, concurrency: int = 2, batch_size: int = 64):
         # starves the feeding tasks (deadlocks small sessions)
         num_cpus=0.5,
     )
+
+
+class ImageResizer:
+    """Actor-pool resize stage: decode -> nearest-neighbor resample to
+    (target_w, target_h) -> re-encoded payload + updated metadata.
+
+    Real plumbing, stub codec: resampling runs on the stub-decoded pixel
+    grid with the exact indexing a PIL ``Image.resize(..., NEAREST)``
+    performs; a real build swaps ``decode_image``/``encode``. Small
+    ``batch_size`` stays the rule — payload cells are wide."""
+
+    def __init__(self, target_w: int = 4, target_h: int = 4) -> None:
+        self.target_w = target_w
+        self.target_h = target_h
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        # nearest-neighbor index maps (floor((i+0.5)*src/dst), PIL NEAREST)
+        rows = np.minimum(((np.arange(self.target_h) + 0.5) * h
+                           / self.target_h).astype(np.int64), h - 1)
+        cols = np.minimum(((np.arange(self.target_w) + 0.5) * w
+                           / self.target_w).astype(np.int64), w - 1)
+        return img[rows][:, cols]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        out_payload = []
+        for p in payloads:
+            small = self._resize(decode_image(p or b""))
+            out_payload.append(small.tobytes())
+        n = len(payloads)
+        return (
+            batch.set_column(batch.schema.get_field_index("payload"),
+                             "payload", pa.array(out_payload, pa.binary()))
+            .set_column(batch.schema.get_field_index("width"), "width",
+                        pa.array([self.target_w] * n, pa.int32()))
+            .set_column(batch.schema.get_field_index("height"), "height",
+                        pa.array([self.target_h] * n, pa.int32()))
+        )
+
+
+class FrameSampler:
+    """Actor-pool video frame-sampling stage: one row in -> ``fps``-spaced
+    frame rows out (flat_map shape via map_batches row explosion).
+
+    Stub codec: each sampled frame is the stub-decoded grid reseeded by
+    (payload, frame_ts) — deterministic; a real build decodes the
+    container and seeks. Output schema: (media_id, frame_idx, ts_ms,
+    frame_payload) — frames flow on, source payloads don't."""
+
+    def __init__(self, every_ms: int = 1000) -> None:
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        durations = batch.column("duration_ms").to_pylist()
+        out_id, out_idx, out_ts, out_frame = [], [], [], []
+        for mid, p, dur in zip(ids, payloads, durations):
+            n_frames = max(1, int(dur or 0) // self.every_ms + 1)
+            for k in range(n_frames):
+                ts = k * self.every_ms
+                frame = decode_image((p or b"") + ts.to_bytes(8, "little"))
+                out_id.append(mid)
+                out_idx.append(k)
+                out_ts.append(ts)
+                out_frame.append(frame.tobytes())
+        return pa.table({
+            "media_id": pa.array(out_id, pa.string()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "ts_ms": pa.array(out_ts, pa.int32()),
+            "frame_payload": pa.array(out_frame, pa.binary()),
+        })
+
+
+def resize_images(ds, target_w: int = 4, target_h: int = 4,
+                  concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h})
+
+
+def sample_frames(ds, every_ms: int = 1000, concurrency: int = 2,
+                  batch_size: int = 64):
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs={"every_ms": every_ms})

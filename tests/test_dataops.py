@@ -243,3 +243,52 @@ def test_embedding_brute_matches_numpy_and_lsh_recall(ray_session):
     lsh_pairs = set(zip(lsh.column("a").to_pylist(), lsh.column("b").to_pylist()))
     assert lsh_pairs <= set(got)
     assert len(lsh_pairs) >= 0.7 * len(got)  # banded recall
+
+
+def test_media_resize_and_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.media import (
+        FrameSampler,
+        ImageResizer,
+        decode_image,
+        media_table_from_documents,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": ["alpha beta", "gamma delta", "epsilon"]})
+    media = media_table_from_documents(docs)
+    # give row 2 a video-ish duration so frame sampling explodes it
+    media = media.set_column(media.schema.get_field_index("duration_ms"),
+                             "duration_ms", pa.array([0, 2500, 999], pa.int32()))
+
+    out = pa.concat_tables(resize_images(
+        rd.from_arrow(media), target_w=4, target_h=4,
+        concurrency=2).iter_batches(batch_size=100, batch_format="pyarrow"))
+    assert out.column("width").to_pylist() == [4, 4, 4]
+    assert all(len(p) == 16 for p in out.column("payload").to_pylist())
+    # deterministic: equals the inline kernel
+    inline = ImageResizer(4, 4)._resize(decode_image("alpha beta".encode()))
+    row = out.filter(pa.compute.equal(out.column("media_id"), "m1"))
+    assert row.column("payload").to_pylist()[0] == inline.tobytes()
+
+    frames = pa.concat_tables(sample_frames(
+        rd.from_arrow(media), every_ms=1000,
+        concurrency=2).iter_batches(batch_size=100, batch_format="pyarrow"))
+    per = frames.group_by("media_id").aggregate([("frame_idx", "count")])
+    counts = dict(zip(per.column("media_id").to_pylist(),
+                      per.column("frame_idx_count").to_pylist()))
+    # 0ms -> 1 frame, 2500ms -> 3 frames (0,1000,2000), 999ms -> 1
+    assert counts == {"m1": 1, "m2": 3, "m3": 1}
+    m2 = frames.filter(pa.compute.equal(frames.column("media_id"), "m2"))
+    assert sorted(m2.column("ts_ms").to_pylist()) == [0, 1000, 2000]
+    # frames at different timestamps differ (reseeded decode)
+    payloads = m2.column("frame_payload").to_pylist()
+    assert len(set(payloads)) == 3
+    # inline equality for a specific frame
+    f = FrameSampler(1000)
+    want = decode_image("gamma delta".encode() + (1000).to_bytes(8, "little"))
+    got = m2.filter(pa.compute.equal(m2.column("ts_ms"), 1000))
+    assert got.column("frame_payload").to_pylist()[0] == want.tobytes()
