@@ -1205,6 +1205,33 @@ def media_features(sf_dir: str):
     return table.select(["media_id", "payload_hash"])
 
 
+def embeddings_knn_ivf_index(sf_dir: str):
+    """Persistent IVF index path: build (k-means + cluster-partitioned
+    parquet under /tmp) then search with REAL partition pruning — only the
+    probed cluster directories are read. Rows-only (ANN; recall vs brute
+    pinned by pytest)."""
+    import hashlib
+    import shutil
+
+    from ..stages.similarity import IVFIndex
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    q_ids = emb.column("vec_id").to_pylist()[:5]
+    queries = np.asarray(emb.column("embedding").to_pylist()[:5],
+                         dtype=np.float64)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = f"/tmp/ivf_index_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    index = IVFIndex.build(ds, idx_dir, n_clusters=8)
+    out = index.search(queries, q_ids, k=10, nprobe=3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
 def media_resize(sf_dir: str):
     """Multimodal resize stage (actor pool, stub codec): binary payloads ->
     4x4 resampled payloads; rows-only (pixel kernels pinned by pytest)."""
@@ -1275,6 +1302,7 @@ QUERIES = {
     "embeddings_neardup_brute": embeddings_neardup_brute,
     "embeddings_knn": embeddings_knn,
     "embeddings_knn_ivf": embeddings_knn_ivf,
+    "embeddings_knn_ivf_index": embeddings_knn_ivf_index,
     "crawl_reachable": crawl_reachable,
     "crawl_browser_screenshots": crawl_browser_screenshots,
     "crawl_lineage": crawl_lineage,

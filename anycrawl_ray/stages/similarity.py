@@ -125,3 +125,76 @@ def ivf_knn(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     return _merge_topk(partials, k)
+
+
+class IVFIndex:
+    """Persistent IVF index with REAL partition pruning (the v2 of
+    ``ivf_knn``, whose one-shot form still scans every row to assign
+    clusters at query time).
+
+    ``build`` fits seeded k-means on a sample (driver, once), assigns a
+    cluster id per row in ``map_batches`` (broadcast centroids) and writes
+    hive-partitioned parquet ``cluster=K/...`` — the resumable layout the
+    100-TB brief asks for. ``search`` reads ONLY the probed clusters'
+    directories (column- and partition-pruned ``read_parquet``), so query
+    cost scales with nprobe/n_clusters of the corpus, not the corpus.
+    """
+
+    def __init__(self, index_dir: str, centroids: np.ndarray) -> None:
+        self.index_dir = index_dir
+        self.centroids = centroids
+
+    @classmethod
+    def build(cls, ds, index_dir: str, n_clusters: int = 16,
+              sample_size: int = 2048, seed: int = 42) -> "IVFIndex":
+        import os
+
+        import ray
+
+        sample = ds.limit(sample_size).to_pandas()["embedding"].tolist()
+        centroids = kmeans_fit(np.asarray(sample), n_clusters, seed=seed)
+        cent_ref = ray.put(centroids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            emb = _normalize(_batch_embeddings(batch))
+            cluster = (emb @ cents.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("cluster", pa.array(cluster))
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            index_dir, partition_cols=["cluster"])
+        np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+        return cls(index_dir, centroids)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IVFIndex":
+        import os
+
+        return cls(index_dir,
+                   np.load(os.path.join(index_dir, "centroids.npy")))
+
+    def search(self, queries: np.ndarray, query_ids: list[int], k: int = 10,
+               nprobe: int = 4):
+        import os
+
+        import ray.data as rd
+
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        needed = sorted({int(c) for p in probe for c in p})
+        paths = []
+        for c in needed:
+            cdir = os.path.join(self.index_dir, f"cluster={c}")
+            if os.path.isdir(cdir):
+                paths.extend(os.path.join(cdir, f)
+                             for f in sorted(os.listdir(cdir))
+                             if f.endswith(".parquet"))
+        if not paths:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int32()),
+                             "cosine": pa.array([], pa.float64())})
+        # partition-pruned read: only probed clusters leave storage
+        sub = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+        return knn_brute(sub, queries, query_ids, k=k)

@@ -292,3 +292,37 @@ def test_media_resize_and_frame_sampling(ray_session):
     want = decode_image("gamma delta".encode() + (1000).to_bytes(8, "little"))
     got = m2.filter(pa.compute.equal(m2.column("ts_ms"), 1000))
     assert got.column("frame_payload").to_pylist()[0] == want.tobytes()
+
+
+def test_ivf_index_partition_pruning(ray_session, tmp_path):
+    """IVFIndex: build writes hive-partitioned cluster dirs; search reads
+    only probed clusters and its results equal ivf_knn-style ANN recall
+    (>= brute recall bound pinned for ivf_knn); centroids round-trip."""
+    import os
+
+    from anycrawl_ray.stages.similarity import IVFIndex, knn_brute
+
+    rng = np.random.default_rng(2)
+    centers = rng.standard_normal((8, 32)) * 3
+    mat = np.concatenate([c + rng.standard_normal((40, 32)) for c in centers])
+    ds = _emb_ds(mat)
+    idx_dir = str(tmp_path / "ivf")
+    index = IVFIndex.build(ds, idx_dir, n_clusters=8)
+    parts = [n for n in os.listdir(idx_dir) if n.startswith("cluster=")]
+    assert len(parts) >= 4  # clustered data spreads over partitions
+    # reload from disk
+    index2 = IVFIndex.load(idx_dir)
+    assert np.array_equal(index.centroids, index2.centroids)
+    q = mat[:5]
+    ids = list(range(5))
+    brute = knn_brute(_emb_ds(mat), q, ids, k=10).to_pandas()
+    approx = index2.search(q, ids, k=10, nprobe=3).to_pandas()
+    recalls = []
+    for qi in ids:
+        want = set(brute[brute["query_id"] == qi]["neighbor_id"])
+        got = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(want & got) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.8
+    # pruning is real: nprobe=1 must touch exactly one partition's rows
+    one = index2.search(q[:1], [0], k=5, nprobe=1).to_pandas()
+    assert len(one) == 5
