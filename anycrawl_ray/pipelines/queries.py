@@ -1151,8 +1151,9 @@ FROM documents
 def training_pipeline(sf_dir: str):
     """Flagship composition (rows-only): crawl the synthetic site, flatten
     markdown spans to document text, score quality, drop low-quality docs,
-    exact-dedup by text — the end-to-end shape of a training-data
-    curation pipeline over crawl output."""
+    language-ID (actor pool), exact-dedup by text, then minhash near-dup
+    removal (later pair member dropped) — the end-to-end training-data
+    curation chain over crawl output."""
     import ray
     import ray.data as rd
 
@@ -1182,8 +1183,44 @@ def training_pipeline(sf_dir: str):
         lambda b: b.filter(pc.greater(b.column("quality"), 0.3)),
         batch_format="pyarrow",
     )
-    deduped = exact_dedup(ds).to_pandas()
-    out = deduped[["doc_id", "n_tokens", "quality", "n_copies"]].sort_values("doc_id")
+    # language ID (actor pool) rides along for the curation record
+    from ..stages.text_analysis import LangId
+
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=_conc(),
+                        num_cpus=0.5)
+    deduped_ds = exact_dedup(ds)
+
+    # near-dup removal: minhash pairs over the exact-dedup survivors; the
+    # LATER member of each verified pair is dropped (first-sight-wins,
+    # consistent with the frontier's dedup semantics). doc ids map to the
+    # integer crawl seq for the pair machinery.
+    from ..stages.dedup import minhash_lsh_pairs
+
+    def with_num(b: pa.Table) -> pa.Table:
+        nums = [int(d.rsplit("_", 1)[1]) for d in b.column("doc_id").to_pylist()]
+        return b.append_column("doc_num", pa.array(nums, pa.int64()))
+
+    numbered = deduped_ds.map_batches(with_num, batch_format="pyarrow"
+                                      ).materialize()
+    pair_input = numbered.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_num"),
+                            "text": b.column("text")}),
+        batch_format="pyarrow")
+    pairs = minhash_lsh_pairs(pair_input, threshold=0.5)
+    drop = set(pairs.column("b").to_pylist())
+    import ray as _ray
+
+    drop_ref = _ray.put(pa.array(sorted(drop), pa.int64()))
+
+    def drop_neardups(b: pa.Table) -> pa.Table:
+        from ..stages.dedup import _cached_get
+
+        mask = pc.is_in(b.column("doc_num"), value_set=_cached_get(drop_ref))
+        return b.filter(pc.invert(mask))
+
+    kept = numbered.map_batches(drop_neardups, batch_format="pyarrow")
+    out = kept.to_pandas()[["doc_id", "lang_guess", "n_tokens", "quality",
+                            "n_copies"]].sort_values("doc_id")
     table = pa.Table.from_pandas(out, preserve_index=False)
     return _scaled(table, {"quality": 1_000_000})
 
