@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..stages.fetch import build_lookup, cached_lookup, fetch_batch
+from ..stages.fetch import cached_fetcher
 from ..stages.parse import PageParser
 
 
@@ -35,15 +35,21 @@ def run_scrape_many(
     include_tags: list[str] | None = None,
     exclude_tags: list[str] | None = None,
     batch_size: int = 256,
+    engine: str = "cheerio",
+    **engine_options,
 ) -> pa.Table:
     """Scrape a list of URLs against the page table. Returns
-    (doc_id, spans, job_id, url, status) in input order."""
+    (doc_id, spans, job_id, url, status) in input order. ``engine``
+    resolves through the registry (cheerio / browser-sim / ...);
+    ``engine_options`` carries wait_for / wait_until / wait_for_selector."""
     job = {
         "job_id": job_id,
         "formats": formats or ["markdown"],
         "include_tags": include_tags,
         "exclude_tags": exclude_tags,
         "max_depth": 0,  # no link following in scrape mode
+        "engine": engine,
+        **engine_options,
     }
     parser = PageParser(job)
     wave = _wave_like(urls, job_id)
@@ -54,7 +60,8 @@ def run_scrape_many(
         pages_ref = ray.put(pages)
 
         def fn(batch: pa.Table) -> pa.Table:
-            return parser(fetch_batch(batch, cached_lookup(pages_ref)))
+            fetcher = cached_fetcher(engine, pages_ref, job)
+            return parser(fetcher(batch))
 
         ds = ray.data.from_arrow(wave).map_batches(
             fn, batch_format="pyarrow", batch_size=batch_size
@@ -63,7 +70,7 @@ def run_scrape_many(
             [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
         ).sort_by("discovered_seq")
     else:
-        parsed = parser(fetch_batch(wave, build_lookup(pages)))
+        parsed = parser(cached_fetcher(engine, pages, job)(wave))
     out = parsed.select(["doc_id", "spans", "job_id", "url", "status"])
     return out
 

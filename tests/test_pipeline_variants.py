@@ -175,3 +175,22 @@ def test_pagination_numeric_epoch_order(tmp_path):
     # regression: lexicographic epoch walk would misorder epoch>=10
     names = sorted(x for x in __import__("os").listdir(str(tmp_path / "np")))
     assert names.index("epoch=10") < names.index("epoch=2")  # lexicographic trap exists
+
+
+def test_scrape_many_engine_registry(ray_session):
+    """run_scrape_many resolves engines through the registry: browser-sim
+    produces the same span documents as cheerio plus screenshot spans when
+    the format asks for them."""
+    from anycrawl_ray.pipelines.scrape import run_scrape_many
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    urls = [page_url(i) for i in range(10)]
+    base = run_scrape_many(urls, pages, formats=["markdown"])
+    sim = run_scrape_many(urls, pages, formats=["markdown"],
+                          engine="browser-sim", wait_for_selector="h1")
+    assert base.equals(sim)  # same documents, engine-independent
+    shot = run_scrape_many(urls, pages, formats=["markdown", "screenshot"],
+                           engine="browser-sim")
+    kinds = [s["kind"] for s in shot.column("spans").to_pylist()[0]]
+    assert "screenshot" in kinds
