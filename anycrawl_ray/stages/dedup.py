@@ -41,19 +41,52 @@ from .text_analysis import _mix64_np, token_hashes
 
 
 def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    hashes = [xxh64(t) for t in batch.column(text_col).to_pylist()]
-    return batch.append_column("text_hash", pa.array(hashes, pa.uint64()))
+    # int64 bit-view of xxh64: pandas-backed grouped blocks pickle uint64
+    # values above 2^63 (hash identity is all that matters here)
+    hashes = np.array([xxh64(t) for t in batch.column(text_col).to_pylist()],
+                      dtype=np.uint64).view(np.int64)
+    return batch.append_column("text_hash", pa.array(hashes))
 
 
 def exact_dedup(ds, text_col: str = "text"):
     """Dataset -> Dataset of survivors (min doc_id per identical text) with
     an ``n_copies`` column. First-occurrence-wins like the frontier's
-    seen-set (§2.7)."""
+    seen-set (§2.7).
+
+    Singleton fast path (same shape as the LSH collision filter): a
+    vectorized Count aggregate finds the duplicated hashes (small —
+    O(duplicate groups)); unique-text rows pass straight through with
+    ``n_copies=1`` in pure Arrow, and only actual duplicate groups pay the
+    per-group reduce."""
     import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
 
     hashed = ds.map_batches(
         lambda b: add_text_hash(b, text_col), batch_format="pyarrow"
-    )
+    ).materialize()
+    counts = hashed.groupby("text_hash").aggregate(Count(alias_name="n"))
+    dup = counts.filter(expr="n >= 2").to_pandas()
+
+    def all_unique(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_copies", pa.array([1] * batch.num_rows, pa.int64()))
+
+    if len(dup) == 0:
+        return hashed.map_batches(all_unique, batch_format="pyarrow")
+    dup_ref = ray.put(pa.array(dup["text_hash"], pa.int64()))
+
+    def singleton_pass(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("text_hash"),
+                        value_set=_cached_get(dup_ref))
+        kept = batch.filter(pc.invert(mask))
+        return kept.append_column(
+            "n_copies", pa.array([1] * kept.num_rows, pa.int64()))
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("text_hash"),
+                                     value_set=_cached_get(dup_ref)))
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values("doc_id")
@@ -61,7 +94,10 @@ def exact_dedup(ds, text_col: str = "text"):
         first["n_copies"] = len(group)
         return first
 
-    return hashed.groupby("text_hash").map_groups(keep_first, batch_format="pandas")
+    singles = hashed.map_batches(singleton_pass, batch_format="pyarrow")
+    dups = hashed.map_batches(dup_only, batch_format="pyarrow").groupby(
+        "text_hash").map_groups(keep_first, batch_format="pandas")
+    return singles.union(dups)
 
 
 # ------------------------------------------------------------- minhash/LSH
