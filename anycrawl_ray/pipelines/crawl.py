@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.fetch import build_lookup, cached_fetcher, cached_lookup, fetch_batch
+from ..stages.fetch import build_lookup, cached_fetcher
 from ..stages.parse import PageParser
 from ..state.frontier import Frontier
 
@@ -477,7 +477,6 @@ def run_crawl(
     """Run one crawl job to completion (or until ``crash_after_epoch`` for
     resume tests). Ray must already be initialised when ``use_ray``."""
     pages_ref = None
-    lookup = None
     if use_ray:
         pages_ref = _memoized_put(pages)
     # inline lookup also needed for sub-threshold waves + robots; the

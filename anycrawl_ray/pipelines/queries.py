@@ -758,7 +758,10 @@ def docs_ngram_jaccard(sf_dir: str):
 
 
 _NGRAM_JACCARD_SQL = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '') AS w
+     FROM documents),
 bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bg
        FROM w, UNNEST(range(1, len(w))) AS t(i)),
 sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),

@@ -172,8 +172,10 @@ class BrowserSimFetcher:
                     selector_hits += 1
                 else:
                     # reference catches the timeout and continues; the
-                    # full configured timeout elapses
-                    wait_ms += int(entry["timeout"] or 30_000)
+                    # full configured timeout elapses (explicit 0 is a
+                    # real value, only None means the 30 s default)
+                    t = entry["timeout"]
+                    wait_ms += int(t if t is not None else 30_000)
         shot = (fake_screenshot_bytes(url)
                 if self.capture_screenshot and status and html else b"")
         return status, html, nbytes, wait_ms, ads_blocked, selector_hits, shot

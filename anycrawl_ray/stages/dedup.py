@@ -369,6 +369,9 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
         verified = cand.map_batches(verify_broadcast, batch_format="pyarrow")
     else:
         n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+        # both join sides consume the filtered payloads; without this the
+        # full corpus scan in semi_join_filter would execute twice
+        cand_payloads = cand_payloads.materialize()
         side_a = cand_payloads.map_batches(
             lambda b: b.rename_columns(["a", "payload_a"]),
             batch_format="pyarrow")

@@ -116,7 +116,11 @@ _FETCHER_OPTION_KEYS = ("wait_for", "wait_until", "wait_for_selector",
 
 
 def cached_fetcher(engine: str, pages_ref, options: dict | None = None):
-    """Resolve + memoize a fetch stage from the engine registry."""
+    """Resolve + memoize a fetch stage from the engine registry.
+
+    Inline (non-ObjectRef) page tables are pinned in the cache entry and
+    re-checked by identity — ``id()`` alone can be recycled after GC,
+    which would silently serve a stale fetcher for a different corpus."""
     from ..registry import get_engine
 
     opts = {k: options[k] for k in _FETCHER_OPTION_KEYS
@@ -124,12 +128,18 @@ def cached_fetcher(engine: str, pages_ref, options: dict | None = None):
     key = (engine,
            pages_ref.hex() if hasattr(pages_ref, "hex") else str(id(pages_ref)),
            repr(sorted(opts.items())))
-    fetcher = _FETCHER_CACHE.get(key)
-    if fetcher is None:
-        if len(_FETCHER_CACHE) > 8:
-            _FETCHER_CACHE.clear()
-        fetcher = get_engine(engine)(pages_ref, options=opts)
-        _FETCHER_CACHE[key] = fetcher
+    entry = _FETCHER_CACHE.get(key)
+    if entry is not None:
+        pinned, fetcher = entry
+        # ObjectRef keys (pinned None) are stable by hex; inline tables
+        # must still be the same object
+        if pinned is None or pinned is pages_ref:
+            return fetcher
+    if len(_FETCHER_CACHE) > 8:
+        _FETCHER_CACHE.clear()
+    fetcher = get_engine(engine)(pages_ref, options=opts)
+    pin = None if hasattr(pages_ref, "hex") else pages_ref
+    _FETCHER_CACHE[key] = (pin, fetcher)
     return fetcher
 
 

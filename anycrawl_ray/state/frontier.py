@@ -91,7 +91,8 @@ def _link_or_copy(src: str, dst: str) -> None:
     try:
         os.link(src, dst)
     except OSError as e:
-        if e.errno not in (errno.EXDEV, errno.EPERM, errno.ENOTSUP,
+        if e.errno not in (errno.EXDEV, errno.EPERM, errno.EACCES,
+                           errno.ENOTSUP, errno.ENOSYS,
                            getattr(errno, "EOPNOTSUPP", errno.ENOTSUP),
                            errno.EMLINK):
             raise

@@ -62,9 +62,10 @@ class Cron:
         self.hour = _parse_field(fields[1], 0, 23)
         self.dom = _parse_field(fields[2], 1, 31)
         self.month = _parse_field(fields[3], 1, 12)
-        # 0 and 7 are both Sunday
-        dow = _parse_field(fields[4].replace("7", "0"), 0, 6)
-        self.dow = dow
+        # 0 and 7 are both Sunday: parse with 7 allowed, then fold 7 -> 0
+        # (a string replace would corrupt ranges/steps like "1-7" or "*/7")
+        dow = _parse_field(fields[4], 0, 7)
+        self.dow = frozenset(0 if v == 7 else v for v in dow)
         self._dom_star = fields[2] == "*"
         self._dow_star = fields[4] == "*"
 

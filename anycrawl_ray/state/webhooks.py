@@ -47,6 +47,10 @@ _PRIVATE_V4 = (
     re.compile(r"^172\.(1[6-9]|2[0-9]|3[0-1])\."),
     re.compile(r"^192\.168\."),
     re.compile(r"^169\.254\."),
+    # defensive extension beyond Webhook.ts:15-17 (which only matches the
+    # literal 127.0.0.1): the whole loopback /8 and the unspecified address
+    re.compile(r"^127\."),
+    re.compile(r"^0\.0\.0\.0$"),
 )
 
 
@@ -71,10 +75,19 @@ def is_private_ip(url: str) -> bool:
     return False
 
 
+def serialize_payload(payload) -> str:
+    """Canonical wire serialization: compact separators + unescaped
+    non-ASCII, byte-identical to ``JSON.stringify`` for the payload shapes
+    the reference emits. The SAME string is signed and transmitted —
+    signing one serialization and sending another would make every
+    receiver-side signature check fail."""
+    return json.dumps(payload, separators=(",", ":"), ensure_ascii=False)
+
+
 def sign_payload(payload, secret: str) -> str:
-    """Webhook.ts:371-375 — ``sha256=`` + HMAC-SHA256 hex over the JSON
-    serialization (compact separators match JSON.stringify)."""
-    body = json.dumps(payload, separators=(",", ":"))
+    """Webhook.ts:371-375 — ``sha256=`` + HMAC-SHA256 hex over the wire
+    serialization (see ``serialize_payload``)."""
+    body = serialize_payload(payload)
     digest = hmac.new(secret.encode(), body.encode(), hashlib.sha256)
     return f"sha256={digest.hexdigest()}"
 
@@ -198,9 +211,12 @@ class WebhookManager:
         headers.update(delivery.request_headers or {})
         headers.update(sub.custom_headers or {})
         try:
+            # transport receives the SERIALIZED body — the exact bytes the
+            # signature covers
             status, _resp_headers, resp_body = self.transport(
                 delivery.request_method, delivery.request_url, headers,
-                delivery.request_body, sub.timeout_seconds)
+                serialize_payload(delivery.request_body),
+                sub.timeout_seconds)
             if not 200 <= status < 300:
                 raise RuntimeError(f"HTTP {status}")
         except Exception as e:  # noqa: BLE001 — any transport error retries

@@ -863,3 +863,117 @@ def test_job_from_template_end_to_end():
     with pytest.raises(ValueError, match="type mismatch"):
         job_from_template("tj", "http://a.site.test/",
                           {**tpl, "template_type": "scrape"})
+
+
+# ------------------------------------------- review-fix regression tests
+def test_cron_dow_seven_and_steps():
+    """Review fix: '7' in dow ranges/steps must not be string-mangled."""
+    from anycrawl_ray.state.scheduler import Cron
+
+    every_day = Cron("0 0 * * 1-7")
+    # 1-7 covers all days (7 folds to Sunday=0)
+    for day in range(1, 8):
+        assert every_day.matches(_utc(2026, 2, day, 0, 0)), day
+    assert Cron("0 0 * * 7").matches(_utc(2026, 1, 4, 0, 0))  # Sunday
+    assert Cron("0 0 * * 0").matches(_utc(2026, 1, 4, 0, 0))
+
+
+def test_webhook_signs_exact_transmitted_bytes():
+    """Review fix: the HMAC must cover the same serialized bytes the
+    transport receives — incl. non-ASCII content."""
+    import hashlib
+    import hmac as _hmac
+
+    from anycrawl_ray.state.webhooks import (
+        WebhookManager,
+        WebhookSubscription,
+        serialize_payload,
+    )
+
+    seen = {}
+
+    def transport(method, url, headers, body, timeout_s):
+        seen["body"] = body
+        seen["sig"] = headers["X-AnyCrawl-Signature"]
+        return 200, {}, None
+
+    mgr = WebhookManager(transport, clock=_FakeClock())
+    sub = WebhookSubscription(webhook_url="https://h.example.com/x",
+                              secret="s", event_types=("e",))
+    mgr.subscribe(sub)
+    payload = {"title": "café news", "n": 1}
+    mgr.trigger_event("e", payload, "job", "j")
+    mgr.process_queue()
+    assert isinstance(seen["body"], str)
+    assert seen["body"] == serialize_payload(payload)
+    want = _hmac.new(b"s", seen["body"].encode(), hashlib.sha256).hexdigest()
+    assert seen["sig"] == f"sha256={want}"
+
+
+def test_private_ip_loopback_range_blocked():
+    from anycrawl_ray.state.webhooks import is_private_ip
+
+    assert is_private_ip("http://127.0.0.2/cb")  # whole /8, not just .1
+    assert is_private_ip("http://0.0.0.0/cb")
+    assert not is_private_ip("http://128.0.0.1/cb")
+
+
+def test_browser_selector_timeout_zero_not_defaulted():
+    import pyarrow as pa
+
+    from anycrawl_ray.stages.browser import BrowserSimFetcher
+
+    pages = pa.table({"url": ["http://b.test/a"],
+                      "status_code": pa.array([200], pa.int32()),
+                      "html": ["<html><body><p>x</p></body></html>"],
+                      "content_bytes": pa.array([10], pa.int64())})
+    f = BrowserSimFetcher(pages, options={
+        "wait_for_selector": [{"selector": ".missing", "timeout": 0}]})
+    out = f(pa.table({"url": ["http://b.test/a"]}))
+    assert out.column("sim_wait_ms").to_pylist() == [0]
+
+
+def test_cached_fetcher_no_stale_inline_table(ray_session):
+    """Review fix: a recycled id() on a NEW inline page table must not
+    serve the previous table's fetcher."""
+    import pyarrow as pa
+
+    from anycrawl_ray.stages.fetch import _FETCHER_CACHE, cached_fetcher
+
+    def mk(html):
+        return pa.table({"url": ["http://c.test/"],
+                         "status_code": pa.array([200], pa.int32()),
+                         "html": [html],
+                         "content_bytes": pa.array([5], pa.int64())})
+
+    _FETCHER_CACHE.clear()
+    t1 = mk("<p>one</p>")
+    f1 = cached_fetcher("cheerio", t1)
+    # simulate id reuse: force the stale entry under t2's key
+    t2 = mk("<p>two</p>")
+    stale_key = ("cheerio", str(id(t2)), repr([]))
+    _FETCHER_CACHE[stale_key] = (t1, f1)
+    f2 = cached_fetcher("cheerio", t2)
+    out = f2(pa.table({"url": ["http://c.test/"]}))
+    assert out.column("html").to_pylist() == ["<p>two</p>"]
+    # same-object hit still memoizes
+    assert cached_fetcher("cheerio", t2) is f2
+
+
+def test_normalize_schema_bag_wraps_nested_arrays_like_reference():
+    """Pin the REFERENCE behavior (LLMExtract.ts:36-48): a type-less
+    property bag normalizes each value through normalizeSchema itself, so
+    an array value inside a bag IS wrapped in {items: ...} — only values
+    under an explicitly typed object schema keep their raw array shape."""
+    from anycrawl_ray.functions.json_schema import normalize_schema
+
+    bag = {"tags": {"type": "array", "items": {"type": "string"}}}
+    out = normalize_schema(bag)
+    tags = out["properties"]["tags"]
+    assert tags["type"] == "object" and tags["required"] == ["items"]
+    # typed object schema: array property is NOT wrapped
+    typed = normalize_schema({
+        "type": "object",
+        "properties": {"tags": {"type": "array",
+                                "items": {"type": "string"}}}})
+    assert typed["properties"]["tags"]["type"] == "array"
