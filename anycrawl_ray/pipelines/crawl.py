@@ -473,6 +473,7 @@ def run_crawl(
     crash_after_epoch: int | None = None,
     crash_before_checkpoint: int | None = None,
     record_admissions: bool = True,
+    cancel_check=None,
 ) -> CrawlResult:
     """Run one crawl job to completion (or until ``crash_after_epoch`` for
     resume tests). Ray must already be initialised when ``use_ray``."""
@@ -514,7 +515,15 @@ def run_crawl(
     if job_out:
         os.makedirs(job_out, exist_ok=True)
 
+    cancelled = False
     while done < job.limit:
+        # cooperative cancellation, checked at the epoch boundary — the
+        # reference's Redis cancelled flag short-circuits engines
+        # pre-navigation (Progress.ts:361-374); the epoch-synchronous
+        # rebuild stops before pulling the next wave
+        if cancel_check is not None and cancel_check():
+            cancelled = True
+            break
         wave = frontier.next_wave(
             job.job_id,
             per_host_budget=job.politeness_max_inflight_per_host,
@@ -608,6 +617,7 @@ def run_crawl(
         ).sort_by("doc_id")
     order = frontier.admission_table(job.job_id)
     stats = frontier.stats(job.job_id)
+    stats["cancelled"] = cancelled
     result = CrawlResult(
         job_id=job.job_id,
         order=order,

@@ -16,9 +16,10 @@ Re-expresses the reference's pluggable search engines
 - **ac-engine**: limit inference (``page * 10``) and passthrough JSON
   parsing (ACEngine.ts:23-117).
 
-Only the locale subset exercised by fixtures is included from the 590-line
-``GoogleParameters`` map (packages/libs/src/data/Google.ts); unknown
-locales fall back to ``en``/``US``/www.google.com like the reference does.
+The FULL ``GoogleParameters`` locale map (packages/libs/src/data/Google.ts,
+186 domains / 132 languages / 260 regions) is transcribed in
+``serp/google_data.py``; unknown locales fall back to
+``en``/``US``/www.google.com like the reference does.
 """
 
 from __future__ import annotations
@@ -290,3 +291,14 @@ def parse_serp_batch(batch, engine_col: str = "engine", body_col: str = "body"):
             "source": pa.array(out["source"], pa.string()),
         }
     )
+
+
+def register_search_engine(name: str, parse, *, supports_direct_limit: bool = False,
+                           overwrite: bool = False) -> None:
+    """Pluggable search engines (SearchService.ts:115-133): register a
+    parser (``parse(body) -> list[dict]``) under an engine name; duplicate
+    registration without ``overwrite`` raises like the engine registry."""
+    if name in ENGINE_REGISTRY and not overwrite:
+        raise ValueError(f"search engine '{name}' is already registered")
+    ENGINE_REGISTRY[name] = {"parse": parse,
+                             "supports_direct_limit": supports_direct_limit}

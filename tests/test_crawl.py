@@ -331,3 +331,48 @@ def test_per_call_limit_slices_candidates_pre_dedup():
     admitted = res.order.column("url").to_pylist()
     assert "http://s.test/x0" in admitted and "http://s.test/x1" in admitted
     assert "http://s.test/x2" not in admitted
+
+
+def test_crawl_cooperative_cancellation():
+    """§2.9 cancellation: the cancel flag stops the crawl at the next
+    epoch boundary; fetched pages stay, stats record the cancel."""
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    job = CrawlJob(job_id="cx", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=400)
+    epochs_seen = {"n": 0}
+
+    def cancel_after_two():
+        epochs_seen["n"] += 1
+        return epochs_seen["n"] > 2
+
+    res = run_crawl(job, pages, use_ray=False, cancel_check=cancel_after_two)
+    assert res.stats["cancelled"] is True
+    assert 0 < res.stats["done"] < 400
+    assert res.documents.num_rows == res.stats["done"]
+    # un-cancelled run reports cancelled=False
+    res2 = run_crawl(CrawlJob(job_id="cy", seed_urls=[page_url(0)],
+                              strategy="all", max_depth=20, limit=50),
+                     pages, use_ray=False)
+    assert res2.stats["cancelled"] is False
+
+
+def test_register_search_engine():
+    import pytest
+
+    from anycrawl_ray.serp.engines import ENGINE_REGISTRY, register_search_engine
+
+    def parse(body):
+        return [{"category": "web", "title": "t", "url": "http://x.test/",
+                 "description": "d", "source": "Custom"}]
+
+    register_search_engine("custom-engine", parse, supports_direct_limit=True)
+    try:
+        assert ENGINE_REGISTRY["custom-engine"]["supports_direct_limit"]
+        with pytest.raises(ValueError):
+            register_search_engine("custom-engine", parse)
+        register_search_engine("custom-engine", parse, overwrite=True)
+    finally:
+        ENGINE_REGISTRY.pop("custom-engine", None)
