@@ -692,8 +692,35 @@ FROM documents GROUP BY text
 """
 
 
+_LANG_GUESS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '')[1:200]) AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang, text,
+    len(list_intersect(t, ['the','and','of','is','with'])) AS en,
+    len(list_intersect(t, ['der','die','und','ist','mit'])) AS de,
+    len(list_intersect(t, ['le','la','et','est','avec'])) AS fr,
+    len(list_intersect(t, ['el','la','y','es','con'])) AS es
+  FROM toks
+)
+SELECT doc_id, lang, CASE
+  WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+  WHEN de > en AND de >= fr AND de >= es THEN 'de'
+  WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
+  WHEN es > en AND es > de AND es > fr THEN 'es'
+  ELSE 'en' END AS lang_guess
+FROM hits
+"""
+
+
 def docs_lang_guess(sf_dir: str):
-    """Language-ID heuristic (no SQL oracle — model-ish stage; rows-only)."""
+    """Language-ID heuristic. Exact SQL oracle: the marker-word argmax
+    (first-200 distinct tokens, strict-> sequential tie-break => earliest
+    language in en/de/fr/es order wins ties) and the Han-script gate are
+    both relationally expressible."""
     from ..stages.text_analysis import LangId
 
     rd = _rd()
@@ -1373,6 +1400,7 @@ ORACLE_SQL = {
     "docs_bpe_tokens": _BPE_TOKENS_SQL,
     "docs_vocab": _VOCAB_SQL,
     "docs_by_lang": _BY_LANG_SQL,
+    "docs_lang_guess": _LANG_GUESS_SQL,
     "docs_exact_dedup": _EXACT_DEDUP_SQL,
     "embeddings_knn": _KNN_SQL,
     "embeddings_neardup_brute": _EMB_NEARDUP_BRUTE_SQL,
