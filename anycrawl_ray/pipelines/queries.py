@@ -380,9 +380,38 @@ SELECT COUNT(*) AS n_distinct_keys FROM (
 """
 
 
+_LLM_EXTRACT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok
+), ranked AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok ASC) AS r
+  FROM counts
+), top3 AS (
+  SELECT doc_id, list(tok ORDER BY r) AS top_words
+  FROM ranked WHERE r <= 3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       1 AS n_chunks,
+       '{"n_tokens": ' ||
+       CAST(CAST(ceil(len(d.text) / 4.0) AS BIGINT) AS VARCHAR) ||
+       ', "top_words": ["' ||
+       list_aggregate(t.top_words, 'string_agg', '", "') || '"]}'
+       AS extracted_json
+FROM documents d JOIN top3 t ON t.doc_id = d.doc_id
+"""
+
+
 def docs_llm_extract(sf_dir: str):
     """Chunk -> stub-extract -> merge over documents (the LLM actor-pool
-    stage T4/T5 end to end; deterministic stub, rows-only)."""
+    stage T4/T5 end to end). The deterministic stub IS SQL-expressible on
+    this corpus: the line-based chunker emits exactly one chunk for
+    newline-free texts (the oracle's constant n_chunks=1 asserts that),
+    top-3 words = ORDER BY count DESC, word ASC, n_tokens = ceil(len/4),
+    and the merged JSON string is reconstructed byte-exactly."""
     from ..stages.llm_extract import StubExtractor
 
     rd = _rd()
@@ -1401,6 +1430,7 @@ ORACLE_SQL = {
     "docs_vocab": _VOCAB_SQL,
     "docs_by_lang": _BY_LANG_SQL,
     "docs_lang_guess": _LANG_GUESS_SQL,
+    "docs_llm_extract": _LLM_EXTRACT_SQL,
     "docs_exact_dedup": _EXACT_DEDUP_SQL,
     "embeddings_knn": _KNN_SQL,
     "embeddings_neardup_brute": _EMB_NEARDUP_BRUTE_SQL,
