@@ -451,6 +451,15 @@ def _parse_wave_ray(wave: pa.Table, pages_ref, parser: PageParser,
             ])
     tables = [t for t in tables if t.num_rows]
     out = pa.concat_tables(tables, promote_options="default")
+    # chunks are sequential ranges of the already-(depth,seq)-sorted wave
+    # and results are reassembled by chunk index, so the concat is normally
+    # already ordered — the full-table sort (a `take` copying the candidate
+    # list columns, ~50 ms/epoch measured) only runs if that ever breaks
+    import numpy as np
+
+    seq = out.column("discovered_seq").to_numpy(zero_copy_only=False)
+    if seq.size and np.all(np.diff(seq) >= 0):
+        return out
     return out.sort_by("discovered_seq")
 
 
