@@ -389,7 +389,9 @@ SELECT COUNT(*) AS n_distinct_keys FROM (
 
 _LLM_EXTRACT_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS tok
   FROM documents
 ), counts AS (
   SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok
@@ -1321,10 +1323,10 @@ def embeddings_knn_ivf_index(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    q_ids = emb.column("vec_id").to_pylist()[:5]
-    queries = np.asarray(emb.column("embedding").to_pylist()[:5],
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).slice(0, 5)
+    q_ids = head.column("vec_id").to_pylist()
+    queries = np.asarray(head.column("embedding").to_pylist(),
                          dtype=np.float64)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     idx_dir = f"/tmp/ivf_index_{tag}"

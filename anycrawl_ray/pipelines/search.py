@@ -56,7 +56,12 @@ def run_search(
         import ray.data
 
         ds = ray.data.from_arrow(batch)
-        ds = ds.map_batches(parse_serp_batch, batch_format="pyarrow", batch_size=4)
+        # capture the DRIVER's registry (incl. runtime-registered engines)
+        # in the task closure — workers' fresh imports only have builtins
+        registry = dict(ENGINE_REGISTRY)
+        ds = ds.map_batches(
+            lambda b: parse_serp_batch(b, registry=registry),
+            batch_format="pyarrow", batch_size=4)
         results = pa.concat_tables(
             [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
         )

@@ -246,6 +246,9 @@ ENGINE_REGISTRY = {
 
 def build_search_url(engine: str, query: str, base_url: str = "http://searx.local",
                      **kw) -> str:
+    entry = ENGINE_REGISTRY.get(engine)
+    if entry and entry.get("build_url"):
+        return entry["build_url"](base_url=base_url, query=query, **kw)
     if engine == "google":
         return google_url(query, **kw)
     if engine == "searxng":
@@ -255,11 +258,18 @@ def build_search_url(engine: str, query: str, base_url: str = "http://searx.loca
     raise ValueError(f"unknown search engine: {engine}")
 
 
-def parse_serp_batch(batch, engine_col: str = "engine", body_col: str = "body"):
+def parse_serp_batch(batch, engine_col: str = "engine", body_col: str = "body",
+                     registry=None):
     """map_batches fn: fetched SERP bodies -> flat result rows
-    (SERP_RESULTS schema + per-page position)."""
+    (SERP_RESULTS schema + per-page position).
+
+    ``registry`` lets callers ship the DRIVER's engine registry into Ray
+    workers (the module-level dict is per-process: a worker's fresh import
+    only has the builtins, so a custom engine registered on the driver
+    would otherwise KeyError there)."""
     import pyarrow as pa
 
+    registry = registry if registry is not None else ENGINE_REGISTRY
     engines = batch.column(engine_col).to_pylist()
     bodies = batch.column(body_col).to_pylist()
     queries = batch.column("query").to_pylist()
@@ -267,7 +277,7 @@ def parse_serp_batch(batch, engine_col: str = "engine", body_col: str = "body"):
     out = {k: [] for k in ("engine", "query", "page", "position", "category",
                            "title", "url", "description", "source")}
     for engine, body, query, page in zip(engines, bodies, queries, pages):
-        parse = ENGINE_REGISTRY[engine]["parse"]
+        parse = registry[engine]["parse"]
         for pos, r in enumerate(parse(body)):
             out["engine"].append(engine)
             out["query"].append(query)
@@ -293,12 +303,15 @@ def parse_serp_batch(batch, engine_col: str = "engine", body_col: str = "body"):
     )
 
 
-def register_search_engine(name: str, parse, *, supports_direct_limit: bool = False,
+def register_search_engine(name: str, parse, *, build_url=None,
+                           supports_direct_limit: bool = False,
                            overwrite: bool = False) -> None:
     """Pluggable search engines (SearchService.ts:115-133): register a
-    parser (``parse(body) -> list[dict]``) under an engine name; duplicate
-    registration without ``overwrite`` raises like the engine registry."""
+    parser (``parse(body) -> list[dict]``) and optional URL builder
+    (``build_url(base_url=..., query=..., **kw) -> str``) under an engine
+    name; duplicate registration without ``overwrite`` raises like the
+    engine registry."""
     if name in ENGINE_REGISTRY and not overwrite:
         raise ValueError(f"search engine '{name}' is already registered")
-    ENGINE_REGISTRY[name] = {"parse": parse,
+    ENGINE_REGISTRY[name] = {"parse": parse, "build_url": build_url,
                              "supports_direct_limit": supports_direct_limit}

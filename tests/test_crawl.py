@@ -376,3 +376,37 @@ def test_register_search_engine():
         register_search_engine("custom-engine", parse, overwrite=True)
     finally:
         ENGINE_REGISTRY.pop("custom-engine", None)
+
+
+def test_custom_search_engine_works_distributed(ray_session):
+    """Review fix: a driver-registered custom engine must work through the
+    Ray map_batches path (the driver's registry ships in the closure —
+    worker processes' fresh imports only have builtins)."""
+    from anycrawl_ray.pipelines.search import run_search
+    from anycrawl_ray.serp.engines import (
+        ENGINE_REGISTRY,
+        build_search_url,
+        register_search_engine,
+    )
+
+    def parse(body):
+        # 10 rows/page like a real SERP; direct-limit engines consume
+        # only page 1 (ACEngine semantics), which limit=5 then slices
+        return [{"category": "web", "title": f"t{i}", "url": f"http://x.test/{i}",
+                 "description": body, "source": "Custom"} for i in range(10)]
+
+    def build_url(base_url="", query="", **kw):
+        return f"{base_url}/custom?q={query}"
+
+    register_search_engine("custom-dist", parse, build_url=build_url,
+                           supports_direct_limit=True, overwrite=True)
+    try:
+        assert build_search_url("custom-dist", "hi", base_url="http://s.local") \
+            == "http://s.local/custom?q=hi"
+        pages = [{"engine": "custom-dist", "query": "hi", "page": i + 1,
+                  "body": f"b{i}"} for i in range(40)]
+        out = run_search(pages, limit=5, use_ray=True)
+        assert out.num_rows == 5
+        assert out.column("source").to_pylist()[0] == "Custom"
+    finally:
+        ENGINE_REGISTRY.pop("custom-dist", None)

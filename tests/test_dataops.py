@@ -323,6 +323,16 @@ def test_ivf_index_partition_pruning(ray_session, tmp_path):
         got = set(approx[approx["query_id"] == qi]["neighbor_id"])
         recalls.append(len(want & got) / len(want))
     assert sum(recalls) / len(recalls) >= 0.8
-    # pruning is real: nprobe=1 must touch exactly one partition's rows
-    one = index2.search(q[:1], [0], k=5, nprobe=1).to_pandas()
-    assert len(one) == 5
+    # pruning is real: ask for MORE neighbors than the probed cluster
+    # holds — a pruned read can only return that cluster's members, while
+    # a regression to scanning every cluster dir would return k=100 rows
+    from anycrawl_ray.stages.similarity import _normalize
+
+    nm = _normalize(mat)
+    assign = (nm @ index2.centroids.T).argmax(axis=1)
+    probed = int((_normalize(q[:1]) @ index2.centroids.T).argmax())
+    cluster_size = int((assign == probed).sum())
+    assert cluster_size < 100 < len(mat)
+    one = index2.search(q[:1], [0], k=100, nprobe=1).to_pandas()
+    assert len(one) == cluster_size
+    assert all(assign[nid] == probed for nid in one["neighbor_id"])
