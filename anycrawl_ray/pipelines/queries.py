@@ -432,10 +432,26 @@ def docs_llm_extract(sf_dir: str):
     ).select(["doc_id", "n_chunks", "extracted_json"])
 
 
+_LLM_EXTRACT_SCHEMA_SQL = r"""
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '') AS w FROM documents)
+SELECT doc_id, 1 AS n_chunks,
+  '{"keywords": ["' || w[1] || ' ' || w[2] || '", "' || w[2] || ' ' || w[3]
+  || '"], "meta": {"ok": ' ||
+  CASE WHEN len(w) % 2 = 0 THEN 'true' ELSE 'false' END ||
+  '}, "n_words": ' || CAST(len(w) AS VARCHAR) || ', "summary": "'
+  || w[1] || ' ' || w[2] || '"}' AS extracted_json,
+  TRUE AS schema_valid
+FROM w
+"""
+
+
 def docs_llm_extract_schema(sf_dir: str):
     """json_options extraction: user JSON-Schema -> normalize_schema
     (LLMExtract.ts:21-70) -> chunk -> schema-conforming stub extraction ->
-    merge -> validate (rows-only; deterministic stub provider)."""
+    merge -> validate. The deterministic stub is SQL-replicable on this
+    corpus (single-line texts => one chunk, asserted by n_chunks; stub
+    field rules per type; byte-exact sort_keys JSON reconstruction)."""
     from ..stages.llm_extract import SchemaStubExtractor
 
     json_options = {
@@ -1440,6 +1456,7 @@ ORACLE_SQL = {
     "docs_by_lang": _BY_LANG_SQL,
     "docs_lang_guess": _LANG_GUESS_SQL,
     "docs_llm_extract": _LLM_EXTRACT_SQL,
+    "docs_llm_extract_schema": _LLM_EXTRACT_SCHEMA_SQL,
     "docs_exact_dedup": _EXACT_DEDUP_SQL,
     "embeddings_knn": _KNN_SQL,
     "embeddings_neardup_brute": _EMB_NEARDUP_BRUTE_SQL,
