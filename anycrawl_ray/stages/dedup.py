@@ -305,7 +305,11 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       score_col: pa.array([], score_type)})
-    cand = _dedup_pairs(cand_ds).materialize()
+    # raw candidates (duplicates across buckets retained): the broadcast
+    # path verifies them redundantly (bounded by the band count) and
+    # dedups the SMALL final result instead of paying a pair-dedup shuffle;
+    # the join path dedups first so the hash join doesn't multiply rows
+    cand = cand_ds.materialize()
     if cand.count() == 0:
         return empty
     # distinct candidate ids in one pass over the (pairs-sized) dataset;
@@ -368,6 +372,7 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
 
         verified = cand.map_batches(verify_broadcast, batch_format="pyarrow")
     else:
+        cand = _dedup_pairs(cand).materialize()
         n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
         # both join sides consume the filtered payloads; without this the
         # full corpus scan in semi_join_filter would execute twice
@@ -401,7 +406,8 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
     res = verified.to_pandas()
     if len(res) == 0:
         return empty
-    res = res.sort_values(["a", "b"]).reset_index(drop=True)
+    res = (res.drop_duplicates(["a", "b"])
+           .sort_values(["a", "b"]).reset_index(drop=True))
     return pa.table({"a": pa.array(res["a"], pa.int64()),
                      "b": pa.array(res["b"], pa.int64()),
                      score_col: pa.array(res[score_col], score_type)})
