@@ -82,3 +82,100 @@ def test_chunker_covers_all_content(lines, max_tokens, overlap):
             assert line.strip() in joined or line in joined
     for c in chunks:
         assert c["chunk"].strip()
+
+
+# ---------------------------------------------------------- round-2 props
+@st.composite
+def json_schemas(draw, depth=0):
+    prim = st.sampled_from(["string", "number", "integer", "boolean"])
+    if depth >= 2:
+        t = draw(prim)
+        out = {"type": t}
+    else:
+        t = draw(st.sampled_from(["string", "number", "integer", "boolean",
+                                  "array", "object"]))
+        if t == "array":
+            out = {"type": "array", "items": draw(json_schemas(depth=depth + 1))}
+        elif t == "object":
+            keys = draw(st.lists(st.text(alphabet="abcdef", min_size=1,
+                                         max_size=4), max_size=3, unique=True))
+            out = {"type": "object",
+                   "properties": {k: draw(json_schemas(depth=depth + 1))
+                                  for k in keys}}
+        else:
+            out = {"type": t}
+    if draw(st.booleans()):
+        out["default"] = "x"
+    if draw(st.booleans()):
+        out["description"] = draw(st.text(max_size=8))
+    return out
+
+
+@given(json_schemas())
+@settings(max_examples=60, deadline=None)
+def test_normalize_schema_idempotent_and_default_free(schema):
+    from anycrawl_ray.functions.json_schema import normalize_schema
+
+    once = normalize_schema(schema)
+    assert normalize_schema(once) == once  # idempotent
+
+    def no_defaults(node):
+        if isinstance(node, dict):
+            assert "default" not in node
+            for v in node.values():
+                no_defaults(v)
+        elif isinstance(node, list):
+            for v in node:
+                no_defaults(v)
+
+    no_defaults(once)
+
+    def objects_closed(node):
+        if isinstance(node, dict):
+            if node.get("type") == "object":
+                assert node.get("additionalProperties") is False
+            for v in node.values():
+                objects_closed(v)
+
+    objects_closed(once)
+
+
+@given(st.lists(st.text(alphabet="abc \n\t", max_size=20), min_size=1,
+                max_size=5),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=60, deadline=None)
+def test_schema_stub_always_validates(texts, n_extra):
+    """Whatever the input text, the stub extractor's merged output always
+    conforms to its own normalized schema (the generateObject guarantee)."""
+    from anycrawl_ray.stages.llm_extract import SchemaStubExtractor
+
+    opts = {"schema": {"type": "object",
+                       "properties": {"s": {"type": "string"},
+                                      "n": {"type": "integer"},
+                                      "ks": {"type": "array",
+                                             "items": {"type": "string"}},
+                                      "m": {"type": "object",
+                                            "properties": {"b": {"type": "boolean"}}}},
+                       "required": ["s"]}}
+    ex = SchemaStubExtractor(opts, max_input_tokens=32, overlap_tokens=4)
+    for t in texts:
+        merged, _n, valid = ex.extract_document(t)
+        if merged is not None:
+            assert valid
+
+
+@given(st.integers(min_value=0, max_value=59),
+       st.integers(min_value=0, max_value=23))
+@settings(max_examples=40, deadline=None)
+def test_cron_next_always_matches(minute, hour):
+    from datetime import datetime, timezone
+
+    from anycrawl_ray.state.scheduler import Cron
+
+    c = Cron(f"{minute} {hour} * * *")
+    nxt = c.next_after(datetime(2026, 3, 14, 15, 9, tzinfo=timezone.utc))
+    assert c.matches(nxt)
+    assert nxt.minute == minute and nxt.hour == hour
+    # strictly in the future and minimal: the previous matching slot is
+    # not after the probe start
+    assert nxt > datetime(2026, 3, 14, 15, 9, tzinfo=timezone.utc)
