@@ -483,6 +483,7 @@ def run_crawl(
     crash_before_checkpoint: int | None = None,
     record_admissions: bool = True,
     cancel_check=None,
+    webhooks=None,
 ) -> CrawlResult:
     """Run one crawl job to completion (or until ``crash_after_epoch`` for
     resume tests). Ray must already be initialised when ``use_ray``."""
@@ -640,6 +641,19 @@ def run_crawl(
     # live spill files are no longer needed (checkpoints hold their own
     # copies); leaving them would leak disk across jobs sharing a spill_dir
     frontier.dispose_spill_files()
+    if webhooks is not None:
+        # Base.ts:1003 -> WebhookManager.triggerEvent on job completion;
+        # the dispatcher owns retry/backoff — trigger is fire-and-forget
+        event = "crawl.cancelled" if cancelled else "crawl.completed"
+        webhooks.trigger_event(event, {
+            "job_id": job.job_id,
+            "status": "cancelled" if cancelled else "completed",
+            "done": stats["done"],
+            "succeeded": stats["succeeded"],
+            "failed": stats["failed"],
+            "credits_used": stats["credits_used"],
+        }, "crawl", job.job_id)
+        webhooks.process_queue()
     return result
 
 

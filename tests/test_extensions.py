@@ -977,3 +977,56 @@ def test_normalize_schema_bag_wraps_nested_arrays_like_reference():
         "properties": {"tags": {"type": "array",
                                 "items": {"type": "string"}}}})
     assert typed["properties"]["tags"]["type"] == "array"
+
+
+def test_crawl_triggers_webhooks_and_scheduler_launches_crawls():
+    """Control-plane integration: a completed crawl fires crawl.completed
+    through the dispatcher, and a scheduled task's trigger launches a real
+    crawl job."""
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+    from anycrawl_ray.state.scheduler import ScheduledTask, SchedulerManager
+    from anycrawl_ray.state.webhooks import WebhookManager, WebhookSubscription
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    transport_calls = []
+
+    def transport(method, url, headers, body, timeout_s):
+        transport_calls.append((headers["X-Webhook-Event"], body))
+        return 200, {}, None
+
+    hooks = WebhookManager(transport, clock=_FakeClock())
+    hooks.subscribe(WebhookSubscription(
+        webhook_url="https://h.example.com/cb", secret="s",
+        event_types=("crawl.completed", "crawl.cancelled")))
+
+    res = run_crawl(CrawlJob(job_id="wh", seed_urls=[page_url(0)],
+                             strategy="all", limit=40),
+                    pages, use_ray=False, webhooks=hooks)
+    assert len(transport_calls) == 1
+    event, body = transport_calls[0]
+    assert event == "crawl.completed"
+    assert f'"done":{res.stats["done"]}' in body.replace(" ", "")
+
+    # scheduler -> crawl trigger
+    launched = []
+
+    def trigger(task, execution):
+        job = CrawlJob(job_id=f"sched-{execution.execution_number}",
+                       seed_urls=[page_url(0)], strategy="all",
+                       limit=task.task_payload["limit"])
+        r = run_crawl(job, pages, use_ray=False, webhooks=hooks)
+        launched.append(r.stats["done"])
+        return job.job_id
+
+    now = {"t": _utc(2026, 1, 1, 9, 59)}
+    mgr = SchedulerManager(trigger, clock=lambda: now["t"])
+    mgr.add_task(ScheduledTask(name="nightly", cron_expression="0 10 * * *",
+                               task_type="crawl",
+                               task_payload={"limit": 25}))
+    now["t"] = _utc(2026, 1, 1, 10, 0)
+    (eid,) = mgr.tick()
+    assert launched == [25]
+    assert mgr.executions[eid].job_uuid == "sched-1"
+    # the scheduled crawl also fired its completion webhook
+    assert len(transport_calls) == 2
