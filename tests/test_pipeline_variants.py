@@ -194,3 +194,44 @@ def test_scrape_many_engine_registry(ray_session):
                            engine="browser-sim")
     kinds = [s["kind"] for s in shot.column("spans").to_pylist()[0]]
     assert "screenshot" in kinds
+
+
+def test_cli_crawl_and_scrape(tmp_path):
+    """`python -m anycrawl_ray` end-to-end in a subprocess (owns its own
+    Ray session): crawl writes epoch parquet + prints stats JSON; scrape
+    prints one document."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, pages_path)
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, RAY_ADDRESS="local")
+    r = subprocess.run(
+        [sys.executable, "-m", "anycrawl_ray", "--num-cpus", "4", "crawl",
+         "--pages", pages_path, "--seed", page_url(0), "--strategy", "all",
+         "--limit", "40", "--out", out_dir],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["stats"]["done"] == 40
+    job_dir = os.path.join(out_dir, "cli")
+    assert any(n.startswith("epoch=") for n in os.listdir(job_dir))
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "anycrawl_ray", "--num-cpus", "4", "scrape",
+         "--pages", pages_path, "--url", page_url(3),
+         "--formats", "markdown,text"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    doc = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert doc["url"] == page_url(3)
+    kinds = {s["kind"] for s in doc["spans"]}
+    assert "markdown" in kinds and "text" in kinds
