@@ -20,20 +20,9 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
-    import ray
+    from .util import init_local_ray
 
-    if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
-                  "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
-    import logging
-
-    import ray.data
-
-    ray.data.DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    init_local_ray(num_cpus)
 
 
 def _load_pages(path: str):

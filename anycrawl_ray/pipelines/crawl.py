@@ -526,6 +526,7 @@ def run_crawl(
         os.makedirs(job_out, exist_ok=True)
 
     cancelled = False
+    start_epoch = epoch
     while done < job.limit:
         # cooperative cancellation, checked at the epoch boundary — the
         # reference's Redis cancelled flag short-circuits engines
@@ -641,9 +642,11 @@ def run_crawl(
     # live spill files are no longer needed (checkpoints hold their own
     # copies); leaving them would leak disk across jobs sharing a spill_dir
     frontier.dispose_spill_files()
-    if webhooks is not None:
+    if webhooks is not None and (epoch > start_epoch or not resume):
         # Base.ts:1003 -> WebhookManager.triggerEvent on job completion;
-        # the dispatcher owns retry/backoff — trigger is fire-and-forget
+        # the dispatcher owns retry/backoff — trigger is fire-and-forget.
+        # A resume of an ALREADY-finished job runs zero epochs and must not
+        # re-fire completion (the reference fires once, at actual finish)
         event = "crawl.cancelled" if cancelled else "crawl.completed"
         webhooks.trigger_event(event, {
             "job_id": job.job_id,

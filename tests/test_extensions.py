@@ -1030,3 +1030,27 @@ def test_crawl_triggers_webhooks_and_scheduler_launches_crawls():
     assert mgr.executions[eid].job_uuid == "sched-1"
     # the scheduled crawl also fired its completion webhook
     assert len(transport_calls) == 2
+
+
+def test_webhook_not_refired_on_noop_resume(tmp_path):
+    """Review fix: resuming an already-finished job runs zero epochs and
+    must NOT re-fire crawl.completed (the reference fires once)."""
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+    from anycrawl_ray.state.webhooks import WebhookManager, WebhookSubscription
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    events = []
+    hooks = WebhookManager(lambda m, u, h, b, t: (events.append(
+        h["X-Webhook-Event"]) or (200, {}, None)), clock=_FakeClock())
+    hooks.subscribe(WebhookSubscription(webhook_url="https://h.example.com/x",
+                                        event_types=("crawl.completed",)))
+    ck = str(tmp_path / "ck")
+    job = CrawlJob(job_id="nr", seed_urls=[page_url(0)], strategy="all",
+                   limit=30)
+    run_crawl(job, pages, use_ray=False, checkpoint_dir=ck, webhooks=hooks)
+    assert events == ["crawl.completed"]
+    # resume of the finished job: no epochs run, no second event
+    run_crawl(job, pages, use_ray=False, checkpoint_dir=ck, resume=True,
+              webhooks=hooks)
+    assert events == ["crawl.completed"]

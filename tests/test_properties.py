@@ -176,6 +176,10 @@ def test_cron_next_always_matches(minute, hour):
     nxt = c.next_after(datetime(2026, 3, 14, 15, 9, tzinfo=timezone.utc))
     assert c.matches(nxt)
     assert nxt.minute == minute and nxt.hour == hour
-    # strictly in the future and minimal: the previous matching slot is
-    # not after the probe start
-    assert nxt > datetime(2026, 3, 14, 15, 9, tzinfo=timezone.utc)
+    # strictly in the future AND minimal: the slot one period earlier is
+    # not after the probe (i.e. next_after returned the FIRST valid slot)
+    from datetime import timedelta
+
+    probe = datetime(2026, 3, 14, 15, 9, tzinfo=timezone.utc)
+    assert nxt > probe
+    assert nxt - timedelta(days=1) <= probe
