@@ -25,17 +25,11 @@ def _eprint(*args) -> None:
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
-    import ray
+    from anycrawl_ray.util import init_local_ray
 
-    if not ray.is_initialized():
-        # log_to_driver=False: raylet/worker warnings would otherwise land
-        # on OUR stdout and break the one-JSON-line output contract
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 logging_level="ERROR", log_to_driver=False)
-    import ray.data
-
-    ray.data.DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    # log_to_driver stays False (helper default): raylet/worker warnings
+    # would otherwise land on OUR stdout and break the one-line contract
+    init_local_ray(num_cpus)
 
     from anycrawl_ray.pipelines import queries as Q
     from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl

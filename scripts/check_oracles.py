@@ -74,15 +74,9 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    import ray
+    from anycrawl_ray.util import init_local_ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
-    import ray.data
-
-    ray.data.DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    init_local_ray(8)
 
     import __ray_entry__ as entrymod
 
@@ -117,6 +111,8 @@ def main() -> int:
             print(f"FAIL   {name}: " + "; ".join(problems))
         else:
             print(f"OK     {name}: {len(got)} rows")
+    import ray
+
     ray.shutdown()
     return 1 if failures else 0
 

@@ -43,16 +43,9 @@ def main() -> int:
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
-    import ray
+    from anycrawl_ray.util import init_local_ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR",
-                 log_to_driver=False)
-    import ray.data
-
-    ray.data.DataContext.get_current().enable_progress_bars = False
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    init_local_ray(args.num_cpus)
 
     from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
     from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
@@ -70,6 +63,8 @@ def main() -> int:
                     resume=args.resume)
     print(json.dumps({"job_id": res.job_id, "stats": res.stats,
                       "epochs": res.epochs, "out": res.out_path}), flush=True)
+    import ray
+
     ray.shutdown()
     return 0
 
