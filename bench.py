@@ -13,7 +13,6 @@ Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default
 from __future__ import annotations
 
 import json
-import logging
 import os
 import subprocess
 import sys

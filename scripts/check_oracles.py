@@ -7,7 +7,6 @@ Usage: python scripts/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import logging
 import os
 import sys
 
