@@ -6,17 +6,22 @@ has only exact URL dedup (SURVEY.md §2.7); these extend the engine for
 corpus curation at scale.
 
 Scale design:
-- **exact**: vectorized content-hash per batch -> ``groupby(hash)`` keeps
-  the min doc_id per group. Only (hash, doc_id, text) shuffles.
+- **exact**: vectorized content-hash per batch; a Count aggregate finds
+  duplicated hashes, unique rows fast-path through in pure Arrow and only
+  true duplicate groups pay the per-group reduce.
 - **MinHash+LSH**: per batch, w-shingle token hashes -> 64-perm signature
   (numpy, one xor-multiply per perm — no per-shingle Python) -> explode to
-  (band_id, band_key, doc_id) rows -> ``groupby(band)`` emits candidate
-  pairs -> exact Jaccard verification on the pair set. The all-pairs
+  band rows -> collision-count pre-filter -> bucket ``map_groups`` emits
+  candidate pairs -> exact Jaccard verification worker-side. The all-pairs
   O(n^2) never materializes.
 - **SimHash**: 64-bit signature per doc; blocking on 4x16-bit bands finds
-  all pairs within Hamming distance 3 (pigeonhole) which are then verified.
+  all pairs within Hamming distance 3 (pigeonhole), verified in-bucket.
 - **embedding near-dup**: random-hyperplane signatures bucket candidates,
-  exact cosine verifies (same LSH-then-verify shape).
+  exact cosine verifies (same LSH-then-verify shape); plus an exact
+  all-pairs blocked-matmul baseline (``embedding_brute_pairs``) that the
+  DuckDB ``list_cosine_similarity`` oracle checks.
+- **n-gram Jaccard**: exact via distributed inverted index + integer
+  threshold arithmetic — the SQL-oracle-checkable counterpart of MinHash.
 
 All stages are ``map_batches`` + ``groupby`` shuffles over candidate-sized
 data; verification never streams the corpus through the driver:
