@@ -364,8 +364,14 @@ FROM per_session GROUP BY user_id
 
 
 def orderkey_union_count(sf_dir: str):
-    """Set ops: union of two sources + distinct (Dataset.union/unique)."""
+    """Set ops: union of two sources + DISTRIBUTED distinct count.
+
+    Map-side per-batch dedup (``pc.unique``) shrinks the shuffle, a
+    groupby-aggregate holds the distinct set across workers, and only the
+    COUNT crosses to the driver — ``Dataset.unique`` would return the full
+    distinct key list driver-side (O(distinct) memory at scale)."""
     rd = _rd()
+    from ray.data.aggregate import Count
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).map_batches(
         lambda b: b.rename_columns(["k"]), batch_format="pyarrow"
@@ -373,8 +379,13 @@ def orderkey_union_count(sf_dir: str):
     od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).map_batches(
         lambda b: b.rename_columns(["k"]), batch_format="pyarrow"
     )
-    uni = li.union(od).unique("k")
-    return pa.table({"n_distinct_keys": pa.array([len(uni)], pa.int64())})
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(b.column("k").combine_chunks())})
+
+    uni = (li.union(od).map_batches(batch_distinct, batch_format="pyarrow")
+           .groupby("k").aggregate(Count(alias_name="_c")))
+    return pa.table({"n_distinct_keys": pa.array([uni.count()], pa.int64())})
 
 
 _UNION_COUNT_SQL = """
