@@ -167,3 +167,71 @@ def validate_against_schema(value: Any, schema: Any, path: str = "$"
                 errors.extend(validate_against_schema(v, items,
                                                       f"{path}[{i}]"))
     return errors
+
+
+# --------------------------------------------------- request-side validation
+
+# BaseSchema.ts:7-18 jsonSchemaType — the REQUEST validation surface is
+# stricter than the extractor's normalizer: "type" is required and limited
+# to this enum ("integer" is NOT accepted at the API edge)
+USER_SCHEMA_TYPES = ("object", "array", "string", "number", "boolean", "null")
+
+_JSON_OPTIONS_KEYS = ("schema", "user_prompt", "schema_name",
+                      "schema_description")
+
+
+def validate_user_schema(schema, path: str = "$") -> list[str]:
+    """Validate a user-supplied JSON Schema the way the reference's Zod
+    ``jsonSchemaType`` does (BaseSchema.ts:7-18): dict with required
+    ``type`` from the enum; ``properties`` a dict of schemas; ``required``
+    a list of strings; ``items`` a schema or list of schemas;
+    ``description`` a string. Unknown keys pass (the Zod object is not
+    strict). Returns error strings; empty = valid."""
+    errors: list[str] = []
+    if not isinstance(schema, dict):
+        return [f"{path}: schema must be an object"]
+    stype = schema.get("type")
+    if stype not in USER_SCHEMA_TYPES:
+        errors.append(f"{path}.type: expected one of {USER_SCHEMA_TYPES}, "
+                      f"got {stype!r}")
+    props = schema.get("properties")
+    if props is not None:
+        if not isinstance(props, dict):
+            errors.append(f"{path}.properties: must be an object of schemas")
+        else:
+            for k, v in props.items():
+                errors.extend(validate_user_schema(v, f"{path}.properties.{k}"))
+    req = schema.get("required")
+    if req is not None:
+        if not isinstance(req, list) or any(not isinstance(r, str)
+                                            for r in req):
+            errors.append(f"{path}.required: must be an array of strings")
+    items = schema.get("items")
+    if items is not None:
+        if isinstance(items, list):
+            for i, it in enumerate(items):
+                errors.extend(validate_user_schema(it, f"{path}.items[{i}]"))
+        else:
+            errors.extend(validate_user_schema(items, f"{path}.items"))
+    desc = schema.get("description")
+    if desc is not None and not isinstance(desc, str):
+        errors.append(f"{path}.description: must be a string")
+    return errors
+
+
+def validate_json_options(json_options) -> list[str]:
+    """BaseSchema.ts:21-33 jsonOptionsSchema (``.strict()``): only the four
+    known keys are allowed; ``schema`` (when present) must satisfy
+    ``validate_user_schema``."""
+    if not isinstance(json_options, dict):
+        return ["json_options must be an object"]
+    errors = [f"json_options.{k}: unrecognized key"
+              for k in json_options if k not in _JSON_OPTIONS_KEYS]
+    if "schema" in json_options:
+        errors.extend(validate_user_schema(json_options["schema"],
+                                           "json_options.schema"))
+    for k in ("user_prompt", "schema_name", "schema_description"):
+        v = json_options.get(k)
+        if v is not None and not isinstance(v, str):
+            errors.append(f"json_options.{k}: must be a string")
+    return errors

@@ -1054,3 +1054,61 @@ def test_webhook_not_refired_on_noop_resume(tmp_path):
     run_crawl(job, pages, use_ray=False, checkpoint_dir=ck, resume=True,
               webhooks=hooks)
     assert events == ["crawl.completed"]
+
+
+def test_user_schema_request_validation():
+    """Mirror apps/api/src/__tests__/jsonSchema.test.ts through the Zod
+    jsonSchemaType port (BaseSchema.ts:7-18): the API edge requires `type`
+    from its enum and well-formed properties/items/required."""
+    from anycrawl_ray.functions.json_schema import (
+        validate_json_options,
+        validate_user_schema,
+    )
+
+    # accepted: simple / nested / array / complex nested (test cases 1,2,5,6)
+    assert validate_user_schema({
+        "type": "object",
+        "properties": {"title": {"type": "string"},
+                       "description": {"type": "string"}},
+        "required": ["title"]}) == []
+    assert validate_user_schema({
+        "type": "object",
+        "properties": {"page": {"type": "object",
+                                "properties": {"h1": {"type": "string"}}}}}) == []
+    assert validate_user_schema({
+        "type": "array", "items": {"type": "string"}}) == []
+    assert validate_user_schema({
+        "type": "object",
+        "properties": {"links": {"type": "array",
+                                 "items": {"type": "object",
+                                           "properties": {"href": {"type": "string"},
+                                                          "n": {"type": "number"}}}}}}) == []
+    # rejected: invalid type (case 3), properties not an object (case 4)
+    assert any(".type" in e for e in
+               validate_user_schema({"type": "invalid_type",
+                                     "properties": {"t": {"type": "string"}}}))
+    assert any("properties" in e for e in
+               validate_user_schema({"type": "object",
+                                     "properties": "invalid"}))
+    # type is REQUIRED at the API edge (unlike the extractor's bag promote)
+    assert validate_user_schema({"properties": {}}) != []
+    # "integer" is not in the reference's enum
+    assert validate_user_schema({"type": "integer"}) != []
+    assert validate_user_schema("not a schema") != []
+    # items as tuple-of-schemas form
+    assert validate_user_schema({"type": "array",
+                                 "items": [{"type": "string"},
+                                           {"type": "number"}]}) == []
+    # required must be string list
+    assert validate_user_schema({"type": "object",
+                                 "required": [1]}) != []
+
+    # json_options is .strict()
+    assert validate_json_options({"schema": {"type": "object"},
+                                  "user_prompt": "x",
+                                  "schema_name": "n"}) == []
+    assert any("unrecognized" in e for e in
+               validate_json_options({"schema": {"type": "object"},
+                                      "bogus": 1}))
+    assert validate_json_options({"user_prompt": 5}) != []
+    assert validate_json_options("nope") != []
