@@ -1112,3 +1112,42 @@ def test_user_schema_request_validation():
                                       "bogus": 1}))
     assert validate_json_options({"user_prompt": 5}) != []
     assert validate_json_options("nope") != []
+
+
+def test_engine_options_validation():
+    """Mirror packages/scrape/src/__tests__/core/ConfigValidator.test.ts."""
+    import pytest
+
+    from anycrawl_ray.functions.json_schema import validate_engine_options
+
+    validate_engine_options({})  # empty passes
+    validate_engine_options({"min_concurrency": 1, "max_concurrency": 10,
+                             "max_request_retries": 3,
+                             "request_handler_timeout_secs": 30,
+                             "max_requests_per_crawl": 1000,
+                             "max_request_timeout": 30000,
+                             "navigation_timeout_secs": 30,
+                             "max_session_rotations": 5,
+                             "request_queue_name": "test-queue"})
+    validate_engine_options({"max_request_retries": 0})   # zero allowed
+    validate_engine_options({"max_session_rotations": 0})  # zero allowed
+    cases = [
+        ({"min_concurrency": 0}, "minConcurrency must be at least 1"),
+        ({"max_concurrency": 0}, "maxConcurrency must be at least 1"),
+        ({"min_concurrency": 10, "max_concurrency": 5},
+         "minConcurrency cannot be greater than maxConcurrency"),
+        ({"request_handler_timeout_secs": 0},
+         "requestHandlerTimeoutSecs must be at least 1"),
+        ({"max_request_timeout": 0}, "maxRequestTimeout must be at least 1"),
+        ({"navigation_timeout_secs": 0},
+         "navigationTimeoutSecs must be at least 1"),
+        ({"max_request_retries": -1}, "maxRequestRetries cannot be negative"),
+        ({"max_requests_per_crawl": 0},
+         "maxRequestsPerCrawl must be at least 1"),
+        ({"max_session_rotations": -1},
+         "maxSessionRotations cannot be negative"),
+        ({"request_queue_name": 123}, "requestQueueName must be a string"),
+    ]
+    for options, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            validate_engine_options(options)
