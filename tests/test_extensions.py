@@ -1118,7 +1118,7 @@ def test_engine_options_validation():
     """Mirror packages/scrape/src/__tests__/core/ConfigValidator.test.ts."""
     import pytest
 
-    from anycrawl_ray.functions.json_schema import validate_engine_options
+    from anycrawl_ray.functions.engine_config import validate_engine_options
 
     validate_engine_options({})  # empty passes
     validate_engine_options({"min_concurrency": 1, "max_concurrency": 10,
