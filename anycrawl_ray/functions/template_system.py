@@ -218,3 +218,67 @@ def process_template(template: dict, url: str, request_options: dict,
                 "error": f"Invalid engine: {engine}. Allowed: "
                          f"{', '.join(allowed_engines)}"}
     return {"success": True, "engine_name": engine, "merged_options": merged}
+
+
+class TemplateCache:
+    """In-memory TTL template cache — TemplateCache port
+    (packages/template-client/src/cache/index.ts:12-100):
+
+    - ``ttl`` ms (default 300000); ttl <= 0 DISABLES the cache entirely
+      (get always misses, set stores nothing);
+    - ``max_size`` (default 100): inserting into a full cache evicts the
+      OLDEST entry (insertion order, like the Map-keys eviction);
+    - expired entries miss and are dropped on access; the reference's
+      cleanup timer becomes an explicit ``cleanup()`` (epoch-synchronous
+      code has no background timers).
+
+    ``clock`` is injectable for deterministic tests.
+    """
+
+    def __init__(self, ttl_ms: int = 300_000, max_size: int = 100,
+                 clock=None) -> None:
+        import time
+
+        self.ttl_ms = ttl_ms
+        self.max_size = max_size
+        self.clock = clock or (lambda: time.time() * 1000.0)
+        self._cache: dict[str, tuple[float, dict]] = {}
+
+    def get(self, template_id: str):
+        if self.ttl_ms <= 0:
+            return None
+        entry = self._cache.get(template_id)
+        if entry is None:
+            return None
+        ts, template = entry
+        if self.clock() - ts > self.ttl_ms:
+            del self._cache[template_id]
+            return None
+        return template
+
+    def set(self, template_id: str, template: dict) -> None:
+        if self.ttl_ms <= 0:
+            return
+        if len(self._cache) >= self.max_size and template_id not in self._cache:
+            oldest = next(iter(self._cache), None)
+            if oldest is not None:
+                del self._cache[oldest]
+        self._cache[template_id] = (self.clock(), template)
+
+    def invalidate(self, template_id: str) -> None:
+        self._cache.pop(template_id, None)
+
+    def clear(self) -> None:
+        self._cache.clear()
+
+    def cleanup(self) -> int:
+        """Drop every expired entry; returns how many were removed."""
+        now = self.clock()
+        expired = [k for k, (ts, _t) in self._cache.items()
+                   if now - ts > self.ttl_ms]
+        for k in expired:
+            del self._cache[k]
+        return len(expired)
+
+    def size(self) -> int:
+        return len(self._cache)

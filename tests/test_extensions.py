@@ -1151,3 +1151,42 @@ def test_engine_options_validation():
     for options, msg in cases:
         with pytest.raises(ValueError, match=msg):
             validate_engine_options(options)
+
+
+def test_template_cache_semantics():
+    """Mirror packages/template-client/src/__tests__/cache.test.ts: TTL
+    expiry, oldest-entry eviction at max size, invalidate/clear, and
+    ttl<=0 disabling the cache."""
+    from anycrawl_ray.functions.template_system import TemplateCache
+
+    now = {"t": 1_000_000.0}
+    c = TemplateCache(ttl_ms=1000, max_size=3, clock=lambda: now["t"])
+    c.set("a", {"id": "a"})
+    assert c.get("a") == {"id": "a"}
+    assert c.get("missing") is None
+    # expiry
+    now["t"] += 1001
+    assert c.get("a") is None
+    assert c.size() == 0
+    # eviction: oldest out when full
+    for k in ("a", "b", "c"):
+        c.set(k, {"id": k})
+    c.set("d", {"id": "d"})
+    assert c.size() == 3
+    assert c.get("a") is None  # oldest evicted
+    assert c.get("d") == {"id": "d"}
+    # re-setting an existing key must not evict others
+    c.set("d", {"id": "d2"})
+    assert c.size() == 3 and c.get("b") is not None
+    # invalidate / clear / cleanup
+    c.invalidate("b")
+    assert c.get("b") is None
+    now["t"] += 1001
+    assert c.cleanup() == 2  # c and d expired
+    c.set("x", {"id": "x"})
+    c.clear()
+    assert c.size() == 0
+    # ttl <= 0 disables the cache entirely
+    off = TemplateCache(ttl_ms=0, clock=lambda: now["t"])
+    off.set("a", {"id": "a"})
+    assert off.get("a") is None and off.size() == 0
