@@ -102,16 +102,20 @@ def transform_relative_urls(root: Node, base_url: str) -> None:
     srcset writes ``src`` last-wins; we apply srcset first then src resolve
     is a no-op on already-absolute values.
     """
-    for img in root.select("img[srcset]"):
-        _transform_srcset(img, base_url)
-    for img in root.select("img[src]"):
-        src = img.get("src")
-        if src:
-            img.attrs["src"] = resolve_url(base_url, src)
-    for a in root.select("a[href]"):
-        href = a.get("href")
-        if href:
-            a.attrs["href"] = resolve_url(base_url, href)
+    # ONE document-order walk (was three full-tree selects): per node the
+    # srcset promotion runs before the src resolve, exactly the pass order
+    # of the separate loops (operations are per-node independent)
+    for node in root.elements():
+        if node.tag == "img":
+            if node.get("srcset"):
+                _transform_srcset(node, base_url)
+            src = node.get("src")
+            if src:
+                node.attrs["src"] = resolve_url(base_url, src)
+        elif node.tag == "a":
+            href = node.get("href")
+            if href:
+                node.attrs["href"] = resolve_url(base_url, href)
 
 
 def _parse_srcset_entry(entry: str) -> tuple[str, float, bool]:
@@ -229,27 +233,33 @@ def extract_page_from_tree(root: Node, url: str) -> PageExtract:
     stage share ONE DOM parse between extraction and transformation
     (the extraction never mutates; callers may mutate afterwards)."""
     out = PageExtract(url=url)
-    title_el = root.select_one("title")
-    if title_el is not None:
-        out.title = title_el.text_content().strip()
-    for meta in root.select("meta"):
-        name = meta.get("name")
-        prop = meta.get("property")
-        content = meta.get("content")
-        if (name or prop) and content:
-            entry = {"name": name or prop, "content": content.strip()}
-            if prop:
-                entry["property"] = prop
-            out.metadata.append(entry)
-    for a in root.select("a[href]"):
-        href = (a.get("href") or "").strip()
-        if not href or href.startswith(("#", "javascript:", "mailto:", "tel:")):
-            continue
-        out.links.append(resolve_url(url, href))
-    for img in root.select("img"):
-        src = img.get("src")
-        if src:
-            out.images.append(
-                {"src": resolve_url(url, src), "alt": (img.get("alt") or "").strip()}
-            )
+    # ONE document-order walk collecting title/meta/links/images (was four
+    # full-tree selects); per-kind collection order equals the separate
+    # selects since both are document order
+    title_done = False
+    for node in root.elements():
+        tag = node.tag
+        if tag == "title" and not title_done:
+            out.title = node.text_content().strip()
+            title_done = True
+        elif tag == "meta":
+            name = node.get("name")
+            prop = node.get("property")
+            content = node.get("content")
+            if (name or prop) and content:
+                entry = {"name": name or prop, "content": content.strip()}
+                if prop:
+                    entry["property"] = prop
+                out.metadata.append(entry)
+        elif tag == "a":
+            href = (node.get("href") or "").strip()
+            if href and not href.startswith(("#", "javascript:", "mailto:",
+                                             "tel:")):
+                out.links.append(resolve_url(url, href))
+        elif tag == "img":
+            src = node.get("src")
+            if src:
+                out.images.append(
+                    {"src": resolve_url(url, src),
+                     "alt": (node.get("alt") or "").strip()})
     return out

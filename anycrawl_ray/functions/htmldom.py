@@ -133,8 +133,20 @@ class Node:
         return [e for e in self.elements() if any(m(e) for m in matchers)]
 
     def select_one(self, selector: str) -> "Node | None":
-        hits = self.select(selector)
-        return hits[0] if hits else None
+        """First match in document order — early exit (callers probe with
+        this inside per-node loops, so scanning the whole subtree for a
+        full hit list was a measured hotspot)."""
+        matchers = _compiled_list(selector)
+        if len(matchers) == 1:
+            m = matchers[0]
+            for e in self.elements():
+                if m(e):
+                    return e
+            return None
+        for e in self.elements():
+            if any(m(e) for m in matchers):
+                return e
+        return None
 
     def remove_all(self, selector: str) -> int:
         hits = self.select(selector)
