@@ -85,9 +85,14 @@ class Node:
             stack.extend(reversed(node.children))
 
     def elements(self):
-        for n in self.iter():
-            if n.kind == "element":
-                yield n
+        """Document-order element traversal — direct walk (wrapping
+        ``iter`` doubled the generator overhead on the hottest path)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node.kind == "element":
+                yield node
+            stack.extend(reversed(node.children))
 
     # -- accessors --------------------------------------------------------
     def get(self, name: str, default=None):

@@ -32,22 +32,24 @@ def _collapse(text: str) -> str:
 def _wrap(text: str) -> str:
     """Greedy 80-col word wrap; identical to ``textwrap.wrap`` for
     space-separated text without over-long or hyphenated words (the common
-    case — 10x cheaper); falls back to textwrap otherwise."""
+    case — 10x cheaper); falls back to textwrap otherwise. The over-long
+    word check is fused into the packing loop (a separate pre-pass scanned
+    every word twice — measured hotspot)."""
     if len(text) <= _WRAP:
         return text
     if "-" in text:
         return "\n".join(textwrap.wrap(text, _WRAP))
-    words = text.split(" ")
-    if any(len(w) > _WRAP for w in words):
-        return "\n".join(textwrap.wrap(text, _WRAP))
     lines: list[str] = []
     cur: list[str] = []
     cur_len = 0
-    for w in words:
-        add = len(w) + (1 if cur else 0)
+    for w in text.split(" "):
+        wl = len(w)
+        if wl > _WRAP:  # rare: textwrap handles mid-word breaking
+            return "\n".join(textwrap.wrap(text, _WRAP))
+        add = wl + (1 if cur else 0)
         if cur_len + add > _WRAP:
             lines.append(" ".join(cur))
-            cur, cur_len = [w], len(w)
+            cur, cur_len = [w], wl
         else:
             cur.append(w)
             cur_len += add
