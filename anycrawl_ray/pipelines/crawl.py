@@ -577,16 +577,19 @@ def run_crawl(
         cands = parsed.column("candidates").to_pylist()
         canons = parsed.column("cand_canon").to_pylist()
         keys = parsed.column("cand_key").to_pylist()
-        for u, d, c, cc, ck in zip(urls, depths, cands, canons, keys):
+        hostsc = parsed.column("cand_host").to_pylist()
+        for u, d, c, cc, ck, ch in zip(urls, depths, cands, canons, keys,
+                                       hostsc):
             if c:
                 if robots is not None:
                     allowed = robots.allowed_batch(c)
                     c = [link for link, ok in zip(c, allowed) if ok]
                     cc = [x for x, ok in zip(cc, allowed) if ok]
                     ck = [x for x, ok in zip(ck, allowed) if ok]
+                    ch = [x for x, ok in zip(ch, allowed) if ok]
                     if not c:
                         continue
-                groups.append((u, c, d + 1, cc, ck))
+                groups.append((u, c, d + 1, cc, ck, ch))
         frontier.offer_groups(job.job_id, groups, limit=job.limit)
         # persist documents for this epoch
         if not dist_write:

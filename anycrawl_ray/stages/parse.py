@@ -46,7 +46,7 @@ from ..functions.htmldom import Node, parse_html
 from ..functions.markdown import html_to_markdown, markdown_from_tree
 from ..functions.patterns import PathRules
 from ..functions.textconv import html_to_text_tree
-from ..functions.urls import canonicalize, same_scope, xxh64
+from ..functions.urls import canonicalize, host_of, same_scope, xxh64
 from ..schemas import SPAN
 
 
@@ -71,6 +71,7 @@ PARSED_EXTRA = pa.schema(
         # (round-1 driver-serial chokepoint)
         ("cand_canon", pa.list_(pa.string())),
         ("cand_key", pa.list_(pa.uint64())),
+        ("cand_host", pa.list_(pa.string())),
         ("title", pa.string()),
     ]
 )
@@ -224,6 +225,7 @@ class PageParser:
         # admission gate then only does O(1) dict/set work per candidate
         canon_col = [[canonicalize(u) for u in cands] for cands in cand_col]
         key_col = [[xxh64(c) for c in cs] for cs in canon_col]
+        host_col = [[host_of(c) for c in cs] for cs in canon_col]
         # don't carry page bodies forward; the browser engine's screenshot
         # binary is likewise consumed here (a real deployment's blob sink
         # writes it worker-side before this stage) — only the span's
@@ -239,5 +241,6 @@ class PageParser:
             .append_column("candidates", pa.array(cand_col, pa.list_(pa.string())))
             .append_column("cand_canon", pa.array(canon_col, pa.list_(pa.string())))
             .append_column("cand_key", pa.array(key_col, pa.list_(pa.uint64())))
+            .append_column("cand_host", pa.array(host_col, pa.list_(pa.string())))
             .append_column("title", pa.array(title_col, pa.string()))
         )

@@ -34,6 +34,16 @@ def _mix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — bit-identical to ``_mix64`` (uint64 wraps)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 class CuckooFilter:
     """Cuckoo filter over 64-bit integer keys."""
 
@@ -71,6 +81,25 @@ class CuckooFilter:
             return True
         i2 = self._alt(i1, fp)
         return fp in self.table[i2]
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe over a uint64 key array — one numpy
+        pass instead of a Python loop per key (the frontier's admission hot
+        path). Semantics identical to ``contains`` (tests pin equality)."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        if keys.size == 0:
+            return np.zeros(0, dtype=bool)
+        m = _mix64_np(keys)
+        fp = (m & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 marks an empty slot
+        mask = np.uint64(self.num_buckets - 1)
+        i1 = (_mix64_np(keys ^ np.uint64(0x9E3779B97F4A7C15)) & mask).astype(
+            np.int64)
+        i2 = ((i1.astype(np.uint64) ^ _mix64_np(fp.astype(np.uint64))) & mask
+              ).astype(np.int64)
+        f = fp[:, None]
+        return ((self.table[i1] == f).any(axis=1)
+                | (self.table[i2] == f).any(axis=1))
 
     def insert(self, key: int) -> bool:
         """Insert; False only when the filter is saturated (caller should

@@ -310,6 +310,23 @@ class ShardState:
             for k in keys
         ]
 
+    def contains_np(self, job_id: str, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe: one batched cuckoo pass; only
+        filter-positives (true hits + ~0.003% FPs) pay the exact-set
+        lookup. Returns a bool array aligned with ``keys``."""
+        job_seen = self.seen.get(job_id)
+        if job_seen is None:
+            return np.zeros(len(keys), dtype=bool)
+        maybe = self.filter.contains_batch(keys)
+        if self.overflow:
+            ov = np.fromiter(self.overflow, dtype=np.uint64,
+                             count=len(self.overflow))
+            maybe |= np.isin(keys, ov)
+        out = np.zeros(len(keys), dtype=bool)
+        for i in np.flatnonzero(maybe).tolist():
+            out[i] = int(keys[i]) in job_seen
+        return out
+
     def insert_seen(self, job_id: str, keys: list[int], urls: list[str],
                     seqs: list[int]) -> None:
         job_seen = self.seen[job_id]
@@ -517,6 +534,9 @@ def _make_actor_class():
         def contains(self, job_id, keys):
             return self.state.contains(job_id, keys)
 
+        def contains_np(self, job_id, keys):
+            return self.state.contains_np(job_id, keys)
+
         def insert_seen(self, job_id, keys, urls, seqs):
             return self.state.insert_seen(job_id, keys, urls, seqs)
 
@@ -583,11 +603,7 @@ class AdmissionLog:
         self._buf: dict[str, list[tuple]] = defaultdict(list)
         self._segments: dict[str, list[str]] = defaultdict(list)
 
-    def append(self, job_id: str, row: tuple) -> None:
-        if not self.enabled:
-            return
-        buf = self._buf[job_id]
-        buf.append(row)
+    def _maybe_spool(self, job_id: str, buf: list) -> None:
         if self.spool_dir is not None and len(buf) >= self.spool_threshold:
             os.makedirs(self.spool_dir, exist_ok=True)
             path = os.path.join(self.spool_dir, _spill_name("admlog"))
@@ -595,6 +611,30 @@ class AdmissionLog:
                 pickle.dump(buf, f, protocol=pickle.HIGHEST_PROTOCOL)
             self._segments[job_id].append(path)
             buf.clear()
+
+    def append(self, job_id: str, row: tuple) -> None:
+        if not self.enabled:
+            return
+        buf = self._buf[job_id]
+        buf.append(row)
+        self._maybe_spool(job_id, buf)
+
+    def extend(self, job_id: str, rows: list[tuple]) -> None:
+        if not self.enabled or not rows:
+            return
+        buf = self._buf[job_id]
+        if self.spool_dir is None:
+            buf.extend(rows)
+            return
+        # chunked so spooled segments stay ~threshold-sized (bounded
+        # read-back memory, same as the per-append path)
+        step = max(1, self.spool_threshold - len(buf))
+        i = 0
+        while i < len(rows):
+            buf.extend(rows[i:i + step])
+            self._maybe_spool(job_id, buf)
+            i += step
+            step = self.spool_threshold
 
     def rows(self, job_id: str) -> list[tuple]:
         """All admissions in seq order (segments were flushed in order)."""
@@ -731,16 +771,196 @@ class Frontier:
         """Offer candidate links per parent page, in deterministic order.
 
         ``groups`` is ordered by parent admission order; each entry is
-        ``(parent_url, child_urls_in_dom_order, child_depth)`` or the
-        5-tuple form ``(..., canonical_urls, xxh64_keys)`` with the string
-        work pre-computed worker-side (the parse stage emits these — the
-        driver gate then does only O(1) bookkeeping per candidate). Scope /
-        include / exclude / depth filtering happened upstream. Returns the
-        number admitted. Semantics per module docstring (limit gate before
-        dedup; first-sight-wins; per-call cap = limit)."""
+        ``(parent_url, child_urls_in_dom_order, child_depth)``, the
+        5-tuple form ``(..., canonical_urls, xxh64_keys)``, or the 6-tuple
+        form ``(..., hosts)`` with ALL per-URL string work pre-computed
+        worker-side (the parse stage emits these). Scope / include /
+        exclude / depth filtering happened upstream. Returns the number
+        admitted. Semantics per module docstring (limit gate before dedup;
+        first-sight-wins; per-call cap = limit).
+
+        **Distributed-sequencer implementation** (ARCHITECTURE.md §2):
+        candidates arrive already totally ordered by (parent admission
+        order, DOM link position). The seen-probe fans out per key shard
+        as ONE vectorized ``contains_np`` RPC each (batched cuckoo pass
+        shard-side); within-batch first-sight-wins is a stable argsort
+        rank; the limit gate is a per-group prefix-sum; ``discovered_seq``
+        / ``host_seq`` are cumsum ranks over the admitted mask. The driver
+        does no per-candidate Python — only O(#groups + #unique-hosts)
+        bookkeeping plus numpy kernels — so admission throughput scales
+        with shard count instead of capping at a driver loop (the round-2
+        ceiling, ~56k admissions/s).
+
+        **Why the prefix-sum gate is exact** (equivalence with the serial
+        gate proven by the pinned test against ``_offer_groups_serial``):
+        the gate is monotone — ``enqueued`` never decreases, so gated
+        groups form a suffix. A plain cumsum over per-group pass-counts
+        therefore flags exactly the real gated suffix: counts of gated
+        groups only ever inflate the cumsum of LATER groups, which are
+        gated either way. Dedup restricted to the non-gated prefix equals
+        global first-occurrence restricted to that prefix, because a
+        duplicate's first sighting can never be in a (later) gated group.
+        """
+        (urls_a, canons_a, keys, hosts_a, gis, glens, parents_g, depths_g
+         ) = self._flatten_groups(groups, limit)
+        n = keys.size
+        if n == 0:
+            return 0
+        # pass 1: vectorized read-only membership probe per key shard
+        shard_ids = (keys % np.uint64(self.num_shards)).astype(np.int64)
+        in_seen = np.zeros(n, dtype=bool)
+        futures, order = [], []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_ids == s)
+            if idx.size:
+                futures.append(self._call(s, "contains_np", job_id, keys[idx]))
+                order.append(idx)
+        for idx, res in zip(order, self._gather(futures)):
+            in_seen[idx] = res
+        # within-batch first occurrence per key (stable sort = flat order)
+        sort_idx = np.argsort(keys, kind="stable")
+        sk = keys[sort_idx]
+        first_sorted = np.empty(n, dtype=bool)
+        first_sorted[0] = True
+        first_sorted[1:] = sk[1:] != sk[:-1]
+        is_first = np.empty(n, dtype=bool)
+        is_first[sort_idx] = first_sorted
+        passes = ~in_seen & is_first
+        # limit gate: per-group prefix-sum (exactness argued above)
+        if limit is not None:
+            counts = np.bincount(gis[passes], minlength=len(glens))
+            cum_before = self.enqueued[job_id] + np.concatenate(
+                ([0], np.cumsum(counts)[:-1]))
+            admitted = passes & (cum_before < limit)[gis]
+        else:
+            admitted = passes
+        adm = np.flatnonzero(admitted)
+        n_adm = int(adm.size)
+        if n_adm == 0:
+            return 0
+        urls_adm = urls_a[adm]
+        canons_adm = canons_a[adm]
+        keys_adm = keys[adm]
+        hosts_adm = hosts_a[adm]
+        depths_adm = np.repeat(np.asarray(depths_g, dtype=np.int64), glens)[adm]
+        parents_adm = np.repeat(np.asarray(parents_g, dtype=object), glens)[adm]
+        # dense discovered_seq = admission rank + persistent base
+        base = self.next_seq[job_id]
+        seqs = base + np.arange(n_adm, dtype=np.int64)
+        self.next_seq[job_id] = base + n_adm
+        self.enqueued[job_id] += n_adm
+        # host_seq = within-host admission rank + persistent per-host base
+        uniq_hosts, inv = np.unique(hosts_adm, return_inverse=True)
+        host_counts = np.bincount(inv)
+        by_host = np.argsort(inv, kind="stable")
+        group_starts = np.concatenate(([0], np.cumsum(host_counts)[:-1]))
+        hseqs = np.empty(n_adm, dtype=np.int64)
+        hseqs[by_host] = np.arange(n_adm) - np.repeat(group_starts, host_counts)
+        uniq_list = uniq_hosts.tolist()
+        bases = np.array(
+            [self.host_seq[(job_id, h)] for h in uniq_list], dtype=np.int64)
+        hseqs += bases[inv]
+        for h, c in zip(uniq_list, host_counts.tolist()):
+            self.host_seq[(job_id, h)] += c
+        if self.admission_log.enabled:
+            self.admission_log.extend(job_id, list(zip(
+                seqs.tolist(), urls_adm.tolist(), canons_adm.tolist(),
+                depths_adm.tolist(), parents_adm.tolist())))
+        # route: host shard per admitted candidate (hot-host lane split)
+        host_hashes = np.array(
+            [xxh64(h) for h in uniq_list], dtype=np.uint64)
+        host_shards = (host_hashes[inv] % np.uint64(self.num_shards)
+                       ).astype(np.int64)
+        if self.hot_host_lane_size < (1 << 62):
+            lanes = hseqs // self.hot_host_lane_size
+            for i in np.flatnonzero(lanes > 0).tolist():
+                host_shards[i] = xxh64(
+                    f"{hosts_adm[i]}#{lanes[i]}") % self.num_shards
+        # pass 2: persist seen inserts (key shards) + enqueue (host shards)
+        futures = []
+        key_shards = shard_ids[adm]
+        for s in np.unique(key_shards):
+            m = key_shards == s
+            futures.append(self._call(
+                int(s), "insert_seen", job_id, keys_adm[m].tolist(),
+                canons_adm[m].tolist(), seqs[m].tolist()))
+        nj = [job_id]  # broadcast-multiply below keeps one string object
+        for s in np.unique(host_shards):
+            m = host_shards == s
+            rows = {
+                "url": urls_adm[m].tolist(),
+                "canonical_url": canons_adm[m].tolist(),
+                "url_key": keys_adm[m].tolist(),
+                "host": hosts_adm[m].tolist(),
+                "depth": depths_adm[m].tolist(),
+                "job_id": nj * int(m.sum()),
+                "parent_url": parents_adm[m].tolist(),
+                "discovered_seq": seqs[m].tolist(),
+                "host_seq": hseqs[m].tolist(),
+            }
+            futures.append(self._call(int(s), "enqueue", rows))
+        self._gather(futures)
+        return n_adm
+
+    @staticmethod
+    def _flatten_groups(groups: list[tuple], limit: int | None):
+        """Flatten parent groups into columnar arrays in candidate order.
+        Applies the Crawlee per-call slice (``children[:limit]`` BEFORE
+        dedup) and fills canon/key/host for the unprepared tuple forms."""
+        urls_l: list[str] = []
+        canons_l: list[str] = []
+        keys_l: list[int] = []
+        hosts_l: list[str] = []
+        glens: list[int] = []
+        parents_g: list[str] = []
+        depths_g: list[int] = []
+        for grp in groups:
+            hosts = None
+            if len(grp) == 6:
+                parent, children, depth, canons, keys, hosts = grp
+            elif len(grp) == 5:
+                parent, children, depth, canons, keys = grp
+            else:
+                parent, children, depth = grp
+                canons = [canonicalize(u) for u in children]
+                keys = [xxh64(c) for c in canons]
+            if limit is not None:
+                children = children[:limit]
+                canons = canons[:limit]
+                keys = keys[:limit]
+                if hosts is not None:
+                    hosts = hosts[:limit]
+            if hosts is None:
+                hosts = [host_of(c) for c in canons]
+            parents_g.append(parent)
+            depths_g.append(depth)
+            glens.append(len(children))
+            urls_l.extend(children)
+            canons_l.extend(canons)
+            keys_l.extend(keys)
+            hosts_l.extend(hosts)
+        glens_a = np.asarray(glens, dtype=np.int64)
+        gis = np.repeat(np.arange(len(glens), dtype=np.int64), glens_a)
+        return (np.asarray(urls_l, dtype=object),
+                np.asarray(canons_l, dtype=object),
+                np.asarray(keys_l, dtype=np.uint64),
+                np.asarray(hosts_l, dtype=object),
+                gis, glens_a, parents_g, depths_g)
+
+    def _offer_groups_serial(
+        self,
+        job_id: str,
+        groups: list[tuple],
+        limit: int | None = None,
+    ) -> int:
+        """Reference implementation of ``offer_groups`` — the round-1/2
+        driver loop, kept verbatim as the semantic oracle the vectorized
+        path is pinned against (tests/test_frontier_spill.py)."""
         flat: list[tuple[int, str, str, int, str, int]] = []  # (gi, url, canon, key, parent, depth)
         for gi, grp in enumerate(groups):
-            if len(grp) == 5:
+            if len(grp) == 6:
+                parent, children, depth, canons, keys, _hosts = grp
+            elif len(grp) == 5:
                 parent, children, depth, canons, keys = grp
             else:
                 parent, children, depth = grp

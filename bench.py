@@ -74,25 +74,37 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # over fresh synthetic URLs, actors live. canonicalize + xxh64 are
     # precomputed outside the timed loop, exactly as the crawl path ships
     # them from the parse workers (cand_canon/cand_key columns)
-    from anycrawl_ray.functions.urls import canonicalize, xxh64
+    from anycrawl_ray.functions.urls import canonicalize, host_of, xxh64
     from anycrawl_ray.state.frontier import Frontier
 
-    fr = Frontier(num_shards=8, use_actors=True)
-    fr.add_seeds("fb", ["http://bench.test/"])
-    n_urls = 50_000
+    n_urls = 200_000
     groups = []
     for g in range(n_urls // 50):
         children = [f"http://h{g % 97}.test/x{g}_{i}" for i in range(50)]
         canons = [canonicalize(u) for u in children]
         keys = [xxh64(c) for c in canons]
-        groups.append((f"http://bench.test/p{g}", children, 1, canons, keys))
-    t0 = time.perf_counter()
-    admitted = 0
-    for i in range(0, len(groups), 100):
-        admitted += fr.offer_groups("fb", groups[i : i + 100])
-    frontier_ops = admitted / (time.perf_counter() - t0)
-    _eprint(f"frontier: {admitted} admissions at {frontier_ops:.0f} ops/s")
-    del fr  # release shard actors before the query timings
+        hosts = [host_of(c) for c in canons]
+        groups.append((f"http://bench.test/p{g}", children, 1, canons, keys,
+                       hosts))
+
+    def frontier_run(num_shards: int) -> float:
+        fr = Frontier(num_shards=num_shards, use_actors=True,
+                      record_admissions=False)
+        fr.add_seeds("fb", ["http://bench.test/"])
+        t0 = time.perf_counter()
+        admitted = 0
+        for i in range(0, len(groups), 100):
+            admitted += fr.offer_groups("fb", groups[i : i + 100])
+        ops = admitted / (time.perf_counter() - t0)
+        _eprint(f"frontier[{num_shards} shards]: {admitted} admissions at "
+                f"{ops:.0f} ops/s")
+        return ops
+
+    # shard-scaling point (VERDICT r2 #1): admission throughput must grow
+    # with shard count now that the driver only routes numpy batches
+    frontier_ops_2sh = frontier_run(2)
+    frontier_ops = frontier_run(8)
+    del groups  # release shard actors before the query timings
 
     # scaling children measure ONLY the headline crawl (the efficiency
     # metric) — rerunning every query at each cpu count would quadruple
@@ -108,6 +120,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "pages": int(done),
             "pages_per_sec": round(done / crawl_sec, 1),
             "frontier_ops_per_sec": round(frontier_ops, 1),
+            "frontier_ops_per_sec_2shards": round(frontier_ops_2sh, 1),
         }
 
     # ---- operator timings (untimed ray.data warmup first: the crawl uses
@@ -148,6 +161,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pages": int(done),
         "pages_per_sec": round(done / crawl_sec, 1),
         "frontier_ops_per_sec": round(frontier_ops, 1),
+        "frontier_ops_per_sec_2shards": round(frontier_ops_2sh, 1),
     }
 
 

@@ -337,3 +337,94 @@ def test_offer_groups_precomputed_keys_match(tmp_path):
     f2.offer_groups("j", [("http://s.test/", urls, 1, canons, keys)])
     assert f1.next_wave("j").equals(f2.next_wave("j"))
     assert f1.admission_table("j").equals(f2.admission_table("j"))
+
+
+def _random_offer_scenario(rng, n_groups, n_hosts, n_paths):
+    """Random parent groups with heavy key collisions (dup URLs within and
+    across groups) to stress first-sight-wins + the limit gate."""
+    groups = []
+    for g in range(n_groups):
+        k = rng.randint(0, 12)
+        children = [
+            f"http://h{rng.randrange(n_hosts)}.test/p{rng.randrange(n_paths)}"
+            for _ in range(k)
+        ]
+        groups.append((f"http://seed.test/parent{g}", children, 1))
+    return groups
+
+
+def test_offer_groups_vectorized_matches_serial_reference():
+    """The round-3 vectorized admission sequencer is pinned against the
+    round-1/2 serial driver loop (`_offer_groups_serial`) on randomized
+    scenarios: same admitted count, same wave rows (seq/host_seq/order),
+    same golden admission log, same seen set — with and without limits,
+    across multiple offer calls."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(12):
+        limit = rng.choice([None, 3, 10, 25, 60])
+        f_vec = Frontier(num_shards=3, use_actors=False)
+        f_ser = Frontier(num_shards=3, use_actors=False)
+        seeds = [f"http://h{i}.test/" for i in range(3)]
+        f_vec.add_seeds("j", seeds)
+        f_ser.add_seeds("j", seeds)
+        for _call in range(rng.randint(1, 4)):
+            groups = _random_offer_scenario(
+                rng, n_groups=rng.randint(0, 8), n_hosts=4, n_paths=30)
+            a = f_vec.offer_groups("j", groups, limit=limit)
+            b = f_ser._offer_groups_serial("j", groups, limit=limit)
+            assert a == b, (trial, limit)
+        assert f_vec.enqueued["j"] == f_ser.enqueued["j"]
+        assert f_vec.next_seq["j"] == f_ser.next_seq["j"]
+        assert dict(f_vec.host_seq) == dict(f_ser.host_seq)
+        assert f_vec.admission_table("j").equals(f_ser.admission_table("j"))
+        wv, ws = f_vec.next_wave("j"), f_ser.next_wave("j")
+        assert wv.equals(ws), (trial, limit)
+        sv = sorted(zip(*[f_vec.seen_table("j").column(c).to_pylist()
+                          for c in ("url_key", "first_seen_seq")]))
+        ss = sorted(zip(*[f_ser.seen_table("j").column(c).to_pylist()
+                          for c in ("url_key", "first_seen_seq")]))
+        assert sv == ss
+
+
+def test_offer_groups_vectorized_matches_serial_with_hosts_and_actors():
+    """6-tuple (precomputed host) path over real shard actors equals the
+    inline serial path."""
+    from anycrawl_ray.functions.urls import canonicalize, host_of, xxh64
+
+    urls = ([f"http://h{i % 5}.test/p{i % 37}" for i in range(200)]
+            + ["http://h0.test/p0"] * 3)
+    canons = [canonicalize(u) for u in urls]
+    keys = [xxh64(c) for c in canons]
+    hosts = [host_of(c) for c in canons]
+    groups6 = [("http://seed.test/", urls[i:i + 20], 1, canons[i:i + 20],
+                keys[i:i + 20], hosts[i:i + 20]) for i in range(0, len(urls), 20)]
+    groups3 = [(g[0], g[1], g[2]) for g in groups6]
+    f_vec = Frontier(num_shards=4, use_actors=True)
+    f_ser = Frontier(num_shards=4, use_actors=False)
+    f_vec.add_seeds("j", ["http://h0.test/"])
+    f_ser.add_seeds("j", ["http://h0.test/"])
+    a = f_vec.offer_groups("j", groups6, limit=100)
+    b = f_ser._offer_groups_serial("j", groups3, limit=100)
+    assert a == b
+    assert f_vec.next_wave("j").equals(f_ser.next_wave("j"))
+    assert f_vec.admission_table("j").equals(f_ser.admission_table("j"))
+
+
+def test_cuckoo_contains_batch_matches_scalar():
+    import numpy as np
+
+    from anycrawl_ray.state.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(7)
+    f = CuckooFilter(capacity=4096, seed=11)
+    inserted = rng.integers(0, 1 << 63, size=3000, dtype=np.uint64)
+    for k in inserted.tolist():
+        f.insert(k)
+    probes = np.concatenate(
+        [inserted[:500], rng.integers(0, 1 << 63, size=2000, dtype=np.uint64)])
+    batch = f.contains_batch(probes)
+    scalar = np.array([f.contains(int(k)) for k in probes.tolist()])
+    assert (batch == scalar).all()
+    assert batch[:500].all()  # no false negatives
