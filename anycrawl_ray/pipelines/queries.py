@@ -248,10 +248,11 @@ def top_users_by_value(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().groupby("user_id", as_index=False).agg(
-            total_value=("value", "sum"), n_events=("value", "size")
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # map-side combine, pure Arrow (no pandas copy) — keys come first
+        # in pa.Table.group_by output
+        g = b.group_by(["user_id"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+        return g.rename_columns(["user_id", "total_value", "n_events"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     out = (
@@ -286,12 +287,20 @@ def events_hourly(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df["hour_epoch"] = (df["ts"].dt.floor("h") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
-        g = df.groupby(["event_type", "hour_epoch"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow partial: floor("h") = truncating int64 divide on the
+        # epoch ticks (ts is a positive post-1970 timestamp, so truncation
+        # == floor), then one Arrow group_by per batch
+        ts = b.column("ts")
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        hour_epoch = pc.multiply(
+            pc.divide(pc.cast(ts, pa.int64()), 3600 * per_sec),
+            pa.scalar(3600, pa.int64()))
+        t = pa.table({"event_type": b.column("event_type"),
+                      "hour_epoch": hour_epoch,
+                      "value": b.column("value")})
+        g = t.group_by(["event_type", "hour_epoch"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "hour_epoch", "n", "sum_value"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
@@ -497,21 +506,24 @@ def events_sliding(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        half = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(minutes=30)
-        rows = []
+        # pure-Arrow partial: half-hour bucket via truncating int64 divide
+        # (positive epochs), each event emitted into its two covering
+        # windows, one Arrow group_by over the doubled batch
+        ts = b.column("ts")
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        half = pc.divide(pc.cast(ts, pa.int64()), 1800 * per_sec)
+        parts = []
         for shift in (0, 1):
-            d = pd.DataFrame({
-                "event_type": df["event_type"],
-                "window_start": (half - shift) * 1800,
-                "value": df["value"],
-            })
-            rows.append(d)
-        all_rows = pd.concat(rows)
-        g = all_rows.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+            ws = pc.multiply(
+                pc.subtract(half, pa.scalar(shift, pa.int64())),
+                pa.scalar(1800, pa.int64()))
+            parts.append(pa.table({"event_type": b.column("event_type"),
+                                   "window_start": ws,
+                                   "value": b.column("value")}))
+        g = pa.concat_tables(parts).group_by(
+            ["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "window_start", "n", "sum_value"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
