@@ -105,6 +105,10 @@ def extract_media_features(ds, concurrency: int = 2, batch_size: int = 64):
         # fractional: a full-CPU pool equal to the session's CPU count
         # starves the feeding tasks (deadlocks small sessions)
         num_cpus=0.5,
+        # restartable actors whose serialized ctor lives in the object store
+        # can fail to restart after object loss (ray#53727); the stage is
+        # cheap to rerun, so pin restarts off
+        max_restarts=0,
     )
 
 
@@ -185,7 +189,7 @@ def resize_images(ds, target_w: int = 4, target_h: int = 4,
                   concurrency: int = 2, batch_size: int = 64):
     return ds.map_batches(
         ImageResizer, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=0.5,
+        concurrency=concurrency, num_cpus=0.5, max_restarts=0,
         fn_constructor_kwargs={"target_w": target_w, "target_h": target_h})
 
 
@@ -193,5 +197,5 @@ def sample_frames(ds, every_ms: int = 1000, concurrency: int = 2,
                   batch_size: int = 64):
     return ds.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=0.5,
+        concurrency=concurrency, num_cpus=0.5, max_restarts=0,
         fn_constructor_kwargs={"every_ms": every_ms})
