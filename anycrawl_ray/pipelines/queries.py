@@ -446,7 +446,8 @@ def docs_llm_extract(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(StubExtractor, batch_format="pyarrow",
-                         concurrency=_conc(), batch_size=128, num_cpus=0.5)
+                         concurrency=_conc(), batch_size=128, num_cpus=0.5,
+                         max_restarts=0)
     return pa.concat_tables(
         out.iter_batches(batch_size=8192, batch_format="pyarrow")
     ).select(["doc_id", "n_chunks", "extracted_json"])
@@ -492,7 +493,8 @@ def docs_llm_extract_schema(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(SchemaStubExtractor, batch_format="pyarrow",
                          fn_constructor_kwargs={"json_options": json_options},
-                         concurrency=_conc(), batch_size=128, num_cpus=0.5)
+                         concurrency=_conc(), batch_size=128, num_cpus=0.5,
+                         max_restarts=0)
     return pa.concat_tables(
         out.iter_batches(batch_size=8192, batch_format="pyarrow")
     ).select(["doc_id", "n_chunks", "extracted_json", "schema_valid"])
@@ -803,7 +805,7 @@ def docs_lang_guess(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=_conc(),
-                         num_cpus=0.5)
+                         num_cpus=0.5, max_restarts=0)
     return pa.concat_tables(
         out.iter_batches(batch_size=8192, batch_format="pyarrow")
     ).select(["doc_id", "lang", "lang_guess"])
@@ -816,7 +818,7 @@ def docs_fingerprint(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprinter, batch_format="pyarrow",
-                         concurrency=_conc(), num_cpus=0.5)
+                         concurrency=_conc(), num_cpus=0.5, max_restarts=0)
     return pa.concat_tables(
         out.iter_batches(batch_size=8192, batch_format="pyarrow")
     ).select(["doc_id", "fingerprint"])
@@ -1294,7 +1296,7 @@ def training_pipeline(sf_dir: str):
     from ..stages.text_analysis import LangId
 
     ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=_conc(),
-                        num_cpus=0.5)
+                        num_cpus=0.5, max_restarts=0)
     deduped_ds = exact_dedup(ds)
 
     # near-dup removal: minhash pairs over the exact-dedup survivors; the

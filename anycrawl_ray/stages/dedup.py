@@ -135,29 +135,65 @@ def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
     return mixed.min(axis=1)
 
 
+def minhash_signatures_batch(shingle_arrays: list[np.ndarray],
+                             num_perm: int = 64,
+                             max_chunk_shingles: int = 1 << 16) -> np.ndarray:
+    """Stack of per-doc shingle arrays -> (D, num_perm) uint64 signatures
+    in ONE numpy pass per chunk: shingles concatenate with offsets, the
+    (P, total) salt-mix matrix reduces per doc via np.minimum.reduceat.
+    Chunked along docs so the working matrix stays <= ~num_perm *
+    max_chunk_shingles * 8 bytes (32 MB at defaults) regardless of batch
+    size. Empty-shingle docs keep the all-zeros signature
+    (minhash_signature parity, pinned by tests)."""
+    D = len(shingle_arrays)
+    sigs = np.zeros((D, num_perm), dtype=np.uint64)
+    salts = _PERM_SALTS[:num_perm, None]
+    mult = np.uint64(0xFF51AFD7ED558CCD)
+    lens = np.fromiter((s.size for s in shingle_arrays), count=D,
+                       dtype=np.int64)
+    nonempty = np.flatnonzero(lens)
+    start = 0
+    while start < nonempty.size:
+        # grow the doc chunk until its shingle total would cross the cap
+        # (always >= 1 doc, so a pathological single doc still processes)
+        stop, total = start, 0
+        while stop < nonempty.size and (
+                stop == start or total + lens[nonempty[stop]] <= max_chunk_shingles):
+            total += lens[nonempty[stop]]
+            stop += 1
+        idx = nonempty[start:stop]
+        concat = np.concatenate([shingle_arrays[i] for i in idx])
+        offsets = np.concatenate(([0], np.cumsum(lens[idx])[:-1]))
+        with np.errstate(over="ignore"):
+            mixed = (concat[None, :] ^ salts) * mult
+        sigs[idx] = np.minimum.reduceat(mixed, offsets, axis=1).T
+        start = stop
+    return sigs
+
+
 def minhash_bands_batch(batch: pa.Table, num_perm: int = 64, bands: int = 16,
                         k: int = 3, text_col: str = "text") -> pa.Table:
-    """documents batch -> (doc_id, band_id, band_key) rows (exploded)."""
+    """documents batch -> (doc_id, band_id, band_key) rows (exploded),
+    signatures + band keys computed batch-vectorized (no per-doc Python
+    beyond shingling)."""
     rows_per_band = num_perm // bands
-    doc_ids = batch.column("doc_id").to_pylist()
+    doc_ids = batch.column("doc_id")
     texts = batch.column(text_col).to_pylist()
-    out_doc, out_band, out_key = [], [], []
-    for doc_id, text in zip(doc_ids, texts):
-        sig = minhash_signature(shingle_hashes(text, k), num_perm)
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            key = int(_mix64_np(chunk).sum(dtype=np.uint64))
-            out_doc.append(doc_id)
-            out_band.append(b)
-            out_key.append(key)
+    D = len(texts)
+    sigs = minhash_signatures_batch(
+        [shingle_hashes(t, k) for t in texts], num_perm)
+    # band key = sum of mix64 over the band's signature slice (mod 2^64) —
+    # bit-identical to the per-doc loop this replaces
+    keys = _mix64_np(sigs.reshape(-1)).reshape(
+        D, bands, rows_per_band).sum(axis=2, dtype=np.uint64)
+    idx = np.repeat(np.arange(D, dtype=np.int64), bands)
     t = pa.table(
         {
-            "doc_id": pa.array(out_doc),
-            "band_id": pa.array(out_band, pa.int32()),
+            "doc_id": doc_ids.take(pa.array(idx)),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), D)),
             # int64 bit-reinterpretation of the uint64 key: pandas-backed
             # groupby blocks pickle uint64 values above 2^63
-            "band_key": pa.array(
-                np.array(out_key, dtype=np.uint64).view(np.int64)),
+            "band_key": pa.array(keys.reshape(-1).view(np.int64)),
         }
     )
     return _append_bucket(t)
@@ -452,11 +488,38 @@ def simhash64(text: str) -> int:
     return int(sig)
 
 
-def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    sigs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
-    out = pa.table({"doc_id": batch.column("doc_id"),
-                    "simhash": pa.array(sigs, pa.uint64())})
-    return out
+def simhash_batch(batch: pa.Table, text_col: str = "text",
+                  max_chunk_tokens: int = 1 << 16) -> pa.Table:
+    """Batch-vectorized simhash: token hashes concatenate with offsets,
+    bit votes tally per doc via np.add.reduceat over the (T, 64) bit
+    matrix, chunked along docs so the matrix stays <= ~64 *
+    max_chunk_tokens * 8 bytes. Bit-identical to simhash64 per doc
+    (pinned by test)."""
+    texts = batch.column(text_col).to_pylist()
+    D = len(texts)
+    th = [token_hashes(t) for t in texts]
+    lens = np.fromiter((a.size for a in th), count=D, dtype=np.int64)
+    sigs = np.zeros(D, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    nonempty = np.flatnonzero(lens)
+    start = 0
+    while start < nonempty.size:
+        stop, total = start, 0
+        while stop < nonempty.size and (
+                stop == start or total + lens[nonempty[stop]] <= max_chunk_tokens):
+            total += lens[nonempty[stop]]
+            stop += 1
+        idx = nonempty[start:stop]
+        concat = np.concatenate([th[i] for i in idx])
+        offsets = np.concatenate(([0], np.cumsum(lens[idx])[:-1]))
+        bits = ((concat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        counts = np.add.reduceat(bits, offsets, axis=0)  # (chunk_docs, 64)
+        votes = counts * 2 - lens[idx][:, None]
+        sigs[idx] = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        start = stop
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "simhash": pa.array(sigs, pa.uint64())})
 
 
 def simhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -466,21 +529,19 @@ def simhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     The 8-byte signature rides along with each band row so buckets can
     verify Hamming distance in-place — no second corpus pass needed."""
     sig_tbl = simhash_batch(batch, text_col)
-    doc_ids = sig_tbl.column("doc_id").to_pylist()
-    sigs = sig_tbl.column("simhash").to_pylist()
-    out_doc, out_band, out_key, out_sig = [], [], [], []
-    for d, s in zip(doc_ids, sigs):
-        s = int(s)
-        for b in range(4):
-            out_doc.append(d)
-            out_band.append(b)
-            out_key.append((s >> (16 * b)) & 0xFFFF)
-            out_sig.append(s)
+    sigs = sig_tbl.column("simhash").to_numpy(zero_copy_only=False)
+    D = len(sigs)
+    idx = np.repeat(np.arange(D, dtype=np.int64), 4)
+    band_shift = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), D)
+    rep = np.repeat(sigs, 4)
     return _append_bucket(
-        pa.table({"doc_id": pa.array(out_doc),
-                  "band_id": pa.array(out_band, pa.int32()),
-                  "band_key": pa.array(out_key, pa.int64()),
-                  "simhash": pa.array(out_sig, pa.uint64())}))
+        pa.table({"doc_id": sig_tbl.column("doc_id").take(pa.array(idx)),
+                  "band_id": pa.array(np.tile(
+                      np.arange(4, dtype=np.int32), D)),
+                  "band_key": pa.array(
+                      ((rep >> band_shift) & np.uint64(0xFFFF)
+                       ).astype(np.int64)),
+                  "simhash": pa.array(rep, pa.uint64())}))
 
 
 def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):

@@ -95,13 +95,24 @@ def _mix64_np(x: np.ndarray) -> np.ndarray:
 
 def token_hashes(text: str) -> np.ndarray:
     """Per-token 64-bit hashes (FNV-1a seed then splitmix finalize) —
-    shared by fingerprinting / simhash / minhash shingling."""
+    shared by fingerprinting / simhash / minhash shingling.
+
+    Zipf: a corpus's working vocabulary is tiny relative to its token
+    count, so hashes memoize per process; cache misses batch through the
+    vectorized padded-matrix FNV instead of the per-byte Python loop."""
     toks = _TOKEN_RE.findall(text)
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    h = np.fromiter(
-        (_fnv1a(t) for t in toks), count=len(toks), dtype=np.uint64
-    )
+    c = _FNV_CACHE
+    missing = [t for t in dict.fromkeys(toks) if t not in c]
+    if missing:
+        if len(c) + len(missing) > _FNV_CACHE_CAP:
+            # wholesale reset keeps a long-lived actor's heap flat; vocab
+            # rarely approaches the cap between resets so refill amortizes
+            c.clear()
+        for t, h in zip(missing, _fnv1a_bulk(missing)):
+            c[t] = h
+    h = np.fromiter((c[t] for t in toks), count=len(toks), dtype=np.uint64)
     return _mix64_np(h)
 
 
@@ -110,6 +121,45 @@ def _fnv1a(s: str) -> int:
     for b in s.encode():
         h = ((h ^ b) * 0x100000001B3) & ((1 << 64) - 1)
     return h
+
+
+_FNV_CACHE: dict[str, int] = {}
+_FNV_CACHE_CAP = 1 << 20
+_FNV_BULK_MAXLEN = 64
+
+
+def _fnv1a_bulk(tokens: list[str]) -> list[int]:
+    """Vectorized FNV-1a over a token list: rows scatter into one padded
+    (N, maxlen) uint8 matrix, then one masked xor-multiply pass per byte
+    position (<= maxlen numpy ops total, no per-token Python). Tokens
+    longer than _FNV_BULK_MAXLEN bytes (rare: URLs, blobs) take the scalar
+    loop so a single huge token can't inflate the pass count."""
+    enc = [t.encode() for t in tokens]
+    lens = np.fromiter((len(b) for b in enc), count=len(enc), dtype=np.int64)
+    out: list[int] = [0] * len(tokens)
+    big = lens > _FNV_BULK_MAXLEN
+    for i in np.flatnonzero(big).tolist():
+        out[i] = _fnv1a(tokens[i])
+    small = np.flatnonzero(~big)
+    if small.size:
+        enc_s = [enc[i] for i in small.tolist()]
+        lens_s = lens[small]
+        n, width = small.size, int(lens_s.max(initial=1))
+        mat = np.zeros((n, width), dtype=np.uint8)
+        flat = np.frombuffer(b"".join(enc_s), dtype=np.uint8)
+        row = np.repeat(np.arange(n), lens_s)
+        starts = np.concatenate(([0], np.cumsum(lens_s)[:-1]))
+        col = np.arange(flat.size) - np.repeat(starts, lens_s)
+        mat[row, col] = flat
+        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            for j in range(width):
+                m = lens_s > j
+                h[m] = (h[m] ^ mat[m, j]) * prime
+        for i, v in zip(small.tolist(), h.tolist()):
+            out[i] = v
+    return out
 
 
 class Fingerprinter:
@@ -143,5 +193,6 @@ def analyze_documents(ds, include_lang: bool = True):
         from ..util import pool_concurrency
 
         out = out.map_batches(LangId, batch_format="pyarrow",
-                              concurrency=pool_concurrency(), num_cpus=0.5)
+                              concurrency=pool_concurrency(), num_cpus=0.5,
+                              max_restarts=0)
     return out
