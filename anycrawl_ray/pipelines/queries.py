@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from . import oracle_kernels as _oracle_kernels
+
 _HOSTS = 4  # keep in sync with sources/synthetic_site.py
 
 
@@ -812,7 +814,8 @@ def docs_lang_guess(sf_dir: str):
 
 
 def docs_fingerprint(sf_dir: str):
-    """Rolling-hash fingerprints (rows-only: uint64 poly hash not in SQL)."""
+    """Rolling-hash fingerprints — full SQL oracle (the uint64 polynomial
+    replays in DuckDB via the u64 macro kernel, oracle_kernels.py)."""
     from ..stages.text_analysis import Fingerprinter
 
     rd = _rd()
@@ -1494,7 +1497,12 @@ ORACLE_SQL = {
     "serp_searxng": _serp_sql("searxng"),
     "serp_ac_engine": _serp_sql("ac-engine"),
     "crawl_span_stats": _CRAWL_SPAN_STATS_SQL,
-    # rows-only (non-SQL-expressible): docs_lang_guess, docs_fingerprint,
-    # docs_minhash_pairs, docs_simhash_pairs, embeddings_neardup,
-    # embeddings_knn_ivf, media_features
+    # uint64 hash-kernel oracles (oracle_kernels.py): the SQL recomputes
+    # FNV-1a/splitmix64/MinHash/SimHash bit-identically via u64 macros
+    "docs_fingerprint": _oracle_kernels.fingerprint_sql(),
+    "docs_minhash_pairs": _oracle_kernels.minhash_pairs_sql(),
+    "docs_simhash_pairs": _oracle_kernels.simhash_pairs_sql(),
+    # rows-only (non-SQL-expressible): embeddings_neardup (hyperplane LSH
+    # recall < 1 by design), embeddings_knn_ivf (kmeans iterations),
+    # media_* (binary codec stubs), training_pipeline (composed crawl)
 }
