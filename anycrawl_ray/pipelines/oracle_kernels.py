@@ -13,11 +13,13 @@ into hi/lo 32-bit halves:
 with every intermediate < 2^97, safely inside HUGEINT. Everything else is
 UBIGINT xor/shift/bit_count, which DuckDB evaluates natively.
 
-These oracles turn the formerly rows-only near-dup queries
-(``docs_fingerprint``, ``docs_minhash_pairs``, ``docs_simhash_pairs``) into
-full value-hash-checked driver rows: the SQL recomputes signatures, band
-keys, bucket admission (2..max_bucket) and exact verification from the raw
-``documents.text`` — no recall assumption, bit-identical arithmetic.
+These oracles turn formerly rows-only queries into full value-hash-checked
+driver rows: ``docs_fingerprint``, ``docs_minhash_pairs``,
+``docs_simhash_pairs``, and the composed ``training_pipeline`` (BFS crawl
+order -> markdown reconstruction -> quality/lang/exact-dedup -> MinHash
+near-dup removal). The SQL recomputes signatures, band keys, bucket
+admission (2..max_bucket) and exact verification from raw text — no recall
+assumption, bit-identical arithmetic.
 
 Exactness invariants mirrored from the Python side:
 - tokenization is ``\\S+`` (ASCII whitespace; the synthetic corpus contains
@@ -34,7 +36,9 @@ Exactness invariants mirrored from the Python side:
 - the jaccard >= 0.5 admission threshold is the exact integer form
   ``2*i >= union``; the reported score is ``ROUND(i/union*1e6)`` — the same
   float64 division as numpy, with tie-rounding differences impossible at
-  integer microscale (validated across sf0.001/0.01/0.1).
+  integer microscale (validated across sf0.001/0.01/0.1);
+- float-score scaling elsewhere uses ``round_even(x, 0)`` = banker's
+  rounding = ``np.rint`` bit-parity on identical float64 inputs.
 """
 
 from __future__ import annotations
@@ -85,31 +89,34 @@ CREATE OR REPLACE MACRO fnv1a(s) AS (
               (h, b) -> u64mul(xor(h, b), {_FNV_PRIME}::UBIGINT)) );
 """
 
-# doc_id -> ordered token-hash list, hashing each DISTINCT token once.
-# tok_hash applies fnv1a into a materialized column BEFORE mix64 touches it
-# (mix64's textual expansion would otherwise re-run the byte fold ~32x).
-_TOKEN_HASH_CTES = """
-toks AS (
+
+def _token_hash_ctes(src: str = "documents", p: str = "") -> str:
+    """doc_id -> ordered token-hash CTE chain over ``src`` (needs columns
+    doc_id, text), hashing each DISTINCT token once. ``p`` prefixes CTE
+    names so two chains can coexist in one statement. fnv1a lands in a
+    materialized column BEFORE mix64 touches it (mix64's textual expansion
+    would otherwise re-run the byte fold ~32x)."""
+    return f"""
+{p}toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-  FROM documents),
-tok AS (
+  FROM {src}),
+{p}tok AS (
   SELECT doc_id, i AS pos, toks[i] AS tok
-  FROM toks, UNNEST(range(1, len(toks) + 1)) AS u(i)),
-vocab_f AS MATERIALIZED (
-  SELECT tok, fnv1a(tok) AS f FROM (SELECT DISTINCT tok FROM tok)),
-vocab AS MATERIALIZED (
-  SELECT tok, mix64(f) AS h FROM vocab_f),
-hm AS MATERIALIZED (
-  SELECT t.doc_id, t.pos, v.h FROM tok t JOIN vocab v USING (tok))
-"""
+  FROM {p}toks, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+{p}vocab_f AS MATERIALIZED (
+  SELECT tok, fnv1a(tok) AS f FROM (SELECT DISTINCT tok FROM {p}tok)),
+{p}vocab AS MATERIALIZED (
+  SELECT tok, mix64(f) AS h FROM {p}vocab_f),
+{p}hm AS MATERIALIZED (
+  SELECT t.doc_id, t.pos, v.h FROM {p}tok t JOIN {p}vocab v USING (tok))"""
 
 
 def fingerprint_sql() -> str:
     """Rolling polynomial fingerprint: Horner fold acc = acc*B + h[i]
     (== sum h[i]*B^(n-1-i) mod 2^64); 0 for token-less docs."""
     return f"""{U64_PRELUDE}
-WITH {_TOKEN_HASH_CTES},
+WITH {_token_hash_ctes()},
 fp AS (
   SELECT doc_id,
          list_reduce(list(h ORDER BY pos),
@@ -121,11 +128,13 @@ ORDER BY doc_id
 """
 
 
-def minhash_pairs_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
-                      max_bucket: int = 200, scale: int = 1_000_000) -> str:
-    """Full MinHash-LSH pipeline in SQL: shingles -> 64-perm signatures ->
-    16 band keys -> collision buckets (2..max_bucket) -> candidate pairs ->
-    exact-Jaccard verification at threshold 0.5 (integer form 2*i >= union).
+def _minhash_ctes(src: str = "documents", p: str = "", num_perm: int = 64,
+                  bands: int = 16, k: int = 3, max_bucket: int = 200) -> str:
+    """The full MinHash-LSH CTE chain over ``src`` (doc_id, text): shingles
+    -> num_perm signatures -> band keys -> collision buckets
+    (2..max_bucket) -> candidate pairs -> exact-Jaccard counts. Ends with
+    ``{p}scored(a, b, i, u)``; admission at threshold t is
+    ``u = 0 OR i/u >= t`` (integer form for t=0.5: ``2*i >= u``).
 
     Replicates stages.dedup.minhash_lsh_pairs exactly; grouping is on
     (band_id, band_key) where the Ray path groups on the combined 64-bit
@@ -133,14 +142,13 @@ def minhash_pairs_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
     two true buckets, which verification then discards anyway."""
     rows_per_band = num_perm // bands
     salts = ", ".join(
-        f"({p}, {s}::UBIGINT)" for p, s in enumerate(_perm_salts(num_perm)))
-    return f"""{U64_PRELUDE}
-WITH {_TOKEN_HASH_CTES},
-harr AS (
-  SELECT doc_id, list(h ORDER BY pos) AS hs FROM hm GROUP BY doc_id),
+        f"({i}, {s}::UBIGINT)" for i, s in enumerate(_perm_salts(num_perm)))
+    return f"""{_token_hash_ctes(src, p)},
+{p}harr AS (
+  SELECT doc_id, list(h ORDER BY pos) AS hs FROM {p}hm GROUP BY doc_id),
 -- w-shingles: Horner over k consecutive token hashes; < k tokens keeps the
 -- raw token hashes (shingle_hashes parity); DISTINCT == np.unique
-sh AS MATERIALIZED (
+{p}sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, s
   FROM (
     SELECT doc_id,
@@ -149,47 +157,57 @@ sh AS MATERIALIZED (
                i -> u64add(u64mul(u64add(u64mul(hs[i], {_FNV_PRIME}::UBIGINT),
                                          hs[i+1]), {_FNV_PRIME}::UBIGINT), hs[i+2]))
            ELSE hs END AS sarr
-    FROM harr),
+    FROM {p}harr),
   UNNEST(sarr) AS u(s)),
-salts(p, salt) AS (VALUES {salts}),
+{p}salts(perm, salt) AS (VALUES {salts}),
 -- signature: min over shingles of (s ^ salt_p) * MULT; all-zeros for
 -- empty-shingle docs (minhash_signature parity)
-sig AS (
-  SELECT doc_id, p, min(u64mul(xor(s, salt), {_MINHASH_MULT}::UBIGINT)) AS sig
-  FROM sh CROSS JOIN salts GROUP BY doc_id, p),
-sigfull AS MATERIALIZED (
-  SELECT d.doc_id, s.p, coalesce(sig.sig, 0::UBIGINT) AS sig
-  FROM (SELECT DISTINCT doc_id FROM documents) d
-  CROSS JOIN salts s
-  LEFT JOIN sig ON sig.doc_id = d.doc_id AND sig.p = s.p),
-sigm AS MATERIALIZED (
-  SELECT doc_id, p, mix64(sig) AS m FROM sigfull),
-bk AS MATERIALIZED (
-  SELECT doc_id, p // {rows_per_band} AS band_id,
+{p}sig AS (
+  SELECT doc_id, perm,
+         min(u64mul(xor(s, salt), {_MINHASH_MULT}::UBIGINT)) AS sig
+  FROM {p}sh CROSS JOIN {p}salts GROUP BY doc_id, perm),
+{p}sigfull AS MATERIALIZED (
+  SELECT d.doc_id, s.perm, coalesce(sig.sig, 0::UBIGINT) AS sig
+  FROM (SELECT DISTINCT doc_id FROM {src}) d
+  CROSS JOIN {p}salts s
+  LEFT JOIN {p}sig sig ON sig.doc_id = d.doc_id AND sig.perm = s.perm),
+{p}sigm AS MATERIALIZED (
+  SELECT doc_id, perm, mix64(sig) AS m FROM {p}sigfull),
+{p}bk AS MATERIALIZED (
+  SELECT doc_id, perm // {rows_per_band} AS band_id,
          CAST(SUM(CAST(m AS HUGEINT)) % {_MOD64} AS UBIGINT) AS band_key
-  FROM sigm GROUP BY doc_id, p // {rows_per_band}),
-bsize AS (
-  SELECT band_id, band_key, count(*) AS n FROM bk GROUP BY band_id, band_key),
-cand AS (
+  FROM {p}sigm GROUP BY doc_id, perm // {rows_per_band}),
+{p}bsize AS (
+  SELECT band_id, band_key, count(*) AS n
+  FROM {p}bk GROUP BY band_id, band_key),
+{p}cand AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM bk a
-  JOIN bk b ON a.band_id = b.band_id AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
-  JOIN bsize s ON s.band_id = a.band_id AND s.band_key = a.band_key
+  FROM {p}bk a
+  JOIN {p}bk b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  JOIN {p}bsize s ON s.band_id = a.band_id AND s.band_key = a.band_key
   WHERE s.n BETWEEN 2 AND {max_bucket}),
-ssize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+{p}ssize AS (SELECT doc_id, count(*) AS n FROM {p}sh GROUP BY doc_id),
+{p}inter AS (
   SELECT c.a, c.b, count(sb.s) AS i
-  FROM cand c
-  LEFT JOIN sh sa ON sa.doc_id = c.a
-  LEFT JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+  FROM {p}cand c
+  LEFT JOIN {p}sh sa ON sa.doc_id = c.a
+  LEFT JOIN {p}sh sb ON sb.doc_id = c.b AND sb.s = sa.s
   GROUP BY c.a, c.b),
-scored AS (
-  SELECT inter.a, inter.b, inter.i,
-         coalesce(sa.n, 0) + coalesce(sb.n, 0) - inter.i AS u
-  FROM inter
-  LEFT JOIN ssize sa ON sa.doc_id = inter.a
-  LEFT JOIN ssize sb ON sb.doc_id = inter.b)
+{p}scored AS (
+  SELECT i0.a, i0.b, i0.i,
+         coalesce(sa.n, 0) + coalesce(sb.n, 0) - i0.i AS u
+  FROM {p}inter i0
+  LEFT JOIN {p}ssize sa ON sa.doc_id = i0.a
+  LEFT JOIN {p}ssize sb ON sb.doc_id = i0.b)"""
+
+
+def minhash_pairs_sql(num_perm: int = 64, bands: int = 16, k: int = 3,
+                      max_bucket: int = 200, scale: int = 1_000_000) -> str:
+    """Verified MinHash near-dup pairs at Jaccard >= 0.5 with the scaled
+    score column (see _minhash_ctes for the exactness argument)."""
+    return f"""{U64_PRELUDE}
+WITH {_minhash_ctes(num_perm=num_perm, bands=bands, k=k, max_bucket=max_bucket)}
 SELECT a, b,
        CASE WHEN u = 0 THEN {scale}
             ELSE CAST(ROUND(CAST(i AS DOUBLE) / u * {scale}) AS BIGINT) END AS jaccard
@@ -206,7 +224,7 @@ def simhash_pairs_sql(max_hamming: int = 3, max_bucket: int = 200) -> str:
     bit_rows = ", ".join(f"({b}, {1 << b}::UBIGINT)" for b in range(64))
     band_rows = ", ".join(f"({b}, {16 * b})" for b in range(4))
     return f"""{U64_PRELUDE}
-WITH {_TOKEN_HASH_CTES},
+WITH {_token_hash_ctes()},
 bits(b, pw) AS (VALUES {bit_rows}),
 -- vote_b = 2*count(bit set) - n  (duplicate tokens vote repeatedly)
 votes AS (
@@ -239,4 +257,147 @@ SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM pairs
 WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 ORDER BY a, b
+"""
+
+
+def _bfs_order_ctes(max_depth: int = 20, hosts: int = 4) -> str:
+    """Crawl admission order in SQL: the frontier's BFS waves unrolled to
+    ``max_depth`` steps (CrawlJob(max_depth=20) bounds the recursion
+    statically, so no recursive CTE ranking is needed). Wave k admits the
+    not-yet-seen link targets of wave k-1, first-sight-wins per target by
+    (parent_seq, link_pos) — the same stable ordering the frontier's
+    vectorized sequencer assigns — and seq continues densely from the
+    running seen-count. Ends with ``ord(id, seq)``.
+
+    The edges arms mirror sources/synthetic_site.page_links (keep in sync
+    with _CRAWL_REACHABLE_SQL); pos is the DOM link position."""
+    parts = [f"""
+docs_base AS MATERIALIZED (SELECT doc_id, text FROM documents),
+n AS (SELECT count(*) AS c FROM docs_base),
+edges AS MATERIALIZED (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst, 0 AS pos
+  FROM docs_base d, n WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2, 1 FROM docs_base d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c, 2 FROM docs_base d, n
+  WHERE d.doc_id % 3 = 0),
+w0(id, seq) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+seen0 AS MATERIALIZED (SELECT id FROM w0)"""]
+    for k in range(1, max_depth + 1):
+        parts.append(f"""
+c{k} AS (
+  SELECT e.dst AS id, p.seq AS pseq, e.pos
+  FROM w{k - 1} p JOIN edges e ON e.src = p.id
+  WHERE e.dst NOT IN (SELECT id FROM seen{k - 1})),
+f{k} AS (
+  SELECT id, pseq, pos FROM c{k}
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY pseq, pos) = 1),
+w{k} AS MATERIALIZED (
+  SELECT id, row_number() OVER (ORDER BY pseq, pos) - 1
+             + (SELECT count(*) FROM seen{k - 1}) AS seq
+  FROM f{k}),
+seen{k} AS MATERIALIZED (
+  SELECT id FROM seen{k - 1} UNION ALL SELECT id FROM w{k})""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT id, seq FROM w{k}" for k in range(max_depth + 1))
+    parts.append(f"\nord AS (\n  {union})")
+    return ",".join(parts)
+
+
+def training_pipeline_sql(max_depth: int = 20, hosts: int = 4) -> str:
+    """The composed training-data curation chain as ONE oracle: BFS crawl
+    order (doc_id = 'tp_' || seq), markdown text reconstructed from the
+    synthetic page template (title span + setext H1 + two half-split
+    paragraphs + image/link line — validated string-equal against the real
+    crawl), quality score + >0.3 filter, lang-ID, exact dedup (min seq per
+    identical text, n_copies), then MinHash near-dup removal dropping the
+    later pair member. Scaled quality uses round_even = np.rint parity."""
+    return f"""{U64_PRELUDE}
+WITH {_bfs_order_ctes(max_depth, hosts)},
+links_md AS (
+  SELECT src, string_agg(
+           '[L' || dst || '](http://site' || (dst % {hosts}) || '.test/p/' ||
+           lpad(CAST(dst AS VARCHAR), 6, '0') || ')', '' ORDER BY pos) AS lm
+  FROM edges GROUP BY src),
+tails AS (
+  SELECT d.doc_id AS id,
+         CASE WHEN d.doc_id % 7 = 0 THEN
+           '![figure ' || d.doc_id || '](http://site' || (d.doc_id % {hosts}) ||
+           '.test/img/' || d.doc_id || '-l.jpg)'
+         ELSE '' END || coalesce(l.lm, '') AS tail
+  FROM docs_base d LEFT JOIN links_md l ON l.src = d.doc_id),
+paras AS (
+  SELECT d.doc_id AS id,
+         list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> '') AS w
+  FROM docs_base d),
+corpus0 AS (
+  SELECT o.seq, p.id,
+    'Doc ' || p.id || chr(10) || chr(10) ||
+    'Doc ' || p.id || chr(10) || repeat('=', 4 + length(CAST(p.id AS VARCHAR)))
+    || CASE WHEN len(w) // 2 >= 1
+            THEN chr(10) || chr(10) || array_to_string(w[1 : len(w) // 2], ' ')
+            ELSE '' END
+    || CASE WHEN len(w) - len(w) // 2 >= 1
+            THEN chr(10) || chr(10) ||
+                 array_to_string(w[len(w) // 2 + 1 : len(w)], ' ')
+            ELSE '' END
+    || CASE WHEN t.tail <> '' THEN chr(10) || chr(10) || t.tail ELSE '' END
+      AS text
+  FROM ord o JOIN paras p ON p.id = o.id JOIN tails t ON t.id = o.id),
+-- text stats + quality (same float64 ops as stages.text_analysis)
+stats AS (
+  SELECT seq, id, text,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM corpus0),
+quald AS (
+  SELECT seq, id, text, len(toks) AS n_tokens,
+         LEAST(1.0, len(toks) / 64.0) *
+         (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE len(list_filter(toks,
+                         x -> x IN ('the','a','and','of','to','in')))
+                     * 1.0 / len(toks) END) AS quality
+  FROM stats),
+qfilt AS (SELECT * FROM quald WHERE quality > 0.3),
+-- lang-ID marker argmax (same fragment as the docs_lang_guess oracle)
+ltoks AS (
+  SELECT seq,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '')[1:200]) AS lt,
+         text
+  FROM qfilt),
+lhits AS (
+  SELECT seq,
+    len(list_intersect(lt, ['the','and','of','is','with'])) AS en,
+    len(list_intersect(lt, ['der','die','und','ist','mit'])) AS de,
+    len(list_intersect(lt, ['le','la','et','est','avec'])) AS fr,
+    len(list_intersect(lt, ['el','la','y','es','con'])) AS es,
+    text
+  FROM ltoks),
+langed AS (
+  SELECT q.seq, q.n_tokens, q.quality, q.text, CASE
+    WHEN regexp_matches(h.text, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh'
+    WHEN de > en AND de >= fr AND de >= es THEN 'de'
+    WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
+    WHEN es > en AND es > de AND es > fr THEN 'es'
+    ELSE 'en' END AS lang_guess
+  FROM qfilt q JOIN lhits h ON h.seq = q.seq),
+-- exact dedup: min seq per identical text ('tp_%08d' string min == seq min)
+surv AS (
+  SELECT min(seq) AS seq, count(*) AS n_copies FROM langed GROUP BY text),
+kept0 AS MATERIALIZED (
+  SELECT s.seq, s.n_copies, l.n_tokens, l.quality, l.lang_guess, l.text
+  FROM surv s JOIN langed l ON l.seq = s.seq),
+mh_src AS (SELECT seq AS doc_id, text FROM kept0),
+{_minhash_ctes(src="mh_src", p="mh_")},
+dropped AS (SELECT DISTINCT b FROM mh_scored WHERE (u = 0) OR (2 * i >= u))
+SELECT 'tp_' || lpad(CAST(seq AS VARCHAR), 8, '0') AS doc_id,
+       lang_guess, n_tokens,
+       CAST(round_even(quality * 1000000, 0) AS BIGINT) AS quality,
+       n_copies
+FROM kept0
+WHERE seq NOT IN (SELECT b FROM dropped)
+ORDER BY doc_id
 """

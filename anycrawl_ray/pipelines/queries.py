@@ -1261,7 +1261,10 @@ FROM documents
 
 
 def training_pipeline(sf_dir: str):
-    """Flagship composition (rows-only): crawl the synthetic site, flatten
+    """Flagship composition — FULL SQL oracle (oracle_kernels.py
+    training_pipeline_sql: unrolled-BFS admission order + markdown template
+    reconstruction + quality/lang/dedup/minhash replay): crawl the
+    synthetic site, flatten
     markdown spans to document text, score quality, drop low-quality docs,
     language-ID (actor pool), exact-dedup by text, then minhash near-dup
     removal (later pair member dropped) — the end-to-end training-data
@@ -1502,7 +1505,8 @@ ORACLE_SQL = {
     "docs_fingerprint": _oracle_kernels.fingerprint_sql(),
     "docs_minhash_pairs": _oracle_kernels.minhash_pairs_sql(),
     "docs_simhash_pairs": _oracle_kernels.simhash_pairs_sql(),
+    "training_pipeline": _oracle_kernels.training_pipeline_sql(),
     # rows-only (non-SQL-expressible): embeddings_neardup (hyperplane LSH
     # recall < 1 by design), embeddings_knn_ivf (kmeans iterations),
-    # media_* (binary codec stubs), training_pipeline (composed crawl)
+    # media_* (binary codec stubs)
 }
