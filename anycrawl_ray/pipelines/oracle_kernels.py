@@ -401,3 +401,53 @@ FROM kept0
 WHERE seq NOT IN (SELECT b FROM dropped)
 ORDER BY doc_id
 """
+
+def embedding_lsh_pairs_sql(threshold: float = 0.4, num_planes: int = 16,
+                            bands: int = 8, seed: int = 7, dim: int = 64,
+                            max_bucket: int = 500) -> str:
+    """Random-hyperplane LSH near-dup pairs in SQL: the plane matrix is a
+    deterministic constant (default_rng(seed).standard_normal), so its
+    num_planes x dim float64 values embed as literals; sign bits, band keys
+    (little-endian packbits), the 2..max_bucket bucket gate and the exact
+    cosine verification then replay relationally.
+
+    Sign-bit robustness: summation order differs between numpy's blocked
+    dot and SQL SUM, but the smallest |dot| across all sf corpora is
+    3.5e-05 (measured) vs ~1e-14 accumulated error — no flip is possible.
+    The cosine >= threshold compare reuses list_cosine_similarity with the
+    same corpus margin the brute-force oracle relies on."""
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    rows_per = num_planes // bands
+    vals = ", ".join(
+        f"({p}, {j}, {planes[p, j]!r})"
+        for p in range(num_planes) for j in range(dim))
+    return f"""
+WITH planes(p, j, w) AS (VALUES {vals}),
+vecs AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+ev AS (
+  SELECT vec_id, i - 1 AS j, CAST(embedding[i] AS DOUBLE) AS x
+  FROM vecs, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+dots AS (
+  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS dot
+  FROM ev e JOIN planes pl ON pl.j = e.j GROUP BY e.vec_id, pl.p),
+-- little-endian packbits over each band's sign bits
+bk AS MATERIALIZED (
+  SELECT vec_id, p // {rows_per} AS band_id,
+         SUM(CASE WHEN dot > 0 THEN (1 << (p % {rows_per})) ELSE 0 END) AS band_key
+  FROM dots GROUP BY vec_id, p // {rows_per}),
+bsize AS (
+  SELECT band_id, band_key, count(*) AS n FROM bk GROUP BY band_id, band_key),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bk a
+  JOIN bk b ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.vec_id < b.vec_id
+  JOIN bsize s ON s.band_id = a.band_id AND s.band_key = a.band_key
+  WHERE s.n BETWEEN 2 AND {max_bucket})
+SELECT c.a, c.b
+FROM cand c
+JOIN vecs va ON va.vec_id = c.a
+JOIN vecs vb ON vb.vec_id = c.b
+WHERE list_cosine_similarity(va.embedding, vb.embedding) >= {threshold}
+ORDER BY c.a, c.b
+"""

@@ -887,9 +887,11 @@ ORDER BY a, b
 
 def embeddings_neardup_lsh40(sf_dir: str):
     """LSH near-dup at a threshold the random corpus actually reaches
-    (0.4 -> nonzero pairs), so the banded path is exercised end-to-end;
-    rows-only (LSH recall < 1 by design — the exact set is pinned by the
-    brute-force oracle query below)."""
+    (0.4 -> nonzero pairs), so the banded path is exercised end-to-end.
+    FULL SQL oracle: the hyperplane matrix is a deterministic constant, so
+    oracle_kernels.embedding_lsh_pairs_sql replays the banded pipeline
+    (sign-bit margins measured >= 3.5e-5, far above float drift); the
+    brute-force query below pins the exact no-recall-assumption set."""
     from ..stages.dedup import embedding_neardup_pairs
 
     rd = _rd()
@@ -1506,7 +1508,13 @@ ORACLE_SQL = {
     "docs_minhash_pairs": _oracle_kernels.minhash_pairs_sql(),
     "docs_simhash_pairs": _oracle_kernels.simhash_pairs_sql(),
     "training_pipeline": _oracle_kernels.training_pipeline_sql(),
-    # rows-only (non-SQL-expressible): embeddings_neardup (hyperplane LSH
-    # recall < 1 by design), embeddings_knn_ivf (kmeans iterations),
-    # media_* (binary codec stubs)
+    # hyperplane LSH: the plane matrix is a deterministic constant, so the
+    # banded pipeline replays exactly (sign margins measured; kernels doc)
+    "embeddings_neardup": _oracle_kernels.embedding_lsh_pairs_sql(
+        threshold=0.95, bands=4),
+    "embeddings_neardup_lsh40": _oracle_kernels.embedding_lsh_pairs_sql(
+        threshold=0.4, bands=8),
+    # rows-only (non-SQL-expressible): embeddings_knn_ivf(_index) (PCG64
+    # kmeans init + iterative float means), media_* (PCG64-seeded codec
+    # stubs), docs fine via kernels above
 }
