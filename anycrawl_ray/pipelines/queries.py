@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from . import oracle_kernels as _oracle_kernels
+from .control_queries import CONTROL_ORACLE_SQL, CONTROL_QUERIES
 
 _HOSTS = 4  # keep in sync with sources/synthetic_site.py
 
@@ -1518,3 +1519,8 @@ ORACLE_SQL = {
     # kmeans init + iterative float means), media_* (PCG64-seeded codec
     # stubs), docs fine via kernels above
 }
+
+# Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
+# template/proxy policies over sf-derived fixtures with exact SQL oracles.
+QUERIES.update(CONTROL_QUERIES)
+ORACLE_SQL.update(CONTROL_ORACLE_SQL)
