@@ -19,9 +19,17 @@ import json
 import sys
 
 
+_OWNS_RAY = False  # did this CLI invocation open the Ray session?
+
+
 def _init_ray(num_cpus: int | None):
+    global _OWNS_RAY
+    import ray
+
     from .util import init_local_ray
 
+    if not ray.is_initialized():
+        _OWNS_RAY = True
     init_local_ray(num_cpus)
 
 
@@ -59,6 +67,21 @@ def cmd_scrape(args) -> int:
                      engine=args.engine)
     doc["spans"] = doc["spans"][: args.max_spans]
     print(json.dumps(doc, default=str))
+    return 0
+
+
+def cmd_results(args) -> int:
+    """Paginated results page for a finished crawl — the CLI stand-in for
+    ``GET /v1/crawl/:jobId/results?skip=N`` (CrawlController.ts:198-266).
+    Pure disk reader: no Ray session, only the page's part files are read."""
+    from .sources.results import results_response
+
+    resp = results_response(args.out, args.job_id, skip=args.skip,
+                            base=args.base)
+    if not args.full:
+        for row in resp["data"]:
+            row.pop("spans", None)
+    print(json.dumps(resp, default=str))
     return 0
 
 
@@ -101,6 +124,16 @@ def main(argv=None) -> int:
     s.add_argument("--max-spans", type=int, default=1_000_000)
     s.set_defaults(fn=cmd_scrape)
 
+    r = sub.add_parser("results")
+    r.add_argument("--out", required=True, help="crawl --out directory")
+    r.add_argument("--job-id", required=True)
+    # string on purpose: the controller coerces with Number(raw ?? 0) || 0
+    r.add_argument("--skip", default="0")
+    r.add_argument("--base", default="http://localhost:8080")
+    r.add_argument("--full", action="store_true",
+                   help="include span arrays in each data row")
+    r.set_defaults(fn=cmd_results)
+
     se = sub.add_parser("search")
     se.add_argument("--serp", required=True,
                     help="JSON list of {engine, query, page, body}")
@@ -109,10 +142,13 @@ def main(argv=None) -> int:
 
     args = parser.parse_args(argv)
     code = args.fn(args)
-    import ray
+    # only close a session this invocation opened — in-process callers
+    # (tests, embedding apps) keep theirs
+    if _OWNS_RAY:
+        import ray
 
-    if ray.is_initialized():
-        ray.shutdown()
+        if ray.is_initialized():
+            ray.shutdown()
     return code
 
 

@@ -235,3 +235,91 @@ def test_cli_crawl_and_scrape(tmp_path):
     assert doc["url"] == page_url(3)
     kinds = {s["kind"] for s in doc["spans"]}
     assert "markdown" in kinds and "text" in kinds
+
+
+def test_results_response_envelope(tmp_path):
+    """CrawlController.ts:198-266 parity: coerced skip, total from footers,
+    hasMore-driven absolute next URL, screenshot keys rewritten to the
+    public storage route, each data row = {...data, url}."""
+    from anycrawl_ray.sources.results import coerce_skip, results_response
+
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="pgr", seed_urls=[page_url(0)], strategy="all",
+                   limit=120, engine="browser-sim",
+                   formats=["markdown", "screenshot"],
+                   blob_dir=str(tmp_path / "blobs"))
+    res = run_crawl(job, pages, use_ray=False, out_dir=str(tmp_path))
+    base = "https://api.example.com"
+
+    r0 = results_response(str(tmp_path), "pgr", skip=0, base=base,
+                          stats=res.stats)
+    assert r0["success"] is True and r0["status"] == "completed"
+    assert r0["total"] == 120 and len(r0["data"]) == 100
+    assert r0["completed"] == res.stats["done"]
+    assert r0["credits_used"] == res.stats["credits_used"]
+    assert r0["next"] == f"{base}/v1/crawl/pgr/results?skip=100"
+    row = r0["data"][0]
+    assert row["url"] and row["doc_id"].startswith("pgr_")
+    # screenshot span surfaced as a prefixed public-storage URL
+    assert row["screenshot"].startswith(f"{base}/v1/public/storage/file/"
+                                        "screenshot-pgr-")
+    assert row["screenshot"].endswith(".jpeg")
+    # the blob it points at exists in the store
+    key = row["screenshot"].rsplit("/", 1)[-1]
+    assert (tmp_path / "blobs" / key).exists()
+
+    # page 2 via the next link's skip; final page has no next
+    r1 = results_response(str(tmp_path), "pgr", skip="100", base=base)
+    assert len(r1["data"]) == 20 and r1["next"] is None
+    ids = [d["doc_id"] for d in r0["data"] + r1["data"]]
+    assert ids == res.documents.column("doc_id").to_pylist()
+
+    # skip beyond total: empty page, no next, total intact
+    far = results_response(str(tmp_path), "pgr", skip=500, base=base)
+    assert far["data"] == [] and far["next"] is None and far["total"] == 120
+
+    # Number()-coercion table (CrawlController.ts:231-232)
+    assert coerce_skip(None) == 0
+    assert coerce_skip("") == 0
+    assert coerce_skip("abc") == 0
+    assert coerce_skip(-5) == 0
+    assert coerce_skip("-5") == 0
+    assert coerce_skip(["50", "60"]) == 50
+    assert coerce_skip([]) == 0
+    assert coerce_skip("100") == 100
+    assert results_response(str(tmp_path), "pgr", skip="abc",
+                            base=base)["data"] == r0["data"]
+
+
+def test_cli_results_paging(tmp_path):
+    """`python -m anycrawl_ray results` pages a >100-doc crawl end-to-end:
+    page 1 in one subprocess, then follow the printed next link's skip in a
+    second; the union is every document exactly once."""
+    import json
+    import os
+    import re
+    import subprocess
+    import sys
+
+    pages = build_site_table(DOCS)
+    job = CrawlJob(job_id="clipage", seed_urls=[page_url(0)],
+                   strategy="all", limit=130)
+    res = run_crawl(job, pages, use_ray=False, out_dir=str(tmp_path))
+
+    def cli_page(skip: str) -> dict:
+        r = subprocess.run(
+            [sys.executable, "-m", "anycrawl_ray", "results",
+             "--out", str(tmp_path), "--job-id", "clipage", "--skip", skip],
+            capture_output=True, text=True, cwd="/root/repo",
+            env=dict(os.environ), timeout=120)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    p1 = cli_page("0")
+    assert p1["total"] == 130 and len(p1["data"]) == 100
+    m = re.search(r"skip=(\d+)$", p1["next"])
+    p2 = cli_page(m.group(1))
+    assert len(p2["data"]) == 30 and p2["next"] is None
+    ids = [d["doc_id"] for d in p1["data"] + p2["data"]]
+    assert ids == res.documents.column("doc_id").to_pylist()
+    assert all("spans" not in d for d in p1["data"])  # --full not passed
