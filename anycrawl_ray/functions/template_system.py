@@ -16,12 +16,13 @@ template surface (T7 minus the QuickJS interpreter):
 - ``process_template``: templateHandler.ts:75-160 flow — load, access,
   type check, domain validation, option merge, engine resolution.
 
-The reference's ``customHandlers`` run user JS inside a QuickJS sandbox
-(packages/template-client/src/sandbox/index.ts:22-95); no JS interpreter
-exists in this sandbox, so handlers here are named PYTHON callables
-registered against the same restricted API surface (the preNav wait/get/
-has host object — see state/prenav.py), which is the documented seam a
-QuickJS-backed executor drops into.
+The reference's ``customHandlers`` run user JS inside a QuickJS/vm sandbox
+(packages/template-client/src/sandbox/index.ts:22-95). The rebuild runs
+handler JS for real through the interpreter + sandbox in js_interp.py /
+js_sandbox.py (validator -> security patterns -> budgeted execution with
+the page-proxy/preNav/console API surface); named Python callables remain
+accepted as the embedding-host fast path (``execute_custom_handler``
+dispatches on shape).
 """
 
 from __future__ import annotations
@@ -218,6 +219,51 @@ def process_template(template: dict, url: str, request_options: dict,
                 "error": f"Invalid engine: {engine}. Allowed: "
                          f"{', '.join(allowed_engines)}"}
     return {"success": True, "engine_name": engine, "merged_options": merged}
+
+
+_HANDLER_VALIDATOR = None  # process-wide, like the reference's singleton
+
+
+def execute_custom_handler(template: dict, handler_name: str,
+                           sandbox_context: dict,
+                           sandbox=None):
+    """Run one of a template's ``customHandlers`` (requestHandler /
+    failedRequestHandler — EngineConfigurator.ts dispatch):
+
+    - handler absent or ``enabled: false`` -> None (not executed);
+    - handler is a Python callable -> called with ``sandbox_context``
+      (embedding-host seam, kept from round 2);
+    - handler carries ``code.source`` JS -> validated by
+      TemplateCodeValidator then executed in QuickJSSandbox; returns the
+      reference envelope ``{success, result, context, ...}``.
+    """
+    global _HANDLER_VALIDATOR
+    handlers = (template or {}).get("customHandlers") \
+        or (template or {}).get("custom_handlers") or {}
+    handler = handlers.get(handler_name)
+    if not handler:
+        return None
+    if callable(handler):
+        return handler(sandbox_context)
+    if isinstance(handler, dict):
+        if handler.get("enabled") is False:
+            return None
+        fn = handler.get("fn")
+        if callable(fn):
+            return fn(sandbox_context)
+        source = ((handler.get("code") or {}).get("source")
+                  if isinstance(handler.get("code"), dict) else None)
+        if source:
+            from .js_sandbox import QuickJSSandbox, TemplateCodeValidator
+
+            if _HANDLER_VALIDATOR is None:
+                _HANDLER_VALIDATOR = TemplateCodeValidator()
+            _HANDLER_VALIDATOR.validate_code(source, template or {})
+            sb = sandbox or QuickJSSandbox()
+            ctx = dict(sandbox_context or {})
+            ctx.setdefault("template", template or {})
+            return sb.execute_code(source, ctx)
+    return None
 
 
 class TemplateCache:
