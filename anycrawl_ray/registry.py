@@ -55,6 +55,15 @@ def _register_defaults() -> None:
         # wait_for_selector / ad-block / screenshot options (S4/M16/M25/M26)
         register_engine("browser-sim", BrowserSimFetcher,
                         description="browser engine simulation (waits, ad-block, screenshots)")
+    if "playwright" not in _REGISTRY:
+        from .stages.browser import PlaywrightFetcher, _playwright_available
+
+        if _playwright_available():
+            # real browser transport (same batch contract as browser-sim);
+            # only listed when the playwright package is importable so
+            # sandbox/sim behavior is unchanged
+            register_engine("playwright", PlaywrightFetcher,
+                            description="Playwright browser engine (real network)")
 
 
 _register_defaults()

@@ -201,3 +201,141 @@ class BrowserSimFetcher:
                            pa.array([f"{VIEWPORT[0]}x{VIEWPORT[1]}"] * len(rows),
                                     pa.string()))
         )
+
+
+def _playwright_available() -> bool:
+    try:
+        import playwright.sync_api  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class PlaywrightFetcher:
+    """Real browser transport in the BrowserSimFetcher slot (S4): same
+    batch contract and output columns, driven by Playwright instead of the
+    page-table simulation. Import-guarded — the class only registers when
+    the playwright package is importable (never in this sandbox), so sim
+    behavior is untouched.
+
+    Semantics ported from the reference browser configuration
+    (core/EngineConfigurator.ts:151-274 + engines/Playwright.ts:26-55):
+
+    - one browser + context per actor (``__init__``), pages per URL;
+    - enforced 1920x1080 viewport (configureBrowserEngine viewportHook);
+    - ad blocking via ``page.route('**/*')`` aborting any request whose
+      URL contains an AD_DOMAINS entry, counted per page (adBlockingHook);
+    - ``goto`` timeout from options.timeout (default 30 s) and
+      ``wait_until`` (default domcontentloaded) — requestTimeoutHook;
+    - ``wait_for`` -> ``wait_for_timeout``; ``wait_for_selector`` entries
+      honor state + per-entry timeout, a TimeoutError is swallowed and
+      the full timeout elapses (EngineConfigurator wait handling, same
+      rule the sim implements);
+    - screenshot / screenshot@fullPage via ``page.screenshot``.
+    """
+
+    def __init__(self, _pages_or_ref=None, options: dict | None = None) -> None:
+        # _pages_or_ref is accepted (registry factory signature parity)
+        # and ignored: the real transport resolves over the network.
+        if not _playwright_available():
+            raise RuntimeError(
+                "PlaywrightFetcher requires the 'playwright' package "
+                "(pip install playwright && playwright install chromium); "
+                "use engine='browser-sim' in environments without it")
+        from playwright.sync_api import sync_playwright
+
+        options = options or {}
+        self.wait_until = options.get("wait_until") or "domcontentloaded"
+        if self.wait_until not in WAIT_UNTIL_MODES:
+            raise ValueError(
+                f"wait_until must be one of {WAIT_UNTIL_MODES}, "
+                f"got {self.wait_until!r}")
+        self.timeout_ms = int(options.get("timeout") or 30_000)
+        self.wait_for_ms = int(options.get("wait_for") or 0)
+        self.selectors = normalize_wait_for_selector(
+            options.get("wait_for_selector"))
+        formats = options.get("formats") or []
+        self.full_page = "screenshot@fullPage" in formats
+        self.capture_screenshot = self.full_page or "screenshot" in formats
+        self._pw = sync_playwright().start()
+        self._browser = self._pw.chromium.launch(headless=True)
+        self._context = self._browser.new_context(
+            viewport={"width": VIEWPORT[0], "height": VIEWPORT[1]})
+
+    def _fetch(self, url: str):
+        from playwright.sync_api import Error as PwError
+        from playwright.sync_api import TimeoutError as PwTimeout
+
+        page = self._context.new_page()
+        blocked = [0]
+
+        def route_filter(route):
+            if any(d in route.request.url for d in AD_DOMAINS):
+                blocked[0] += 1
+                return route.abort()
+            return route.continue_()
+
+        try:
+            page.route("**/*", route_filter)
+            try:
+                resp = page.goto(url, timeout=self.timeout_ms,
+                                 wait_until=self.wait_until)
+            except (PwTimeout, PwError):
+                return 0, "", 0, 0, blocked[0], 0, b""
+            status = resp.status if resp is not None else 0
+            if self.wait_for_ms:
+                page.wait_for_timeout(self.wait_for_ms)
+            wait_ms = self.wait_for_ms
+            selector_hits = 0
+            for entry in self.selectors:
+                t = entry["timeout"]
+                t_ms = int(t if t is not None else 30_000)
+                try:
+                    page.wait_for_selector(entry["selector"],
+                                           state=entry["state"],
+                                           timeout=t_ms)
+                    selector_hits += 1
+                except PwTimeout:
+                    # reference swallows the timeout and continues
+                    wait_ms += t_ms
+            html = page.content()
+            shot = (page.screenshot(full_page=self.full_page)
+                    if self.capture_screenshot else b"")
+            return (status, html, len(html.encode("utf-8")), wait_ms,
+                    blocked[0], selector_hits, shot)
+        finally:
+            page.close()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        rows = [self._fetch(u) for u in urls]
+        return (
+            batch.append_column("status_code",
+                                pa.array([r[0] for r in rows], pa.int32()))
+            .append_column("html", pa.array([r[1] for r in rows], pa.string()))
+            .append_column("content_bytes",
+                           pa.array([r[2] for r in rows], pa.int64()))
+            .append_column("sim_wait_ms",
+                           pa.array([r[3] for r in rows], pa.int64()))
+            .append_column("ads_blocked",
+                           pa.array([r[4] for r in rows], pa.int32()))
+            .append_column("selector_hits",
+                           pa.array([r[5] for r in rows], pa.int32()))
+            .append_column("screenshot",
+                           pa.array([r[6] for r in rows], pa.binary()))
+            .append_column("viewport",
+                           pa.array([f"{VIEWPORT[0]}x{VIEWPORT[1]}"] * len(rows),
+                                    pa.string()))
+        )
+
+    def close(self) -> None:
+        self._context.close()
+        self._browser.close()
+        self._pw.stop()
+
+    def __del__(self):  # actor teardown
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -304,19 +304,53 @@ def _dedup_pairs(cand_ds, agg=None):
 
 # per-worker-process cache of deserialized broadcast objects (map_batches
 # tasks reuse worker processes, so each candidate-id set deserializes once
-# per worker, not once per batch); bounded so back-to-back jobs don't leak
+# per worker, not once per batch); LRU-bounded so back-to-back jobs don't
+# leak AND an in-use broadcast is never evicted mid-job by a wholesale
+# clear (eviction drops only the least-recently-touched entry)
 _BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 8
+
+
+def _bcast_put(key, value):
+    _BCAST_CACHE[key] = value
+    while len(_BCAST_CACHE) > _BCAST_CACHE_MAX:
+        _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))  # oldest-inserted/touched
+
+
+def _bcast_touch(key):
+    # dicts preserve insertion order: re-inserting marks as most recent
+    _BCAST_CACHE[key] = _BCAST_CACHE.pop(key)
+    return _BCAST_CACHE[key]
 
 
 def _cached_get(ref):
     import ray
 
     key = ref.hex() if hasattr(ref, "hex") else str(ref)
-    if key not in _BCAST_CACHE:
-        if len(_BCAST_CACHE) > 8:
-            _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = ray.get(ref)
-    return _BCAST_CACHE[key]
+    if key in _BCAST_CACHE:
+        return _bcast_touch(key)
+    value = ray.get(ref)
+    _bcast_put(key, value)
+    return value
+
+
+def _cached_payload_lookup(ref_keys, block_refs, id_col, payload_col):
+    """Assemble (or LRU-fetch) an id->payload dict from broadcast blocks.
+
+    Module-level on purpose: nested closures are cloudpickled BY VALUE with
+    a snapshot of their referenced globals, so a closure that both writes
+    via a module function and reads _BCAST_CACHE itself would see two
+    different dicts in the worker. All cache access lives here, pickled by
+    reference, one dict per worker process."""
+    import ray
+
+    if ref_keys in _BCAST_CACHE:
+        return _bcast_touch(ref_keys)
+    table = pa.concat_tables([ray.get(r) for r in block_refs])
+    lookup = dict(zip(table.column(id_col).to_pylist(),
+                      table.column(payload_col).to_pylist()))
+    _bcast_put(ref_keys, lookup)
+    return lookup
 
 
 def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
@@ -398,18 +432,10 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
         block_refs = cand_payloads.materialize().to_arrow_refs()
         ref_keys = tuple(r.hex() for r in block_refs)
 
-        def build_lookup():
-            if ref_keys not in _BCAST_CACHE:
-                if len(_BCAST_CACHE) > 8:
-                    _BCAST_CACHE.clear()
-                table = pa.concat_tables([ray.get(r) for r in block_refs])
-                _BCAST_CACHE[ref_keys] = dict(
-                    zip(table.column(id_col).to_pylist(),
-                        table.column(payload_col).to_pylist()))
-            return _BCAST_CACHE[ref_keys]
-
         def verify_broadcast(batch: pa.Table) -> pa.Table:
-            return emit_verified(batch, build_lookup().__getitem__)
+            lookup = _cached_payload_lookup(ref_keys, block_refs,
+                                            id_col, payload_col)
+            return emit_verified(batch, lookup.__getitem__)
 
         verified = cand.map_batches(verify_broadcast, batch_format="pyarrow")
     else:
