@@ -171,11 +171,24 @@ def tokenize(src: str):
                 elif src.startswith("${", j):
                     parts.append(("chunk", "".join(buf)))
                     buf = []
+                    # brace-count to the interpolation's end, skipping
+                    # string literals (nested template literals are
+                    # skipped wholesale — no inner ${} awareness)
                     depth, k = 1, j + 2
                     while k < n and depth:
-                        if src[k] == "{":
+                        ch = src[k]
+                        if ch == "\\":
+                            k += 2
+                            continue
+                        if ch in "'\"`":
+                            k2 = k + 1
+                            while k2 < n and src[k2] != ch:
+                                k2 += 2 if src[k2] == "\\" else 1
+                            k = k2 + 1
+                            continue
+                        if ch == "{":
                             depth += 1
-                        elif src[k] == "}":
+                        elif ch == "}":
                             depth -= 1
                         k += 1
                     if depth:
@@ -548,10 +561,18 @@ class Parser:
         return e
 
     def multiplicative(self):
-        e = self.unary()
-        while self.at_punct("*", "/", "%", "**"):
+        e = self.exponent()
+        while self.at_punct("*", "/", "%"):
             op = self.next()[1]
-            e = ("binary", op, e, self.unary())
+            e = ("binary", op, e, self.exponent())
+        return e
+
+    def exponent(self):
+        # ** binds tighter than * and is right-associative
+        e = self.unary()
+        if self.at_punct("**"):
+            self.next()
+            return ("binary", "**", e, self.exponent())
         return e
 
     def unary(self):
@@ -1037,7 +1058,7 @@ class Interpreter:
                     if st[2]:
                         cenv.declare(st[2], exc.value)
                     self.exec_stmt(st[3], cenv)
-                elif st[4] is None:
+                else:
                     raise
             finally:
                 if st[4] is not None:
@@ -1303,9 +1324,14 @@ class Interpreter:
                     return False
             return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b}[op]
         if op == "instanceof":
-            if callable(right) and getattr(right, "js_error_name", None):
-                return (isinstance(left, dict)
-                        and left.get("__error__", False))
+            ctor_name = getattr(right, "js_error_name", None) \
+                if callable(right) else None
+            if ctor_name:
+                if not (isinstance(left, dict)
+                        and left.get("__error__", False)):
+                    return False
+                # every error is an Error; subtypes match by name
+                return ctor_name == "Error" or left.get("name") == ctor_name
             return False
         if op == "in":
             if isinstance(right, dict):
@@ -1486,8 +1512,8 @@ def _string_prop(s: str, name: str, interp):
             rx = pat if isinstance(pat, JSRegExp) else JSRegExp(
                 to_js_string(pat))
             if "g" in rx.flags:
-                out = rx.rx.findall(s)
-                return [m if isinstance(m, str) else m[0] for m in out] or None
+                # full matches, not capture groups (findall returns groups)
+                return [m.group(0) for m in rx.rx.finditer(s)] or None
             m = rx.rx.search(s)
             if m is None:
                 return None
@@ -1729,7 +1755,7 @@ def json_stringify(value, replacer=UNDEFINED, indent=UNDEFINED):
             return [None if (c := conv(x)) is _OMIT else c for x in v]
         if isinstance(v, dict):
             return {k: c for k, x in v.items()
-                    if not k.startswith("__") and (c := conv(x)) is not _OMIT}
+                    if k != "__error__" and (c := conv(x)) is not _OMIT}
         if isinstance(v, JSDate):
             return v.js_get("toISOString")()
         return _OMIT
@@ -1861,12 +1887,32 @@ def standard_globals(now_ms=None) -> dict:
         "isNaN": lambda v=UNDEFINED: isinstance(v, float) and v != v,
     })
 
-    def parse_int(v=UNDEFINED, base=10.0):
+    def parse_int(v=UNDEFINED, base=UNDEFINED):
         s = to_js_string(v).strip()
-        m = _re.match(r"[+-]?\d+", s)
-        if m is None:
+        sign = 1
+        if s[:1] in ("+", "-"):
+            sign = -1 if s[0] == "-" else 1
+            s = s[1:]
+        try:
+            r = int(to_number(base))
+        except (ValueError, OverflowError):
+            r = 0
+        if r == 0:
+            if s[:2].lower() == "0x":
+                r, s = 16, s[2:]
+            else:
+                r = 10
+        elif r == 16 and s[:2].lower() == "0x":
+            s = s[2:]
+        if not 2 <= r <= 36:
             return float("nan")
-        return float(int(m.group(0), int(to_number(base))))
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:r]
+        i = 0
+        while i < len(s) and s[i].lower() in digits:
+            i += 1
+        if i == 0:
+            return float("nan")
+        return float(sign * int(s[:i], r))
 
     string_ctor = lambda v="": to_js_string(v)  # noqa: E731
 

@@ -143,16 +143,23 @@ class TemplateCodeValidator:
         self._validated: dict[str, float] = {}
 
     def validate_code(self, code: str, template: dict) -> bool:
-        template_id = (template or {}).get("templateId") or \
-            (template or {}).get("template_id") or "unknown"
+        raw_id = (template or {}).get("templateId") or \
+            (template or {}).get("template_id")
+        template_id = raw_id or "unknown"
         updated_at = (template or {}).get("updatedAt") \
             or (template or {}).get("createdAt") or 0
-        if self._validated.get(template_id) == updated_at and updated_at:
+        # id-less templates all default to "unknown" — never share a
+        # success-cache slot between them (distinct code would skip the
+        # security screen); identified templates keep the reference's
+        # (templateId, updatedAt) cache contract
+        if raw_id and self._validated.get(template_id) == updated_at \
+                and updated_at:
             return True
         self._validate_syntax(code, template_id)
         self._validate_security(code)
         self._validate_complexity(code)
-        self._validated[template_id] = updated_at
+        if raw_id:
+            self._validated[template_id] = updated_at
         return True
 
     def _validate_syntax(self, code: str, template_id: str | None) -> None:
@@ -408,6 +415,12 @@ class QuickJSSandbox:
         except (JSSyntaxError, RecursionError) as exc:
             raise SandboxError(
                 f"Template {template_id} execution failed: {exc}")
+        except Exception as exc:
+            # interpreter-internal faults must not escape the envelope
+            # (the reference's vm catches every host error the same way)
+            raise SandboxError(
+                f"Template {template_id} execution failed: "
+                f"{type(exc).__name__}: {exc}")
         return {
             "success": True,
             "result": None if result is UNDEFINED else result,

@@ -320,8 +320,13 @@ class BaseAgent:
         """Provider-reported usage wins; otherwise count locally
         (LLMExtract.ts extractUsageTokens)."""
         usage = (result or {}).get("usage") or {}
-        inp = usage.get("promptTokens") or usage.get("input_tokens")
-        out = usage.get("completionTokens") or usage.get("output_tokens")
+        # explicit None checks: a provider-reported 0 is a real count
+        inp = usage.get("promptTokens")
+        if inp is None:
+            inp = usage.get("input_tokens")
+        out = usage.get("completionTokens")
+        if out is None:
+            out = usage.get("output_tokens")
         if inp is None:
             inp = self.count_tokens(prompt)
         if out is None:

@@ -82,6 +82,10 @@ def coerce_skip(raw) -> int:
         return 0
     if n != n:  # NaN
         return 0
+    if n == float("inf"):  # Number("Infinity") -> past-the-end page
+        return 1 << 62
+    if n == float("-inf"):
+        return 0
     return max(0, int(n))
 
 

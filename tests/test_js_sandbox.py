@@ -436,3 +436,65 @@ def test_secure_page_proxy_direct():
     assert stats["pageMethodCalls"] == 1
     with pytest.raises(SandboxError, match="not allowed"):
         proxy.js_get("click")
+
+
+# ------------------------------------------- round-3 review regressions
+
+class TestReviewRegressions:
+    """Pin the fixes from the round-3 code-review pass."""
+
+    def test_try_finally_rethrows_without_catch(self):
+        # finally without catch must run the block AND propagate
+        with pytest.raises(JSThrow):
+            run_js("try { throw new Error('boom'); } finally { 1; } "
+                   "return 'after';")
+        assert run_js(
+            "let r=''; try { try { throw new Error('x'); } "
+            "finally { r+='f'; } } catch(e) { r+='c'; } return r;") == "fc"
+
+    def test_template_literal_braces_inside_strings(self):
+        assert run_js("return `x${ true ? '}' : '' }y`;") == "x}y"
+        assert run_js('return `a${ "{".length }b`;') == "a1b"
+
+    def test_exponent_precedence_right_assoc(self):
+        assert run_js("return 2*3**2;") == 18
+        assert run_js("return 2**3**2;") == 512
+
+    def test_parse_int_radix(self):
+        assert run_js("return parseInt('ff', 16);") == 255
+        assert run_js("return parseInt('0x1f', 16);") == 31
+        assert run_js("return parseInt('0x1f');") == 31
+        assert run_js("return parseInt('19', 8);") == 1  # stops at '9'
+        assert run_js("return parseInt('-42');") == -42
+        nan = run_js("return parseInt('zz');")
+        assert nan != nan
+
+    def test_match_global_returns_full_matches(self):
+        assert run_js("return 'a1b2'.match(/a(\\d)/g);") == ["a1"]
+        assert run_js("return 'q'.match(/x/g);") is None
+
+    def test_instanceof_error_subtypes(self):
+        assert run_js("try { throw new Error('x'); } "
+                      "catch(e) { return e instanceof TypeError; }") is False
+        assert run_js("try { throw new TypeError('x'); } "
+                      "catch(e) { return e instanceof Error; }") is True
+        assert run_js("try { throw new TypeError('x'); } catch(e) "
+                      "{ return e instanceof TypeError; }") is True
+
+    def test_stringify_keeps_dunder_keys(self):
+        out = run_js("return JSON.stringify({__typename:'Q', a:1});")
+        assert out == '{"__typename":"Q","a":1}'
+
+    def test_idless_templates_never_share_cache(self):
+        v = TemplateCodeValidator()
+        assert v.validate_code("return 1;", {"updatedAt": 5})
+        with pytest.raises(TemplateValidationError):
+            v.validate_code("require('fs')", {"updatedAt": 5})
+
+    def test_internal_fault_wrapped_in_envelope(self):
+        sb = QuickJSSandbox()
+        # Date.parse of a non-date used to escape as a raw Python error
+        # in some paths; any interpreter-internal fault must surface as
+        # SandboxError, never a bare Python exception
+        with pytest.raises(SandboxError, match="execution failed"):
+            sb.execute_code("null.x;", {"template": MOCK_TEMPLATE})
