@@ -96,6 +96,28 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_api(args) -> int:
+    """Serve the v1 HTTP API (apps/api/src/index.ts) over the stdlib
+    server; pages/documents come from local fixtures."""
+    from .api.app import App
+    from .sources.synthetic_site import build_site_table
+
+    pages = build_site_table(args.pages) if args.pages else None
+    if pages is not None and args.num_cpus:
+        _init_ray(args.num_cpus)
+    app = App(pages=pages, documents_path=args.documents,
+              out_dir=args.out, checkpoint_dir=args.checkpoint_dir,
+              auth_enabled=args.auth, credits_enabled=args.credits,
+              storage_dir=args.storage_dir,
+              use_ray=bool(args.num_cpus))
+    for key in args.api_key or []:
+        app.state.add_api_key(key)
+    print(f"anycrawl_ray api listening on :{args.port} "
+          f"(auth={'on' if args.auth else 'off'})")
+    app.serve(port=args.port)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="anycrawl_ray")
     parser.add_argument("--num-cpus", type=int, default=None)
@@ -139,6 +161,20 @@ def main(argv=None) -> int:
                     help="JSON list of {engine, query, page, body}")
     se.add_argument("--limit", type=int, default=10)
     se.set_defaults(fn=cmd_search)
+
+    a = sub.add_parser("api")
+    a.add_argument("--port", type=int, default=8080)
+    a.add_argument("--pages", default=None,
+                   help="documents.parquet for the synthetic site corpus")
+    a.add_argument("--documents", default=None,
+                   help="documents.parquet for SERP fixtures")
+    a.add_argument("--out", default="/tmp/anycrawl_api_out")
+    a.add_argument("--checkpoint-dir", default="/tmp/anycrawl_api_ckpt")
+    a.add_argument("--storage-dir", default=None)
+    a.add_argument("--auth", action="store_true")
+    a.add_argument("--credits", action="store_true")
+    a.add_argument("--api-key", action="append", default=None)
+    a.set_defaults(fn=cmd_api)
 
     args = parser.parse_args(argv)
     code = args.fn(args)

@@ -47,3 +47,41 @@ def count_ws_tokens(text: str) -> int:
 def bpe_ish_tokens(text: str) -> list[str]:
     """Regex 'BPE-ish' tokenization: letter runs, digit runs, single symbols."""
     return _BPE_RE.findall(text)
+
+
+def calculate_crawl_initial_credits(scrape_options: dict | None = None) -> int:
+    """1 (base) + proxy credits; JSON credits accrue per page
+    (credits.ts calculateCrawlInitialCredits)."""
+    proxy = (scrape_options or {}).get("proxy")
+    return 1 + (2 if proxy == "stealth" else 0)
+
+
+def estimate_task_credits(task_type: str, task_payload: dict,
+                          template: dict | None = None) -> int:
+    """Pre-execution minimum-credit estimate for a scheduled task
+    (credits.ts:161-203 estimateTaskCredits): template reqOptions merge
+    under the payload, per-call template price added, base by type
+    (scrape=1, search=pages [+limit when scrape_options], crawl=limit)."""
+    try:
+        base = 1
+        template_credits = 0
+        actual_type = task_type
+        payload = dict(task_payload or {})
+        if template:
+            actual_type = template.get("templateType") or task_type
+            payload = {**(template.get("reqOptions") or {}), **payload}
+            template_credits = (template.get("pricing") or {}).get(
+                "perCall") or 0
+        if actual_type == "scrape":
+            base = 1
+        elif actual_type == "search":
+            base = payload.get("pages") or 1
+            # JS truthiness: any object counts, including {} (credits.ts)
+            if payload.get("scrape_options") is not None:
+                base += payload.get("limit") or 10
+        elif actual_type == "crawl":
+            base = (payload.get("limit")
+                    or (payload.get("options") or {}).get("limit") or 10)
+        return base + template_credits
+    except Exception:
+        return 1

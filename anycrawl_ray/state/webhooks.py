@@ -54,6 +54,19 @@ _PRIVATE_V4 = (
 )
 
 
+# types/WebhookEvents.ts:6-38 — the full supported-event enum
+WEBHOOK_EVENT_TYPES = (
+    "scrape.created", "scrape.started", "scrape.completed",
+    "scrape.failed", "scrape.cancelled",
+    "crawl.created", "crawl.started", "crawl.completed",
+    "crawl.failed", "crawl.cancelled",
+    "search.created", "search.started", "search.completed",
+    "search.failed", "search.cancelled",
+    "task.executed", "task.failed", "task.paused", "task.resumed",
+    "webhook.test",
+)
+
+
 def is_private_ip(url: str) -> bool:
     """Webhook.ts:10-46 — True for localhost, RFC1918/link-local IPv4,
     private IPv6; unparseable URLs are treated as unsafe."""
@@ -136,6 +149,7 @@ class WebhookDelivery:
     response_body: str | None = None
     next_retry_at: float | None = None
     delivered_at: float | None = None
+    created_at: float | None = None
 
 
 class WebhookManager:
@@ -179,6 +193,7 @@ class WebhookManager:
                 request_headers=dict(sub.custom_headers),
                 request_body=payload,
                 max_attempts=sub.max_retries,
+                created_at=self.clock(),
             )
             self.deliveries[delivery.uuid] = delivery
             self._queue.append(delivery.uuid)
