@@ -520,6 +520,56 @@ class ShardState:
         return obj
 
 
+# Memoized shard-actor pools, keyed by ctor config. Spawning a shard actor
+# is a fresh worker process (~80 ms each, serial ~0.6 s for 8 shards) paid
+# per crawl before the first wave can start — pure parallelism-independent
+# overhead. Pools are leased exclusively (a live Frontier owns the pool;
+# concurrent Frontiers with the same config fall back to private actors)
+# and reset to empty state on reuse. Only spill-less configs are memoized:
+# file-backed state must never outlive its Frontier's spill_dir.
+_SHARD_POOLS: dict[tuple, dict] = {}
+
+
+def _lease_shard_pool(num_shards: int, capacity: int, spill_dir,
+                      spill_segment_size: int, seen_spill_threshold: int):
+    """Return an exclusive, freshly-reset shard-actor pool for this config
+    (creating and caching one on miss), or None when the config is not
+    memoizable (spill files) or the cached pool is busy/dead."""
+    if spill_dir is not None:
+        return None
+    import ray
+
+    key = (num_shards, capacity, spill_segment_size, seen_spill_threshold)
+    entry = _SHARD_POOLS.get(key)
+    if entry is not None:
+        if entry["leased"]:
+            return None
+        try:
+            ray.get([a.reset_all.remote() for a in entry["actors"]],
+                    timeout=10)
+        except Exception:  # dead actors (session restarted) — recreate
+            del _SHARD_POOLS[key]
+            entry = None
+        else:
+            entry["leased"] = True
+            return entry["actors"]
+    cls = _make_actor_class()
+    actors = [
+        cls.options(num_cpus=0).remote(i, capacity, None,
+                                       spill_segment_size,
+                                       seen_spill_threshold)
+        for i in range(num_shards)
+    ]
+    _SHARD_POOLS[key] = {"actors": actors, "leased": True}
+    return actors
+
+
+def _release_shard_pool(key: tuple) -> None:
+    entry = _SHARD_POOLS.get(key)
+    if entry is not None:
+        entry["leased"] = False
+
+
 def _make_actor_class():
     import ray
 
@@ -528,8 +578,16 @@ def _make_actor_class():
         def __init__(self, shard_id: int, capacity: int,
                      spill_dir: str | None = None, spill_segment_size: int = 4096,
                      seen_spill_threshold: int = 1 << 30):
+            self._ctor = (shard_id, capacity, spill_dir, spill_segment_size,
+                          seen_spill_threshold)
             self.state = ShardState(shard_id, capacity, spill_dir,
                                     spill_segment_size, seen_spill_threshold)
+
+        def reset_all(self):
+            """Fresh state for pool reuse (same ctor config). Spill-less
+            pools only — file-backed state is never memoized."""
+            self.state = ShardState(*self._ctor)
+            return True
 
         def contains(self, job_id, keys):
             return self.state.contains(job_id, keys)
@@ -686,18 +744,28 @@ class Frontier:
         self.num_shards = num_shards
         self.use_actors = use_actors
         self.hot_host_lane_size = hot_host_lane_size
+        self._pool_key = None
         if use_actors:
-            cls = _make_actor_class()
-            # num_cpus=0: shard work is tiny bookkeeping and parallelism is
-            # bounded by num_shards; a CPU reservation would let idle shards
-            # starve Dataset stages in small sessions (observed deadlock at
-            # num_cpus=2 with 8 shards at 0.25 each)
-            self.shards = [
-                cls.options(num_cpus=0).remote(i, capacity_per_shard,
-                                               spill_dir, spill_segment_size,
-                                               seen_spill_threshold)
-                for i in range(num_shards)
-            ]
+            self.shards = _lease_shard_pool(
+                num_shards, capacity_per_shard, spill_dir,
+                spill_segment_size, seen_spill_threshold)
+            if self.shards is not None:
+                self._pool_key = (num_shards, capacity_per_shard,
+                                  spill_segment_size, seen_spill_threshold)
+            else:
+                cls = _make_actor_class()
+                # num_cpus=0: shard work is tiny bookkeeping and
+                # parallelism is bounded by num_shards; a CPU reservation
+                # would let idle shards starve Dataset stages in small
+                # sessions (observed deadlock at num_cpus=2 with 8 shards
+                # at 0.25 each)
+                self.shards = [
+                    cls.options(num_cpus=0).remote(i, capacity_per_shard,
+                                                   spill_dir,
+                                                   spill_segment_size,
+                                                   seen_spill_threshold)
+                    for i in range(num_shards)
+                ]
         else:
             self.shards = [
                 ShardState(i, capacity_per_shard, spill_dir, spill_segment_size,
@@ -1166,6 +1234,9 @@ class Frontier:
             for shard in self.shards:
                 shard.dispose_spill_files()
         self.admission_log.dispose()
+        if self._pool_key is not None:
+            _release_shard_pool(self._pool_key)
+            self._pool_key = None
 
     # -- checkpoint / restore ---------------------------------------------
     def checkpoint(self, ckpt_dir: str, epoch: int, extra: dict | None = None,
