@@ -555,3 +555,62 @@ def test_served_over_socket(pages):
     status, raw = req("POST", "/v1/scrape", {"url": "x"})
     assert status == 400
     assert json.loads(raw)["data"]["type"] == "VALIDATION_ERROR"
+
+
+# ------------------------------------------------------------ SDK client
+
+
+def test_sdk_client_end_to_end(pages):
+    """packages/js-sdk AnyCrawlClient surface over the in-process app."""
+    from anycrawl_ray.client import AnyCrawlClient, InProcessTransport
+
+    app = make_app(pages)
+    cli = AnyCrawlClient(api_key="", transport=InProcessTransport(app),
+                         sleep=lambda s: None)
+    assert cli.health_check() == {"status": "ok"}
+
+    doc = cli.scrape(page_url(0), engine="cheerio",
+                     formats=["markdown", "html"])
+    assert doc["status"] == "completed"
+
+    # crawl() polls to completion and aggregates every page via skip
+    res = cli.crawl(page_url(0), engine="cheerio", strategy="all",
+                    limit=130)
+    assert res["status"] == "completed"
+    # total mirrors the job's enqueued counter (may exceed fetched docs
+    # when the limit gate lands mid-wave, CrawlController semantics)
+    assert len(res["data"]) == 130 and res["total"] >= 130
+    assert len({r["doc_id"] for r in res["data"]}) == 130
+
+    hits = cli.search("ray", limit=5)
+    assert len(hits) == 5
+
+    job = cli.create_crawl(page_url(0), engine="cheerio", limit=3)
+    status = cli.get_crawl_status(job["job_id"])
+    assert status["status"] == "completed"
+    with pytest.raises(RuntimeError, match="API Error 409"):
+        cli.cancel_crawl(job["job_id"])
+
+
+def test_sdk_client_error_normalization(pages):
+    from anycrawl_ray.client import AnyCrawlClient, InProcessTransport
+
+    app = make_app(pages, auth_enabled=True, credits_enabled=True)
+    app.state.add_api_key("k", credits=0)
+    calls = []
+    cli = AnyCrawlClient(api_key="bad",
+                         transport=InProcessTransport(app),
+                         on_auth_failure=lambda: calls.append(1))
+    with pytest.raises(RuntimeError,
+                       match="Authentication failed: Invalid API key"):
+        cli.scrape(page_url(0))
+    assert calls == [1]
+
+    broke = AnyCrawlClient(api_key="k", transport=InProcessTransport(app))
+    with pytest.raises(RuntimeError,
+                       match=r"Payment required: .*current_credits=0"):
+        broke.scrape(page_url(0))
+
+    ok = AnyCrawlClient(api_key="", transport=InProcessTransport(make_app(pages)))
+    with pytest.raises(RuntimeError, match="API Error 400"):
+        ok.scrape("not-a-url")

@@ -1190,3 +1190,78 @@ def test_template_cache_semantics():
     off = TemplateCache(ttl_ms=0, clock=lambda: now["t"])
     off.set("a", {"id": "a"})
     assert off.get("a") is None and off.size() == 0
+
+
+class _FakeS3Client:
+    """boto3-shaped S3 client (put/get/head/presign) for S3Storage tests."""
+
+    def __init__(self):
+        self.objects: dict[str, tuple[bytes, str | None]] = {}
+
+    def put_object(self, Bucket, Key, Body, ContentType=None):
+        self.objects[f"{Bucket}/{Key}"] = (Body, ContentType)
+        return {"ETag": f'"{len(Body)}"'}
+
+    def get_object(self, Bucket, Key):
+        try:
+            body, _ct = self.objects[f"{Bucket}/{Key}"]
+        except KeyError:
+            raise RuntimeError("NoSuchKey")
+        return {"Body": body}
+
+    def head_object(self, Bucket, Key):
+        if f"{Bucket}/{Key}" not in self.objects:
+            raise RuntimeError("404")
+        return {}
+
+    def generate_presigned_url(self, op, Params, ExpiresIn):
+        return (f"https://s3.test/{Params['Bucket']}/{Params['Key']}"
+                f"?X-Amz-Expires={ExpiresIn}")
+
+
+def test_s3_storage_adapter():
+    """s3.ts:12-71 S3Storage: env validation + IStorage ops over an
+    injected boto3-shaped client."""
+    import pytest as _pytest
+
+    from anycrawl_ray.state.blobstore import S3Storage, get_storage
+
+    env = {"ANYCRAWL_S3_ENDPOINT": "https://s3.test",
+           "ANYCRAWL_S3_ACCESS_KEY": "ak",
+           "ANYCRAWL_S3_SECRET_ACCESS_KEY": "sk",
+           "ANYCRAWL_S3_BUCKET": "blobs"}
+    # required-variable errors, message-for-message (s3.ts:17-25)
+    for missing, msg in (("ANYCRAWL_S3_ENDPOINT",
+                          "ANYCRAWL_S3_ENDPOINT is required"),
+                         ("ANYCRAWL_S3_ACCESS_KEY",
+                          "ANYCRAWL_S3_ACCESS_KEY is required"),
+                         ("ANYCRAWL_S3_BUCKET",
+                          "ANYCRAWL_S3_BUCKET is required")):
+        bad = {k: v for k, v in env.items() if k != missing}
+        with _pytest.raises(RuntimeError, match=msg):
+            S3Storage(client=_FakeS3Client(), env=bad)
+
+    client = _FakeS3Client()
+    st = S3Storage(client=client, env=env)
+    st.upload("a/b.txt", "hello")
+    assert st.get("a/b.txt") == b"hello"
+    assert st.exists("a/b.txt") and not st.exists("nope")
+    st.upload_image("shot.jpeg", b"\xff\xd8jpeg", content_type="image/jpeg")
+    assert client.objects["blobs/shot.jpeg"] == (b"\xff\xd8jpeg",
+                                                 "image/jpeg")
+    url = st.get_temporary_url("a/b.txt", expires_in=60)
+    assert url == "https://s3.test/blobs/a/b.txt?X-Amz-Expires=60"
+
+    # selector: "s3" routes to S3Storage with the injected client
+    import os as _os
+
+    old = {k: _os.environ.get(k) for k in env}
+    _os.environ.update(env)
+    try:
+        assert isinstance(get_storage("s3", s3_client=client), S3Storage)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                _os.environ.pop(k, None)
+            else:
+                _os.environ[k] = v
