@@ -428,3 +428,35 @@ def test_cuckoo_contains_batch_matches_scalar():
     scalar = np.array([f.contains(int(k)) for k in probes.tolist()])
     assert (batch == scalar).all()
     assert batch[:500].all()  # no false negatives
+
+
+def test_shard_pool_memoization(ray_session):
+    """Actor pools are reused across Frontier instances (reset to empty
+    state on lease), leased exclusively, and never memoized for
+    spill-backed configs."""
+    from anycrawl_ray.state import frontier as F
+
+    fr1 = F.Frontier(num_shards=3, use_actors=True)
+    actors1 = list(fr1.shards)
+    fr1.add_seeds("j1", ["http://a.test/"])
+    assert fr1.offer_groups("j1", [("http://a.test/", ["http://a.test/x"], 1)]) == 1
+    # concurrent second frontier with the same config must NOT share
+    fr2 = F.Frontier(num_shards=3, use_actors=True)
+    assert [a._actor_id for a in fr2.shards] != [a._actor_id for a in actors1]
+    fr1.dispose_spill_files()  # releases the lease
+    fr3 = F.Frontier(num_shards=3, use_actors=True)
+    assert [a._actor_id for a in fr3.shards] == [a._actor_id for a in actors1]
+    # reused pool starts empty: the same URL is admitted again for the
+    # same job_id (fresh seen-set)
+    fr3.add_seeds("j1", ["http://a.test/"])
+    assert fr3.offer_groups("j1", [("http://a.test/", ["http://a.test/x"], 1)]) == 1
+    fr3.dispose_spill_files()
+
+
+def test_shard_pool_not_memoized_with_spill(ray_session, tmp_path):
+    from anycrawl_ray.state import frontier as F
+
+    fr = F.Frontier(num_shards=3, use_actors=True,
+                    spill_dir=str(tmp_path))
+    assert fr._pool_key is None
+    fr.dispose_spill_files()
