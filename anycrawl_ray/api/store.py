@@ -50,6 +50,17 @@ class JobRecord:
 
 FINISHED_STATUSES = ("completed", "failed", "cancelled")
 
+_KEY_ALPHABET = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                 "abcdefghijklmnopqrstuvwxyz0123456789")
+
+
+def generate_api_key() -> str:
+    """scripts/generateApiKey.ts:4-14 — ``ac-`` + 32 alphanumeric chars
+    drawn per random byte mod alphabet size."""
+    raw = secrets.token_bytes(32)
+    return "ac-" + "".join(_KEY_ALPHABET[b % len(_KEY_ALPHABET)]
+                           for b in raw)
+
 
 class _RecordingTransport:
     """Default webhook transport: records sends, reports success (the

@@ -165,7 +165,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _run_at(ncpu: int, sf_dir: str, trials: int = 2) -> dict:
+def _run_at(ncpu: int, sf_dir: str, trials: int = 3) -> dict:
     """Best-of-N fresh-process runs: the shared host shows ±20% run-to-run
     noise, and min-of-trials is the standard low-variance estimator for
     wall-time benchmarks."""

@@ -614,3 +614,15 @@ def test_sdk_client_error_normalization(pages):
     ok = AnyCrawlClient(api_key="", transport=InProcessTransport(make_app(pages)))
     with pytest.raises(RuntimeError, match="API Error 400"):
         ok.scrape("not-a-url")
+
+
+def test_generate_api_key_format():
+    """scripts/generateApiKey.ts format: ac- + 32 alphanumeric chars."""
+    import re
+
+    from anycrawl_ray.api.store import generate_api_key
+
+    keys = {generate_api_key() for _ in range(50)}
+    assert len(keys) == 50
+    for k in keys:
+        assert re.fullmatch(r"ac-[A-Za-z0-9]{32}", k)
