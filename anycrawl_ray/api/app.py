@@ -55,6 +55,11 @@ ROUTES = [
     ("POST", "/v1/search", c.search_handle),
     ("POST", "/v1/crawl", c.crawl_start),
     ("GET", "/v1/crawl/:jobId/status", c.crawl_status),
+    # the reference's Express router mounts results only at
+    # GET /v1/crawl/:jobId, yet CrawlController.ts:242 emits `next` links
+    # to /v1/crawl/:jobId/results — serve both so the self-issued link
+    # dereferences (the SDK rebuilds the URL and never notices)
+    ("GET", "/v1/crawl/:jobId/results", c.crawl_results),
     ("GET", "/v1/crawl/:jobId", c.crawl_results),
     ("DELETE", "/v1/crawl/:jobId", c.crawl_cancel),
     ("POST", "/v1/scheduled-tasks", c.tasks_create),

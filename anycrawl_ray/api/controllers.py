@@ -202,21 +202,28 @@ def scrape_handle(state: ApiState, req) -> tuple[int, dict]:
 
 # ------------------------------------------------------------ search
 
-def search_handle(state: ApiState, req) -> tuple[int, dict]:
-    """POST /v1/search (SearchController.ts): fixture-backed SERP run,
-    `{success, data: results}` envelope."""
-    body = dict(req.body or {})
-    if body.get("template_id"):
-        _check_template_only_fields(body, "search")
-        user = req.auth.user if req.auth else None
-        body, _price = _merge_template(state, body, "search", user)
+def _int_field(body: dict, name: str, default: int) -> int:
+    """Zod z.number() discipline for numeric body fields: ints pass,
+    None/absent takes the default, anything else is a 400 validation
+    error (the reference rejects '50'-the-string; without this a str>int
+    comparison would 500)."""
+    v = body.get(name)
+    if v is None:
+        return default
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise validation_error([_zod_issue(
+            name, f"Expected number, received {type(v).__name__}",
+            "invalid_type")])
+    return int(v)
+
+
+def _run_search(state: ApiState, body: dict) -> list:
+    """The search execution core, shared by the HTTP handler and
+    scheduled search tasks."""
     query = body.get("query")
-    if not isinstance(query, str) or not query:
-        raise validation_error([_zod_issue("query", "Required",
-                                           "invalid_type")])
     engine = body.get("engine", "google")
-    limit = int(body.get("limit") or 10)
-    pages_n = int(body.get("pages") or 1)
+    limit = _int_field(body, "limit", 10)
+    pages_n = _int_field(body, "pages", 1)
     if state.documents_path is None:
         raise internal_error("search corpus not configured")
     try:
@@ -232,27 +239,106 @@ def search_handle(state: ApiState, req) -> tuple[int, dict]:
         raise validation_error([_zod_issue(
             "engine", f"Invalid search engine '{engine}'",
             "invalid_enum_value")])
+    except ApiError:
+        raise
     except Exception as exc:
         raise internal_error(str(exc))
-    req.credits_used = pages_n
-    return 200, {"success": True, "data": out.to_pylist()}
+    return out.to_pylist()
+
+
+def search_handle(state: ApiState, req) -> tuple[int, dict]:
+    """POST /v1/search (SearchController.ts): fixture-backed SERP run,
+    `{success, data: results}` envelope."""
+    body = dict(req.body or {})
+    if body.get("template_id"):
+        _check_template_only_fields(body, "search")
+        user = req.auth.user if req.auth else None
+        body, _price = _merge_template(state, body, "search", user)
+    query = body.get("query")
+    if not isinstance(query, str) or not query:
+        raise validation_error([_zod_issue("query", "Required",
+                                           "invalid_type")])
+    data = _run_search(state, body)
+    req.credits_used = _int_field(body, "pages", 1)
+    return 200, {"success": True, "data": data}
 
 
 # ------------------------------------------------------------ crawl
 
 def run_task_payload(state: ApiState, task_type: str, payload: dict) -> str:
     """Scheduler trigger seam: launch a task's underlying job through the
-    same execution path as the HTTP handlers; returns the job uuid."""
+    same execution path as the HTTP handlers; returns the job uuid.
+    Invalid payloads raise (the scheduler records the execution as
+    failed); scrape/search actually execute, not just log a row."""
     payload = dict(payload or {})
+    if task_type == "template":
+        template = state.templates.get(str(payload.get("template_id") or ""))
+        actual = (template or {}).get("templateType") or "scrape"
+        merged = {**((template or {}).get("reqOptions") or {}), **payload}
+        merged.pop("template_id", None)
+        return run_task_payload(state, actual, merged)
     if task_type == "crawl":
         return _start_crawl_job(state, payload)
+
+    engine = payload.get("engine", "cheerio")
     job_id = str(_uuid.uuid4())
-    state.jobs[job_id] = JobRecord(
+    rec = JobRecord(
         job_id=job_id, job_type=task_type,
-        job_queue_name=f"{task_type}-{payload.get('engine', 'cheerio')}",
+        job_queue_name=f"{task_type}-{engine}",
         url=str(payload.get("url") or payload.get("query") or ""),
-        status="completed", created_at=state.now_iso(), payload=payload)
-    return job_id
+        created_at=state.now_iso(), payload=payload)
+
+    if task_type == "scrape":
+        url = payload.get("url")
+        if not isinstance(url, str) or not url:
+            raise validation_error([_zod_issue("url", "Required",
+                                               "invalid_type")])
+        state.jobs[job_id] = rec
+        from ..pipelines.scrape import run_scrape
+
+        try:
+            doc = run_scrape(url, state.pages,
+                             formats=payload.get("formats"),
+                             job_id=job_id, use_ray=state.use_ray,
+                             engine=engine)
+        except Exception:
+            rec.status = "failed"
+            rec.failed = rec.total = 1
+            return job_id
+        rec.total = 1
+        if doc.get("status") == "failed":
+            rec.status = "failed"
+            rec.failed = 1
+        else:
+            rec.status = "completed"
+            rec.completed = 1
+            rec.credits_used = per_page_cost(
+                proxy_mode=payload.get("proxy"),
+                formats=payload.get("formats") or ["markdown"],
+                json_options=bool(payload.get("json_options")),
+                extract_source=payload.get("extract_source", "markdown"))
+        return job_id
+
+    if task_type == "search":
+        query = payload.get("query")
+        if not isinstance(query, str) or not query:
+            raise validation_error([_zod_issue("query", "Required",
+                                               "invalid_type")])
+        state.jobs[job_id] = rec
+        try:
+            out = _run_search(state, payload)
+        except ApiError:
+            rec.status = "failed"
+            rec.failed = rec.total = 1
+            return job_id
+        rec.status = "completed"
+        rec.total = rec.completed = len(out)
+        rec.credits_used = _int_field(payload, "pages", 1)
+        return job_id
+
+    raise validation_error([_zod_issue("task_type",
+                                       f"Unknown task type '{task_type}'",
+                                       "invalid_enum_value")])
 
 
 def _job_from_body(body: dict) -> tuple[str, dict]:
@@ -288,7 +374,9 @@ def _start_crawl_job(state: ApiState, body: dict) -> str:
     try:
         job = CrawlJob(job_id=job_id, seed_urls=[url], engine=engine,
                        **{k: v for k, v in opts.items() if k in known})
-    except ValueError as exc:
+    except (ValueError, TypeError) as exc:
+        # TypeError: non-numeric limit/max_depth from the client — Zod
+        # rejects these as 400, not 500
         raise validation_error([_zod_issue("options", str(exc))])
     rec = JobRecord(job_id=job_id, job_type="crawl",
                     job_queue_name=f"crawl-{engine}", url=url,
@@ -358,8 +446,9 @@ def crawl_start(state: ApiState, req) -> tuple[int, dict]:
 
     # credits precheck: requested limit vs available credits (402)
     if (req.auth and state.auth_enabled and state.credits_enabled):
-        limit = ((body.get("options") or {}).get("limit")
-                 or body.get("limit") or 100)
+        opts_body = body.get("options") or {}
+        limit = (_int_field(opts_body, "limit", 0)
+                 or _int_field(body, "limit", 0) or 100)
         if limit > req.auth.credits:
             return 402, {
                 "success": False, "error": "Insufficient credits",
@@ -652,6 +741,11 @@ def tasks_get(state: ApiState, req) -> tuple[int, dict]:
 
 
 def tasks_update(state: ApiState, req) -> tuple[int, dict]:
+    # NOTE deliberate reference parity: min_credits_required is computed
+    # only at create time (estimateTaskCredits,
+    # ScheduledTasksController.ts:64); the reference's update
+    # (ts:270-300) never recomputes it, so a task_type/payload change
+    # leaves the scheduler's credit gate on the original estimate.
     data = _validate_task_body(dict(req.body or {}), partial=True)
     row = _get_owned_task(state, req)
     api_key_id, user_id = _owner_ids(req)
@@ -705,6 +799,12 @@ def tasks_resume(state: ApiState, req) -> tuple[int, dict]:
 
 
 def tasks_delete(state: ApiState, req) -> tuple[int, dict]:
+    # NOTE deliberate reference parity (ScheduledTasksController.ts:
+    # 441-477): only the row delete is ownership-filtered; the webhook
+    # disassociation and scheduler removal below run unconditionally on
+    # the requested id, exactly like the reference's
+    # removeWebhookAssociations(taskId) + removeScheduledTask(taskId)
+    # after its filtered DB delete.
     task_id = req.params["taskId"]
     api_key_id, user_id = _owner_ids(req)
     row = state.scheduled_tasks.get(task_id)
@@ -1068,12 +1168,13 @@ def file_get(state: ApiState, req):
     if state.storage_dir is None:
         raise ApiError(500, {"error": "Error sending file",
                              "message": "storage not configured"})
-    from ..state.blobstore import LocalDirStorage
-
-    store = LocalDirStorage(state.storage_dir)
     try:
-        body = store.get(path)
-    except (FileNotFoundError, KeyError, OSError) as exc:
+        # through the storage selector, so --storage-dir "s3" reaches the
+        # S3 adapter instead of a local directory literally named "s3";
+        # ValueError covers traversal-rejected keys (LocalDirStorage
+        # raises it for paths escaping the root)
+        body = state.storage.get(path)
+    except (FileNotFoundError, KeyError, OSError, ValueError) as exc:
         raise ApiError(500, {"error": "Error sending file",
                              "message": str(exc)})
     return body  # raw bytes; app.py serves as octet-stream

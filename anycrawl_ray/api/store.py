@@ -97,7 +97,8 @@ class ApiState:
         self.run_mode = run_mode  # sync | manual (tests drain explicitly)
         self.scheduler_running = scheduler_running
         self.clock = clock or (lambda: datetime.now(timezone.utc))
-        self.storage_dir = storage_dir  # public file root (FileController)
+        self.storage_dir = storage_dir  # storage spec (FileController)
+        self._storage = None  # built lazily via the blobstore selector
 
         self.api_keys: dict[str, ApiKey] = {}
         self.jobs: dict[str, JobRecord] = {}
@@ -116,6 +117,16 @@ class ApiState:
         self._pending: list[str] = []  # manual-mode job queue
 
     # -- helpers -----------------------------------------------------------
+
+    @property
+    def storage(self):
+        """Storage backend, resolved once through the s3.ts-style
+        selector (noop / s3 / local dir)."""
+        if self._storage is None:
+            from ..state.blobstore import get_storage
+
+            self._storage = get_storage(self.storage_dir)
+        return self._storage
 
     def add_api_key(self, key: str, **kw) -> ApiKey:
         rec = ApiKey(key=key, **kw)

@@ -556,192 +556,199 @@ def run_crawl(
                             record_admissions=record_admissions)
         frontier.add_seeds(job.job_id, job.seed_urls)
 
-    doc_tables: list[pa.Table] = []
-    job_out = os.path.join(out_dir, job.job_id) if out_dir else None
-    if job_out and not resume and os.path.exists(job_out):
-        shutil.rmtree(job_out)
-    if job_out:
-        os.makedirs(job_out, exist_ok=True)
-
-    cancelled = False
-    start_epoch = epoch
-    while done < job.limit:
-        # cooperative cancellation, checked at the epoch boundary — the
-        # reference's Redis cancelled flag short-circuits engines
-        # pre-navigation (Progress.ts:361-374); the epoch-synchronous
-        # rebuild stops before pulling the next wave
-        if cancel_check is not None and cancel_check():
-            cancelled = True
-            break
-        wave = frontier.next_wave(
-            job.job_id,
-            per_host_budget=job.politeness_max_inflight_per_host,
-            max_pages=job.limit - done,
-        )
-        if wave.num_rows == 0:
-            break
-        tmp_dir = None
+    try:
+        doc_tables: list[pa.Table] = []
+        job_out = os.path.join(out_dir, job.job_id) if out_dir else None
+        if job_out and not resume and os.path.exists(job_out):
+            shutil.rmtree(job_out)
         if job_out:
-            tmp_dir = os.path.join(job_out, f".epoch={epoch}.tmp")
-            if os.path.exists(tmp_dir):
-                shutil.rmtree(tmp_dir)
-            os.makedirs(tmp_dir)
-        distributed = use_ray and wave.num_rows >= ray_wave_threshold
-        dist_write = (distributed and wave_engine in ("tasks", "actors")
-                      and tmp_dir is not None)
-        epoch_docs: list[pa.Table] = []
+            os.makedirs(job_out, exist_ok=True)
 
-        def consume(parsed: pa.Table) -> None:
-            """Per-result accounting + admission. Called once per wave (the
-            classic path) or once per in-order chunk (the overlapped actors
-            path) — chunk-wise application is equivalent because the
-            frontier counters/gates are global driver state and chunks
-            arrive in admission (discovered_seq) order."""
-            nonlocal done
-            # completion accounting (per host shard -> lineage partitions)
-            statuses = parsed.column("status").to_pylist()
-            hosts = parsed.column("host").to_pylist()
-            nbytes = parsed.column("content_bytes").to_pylist()
-            ok = [s == "completed" for s in statuses]
-            frontier.mark_done_batch(job.job_id, hosts, ok, nbytes)
-            done += parsed.num_rows
-            # link admission in deterministic parent order; canonical forms
-            # and xxh64 keys were computed worker-side in the parse stage,
-            # so the driver's gate below does no per-URL string work
-            groups = []
-            urls = parsed.column("url").to_pylist()
-            depths = parsed.column("depth").to_pylist()
-            cands = parsed.column("candidates").to_pylist()
-            canons = parsed.column("cand_canon").to_pylist()
-            keys = parsed.column("cand_key").to_pylist()
-            hostsc = parsed.column("cand_host").to_pylist()
-            for u, d, c, cc, ck, ch in zip(urls, depths, cands, canons, keys,
-                                           hostsc):
-                if c:
-                    if robots is not None:
-                        allowed = robots.allowed_batch(c)
-                        c = [link for link, ok in zip(c, allowed) if ok]
-                        cc = [x for x, ok in zip(cc, allowed) if ok]
-                        ck = [x for x, ok in zip(ck, allowed) if ok]
-                        ch = [x for x, ok in zip(ch, allowed) if ok]
-                        if not c:
-                            continue
-                    groups.append((u, c, d + 1, cc, ck, ch))
-            frontier.offer_groups(job.job_id, groups, limit=job.limit)
-            if not dist_write:
-                epoch_docs.append(make_doc_table(parsed, job.job_id))
+        cancelled = False
+        start_epoch = epoch
+        while done < job.limit:
+            # cooperative cancellation, checked at the epoch boundary — the
+            # reference's Redis cancelled flag short-circuits engines
+            # pre-navigation (Progress.ts:361-374); the epoch-synchronous
+            # rebuild stops before pulling the next wave
+            if cancel_check is not None and cancel_check():
+                cancelled = True
+                break
+            wave = frontier.next_wave(
+                job.job_id,
+                per_host_budget=job.politeness_max_inflight_per_host,
+                max_pages=job.limit - done,
+            )
+            if wave.num_rows == 0:
+                break
+            tmp_dir = None
+            if job_out:
+                tmp_dir = os.path.join(job_out, f".epoch={epoch}.tmp")
+                if os.path.exists(tmp_dir):
+                    shutil.rmtree(tmp_dir)
+                os.makedirs(tmp_dir)
+            distributed = use_ray and wave.num_rows >= ray_wave_threshold
+            dist_write = (distributed and wave_engine in ("tasks", "actors")
+                          and tmp_dir is not None)
+            epoch_docs: list[pa.Table] = []
 
-        if distributed and wave_engine == "actors":
-            # overlapped path: consume chunk results in order while the
-            # rest of the wave is still executing, hiding the driver's
-            # serial admission/deserialization under worker compute
-            import ray
+            def consume(parsed: pa.Table) -> None:
+                """Per-result accounting + admission. Called once per wave (the
+                classic path) or once per in-order chunk (the overlapped actors
+                path) — chunk-wise application is equivalent because the
+                frontier counters/gates are global driver state and chunks
+                arrive in admission (discovered_seq) order."""
+                nonlocal done
+                # completion accounting (per host shard -> lineage partitions)
+                statuses = parsed.column("status").to_pylist()
+                hosts = parsed.column("host").to_pylist()
+                nbytes = parsed.column("content_bytes").to_pylist()
+                ok = [s == "completed" for s in statuses]
+                frontier.mark_done_batch(job.job_id, hosts, ok, nbytes)
+                done += parsed.num_rows
+                # link admission in deterministic parent order; canonical forms
+                # and xxh64 keys were computed worker-side in the parse stage,
+                # so the driver's gate below does no per-URL string work
+                groups = []
+                urls = parsed.column("url").to_pylist()
+                depths = parsed.column("depth").to_pylist()
+                cands = parsed.column("candidates").to_pylist()
+                canons = parsed.column("cand_canon").to_pylist()
+                keys = parsed.column("cand_key").to_pylist()
+                hostsc = parsed.column("cand_host").to_pylist()
+                for u, d, c, cc, ck, ch in zip(urls, depths, cands, canons, keys,
+                                               hostsc):
+                    if c:
+                        if robots is not None:
+                            allowed = robots.allowed_batch(c)
+                            c = [link for link, ok in zip(c, allowed) if ok]
+                            cc = [x for x, ok in zip(cc, allowed) if ok]
+                            ck = [x for x, ok in zip(ck, allowed) if ok]
+                            ch = [x for x, ok in zip(ch, allowed) if ok]
+                            if not c:
+                                continue
+                        groups.append((u, c, d + 1, cc, ck, ch))
+                frontier.offer_groups(job.job_id, groups, limit=job.limit)
+                if not dist_write:
+                    epoch_docs.append(make_doc_table(parsed, job.job_id))
 
-            if pool is None:
-                pool = _memoized_pool(pages_ref, parser, job, pool_size)
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            chunk_sizes = [c.num_rows for c in _chunk(wave, batch_size, ncpu)]
-            ranges = []
-            off = 0
-            for ln in chunk_sizes:
-                ranges.append((off, ln))
-                off += ln
-            if dist_write:
-                write_paths: list[str | None] = [
-                    os.path.join(tmp_dir, f"part-{i:04d}.parquet")
-                    for i in range(len(ranges))
+            if distributed and wave_engine == "actors":
+                # overlapped path: consume chunk results in order while the
+                # rest of the wave is still executing, hiding the driver's
+                # serial admission/deserialization under worker compute
+                import ray
+
+                if pool is None:
+                    pool = _memoized_pool(pages_ref, parser, job, pool_size)
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+                chunk_sizes = [c.num_rows for c in _chunk(wave, batch_size, ncpu)]
+                ranges = []
+                off = 0
+                for ln in chunk_sizes:
+                    ranges.append((off, ln))
+                    off += ln
+                if dist_write:
+                    write_paths: list[str | None] = [
+                        os.path.join(tmp_dir, f"part-{i:04d}.parquet")
+                        for i in range(len(ranges))
+                    ]
+                else:
+                    write_paths = [None] * len(ranges)
+                # one consume per wave: admission RPCs stay batched (per-chunk
+                # offers measured 40% slower — 300+ tiny shard RPC rounds)
+                tables = [
+                    t for t in pool.run_wave_ranges_iter(
+                        wave, ranges, job.job_id, write_paths)
+                    if t.num_rows
                 ]
+                consume(_ensure_seq_order(
+                    pa.concat_tables(tables, promote_options="default")))
+            elif distributed:
+                consume(_parse_wave_ray(
+                    wave, pages_ref, parser, batch_size, wave_engine,
+                    job_id=job.job_id,
+                    write_tmp_dir=tmp_dir if dist_write else None,
+                ))
             else:
-                write_paths = [None] * len(ranges)
-            # one consume per wave: admission RPCs stay batched (per-chunk
-            # offers measured 40% slower — 300+ tiny shard RPC rounds)
-            tables = [
-                t for t in pool.run_wave_ranges_iter(
-                    wave, ranges, job.job_id, write_paths)
-                if t.num_rows
-            ]
-            consume(_ensure_seq_order(
-                pa.concat_tables(tables, promote_options="default")))
-        elif distributed:
-            consume(_parse_wave_ray(
-                wave, pages_ref, parser, batch_size, wave_engine,
-                job_id=job.job_id,
-                write_tmp_dir=tmp_dir if dist_write else None,
-            ))
-        else:
-            consume(_parse_wave_inline(wave, inline_fetcher, parser))
-        # persist documents for this epoch
-        if epoch_docs:
-            doc_table = (epoch_docs[0] if len(epoch_docs) == 1 else
-                         pa.concat_tables(epoch_docs,
-                                          promote_options="default"))
+                consume(_parse_wave_inline(wave, inline_fetcher, parser))
+            # persist documents for this epoch
+            if epoch_docs:
+                doc_table = (epoch_docs[0] if len(epoch_docs) == 1 else
+                             pa.concat_tables(epoch_docs,
+                                              promote_options="default"))
+                if tmp_dir is not None:
+                    pq.write_table(doc_table, os.path.join(tmp_dir, "part-0000.parquet"))
+                else:
+                    doc_tables.append(doc_table)
             if tmp_dir is not None:
-                pq.write_table(doc_table, os.path.join(tmp_dir, "part-0000.parquet"))
-            else:
-                doc_tables.append(doc_table)
-        if tmp_dir is not None:
-            # atomic epoch commit: parts land in tmp, rename publishes
-            epoch_dir = os.path.join(job_out, f"epoch={epoch}")
-            if os.path.exists(epoch_dir):
-                shutil.rmtree(epoch_dir)
-            os.rename(tmp_dir, epoch_dir)
-        if crash_before_checkpoint is not None and epoch >= crash_before_checkpoint:
-            # simulates dying after the epoch dir was published but before
-            # the frontier checkpoint — resume must redo this epoch
-            # deterministically, overwriting the published dir
-            raise RuntimeError(f"simulated crash before checkpoint {epoch}")
-        if checkpoint_dir:
-            frontier.checkpoint(checkpoint_dir, epoch, extra={"done": done})
-        if crash_after_epoch is not None and epoch >= crash_after_epoch:
-            raise RuntimeError(f"simulated crash after epoch {epoch}")
-        epoch += 1
-        if job.politeness_min_delay_ms > 0:
-            # inter-wave politeness delay: with per-host wave budgets this
-            # bounds the per-host request rate at budget/delay
-            import time as _t
+                # atomic epoch commit: parts land in tmp, rename publishes
+                epoch_dir = os.path.join(job_out, f"epoch={epoch}")
+                if os.path.exists(epoch_dir):
+                    shutil.rmtree(epoch_dir)
+                os.rename(tmp_dir, epoch_dir)
+            if crash_before_checkpoint is not None and epoch >= crash_before_checkpoint:
+                # simulates dying after the epoch dir was published but before
+                # the frontier checkpoint — resume must redo this epoch
+                # deterministically, overwriting the published dir
+                raise RuntimeError(f"simulated crash before checkpoint {epoch}")
+            if checkpoint_dir:
+                frontier.checkpoint(checkpoint_dir, epoch, extra={"done": done})
+            if crash_after_epoch is not None and epoch >= crash_after_epoch:
+                raise RuntimeError(f"simulated crash after epoch {epoch}")
+            epoch += 1
+            if job.politeness_min_delay_ms > 0:
+                # inter-wave politeness delay: with per-host wave budgets this
+                # bounds the per-host request rate at budget/delay
+                import time as _t
 
-            _t.sleep(job.politeness_min_delay_ms / 1000.0)
+                _t.sleep(job.politeness_min_delay_ms / 1000.0)
 
-    # assemble result: with an out_dir the authoritative copy is on disk
-    # (CrawlResult loads it lazily); in-memory mode concatenates here
-    if job_out:
-        documents = None
-    else:
-        documents = (
-            pa.concat_tables(doc_tables) if doc_tables else _empty_docs()
-        ).sort_by("doc_id")
-    order = frontier.admission_table(job.job_id)
-    stats = frontier.stats(job.job_id)
-    stats["cancelled"] = cancelled
-    result = CrawlResult(
-        job_id=job.job_id,
-        order=order,
-        seen=frontier.seen_table(job.job_id),
-        lineage=frontier.lineage_rows(job.job_id, epoch),
-        stats=stats,
-        epochs=epoch,
-        documents=documents,
-        out_path=job_out,
-    )
-    # live spill files are no longer needed (checkpoints hold their own
-    # copies); leaving them would leak disk across jobs sharing a spill_dir
-    frontier.dispose_spill_files()
-    if webhooks is not None and (epoch > start_epoch or not resume):
-        # Base.ts:1003 -> WebhookManager.triggerEvent on job completion;
-        # the dispatcher owns retry/backoff — trigger is fire-and-forget.
-        # A resume of an ALREADY-finished job runs zero epochs and must not
-        # re-fire completion (the reference fires once, at actual finish)
-        event = "crawl.cancelled" if cancelled else "crawl.completed"
-        webhooks.trigger_event(event, {
-            "job_id": job.job_id,
-            "status": "cancelled" if cancelled else "completed",
-            "done": stats["done"],
-            "succeeded": stats["succeeded"],
-            "failed": stats["failed"],
-            "credits_used": stats["credits_used"],
-        }, "crawl", job.job_id)
-        webhooks.process_queue()
-    return result
+        # assemble result: with an out_dir the authoritative copy is on disk
+        # (CrawlResult loads it lazily); in-memory mode concatenates here
+        if job_out:
+            documents = None
+        else:
+            documents = (
+                pa.concat_tables(doc_tables) if doc_tables else _empty_docs()
+            ).sort_by("doc_id")
+        order = frontier.admission_table(job.job_id)
+        stats = frontier.stats(job.job_id)
+        stats["cancelled"] = cancelled
+        result = CrawlResult(
+            job_id=job.job_id,
+            order=order,
+            seen=frontier.seen_table(job.job_id),
+            lineage=frontier.lineage_rows(job.job_id, epoch),
+            stats=stats,
+            epochs=epoch,
+            documents=documents,
+            out_path=job_out,
+        )
+        # live spill files are no longer needed (checkpoints hold their own
+        # copies); leaving them would leak disk across jobs sharing a spill_dir
+        frontier.dispose_spill_files()
+        if webhooks is not None and (epoch > start_epoch or not resume):
+            # Base.ts:1003 -> WebhookManager.triggerEvent on job completion;
+            # the dispatcher owns retry/backoff — trigger is fire-and-forget.
+            # A resume of an ALREADY-finished job runs zero epochs and must not
+            # re-fire completion (the reference fires once, at actual finish)
+            event = "crawl.cancelled" if cancelled else "crawl.completed"
+            webhooks.trigger_event(event, {
+                "job_id": job.job_id,
+                "status": "cancelled" if cancelled else "completed",
+                "done": stats["done"],
+                "succeeded": stats["succeeded"],
+                "failed": stats["failed"],
+                "credits_used": stats["credits_used"],
+            }, "crawl", job.job_id)
+            webhooks.process_queue()
+        return result
+    except BaseException:
+        # error path: return the memoized shard pool to the cache so
+        # one failed crawl doesn't force every later crawl back to
+        # cold actor spawns (reset-on-lease keeps reuse safe)
+        frontier.release_pool()
+        raise
 
 
 def _empty_docs() -> pa.Table:

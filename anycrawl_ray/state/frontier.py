@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import threading
 from collections import defaultdict, deque
 
 import numpy as np
@@ -527,7 +528,13 @@ class ShardState:
 # concurrent Frontiers with the same config fall back to private actors)
 # and reset to empty state on reuse. Only spill-less configs are memoized:
 # file-backed state must never outlive its Frontier's spill_dir.
+# All cache access holds _SHARD_POOLS_LOCK (the API server runs sync
+# crawls in request threads), and release verifies the caller actually
+# holds the cached actor list — otherwise thread A releasing its private
+# fallback pool could unlease the entry thread B is mid-crawl on, letting
+# a third crawl reset B's live shard state.
 _SHARD_POOLS: dict[tuple, dict] = {}
+_SHARD_POOLS_LOCK = threading.Lock()
 
 
 def _lease_shard_pool(num_shards: int, capacity: int, spill_dir,
@@ -540,18 +547,21 @@ def _lease_shard_pool(num_shards: int, capacity: int, spill_dir,
     import ray
 
     key = (num_shards, capacity, spill_segment_size, seen_spill_threshold)
-    entry = _SHARD_POOLS.get(key)
-    if entry is not None:
-        if entry["leased"]:
+    with _SHARD_POOLS_LOCK:
+        entry = _SHARD_POOLS.get(key)
+        if entry is not None and entry["leased"]:
             return None
+        if entry is not None:
+            entry["leased"] = True  # claim before the un-locked reset RPC
+    if entry is not None:
         try:
             ray.get([a.reset_all.remote() for a in entry["actors"]],
                     timeout=10)
         except Exception:  # dead actors (session restarted) — recreate
-            del _SHARD_POOLS[key]
-            entry = None
+            with _SHARD_POOLS_LOCK:
+                if _SHARD_POOLS.get(key) is entry:
+                    del _SHARD_POOLS[key]
         else:
-            entry["leased"] = True
             return entry["actors"]
     cls = _make_actor_class()
     actors = [
@@ -560,14 +570,19 @@ def _lease_shard_pool(num_shards: int, capacity: int, spill_dir,
                                        seen_spill_threshold)
         for i in range(num_shards)
     ]
-    _SHARD_POOLS[key] = {"actors": actors, "leased": True}
+    with _SHARD_POOLS_LOCK:
+        if key not in _SHARD_POOLS:
+            _SHARD_POOLS[key] = {"actors": actors, "leased": True}
+        # a racing thread registered first: use our actors privately
+        # (uncached — they die with the Frontier), leave its entry alone
     return actors
 
 
-def _release_shard_pool(key: tuple) -> None:
-    entry = _SHARD_POOLS.get(key)
-    if entry is not None:
-        entry["leased"] = False
+def _release_shard_pool(key: tuple, actors) -> None:
+    with _SHARD_POOLS_LOCK:
+        entry = _SHARD_POOLS.get(key)
+        if entry is not None and entry["actors"] is actors:
+            entry["leased"] = False
 
 
 def _make_actor_class():
@@ -1234,8 +1249,14 @@ class Frontier:
             for shard in self.shards:
                 shard.dispose_spill_files()
         self.admission_log.dispose()
+        self.release_pool()
+
+    def release_pool(self) -> None:
+        """Return this frontier's memoized shard pool (if any) to the
+        cache. Idempotent; safe to call from error paths that skip
+        dispose_spill_files."""
         if self._pool_key is not None:
-            _release_shard_pool(self._pool_key)
+            _release_shard_pool(self._pool_key, self.shards)
             self._pool_key = None
 
     # -- checkpoint / restore ---------------------------------------------

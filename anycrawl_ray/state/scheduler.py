@@ -110,6 +110,7 @@ class ScheduledTask:
     concurrency_mode: str = "skip"  # "skip" | "queue"
     max_executions_per_day: int | None = None
     total_executions: int = 0
+    consecutive_failures: int = 0
     last_execution_at: object = None
 
 
@@ -226,7 +227,20 @@ class SchedulerManager:
             scheduled_for=now,
         )
         self.executions[execution.uuid] = execution
-        job_uuid = self.trigger_job(task, execution)
+        try:
+            job_uuid = self.trigger_job(task, execution)
+        except Exception:
+            # a bad task payload (accepted at create time — validation
+            # only requires a dict) must not wedge the tick loop or leave
+            # a forever-'pending' execution blocking concurrency_mode
+            # 'skip'; the execution records the failure and the task
+            # stays schedulable
+            execution.status = "failed"
+            execution.completed_at = now
+            task.last_execution_at = now
+            task.total_executions += 1
+            task.consecutive_failures += 1
+            return execution.uuid
         execution.job_uuid = job_uuid
         execution.status = "running"
         execution.started_at = now

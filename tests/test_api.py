@@ -626,3 +626,82 @@ def test_generate_api_key_format():
     assert len(keys) == 50
     for k in keys:
         assert re.fullmatch(r"ac-[A-Za-z0-9]{32}", k)
+
+
+# ------------------------------------------- review-finding regressions
+
+
+def test_next_link_route_dereferences(pages):
+    """The server-issued /results?skip= next link must itself resolve."""
+    app = make_app(pages)
+    _, body = app.request("POST", "/v1/crawl",
+                          body={"url": page_url(0), "limit": 130,
+                                "strategy": "all"})
+    job_id = body["data"]["job_id"]
+    _, page1 = app.request("GET", f"/v1/crawl/{job_id}")
+    from urllib.parse import urlparse
+
+    next_path = urlparse(page1["next"]).path + "?" + \
+        urlparse(page1["next"]).query
+    status, page2 = app.request("GET", next_path)
+    assert status == 200 and page2["success"] and len(page2["data"]) > 0
+
+
+def test_numeric_body_fields_reject_strings(pages):
+    """Zod-style 400 (not 500) for string numerics."""
+    app = make_app(pages, auth_enabled=True, credits_enabled=True)
+    app.state.add_api_key("k", credits=10)
+    status, body = app.request(
+        "POST", "/v1/crawl", body={"url": page_url(0), "limit": "50"},
+        headers={"Authorization": "Bearer k"})
+    assert status == 400 and body["error"] == "Validation error"
+    status, body = app.request("POST", "/v1/search",
+                               body={"query": "x", "limit": "abc"},
+                               headers={"Authorization": "Bearer k"})
+    assert status == 400 and body["error"] == "Validation error"
+    open_app = make_app(pages)
+    status, body = open_app.request(
+        "POST", "/v1/crawl", body={"url": page_url(0),
+                                   "options": {"limit": "9"}})
+    assert status == 400
+
+
+def test_scheduled_scrape_and_search_actually_run(pages):
+    """Scheduled scrape/search tasks execute the real pipelines and a bad
+    payload records a failed execution instead of wedging the tick."""
+    from datetime import datetime, timedelta, timezone
+
+    t = {"now": datetime(2026, 1, 1, 0, 0, 30, tzinfo=timezone.utc)}
+    app = make_app(pages, clock=lambda: t["now"])
+    for name, ttype, payload in (
+            ("s1", "scrape", {"url": page_url(0)}),
+            ("s2", "search", {"query": "ray", "limit": 3}),
+            ("bad", "crawl", {})):  # no url -> trigger failure
+        app.request("POST", "/v1/scheduled-tasks", body={
+            "name": name, "cron_expression": "* * * * *",
+            "task_type": ttype, "task_payload": payload})
+    t["now"] += timedelta(seconds=60)
+    fired = app.state.tick_scheduler()
+    assert len(fired) == 3
+    by_type = {}
+    for j in app.state.jobs.values():
+        by_type.setdefault(j.job_type, j)
+    assert by_type["scrape"].status == "completed"
+    assert by_type["scrape"].credits_used == 1
+    assert by_type["search"].status == "completed"
+    assert by_type["search"].completed == 3
+    statuses = sorted(e.status for e in
+                      app.state.scheduler.executions.values())
+    assert statuses == ["completed", "completed", "failed"]
+    # the failed task is not wedged: it fires again next minute
+    t["now"] += timedelta(seconds=60)
+    assert len(app.state.tick_scheduler()) == 3
+
+
+def test_file_get_traversal_key_stays_enveloped(tmp_path):
+    app = make_app(storage_dir=str(tmp_path))
+    status, body = app.request(
+        "GET", "/v1/public/storage/file/..%2F..%2Fetc%2Fpasswd")
+    assert status == 500
+    assert body["error"] == "Error sending file"
+    assert "escapes storage root" in body["message"]
