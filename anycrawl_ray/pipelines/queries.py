@@ -857,6 +857,49 @@ def embeddings_neardup(sf_dir: str):
     return out.select(["a", "b"])  # ints only for stability
 
 
+def docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs (doc_id % 20 != 0) sharing
+    >= 1 distinct word 4-gram with the planted 'benchmark' subset
+    (doc_id % 20 == 0) — broadcast small side, one streaming corpus
+    pass, full SQL oracle."""
+    from ..stages.dedup import decontaminate
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _mod_filter(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 20 == 0) if keep_bench else (ids % 20 != 0)
+            return b.filter(pa.array(mask))
+
+        return f
+
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, n=4, min_shared=1)
+
+
+_DECONTAMINATE_SQL = """
+WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '') AS w
+     FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+             w[i+3] AS g
+      FROM w, UNNEST(range(1, len(w) - 2)) AS t(i)),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0)
+SELECT g.doc_id, count(DISTINCT g.g) AS n_shared
+FROM g JOIN bench USING (g)
+WHERE g.doc_id % 20 <> 0
+GROUP BY 1
+HAVING count(DISTINCT g.g) >= 1
+ORDER BY doc_id
+"""
+
+
 def docs_ngram_jaccard(sf_dir: str):
     """Exact word-bigram Jaccard >= 25% via distributed inverted index —
     full SQL oracle (integer threshold arithmetic on both sides)."""
@@ -1452,6 +1495,7 @@ QUERIES = {
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_decontaminate": docs_decontaminate,
     "embeddings_neardup": embeddings_neardup,
     "embeddings_neardup_lsh40": embeddings_neardup_lsh40,
     "embeddings_neardup_brute": embeddings_neardup_brute,
@@ -1495,6 +1539,7 @@ ORACLE_SQL = {
     "embeddings_knn": _KNN_SQL,
     "embeddings_neardup_brute": _EMB_NEARDUP_BRUTE_SQL,
     "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "docs_decontaminate": _DECONTAMINATE_SQL,
     "crawl_reachable": _CRAWL_REACHABLE_SQL,
     "crawl_browser_screenshots": _CRAWL_BROWSER_SCREENSHOTS_SQL,
     "crawl_lineage": _CRAWL_LINEAGE_SQL,

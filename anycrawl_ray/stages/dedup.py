@@ -791,3 +791,55 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
     res = res.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.table({"a": pa.array(res["a"], pa.int64()),
                      "b": pa.array(res["b"], pa.int64())})
+
+
+# ------------------------------------------------- benchmark decontamination
+
+def decontaminate(ds, benchmark_ds, n: int = 5, min_shared: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Training-data decontamination: flag corpus docs sharing >=
+    ``min_shared`` DISTINCT word n-grams with ANY benchmark document.
+    Returns ``(doc_id, n_shared)`` sorted by doc_id — the standard
+    pre-training hygiene step (exact n-gram overlap against held-out
+    eval sets, the GPT-3/PaLM-style 'dirty document' test).
+
+    Scale shape: the benchmark side is SMALL at every corpus scale
+    (eval suites are 10^3-10^5 docs), so its distinct-gram set is built
+    once and broadcast via ``ray.put``; the corpus streams through ONE
+    ``map_batches`` membership pass — no shuffle, no join, no second
+    corpus scan. Tokenization matches ``ngram_jaccard_pairs`` (''.split
+    == DuckDB ``regexp_split_to_array(text,'\\s+')`` sans empties), so
+    the op is exactly SQL-oracle-checkable."""
+    import ray
+
+    bench_grams: set = set()
+    for b in benchmark_ds.iter_batches(batch_size=4096,
+                                       batch_format="pyarrow"):
+        for t in b.column(text_col).to_pylist():
+            words = t.split()
+            bench_grams.update(" ".join(words[i:i + n])
+                               for i in range(len(words) - n + 1))
+    ref = ray.put(bench_grams)
+
+    def score(batch: pa.Table) -> pa.Table:
+        grams_set = _cached_get(ref)
+        ids, shared = [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            words = t.split()
+            g = {" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)}
+            k = len(g & grams_set)
+            if k >= min_shared:
+                ids.append(d)
+                shared.append(k)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_shared": pa.array(shared, pa.int64())})
+
+    res = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if len(res) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_shared": pa.array([], pa.int64())})
+    res = res.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(res["doc_id"], pa.int64()),
+                     "n_shared": pa.array(res["n_shared"], pa.int64())})

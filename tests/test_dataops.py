@@ -336,3 +336,43 @@ def test_ivf_index_partition_pruning(ray_session, tmp_path):
     one = index2.search(q[:1], [0], k=100, nprobe=1).to_pandas()
     assert len(one) == cluster_size
     assert all(assign[nid] == probed for nid in one["neighbor_id"])
+
+
+def test_decontaminate_semantics(ray_session):
+    """Corpus docs sharing >= min_shared distinct word n-grams with any
+    benchmark doc are flagged with their DISTINCT shared-gram count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.stages.dedup import decontaminate
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": [0], "text": ["the quick brown fox jumps high"]}))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # shares 'the quick brown' AND 'quick brown fox' (2 grams)
+            "so the quick brown fox ran",
+            # shares exactly one gram ('fox jumps high')
+            "big fox jumps high again",
+            # words overlap but no full trigram
+            "quick fox brown the jumps",
+            # repeated gram counts ONCE (distinct grams)
+            "the quick brown then the quick brown",
+        ]}))
+    out = decontaminate(corpus, bench, n=3, min_shared=1)
+    assert out.to_pylist() == [
+        {"doc_id": 1, "n_shared": 2},
+        {"doc_id": 2, "n_shared": 1},
+        {"doc_id": 4, "n_shared": 1},
+    ]
+    # min_shared gate
+    out2 = decontaminate(corpus, bench, n=3, min_shared=2)
+    assert out2.to_pylist() == [{"doc_id": 1, "n_shared": 2}]
+    # empty benchmark -> nothing flagged, empty typed table
+    empty = decontaminate(
+        corpus, rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                        "text": pa.array([], pa.string())})),
+        n=3)
+    assert empty.num_rows == 0 and empty.schema.names == ["doc_id",
+                                                          "n_shared"]
