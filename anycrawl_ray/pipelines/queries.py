@@ -245,6 +245,127 @@ GROUP BY n.n_name
 """
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: segment gate (broadcast dense custkey mask) +
+    date-filtered orders ⋈ date-filtered lineitem — the big-big join
+    class: lineitem revenue is PRE-AGGREGATED map-side per l_orderkey
+    before one groupby shuffle, then a distributed hash join attaches
+    the (filtered) orders side; top-10 = per-block local top-k + a tiny
+    driver merge, never a full sort."""
+    rd = _rd()
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _cached_get
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+    ck = seg.column("c_custkey").to_numpy(zero_copy_only=False)
+    all_ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    mask = np.zeros(int(all_ck.max()) + 1, dtype=bool)
+    mask[ck] = True
+    mask_ref = ray.put(mask)
+
+    cut = np.datetime64("1998-06-01")
+
+    def _epoch_cut(unit: str) -> int:
+        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        return int(cut.astype("datetime64[s]").astype(np.int64)) * per
+
+    def orders_filter(b: pa.Table) -> pa.Table:
+        m = _cached_get(mask_ref)
+        keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy()
+        keep = m[keys] & (od < _epoch_cut(b.column("o_orderdate").type.unit))
+        kept = b.filter(pa.array(keep))
+        per = {"s": 1, "ms": 10**3, "us": 10**6,
+               "ns": 10**9}[b.column("o_orderdate").type.unit]
+        epoch = pc.divide(pc.cast(kept.column("o_orderdate"), pa.int64()),
+                          per)
+        return pa.table({
+            # key named like the lineitem side: Dataset.join joins on
+            # same-named columns
+            "l_orderkey": pc.cast(kept.column("o_orderkey"), pa.int64()),
+            "order_epoch": epoch,
+            "o_orderpriority": kept.column("o_orderpriority"),
+        })
+
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    ).map_batches(orders_filter, batch_format="pyarrow")
+
+    def lineitem_partial(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy()
+        keep = sd > _epoch_cut(b.column("l_shipdate").type.unit)
+        kept = b.filter(pa.array(keep))
+        rev = pc.multiply(
+            kept.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), kept.column("l_discount")))
+        t = pa.table({"l_orderkey": pc.cast(kept.column("l_orderkey"),
+                                            pa.int64()),
+                      "rev": rev})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    rev = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(lineitem_partial, batch_format="pyarrow").groupby(
+        "l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+    joined = rev.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+
+    def local_top(b: pa.Table):
+        import pandas as pd
+
+        df = b.to_pandas()
+        # scale BEFORE ranking so ties order exactly like the oracle's
+        # ORDER BY on the rounded value
+        df["revenue"] = (df["rev"] * 10_000).round().astype("int64")
+        df = df.sort_values(["revenue", "order_epoch", "l_orderkey"],
+                            ascending=[False, True, True]).head(10)
+        return pa.Table.from_pandas(
+            df[["l_orderkey", "revenue", "order_epoch",
+                "o_orderpriority"]], preserve_index=False)
+
+    import pandas as pd
+
+    tops = joined.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    if len(tops) == 0:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "revenue": pa.array([], pa.int64()),
+                         "order_epoch": pa.array([], pa.int64()),
+                         "o_orderpriority": pa.array([], pa.string())})
+    final = tops.sort_values(["revenue", "order_epoch", "l_orderkey"],
+                             ascending=[False, True, True]).head(10)
+    return pa.Table.from_pandas(final.reset_index(drop=True),
+                                preserve_index=False)
+
+
+_Q3_SQL = """
+SELECT l.l_orderkey,
+       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000)
+            AS BIGINT) AS revenue,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS order_epoch,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, order_epoch, l_orderkey
+LIMIT 10
+"""
+
+
 def top_users_by_value(sf_dir: str):
     """Aggregate + global sort + limit (top-k)."""
     rd = _rd()
@@ -1475,6 +1596,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
     "orders_by_nation": orders_by_nation,
+    "q3_shipping_priority": q3_shipping_priority,
     "top_users_by_value": top_users_by_value,
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
@@ -1520,6 +1642,7 @@ ORACLE_SQL = {
     "q1_pricing_summary": _Q1_SQL,
     "revenue_by_brand": _REVENUE_BRAND_SQL,
     "orders_by_nation": _ORDERS_NATION_SQL,
+    "q3_shipping_priority": _Q3_SQL,
     "top_users_by_value": _TOP_USERS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sliding": _EVENTS_SLIDING_SQL,
