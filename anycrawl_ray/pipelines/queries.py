@@ -978,6 +978,83 @@ def embeddings_neardup(sf_dir: str):
     return out.select(["a", "b"])  # ints only for stability
 
 
+def docs_pack_sequences(sf_dir: str):
+    """Greedy sequence packing manifest (budget 512 whitespace tokens,
+    doc_id order) via the distributed prefix-sum in
+    ``stages.text_analysis.pack_sequences`` — window-function oracle."""
+    from ..stages.text_analysis import pack_sequences
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pack_sequences(ds, budget=512)
+
+
+_PACK_SEQUENCES_SQL = """
+WITH t AS (SELECT doc_id,
+        len(list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '')) AS n_tokens
+        FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS before
+      FROM t)
+SELECT CAST(COALESCE(before, 0) // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+_SAMPLE_QUOTAS = {"en": 250, "zh": 800, "es": 800, "de": 800, "fr": 800}
+
+
+def docs_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling for training-data mixing:
+    keep doc iff ``splitmix64(doc_id) % 1000 < quota_permille[lang]``
+    (downsample the dominant language, keep most of the tail). Pure
+    map-side — no shuffle, no RNG state, identical at any parallelism;
+    the mix64 kernel is the oracle-pinned one from oracle_kernels."""
+    import numpy as np
+
+    from ..stages.text_analysis import _mix64_np
+
+    rd = _rd()
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = b.column("lang").to_pylist()
+        quota = np.fromiter((_SAMPLE_QUOTAS.get(l, 0) for l in langs),
+                            count=len(langs), dtype=np.uint64)
+        hv = _mix64_np(ids.astype(np.uint64)) % np.uint64(1000)
+        kept = b.filter(pa.array(hv < quota))
+        return pa.table({"doc_id": pc.cast(kept.column("doc_id"),
+                                           pa.int64()),
+                         "lang": kept.column("lang")})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    out = ds.map_batches(sample, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64")),
+                     "lang": pa.array(out["lang"], pa.string())})
+
+
+def _sample_stratified_sql() -> str:
+    from . import oracle_kernels as _ok
+
+    quotas = ", ".join(f"('{l}', {q})" for l, q in _SAMPLE_QUOTAS.items())
+    return f"""{_ok.U64_PRELUDE}
+WITH q(lang, quota) AS (VALUES {quotas}),
+h AS (SELECT doc_id, lang, mix64(CAST(doc_id AS UBIGINT)) AS hv
+      FROM documents)
+SELECT h.doc_id, h.lang
+FROM h JOIN q USING (lang)
+WHERE hv % 1000 < quota
+ORDER BY doc_id
+"""
+
+
 def docs_decontaminate(sf_dir: str):
     """Benchmark decontamination: corpus docs (doc_id % 20 != 0) sharing
     >= 1 distinct word 4-gram with the planted 'benchmark' subset
@@ -1618,6 +1695,8 @@ QUERIES = {
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_decontaminate": docs_decontaminate,
+    "docs_pack_sequences": docs_pack_sequences,
+    "docs_sample_stratified": docs_sample_stratified,
     "embeddings_neardup": embeddings_neardup,
     "embeddings_neardup_lsh40": embeddings_neardup_lsh40,
     "embeddings_neardup_brute": embeddings_neardup_brute,
@@ -1663,6 +1742,8 @@ ORACLE_SQL = {
     "embeddings_neardup_brute": _EMB_NEARDUP_BRUTE_SQL,
     "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,
+    "docs_pack_sequences": _PACK_SEQUENCES_SQL,
+    "docs_sample_stratified": _sample_stratified_sql(),
     "crawl_reachable": _CRAWL_REACHABLE_SQL,
     "crawl_browser_screenshots": _CRAWL_BROWSER_SCREENSHOTS_SQL,
     "crawl_lineage": _CRAWL_LINEAGE_SQL,

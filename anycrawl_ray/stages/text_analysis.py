@@ -196,3 +196,75 @@ def analyze_documents(ds, include_lang: bool = True):
                               concurrency=pool_concurrency(), num_cpus=0.5,
                               max_restarts=0)
     return out
+
+
+def pack_sequences(ds, budget: int = 512, bucket_size: int = 256,
+                   id_col: str = "doc_id", text_col: str = "text"
+                   ) -> "pa.Table":
+    """Greedy sequence packing for pre-training batches: walking docs in
+    id order, doc d goes to bin ``floor(tokens_before_d / budget)`` —
+    i.e. a new bin opens whenever the running token total crosses the
+    budget. Returns the packing manifest ``(bin, n_docs, sum_tokens)``.
+
+    Distributed-prefix-sum shape (the same block-partials + tiny-offsets
+    pattern as the frontier's admission sequencer, ARCHITECTURE.md §2):
+
+    1. one ``map_batches`` pass computes per-doc token counts and each
+       doc's id-range bucket (``doc_id // bucket_size`` — ids are dense);
+    2. a vectorized ``groupby(bucket).Sum`` yields per-bucket totals —
+       O(N / bucket_size) rows; the driver exclusive-cumsums them (tiny)
+       and broadcasts the offset array;
+    3. ``groupby(bucket).map_groups`` sorts each bucket by id, local
+       exclusive cumsum + the bucket's global offset = exact
+       tokens-before-doc, then bins reduce via one more vectorized
+       groupby. No step materializes per-doc data on the driver.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _cached_get
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n_tok = np.fromiter(
+            (len(t.split()) for t in batch.column(text_col).to_pylist()),
+            count=len(ids), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "n_tokens": pa.array(n_tok),
+            "bucket": pa.array((ids // bucket_size).astype(np.int64)),
+        })
+
+    tok = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+
+    bucket_sums = tok.groupby("bucket").aggregate(
+        Sum("n_tokens", alias_name="total")).to_pandas()
+    bucket_sums = bucket_sums.sort_values("bucket")
+    b_ids = bucket_sums["bucket"].to_numpy()
+    offsets = np.zeros(int(b_ids.max()) + 1 if len(b_ids) else 1,
+                       dtype=np.int64)
+    offsets[b_ids] = bucket_sums["total"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def assign_bins(group: pd.DataFrame) -> pd.DataFrame:
+        offs = _cached_get(off_ref)
+        g = group.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        before = offs[int(g["bucket"].iloc[0])] + \
+            np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame({"bin": before // budget, "n_tokens": n})
+
+    out = (tok.groupby("bucket").map_groups(assign_bins,
+                                            batch_format="pandas")
+           .groupby("bin").aggregate(
+               Count(alias_name="n_docs"),
+               Sum("n_tokens", alias_name="sum_tokens")).to_pandas())
+    out = out.sort_values("bin").reset_index(drop=True)
+    return pa.table({
+        "bin": pa.array(out["bin"].astype("int64")),
+        "n_docs": pa.array(out["n_docs"].astype("int64")),
+        "sum_tokens": pa.array(out["sum_tokens"].astype("int64")),
+    })

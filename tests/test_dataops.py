@@ -376,3 +376,30 @@ def test_decontaminate_semantics(ray_session):
         n=3)
     assert empty.num_rows == 0 and empty.schema.names == ["doc_id",
                                                           "n_shared"]
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Bins are exact even when buckets and blocks split mid-bin: doc d's
+    bin = floor(tokens-before-d / budget), global over doc_id order."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import pack_sequences
+
+    # 10 docs x 3 tokens, budget 7 -> before = 0,3,6,9,... bins 0,0,0,1,...
+    texts = ["a b c"] * 10
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(10)),
+                                 "text": texts})).repartition(4)
+    out = pack_sequences(ds, budget=7, bucket_size=3)  # buckets of 3 docs
+    rows = out.to_pylist()
+    # serial reference
+    before, bins = 0, {}
+    for _ in range(10):
+        b = before // 7
+        bins[b] = bins.get(b, [0, 0])
+        bins[b][0] += 1
+        bins[b][1] += 3
+        before += 3
+    expect = [{"bin": b, "n_docs": v[0], "sum_tokens": v[1]}
+              for b, v in sorted(bins.items())]
+    assert rows == expect
