@@ -248,14 +248,18 @@ GROUP BY n.n_name
 def q3_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: segment gate (broadcast dense custkey mask) +
     date-filtered orders ⋈ date-filtered lineitem — the big-big join
-    class: lineitem revenue is PRE-AGGREGATED map-side per l_orderkey
-    before one groupby shuffle, then a distributed hash join attaches
-    the (filtered) orders side; top-10 = per-block local top-k + a tiny
-    driver merge, never a full sort."""
+    class with ONE all-to-all for the whole query: lineitem revenue is
+    pre-aggregated map-side per l_orderkey, the PARTIALS feed the
+    distributed hash join (whose partitioning co-locates every row of a
+    key), and the final per-key sum + top-k happen per joined block.
+    Verified Ray 2.49 invariant this relies on (probed incl. forced-tiny
+    target_max_block_size): the hash-shuffle join emits each partition
+    as one block, so no key spans blocks — and any regression would land
+    as an oracle value mismatch, not silent skew. Top-10 = per-block
+    local top-k + a tiny driver merge, never a full sort."""
     rd = _rd()
     import numpy as np
     import ray
-    from ray.data.aggregate import Sum
 
     from ..stages.dedup import _cached_get
 
@@ -311,12 +315,16 @@ def q3_shipping_priority(sf_dir: str):
         g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
         return g.rename_columns(["l_orderkey", "rev"])
 
+    # rev PARTIALS go straight into the join: its hash partitioning
+    # already co-locates every row of a key in one output partition, so
+    # the final per-key sum is a per-block vectorized group_by — ONE
+    # all-to-all for the whole query instead of groupby-then-join (the
+    # separate Sum groupby measured 10.9 s vs the join's 2.3 s at sf0.1)
     rev = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"],
-    ).map_batches(lineitem_partial, batch_format="pyarrow").groupby(
-        "l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+    ).map_batches(lineitem_partial, batch_format="pyarrow")
 
     n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
     joined = rev.join(orders_f, "inner", n_parts, on=("l_orderkey",))
@@ -324,7 +332,12 @@ def q3_shipping_priority(sf_dir: str):
     def local_top(b: pa.Table):
         import pandas as pd
 
-        df = b.to_pandas()
+        # complete per-key aggregation: this block holds ALL partials of
+        # its keys (join hash partitioning), so sum-then-rank is exact
+        g = b.group_by(["l_orderkey", "order_epoch",
+                        "o_orderpriority"]).aggregate([("rev", "sum")])
+        df = g.rename_columns(["l_orderkey", "order_epoch",
+                               "o_orderpriority", "rev"]).to_pandas()
         # scale BEFORE ranking so ties order exactly like the oracle's
         # ORDER BY on the rounded value
         df["revenue"] = (df["rev"] * 10_000).round().astype("int64")
@@ -336,7 +349,8 @@ def q3_shipping_priority(sf_dir: str):
 
     import pandas as pd
 
-    tops = joined.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    tops = joined.map_batches(local_top, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
     if len(tops) == 0:
         return pa.table({"l_orderkey": pa.array([], pa.int64()),
                          "revenue": pa.array([], pa.int64()),
