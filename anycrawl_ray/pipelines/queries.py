@@ -326,7 +326,10 @@ def q3_shipping_priority(sf_dir: str):
                  "l_shipdate"],
     ).map_batches(lineitem_partial, batch_format="pyarrow")
 
-    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+    # each partition = one hash-shuffle aggregator ACTOR (a fresh worker
+    # process): cap low — spawn cost dominates at bench scale, and at
+    # real scale partition count should track data size, not CPU count
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
     joined = rev.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def local_top(b: pa.Table):
