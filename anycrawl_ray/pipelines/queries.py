@@ -1023,6 +1023,42 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def docs_neardup_clusters(sf_dir: str):
+    """Near-dup cluster canonicalization: MinHash-LSH verified pairs
+    (Jaccard >= 0.5, same parameters as docs_minhash_pairs) -> connected
+    components via distributed min-label propagation -> (doc_id,
+    cluster_rep = min id in component). Recursive-CTE oracle over the
+    same pinned u64 MinHash SQL chain."""
+    from ..stages.dedup import minhash_lsh_pairs, neardup_components
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    return neardup_components(pairs)
+
+
+def _neardup_clusters_sql() -> str:
+    from . import oracle_kernels as _ok
+
+    # the minhash chain ends in scored(a, b, i, u); admitted edges feed a
+    # recursive transitive closure whose per-node min reachable id is the
+    # component representative
+    return f"""{_ok.U64_PRELUDE}
+WITH RECURSIVE {_ok._minhash_ctes()},
+edges AS (SELECT a, b FROM scored WHERE (u = 0) OR (2 * i >= u)),
+sym AS (SELECT a AS x, b AS y FROM edges
+        UNION ALL SELECT b, a FROM edges),
+reach(x, y) AS (
+    SELECT x, y FROM sym
+    UNION
+    SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+)
+SELECT x AS doc_id, least(x, min(y)) AS cluster_rep
+FROM reach GROUP BY x ORDER BY doc_id
+"""
+
+
 _SAMPLE_QUOTAS = {"en": 250, "zh": 800, "es": 800, "de": 800, "fr": 800}
 
 
@@ -1714,6 +1750,7 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_sample_stratified": docs_sample_stratified,
+    "docs_neardup_clusters": docs_neardup_clusters,
     "embeddings_neardup": embeddings_neardup,
     "embeddings_neardup_lsh40": embeddings_neardup_lsh40,
     "embeddings_neardup_brute": embeddings_neardup_brute,
@@ -1761,6 +1798,7 @@ ORACLE_SQL = {
     "docs_decontaminate": _DECONTAMINATE_SQL,
     "docs_pack_sequences": _PACK_SEQUENCES_SQL,
     "docs_sample_stratified": _sample_stratified_sql(),
+    "docs_neardup_clusters": _neardup_clusters_sql(),
     "crawl_reachable": _CRAWL_REACHABLE_SQL,
     "crawl_browser_screenshots": _CRAWL_BROWSER_SCREENSHOTS_SQL,
     "crawl_lineage": _CRAWL_LINEAGE_SQL,

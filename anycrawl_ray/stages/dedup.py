@@ -843,3 +843,56 @@ def decontaminate(ds, benchmark_ds, n: int = 5, min_shared: int = 1,
     res = res.sort_values("doc_id").reset_index(drop=True)
     return pa.table({"doc_id": pa.array(res["doc_id"], pa.int64()),
                      "n_shared": pa.array(res["n_shared"], pa.int64())})
+
+
+# ------------------------------------------------- near-dup clustering
+
+def neardup_components(pairs: pa.Table, num_partitions: int = 4
+                       ) -> pa.Table:
+    """Verified near-dup pairs -> ``(doc_id, cluster_rep)`` where
+    cluster_rep is the MIN doc id of each connected component — the
+    canonicalization step that turns pairwise dedup output into
+    "keep one per duplicate cluster".
+
+    Distributed iterative min-label propagation over Datasets: each node
+    starts labeled with itself; every round, labels flow across edges
+    (hash join) and each node keeps the minimum seen (vectorized groupby
+    Min); converged when the label-sum stops decreasing. Round count =
+    component diameter — near-dup components are short chains, so a
+    handful of rounds even at web scale, and every step is a standard
+    shuffle (no driver-side graph). A driver union-find pins equivalence
+    in tests."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_rep": pa.array([], pa.int64())})
+    if pairs.num_rows == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    a = pc.cast(pairs.column("a"), pa.int64()).to_numpy(zero_copy_only=False)
+    b = pc.cast(pairs.column("b"), pa.int64()).to_numpy(zero_copy_only=False)
+    sym = pa.table({"x": np.concatenate([a, b]),
+                    "y": np.concatenate([b, a])})
+    edges = rd.from_arrow(sym)
+    nodes = pa.array(np.unique(np.concatenate([a, b])), pa.int64())
+    labels = rd.from_arrow(pa.table({"y": nodes, "label": nodes})
+                           ).materialize()
+    prev = int(labels.sum("label"))
+    while True:
+        # neighbor labels: edge (x, y) carries label(y) to x
+        prop = edges.join(labels, "inner", num_partitions, on=("y",))
+        prop = prop.map_batches(
+            lambda t: pa.table({"y": t.column("x"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow")
+        labels = prop.union(labels).groupby("y").aggregate(
+            Min("label", alias_name="label")).materialize()
+        cur = int(labels.sum("label"))
+        if cur == prev:  # min-labels are monotone non-increasing
+            break
+        prev = cur
+    out = labels.to_pandas().sort_values("y").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["y"].astype("int64")),
+                     "cluster_rep": pa.array(out["label"].astype("int64"))})

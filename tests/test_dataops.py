@@ -403,3 +403,44 @@ def test_pack_sequences_prefix_sum(ray_session):
     expect = [{"bin": b, "n_docs": v[0], "sum_tokens": v[1]}
               for b, v in sorted(bins.items())]
     assert rows == expect
+
+
+def test_neardup_components_vs_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find on a graph
+    with chains, a diamond, singleton-free pairs, and disjoint islands."""
+    import pyarrow as pa
+
+    from anycrawl_ray.stages.dedup import neardup_components
+
+    edges = [(1, 2), (2, 3), (3, 4),      # chain -> rep 1
+             (10, 11), (10, 12), (11, 12),  # triangle -> rep 10
+             (20, 21),                     # island -> rep 20
+             (31, 30), (32, 33), (30, 33)]  # diamond-ish merge -> rep 30
+    pairs = pa.table({"a": [e[0] for e in edges],
+                      "b": [e[1] for e in edges]})
+    out = {r["doc_id"]: r["cluster_rep"]
+           for r in neardup_components(pairs).to_pylist()}
+
+    # driver union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert out == expect
+    assert out[4] == 1 and out[12] == 10 and out[33] == 30
+
+    # empty input -> typed empty table
+    empty = neardup_components(pa.table({"a": pa.array([], pa.int64()),
+                                         "b": pa.array([], pa.int64())}))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["doc_id", "cluster_rep"]
