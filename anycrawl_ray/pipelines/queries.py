@@ -333,8 +333,6 @@ def q3_shipping_priority(sf_dir: str):
     joined = rev.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def local_top(b: pa.Table):
-        import pandas as pd
-
         # complete per-key aggregation: this block holds ALL partials of
         # its keys (join hash partitioning), so sum-then-rank is exact
         g = b.group_by(["l_orderkey", "order_epoch",
@@ -349,8 +347,6 @@ def q3_shipping_priority(sf_dir: str):
         return pa.Table.from_pandas(
             df[["l_orderkey", "revenue", "order_epoch",
                 "o_orderpriority"]], preserve_index=False)
-
-    import pandas as pd
 
     tops = joined.map_batches(local_top, batch_format="pyarrow",
                               batch_size=None).to_pandas()

@@ -719,6 +719,17 @@ def embedding_brute_pairs(ds_embeddings, threshold: float = 0.4):
 # ------------------------------------------------------ exact n-gram jaccard
 
 
+
+def _word_ngrams(text: str, n: int) -> set:
+    """DISTINCT word n-grams of a text — THE pinned tokenization kernel
+    shared by ngram_jaccard_pairs / decontaminate (``str.split()`` ==
+    DuckDB ``list_filter(regexp_split_to_array(text,'\\s+'), x->x<>'')``;
+    grams joined with a single space). Every SQL oracle that replays
+    word grams assumes exactly this; change it in ONE place only."""
+    words = text.split()
+    return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
 def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
                         id_col: str = "doc_id", text_col: str = "text"):
     """EXACT word n-gram Jaccard near-dup pairs via a distributed inverted
@@ -742,9 +753,7 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
         out_id, out_gram = [], []
         for d, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
-            words = t.split()
-            grams = {" ".join(words[i:i + n])
-                     for i in range(len(words) - n + 1)}
+            grams = _word_ngrams(t, n)
             out_id.extend([d] * len(grams))
             out_gram.extend(grams)
         return pa.table({"doc": pa.array(out_id),
@@ -816,9 +825,7 @@ def decontaminate(ds, benchmark_ds, n: int = 5, min_shared: int = 1,
     for b in benchmark_ds.iter_batches(batch_size=4096,
                                        batch_format="pyarrow"):
         for t in b.column(text_col).to_pylist():
-            words = t.split()
-            bench_grams.update(" ".join(words[i:i + n])
-                               for i in range(len(words) - n + 1))
+            bench_grams.update(_word_ngrams(t, n))
     ref = ray.put(bench_grams)
 
     def score(batch: pa.Table) -> pa.Table:
@@ -826,10 +833,7 @@ def decontaminate(ds, benchmark_ds, n: int = 5, min_shared: int = 1,
         ids, shared = [], []
         for d, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
-            words = t.split()
-            g = {" ".join(words[i:i + n])
-                 for i in range(len(words) - n + 1)}
-            k = len(g & grams_set)
+            k = len(_word_ngrams(t, n) & grams_set)
             if k >= min_shared:
                 ids.append(d)
                 shared.append(k)
@@ -860,8 +864,11 @@ def neardup_components(pairs: pa.Table, num_partitions: int = 4
     Min); converged when the label-sum stops decreasing. Round count =
     component diameter — near-dup components are short chains, so a
     handful of rounds even at web scale, and every step is a standard
-    shuffle (no driver-side graph). A driver union-find pins equivalence
-    in tests."""
+    shuffle (no driver-side graph). The per-round convergence probe
+    (``labels.sum``) scans only the materialized LABELS table —
+    O(nodes-in-pairs), not the corpus — and fixpoint detection costs one
+    extra (no-change) round by construction. A driver union-find pins
+    equivalence in tests."""
     import ray.data as rd
     from ray.data.aggregate import Min
 

@@ -243,10 +243,14 @@ def pack_sequences(ds, budget: int = 512, bucket_size: int = 256,
         Sum("n_tokens", alias_name="total")).to_pandas()
     bucket_sums = bucket_sums.sort_values("bucket")
     b_ids = bucket_sums["bucket"].to_numpy()
-    offsets = np.zeros(int(b_ids.max()) + 1 if len(b_ids) else 1,
-                       dtype=np.int64)
-    offsets[b_ids] = bucket_sums["total"].to_numpy()
-    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    if len(b_ids) and int(b_ids.min()) < 0:
+        raise ValueError("pack_sequences requires non-negative ids "
+                         f"(got bucket {int(b_ids.min())})")
+    # dict-keyed offsets: safe for sparse id spaces (a dense array sized
+    # by max bucket id would OOM on hash-derived ids)
+    totals = bucket_sums["total"].to_numpy()
+    excl = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    offsets = dict(zip((int(x) for x in b_ids), (int(x) for x in excl)))
     off_ref = ray.put(offsets)
 
     def assign_bins(group: pd.DataFrame) -> pd.DataFrame:
@@ -255,7 +259,8 @@ def pack_sequences(ds, budget: int = 512, bucket_size: int = 256,
         n = g["n_tokens"].to_numpy()
         before = offs[int(g["bucket"].iloc[0])] + \
             np.concatenate(([0], np.cumsum(n)[:-1]))
-        return pd.DataFrame({"bin": before // budget, "n_tokens": n})
+        return pd.DataFrame({"bin": before // budget,
+                             "n_tokens": n})
 
     out = (tok.groupby("bucket").map_groups(assign_bins,
                                             batch_format="pandas")
