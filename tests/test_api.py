@@ -705,3 +705,43 @@ def test_file_get_traversal_key_stays_enveloped(tmp_path):
     assert status == 500
     assert body["error"] == "Error sending file"
     assert "escapes storage root" in body["message"]
+
+
+def test_parity_quirk_delete_side_effects_unconditional(pages):
+    """Reference parity (ScheduledTasksController.ts:441-477): only the
+    row delete is ownership-filtered; scheduler removal + webhook
+    disassociation run on the requested id regardless of owner."""
+    app = make_app(pages, auth_enabled=True)
+    app.state.add_api_key("alice", user="alice-user")
+    app.state.add_api_key("bob", user="bob-user")
+    a = {"Authorization": "Bearer alice"}
+    _, body = app.request("POST", "/v1/scheduled-tasks", headers=a, body={
+        "name": "t", "cron_expression": "* * * * *",
+        "task_type": "scrape", "task_payload": {"url": page_url(0)},
+        "webhook_url": "https://example.com/hook"})
+    task_id = body["data"]["task_id"]
+    assert task_id in app.state.scheduler.tasks
+    status, _ = app.request("DELETE", f"/v1/scheduled-tasks/{task_id}",
+                            headers={"Authorization": "Bearer bob"})
+    assert status == 200
+    # row survives (ownership-filtered) ...
+    assert task_id in app.state.scheduled_tasks
+    # ... but the live scheduler entry and webhook association are gone
+    assert task_id not in app.state.scheduler.tasks
+    hooks = list(app.state.webhooks.values())
+    assert hooks and task_id not in (hooks[0]["specific_task_ids"] or [])
+
+
+def test_parity_quirk_min_credits_fixed_at_create(pages):
+    """Reference parity: min_credits_required is estimated at create
+    (ts:64) and never recomputed on update (ts:270-300)."""
+    app = make_app(pages)
+    _, body = app.request("POST", "/v1/scheduled-tasks", body={
+        "name": "t", "cron_expression": "* * * * *",
+        "task_type": "scrape", "task_payload": {"url": page_url(0)}})
+    task_id = body["data"]["task_id"]
+    assert app.state.scheduled_tasks[task_id]["min_credits_required"] == 1
+    app.request("PUT", f"/v1/scheduled-tasks/{task_id}", body={
+        "task_type": "crawl",
+        "task_payload": {"url": page_url(0), "limit": 1000}})
+    assert app.state.scheduled_tasks[task_id]["min_credits_required"] == 1
