@@ -402,6 +402,115 @@ WHERE seq NOT IN (SELECT b FROM dropped)
 ORDER BY doc_id
 """
 
+_GOLDEN = "11400714819323198485"  # 0x9E3779B97F4A7C15
+
+
+def _media_cells_ctes(n_cells: int = 64) -> str:
+    """Stub-codec grid replay over ``documents``: seed = fnv1a(text bytes)
+    (media payload IS the utf-8 text), cell i = mix64(seed ^ (i+1)*GOLDEN)
+    & 0xFF — mirrors stages.media._grids_from_seeds exactly. Ends with
+    ``cells(media_id, i, v)`` (v INTEGER 0..255, i row-major: row=i//8,
+    col=i%8) plus ``seed(media_id, doc_id, h, width, height)``."""
+    return f"""
+m AS (
+  SELECT 'm' || doc_id AS media_id, doc_id, text,
+         CAST((doc_id % 16 + 1) * 64 AS INTEGER) AS width,
+         CAST((doc_id % 9 + 1) * 64 AS INTEGER) AS height
+  FROM documents),
+seed AS MATERIALIZED (
+  SELECT media_id, doc_id, fnv1a(text) AS h, width, height FROM m),
+idx(i) AS (SELECT UNNEST(range(0, {n_cells}))),
+cellseed AS MATERIALIZED (
+  SELECT media_id, i,
+         xor(h, u64mul(CAST(i + 1 AS UBIGINT), {_GOLDEN}::UBIGINT)) AS s
+  FROM seed CROSS JOIN idx),
+cells AS MATERIALIZED (
+  SELECT media_id, i, CAST(mix64(s) & 255::UBIGINT AS INTEGER) AS v
+  FROM cellseed)"""
+
+
+def media_features_sql() -> str:
+    """MediaFeatureExtractor replay: feature_j = column-mean of the grid
+    (SUM/8.0 is exact — integer over a binary scale — /255.0 is the single
+    f64 rounding, CAST AS REAL the single f32 rounding; identical op order
+    to fake_feature), reported as the round_even-scaled BIGINT the Ray
+    query emits. payload_hash = the FNV seed itself."""
+    def f(j: int) -> str:
+        return (f"CAST(round_even(CAST(CAST(SUM(CASE WHEN i % 8 = {j} THEN v END)"
+                f" / 8.0 / 255.0 AS REAL) AS DOUBLE) * 1000000, 0) AS BIGINT) AS f{j}")
+    cols = ",\n         ".join(f(j) for j in range(8))
+    return f"""{U64_PRELUDE}
+WITH {_media_cells_ctes()},
+feat AS (
+  SELECT media_id, {cols}
+  FROM cells GROUP BY media_id)
+SELECT s.media_id, s.h AS payload_hash,
+       f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7
+FROM seed s JOIN feat f USING (media_id)
+ORDER BY s.media_id
+"""
+
+
+def media_resize_sql(target: int = 4) -> str:
+    """ImageResizer replay: NEAREST index map for 8->4 is row/col 2k+1, so
+    the resized payload's bytes are the odd-row/odd-col cells in row-major
+    order; resize_fp = FNV-1a over those 16 bytes."""
+    return f"""{U64_PRELUDE}
+WITH {_media_cells_ctes()},
+sel AS (
+  SELECT media_id, i, v FROM cells
+  WHERE (i // 8) % 2 = 1 AND (i % 8) % 2 = 1),
+fp AS (
+  SELECT media_id,
+         list_reduce(list_prepend({_FNV_INIT}::UBIGINT,
+                                  list(CAST(v AS UBIGINT) ORDER BY i)),
+                     (a, b) -> u64mul(xor(a, b), {_FNV_PRIME}::UBIGINT)) AS resize_fp
+  FROM sel GROUP BY media_id)
+SELECT media_id, CAST({target} AS INTEGER) AS width,
+       CAST({target} AS INTEGER) AS height, resize_fp
+FROM fp ORDER BY media_id
+"""
+
+
+def media_frames_sql(every_ms: int = 1000) -> str:
+    """FrameSampler replay: duration = (doc_id % 5) * 1000 ->
+    frames k = 0..doc_id%5; the frame seed continues the payload FNV fold
+    over the 8 little-endian ts bytes (ts <= 4000 so bytes 2..7 are 0);
+    frame_fp = FNV-1a over the frame grid's 64 bytes."""
+    return f"""{U64_PRELUDE}
+WITH {_media_cells_ctes()},
+frames AS (
+  SELECT media_id, h, CAST(k AS INTEGER) AS frame_idx,
+         CAST(k * {every_ms} AS INTEGER) AS ts_ms
+  FROM seed, UNNEST(range(0, (doc_id % 5) + 1)) AS u(k)),
+fseed AS MATERIALIZED (
+  SELECT media_id, frame_idx, ts_ms,
+         list_reduce(list_prepend(h, [
+             CAST(ts_ms % 256 AS UBIGINT),
+             CAST((ts_ms // 256) % 256 AS UBIGINT),
+             0::UBIGINT, 0::UBIGINT, 0::UBIGINT,
+             0::UBIGINT, 0::UBIGINT, 0::UBIGINT]),
+                     (a, b) -> u64mul(xor(a, b), {_FNV_PRIME}::UBIGINT)) AS fh
+  FROM frames),
+fcseed AS MATERIALIZED (
+  SELECT media_id, frame_idx, ts_ms,
+         xor(fh, u64mul(CAST(i + 1 AS UBIGINT), {_GOLDEN}::UBIGINT)) AS s,
+         i
+  FROM fseed CROSS JOIN idx),
+fcells AS MATERIALIZED (
+  SELECT media_id, frame_idx, ts_ms, i,
+         CAST(mix64(s) & 255::UBIGINT AS UBIGINT) AS v
+  FROM fcseed),
+ffp AS (
+  SELECT media_id, frame_idx, ts_ms,
+         list_reduce(list_prepend({_FNV_INIT}::UBIGINT, list(v ORDER BY i)),
+                     (a, b) -> u64mul(xor(a, b), {_FNV_PRIME}::UBIGINT)) AS frame_fp
+  FROM fcells GROUP BY media_id, frame_idx, ts_ms)
+SELECT media_id, frame_idx, ts_ms, frame_fp
+FROM ffp ORDER BY media_id, frame_idx
+"""
+
+
 def embedding_lsh_pairs_sql(threshold: float = 0.4, num_planes: int = 16,
                             bands: int = 8, seed: int = 7, dim: int = 64,
                             max_bucket: int = 500) -> str:

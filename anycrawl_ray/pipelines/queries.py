@@ -1259,14 +1259,61 @@ FROM ranked WHERE rank <= {_KNN_K}
 
 
 def embeddings_knn_ivf(sf_dir: str):
-    """IVF ANN variant (rows-only; recall vs brute force pinned in tests)."""
-    from ..stages.similarity import ivf_knn
+    """IVF ANN variant with deterministic hash-selected centroids
+    (``hash_centroids``: lowest (mix64(vec_id), vec_id) ranks) — every
+    step (centroid pick, argmax assignment, nprobe probe, in-cluster
+    top-k) replays relationally, so this is a full value-hash oracle row.
+    The k-means centroid path stays available and recall-pinned in tests."""
+    from ..stages.similarity import hash_centroids, ivf_knn
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qs, ids = _load_queries(sf_dir)
-    out = ivf_knn(ds, qs, ids, k=_KNN_K, n_clusters=16, nprobe=6)
+    cents = hash_centroids(ds, n_clusters=16)
+    out = ivf_knn(ds, qs, ids, k=_KNN_K, nprobe=6, centroids=cents)
     return out.select(["query_id", "neighbor_id", "rank"])
+
+
+def _ivf_knn_sql(n_clusters: int, nprobe: int, k: int = _KNN_K,
+                 n_queries: int = _KNN_QUERIES) -> str:
+    """SQL replay of the hash-centroid IVF pipeline. Orderings compare raw
+    float64 cosines on both sides; the corpus has no cross-centroid or
+    cross-neighbor ties within f64 noise (same margin argument the green
+    _KNN_SQL oracle already relies on), and only integer rank is output."""
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH ranked_c AS (
+  SELECT vec_id AS cid, embedding AS ce,
+         row_number() OVER (ORDER BY mix64(CAST(vec_id AS UBIGINT)), vec_id) AS rn
+  FROM embeddings),
+cents AS MATERIALIZED (
+  SELECT cid, ce, rn - 1 AS cidx FROM ranked_c WHERE rn <= {n_clusters}),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {n_queries}),
+assign AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cidx AS cluster
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cidx) = 1),
+probe AS (
+  SELECT q.query_id, c.cidx AS cluster
+  FROM q CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cidx) <= {nprobe}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, a.embedding) AS sim
+  FROM probe p
+  JOIN assign a ON a.cluster = p.cluster
+  JOIN q ON q.query_id = p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
 
 
 # ===================================================================
@@ -1633,9 +1680,100 @@ def training_pipeline(sf_dir: str):
     return _scaled(table, {"quality": 1_000_000})
 
 
+# ===================================================================
+# Keyed window operators: as-of join / running total / exact quantiles
+# ===================================================================
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join WITHIN the events stream: every purchase gets the ts of
+    the latest click at-or-before it by the same user (classic trade/quote
+    as-of). One shuffle co-locates both sides per user; per-group kernel is
+    vectorized searchsorted (stages/window.py). Oracle: DuckDB ASOF JOIN."""
+    from ..stages.window import asof_join
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'click'")
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    out_cols=["event_id", "user_id", "ts"],
+                    prior_col="prior_click_ts")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_EVENTS_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS prior_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
+def events_running_total(sf_dir: str):
+    """Per-user ordered cumulative purchase value — the SUM() OVER
+    (PARTITION BY ... ORDER BY ...) window class. Fixed-point cents keep
+    the cumulative exact; one shuffle, vectorized lexsort+cumsum per
+    group."""
+    from ..stages.window import running_total
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type",
+                                  "value"])
+    ds = ev.filter(expr="event_type == 'purchase'").map_batches(
+        _add_cents, batch_format="pyarrow")
+    out = running_total(ds, key="user_id", order_cols=["ts", "event_id"],
+                        cents_col="cents",
+                        out_cols=["event_id", "user_id", "ts"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _add_cents(b: pa.Table) -> pa.Table:
+    vals = b.column("value")
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    cents = np.rint(np.asarray(vals, dtype=np.float64) * 100).astype(np.int64)
+    return b.append_column("cents", pa.array(cents, pa.int64()))
+
+
+_EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def events_quantiles(sf_dir: str):
+    """EXACT per-type value quantiles (p50/p95) without a global sort:
+    fixed-point histogram partials + tiny merge (histogram cardinality is
+    value-range-bounded, not row-count-bounded) + percentile_disc read-off.
+    """
+    from ..stages.window import group_quantiles
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return group_quantiles(ev, key="event_type", value_col="value",
+                           ps=[0.5, 0.95])
+
+
+_EVENTS_QUANTILES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       quantile_disc(CAST(round_even(value * 100, 0) AS BIGINT), 0.5) AS q50_cents,
+       quantile_disc(CAST(round_even(value * 100, 0) AS BIGINT), 0.95) AS q95_cents
+FROM events GROUP BY event_type
+"""
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: binary payload table -> actor-pool feature
-    extraction (stub codec; rows-only check)."""
+    extraction (stub codec, FNV/mix64-seeded so the whole stage replays in
+    SQL — full value-hash oracle). Output: payload_hash + the 8 feature
+    components as round_even-scaled BIGINTs."""
     from ..stages.media import extract_media_features, media_table_from_documents
 
     rd = _rd()
@@ -1646,32 +1784,45 @@ def media_features(sf_dir: str):
     # fed (Ray warns and runs at concurrency 1 otherwise)
     ds = rd.from_arrow(media, override_num_blocks=max(conc * 2, 4))
     out = extract_media_features(ds, concurrency=conc, batch_size=64)
-    table = pa.concat_tables(out.iter_batches(batch_size=8192, batch_format="pyarrow"))
-    return table.select(["media_id", "payload_hash"])
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feat = batch.column("feature")
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        f32 = np.asarray(feat.values, dtype=np.float32).reshape(len(batch), -1)
+        scaled = np.rint(f32.astype(np.float64) * 1_000_000).astype(np.int64)
+        cols = {"media_id": batch.column("media_id"),
+                "payload_hash": batch.column("payload_hash")}
+        for j in range(scaled.shape[1]):
+            cols[f"f{j}"] = pa.array(scaled[:, j], pa.int64())
+        return pa.table(cols)
+
+    table = pa.concat_tables(
+        out.map_batches(flatten, batch_format="pyarrow")
+        .iter_batches(batch_size=8192, batch_format="pyarrow"))
+    return table
 
 
 def embeddings_knn_ivf_index(sf_dir: str):
-    """Persistent IVF index path: build (k-means + cluster-partitioned
-    parquet under /tmp) then search with REAL partition pruning — only the
-    probed cluster directories are read. Rows-only (ANN; recall vs brute
-    pinned by pytest)."""
+    """Persistent IVF index path: build (hash-selected centroids +
+    cluster-partitioned parquet under /tmp) then search with REAL
+    partition pruning — only the probed cluster directories are read.
+    Same relational semantics as embeddings_knn_ivf (different mechanism,
+    shared oracle shape) — full value-hash oracle row."""
     import hashlib
     import shutil
 
-    from ..stages.similarity import IVFIndex
+    from ..stages.similarity import IVFIndex, hash_centroids
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).slice(0, 5)
-    q_ids = head.column("vec_id").to_pylist()
-    queries = np.asarray(head.column("embedding").to_pylist(),
-                         dtype=np.float64)
+    queries, q_ids = _load_queries(sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     idx_dir = f"/tmp/ivf_index_{tag}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    index = IVFIndex.build(ds, idx_dir, n_clusters=8)
+    cents = hash_centroids(ds, n_clusters=8)
+    index = IVFIndex.build(ds, idx_dir, n_clusters=8, centroids=cents)
     out = index.search(queries, q_ids, k=10, nprobe=3)
     shutil.rmtree(idx_dir, ignore_errors=True)
     return out.select(["query_id", "neighbor_id", "rank"])
@@ -1679,8 +1830,10 @@ def embeddings_knn_ivf_index(sf_dir: str):
 
 def media_resize(sf_dir: str):
     """Multimodal resize stage (actor pool, stub codec): binary payloads ->
-    4x4 resampled payloads; rows-only (pixel kernels pinned by pytest)."""
-    from ..stages.media import media_table_from_documents, resize_images
+    4x4 resampled payloads, fingerprinted (FNV over the 16 output bytes)
+    so the NEAREST resample kernel is value-hash oracle-checked."""
+    from ..stages.media import (fnv1a_bytes_bulk, media_table_from_documents,
+                                resize_images)
 
     rd = _rd()
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1688,30 +1841,57 @@ def media_resize(sf_dir: str):
     conc = _conc()
     ds = rd.from_arrow(media, override_num_blocks=max(conc * 2, 4))
     out = resize_images(ds, target_w=4, target_h=4, concurrency=conc)
-    table = pa.concat_tables(out.iter_batches(batch_size=8192,
-                                              batch_format="pyarrow"))
-    return table.select(["media_id", "width", "height"])
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        fps = fnv1a_bytes_bulk([p or b"" for p in
+                                batch.column("payload").to_pylist()])
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "resize_fp": pa.array(fps, pa.uint64()),
+        })
+
+    table = pa.concat_tables(
+        out.map_batches(fingerprint, batch_format="pyarrow")
+        .iter_batches(batch_size=8192, batch_format="pyarrow"))
+    return table
 
 
 def media_frames(sf_dir: str):
     """Multimodal frame sampling (flat-map row explosion in an actor
-    pool): durations derived per doc; rows-only."""
-    from ..stages.media import media_table_from_documents, sample_frames
+    pool): durations derived from doc_id so rows explode non-trivially;
+    each sampled frame fingerprinted (FNV over its 64 grid bytes) — full
+    value-hash oracle via the SQL stub-codec replay."""
+    from ..stages.media import (fnv1a_bytes_bulk, media_table_from_documents,
+                                sample_frames)
 
     rd = _rd()
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     media = media_table_from_documents(docs)
-    # deterministic per-row durations so rows explode non-trivially
-    ids = media.column("media_id").to_pylist()
-    dur = pa.array([(i % 5) * 1000 for i in range(len(ids))], pa.int32())
+    # deterministic per-row durations keyed by doc_id (SQL-derivable)
+    doc_ids = docs.column("doc_id").to_pylist()
+    dur = pa.array([(int(d) % 5) * 1000 for d in doc_ids], pa.int32())
     media = media.set_column(media.schema.get_field_index("duration_ms"),
                              "duration_ms", dur)
     conc = _conc()
     ds = rd.from_arrow(media, override_num_blocks=max(conc * 2, 4))
     out = sample_frames(ds, every_ms=1000, concurrency=conc)
-    table = pa.concat_tables(out.iter_batches(batch_size=8192,
-                                              batch_format="pyarrow"))
-    return table.select(["media_id", "frame_idx", "ts_ms"])
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        fps = fnv1a_bytes_bulk([p or b"" for p in
+                                batch.column("frame_payload").to_pylist()])
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_idx": batch.column("frame_idx"),
+            "ts_ms": batch.column("ts_ms"),
+            "frame_fp": pa.array(fps, pa.uint64()),
+        })
+
+    table = pa.concat_tables(
+        out.map_batches(fingerprint, batch_format="pyarrow")
+        .iter_batches(batch_size=8192, batch_format="pyarrow"))
+    return table
 
 
 # ===================================================================
@@ -1760,6 +1940,9 @@ QUERIES = {
     "serp_google": _serp_query("google"),
     "serp_searxng": _serp_query("searxng"),
     "serp_ac_engine": _serp_query("ac-engine"),
+    "events_asof_join": events_asof_join,
+    "events_running_total": events_running_total,
+    "events_quantiles": events_quantiles,
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frames": media_frames,
@@ -1815,9 +1998,20 @@ ORACLE_SQL = {
         threshold=0.95, bands=4),
     "embeddings_neardup_lsh40": _oracle_kernels.embedding_lsh_pairs_sql(
         threshold=0.4, bands=8),
-    # rows-only (non-SQL-expressible): embeddings_knn_ivf(_index) (PCG64
-    # kmeans init + iterative float means), media_* (PCG64-seeded codec
-    # stubs), docs fine via kernels above
+    # keyed window operators
+    "events_asof_join": _EVENTS_ASOF_SQL,
+    "events_running_total": _EVENTS_RUNNING_SQL,
+    "events_quantiles": _EVENTS_QUANTILES_SQL,
+    # IVF ANN with hash-selected centroids: centroid pick, argmax
+    # assignment, probe and in-cluster top-k all replay relationally
+    "embeddings_knn_ivf": _ivf_knn_sql(n_clusters=16, nprobe=6),
+    "embeddings_knn_ivf_index": _ivf_knn_sql(n_clusters=8, nprobe=3),
+    # stub-codec replay: the media fakes run on FNV/mix64 arithmetic, so
+    # feature means (exact-op-order f64/f32 rounding), NEAREST resample
+    # and frame sampling all replay bit-identically in SQL
+    "media_features": _oracle_kernels.media_features_sql(),
+    "media_resize": _oracle_kernels.media_resize_sql(),
+    "media_frames": _oracle_kernels.media_frames_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

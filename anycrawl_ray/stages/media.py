@@ -6,9 +6,13 @@ Buffer -> S3 path (ScreenshotTransformer.ts:104-134). The decode kernels
 themselves need codec libraries absent from this container, so:
 
 - ``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-  ``ALLOW_FAKE_DECODE`` — the deterministic fake derives features from the
-  payload bytes (xxh64-seeded), so the Ray-side plumbing (schema, actor
-  signature, batch sizing, output layout) is fully real and tested;
+  ``ALLOW_FAKE_DECODE`` — the deterministic fake derives an 8x8 "pixel"
+  grid from the payload bytes with the FNV-1a + splitmix64 arithmetic the
+  rest of the engine uses, so (a) the Ray-side plumbing (schema, actor
+  signature, batch sizing, output layout) is fully real and tested and
+  (b) the whole stage is *replayable in SQL* via the u64 macro kernels
+  (pipelines/oracle_kernels.py), turning the media driver rows into full
+  value-hash-checked oracles instead of rows-only checks;
 - ``MediaFeatureExtractor`` is the actor-pool stage shape for any real
   model: heavy init in ``__init__`` (once per actor), batched tensor work
   in ``__call__``, small ``batch_size`` because payload cells are large.
@@ -19,10 +23,66 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.urls import xxh64
-
 ALLOW_FAKE_DECODE = True
 FEATURE_DIM = 8
+
+_FNV_INIT = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def fnv1a_bytes(payload: bytes) -> int:
+    """FNV-1a over raw bytes (u64 wraparound) — the SQL-expressible seed
+    for the stub codec (mirrored by oracle_kernels.U64_PRELUDE fnv1a)."""
+    h = 0xCBF29CE484222325
+    for b in payload:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a_bytes_bulk(payloads: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a over a batch of byte strings: scatter into one
+    padded (N, maxlen) uint8 matrix, one masked xor-multiply pass per byte
+    position — no per-payload Python in the hot loop."""
+    n = len(payloads)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in payloads), count=n, dtype=np.int64)
+    width = int(lens.max(initial=1))
+    mat = np.zeros((n, max(width, 1)), dtype=np.uint8)
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    if flat.size:
+        row = np.repeat(np.arange(n), lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        col = np.arange(flat.size) - np.repeat(starts, lens)
+        mat[row, col] = flat
+    h = np.full(n, _FNV_INIT, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            m = lens > j
+            h[m] = (h[m] ^ mat[m, j]) * _FNV_PRIME
+    return h
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _grids_from_seeds(seeds: np.ndarray) -> np.ndarray:
+    """(N,) u64 seeds -> (N, 8, 8) uint8 grids: cell i of seed h is
+    ``mix64(h ^ (i+1)*GOLDEN) & 0xFF`` — pure u64 arithmetic, SQL-exact."""
+    idx = (np.arange(64, dtype=np.uint64) + np.uint64(1))
+    with np.errstate(over="ignore"):
+        salts = idx * _GOLDEN
+        cells = _mix64(seeds[:, None] ^ salts[None, :])
+    return (cells & np.uint64(0xFF)).astype(np.uint8).reshape(-1, 8, 8)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -38,17 +98,30 @@ MEDIA_SCHEMA = pa.schema(
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Stub decode: a real build plugs PIL/cv2 here. The deterministic fake
-    returns an 8x8 'pixel' grid seeded by the payload hash."""
+    returns an 8x8 'pixel' grid seeded by FNV-1a of the payload bytes
+    (cell arithmetic in _grids_from_seeds — SQL-replayable)."""
     if not ALLOW_FAKE_DECODE:
         raise NotImplementedError("image codec not available in this container")
-    rng = np.random.default_rng(xxh64(payload) & 0x7FFFFFFF)
-    return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    seed = np.asarray([fnv1a_bytes(payload)], dtype=np.uint64)
+    return _grids_from_seeds(seed)[0]
+
+
+def decode_images_bulk(payloads: list[bytes]) -> np.ndarray:
+    """Batched stub decode: (N, 8, 8) grids via one vectorized FNV pass —
+    element-identical to per-payload ``decode_image`` (pinned in tests)."""
+    if not ALLOW_FAKE_DECODE:
+        raise NotImplementedError("image codec not available in this container")
+    return _grids_from_seeds(fnv1a_bytes_bulk(payloads))
 
 
 def fake_feature(payload: bytes) -> np.ndarray:
-    """Deterministic FEATURE_DIM float32 vector from payload bytes."""
+    """Deterministic FEATURE_DIM float32 vector from payload bytes: column
+    means of the stub grid in float64 (integer sums are exact; /8 is an
+    exact binary scale; /255 is the single rounding step), then one cast to
+    float32 — both roundings replay bit-identically in SQL
+    (SUM/8.0/255.0 -> CAST AS REAL)."""
     img = decode_image(payload)
-    base = img.astype(np.float32).mean(axis=0)
+    base = img.astype(np.float64).mean(axis=0)
     return (base / 255.0).astype(np.float32)
 
 
@@ -61,16 +134,19 @@ class MediaFeatureExtractor:
         self.dim = FEATURE_DIM
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
-        feats = [fake_feature(p or b"") for p in payloads]
-        hashes = [int(xxh64(p or b"")) for p in payloads]
+        payloads = [p or b"" for p in batch.column("payload").to_pylist()]
+        seeds = fnv1a_bytes_bulk(payloads)
+        grids = _grids_from_seeds(seeds)  # (N, 8, 8)
+        base = grids.astype(np.float64).mean(axis=1)  # column means, (N, 8)
+        feats = (base / 255.0).astype(np.float32)
         return (
             batch.drop_columns(["payload"])  # features flow on, blobs don't
             .append_column(
-                "feature", pa.array([f.tolist() for f in feats],
-                                    pa.list_(pa.float32(), FEATURE_DIM))
+                "feature",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.float32()), FEATURE_DIM),
             )
-            .append_column("payload_hash", pa.array(hashes, pa.uint64()))
+            .append_column("payload_hash", pa.array(seeds, pa.uint64()))
         )
 
 
@@ -135,11 +211,15 @@ class ImageResizer:
         return img[rows][:, cols]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
-        out_payload = []
-        for p in payloads:
-            small = self._resize(decode_image(p or b""))
-            out_payload.append(small.tobytes())
+        payloads = [p or b"" for p in batch.column("payload").to_pylist()]
+        grids = decode_images_bulk(payloads)  # (N, 8, 8)
+        h, w = 8, 8
+        rows = np.minimum(((np.arange(self.target_h) + 0.5) * h
+                           / self.target_h).astype(np.int64), h - 1)
+        cols = np.minimum(((np.arange(self.target_w) + 0.5) * w
+                           / self.target_w).astype(np.int64), w - 1)
+        small = grids[:, rows][:, :, cols]  # (N, th, tw)
+        out_payload = [g.tobytes() for g in small]
         n = len(payloads)
         return (
             batch.set_column(batch.schema.get_field_index("payload"),
@@ -167,16 +247,16 @@ class FrameSampler:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         durations = batch.column("duration_ms").to_pylist()
-        out_id, out_idx, out_ts, out_frame = [], [], [], []
+        out_id, out_idx, out_ts, seed_bytes = [], [], [], []
         for mid, p, dur in zip(ids, payloads, durations):
             n_frames = max(1, int(dur or 0) // self.every_ms + 1)
             for k in range(n_frames):
                 ts = k * self.every_ms
-                frame = decode_image((p or b"") + ts.to_bytes(8, "little"))
                 out_id.append(mid)
                 out_idx.append(k)
                 out_ts.append(ts)
-                out_frame.append(frame.tobytes())
+                seed_bytes.append((p or b"") + ts.to_bytes(8, "little"))
+        out_frame = [g.tobytes() for g in decode_images_bulk(seed_bytes)]
         return pa.table({
             "media_id": pa.array(out_id, pa.string()),
             "frame_idx": pa.array(out_idx, pa.int32()),

@@ -91,16 +91,71 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int = 16, iters: int = 10,
     return centroids
 
 
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def hash_centroids(ds, n_clusters: int) -> np.ndarray:
+    """Deterministic, SQL-replicable centroid choice: the ``n_clusters``
+    vectors whose ``(mix64(vec_id), vec_id)`` ranks lowest (a uniform
+    pseudo-random pick with no RNG state — ``ORDER BY mix64(vec_id),
+    vec_id LIMIT n`` in SQL). Distributed as map-side local top-n over
+    (rank, vec_id, embedding) partials + a tiny driver merge — one
+    streaming pass, no shuffle, no full materialization.
+
+    k-means centroids cluster tighter, but their PCG64 init + iterative
+    float means are not oracle-expressible; this variant makes the whole
+    IVF pipeline value-hash-checkable (the kmeans path stays available
+    via ``kmeans_fit`` and is recall-pinned in tests)."""
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        rank = _mix64_np(ids.astype(np.uint64))
+        order = np.lexsort((ids, rank))[:n_clusters]
+        emb = _batch_embeddings(batch)[order]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rank": pa.array(rank[order].astype(np.int64), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        })
+
+    partials = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    rank_u64 = partials["rank"].to_numpy().astype(np.int64).view(np.uint64)
+    order = np.lexsort((partials["vec_id"].to_numpy(), rank_u64))[:n_clusters]
+    return np.asarray(partials["embedding"].iloc[order].tolist(),
+                      dtype=np.float64)
+
+
 def ivf_knn(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
             n_clusters: int = 16, nprobe: int = 4, sample_size: int = 2048,
-            seed: int = 42):
+            seed: int = 42, centroids: np.ndarray | None = None):
     """IVF-style ANN: centroids from a seeded sample (driver, once,
     broadcast), cluster assignment via map_batches, queries probe their
-    nprobe nearest centroids only."""
-    sample = ds.limit(sample_size).to_pandas()["embedding"].tolist()
-    centroids = kmeans_fit(np.asarray(sample), n_clusters, seed=seed)
+    nprobe nearest centroids only. Pass ``centroids`` (e.g. from
+    ``hash_centroids``) to skip the k-means fit."""
+    if centroids is None:
+        sample = ds.limit(sample_size).to_pandas()["embedding"].tolist()
+        centroids = kmeans_fit(np.asarray(sample), n_clusters, seed=seed)
+    else:
+        centroids = _normalize(np.asarray(centroids, dtype=np.float64))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    return _probed_topk(ds, centroids, qn, query_ids, probe, k)
+
+
+def _probed_topk(ds, centroids: np.ndarray, qn: np.ndarray,
+                 query_ids: list[int], probe: np.ndarray, k: int):
+    """Per-query masked local top-k over an assigned corpus: each batch
+    assigns its vectors to the nearest centroid and each query only scores
+    vectors inside ITS probed clusters (shared by ivf_knn and
+    IVFIndex.search so both paths have identical semantics)."""
     probe_sets = [set(p.tolist()) for p in probe]
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -146,13 +201,17 @@ class IVFIndex:
 
     @classmethod
     def build(cls, ds, index_dir: str, n_clusters: int = 16,
-              sample_size: int = 2048, seed: int = 42) -> "IVFIndex":
+              sample_size: int = 2048, seed: int = 42,
+              centroids: np.ndarray | None = None) -> "IVFIndex":
         import os
 
         import ray
 
-        sample = ds.limit(sample_size).to_pandas()["embedding"].tolist()
-        centroids = kmeans_fit(np.asarray(sample), n_clusters, seed=seed)
+        if centroids is None:
+            sample = ds.limit(sample_size).to_pandas()["embedding"].tolist()
+            centroids = kmeans_fit(np.asarray(sample), n_clusters, seed=seed)
+        else:
+            centroids = _normalize(np.asarray(centroids, dtype=np.float64))
         cent_ref = ray.put(centroids)
 
         def assign(batch: pa.Table) -> pa.Table:
@@ -195,6 +254,9 @@ class IVFIndex:
                              "neighbor_id": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int32()),
                              "cosine": pa.array([], pa.float64())})
-        # partition-pruned read: only probed clusters leave storage
+        # partition-pruned read: only probed clusters leave storage; each
+        # query then scores ONLY its own probed clusters (same semantics
+        # as ivf_knn — re-assignment over the pruned subset is exact, so
+        # no cross-query candidate bleed from the union of paths)
         sub = rd.read_parquet(paths, columns=["vec_id", "embedding"])
-        return knn_brute(sub, queries, query_ids, k=k)
+        return _probed_topk(sub, self.centroids, qn, query_ids, probe, k)

@@ -153,6 +153,52 @@ def test_kmeans_deterministic():
     assert np.array_equal(c1, c2)
 
 
+def test_hash_centroids_distributed_equals_global(ray_session):
+    """The map-side local-top-n + driver-merge selection equals a global
+    lexsort over (mix64(vec_id), vec_id) — regardless of block layout."""
+    from anycrawl_ray.stages.similarity import _mix64_np, hash_centroids
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((97, 8))
+    ds = _emb_ds(mat).repartition(7)  # vec_ids 0..96, several blocks
+    got = hash_centroids(ds, n_clusters=6)
+    ids = np.arange(97, dtype=np.int64)
+    order = np.lexsort((ids, _mix64_np(ids.astype(np.uint64))))[:6]
+    want = mat[order].astype(np.float32).astype(np.float64)  # f32 storage round-trip
+    assert np.array_equal(got, want)
+
+
+def test_ivf_index_search_equals_ivf_knn(ray_session, tmp_path):
+    """With shared centroids, the persistent partition-pruned index and the
+    one-shot ivf_knn return the SAME rows — no cross-query candidate bleed
+    from the union of probed cluster paths."""
+    from anycrawl_ray.stages.similarity import IVFIndex, hash_centroids
+
+    rng = np.random.default_rng(12)
+    mat = rng.standard_normal((300, 16))
+    ds = _emb_ds(mat)
+    cents = hash_centroids(ds, n_clusters=8)
+    q, ids = mat[:4], list(range(4))
+    one_shot = ivf_knn(ds, q, ids, k=7, nprobe=2, centroids=cents).to_pandas()
+    index = IVFIndex.build(ds, str(tmp_path / "ivf_eq"), n_clusters=8,
+                           centroids=cents)
+    via_index = index.search(q, ids, k=7, nprobe=2).to_pandas()
+    assert one_shot[["query_id", "neighbor_id", "rank"]].values.tolist() == \
+        via_index[["query_id", "neighbor_id", "rank"]].values.tolist()
+
+
+def test_media_bulk_decode_equals_scalar():
+    from anycrawl_ray.stages.media import (decode_image, decode_images_bulk,
+                                           fnv1a_bytes, fnv1a_bytes_bulk)
+
+    payloads = [b"", b"a", b"hello world", bytes(range(256)), b"x" * 1000]
+    bulk = decode_images_bulk(payloads)
+    for p, g in zip(payloads, bulk):
+        assert np.array_equal(decode_image(p), g)
+    assert fnv1a_bytes_bulk(payloads).tolist() == [fnv1a_bytes(p) for p in payloads]
+    assert fnv1a_bytes(b"") == 0xCBF29CE484222325  # FNV offset basis
+
+
 def test_text_stats_vectorized():
     batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
                       "text": ["the cat and a dog!", ""]})
@@ -444,3 +490,90 @@ def test_neardup_components_vs_union_find(ray_session):
                                          "b": pa.array([], pa.int64())}))
     assert empty.num_rows == 0
     assert empty.schema.names == ["doc_id", "cluster_rep"]
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """asof_join == pandas merge_asof per key, incl. no-match and empty-
+    right-side keys."""
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import asof_join
+
+    rng = np.random.default_rng(21)
+    n_l, n_r = 120, 80
+    left = pa.table({
+        "event_id": pa.array(range(n_l), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 6, n_l), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n_l), pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array(rng.integers(0, 4, n_r), pa.int64()),  # users 4,5 empty
+        "ts": pa.array(rng.integers(0, 10_000, n_r), pa.int64()),
+    })
+    got = asof_join(rd.from_arrow(left).repartition(3),
+                    rd.from_arrow(right).repartition(2),
+                    key="user_id", ts_col="ts",
+                    out_cols=["event_id", "user_id", "ts"],
+                    prior_col="prior_ts").to_pandas()
+    want = pd.merge_asof(
+        left.to_pandas().sort_values("ts"),
+        right.to_pandas().sort_values("ts").rename(columns={"ts": "prior_ts"}),
+        left_on="ts", right_on="prior_ts", by="user_id",
+        direction="backward")
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    g, w = got["prior_ts"].to_numpy(), want["prior_ts"].to_numpy()
+    assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
+def test_running_total_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import running_total
+
+    rng = np.random.default_rng(22)
+    n = 200
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 50, n), pa.int64()),  # ts ties!
+        "cents": pa.array(rng.integers(-100, 1000, n), pa.int64()),
+    })
+    got = running_total(rd.from_arrow(t).repartition(4), key="user_id",
+                        order_cols=["ts", "event_id"], cents_col="cents",
+                        out_cols=["event_id", "user_id"]).to_pandas()
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["want"] = df.groupby("user_id")["cents"].cumsum()
+    merged = got.merge(df[["event_id", "want"]], on="event_id")
+    assert (merged["running_cents"] == merged["want"]).all()
+    assert len(merged) == n
+
+
+def test_group_quantiles_percentile_disc(ray_session):
+    """Histogram read-off == quantile_disc (element at ceil(p*n)) on a
+    corpus with heavy value ties."""
+    import duckdb
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import group_quantiles
+
+    rng = np.random.default_rng(23)
+    n = 500
+    t = pa.table({
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(np.round(rng.uniform(0, 3, n), 2)),  # many ties
+    })
+    got = group_quantiles(rd.from_arrow(t).repartition(4), key="event_type",
+                          value_col="value", ps=[0.5, 0.95]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("""
+        SELECT event_type, COUNT(*) AS n,
+               quantile_disc(CAST(round_even(value*100, 0) AS BIGINT), 0.5) AS q50_cents,
+               quantile_disc(CAST(round_even(value*100, 0) AS BIGINT), 0.95) AS q95_cents
+        FROM t GROUP BY event_type ORDER BY event_type""").df()
+    got = got.sort_values("event_type").reset_index(drop=True)
+    assert got[["event_type", "n", "q50_cents", "q95_cents"]].astype(str) \
+        .values.tolist() == want.astype(str).values.tolist()
