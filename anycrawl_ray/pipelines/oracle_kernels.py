@@ -405,6 +405,52 @@ ORDER BY doc_id
 _GOLDEN = "11400714819323198485"  # 0x9E3779B97F4A7C15
 
 
+def winnow_pairs_sql(k: int = 3, w: int = 4, min_shared: int = 2,
+                     max_bucket: int = 200) -> str:
+    """Winnowing (SIGMOD'03) replay: ordered Horner k-gram hashes with
+    positions, per-window rightmost-minimum selection (row_number ORDER BY
+    gh ASC, p DESC), distinct selected hashes per doc, stop-gram df cap,
+    pair counts. Short docs (< w grams) winnow one window over all grams —
+    same q-range formula LEAST(w, gn)..gn on both sides."""
+    horner = "hs[i]"
+    for j in range(1, k):
+        horner = f"u64add(u64mul({horner}, {_FNV_PRIME}::UBIGINT), hs[i+{j}])"
+    return f"""{U64_PRELUDE}
+WITH {_token_hash_ctes()},
+harr AS (
+  SELECT doc_id, list(h ORDER BY pos) AS hs FROM hm GROUP BY doc_id),
+garr AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {k}
+              THEN list_transform(range(1, len(hs) - {k - 2}), i -> {horner})
+              ELSE hs END AS gs
+  FROM harr),
+g AS MATERIALIZED (
+  SELECT doc_id, i AS p, gs[i] AS gh
+  FROM garr, UNNEST(range(1, len(gs) + 1)) AS u(i)),
+gsize AS (SELECT doc_id, count(*) AS gn FROM g GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, q FROM gsize,
+  UNNEST(range(LEAST({w}, gn), gn + 1)) AS u(q)),
+selpos AS (
+  SELECT wi.doc_id, wi.q, g.p, g.gh
+  FROM wins wi JOIN g ON g.doc_id = wi.doc_id
+       AND g.p BETWEEN GREATEST(1, wi.q - {w} + 1) AND wi.q
+  QUALIFY row_number() OVER (PARTITION BY wi.doc_id, wi.q
+                             ORDER BY g.gh ASC, g.p DESC) = 1),
+fp AS MATERIALIZED (SELECT DISTINCT doc_id, gh FROM selpos),
+df AS (SELECT gh, count(*) AS c FROM fp GROUP BY gh),
+ok AS (
+  SELECT fp.doc_id, fp.gh FROM fp JOIN df USING (gh)
+  WHERE df.c BETWEEN 2 AND {max_bucket})
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+FROM ok a JOIN ok b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {min_shared}
+ORDER BY a, b
+"""
+
+
 def _media_cells_ctes(n_cells: int = 64) -> str:
     """Stub-codec grid replay over ``documents``: seed = fnv1a(text bytes)
     (media payload IS the utf-8 text), cell i = mix64(seed ^ (i+1)*GOLDEN)

@@ -1747,6 +1747,49 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def events_range_join(sf_dir: str):
+    """Keyed RANGE join (band join): for each purchase, the number of
+    clicks by the same user strictly within the following hour. Same
+    one-shuffle co-partitioning as the as-of join; two binary searches per
+    group (stages/window.py). Oracle: plain non-equi LEFT JOIN + count."""
+    from ..stages.window import range_join_count
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'click'")
+    out = range_join_count(left, right, key="user_id", ts_col="ts",
+                           out_cols=["event_id", "user_id"],
+                           low=np.timedelta64(0, "ms"),
+                           high=np.timedelta64(3_600_000, "ms"),
+                           count_col="clicks_next_hour")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_EVENTS_RANGE_JOIN_SQL = """
+SELECT l.event_id, l.user_id, CAST(COUNT(r.ts) AS BIGINT) AS clicks_next_hour
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON r.user_id = l.user_id AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL 1 HOUR
+GROUP BY l.event_id, l.user_id
+"""
+
+
+def docs_winnow_pairs(sf_dir: str):
+    """Winnowing fingerprint near-dup pairs (Schleimer et al., SIGMOD'03
+    — the MOSS kernel): local rightmost-minimum gram sampling instead of
+    MinHash's global permutations; pairs sharing >= 2 fingerprints, exact
+    SQL replay (Horner grams + window argmin + stop-gram cap)."""
+    from ..stages.dedup import winnow_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return winnow_pairs(ds, k=3, w=4, min_shared=2)
+
+
 def events_quantiles(sf_dir: str):
     """EXACT per-type value quantiles (p50/p95) without a global sort:
     fixed-point histogram partials + tiny merge (histogram cardinality is
@@ -1941,8 +1984,10 @@ QUERIES = {
     "serp_searxng": _serp_query("searxng"),
     "serp_ac_engine": _serp_query("ac-engine"),
     "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
     "events_running_total": events_running_total,
     "events_quantiles": events_quantiles,
+    "docs_winnow_pairs": docs_winnow_pairs,
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frames": media_frames,
@@ -2000,8 +2045,12 @@ ORACLE_SQL = {
         threshold=0.4, bands=8),
     # keyed window operators
     "events_asof_join": _EVENTS_ASOF_SQL,
+    "events_range_join": _EVENTS_RANGE_JOIN_SQL,
     "events_running_total": _EVENTS_RUNNING_SQL,
     "events_quantiles": _EVENTS_QUANTILES_SQL,
+    # winnowing (MOSS) fingerprint pairs — full u64 kernel replay
+    "docs_winnow_pairs": _oracle_kernels.winnow_pairs_sql(
+        k=3, w=4, min_shared=2),
     # IVF ANN with hash-selected centroids: centroid pick, argmax
     # assignment, probe and in-cluster top-k all replay relationally
     "embeddings_knn_ivf": _ivf_knn_sql(n_clusters=16, nprobe=6),

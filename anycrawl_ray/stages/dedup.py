@@ -802,6 +802,87 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
                      "b": pa.array(res["b"], pa.int64())})
 
 
+# ----------------------------------------------------- winnowing (MOSS)
+
+def winnow_fingerprints(text: str, k: int = 3, w: int = 4) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS kernel): ordered k-token gram hashes, then per
+    window of ``w`` consecutive grams select the RIGHTMOST minimum; the
+    distinct selected hashes are the document's fingerprints. Guarantee:
+    any shared token run of >= w+k-1 tokens shares a fingerprint.
+
+    Vectorized: Horner gram hashes (same arithmetic as shingle_hashes,
+    order kept), sliding_window_view min + rightmost argmin. Docs with
+    fewer than ``w`` grams winnow a single window over all grams;
+    token-less docs have no fingerprints."""
+    th = token_hashes(text)
+    if th.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if th.size < k:
+        grams = th
+    else:
+        with np.errstate(over="ignore"):
+            acc = th[: th.size - k + 1].copy()
+            for i in range(1, k):
+                acc = acc * np.uint64(1099511628211) + th[i: th.size - k + 1 + i]
+        grams = acc
+    if grams.size <= w:
+        flipped = grams[::-1]
+        return np.unique(grams[grams.size - 1 - int(np.argmin(flipped))][None])
+    win = np.lib.stride_tricks.sliding_window_view(grams, w)
+    # rightmost argmin = w-1 - argmin over the reversed window
+    idx = w - 1 - np.argmin(win[:, ::-1], axis=1)
+    pos = np.unique(np.arange(win.shape[0], dtype=np.int64) + idx)
+    return np.unique(grams[pos])
+
+
+def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
+                 max_bucket: int = 200, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    the near-duplicate/plagiarism detector built on local fingerprint
+    sampling instead of MinHash's global permutations.
+
+    Scale shape: fingerprints are a ~2/(w+1) sample of the grams, so the
+    exploded index is a fraction of the ngram_jaccard one; grams with
+    document frequency > ``max_bucket`` are dropped as stop-grams (the
+    standard winnowing-index cap — replicated by the SQL oracle), and
+    the pair count is a vectorized Count aggregate over per-gram pair
+    emission. One shuffle on the fingerprint key, one on the pair key."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_fp = [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            fps = winnow_fingerprints(t, k, w)
+            out_id.extend([d] * fps.size)
+            out_fp.extend(fps.view(np.int64).tolist())
+        return pa.table({"doc": pa.array(out_id),
+                         "fp": pa.array(out_fp, pa.int64())})
+
+    fp_ds = ds.map_batches(explode, batch_format="pyarrow")
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc"].unique())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        pairs = [(ids[i], ids[j]) for i in range(len(ids))
+                 for j in range(i + 1, len(ids))]
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    shared = (fp_ds.groupby("fp").map_groups(emit_pairs, batch_format="pandas")
+              .groupby(["a", "b"]).aggregate(Count(alias_name="shared")))
+    res = shared.to_pandas()
+    res = res[res["shared"] >= min_shared].sort_values(["a", "b"])
+    return pa.table({"a": pa.array(res["a"], pa.int64()),
+                     "b": pa.array(res["b"], pa.int64()),
+                     "shared": pa.array(res["shared"].astype("int64"),
+                                        pa.int64())})
+
+
 # ------------------------------------------------- benchmark decontamination
 
 def decontaminate(ds, benchmark_ds, n: int = 5, min_shared: int = 1,

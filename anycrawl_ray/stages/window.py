@@ -27,15 +27,13 @@ import pandas as pd
 import pyarrow as pa
 
 
-def asof_join(left_ds, right_ds, key: str, ts_col: str,
-              out_cols: list[str], prior_col: str = "prior_ts"):
-    """For every left row, attach the greatest right ``ts_col`` <= the left
-    row's ts within the same ``key`` (NULL when none) — the classic as-of
-    join. Both inputs are tagged and unioned so ONE shuffle co-locates a
-    key's rows from both sides; the per-group kernel is a vectorized
-    ``np.searchsorted`` of left timestamps into the sorted right
-    timestamps. Output columns: ``out_cols`` (from the left) + prior_col.
-    """
+def _cokeyed(left_ds, right_ds, key: str, ts_col: str, out_cols: list[str],
+             kernel):
+    """Shared co-keyed two-sided shuffle: tag + union both inputs so ONE
+    ``groupby(key)`` co-locates a key's rows from both sides, then apply
+    ``kernel(left_rows_df, sorted_right_ts) -> df`` per group. Both the
+    as-of join and the range join are per-key binary searches over the
+    same co-partitioning."""
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -72,6 +70,20 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         lmask = group["_side"].to_numpy() == 0
         left = group[lmask]
         right_ts = np.sort(group.loc[~lmask, ts_col].to_numpy())
+        return kernel(left, right_ts)
+
+    return unioned.groupby(key).map_groups(per_key)
+
+
+def asof_join(left_ds, right_ds, key: str, ts_col: str,
+              out_cols: list[str], prior_col: str = "prior_ts"):
+    """For every left row, attach the greatest right ``ts_col`` <= the left
+    row's ts within the same ``key`` (NULL when none) — the classic as-of
+    join. The per-group kernel is a vectorized ``np.searchsorted`` of left
+    timestamps into the sorted right timestamps. Output columns:
+    ``out_cols`` (from the left) + prior_col."""
+
+    def kernel(left: pd.DataFrame, right_ts: np.ndarray) -> pd.DataFrame:
         lts = left[ts_col].to_numpy()
         out = left[out_cols].copy()
         if right_ts.size == 0:
@@ -88,7 +100,31 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         out[prior_col] = prior
         return out
 
-    return unioned.groupby(key).map_groups(per_key)
+    return _cokeyed(left_ds, right_ds, key, ts_col, out_cols, kernel)
+
+
+def range_join_count(left_ds, right_ds, key: str, ts_col: str,
+                     out_cols: list[str], low, high,
+                     count_col: str = "n_in_range"):
+    """Keyed RANGE join (count form): for every left row, the number of
+    right rows with ``l.ts + low < r.ts <= l.ts + high`` in the same key —
+    a band/interval join, the non-equi class Ray Data has no built-in
+    for. Same one-shuffle co-partitioning as the as-of join; the per-key
+    kernel is two vectorized binary searches (half-open interval, so
+    low=0 means strictly-after)."""
+
+    def kernel(left: pd.DataFrame, right_ts: np.ndarray) -> pd.DataFrame:
+        lts = left[ts_col].to_numpy()
+        out = left[out_cols].copy()
+        if right_ts.size == 0:
+            out[count_col] = np.zeros(len(out), dtype=np.int64)
+            return out
+        lo = np.searchsorted(right_ts, lts + low, side="right")
+        hi = np.searchsorted(right_ts, lts + high, side="right")
+        out[count_col] = (hi - lo).astype(np.int64)
+        return out
+
+    return _cokeyed(left_ds, right_ds, key, ts_col, out_cols, kernel)
 
 
 def running_total(ds, key: str, order_cols: list[str], cents_col: str,

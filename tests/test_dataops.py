@@ -577,3 +577,72 @@ def test_group_quantiles_percentile_disc(ray_session):
     got = got.sort_values("event_type").reset_index(drop=True)
     assert got[["event_type", "n", "q50_cents", "q95_cents"]].astype(str) \
         .values.tolist() == want.astype(str).values.tolist()
+
+
+def test_range_join_count_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import range_join_count
+
+    rng = np.random.default_rng(24)
+    n_l, n_r = 100, 150
+    left = pa.table({
+        "event_id": pa.array(range(n_l), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 5, n_l), pa.int64()),
+        "ts": pa.array(rng.integers(0, 1000, n_l), pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array(rng.integers(0, 5, n_r), pa.int64()),
+        "ts": pa.array(rng.integers(0, 1000, n_r), pa.int64()),
+    })
+    got = range_join_count(rd.from_arrow(left).repartition(3),
+                           rd.from_arrow(right).repartition(2),
+                           key="user_id", ts_col="ts",
+                           out_cols=["event_id", "user_id"],
+                           low=0, high=50).to_pandas()
+    lu, lt = left.column("user_id").to_numpy(), left.column("ts").to_numpy()
+    ru, rt = right.column("user_id").to_numpy(), right.column("ts").to_numpy()
+    want = {int(e): int(((ru == u) & (rt > t) & (rt <= t + 50)).sum())
+            for e, u, t in zip(left.column("event_id").to_numpy(), lu, lt)}
+    got_map = dict(zip(got["event_id"], got["n_in_range"]))
+    assert got_map == want
+
+
+def test_winnow_guarantee_and_selection():
+    """Winnowing guarantee: two docs sharing a token run of >= w+k-1
+    tokens share a fingerprint; selection density is ~2/(w+1); short and
+    empty docs behave."""
+    from anycrawl_ray.stages.dedup import winnow_fingerprints
+
+    k, w = 3, 4
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    a = "one two three " + shared_run + " four five six"
+    b = "seven eight " + shared_run + " nine ten"
+    fa = set(winnow_fingerprints(a, k, w).tolist())
+    fb = set(winnow_fingerprints(b, k, w).tolist())
+    assert fa & fb, "guaranteed shared fingerprint missing"
+    # unrelated docs share nothing
+    fc = set(winnow_fingerprints(
+        "完全 不同 的 内容 词 序列 没有 重叠", k, w).tolist())
+    assert not (fa & fc)
+    # density: selected <= grams, roughly 2/(w+1) on random text
+    long = " ".join(f"t{i}" for i in range(500))
+    sel = winnow_fingerprints(long, k, w)
+    assert 0 < sel.size <= 500 - k + 1
+    # short docs: one window over all grams -> exactly one fingerprint
+    assert winnow_fingerprints("just two", k, w).size == 1
+    assert winnow_fingerprints("", k, w).size == 0
+
+
+def test_winnow_pairs_planted(ray_session):
+    from anycrawl_ray.stages.dedup import winnow_pairs
+
+    rng = np.random.default_rng(25)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = [(i, " ".join(rng.choice(vocab, size=40).tolist()))
+            for i in range(30)]
+    rows.append((100, BASE))
+    rows.append((101, BASE + " coda"))
+    out = winnow_pairs(_docs_ds(rows), k=3, w=4, min_shared=2)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (100, 101) in pairs
