@@ -846,10 +846,15 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
     Scale shape: fingerprints are a ~2/(w+1) sample of the grams, so the
     exploded index is a fraction of the ngram_jaccard one; grams with
     document frequency > ``max_bucket`` are dropped as stop-grams (the
-    standard winnowing-index cap — replicated by the SQL oracle), and
-    the pair count is a vectorized Count aggregate over per-gram pair
-    emission. One shuffle on the fingerprint key, one on the pair key."""
+    standard winnowing-index cap — replicated by the SQL oracle). Most
+    fingerprints are singletons, so the same vectorized-Count collision
+    pre-filter as the LSH path gates ``map_groups`` (a straight per-fp
+    map_groups measured 74 s at sf0.1 — per-group pandas overhead over
+    ~300k singleton groups); only colliding fingerprints pay pair
+    emission, and the pair count is one vectorized Count aggregate."""
     import pandas as pd
+    import pyarrow.compute as pc
+    import ray
     from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -862,21 +867,76 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
         return pa.table({"doc": pa.array(out_id),
                          "fp": pa.array(out_fp, pa.int64())})
 
-    fp_ds = ds.map_batches(explode, batch_format="pyarrow")
+    fp_m = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    counts = fp_m.groupby("fp").aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr=f"n >= 2 and n <= {max_bucket}").to_pandas()
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "shared": pa.array([], pa.int64())})
+    if len(hot) == 0:
+        return empty
+    ref = ray.put(pa.array(hot["fp"], pa.int64()))
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc"].unique())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids))
-                 for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
+    def collision_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("fp"),
+                                     value_set=_cached_get(ref)))
 
-    shared = (fp_ds.groupby("fp").map_groups(emit_pairs, batch_format="pandas")
-              .groupby(["a", "b"]).aggregate(Count(alias_name="shared")))
-    res = shared.to_pandas()
+    # pair emission: thousands of SMALL collision groups would pay per-
+    # group pandas overhead in a per-fp map_groups (measured 63 s for
+    # 15.7k groups at sf0.1) — so fps hash into ~n_cpus*2 FAT buckets and
+    # each bucket emits every segment's (i<j) pairs with pure index
+    # arithmetic (np.repeat + within-row arange), no per-fp Python
+    nb = max(16, min(256,
+                     int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        f = batch.column("fp")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        kb = (_mix64_np(np.asarray(f, dtype=np.int64).view(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return batch.append_column("_kb", pa.array(kb, pa.int64()))
+
+    def emit_pair_counts_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((group["doc"].to_numpy(), group["fp"].to_numpy()))
+        fp = group["fp"].to_numpy()[order]
+        doc = group["doc"].to_numpy()[order]
+        boundary = np.concatenate(([True], fp[1:] != fp[:-1]))
+        seg_id = np.cumsum(boundary) - 1
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, fp.size))
+        local = np.arange(fp.size) - starts[seg_id]
+        counts = sizes[seg_id] - 1 - local  # pairs where this row is 'a'
+        left = np.repeat(np.arange(fp.size), counts)
+        offs = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts) + 1
+        a, b = doc[left], doc[left + offs]
+        # partial count per DISTINCT pair inside the bucket (vectorized
+        # boundary counting — a distributed groupby over the raw pair rows
+        # measured 66 s at sf0.1; the partial rows are pair-bounded)
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        pb = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        ps = np.flatnonzero(pb)
+        cnt = np.diff(np.append(ps, a.size))
+        return pd.DataFrame({"a": a[ps], "b": b[ps], "shared": cnt})
+
+    partials = (fp_m.map_batches(collision_filter, batch_format="pyarrow")
+                .map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_kb").map_groups(emit_pair_counts_bucket,
+                                           batch_format="pandas"))
+    # final merge: one Arrow group_by over the pair-bounded partials (a
+    # pair appears in at most #buckets partial rows; pairs << corpus by
+    # the collision cap) — milliseconds where Ray's two-key sort-agg is
+    # pathological at this shape
+    ptbl = pa.concat_tables(
+        partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    merged = ptbl.group_by(["a", "b"]).aggregate([("shared", "sum")]) \
+        .rename_columns(["a", "b", "shared"])
+    res = merged.to_pandas()
     res = res[res["shared"] >= min_shared].sort_values(["a", "b"])
+    if len(res) == 0:
+        return empty
     return pa.table({"a": pa.array(res["a"], pa.int64()),
                      "b": pa.array(res["b"], pa.int64()),
                      "shared": pa.array(res["shared"].astype("int64"),

@@ -1,17 +1,20 @@
-"""Per-key ordered window operators: as-of join, running totals, exact
-group quantiles.
+"""Per-key ordered window operators: as-of join, range join, running
+totals, exact group quantiles.
 
 These are the operator classes Ray Data has no built-in for (the brief's
-"as-of join, range join, windowed aggregate" list). All three follow the
-same scale shape:
+"as-of join, range join, windowed aggregate" list). All follow the same
+scale shape:
 
-- ``asof_join`` / ``running_total``: ONE hash shuffle co-locates each key's
-  rows (``groupby(key).map_groups``), then the per-group kernel is pure
-  numpy (searchsorted / cumsum) over arrays already sorted once. The
+- ``asof_join`` / ``range_join_count`` / ``running_total``: ONE hash
+  shuffle co-locates rows, but NOT one group per key — per-key groups are
+  tiny and ``map_groups`` pays per-group pandas overhead (measured ~4 ms/
+  group: 1,500 user keys cost ~5 s). Keys are bucketed by ``mix64(key) %
+  n_buckets`` so the shuffle produces a few hundred FAT groups, and the
+  per-bucket kernel is numpy over key segments (one lexsort, one pandas
+  copy per bucket, vectorized searchsorted/cumsum per segment). The
   partitioning assumption is the usual one for keyed windows: a single
   key's history fits in a worker (salt by coarse time bucket + carry-in
-  pass if a key is hotter than that — documented, not needed for the
-  driver corpora).
+  pass for hotter keys — documented, not needed for the driver corpora).
 - ``group_quantiles``: EXACT quantiles without a global sort. Values are
   fixed-point (cents) so a map-side ``(key, cents) -> count`` partial
   collapses each block to the value histogram; the merged histogram is
@@ -27,13 +30,44 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _cokeyed(left_ds, right_ds, key: str, ts_col: str, out_cols: list[str],
-             kernel):
-    """Shared co-keyed two-sided shuffle: tag + union both inputs so ONE
-    ``groupby(key)`` co-locates a key's rows from both sides, then apply
-    ``kernel(left_rows_df, sorted_right_ts) -> df`` per group. Both the
-    as-of join and the range join are per-key binary searches over the
-    same co-partitioning."""
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _default_buckets() -> int:
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    return max(16, min(512, cpus * 8))
+
+
+def _bucket_col(batch: pa.Table, key: str, n_buckets: int) -> pa.Table:
+    kv = batch.column(key)
+    if isinstance(kv, pa.ChunkedArray):
+        kv = kv.combine_chunks()
+    arr = np.asarray(kv.cast(pa.int64()), dtype=np.int64)
+    kb = (_mix64_np(arr.view(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+    return batch.append_column("_kb", pa.array(kb, pa.int64()))
+
+
+def _cokeyed_buckets(left_ds, right_ds, key: str, ts_col: str,
+                     out_cols: list[str], bucket_fn, n_buckets: int | None):
+    """Shared co-keyed two-sided shuffle: tag + union both inputs, bucket
+    keys by hash, ONE ``groupby(_kb)`` co-locates every key's rows from
+    both sides into a few hundred fat groups, then ``bucket_fn(left_df,
+    lkeys, lts, rkeys_sorted, rts_sorted) -> result column`` runs numpy
+    over per-key segments inside each bucket."""
+    nb = n_buckets or _default_buckets()
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -61,88 +95,145 @@ def _cokeyed(left_ds, right_ds, key: str, ts_col: str, out_cols: list[str],
                 out[c] = pa.array([zero.as_py() if zero is not None else None]
                                   * len(batch), t)
         out["_side"] = batch.column("_side")
-        return pa.table(out)
+        return _bucket_col(pa.table(out), key, nb)
 
     unioned = left_t.map_batches(widen, batch_format="pyarrow").union(
         right_t.map_batches(widen, batch_format="pyarrow"))
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        lmask = group["_side"].to_numpy() == 0
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["_side"].to_numpy()
+        lmask = side == 0
         left = group[lmask]
-        right_ts = np.sort(group.loc[~lmask, ts_col].to_numpy())
-        return kernel(left, right_ts)
+        if not len(left):
+            return pd.DataFrame({c: pd.Series([], dtype=group[c].dtype)
+                                 for c in out_cols})
+        lorder = np.argsort(left[key].to_numpy(), kind="stable")
+        left = left.iloc[lorder]
+        right = group[~lmask]
+        rorder = np.lexsort((right[ts_col].to_numpy(),
+                             right[key].to_numpy()))
+        rkeys = right[key].to_numpy()[rorder]
+        rts = right[ts_col].to_numpy()[rorder]
+        return bucket_fn(left, left[key].to_numpy(),
+                         left[ts_col].to_numpy(), rkeys, rts)
 
-    return unioned.groupby(key).map_groups(per_key)
+    return unioned.groupby("_kb").map_groups(per_bucket)
+
+
+def _key_segments(lkeys: np.ndarray, rkeys: np.ndarray):
+    """Per-unique-left-key index bounds into the (key-sorted) left rows
+    and the (key,ts)-sorted right rows."""
+    uk, starts = np.unique(lkeys, return_index=True)
+    lbounds = np.append(starts, lkeys.size)
+    rs = np.searchsorted(rkeys, uk, side="left")
+    re = np.searchsorted(rkeys, uk, side="right")
+    return uk, lbounds, rs, re
 
 
 def asof_join(left_ds, right_ds, key: str, ts_col: str,
-              out_cols: list[str], prior_col: str = "prior_ts"):
+              out_cols: list[str], prior_col: str = "prior_ts",
+              n_buckets: int | None = None):
     """For every left row, attach the greatest right ``ts_col`` <= the left
     row's ts within the same ``key`` (NULL when none) — the classic as-of
-    join. The per-group kernel is a vectorized ``np.searchsorted`` of left
-    timestamps into the sorted right timestamps. Output columns:
-    ``out_cols`` (from the left) + prior_col."""
+    join. Per-segment kernel: one vectorized ``np.searchsorted`` of left
+    timestamps into the key's sorted right timestamps."""
 
-    def kernel(left: pd.DataFrame, right_ts: np.ndarray) -> pd.DataFrame:
-        lts = left[ts_col].to_numpy()
+    def bucket_fn(left: pd.DataFrame, lkeys, lts, rkeys, rts) -> pd.DataFrame:
         out = left[out_cols].copy()
-        if right_ts.size == 0:
-            out[prior_col] = pd.Series([pd.NaT] * len(out), index=out.index) \
-                if np.issubdtype(lts.dtype, np.datetime64) else np.nan
+        is_dt = np.issubdtype(lts.dtype, np.datetime64)
+        if rts.size == 0:
+            out[prior_col] = (pd.Series([pd.NaT] * len(out), index=out.index)
+                              if is_dt else np.nan)
             return out
-        # rightmost right ts <= left ts
-        pos = np.searchsorted(right_ts, lts, side="right") - 1
-        prior = right_ts[np.maximum(pos, 0)].copy()
-        if np.issubdtype(prior.dtype, np.datetime64):
-            prior[pos < 0] = np.datetime64("NaT")
-        else:
-            prior = np.where(pos >= 0, prior.astype(np.float64), np.nan)
+        prior = np.empty(lts.size, dtype=rts.dtype if is_dt else np.float64)
+        uk, lb, rs, re = _key_segments(lkeys, rkeys)
+        for i in range(uk.size):
+            ls, le = lb[i], lb[i + 1]
+            seg = rts[rs[i]:re[i]]
+            if seg.size == 0:
+                prior[ls:le] = np.datetime64("NaT") if is_dt else np.nan
+                continue
+            pos = np.searchsorted(seg, lts[ls:le], side="right") - 1
+            vals = seg[np.maximum(pos, 0)]
+            if is_dt:
+                vals = vals.copy()
+                vals[pos < 0] = np.datetime64("NaT")
+            else:
+                vals = np.where(pos >= 0, vals.astype(np.float64), np.nan)
+            prior[ls:le] = vals
         out[prior_col] = prior
         return out
 
-    return _cokeyed(left_ds, right_ds, key, ts_col, out_cols, kernel)
+    return _cokeyed_buckets(left_ds, right_ds, key, ts_col, out_cols,
+                            bucket_fn, n_buckets)
 
 
 def range_join_count(left_ds, right_ds, key: str, ts_col: str,
                      out_cols: list[str], low, high,
-                     count_col: str = "n_in_range"):
+                     count_col: str = "n_in_range",
+                     n_buckets: int | None = None):
     """Keyed RANGE join (count form): for every left row, the number of
     right rows with ``l.ts + low < r.ts <= l.ts + high`` in the same key —
     a band/interval join, the non-equi class Ray Data has no built-in
-    for. Same one-shuffle co-partitioning as the as-of join; the per-key
-    kernel is two vectorized binary searches (half-open interval, so
-    low=0 means strictly-after)."""
+    for. Two vectorized binary searches per key segment (half-open
+    interval, so low=0 means strictly-after)."""
 
-    def kernel(left: pd.DataFrame, right_ts: np.ndarray) -> pd.DataFrame:
-        lts = left[ts_col].to_numpy()
+    def bucket_fn(left: pd.DataFrame, lkeys, lts, rkeys, rts) -> pd.DataFrame:
         out = left[out_cols].copy()
-        if right_ts.size == 0:
-            out[count_col] = np.zeros(len(out), dtype=np.int64)
-            return out
-        lo = np.searchsorted(right_ts, lts + low, side="right")
-        hi = np.searchsorted(right_ts, lts + high, side="right")
-        out[count_col] = (hi - lo).astype(np.int64)
+        counts = np.zeros(lts.size, dtype=np.int64)
+        if rts.size:
+            uk, lb, rs, re = _key_segments(lkeys, rkeys)
+            for i in range(uk.size):
+                ls, le = lb[i], lb[i + 1]
+                seg = rts[rs[i]:re[i]]
+                if seg.size == 0:
+                    continue
+                lo = np.searchsorted(seg, lts[ls:le] + low, side="right")
+                hi = np.searchsorted(seg, lts[ls:le] + high, side="right")
+                counts[ls:le] = hi - lo
+        out[count_col] = counts
         return out
 
-    return _cokeyed(left_ds, right_ds, key, ts_col, out_cols, kernel)
+    return _cokeyed_buckets(left_ds, right_ds, key, ts_col, out_cols,
+                            bucket_fn, n_buckets)
 
 
 def running_total(ds, key: str, order_cols: list[str], cents_col: str,
-                  out_cols: list[str], total_col: str = "running_cents"):
+                  out_cols: list[str], total_col: str = "running_cents",
+                  n_buckets: int | None = None):
     """Per-key ordered cumulative sum (the SUM() OVER (PARTITION BY key
-    ORDER BY ...) window): one shuffle to co-locate keys, then a
-    vectorized lexsort + cumsum per group. ``cents_col`` must be integer
-    (fixed-point) so the cumulative is exact."""
+    ORDER BY ...) window): keys hash into buckets (fat groups), one
+    lexsort per bucket orders (key, *order_cols), and the per-key
+    cumulative is a single vectorized cumsum with segment-start rebasing —
+    no per-key Python at all. ``cents_col`` must be integer (fixed-point)
+    so the cumulative is exact."""
+    nb = n_buckets or _default_buckets()
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return _bucket_col(batch, key, nb)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group[key].to_numpy()
         order = np.lexsort(tuple(group[c].to_numpy()
-                                 for c in reversed(order_cols)))
+                                 for c in reversed(order_cols)) + (keys,))
         g = group.iloc[order]
+        gk = keys[order]
+        c = g[cents_col].to_numpy(dtype=np.int64)
+        s = np.cumsum(c)
+        # rebase at each key-segment start: running = s - s[start-1]
+        # (per-segment base indexed by segment id — cents may be negative,
+        # so no accumulate tricks over s itself)
+        boundary = np.concatenate(([True], gk[1:] != gk[:-1]))
+        starts = np.flatnonzero(boundary)
+        seg_id = np.cumsum(boundary) - 1
+        seg_base = np.concatenate(([0], s[starts[1:] - 1])) \
+            if starts.size > 1 else np.zeros(1, dtype=np.int64)
         out = g[out_cols].copy()
-        out[total_col] = np.cumsum(g[cents_col].to_numpy(dtype=np.int64))
+        out[total_col] = s - seg_base[seg_id]
         return out
 
-    return ds.groupby(key).map_groups(per_key)
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_kb").map_groups(per_bucket)
 
 
 def group_quantiles(ds, key: str, value_col: str, ps: list[float],

@@ -153,6 +153,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("docs_decontaminate", Q.docs_decontaminate)
     timed("docs_pack_sequences", Q.docs_pack_sequences)
     timed("embeddings_knn", Q.embeddings_knn)
+    timed("events_asof_join", Q.events_asof_join)
+    timed("docs_winnow_pairs", Q.docs_winnow_pairs)
     timed("media_features", Q.media_features)
     timings["crawl_full_site"] = round(crawl_sec, 3)
 
