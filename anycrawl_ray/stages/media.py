@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .text_analysis import _mix64_np as _mix64  # shared splitmix64 kernel
+
 ALLOW_FAKE_DECODE = True
 FEATURE_DIM = 8
 
@@ -40,39 +42,57 @@ def fnv1a_bytes(payload: bytes) -> int:
     return h
 
 
-def fnv1a_bytes_bulk(payloads: list[bytes]) -> np.ndarray:
-    """Vectorized FNV-1a over a batch of byte strings: scatter into one
-    padded (N, maxlen) uint8 matrix, one masked xor-multiply pass per byte
-    position — no per-payload Python in the hot loop."""
+def fnv1a_bytes_bulk(payloads: list[bytes],
+                     max_chunk_bytes: int = 1 << 24) -> np.ndarray:
+    """Vectorized FNV-1a over a batch of byte strings: scatter into a
+    padded (chunk, maxlen) uint8 matrix, one masked xor-multiply pass per
+    byte position — no per-payload Python in the hot loop. Chunked along
+    rows so the padded matrix stays <= ``max_chunk_bytes`` (16 MB default)
+    however large the payload cells are; a single oversized payload only
+    pads its own chunk."""
     n = len(payloads)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    lens = np.fromiter((len(b) for b in payloads), count=n, dtype=np.int64)
-    width = int(lens.max(initial=1))
-    mat = np.zeros((n, max(width, 1)), dtype=np.uint8)
-    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-    if flat.size:
-        row = np.repeat(np.arange(n), lens)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        col = np.arange(flat.size) - np.repeat(starts, lens)
-        mat[row, col] = flat
-    h = np.full(n, _FNV_INIT, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    start = 0
+    while start < n:
+        stop, width = start, 1
+        # grow the chunk until padded size (rows * running-max-len) caps
+        while stop < n:
+            w = max(width, len(payloads[stop]))
+            if stop > start and (stop - start + 1) * w > max_chunk_bytes:
+                break
+            width, stop = w, stop + 1
+        chunk = payloads[start:stop]
+        m = len(chunk)
+        lens = np.fromiter((len(b) for b in chunk), count=m, dtype=np.int64)
+        mat = np.zeros((m, max(width, 1)), dtype=np.uint8)
+        flat = np.frombuffer(b"".join(chunk), dtype=np.uint8)
+        if flat.size:
+            row = np.repeat(np.arange(m), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            col = np.arange(flat.size) - np.repeat(starts, lens)
+            mat[row, col] = flat
+        h = np.full(m, _FNV_INIT, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(width):
+                mm = lens > j
+                h[mm] = (h[mm] ^ mat[mm, j]) * _FNV_PRIME
+        out[start:stop] = h
+        start = stop
+    return out
+
+
+def fnv1a_extend(h: np.ndarray, extra: np.ndarray) -> np.ndarray:
+    """Continue FNV-1a folds: ``h`` (N,) u64 states x ``extra`` (N, B)
+    uint8 byte rows -> new states. FNV is sequential, so folding the tail
+    bytes onto a precomputed payload hash equals hashing
+    ``payload + tail`` — lets callers avoid materializing concatenated
+    payload copies (FrameSampler: one base hash per payload, 8 ts bytes
+    per frame)."""
+    h = h.astype(np.uint64, copy=True)
     with np.errstate(over="ignore"):
-        for j in range(width):
-            m = lens > j
-            h[m] = (h[m] ^ mat[m, j]) * _FNV_PRIME
+        for j in range(extra.shape[1]):
+            h = (h ^ extra[:, j].astype(np.uint64)) * _FNV_PRIME
     return h
-
-
-def _mix64(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
 
 
 def _grids_from_seeds(seeds: np.ndarray) -> np.ndarray:
@@ -201,23 +221,22 @@ class ImageResizer:
         self.target_w = target_w
         self.target_h = target_h
 
-    def _resize(self, img: np.ndarray) -> np.ndarray:
-        h, w = img.shape[:2]
+    def _index_maps(self, h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
         # nearest-neighbor index maps (floor((i+0.5)*src/dst), PIL NEAREST)
         rows = np.minimum(((np.arange(self.target_h) + 0.5) * h
                            / self.target_h).astype(np.int64), h - 1)
         cols = np.minimum(((np.arange(self.target_w) + 0.5) * w
                            / self.target_w).astype(np.int64), w - 1)
+        return rows, cols
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        rows, cols = self._index_maps(*img.shape[:2])
         return img[rows][:, cols]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = [p or b"" for p in batch.column("payload").to_pylist()]
         grids = decode_images_bulk(payloads)  # (N, 8, 8)
-        h, w = 8, 8
-        rows = np.minimum(((np.arange(self.target_h) + 0.5) * h
-                           / self.target_h).astype(np.int64), h - 1)
-        cols = np.minimum(((np.arange(self.target_w) + 0.5) * w
-                           / self.target_w).astype(np.int64), w - 1)
+        rows, cols = self._index_maps(grids.shape[1], grids.shape[2])
         small = grids[:, rows][:, :, cols]  # (N, th, tw)
         out_payload = [g.tobytes() for g in small]
         n = len(payloads)
@@ -245,18 +264,26 @@ class FrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
-        payloads = batch.column("payload").to_pylist()
+        payloads = [p or b"" for p in batch.column("payload").to_pylist()]
         durations = batch.column("duration_ms").to_pylist()
-        out_id, out_idx, out_ts, seed_bytes = [], [], [], []
-        for mid, p, dur in zip(ids, payloads, durations):
+        # base hash ONCE per payload; per-frame seeds extend the fold over
+        # the 8 little-endian ts bytes (== hashing payload + ts_bytes, no
+        # per-frame payload copies in memory)
+        base = fnv1a_bytes_bulk(payloads)
+        out_id, out_idx, out_ts, src_row = [], [], [], []
+        for r, (mid, dur) in enumerate(zip(ids, durations)):
             n_frames = max(1, int(dur or 0) // self.every_ms + 1)
             for k in range(n_frames):
-                ts = k * self.every_ms
                 out_id.append(mid)
                 out_idx.append(k)
-                out_ts.append(ts)
-                seed_bytes.append((p or b"") + ts.to_bytes(8, "little"))
-        out_frame = [g.tobytes() for g in decode_images_bulk(seed_bytes)]
+                out_ts.append(k * self.every_ms)
+                src_row.append(r)
+        ts_arr = np.asarray(out_ts, dtype=np.int64)
+        tsb = np.zeros((ts_arr.size, 8), dtype=np.uint8)
+        for j in range(8):
+            tsb[:, j] = (ts_arr >> (8 * j)) & 0xFF
+        seeds = fnv1a_extend(base[np.asarray(src_row, dtype=np.int64)], tsb)
+        out_frame = [g.tobytes() for g in _grids_from_seeds(seeds)]
         return pa.table({
             "media_id": pa.array(out_id, pa.string()),
             "frame_idx": pa.array(out_idx, pa.int32()),

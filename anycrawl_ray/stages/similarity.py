@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .text_analysis import _mix64_np  # shared splitmix64 kernel
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -89,17 +91,6 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int = 16, iters: int = 10,
                 centroids[c] = members.mean(axis=0)
         centroids = _normalize(centroids)
     return centroids
-
-
-def _mix64_np(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
 
 
 def hash_centroids(ds, n_clusters: int) -> np.ndarray:

@@ -29,16 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _mix64_np(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
+from .text_analysis import _mix64_np
 
 
 def _default_buckets() -> int:
@@ -79,8 +70,7 @@ def _cokeyed_buckets(left_ds, right_ds, key: str, ts_col: str,
     left_types = {f.name: f.type for f in left_ds.schema().base_schema}
     left_t = left_ds.map_batches(tag(0), batch_format="pyarrow")
     right_t = right_ds.select_columns([key, ts_col]).map_batches(
-        lambda b: pa.table({key: b.column(key), ts_col: b.column(ts_col)}),
-        batch_format="pyarrow").map_batches(tag(1), batch_format="pyarrow")
+        tag(1), batch_format="pyarrow")
     # align schemas for union: right side pads left-only cols with typed
     # zero values, NOT nulls — pandas would promote a nullable int64 group
     # column to float64 inside map_groups (the pad rows are dropped there)
@@ -103,10 +93,9 @@ def _cokeyed_buckets(left_ds, right_ds, key: str, ts_col: str,
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         side = group["_side"].to_numpy()
         lmask = side == 0
+        # empty-left buckets still flow through bucket_fn so every block
+        # carries the full output schema incl. the result column
         left = group[lmask]
-        if not len(left):
-            return pd.DataFrame({c: pd.Series([], dtype=group[c].dtype)
-                                 for c in out_cols})
         lorder = np.argsort(left[key].to_numpy(), kind="stable")
         left = left.iloc[lorder]
         right = group[~lmask]
@@ -141,27 +130,32 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
     def bucket_fn(left: pd.DataFrame, lkeys, lts, rkeys, rts) -> pd.DataFrame:
         out = left[out_cols].copy()
         is_dt = np.issubdtype(lts.dtype, np.datetime64)
-        if rts.size == 0:
-            out[prior_col] = (pd.Series([pd.NaT] * len(out), index=out.index)
-                              if is_dt else np.nan)
-            return out
-        prior = np.empty(lts.size, dtype=rts.dtype if is_dt else np.float64)
-        uk, lb, rs, re = _key_segments(lkeys, rkeys)
-        for i in range(uk.size):
-            ls, le = lb[i], lb[i + 1]
-            seg = rts[rs[i]:re[i]]
-            if seg.size == 0:
-                prior[ls:le] = np.datetime64("NaT") if is_dt else np.nan
-                continue
-            pos = np.searchsorted(seg, lts[ls:le], side="right") - 1
-            vals = seg[np.maximum(pos, 0)]
-            if is_dt:
-                vals = vals.copy()
-                vals[pos < 0] = np.datetime64("NaT")
-            else:
-                vals = np.where(pos >= 0, vals.astype(np.float64), np.nan)
-            prior[ls:le] = vals
-        out[prior_col] = prior
+        is_int = np.issubdtype(lts.dtype, np.integer)
+        prior = np.zeros(lts.size, dtype=lts.dtype if (is_dt or is_int)
+                         else np.float64)
+        missing = np.ones(lts.size, dtype=bool)
+        if rts.size:
+            uk, lb, rs, re = _key_segments(lkeys, rkeys)
+            for i in range(uk.size):
+                ls, le = lb[i], lb[i + 1]
+                seg = rts[rs[i]:re[i]]
+                if seg.size == 0:
+                    continue
+                pos = np.searchsorted(seg, lts[ls:le], side="right") - 1
+                prior[ls:le] = seg[np.maximum(pos, 0)]
+                missing[ls:le] = pos < 0
+        if is_dt:
+            prior = prior.copy()
+            prior[missing] = np.datetime64("NaT")
+            out[prior_col] = prior
+        elif is_int:
+            # nullable Int64 keeps exact int values (a float64 column
+            # would silently round ts values above 2^53)
+            out[prior_col] = pd.arrays.IntegerArray(
+                prior.astype(np.int64), mask=missing)
+        else:
+            out[prior_col] = np.where(missing, np.nan,
+                                      prior.astype(np.float64))
         return out
 
     return _cokeyed_buckets(left_ds, right_ds, key, ts_col, out_cols,

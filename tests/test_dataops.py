@@ -524,8 +524,34 @@ def test_asof_join_matches_pandas(ray_session):
     got = got.sort_values("event_id").reset_index(drop=True)
     want = want.sort_values("event_id").reset_index(drop=True)
     assert got["event_id"].tolist() == want["event_id"].tolist()
-    g, w = got["prior_ts"].to_numpy(), want["prior_ts"].to_numpy()
+    # int ts -> nullable Int64 output (exact above 2^53, unlike float64)
+    g = got["prior_ts"].astype("float64").to_numpy()
+    w = want["prior_ts"].to_numpy()
     assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
+def test_asof_join_empty_left_buckets_keep_schema(ray_session):
+    """Buckets whose keys have ONLY right rows must still emit the full
+    output schema incl. the prior column — otherwise Ray sees blocks with
+    inconsistent schemas. (A truly-empty overall result loses its schema
+    inside Ray's empty-dataset representation; that's a Ray property, not
+    an operator one.)"""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import asof_join
+
+    left = pa.table({"event_id": pa.array([7], pa.int64()),
+                     "user_id": pa.array([1], pa.int64()),
+                     "ts": pa.array([15], pa.int64())})
+    right = pa.table({"user_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                      "ts": pa.array([10, 20, 30, 40, 50, 60], pa.int64())})
+    got = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key="user_id", ts_col="ts",
+                    out_cols=["event_id", "user_id", "ts"],
+                    prior_col="prior_ts").to_pandas()
+    assert list(got.columns) == ["event_id", "user_id", "ts", "prior_ts"]
+    assert got["event_id"].tolist() == [7]
+    assert got["prior_ts"].tolist() == [10]
 
 
 def test_running_total_matches_pandas(ray_session):
