@@ -1690,17 +1690,22 @@ def events_asof_join(sf_dir: str):
     the latest click at-or-before it by the same user (classic trade/quote
     as-of). One shuffle co-locates both sides per user; per-group kernel is
     vectorized searchsorted (stages/window.py). Oracle: DuckDB ASOF JOIN."""
-    from ..stages.window import asof_join
+    from ..stages.window import asof_join, tag_sides
 
     rd = _rd()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
-    left = ev.filter(expr="event_type == 'purchase'")
-    right = ev.filter(expr="event_type == 'click'")
-    out = asof_join(left, right, key="user_id", ts_col="ts",
+    # single-scan tagging: purchases = left, clicks = right, rest dropped
+    tagged = tag_sides(ev, _purchase_click_sides, key="user_id")
+    out = asof_join(None, None, key="user_id", ts_col="ts",
                     out_cols=["event_id", "user_id", "ts"],
-                    prior_col="prior_click_ts")
+                    prior_col="prior_click_ts", tagged_ds=tagged)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _purchase_click_sides(batch: pa.Table) -> np.ndarray:
+    t = batch.column("event_type").to_numpy(zero_copy_only=False)
+    return np.where(t == "purchase", 0, np.where(t == "click", 1, -1))
 
 
 _EVENTS_ASOF_SQL = """
@@ -1752,18 +1757,17 @@ def events_range_join(sf_dir: str):
     clicks by the same user strictly within the following hour. Same
     one-shuffle co-partitioning as the as-of join; two binary searches per
     group (stages/window.py). Oracle: plain non-equi LEFT JOIN + count."""
-    from ..stages.window import range_join_count
+    from ..stages.window import range_join_count, tag_sides
 
     rd = _rd()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
-    left = ev.filter(expr="event_type == 'purchase'")
-    right = ev.filter(expr="event_type == 'click'")
-    out = range_join_count(left, right, key="user_id", ts_col="ts",
+    tagged = tag_sides(ev, _purchase_click_sides, key="user_id")
+    out = range_join_count(None, None, key="user_id", ts_col="ts",
                            out_cols=["event_id", "user_id"],
                            low=np.timedelta64(0, "ms"),
                            high=np.timedelta64(3_600_000, "ms"),
-                           count_col="clicks_next_hour")
+                           count_col="clicks_next_hour", tagged_ds=tagged)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 

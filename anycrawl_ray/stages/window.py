@@ -39,7 +39,7 @@ def _default_buckets() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         cpus = 8
-    return max(16, min(512, cpus * 8))
+    return max(16, min(512, cpus * 4))
 
 
 def _bucket_col(batch: pa.Table, key: str, n_buckets: int) -> pa.Table:
@@ -51,13 +51,32 @@ def _bucket_col(batch: pa.Table, key: str, n_buckets: int) -> pa.Table:
     return batch.append_column("_kb", pa.array(kb, pa.int64()))
 
 
+def tag_sides(ds, side_fn, key: str, n_buckets: int | None = None):
+    """Single-pass side tagging for co-keyed joins whose two sides come
+    from the SAME source: ``side_fn(batch) -> int8 array`` (0 = left, 1 =
+    right, negative = drop). One scan replaces the two filtered re-reads
+    the two-dataset form costs (both sides of an events self-join were
+    scanning the parquet twice). Pass the result as ``tagged_ds``."""
+    nb = n_buckets or _default_buckets()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        side = np.asarray(side_fn(batch), dtype=np.int8)
+        t = batch.append_column("_side", pa.array(side, pa.int8()))
+        t = t.filter(pa.array(side >= 0))
+        return _bucket_col(t, key, nb)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _cokeyed_buckets(left_ds, right_ds, key: str, ts_col: str,
-                     out_cols: list[str], bucket_fn, n_buckets: int | None):
-    """Shared co-keyed two-sided shuffle: tag + union both inputs, bucket
-    keys by hash, ONE ``groupby(_kb)`` co-locates every key's rows from
-    both sides into a few hundred fat groups, then ``bucket_fn(left_df,
-    lkeys, lts, rkeys_sorted, rts_sorted) -> result column`` runs numpy
-    over per-key segments inside each bucket."""
+                     out_cols: list[str], bucket_fn, n_buckets: int | None,
+                     tagged_ds=None):
+    """Shared co-keyed two-sided shuffle: tag + union both inputs (or take
+    a pre-tagged single-scan dataset from ``tag_sides``), bucket keys by
+    hash, ONE ``groupby(_kb)`` co-locates every key's rows from both sides
+    into a few hundred fat groups, then ``bucket_fn(left_df, lkeys, lts,
+    rkeys_sorted, rts_sorted) -> result column`` runs numpy over per-key
+    segments inside each bucket."""
     nb = n_buckets or _default_buckets()
 
     def tag(side: int):
@@ -66,29 +85,34 @@ def _cokeyed_buckets(left_ds, right_ds, key: str, ts_col: str,
                 "_side", pa.array([side] * len(batch), pa.int8()))
         return fn
 
-    cols = sorted(set(out_cols) | {key, ts_col})
-    left_types = {f.name: f.type for f in left_ds.schema().base_schema}
-    left_t = left_ds.map_batches(tag(0), batch_format="pyarrow")
-    right_t = right_ds.select_columns([key, ts_col]).map_batches(
-        tag(1), batch_format="pyarrow")
-    # align schemas for union: right side pads left-only cols with typed
-    # zero values, NOT nulls — pandas would promote a nullable int64 group
-    # column to float64 inside map_groups (the pad rows are dropped there)
-    def widen(batch: pa.Table) -> pa.Table:
-        out = {}
-        for c in cols:
-            if c in batch.schema.names:
-                out[c] = batch.column(c)
-            else:
-                t = left_types[c]
-                zero = pa.scalar(0, t) if pa.types.is_integer(t) else None
-                out[c] = pa.array([zero.as_py() if zero is not None else None]
-                                  * len(batch), t)
-        out["_side"] = batch.column("_side")
-        return _bucket_col(pa.table(out), key, nb)
+    if tagged_ds is not None:
+        unioned = tagged_ds
+    else:
+        cols = sorted(set(out_cols) | {key, ts_col})
+        left_types = {f.name: f.type for f in left_ds.schema().base_schema}
+        left_t = left_ds.map_batches(tag(0), batch_format="pyarrow")
+        right_t = right_ds.select_columns([key, ts_col]).map_batches(
+            tag(1), batch_format="pyarrow")
+        # align schemas for union: right side pads left-only cols with
+        # typed zero values, NOT nulls — pandas would promote a nullable
+        # int64 group column to float64 inside map_groups (the pad rows
+        # are dropped there)
+        def widen(batch: pa.Table) -> pa.Table:
+            out = {}
+            for c in cols:
+                if c in batch.schema.names:
+                    out[c] = batch.column(c)
+                else:
+                    t = left_types[c]
+                    zero = pa.scalar(0, t) if pa.types.is_integer(t) else None
+                    out[c] = pa.array(
+                        [zero.as_py() if zero is not None else None]
+                        * len(batch), t)
+            out["_side"] = batch.column("_side")
+            return _bucket_col(pa.table(out), key, nb)
 
-    unioned = left_t.map_batches(widen, batch_format="pyarrow").union(
-        right_t.map_batches(widen, batch_format="pyarrow"))
+        unioned = left_t.map_batches(widen, batch_format="pyarrow").union(
+            right_t.map_batches(widen, batch_format="pyarrow"))
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         side = group["_side"].to_numpy()
@@ -121,7 +145,7 @@ def _key_segments(lkeys: np.ndarray, rkeys: np.ndarray):
 
 def asof_join(left_ds, right_ds, key: str, ts_col: str,
               out_cols: list[str], prior_col: str = "prior_ts",
-              n_buckets: int | None = None):
+              n_buckets: int | None = None, tagged_ds=None):
     """For every left row, attach the greatest right ``ts_col`` <= the left
     row's ts within the same ``key`` (NULL when none) — the classic as-of
     join. Per-segment kernel: one vectorized ``np.searchsorted`` of left
@@ -159,13 +183,13 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         return out
 
     return _cokeyed_buckets(left_ds, right_ds, key, ts_col, out_cols,
-                            bucket_fn, n_buckets)
+                            bucket_fn, n_buckets, tagged_ds=tagged_ds)
 
 
 def range_join_count(left_ds, right_ds, key: str, ts_col: str,
                      out_cols: list[str], low, high,
                      count_col: str = "n_in_range",
-                     n_buckets: int | None = None):
+                     n_buckets: int | None = None, tagged_ds=None):
     """Keyed RANGE join (count form): for every left row, the number of
     right rows with ``l.ts + low < r.ts <= l.ts + high`` in the same key —
     a band/interval join, the non-equi class Ray Data has no built-in
@@ -189,7 +213,7 @@ def range_join_count(left_ds, right_ds, key: str, ts_col: str,
         return out
 
     return _cokeyed_buckets(left_ds, right_ds, key, ts_col, out_cols,
-                            bucket_fn, n_buckets)
+                            bucket_fn, n_buckets, tagged_ds=tagged_ds)
 
 
 def running_total(ds, key: str, order_cols: list[str], cents_col: str,
