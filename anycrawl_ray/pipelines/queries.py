@@ -1781,6 +1781,58 @@ GROUP BY l.event_id, l.user_id
 """
 
 
+def docs_pagerank(sf_dir: str):
+    """Iterative distributed algorithm class: 10 PageRank iterations over
+    the synthetic site graph in EXACT integer fixed-point arithmetic
+    (rank = int64 scaled 1e12; per-edge contribution = floor division;
+    damping = one integer expression), so the whole iteration chain is
+    value-hash oracle-checked — no float summation-order escape hatch.
+    One map_batches + one groupby-Sum shuffle per iteration."""
+    from ..stages.graph import pagerank_int
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return pagerank_int(n, iters=_PAGERANK_ITERS)
+
+
+_PAGERANK_ITERS = 10
+_PAGERANK_SCALE = 10 ** 12
+
+
+def _pagerank_sql(iters: int = _PAGERANK_ITERS,
+                  scale: int = _PAGERANK_SCALE) -> str:
+    """Unrolled-CTE replay of pagerank_int: same edges arms as the crawl
+    oracle, same integer update r' = (15*s0 + 85*sum(r//deg)) // 100."""
+    parts = [f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS MATERIALIZED (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS node, CAST({scale} // n.c AS BIGINT) AS r
+       FROM documents, n)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+s{k} AS (
+  SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+  FROM edges e JOIN r{k - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+r{k} AS MATERIALIZED (
+  SELECT p.node,
+         CAST((15 * ({scale} // n.c) + 85 * coalesce(s.s, 0)) // 100
+              AS BIGINT) AS r
+  FROM r0 p CROSS JOIN n LEFT JOIN s{k} s ON s.node = p.node)""")
+    parts.append(f"""
+SELECT node AS doc_id, r AS rank_scaled FROM r{iters} ORDER BY doc_id
+""")
+    return "".join(parts)
+
+
 def docs_winnow_pairs(sf_dir: str):
     """Winnowing fingerprint near-dup pairs (Schleimer et al., SIGMOD'03
     — the MOSS kernel): local rightmost-minimum gram sampling instead of
@@ -1992,6 +2044,7 @@ QUERIES = {
     "events_running_total": events_running_total,
     "events_quantiles": events_quantiles,
     "docs_winnow_pairs": docs_winnow_pairs,
+    "docs_pagerank": docs_pagerank,
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frames": media_frames,
@@ -2055,6 +2108,8 @@ ORACLE_SQL = {
     # winnowing (MOSS) fingerprint pairs — full u64 kernel replay
     "docs_winnow_pairs": _oracle_kernels.winnow_pairs_sql(
         k=3, w=4, min_shared=2),
+    # iterative integer-fixed-point PageRank — unrolled CTE replay
+    "docs_pagerank": _pagerank_sql(),
     # IVF ANN with hash-selected centroids: centroid pick, argmax
     # assignment, probe and in-cluster top-k all replay relationally
     "embeddings_knn_ivf": _ivf_knn_sql(n_clusters=16, nprobe=6),

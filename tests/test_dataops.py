@@ -672,3 +672,32 @@ def test_winnow_pairs_planted(ray_session):
     out = winnow_pairs(_docs_ds(rows), k=3, w=4, min_shared=2)
     pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
     assert (100, 101) in pairs
+
+
+def test_pagerank_int_matches_numpy_reference(ray_session):
+    """Distributed integer PageRank == a serial numpy replay of the same
+    integer recurrence (order-free arithmetic, so equality is exact)."""
+    from anycrawl_ray.stages.graph import pagerank_int, synthetic_degrees
+
+    n, iters, scale = 97, 6, 10 ** 12
+    got = pagerank_int(n, iters=iters, scale=scale)
+    ids = np.arange(n, dtype=np.int64)
+    deg = synthetic_degrees(ids, n)
+    scale0 = scale // n
+    r = np.full(n, scale0, dtype=np.int64)
+    for _ in range(iters):
+        s = np.zeros(n, dtype=np.int64)
+        cv = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        c1 = 2 * ids + 1
+        m = c1 < n
+        np.add.at(s, c1[m], cv[m])
+        c2 = 2 * ids + 2
+        m = c2 < n
+        np.add.at(s, c2[m], cv[m])
+        m = ids % 3 == 0
+        np.add.at(s, (7 * ids[m] + 3) % n, cv[m])
+        r = (15 * scale0 + 85 * s) // 100
+    assert got.column("doc_id").to_pylist() == ids.tolist()
+    assert got.column("rank_scaled").to_pylist() == r.tolist()
+    # sanity: ranks positive, seeds of hubs rank above leaves on average
+    assert min(r.tolist()) > 0
