@@ -846,16 +846,18 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
     Scale shape: fingerprints are a ~2/(w+1) sample of the grams, so the
     exploded index is a fraction of the ngram_jaccard one; grams with
     document frequency > ``max_bucket`` are dropped as stop-grams (the
-    standard winnowing-index cap — replicated by the SQL oracle). Most
-    fingerprints are singletons, so the same vectorized-Count collision
-    pre-filter as the LSH path gates ``map_groups`` (a straight per-fp
-    map_groups measured 74 s at sf0.1 — per-group pandas overhead over
-    ~300k singleton groups); only colliding fingerprints pay pair
-    emission, and the pair count is one vectorized Count aggregate."""
+    standard winnowing-index cap — replicated by the SQL oracle). ONE
+    shuffle total: fingerprints hash into ~2x-CPUs FAT buckets (a bucket
+    holds EVERY row of its fingerprints, so the df cap is globally
+    correct inside the bucket — no separate Count shuffle), and the
+    bucket kernel computes df, drops singletons/stop-grams and emits
+    partial pair counts with pure index arithmetic (np.repeat +
+    within-row arange). Per-fp map_groups measured 74 s at sf0.1
+    (~300k singleton groups of per-group pandas overhead); a distributed
+    two-key groupby over the raw pair rows measured another 66 s — both
+    shapes are avoided by construction."""
     import pandas as pd
-    import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
         out_id, out_fp = [], []
@@ -867,25 +869,9 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
         return pa.table({"doc": pa.array(out_id),
                          "fp": pa.array(out_fp, pa.int64())})
 
-    fp_m = ds.map_batches(explode, batch_format="pyarrow").materialize()
-    counts = fp_m.groupby("fp").aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr=f"n >= 2 and n <= {max_bucket}").to_pandas()
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "shared": pa.array([], pa.int64())})
-    if len(hot) == 0:
-        return empty
-    ref = ray.put(pa.array(hot["fp"], pa.int64()))
-
-    def collision_filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("fp"),
-                                     value_set=_cached_get(ref)))
-
-    # pair emission: thousands of SMALL collision groups would pay per-
-    # group pandas overhead in a per-fp map_groups (measured 63 s for
-    # 15.7k groups at sf0.1) — so fps hash into ~n_cpus*2 FAT buckets and
-    # each bucket emits every segment's (i<j) pairs with pure index
-    # arithmetic (np.repeat + within-row arange), no per-fp Python
     nb = max(16, min(256,
                      int(ray.cluster_resources().get("CPU", 8)) * 2))
 
@@ -905,6 +891,18 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
         seg_id = np.cumsum(boundary) - 1
         starts = np.flatnonzero(boundary)
         sizes = np.diff(np.append(starts, fp.size))
+        # df cap INSIDE the bucket (all rows of an fp share its bucket):
+        # singletons and stop-grams drop before any pair arithmetic
+        keep = (sizes[seg_id] >= 2) & (sizes[seg_id] <= max_bucket)
+        fp, doc, seg_id = fp[keep], doc[keep], seg_id[keep]
+        if not fp.size:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "shared": pd.Series([], dtype="int64")})
+        boundary = np.concatenate(([True], fp[1:] != fp[:-1]))
+        seg_id = np.cumsum(boundary) - 1
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, fp.size))
         local = np.arange(fp.size) - starts[seg_id]
         counts = sizes[seg_id] - 1 - local  # pairs where this row is 'a'
         left = np.repeat(np.arange(fp.size), counts)
@@ -912,8 +910,7 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
             np.cumsum(counts) - counts, counts) + 1
         a, b = doc[left], doc[left + offs]
         # partial count per DISTINCT pair inside the bucket (vectorized
-        # boundary counting — a distributed groupby over the raw pair rows
-        # measured 66 s at sf0.1; the partial rows are pair-bounded)
+        # boundary counting; the partial rows are pair-bounded)
         po = np.lexsort((b, a))
         a, b = a[po], b[po]
         pb = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
@@ -921,7 +918,7 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
         cnt = np.diff(np.append(ps, a.size))
         return pd.DataFrame({"a": a[ps], "b": b[ps], "shared": cnt})
 
-    partials = (fp_m.map_batches(collision_filter, batch_format="pyarrow")
+    partials = (ds.map_batches(explode, batch_format="pyarrow")
                 .map_batches(add_bucket, batch_format="pyarrow")
                 .groupby("_kb").map_groups(emit_pair_counts_bucket,
                                            batch_format="pandas"))
