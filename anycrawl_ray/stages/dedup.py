@@ -743,57 +743,104 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
 
     Scale note: exact inverted-index Jaccard emits O(df^2) rows per gram —
     use it for verification corpora / samples; MinHash+LSH is the web-scale
-    estimator (its candidate path caps degenerate buckets)."""
+    estimator (its candidate path caps degenerate buckets).
+
+    Shuffle shape (reworked after measurement — the original per-gram
+    ``map_groups`` + two-key pair groupby + two hash joins ran PAST 550 s
+    at sf0.1): grams hash into ~2x-CPUs FAT buckets (a bucket holds EVERY
+    row of its grams — segments compare the gram STRINGS, the hash only
+    routes, so hash collisions cannot merge distinct grams); each bucket
+    emits partial pair counts with pure index arithmetic, carrying the
+    per-doc gram totals it learned at explode time; a SECOND pair-hash
+    bucket shuffle sums the partials and applies the integer threshold
+    ``inter * 100 >= pct * union`` INSIDE the bucket — only qualifying
+    pairs ever reach the driver (no sizes join, no O(corpus) broadcast,
+    no driver-side 35M-row merge: that merge alone measured ~30 s)."""
     import ray
-    from ray.data.aggregate import Count
 
     import pandas as pd
 
+    from .text_analysis import _fnv1a_bulk
+
     def explode(batch: pa.Table) -> pa.Table:
-        out_id, out_gram = [], []
+        out_id, out_gram, out_ng = [], [], []
         for d, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
             grams = _word_ngrams(t, n)
             out_id.extend([d] * len(grams))
             out_gram.extend(grams)
+            out_ng.extend([len(grams)] * len(grams))
         return pa.table({"doc": pa.array(out_id),
-                         "gram": pa.array(out_gram, pa.string())})
+                         "gram": pa.array(out_gram, pa.string()),
+                         "ng": pa.array(out_ng, pa.int64())})
 
-    bg = ds.map_batches(explode, batch_format="pyarrow").materialize()
-    sizes = bg.groupby("doc").aggregate(Count(alias_name="n_grams"))
+    nb = max(16, min(256,
+                     int(ray.cluster_resources().get("CPU", 8)) * 2))
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids))
-                 for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        grams = batch.column("gram").to_pylist()
+        gh = np.asarray(_fnv1a_bulk(grams), dtype=np.uint64)
+        kb = (gh % np.uint64(nb)).astype(np.int64)
+        return batch.append_column("_kb", pa.array(kb, pa.int64()))
 
-    inter = (bg.groupby("gram").map_groups(emit_pairs, batch_format="pandas")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="inter")))
+    def emit_pair_counts_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["gram", "doc"], kind="mergesort")
+        gram = g["gram"].to_numpy()
+        doc = g["doc"].to_numpy()
+        ng = g["ng"].to_numpy(dtype=np.int64)
+        boundary = np.concatenate(([True], gram[1:] != gram[:-1]))
+        seg_id = np.cumsum(boundary) - 1
+        starts = np.flatnonzero(boundary)
+        sizes_ = np.diff(np.append(starts, gram.size))
+        local = np.arange(gram.size) - starts[seg_id]
+        counts = sizes_[seg_id] - 1 - local
+        left = np.repeat(np.arange(gram.size), counts)
+        offs = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts) + 1
+        right = left + offs
+        a, b = doc[left], doc[right]
+        na, nbg = ng[left], ng[right]
+        po = np.lexsort((b, a))
+        a, b, na, nbg = a[po], b[po], na[po], nbg[po]
+        pb = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        ps = np.flatnonzero(pb)
+        cnt = np.diff(np.append(ps, a.size))
+        return pd.DataFrame({"a": a[ps], "b": b[ps], "inter": cnt,
+                             "na": na[ps], "nb": nbg[ps]})
 
-    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
-    size_a = sizes.map_batches(
-        lambda b: b.rename_columns(["a", "n_a"]), batch_format="pyarrow")
-    size_b = sizes.map_batches(
-        lambda b: b.rename_columns(["b", "n_b"]), batch_format="pyarrow")
-    joined = inter.join(size_a, "inner", n_parts, on=("a",)).join(
-        size_b, "inner", n_parts, on=("b",))
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64).view(np.uint64)
+        b = np.asarray(batch.column("b"), dtype=np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = _mix64_np(a) + _mix64_np(b) * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "_pb", pa.array((pk % np.uint64(nb)).astype(np.int64), pa.int64()))
 
-    def threshold_filter(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def finish_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        a = group["a"].to_numpy(dtype=np.int64)
+        b = group["b"].to_numpy(dtype=np.int64)
+        iv = group["inter"].to_numpy(dtype=np.int64)
+        na = group["na"].to_numpy(dtype=np.int64)
+        nbg = group["nb"].to_numpy(dtype=np.int64)
+        po = np.lexsort((b, a))
+        a, b, iv, na, nbg = a[po], b[po], iv[po], na[po], nbg[po]
+        pb = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        ps = np.flatnonzero(pb)
+        seg_id = np.cumsum(pb) - 1
+        tot = np.zeros(ps.size, dtype=np.int64)
+        np.add.at(tot, seg_id, iv)
+        a, b, na, nbg = a[ps], b[ps], na[ps], nbg[ps]
+        union = na + nbg - tot
+        keep = tot * 100 >= threshold_pct * union
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
-        i = batch.column("inter")
-        union = pc.subtract(pc.add(batch.column("n_a"), batch.column("n_b")), i)
-        keep = pc.greater_equal(pc.multiply(i, pa.scalar(100)),
-                                pc.multiply(union, pa.scalar(threshold_pct)))
-        kept = batch.filter(keep)
-        return pa.table({"a": pc.cast(kept.column("a"), pa.int64()),
-                         "b": pc.cast(kept.column("b"), pa.int64())})
-
-    res = joined.map_batches(threshold_filter, batch_format="pyarrow").to_pandas()
+    qual = (ds.map_batches(explode, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_kb").map_groups(emit_pair_counts_bucket,
+                                       batch_format="pandas")
+            .map_batches(add_pair_bucket, batch_format="pyarrow")
+            .groupby("_pb").map_groups(finish_bucket, batch_format="pandas"))
+    res = qual.to_pandas()
     if len(res) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
