@@ -155,6 +155,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("embeddings_knn", Q.embeddings_knn)
     timed("events_asof_join", Q.events_asof_join)
     timed("docs_winnow_pairs", Q.docs_winnow_pairs)
+
+    # exact all-pairs n-gram Jaccard is the documented verification-corpus
+    # tool (O(sum df^2): nearly every doc pair on this tiny-vocab corpus
+    # shares grams, ~35M partial pair rows at sf0.1) — bench it at its
+    # intended scale, a fixed 2,000-doc verification slice
+    def _ngram_2k(sf: str) -> None:
+        import pyarrow.parquet as _pq
+        import ray.data as _rd
+
+        from anycrawl_ray.stages.dedup import ngram_jaccard_pairs
+
+        docs = _pq.read_table(f"{sf}/documents.parquet",
+                              columns=["doc_id", "text"]).slice(0, 2000)
+        ngram_jaccard_pairs(_rd.from_arrow(docs))
+
+    timed("docs_ngram_jaccard_2k", _ngram_2k)
     timed("media_features", Q.media_features)
     timings["crawl_full_site"] = round(crawl_sec, 3)
 
