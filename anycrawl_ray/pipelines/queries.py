@@ -1696,7 +1696,8 @@ def events_asof_join(sf_dir: str):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
     # single-scan tagging: purchases = left, clicks = right, rest dropped
-    tagged = tag_sides(ev, _purchase_click_sides, key="user_id")
+    tagged = tag_sides(ev, _purchase_click_sides, key="user_id",
+                       keep_cols=["event_id", "user_id", "ts"])
     out = asof_join(None, None, key="user_id", ts_col="ts",
                     out_cols=["event_id", "user_id", "ts"],
                     prior_col="prior_click_ts", tagged_ds=tagged)
@@ -1762,7 +1763,8 @@ def events_range_join(sf_dir: str):
     rd = _rd()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type"])
-    tagged = tag_sides(ev, _purchase_click_sides, key="user_id")
+    tagged = tag_sides(ev, _purchase_click_sides, key="user_id",
+                       keep_cols=["event_id", "user_id", "ts"])
     out = range_join_count(None, None, key="user_id", ts_col="ts",
                            out_cols=["event_id", "user_id"],
                            low=np.timedelta64(0, "ms"),
@@ -1791,7 +1793,7 @@ def docs_pagerank(sf_dir: str):
     from ..stages.graph import pagerank_int
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return pagerank_int(n, iters=_PAGERANK_ITERS)
+    return pagerank_int(n, iters=_PAGERANK_ITERS, scale=_PAGERANK_SCALE)
 
 
 _PAGERANK_ITERS = 10

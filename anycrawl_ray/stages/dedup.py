@@ -730,16 +730,61 @@ def _word_ngrams(text: str, n: int) -> set:
     return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
 
 
+def _segment_pair_counts(keys: np.ndarray, docs: np.ndarray,
+                         extras: dict | None = None) -> dict:
+    """THE shared bucket pair kernel (ngram_jaccard_pairs + winnow_pairs):
+    rows pre-sorted by (keys, docs) -> per-DISTINCT (a, b) partial
+    co-occurrence counts via pure index arithmetic (np.repeat + within-row
+    arange + boundary counting), no per-segment Python. ``extras`` maps
+    column name -> per-row array; each comes back as ``<name>_a`` /
+    ``<name>_b`` taken from the pair's two source rows. Empty- and
+    no-pair-safe (returns zero-length int64 arrays)."""
+    extras = extras or {}
+
+    def _empty() -> dict:
+        out = {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+               "cnt": np.empty(0, np.int64)}
+        for name, col in extras.items():
+            out[name + "_a"] = np.empty(0, col.dtype)
+            out[name + "_b"] = np.empty(0, col.dtype)
+        return out
+
+    m = keys.size
+    if m == 0:
+        return _empty()
+    boundary = np.concatenate(([True], keys[1:] != keys[:-1]))
+    seg_id = np.cumsum(boundary) - 1
+    starts = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(starts, m))
+    local = np.arange(m) - starts[seg_id]
+    counts = sizes[seg_id] - 1 - local  # pairs where this row is 'a'
+    total = int(counts.sum())
+    if total == 0:  # all segments are singletons
+        return _empty()
+    left = np.repeat(np.arange(m), counts)
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                        counts) + 1
+    right = left + offs
+    a, b = docs[left], docs[right]
+    po = np.lexsort((b, a))
+    a, b = a[po], b[po]
+    pb = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    ps = np.flatnonzero(pb)
+    out = {"a": a[ps].astype(np.int64), "b": b[ps].astype(np.int64),
+           "cnt": np.diff(np.append(ps, a.size))}
+    for name, col in extras.items():
+        picked = col[left][po][ps]
+        out[name + "_a"] = picked
+        out[name + "_b"] = col[right][po][ps]
+    return out
+
+
 def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
                         id_col: str = "doc_id", text_col: str = "text"):
     """EXACT word n-gram Jaccard near-dup pairs via a distributed inverted
     index — the SQL-oracle-checkable counterpart of the MinHash estimate.
-
-    Shape: explode distinct n-grams per doc (map_batches) -> per-gram
-    ``map_groups`` emits co-occurring pairs -> vectorized Count aggregate =
-    intersection sizes -> hash-join per-doc gram counts onto both sides ->
-    integer threshold test ``inter * 100 >= pct * union`` (no float
-    boundary risk on either engine).
+    Admission is the integer threshold test ``inter * 100 >= pct * union``
+    (no float boundary risk on either engine).
 
     Scale note: exact inverted-index Jaccard emits O(df^2) rows per gram —
     use it for verification corpora / samples; MinHash+LSH is the web-scale
@@ -785,28 +830,11 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
 
     def emit_pair_counts_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["gram", "doc"], kind="mergesort")
-        gram = g["gram"].to_numpy()
-        doc = g["doc"].to_numpy()
-        ng = g["ng"].to_numpy(dtype=np.int64)
-        boundary = np.concatenate(([True], gram[1:] != gram[:-1]))
-        seg_id = np.cumsum(boundary) - 1
-        starts = np.flatnonzero(boundary)
-        sizes_ = np.diff(np.append(starts, gram.size))
-        local = np.arange(gram.size) - starts[seg_id]
-        counts = sizes_[seg_id] - 1 - local
-        left = np.repeat(np.arange(gram.size), counts)
-        offs = np.arange(int(counts.sum())) - np.repeat(
-            np.cumsum(counts) - counts, counts) + 1
-        right = left + offs
-        a, b = doc[left], doc[right]
-        na, nbg = ng[left], ng[right]
-        po = np.lexsort((b, a))
-        a, b, na, nbg = a[po], b[po], na[po], nbg[po]
-        pb = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-        ps = np.flatnonzero(pb)
-        cnt = np.diff(np.append(ps, a.size))
-        return pd.DataFrame({"a": a[ps], "b": b[ps], "inter": cnt,
-                             "na": na[ps], "nb": nbg[ps]})
+        pc = _segment_pair_counts(
+            g["gram"].to_numpy(), g["doc"].to_numpy(),
+            extras={"ng": g["ng"].to_numpy(dtype=np.int64)})
+        return pd.DataFrame({"a": pc["a"], "b": pc["b"], "inter": pc["cnt"],
+                             "na": pc["ng_a"], "nb": pc["ng_b"]})
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("a"), dtype=np.int64).view(np.uint64)
@@ -941,29 +969,9 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
         # df cap INSIDE the bucket (all rows of an fp share its bucket):
         # singletons and stop-grams drop before any pair arithmetic
         keep = (sizes[seg_id] >= 2) & (sizes[seg_id] <= max_bucket)
-        fp, doc, seg_id = fp[keep], doc[keep], seg_id[keep]
-        if not fp.size:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "shared": pd.Series([], dtype="int64")})
-        boundary = np.concatenate(([True], fp[1:] != fp[:-1]))
-        seg_id = np.cumsum(boundary) - 1
-        starts = np.flatnonzero(boundary)
-        sizes = np.diff(np.append(starts, fp.size))
-        local = np.arange(fp.size) - starts[seg_id]
-        counts = sizes[seg_id] - 1 - local  # pairs where this row is 'a'
-        left = np.repeat(np.arange(fp.size), counts)
-        offs = np.arange(int(counts.sum())) - np.repeat(
-            np.cumsum(counts) - counts, counts) + 1
-        a, b = doc[left], doc[left + offs]
-        # partial count per DISTINCT pair inside the bucket (vectorized
-        # boundary counting; the partial rows are pair-bounded)
-        po = np.lexsort((b, a))
-        a, b = a[po], b[po]
-        pb = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-        ps = np.flatnonzero(pb)
-        cnt = np.diff(np.append(ps, a.size))
-        return pd.DataFrame({"a": a[ps], "b": b[ps], "shared": cnt})
+        pc = _segment_pair_counts(fp[keep], doc[keep])
+        return pd.DataFrame({"a": pc["a"], "b": pc["b"],
+                             "shared": pc["cnt"]})
 
     partials = (ds.map_batches(explode, batch_format="pyarrow")
                 .map_batches(add_bucket, batch_format="pyarrow")
@@ -973,9 +981,12 @@ def winnow_pairs(ds, k: int = 3, w: int = 4, min_shared: int = 2,
     # pair appears in at most #buckets partial rows; pairs << corpus by
     # the collision cap) — milliseconds where Ray's two-key sort-agg is
     # pathological at this shape
-    ptbl = pa.concat_tables(
-        partials.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    merged = ptbl.group_by(["a", "b"]).aggregate([("shared", "sum")]) \
+    pbatches = list(partials.iter_batches(batch_size=1 << 20,
+                                          batch_format="pyarrow"))
+    if not pbatches:  # no collisions anywhere -> Ray yields zero batches
+        return empty
+    merged = pa.concat_tables(pbatches) \
+        .group_by(["a", "b"]).aggregate([("shared", "sum")]) \
         .rename_columns(["a", "b", "shared"])
     res = merged.to_pandas()
     res = res[res["shared"] >= min_shared].sort_values(["a", "b"])

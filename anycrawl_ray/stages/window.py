@@ -51,18 +51,23 @@ def _bucket_col(batch: pa.Table, key: str, n_buckets: int) -> pa.Table:
     return batch.append_column("_kb", pa.array(kb, pa.int64()))
 
 
-def tag_sides(ds, side_fn, key: str, n_buckets: int | None = None):
+def tag_sides(ds, side_fn, key: str, n_buckets: int | None = None,
+              keep_cols: list[str] | None = None):
     """Single-pass side tagging for co-keyed joins whose two sides come
     from the SAME source: ``side_fn(batch) -> int8 array`` (0 = left, 1 =
     right, negative = drop). One scan replaces the two filtered re-reads
     the two-dataset form costs (both sides of an events self-join were
-    scanning the parquet twice). Pass the result as ``tagged_ds``."""
+    scanning the parquet twice). ``keep_cols`` prunes the rows BEFORE the
+    shuffle (e.g. drop the event_type strings the side decision consumed)
+    — pass out_cols + [key, ts]. Pass the result as ``tagged_ds``."""
     nb = n_buckets or _default_buckets()
 
     def fn(batch: pa.Table) -> pa.Table:
         side = np.asarray(side_fn(batch), dtype=np.int8)
         t = batch.append_column("_side", pa.array(side, pa.int8()))
         t = t.filter(pa.array(side >= 0))
+        if keep_cols is not None:
+            t = t.select(list(dict.fromkeys(keep_cols)) + ["_side"])
         return _bucket_col(t, key, nb)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -701,3 +701,21 @@ def test_pagerank_int_matches_numpy_reference(ray_session):
     assert got.column("rank_scaled").to_pylist() == r.tolist()
     # sanity: ranks positive, seeds of hubs rank above leaves on average
     assert min(r.tolist()) > 0
+
+
+def test_pair_ops_empty_and_disjoint_corpora(ray_session):
+    """Clean corpora (no shared grams / fingerprints anywhere) must return
+    typed empty pair tables, not crash — regression for the empty-bucket
+    IndexError (ngram) and zero-batch concat ArrowInvalid (winnow)."""
+    from anycrawl_ray.stages.dedup import ngram_jaccard_pairs, winnow_pairs
+
+    disjoint = _docs_ds([(1, "alpha beta gamma delta"),
+                         (2, "one two three four")])
+    out = ngram_jaccard_pairs(disjoint, threshold_pct=25, n=2)
+    assert out.num_rows == 0 and out.column_names == ["a", "b"]
+    out = winnow_pairs(disjoint, k=3, w=4, min_shared=1)
+    assert out.num_rows == 0
+    assert out.column_names == ["a", "b", "shared"]
+    empties = _docs_ds([(1, ""), (2, "")])
+    assert winnow_pairs(empties).num_rows == 0
+    assert ngram_jaccard_pairs(empties).num_rows == 0
