@@ -1783,6 +1783,46 @@ GROUP BY l.event_id, l.user_id
 """
 
 
+_KEYWORD_TERMS = ["the", "and", "of", "with", "data"]
+_KEYWORD_K = 10
+
+
+def docs_keyword_topk(sf_dir: str):
+    """IR keyword-relevance top-k (tf-idf shape) with an integer-quantized
+    IDF — score = sum tf * (N // df), all int64, so the ranking replays
+    exactly in SQL (float-log idf would drift between libm
+    implementations). One corpus pass builds the term-restricted inverted
+    index; df is aggregated from it; top-k = local top-k + tiny merge."""
+    from ..stages.text_analysis import keyword_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return keyword_topk(ds, _KEYWORD_TERMS, k=_KEYWORD_K)
+
+
+def _keyword_topk_sql(terms: list[str] = _KEYWORD_TERMS,
+                      k: int = _KEYWORD_K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+toks AS (
+  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({tlist}) GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+w AS (SELECT tok, n.c // df AS w FROM df, n),
+sc AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS score
+  FROM tf JOIN w USING (tok) GROUP BY tf.doc_id)
+SELECT doc_id, score FROM sc
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def docs_pagerank(sf_dir: str):
     """Iterative distributed algorithm class: 10 PageRank iterations over
     the synthetic site graph in EXACT integer fixed-point arithmetic
@@ -2047,6 +2087,7 @@ QUERIES = {
     "events_quantiles": events_quantiles,
     "docs_winnow_pairs": docs_winnow_pairs,
     "docs_pagerank": docs_pagerank,
+    "docs_keyword_topk": docs_keyword_topk,
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frames": media_frames,
@@ -2112,6 +2153,8 @@ ORACLE_SQL = {
         k=3, w=4, min_shared=2),
     # iterative integer-fixed-point PageRank — unrolled CTE replay
     "docs_pagerank": _pagerank_sql(),
+    # integer-quantized-idf keyword relevance (IR top-k without float logs)
+    "docs_keyword_topk": _keyword_topk_sql(),
     # IVF ANN with hash-selected centroids: centroid pick, argmax
     # assignment, probe and in-cluster top-k all replay relationally
     "embeddings_knn_ivf": _ivf_knn_sql(n_clusters=16, nprobe=6),

@@ -273,3 +273,74 @@ def pack_sequences(ds, budget: int = 512, bucket_size: int = 256,
         "n_docs": pa.array(out["n_docs"].astype("int64")),
         "sum_tokens": pa.array(out["sum_tokens"].astype("int64")),
     })
+
+
+def keyword_topk(ds, terms: list[str], k: int = 10,
+                 id_col: str = "doc_id", text_col: str = "text") -> "pa.Table":
+    """Keyword-relevance top-k with an integer-quantized IDF — the IR
+    scoring class (tf-idf/BM25 shape) kept oracle-exact by avoiding float
+    logs: ``score(doc) = sum_t tf(t, doc) * (N // df(t))`` over the query
+    terms, all int64 arithmetic, ties broken by doc_id.
+
+    Scale shape: ONE corpus pass emits the query-term-restricted inverted
+    index (doc, term, tf) — O(docs x |terms|) narrow rows; term document
+    frequencies are a tiny aggregate OVER THAT TABLE (no second corpus
+    scan); weighted scores reduce per doc and the top-k is per-block
+    local top-k + driver merge (never a global sort). Terms absent from
+    the corpus contribute nothing (their df rows simply don't exist)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    term_set = set(terms)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_t, out_tf = [], [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            counts: dict[str, int] = {}
+            for tok in t.split():
+                if tok in term_set:
+                    counts[tok] = counts.get(tok, 0) + 1
+            for term, tf in counts.items():
+                out_id.append(d)
+                out_t.append(term)
+                out_tf.append(tf)
+        return pa.table({"doc_id": pa.array(out_id),
+                         "term": pa.array(out_t, pa.string()),
+                         "tf": pa.array(out_tf, pa.int64())})
+
+    n_docs = ds.count()
+    tf_m = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df = tf_m.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    if len(df) == 0:  # no query term occurs anywhere
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    weights = {t: n_docs // int(c) for t, c in zip(df["term"], df["df"])}
+    w_ref = ray.put(weights)
+
+    def weighted(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        tf = np.asarray(batch.column("tf"), dtype=np.int64)
+        wt = np.fromiter((w[t] for t in batch.column("term").to_pylist()),
+                         count=len(batch), dtype=np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "part": pa.array(tf * wt, pa.int64())})
+
+    scores = (tf_m.map_batches(weighted, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("part", alias_name="score")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        d = batch.to_pandas()
+        d = d.sort_values(["score", "doc_id"], ascending=[False, True])
+        return pa.Table.from_pandas(d.head(k), preserve_index=False)
+
+    parts = pa.concat_tables(
+        scores.map_batches(local_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    merged = parts.to_pandas().sort_values(["score", "doc_id"],
+                                           ascending=[False, True]).head(k)
+    return pa.table({
+        "doc_id": pa.array(merged["doc_id"].tolist()),
+        "score": pa.array(merged["score"].astype("int64"), pa.int64()),
+    })

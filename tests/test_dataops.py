@@ -719,3 +719,26 @@ def test_pair_ops_empty_and_disjoint_corpora(ray_session):
     empties = _docs_ds([(1, ""), (2, "")])
     assert winnow_pairs(empties).num_rows == 0
     assert ngram_jaccard_pairs(empties).num_rows == 0
+
+
+def test_keyword_topk_integer_idf(ray_session):
+    """score = sum tf * (N // df); absent terms contribute nothing; ties
+    break by doc_id ascending."""
+    from anycrawl_ray.stages.text_analysis import keyword_topk
+
+    rows = [(1, "the cat the dog"),        # tf(the)=2
+            (2, "the fish"),               # tf(the)=1
+            (3, "data data data"),         # tf(data)=3
+            (4, "nothing relevant here"),
+            (5, "the data")]               # tf(the)=1 tf(data)=1
+    out = keyword_topk(_docs_ds(rows), ["the", "data", "zzz_absent"], k=3)
+    n = 5  # df(the)=3 (docs 1,2,5), df(data)=2 (docs 3,5)
+    scores = {1: 2 * (n // 3), 2: 1 * (n // 3), 3: 3 * (n // 2),
+              5: 1 * (n // 3) + 1 * (n // 2)}
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = list(zip(out.column("doc_id").to_pylist(),
+                   out.column("score").to_pylist()))
+    assert got == want
+    # no query term anywhere -> typed empty
+    none = keyword_topk(_docs_ds([(1, "aa bb")]), ["zzz"], k=3)
+    assert none.num_rows == 0 and none.column_names == ["doc_id", "score"]
