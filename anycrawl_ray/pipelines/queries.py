@@ -512,12 +512,15 @@ FROM per_session GROUP BY user_id
 def orderkey_union_count(sf_dir: str):
     """Set ops: union of two sources + DISTRIBUTED distinct count.
 
-    Map-side per-batch dedup (``pc.unique``) shrinks the shuffle, a
-    groupby-aggregate holds the distinct set across workers, and only the
-    COUNT crosses to the driver — ``Dataset.unique`` would return the full
-    distinct key list driver-side (O(distinct) memory at scale)."""
+    Map-side per-batch dedup (``pc.unique``) shrinks the shuffle; keys
+    then hash into ~CPUs*4 FAT buckets so the distinct count is one
+    ``np.unique`` per bucket plus a tiny sum — each key lands in exactly
+    one bucket, so per-bucket uniques are global uniques. (A single-key
+    ``groupby(k).Count`` over the ~1.1M post-dedup rows paid Ray's
+    sort-based aggregate: 12.4 s vs ~2 s for the bucket shape at sf0.1.)
+    Only the COUNT crosses to the driver — ``Dataset.unique`` would
+    return the full distinct key list driver-side."""
     rd = _rd()
-    from ray.data.aggregate import Count
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).map_batches(
         lambda b: b.rename_columns(["k"]), batch_format="pyarrow"
@@ -526,12 +529,31 @@ def orderkey_union_count(sf_dir: str):
         lambda b: b.rename_columns(["k"]), batch_format="pyarrow"
     )
 
-    def batch_distinct(b: pa.Table) -> pa.Table:
-        return pa.table({"k": pc.unique(b.column("k").combine_chunks())})
+    from ..stages.text_analysis import _mix64_np
+    from ..stages.window import _default_buckets
 
-    uni = (li.union(od).map_batches(batch_distinct, batch_format="pyarrow")
-           .groupby("k").aggregate(Count(alias_name="_c")))
-    return pa.table({"n_distinct_keys": pa.array([uni.count()], pa.int64())})
+    nb = _default_buckets()
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        k = pc.unique(b.column("k").combine_chunks())
+        kb = (_mix64_np(np.asarray(k, dtype=np.int64).view(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({"k": k, "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": pd.Series([int(np.unique(g["k"].to_numpy()).size)],
+                            dtype="int64")})
+
+    per_bucket = (li.union(od)
+                  .map_batches(batch_distinct, batch_format="pyarrow")
+                  .groupby("_kb").map_groups(bucket_distinct,
+                                             batch_format="pandas"))
+    total = sum(int(b.column("n")[i].as_py())
+                for b in per_bucket.iter_batches(batch_size=4096,
+                                                 batch_format="pyarrow")
+                for i in range(b.num_rows))
+    return pa.table({"n_distinct_keys": pa.array([total], pa.int64())})
 
 
 _UNION_COUNT_SQL = """
