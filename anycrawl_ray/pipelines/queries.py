@@ -1910,6 +1910,36 @@ def docs_winnow_pairs(sf_dir: str):
     return winnow_pairs(ds, k=3, w=4, min_shared=2)
 
 
+def events_running_total_salted(sf_dir: str):
+    """The SAME per-user running total computed through the hot-key
+    salting path: shuffle on (user, day-of-ts) so one user's history can
+    spread across workers, then carry-in offsets stitch the chunks —
+    checked against the identical window-function oracle as the unsalted
+    operator (both must equal SUM() OVER (...))."""
+    from ..stages.window import running_total_salted
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type",
+                                  "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _add_cents(b)
+        ts = b.column("ts")
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        day = pc.divide(pc.cast(ts, pa.int64()),
+                        pa.scalar(86_400 * per_sec, pa.int64()))
+        return b.append_column("day", day)
+
+    ds = ev.filter(expr="event_type == 'purchase'").map_batches(
+        prep, batch_format="pyarrow")
+    out = running_total_salted(ds, key="user_id",
+                               order_cols=["ts", "event_id"],
+                               cents_col="cents", chunk_col="day",
+                               out_cols=["event_id", "user_id", "ts"])
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def events_quantiles(sf_dir: str):
     """EXACT per-type value quantiles (p50/p95) without a global sort:
     fixed-point histogram partials + tiny merge (histogram cardinality is
@@ -2106,6 +2136,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_running_total": events_running_total,
+    "events_running_total_salted": events_running_total_salted,
     "events_quantiles": events_quantiles,
     "docs_winnow_pairs": docs_winnow_pairs,
     "docs_pagerank": docs_pagerank,
@@ -2169,6 +2200,8 @@ ORACLE_SQL = {
     "events_asof_join": _EVENTS_ASOF_SQL,
     "events_range_join": _EVENTS_RANGE_JOIN_SQL,
     "events_running_total": _EVENTS_RUNNING_SQL,
+    # the salted path must equal the SAME window-function oracle
+    "events_running_total_salted": _EVENTS_RUNNING_SQL,
     "events_quantiles": _EVENTS_QUANTILES_SQL,
     # winnowing (MOSS) fingerprint pairs — full u64 kernel replay
     "docs_winnow_pairs": _oracle_kernels.winnow_pairs_sql(

@@ -297,3 +297,108 @@ def group_quantiles(ds, key: str, value_col: str, ps: list[float],
         rows.append(row)
     out = pd.DataFrame(rows)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def running_total_salted(ds, key: str, order_cols: list[str],
+                         cents_col: str, out_cols: list[str],
+                         chunk_col: str, total_col: str = "running_cents",
+                         n_buckets: int | None = None):
+    """Hot-key-salted per-key running total — the documented salting seam
+    of ``running_total``, implemented: when a single key's history is too
+    hot for one worker, shuffle on (key, chunk) instead of key alone and
+    stitch chunks back with carry-in offsets.
+
+    ``chunk_col`` must be monotone non-decreasing in ``order_cols`` within
+    a key (e.g. the day of a timestamp when ordering by timestamp) — that
+    makes per-chunk local cumsums + an exclusive prefix over per-chunk
+    totals equal the global per-key cumulative, exactly (integer cents).
+
+    Stages: (1) one narrow Arrow group_by pass collects per-(key, chunk)
+    cent totals (tiny: keys x chunks rows), merged once and turned into
+    exclusive carry-in offsets; (2) the salted shuffle buckets
+    mix64(key) ^ mix64(chunk)*GOLDEN so a hot key spreads across chunk
+    buckets; per-bucket kernels cumsum locally; (3) a vectorized
+    pandas-merge adds each row's carry-in. Equality with the unsalted
+    operator is pinned by test."""
+    import ray
+
+    nb = n_buckets or _default_buckets()
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    # ---- stage 1: per-(key, chunk) totals -> exclusive carry-in offsets
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch.column(key),
+                      chunk_col: batch.column(chunk_col),
+                      cents_col: batch.column(cents_col)})
+        return t.group_by([key, chunk_col]).aggregate([(cents_col, "sum")]) \
+            .rename_columns([key, chunk_col, "tot"])
+
+    parts = list(ds.map_batches(totals_partial, batch_format="pyarrow")
+                 .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts:
+        return ds.map_batches(
+            lambda b: pa.table({c: b.column(c) for c in out_cols}
+                               | {total_col: pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    totals = pa.concat_tables(parts).group_by([key, chunk_col]) \
+        .aggregate([("tot", "sum")]).rename_columns([key, chunk_col, "tot"]) \
+        .to_pandas().sort_values([key, chunk_col])
+    tk = totals[key].to_numpy()
+    tt = totals["tot"].to_numpy(dtype=np.int64)
+    s = np.cumsum(tt)
+    boundary = np.concatenate(([True], tk[1:] != tk[:-1]))
+    starts = np.flatnonzero(boundary)
+    seg_id = np.cumsum(boundary) - 1
+    seg_base = np.concatenate(([0], s[starts[1:] - 1])) \
+        if starts.size > 1 else np.zeros(1, dtype=np.int64)
+    # carry-in for a chunk = running total of all EARLIER chunks of its key
+    totals["carry"] = (s - seg_base[seg_id]) - tt
+    offsets = totals[[key, chunk_col, "carry"]]
+    off_ref = ray.put(offsets)
+
+    # ---- stage 2: salted shuffle + local cumsum per (key, chunk)
+    def add_salted_bucket(batch: pa.Table) -> pa.Table:
+        kv = np.asarray(batch.column(key).cast(pa.int64()), dtype=np.int64)
+        cv = np.asarray(batch.column(chunk_col).cast(pa.int64()),
+                        dtype=np.int64)
+        with np.errstate(over="ignore"):
+            h = _mix64_np(kv.view(np.uint64)) ^ (
+                _mix64_np(cv.view(np.uint64)) * golden)
+        return batch.append_column(
+            "_kb", pa.array((h % np.uint64(nb)).astype(np.int64), pa.int64()))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group[key].to_numpy()
+        chunks = group[chunk_col].to_numpy()
+        order = np.lexsort(tuple(group[c].to_numpy()
+                                 for c in reversed(order_cols))
+                           + (chunks, keys))
+        g = group.iloc[order]
+        gk, gc = keys[order], chunks[order]
+        c = g[cents_col].to_numpy(dtype=np.int64)
+        s = np.cumsum(c)
+        boundary = np.concatenate(
+            ([True], (gk[1:] != gk[:-1]) | (gc[1:] != gc[:-1])))
+        starts = np.flatnonzero(boundary)
+        seg_id = np.cumsum(boundary) - 1
+        seg_base = np.concatenate(([0], s[starts[1:] - 1])) \
+            if starts.size > 1 else np.zeros(1, dtype=np.int64)
+        out = g[out_cols + [key, chunk_col]].copy() \
+            if key not in out_cols else g[out_cols + [chunk_col]].copy()
+        out["_local"] = s - seg_base[seg_id]
+        return out
+
+    # ---- stage 3: vectorized carry-in merge
+    def add_carry(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        off = ray.get(off_ref)
+        merged = df.merge(off, on=[key, chunk_col], how="left")
+        carry = merged["carry"].fillna(0).to_numpy(dtype=np.int64)
+        out = {c: pa.array(merged[c]) for c in out_cols}
+        out[total_col] = pa.array(merged["_local"].to_numpy(np.int64)
+                                  + carry, pa.int64())
+        return pa.table(out)
+
+    return (ds.map_batches(add_salted_bucket, batch_format="pyarrow")
+            .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+            .map_batches(add_carry, batch_format="pyarrow"))

@@ -742,3 +742,33 @@ def test_keyword_topk_integer_idf(ray_session):
     # no query term anywhere -> typed empty
     none = keyword_topk(_docs_ds([(1, "aa bb")]), ["zzz"], k=3)
     assert none.num_rows == 0 and none.column_names == ["doc_id", "score"]
+
+
+def test_running_total_salted_equals_unsalted(ray_session):
+    """Hot-key salting (chunked shuffle + carry-in offsets) computes the
+    SAME per-key running totals as the unsalted operator — exact integer
+    equality, including negative cents and single-chunk keys."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import running_total, running_total_salted
+
+    rng = np.random.default_rng(31)
+    n = 400
+    ts = rng.integers(0, 200, n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 3, n), pa.int64()),  # hot keys
+        "ts": pa.array(ts, pa.int64()),
+        "cents": pa.array(rng.integers(-50, 500, n), pa.int64()),
+        "chunk": pa.array(ts // 20, pa.int64()),  # monotone in ts
+    })
+    base = running_total(rd.from_arrow(t).repartition(4), key="user_id",
+                         order_cols=["ts", "event_id"], cents_col="cents",
+                         out_cols=["event_id"]).to_pandas()
+    salted = running_total_salted(
+        rd.from_arrow(t).repartition(4), key="user_id",
+        order_cols=["ts", "event_id"], cents_col="cents",
+        out_cols=["event_id"], chunk_col="chunk").to_pandas()
+    merged = base.merge(salted, on="event_id", suffixes=("_u", "_s"))
+    assert len(merged) == n
+    assert (merged["running_cents_u"] == merged["running_cents_s"]).all()
