@@ -13,8 +13,9 @@ scale shape:
   per-bucket kernel is numpy over key segments (one lexsort, one pandas
   copy per bucket, vectorized searchsorted/cumsum per segment). The
   partitioning assumption is the usual one for keyed windows: a single
-  key's history fits in a worker (salt by coarse time bucket + carry-in
-  pass for hotter keys — documented, not needed for the driver corpora).
+  key's history fits in a worker; for hotter keys,
+  ``running_total_salted`` implements the salting escape hatch (shuffle
+  on (key, coarse chunk) + exact carry-in offsets).
 - ``group_quantiles``: EXACT quantiles without a global sort. Values are
   fixed-point (cents) so a map-side ``(key, cents) -> count`` partial
   collapses each block to the value histogram; the merged histogram is
