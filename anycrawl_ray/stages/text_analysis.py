@@ -287,7 +287,12 @@ def keyword_topk(ds, terms: list[str], k: int = 10,
     frequencies are a tiny aggregate OVER THAT TABLE (no second corpus
     scan); weighted scores reduce per doc and the top-k is per-block
     local top-k + driver merge (never a global sort). Terms absent from
-    the corpus contribute nothing (their df rows simply don't exist)."""
+    the corpus contribute nothing (their df rows simply don't exist).
+
+    Tokenization is ``str.split()`` — THE pinned convention shared with
+    ``_word_ngrams`` and every gram oracle (== DuckDB
+    ``regexp_split_to_array(text, '\\s+')`` on this corpus, which
+    contains no unicode whitespace; see oracle_kernels.py invariants)."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Count, Sum
@@ -313,8 +318,9 @@ def keyword_topk(ds, terms: list[str], k: int = 10,
     n_docs = ds.count()
     tf_m = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
     df = tf_m.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
-    if len(df) == 0:  # no query term occurs anywhere
-        return pa.table({"doc_id": pa.array([], pa.int64()),
+    if len(df) == 0:  # no query term occurs anywhere: typed empty result
+        id_type = {f.name: f.type for f in ds.schema().base_schema}[id_col]
+        return pa.table({"doc_id": pa.array([], id_type),
                          "score": pa.array([], pa.int64())})
     weights = {t: n_docs // int(c) for t, c in zip(df["term"], df["df"])}
     w_ref = ray.put(weights)

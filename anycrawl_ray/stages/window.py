@@ -243,21 +243,29 @@ def running_total(ds, key: str, order_cols: list[str], cents_col: str,
         g = group.iloc[order]
         gk = keys[order]
         c = g[cents_col].to_numpy(dtype=np.int64)
-        s = np.cumsum(c)
-        # rebase at each key-segment start: running = s - s[start-1]
-        # (per-segment base indexed by segment id — cents may be negative,
-        # so no accumulate tricks over s itself)
-        boundary = np.concatenate(([True], gk[1:] != gk[:-1]))
-        starts = np.flatnonzero(boundary)
-        seg_id = np.cumsum(boundary) - 1
-        seg_base = np.concatenate(([0], s[starts[1:] - 1])) \
-            if starts.size > 1 else np.zeros(1, dtype=np.int64)
         out = g[out_cols].copy()
-        out[total_col] = s - seg_base[seg_id]
+        out[total_col] = _segment_cumsum(
+            np.concatenate(([True], gk[1:] != gk[:-1])), c)
         return out
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_kb").map_groups(per_bucket)
+
+
+def _segment_cumsum(boundary: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Cumulative sum rebased at each segment start (boundary[i] True
+    marks a start). The base is indexed per segment id — values may be
+    negative, so no accumulate tricks over the running sum itself.
+    Empty-safe. Shared by running_total, running_total_salted's carry
+    offsets and its per-bucket kernel."""
+    s = np.cumsum(values)
+    if values.size == 0:
+        return s.astype(np.int64)
+    starts = np.flatnonzero(boundary)
+    seg_id = np.cumsum(boundary) - 1
+    seg_base = np.concatenate(([0], s[starts[1:] - 1])) \
+        if starts.size > 1 else np.zeros(1, dtype=np.int64)
+    return s - seg_base[seg_id]
 
 
 def group_quantiles(ds, key: str, value_col: str, ps: list[float],
@@ -325,6 +333,10 @@ def running_total_salted(ds, key: str, order_cols: list[str],
 
     nb = n_buckets or _default_buckets()
     golden = np.uint64(0x9E3779B97F4A7C15)
+    # stage 2 re-consumes the input after stage 1's totals pass —
+    # materialize ONCE so the lineage doesn't execute twice (and offsets
+    # from pass 1 can never meet differently-computed rows in pass 2)
+    ds = ds.materialize()
 
     # ---- stage 1: per-(key, chunk) totals -> exclusive carry-in offsets
     def totals_partial(batch: pa.Table) -> pa.Table:
@@ -337,23 +349,23 @@ def running_total_salted(ds, key: str, order_cols: list[str],
     parts = list(ds.map_batches(totals_partial, batch_format="pyarrow")
                  .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     if not parts:
-        return ds.map_batches(
-            lambda b: pa.table({c: b.column(c) for c in out_cols}
-                               | {total_col: pa.array([], pa.int64())}),
-            batch_format="pyarrow")
+        # empty input: a typed empty result (the lazy pipeline would lose
+        # its schema entirely in Ray's empty-dataset representation)
+        import ray.data as rd
+
+        types = {f.name: f.type for f in ds.schema().base_schema}
+        cols = {c: pa.array([], types[c]) for c in out_cols}
+        cols[total_col] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
     totals = pa.concat_tables(parts).group_by([key, chunk_col]) \
         .aggregate([("tot", "sum")]).rename_columns([key, chunk_col, "tot"]) \
         .to_pandas().sort_values([key, chunk_col])
     tk = totals[key].to_numpy()
     tt = totals["tot"].to_numpy(dtype=np.int64)
-    s = np.cumsum(tt)
-    boundary = np.concatenate(([True], tk[1:] != tk[:-1]))
-    starts = np.flatnonzero(boundary)
-    seg_id = np.cumsum(boundary) - 1
-    seg_base = np.concatenate(([0], s[starts[1:] - 1])) \
-        if starts.size > 1 else np.zeros(1, dtype=np.int64)
     # carry-in for a chunk = running total of all EARLIER chunks of its key
-    totals["carry"] = (s - seg_base[seg_id]) - tt
+    inclusive = _segment_cumsum(
+        np.concatenate(([True], tk[1:] != tk[:-1])), tt)
+    totals["carry"] = inclusive - tt
     offsets = totals[[key, chunk_col, "carry"]]
     off_ref = ray.put(offsets)
 
@@ -377,16 +389,11 @@ def running_total_salted(ds, key: str, order_cols: list[str],
         g = group.iloc[order]
         gk, gc = keys[order], chunks[order]
         c = g[cents_col].to_numpy(dtype=np.int64)
-        s = np.cumsum(c)
         boundary = np.concatenate(
             ([True], (gk[1:] != gk[:-1]) | (gc[1:] != gc[:-1])))
-        starts = np.flatnonzero(boundary)
-        seg_id = np.cumsum(boundary) - 1
-        seg_base = np.concatenate(([0], s[starts[1:] - 1])) \
-            if starts.size > 1 else np.zeros(1, dtype=np.int64)
-        out = g[out_cols + [key, chunk_col]].copy() \
-            if key not in out_cols else g[out_cols + [chunk_col]].copy()
-        out["_local"] = s - seg_base[seg_id]
+        # dedup in case key/chunk_col are themselves requested outputs
+        out = g[list(dict.fromkeys(out_cols + [key, chunk_col]))].copy()
+        out["_local"] = _segment_cumsum(boundary, c)
         return out
 
     # ---- stage 3: vectorized carry-in merge
