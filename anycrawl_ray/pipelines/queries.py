@@ -1940,6 +1940,46 @@ def events_running_total_salted(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def events_funnel(sf_dir: str):
+    """Funnel analysis (sequential per-key pattern matching): users who
+    signed up, then clicked within 7 days of the signup, then purchased
+    within 7 days of that click — n reaching each stage. Per-bucket kernel
+    walks each user's (stage, ts)-sorted events once (stages/window.py)."""
+    from ..stages.window import funnel
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel(ev, key="user_id", ts_col="ts", type_col="event_type",
+                  stages=["signup", "click", "purchase"],
+                  within=np.timedelta64(7, "D"))
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON s0.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t
+    AND e.ts <= s0.t + INTERVAL 7 DAY
+  GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 7 DAY
+  GROUP BY e.user_id)
+SELECT CAST(0 AS INT) AS stage_idx, 'signup' AS stage,
+       CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_keys
+UNION ALL
+SELECT CAST(1 AS INT), 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+"""
+
+
 def events_quantiles(sf_dir: str):
     """EXACT per-type value quantiles (p50/p95) without a global sort:
     fixed-point histogram partials + tiny merge (histogram cardinality is
@@ -2138,6 +2178,7 @@ QUERIES = {
     "events_running_total": events_running_total,
     "events_running_total_salted": events_running_total_salted,
     "events_quantiles": events_quantiles,
+    "events_funnel": events_funnel,
     "docs_winnow_pairs": docs_winnow_pairs,
     "docs_pagerank": docs_pagerank,
     "docs_keyword_topk": docs_keyword_topk,
@@ -2203,6 +2244,7 @@ ORACLE_SQL = {
     # the salted path must equal the SAME window-function oracle
     "events_running_total_salted": _EVENTS_RUNNING_SQL,
     "events_quantiles": _EVENTS_QUANTILES_SQL,
+    "events_funnel": _EVENTS_FUNNEL_SQL,
     # winnowing (MOSS) fingerprint pairs — full u64 kernel replay
     "docs_winnow_pairs": _oracle_kernels.winnow_pairs_sql(
         k=3, w=4, min_shared=2),

@@ -410,3 +410,75 @@ def running_total_salted(ds, key: str, order_cols: list[str],
     return (ds.map_batches(add_salted_bucket, batch_format="pyarrow")
             .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
             .map_batches(add_carry, batch_format="pyarrow"))
+
+
+def funnel(ds, key: str, ts_col: str, type_col: str, stages: list[str],
+           within, n_buckets: int | None = None) -> pa.Table:
+    """Funnel analysis — sequential per-key pattern matching: a key
+    "reaches" stage i when it has a ``stages[i]`` event strictly after its
+    stage i-1 time and within ``within`` of it (stage 0 = the key's first
+    ``stages[0]`` event). Returns (stage_idx, stage, n_keys) — how many
+    keys reach each stage.
+
+    Scale shape: one scan keeps only funnel-stage events; keys hash into
+    fat buckets (the usual keyed-window co-location); the per-bucket
+    kernel walks each key segment ONCE over its (stage-major, ts-minor)
+    sorted events with a searchsorted per stage — no joins, no repeated
+    scans; per-bucket reach counts sum to a k-row table."""
+    import pandas as pd
+
+    nb = n_buckets or _default_buckets()
+    stage_of = {s: i for i, s in enumerate(stages)}
+    n_stages = len(stages)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        types = batch.column(type_col).to_pylist()
+        sidx = np.fromiter((stage_of.get(t, -1) for t in types),
+                           count=len(types), dtype=np.int8)
+        t = pa.table({key: batch.column(key), ts_col: batch.column(ts_col),
+                      "_stage": pa.array(sidx, pa.int8())})
+        t = t.filter(pa.array(sidx >= 0))
+        return _bucket_col(t, key, nb)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group[key].to_numpy()
+        sidx = group["_stage"].to_numpy()
+        ts = group[ts_col].to_numpy()
+        order = np.lexsort((ts, sidx, keys))  # key -> stage -> ts
+        keys, sidx, ts = keys[order], sidx[order], ts[order]
+        reached = np.zeros(n_stages, dtype=np.int64)
+        uk, kstarts = np.unique(keys, return_index=True)
+        kbounds = np.append(kstarts, keys.size)
+        for u in range(uk.size):
+            lo, hi = kbounds[u], kbounds[u + 1]
+            seg_s, seg_t = sidx[lo:hi], ts[lo:hi]
+            # per-stage slices inside the (stage, ts)-sorted segment
+            s_lo = np.searchsorted(seg_s, np.arange(n_stages), side="left")
+            s_hi = np.searchsorted(seg_s, np.arange(n_stages), side="right")
+            if s_hi[0] == s_lo[0]:
+                continue  # never entered the funnel
+            t_prev = seg_t[s_lo[0]]  # first stage-0 event
+            reached[0] += 1
+            for i in range(1, n_stages):
+                cand = seg_t[s_lo[i]:s_hi[i]]
+                j = np.searchsorted(cand, t_prev, side="right")
+                if j == cand.size or cand[j] > t_prev + within:
+                    break
+                t_prev = cand[j]
+                reached[i] += 1
+        return pd.DataFrame({"stage_idx": np.arange(n_stages, dtype=np.int64),
+                             "n": reached})
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        totals = np.zeros(n_stages, dtype=np.int64)
+    else:
+        totals = parts.groupby("stage_idx")["n"].sum() \
+            .reindex(range(n_stages), fill_value=0).to_numpy(dtype=np.int64)
+    return pa.table({
+        "stage_idx": pa.array(np.arange(n_stages, dtype=np.int32), pa.int32()),
+        "stage": pa.array(stages, pa.string()),
+        "n_keys": pa.array(totals, pa.int64()),
+    })

@@ -772,3 +772,38 @@ def test_running_total_salted_equals_unsalted(ray_session):
     merged = base.merge(salted, on="event_id", suffixes=("_u", "_s"))
     assert len(merged) == n
     assert (merged["running_cents_u"] == merged["running_cents_s"]).all()
+
+
+def test_funnel_semantics(ray_session):
+    """Funnel: stage i+1 must be strictly after stage i's time and within
+    the window OF THAT time (first qualifying event advances the clock);
+    events before the funnel entry don't count."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import funnel
+
+    rows = [
+        # user 1: full funnel
+        (1, 100, "signup"), (1, 150, "click"), (1, 200, "purchase"),
+        # user 2: click BEFORE signup only -> stops at signup
+        (2, 100, "click"), (2, 200, "signup"),
+        # user 3: click outside the window (within=100) -> stops at signup
+        (3, 100, "signup"), (3, 250, "click"), (3, 260, "purchase"),
+        # user 4: purchase within window of the SECOND click but the FIRST
+        # qualifying click (t=110) sets the clock; purchase at 300 is
+        # outside 110+100 -> stops at click
+        (4, 100, "signup"), (4, 110, "click"), (4, 190, "click"),
+        (4, 300, "purchase"),
+        # user 5: never signed up
+        (5, 100, "click"), (5, 150, "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = funnel(rd.from_arrow(t).repartition(3), key="user_id",
+                 ts_col="ts", type_col="event_type",
+                 stages=["signup", "click", "purchase"], within=100)
+    assert out.column("stage").to_pylist() == ["signup", "click", "purchase"]
+    assert out.column("n_keys").to_pylist() == [4, 2, 1]
