@@ -183,3 +183,72 @@ def test_cron_next_always_matches(minute, hour):
     probe = datetime(2026, 3, 14, 15, 9, tzinfo=timezone.utc)
     assert nxt > probe
     assert nxt - timedelta(days=1) <= probe
+
+
+# ---- shared window/dedup bucket kernels (pure numpy) ----
+
+import numpy as np
+
+from anycrawl_ray.stages.dedup import _segment_pair_counts, winnow_fingerprints
+from anycrawl_ray.stages.window import _segment_cumsum
+
+
+@settings(max_examples=150)
+@given(st.lists(st.tuples(st.integers(0, 5),
+                          st.integers(-100, 100)), max_size=60))
+def test_segment_cumsum_matches_per_segment_loop(rows):
+    rows.sort(key=lambda r: r[0])
+    seg = np.asarray([r[0] for r in rows], dtype=np.int64)
+    vals = np.asarray([r[1] for r in rows], dtype=np.int64)
+    boundary = np.concatenate(([True], seg[1:] != seg[:-1])) \
+        if seg.size else np.zeros(0, dtype=bool)
+    got = _segment_cumsum(boundary, vals)
+    want, acc, prev = [], 0, None
+    for s, v in rows:
+        acc = v if s != prev else acc + v
+        prev = s
+        want.append(acc)
+    assert got.tolist() == want
+
+
+@settings(max_examples=150)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)),
+                max_size=50))
+def test_segment_pair_counts_matches_bruteforce(rows):
+    # distinct (segment, doc) rows sorted by (segment, doc) — the kernel's
+    # input contract (per-doc-distinct fingerprints / grams)
+    rows = sorted(set(rows))
+    keys = np.asarray([r[0] for r in rows], dtype=np.int64)
+    docs = np.asarray([r[1] for r in rows], dtype=np.int64)
+    got = _segment_pair_counts(keys, docs)
+    from collections import Counter
+    want: Counter = Counter()
+    by_seg: dict[int, list[int]] = {}
+    for s, d in rows:
+        by_seg.setdefault(s, []).append(d)
+    for ds_ in by_seg.values():
+        ds_ = sorted(ds_)
+        for i in range(len(ds_)):
+            for j in range(i + 1, len(ds_)):
+                want[(ds_[i], ds_[j])] += 1
+    got_map = dict(zip(zip(got["a"].tolist(), got["b"].tolist()),
+                       got["cnt"].tolist()))
+    assert got_map == dict(want)
+
+
+@settings(max_examples=80)
+@given(st.integers(0, 2**32), st.integers(0, 2**32),
+       st.integers(6, 12))
+def test_winnow_guarantee_property(seed_a, seed_b, run_len):
+    """Random docs sharing a token run of >= w+k-1 tokens ALWAYS share a
+    winnowing fingerprint (the SIGMOD'03 guarantee), for k=3, w=4."""
+    rng_a = np.random.default_rng(seed_a)
+    rng_b = np.random.default_rng(seed_b)
+    shared = " ".join(f"s{i}" for i in range(run_len))  # >= w+k-1 = 6
+    a = " ".join(f"a{x}" for x in rng_a.integers(0, 50, 10)) + " " + shared \
+        + " " + " ".join(f"a{x}" for x in rng_a.integers(0, 50, 10))
+    b = " ".join(f"b{x}" for x in rng_b.integers(0, 50, 10)) + " " + shared \
+        + " " + " ".join(f"b{x}" for x in rng_b.integers(0, 50, 10))
+    fa = set(winnow_fingerprints(a, 3, 4).tolist())
+    fb = set(winnow_fingerprints(b, 3, 4).tolist())
+    assert fa & fb
