@@ -1845,6 +1845,40 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def docs_dedup_incremental(sf_dir: str):
+    """Incremental (delta) dedup: docs with even ids play yesterday's
+    snapshot, odd ids today's increment; today's docs whose content
+    already exists in the snapshot drop via a distributed LEFT ANTI hash
+    join on worker-computed content hashes (stages/dedup.py::
+    dedup_incremental — no broadcast of the prior corpus)."""
+    from ..stages.dedup import dedup_incremental
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def parity(par: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return b.filter(pa.array(ids % 2 == par))
+        return fn
+
+    prior = docs.map_batches(parity(0), batch_format="pyarrow")
+    new = docs.map_batches(parity(1), batch_format="pyarrow")
+    out = dedup_incremental(new, prior)
+    res = out.to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(res["doc_id"], pa.int64())})
+
+
+_DEDUP_INCREMENTAL_SQL = """
+SELECT n.doc_id FROM documents n
+WHERE n.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents p
+                  WHERE p.doc_id % 2 = 0 AND p.text = n.text)
+ORDER BY n.doc_id
+"""
+
+
 def docs_pagerank(sf_dir: str):
     """Iterative distributed algorithm class: 10 PageRank iterations over
     the synthetic site graph in EXACT integer fixed-point arithmetic
@@ -2182,6 +2216,7 @@ QUERIES = {
     "docs_winnow_pairs": docs_winnow_pairs,
     "docs_pagerank": docs_pagerank,
     "docs_keyword_topk": docs_keyword_topk,
+    "docs_dedup_incremental": docs_dedup_incremental,
     "media_features": media_features,
     "media_resize": media_resize,
     "media_frames": media_frames,
@@ -2252,6 +2287,8 @@ ORACLE_SQL = {
     "docs_pagerank": _pagerank_sql(),
     # integer-quantized-idf keyword relevance (IR top-k without float logs)
     "docs_keyword_topk": _keyword_topk_sql(),
+    # delta dedup vs a prior snapshot — NOT EXISTS anti-join oracle
+    "docs_dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     # IVF ANN with hash-selected centroids: centroid pick, argmax
     # assignment, probe and in-cluster top-k all replay relationally
     "embeddings_knn_ivf": _ivf_knn_sql(n_clusters=16, nprobe=6),

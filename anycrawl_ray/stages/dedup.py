@@ -1099,3 +1099,32 @@ def neardup_components(pairs: pa.Table, num_partitions: int = 4
     out = labels.to_pandas().sort_values("y").reset_index(drop=True)
     return pa.table({"doc_id": pa.array(out["y"].astype("int64")),
                      "cluster_rep": pa.array(out["label"].astype("int64"))})
+
+
+# ------------------------------------------------- incremental (delta) dedup
+
+def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Incremental (delta) dedup — the daily-increment workflow at corpus
+    scale: keep only NEW documents whose content does not appear in a
+    PRIOR snapshot. Both sides hash their text worker-side (xxh64 int64
+    bit-view, the exact_dedup convention) and a distributed LEFT ANTI
+    hash join drops seen content — the hash shuffle co-locates keys, so
+    neither the prior corpus nor its hash set is ever broadcast or
+    driver-materialized. Returns the surviving new-side rows
+    (id, text_hash)."""
+    import ray
+
+    def hash_slim(batch: pa.Table) -> pa.Table:
+        hashed = add_text_hash(batch, text_col)
+        return pa.table({id_col: hashed.column(id_col),
+                         "text_hash": hashed.column("text_hash")})
+
+    def hash_keys(batch: pa.Table) -> pa.Table:
+        hashed = add_text_hash(batch, text_col)
+        return pa.table({"text_hash": hashed.column("text_hash")})
+
+    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+    new_h = new_ds.map_batches(hash_slim, batch_format="pyarrow")
+    prior_h = prior_ds.map_batches(hash_keys, batch_format="pyarrow")
+    return new_h.join(prior_h, "left_anti", n_parts, on=("text_hash",))

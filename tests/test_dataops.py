@@ -807,3 +807,20 @@ def test_funnel_semantics(ray_session):
                  stages=["signup", "click", "purchase"], within=100)
     assert out.column("stage").to_pylist() == ["signup", "click", "purchase"]
     assert out.column("n_keys").to_pylist() == [4, 2, 1]
+
+
+def test_dedup_incremental_anti_join(ray_session):
+    """Delta dedup: new docs whose text exists in the prior snapshot drop;
+    new-only content survives (even exact dups WITHIN the new batch both
+    survive — incremental dedup is vs the snapshot, not self-dedup)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.dedup import dedup_incremental
+
+    prior = _docs_ds([(0, "seen before"), (2, "also seen")])
+    new = _docs_ds([(1, "seen before"),      # drops
+                    (3, "brand new"),        # survives
+                    (5, "also seen"),        # drops
+                    (7, "brand new")])       # survives (self-dup kept)
+    out = dedup_incremental(new, prior).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [3, 7]
