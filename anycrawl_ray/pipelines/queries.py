@@ -1854,8 +1854,10 @@ def docs_dedup_incremental(sf_dir: str):
     from ..stages.dedup import dedup_incremental
 
     rd = _rd()
+    # materialize once: both join inputs branch off this read (the lazy
+    # lineage would otherwise scan the parquet twice, once per side)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"]).materialize()
 
     def parity(par: int):
         def fn(b: pa.Table) -> pa.Table:

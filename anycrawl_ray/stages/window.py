@@ -425,7 +425,6 @@ def funnel(ds, key: str, ts_col: str, type_col: str, stages: list[str],
     kernel walks each key segment ONCE over its (stage-major, ts-minor)
     sorted events with a searchsorted per stage — no joins, no repeated
     scans; per-bucket reach counts sum to a k-row table."""
-    import pandas as pd
 
     nb = n_buckets or _default_buckets()
     stage_of = {s: i for i, s in enumerate(stages)}

@@ -789,11 +789,12 @@ def test_funnel_semantics(ray_session):
         (2, 100, "click"), (2, 200, "signup"),
         # user 3: click outside the window (within=100) -> stops at signup
         (3, 100, "signup"), (3, 250, "click"), (3, 260, "purchase"),
-        # user 4: purchase within window of the SECOND click but the FIRST
-        # qualifying click (t=110) sets the clock; purchase at 300 is
-        # outside 110+100 -> stops at click
+        # user 4: purchase at 280 is within the SECOND click's window
+        # (190+100) but the FIRST qualifying click (t=110) sets the clock
+        # -> 280 > 110+100 stops at click (discriminates MIN-based from
+        # greedy re-anchoring semantics)
         (4, 100, "signup"), (4, 110, "click"), (4, 190, "click"),
-        (4, 300, "purchase"),
+        (4, 280, "purchase"),
         # user 5: never signed up
         (5, 100, "click"), (5, 150, "purchase"),
     ]
