@@ -70,9 +70,17 @@ def _scaled(table: pa.Table, cols: dict[str, int]) -> pa.Table:
 
 def q1_pricing_summary(sf_dir: str):
     """Grouped aggregate with pre-projection (Q1-style): demonstrates
-    column-pruned read -> vectorized derived column -> groupby.aggregate."""
+    column-pruned read -> vectorized derived column -> groupby.aggregate.
+
+    Fixed-point arithmetic: quantity/price/discount are 2-decimal values,
+    so each row scales to EXACT integers BEFORE summation (qty*100,
+    price*100 cents, disc_price = cents*(100-disc_pct) in 1e-4 dollars).
+    Scaling after a float SUM held at sf0.01 but hit the rounding
+    boundary at sf0.1 (600k-term sums differ by 1 ulp between numpy's
+    pairwise and DuckDB's sequential accumulation) — integer sums are
+    order-free, so the oracle is exact at every scale."""
     rd = _rd()
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -82,22 +90,24 @@ def q1_pricing_summary(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         # map-side combine: shuffle carries one row per (flag,status) per
-        # batch instead of every lineitem row. Pure Arrow — no pandas copy.
-        import pyarrow.compute as pc
-
-        disc_price = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        # batch instead of every lineitem row; per-row fixed-point scaling
+        # is vectorized numpy
+        qty_c = np.rint(np.asarray(b.column("l_quantity"),
+                                   dtype=np.float64) * 100).astype(np.int64)
+        price_c = np.rint(np.asarray(b.column("l_extendedprice"),
+                                     dtype=np.float64) * 100).astype(np.int64)
+        disc_pct = np.rint(np.asarray(b.column("l_discount"),
+                                      dtype=np.float64) * 100).astype(np.int64)
         t = pa.table({
             "l_returnflag": b.column("l_returnflag"),
             "l_linestatus": b.column("l_linestatus"),
-            "l_quantity": b.column("l_quantity"),
-            "l_extendedprice": b.column("l_extendedprice"),
-            "disc_price": disc_price,
+            "qty_c": pa.array(qty_c, pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+            "disc_price_4": pa.array(price_c * (100 - disc_pct), pa.int64()),
         })
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
-            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-            ("disc_price", "sum"), ("l_quantity", "count"),
+            ("qty_c", "sum"), ("price_c", "sum"),
+            ("disc_price_4", "sum"), ("qty_c", "count"),
         ])
         return g.rename_columns([
             "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
@@ -114,20 +124,29 @@ def q1_pricing_summary(sf_dir: str):
         )
     )
     pdf = out.to_pandas()
-    pdf["avg_qty"] = pdf["sum_qty"] / pdf["count_order"]
+    # avg scaled 1e6: one f64 division over exact integers (both engines
+    # perform the identical single rounding)
+    pdf["avg_qty"] = np.rint(pdf["sum_qty"].to_numpy(dtype=np.float64)
+                             * 10_000
+                             / pdf["count_order"].to_numpy(dtype=np.float64)
+                             ).astype(np.int64)
+    # base price reported at the 1e-4 scale like disc price
+    pdf["sum_base_price"] = pdf["sum_base_price"].astype("int64") * 100
+    pdf["sum_qty"] = pdf["sum_qty"].astype("int64")
+    pdf["sum_disc_price"] = pdf["sum_disc_price"].astype("int64")
     pdf["count_order"] = pdf["count_order"].astype("int64")
-    table = pa.Table.from_pandas(pdf, preserve_index=False)
-    return _scaled(table, {"sum_qty": 100, "sum_base_price": 10_000,
-                           "sum_disc_price": 10_000, "avg_qty": 1_000_000})
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT)                          AS sum_qty,
-       CAST(ROUND(SUM(l_extendedprice) * 10000) AS BIGINT)                   AS sum_base_price,
-       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS sum_disc_price,
-       CAST(ROUND(AVG(l_quantity) * 1000000) AS BIGINT)                      AS avg_qty,
-       COUNT(*)                                             AS count_order
+       CAST(SUM(CAST(round_even(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)) * 100 AS BIGINT) AS sum_base_price,
+       CAST(SUM(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round_even(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS sum_disc_price,
+       CAST(round_even(CAST(SUM(CAST(round_even(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                       * 10000 / COUNT(*), 0) AS BIGINT) AS avg_qty,
+       COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
