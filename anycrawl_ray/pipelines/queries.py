@@ -175,12 +175,17 @@ def revenue_by_brand(sf_dir: str):
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
         codes = code_of[keys]
-        rev = np.bincount(codes, weights=price * (1.0 - disc),
-                          minlength=n_brands)
+        # exact fixed-point: cents * (100 - disc_pct) at the 1e-4 scale —
+        # order-free integer sums (the scale-before-sum convention; a
+        # float bincount sum sits on the same 1-ulp boundary q1 hit at
+        # 10x scale). bincount weights are float64 but each weight is an
+        # exact integer < 2^53, so the accumulation stays exact.
+        w4 = (np.rint(price * 100) * (100 - np.rint(disc * 100)))
+        rev4 = np.bincount(codes, weights=w4, minlength=n_brands)
         n = np.bincount(codes, minlength=n_brands)
         return pa.table({
             "brand_code": pa.array(np.arange(n_brands, dtype=np.int32)),
-            "revenue": pa.array(rev, pa.float64()),
+            "revenue": pa.array(rev4.astype(np.int64), pa.int64()),
             "n_items": pa.array(n.astype(np.int64)),
         })
 
@@ -194,14 +199,17 @@ def revenue_by_brand(sf_dir: str):
     pdf = out.to_pandas()
     pdf["p_brand"] = brand_names[pdf["brand_code"]]
     pdf = pdf[pdf["n_items"] > 0]  # brands with no lineitems don't appear in SQL
+    pdf["revenue"] = pdf["revenue"].astype("int64")
     table = pa.Table.from_pandas(pdf[["p_brand", "revenue", "n_items"]],
                                  preserve_index=False)
-    return _scaled(table, {"revenue": 10_000})
+    return table
 
 
 _REVENUE_BRAND_SQL = """
 SELECT p.p_brand,
-       CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10000) AS BIGINT) AS revenue,
+       CAST(SUM(CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round_even(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
@@ -404,10 +412,14 @@ def top_users_by_value(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        # map-side combine, pure Arrow (no pandas copy) — keys come first
-        # in pa.Table.group_by output
-        g = b.group_by(["user_id"]).aggregate(
-            [("value", "sum"), ("value", "count")])
+        # map-side combine — value scales to exact integer cents BEFORE
+        # summation (scale-before-sum convention: order-free at any scale)
+        cents = np.rint(np.asarray(b.column("value"),
+                                   dtype=np.float64) * 100).astype(np.int64)
+        t = pa.table({"user_id": b.column("user_id"),
+                      "cents": pa.array(cents, pa.int64())})
+        g = t.group_by(["user_id"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["user_id", "total_value", "n_events"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
@@ -421,14 +433,17 @@ def top_users_by_value(sf_dir: str):
     )
     pdf = out.to_pandas()
     pdf["n_events"] = pdf["n_events"].astype("int64")
-    table = pa.Table.from_pandas(pdf, preserve_index=False)
-    return _scaled(table, {"total_value": 10_000})
+    # report at the 1e-4 scale (cents * 100 == ROUND(SUM(value)*1e4) exactly)
+    pdf["total_value"] = pdf["total_value"].astype("int64") * 100
+    return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
 _TOP_USERS_SQL = """
-SELECT user_id, CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS total_value, COUNT(*) AS n_events
+SELECT user_id,
+       CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) * 100 AS BIGINT) AS total_value,
+       COUNT(*) AS n_events
 FROM events GROUP BY user_id
-ORDER BY SUM(value) DESC, user_id LIMIT 10
+ORDER BY total_value DESC, user_id LIMIT 10
 """
 
 
