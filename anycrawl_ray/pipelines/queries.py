@@ -1205,12 +1205,14 @@ ORDER BY doc_id
 
 def docs_ngram_jaccard(sf_dir: str):
     """Exact word-bigram Jaccard >= 25% via distributed inverted index —
-    full SQL oracle (integer threshold arithmetic on both sides)."""
+    full SQL oracle (integer threshold arithmetic on both sides). The
+    df > 200 stop-gram cap is ACTIVE and mirrored by the oracle's ``df``
+    CTE (capped grams leave the index on both engines)."""
     from ..stages.dedup import ngram_jaccard_pairs
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, threshold_pct=25, n=2)
+    return ngram_jaccard_pairs(ds, threshold_pct=25, n=2, max_df=200)
 
 
 _NGRAM_JACCARD_SQL = """
@@ -1221,8 +1223,10 @@ WITH w AS (SELECT doc_id,
 bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bg
        FROM w, UNNEST(range(1, len(w))) AS t(i)),
 sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+df AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= 200),
+bgk AS (SELECT bg.doc_id, bg.bg FROM bg JOIN df USING (bg)),
 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-          FROM bg a JOIN bg b ON a.bg = b.bg AND a.doc_id < b.doc_id
+          FROM bgk a JOIN bgk b ON a.bg = b.bg AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT inter.a AS a, inter.b AS b
 FROM inter JOIN sizes sa ON sa.doc_id = inter.a

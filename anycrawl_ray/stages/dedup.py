@@ -53,34 +53,81 @@ def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("text_hash", pa.array(hashes))
 
 
-def exact_dedup(ds, text_col: str = "text"):
+def _dedup_first_wins(group):
+    """Vectorized first-wins inside a fat hash bucket: one stable sort on
+    (text_hash, doc_id), then boundary arithmetic yields the min-doc_id
+    survivor and group size per distinct hash — no per-hash Python."""
+    group = group.sort_values(["text_hash", "doc_id"], kind="mergesort")
+    h = group["text_hash"].to_numpy()
+    if h.size == 0:
+        out = group.head(0).copy()
+        out["n_copies"] = np.array([], dtype=np.int64)
+        return out.drop(columns="_bucket")
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    sizes = np.diff(np.r_[starts, h.size])
+    out = group.iloc[starts].copy()
+    out["n_copies"] = sizes.astype(np.int64)
+    return out.drop(columns="_bucket")
+
+
+def exact_dedup(ds, text_col: str = "text", broadcast_limit: int = 1_000_000):
     """Dataset -> Dataset of survivors (min doc_id per identical text) with
     an ``n_copies`` column. First-occurrence-wins like the frontier's
     seen-set (§2.7).
 
-    Singleton fast path (same shape as the LSH collision filter): a
-    vectorized Count aggregate finds the duplicated hashes (small —
-    O(duplicate groups)); unique-text rows pass straight through with
-    ``n_copies=1`` in pure Arrow, and only actual duplicate groups pay the
-    per-group reduce."""
-    import pandas as pd
+    Two plans behind an explicit size guard on the number of duplicated
+    hashes (computed distributed; only the scalar count reaches the
+    driver):
+
+    - **broadcast fast path** (dup-groups <= ``broadcast_limit``): the
+      duplicated-hash list is small, so unique-text rows pass straight
+      through in pure Arrow (``is_in`` against the broadcast value set —
+      no shuffle for the singleton majority) and only true duplicate
+      groups pay the per-group reduce.
+    - **distributed first-wins** (web-scale corpora where the dup-group
+      list would be O(billions)): one hash shuffle of the full rows into
+      ``mix64(text_hash) % n_buckets`` fat buckets, then a vectorized
+      sort + boundary-diff kernel per bucket. Nothing corpus- or
+      dup-group-sized ever transits the driver — the shape
+      ``dedup_incremental`` uses for its anti-join."""
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
+
+    from .window import _default_buckets
 
     hashed = ds.map_batches(
         lambda b: add_text_hash(b, text_col), batch_format="pyarrow"
     ).materialize()
     counts = hashed.groupby("text_hash").aggregate(Count(alias_name="n"))
-    dup = counts.filter(expr="n >= 2").to_pandas()
+    dup = counts.filter(expr="n >= 2")
+    n_dup_groups = dup.count()
 
     def all_unique(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "n_copies", pa.array([1] * batch.num_rows, pa.int64()))
 
-    if len(dup) == 0:
+    if n_dup_groups == 0:
         return hashed.map_batches(all_unique, batch_format="pyarrow")
-    dup_ref = ray.put(pa.array(dup["text_hash"], pa.int64()))
+
+    if n_dup_groups > broadcast_limit:
+        # distributed first-wins: full-row hash shuffle into fat buckets
+        nb = _default_buckets()
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            h = np.asarray(batch.column("text_hash").combine_chunks()
+                           if isinstance(batch.column("text_hash"), pa.ChunkedArray)
+                           else batch.column("text_hash"), dtype=np.int64)
+            b = (_mix64_np(h.view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+            return batch.append_column("_bucket", pa.array(b, pa.int64()))
+
+        return (hashed.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(_dedup_first_wins, batch_format="pandas"))
+
+    # broadcast fast path: singleton rows never shuffle
+    dup_pd = dup.to_pandas()
+    dup_ref = ray.put(pa.array(dup_pd["text_hash"], pa.int64()))
 
     def singleton_pass(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column("text_hash"),
@@ -93,7 +140,7 @@ def exact_dedup(ds, text_col: str = "text"):
         return batch.filter(pc.is_in(batch.column("text_hash"),
                                      value_set=_cached_get(dup_ref)))
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+    def keep_first(group):
         group = group.sort_values("doc_id")
         first = group.head(1).copy()
         first["n_copies"] = len(group)
@@ -780,15 +827,28 @@ def _segment_pair_counts(keys: np.ndarray, docs: np.ndarray,
 
 
 def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
-                        id_col: str = "doc_id", text_col: str = "text"):
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_df: int | None = 10_000):
     """EXACT word n-gram Jaccard near-dup pairs via a distributed inverted
     index — the SQL-oracle-checkable counterpart of the MinHash estimate.
     Admission is the integer threshold test ``inter * 100 >= pct * union``
     (no float boundary risk on either engine).
 
-    Scale note: exact inverted-index Jaccard emits O(df^2) rows per gram —
-    use it for verification corpora / samples; MinHash+LSH is the web-scale
-    estimator (its candidate path caps degenerate buckets).
+    Stop-gram cap: grams with document frequency > ``max_df`` are dropped
+    from the inverted index before any pair arithmetic (same cap shape as
+    ``winnow_pairs``) — a universal bigram would otherwise emit O(df^2)
+    partial rows and make one bucket quadratic. Semantics with the cap:
+    ``inter`` counts only shared grams with df <= max_df while ``na``/
+    ``nb`` stay the FULL per-doc distinct-gram totals, so the admitted
+    Jaccard is a lower bound of the uncapped value (capped grams can only
+    lose pairs, never invent them) and the SQL oracle replays the exact
+    same filter. ``max_df=None`` disables the cap (exact mode for small
+    verification corpora).
+
+    Scale note: even capped, exact inverted-index Jaccard emits O(df^2)
+    rows per gram — use it for verification corpora / samples;
+    MinHash+LSH is the web-scale estimator (its candidate path caps
+    degenerate buckets).
 
     Shuffle shape (reworked after measurement — the original per-gram
     ``map_groups`` + two-key pair groupby + two hash joins ran PAST 550 s
@@ -830,9 +890,19 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
 
     def emit_pair_counts_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["gram", "doc"], kind="mergesort")
-        pc = _segment_pair_counts(
-            g["gram"].to_numpy(), g["doc"].to_numpy(),
-            extras={"ng": g["ng"].to_numpy(dtype=np.int64)})
+        gram = g["gram"].to_numpy()
+        doc = g["doc"].to_numpy()
+        ng = g["ng"].to_numpy(dtype=np.int64)
+        if max_df is not None and gram.size:
+            # global df is computable in-bucket (a bucket holds EVERY row
+            # of its grams); stop-grams drop before any pair arithmetic
+            boundary = np.concatenate(([True], gram[1:] != gram[:-1]))
+            seg_id = np.cumsum(boundary) - 1
+            starts = np.flatnonzero(boundary)
+            sizes = np.diff(np.append(starts, gram.size))
+            keep = sizes[seg_id] <= max_df
+            gram, doc, ng = gram[keep], doc[keep], ng[keep]
+        pc = _segment_pair_counts(gram, doc, extras={"ng": ng})
         return pd.DataFrame({"a": pc["a"], "b": pc["b"], "inter": pc["cnt"],
                              "na": pc["ng_a"], "nb": pc["ng_b"]})
 

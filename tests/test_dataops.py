@@ -50,6 +50,20 @@ def test_exact_dedup_keeps_min_doc_id(ray_session):
     assert dict(zip(out["text"], out["n_copies"])) == {"aaa": 3, "bbb": 1, "ccc": 1}
 
 
+def test_exact_dedup_distributed_path_matches_broadcast(ray_session):
+    rows = [(i, f"text-{i % 7}") for i in range(40)] + [(100, "unique one")]
+    fast = (exact_dedup(_docs_ds(rows)).to_pandas()
+            [["doc_id", "text", "n_copies"]]
+            .sort_values("doc_id").reset_index(drop=True))
+    # broadcast_limit=0 forces the distributed fat-bucket first-wins plan
+    dist = (exact_dedup(_docs_ds(rows), broadcast_limit=0).to_pandas()
+            [["doc_id", "text", "n_copies"]]
+            .sort_values("doc_id").reset_index(drop=True))
+    assert fast.equals(dist)
+    assert set(fast["doc_id"]) == {0, 1, 2, 3, 4, 5, 6, 100}
+    assert fast.loc[fast["doc_id"] == 0, "n_copies"].iloc[0] == 6
+
+
 def test_jaccard_and_shingles():
     assert jaccard(BASE, BASE) == 1.0
     assert jaccard(BASE, "completely different words here entirely") == 0.0
@@ -719,6 +733,28 @@ def test_pair_ops_empty_and_disjoint_corpora(ray_session):
     empties = _docs_ds([(1, ""), (2, "")])
     assert winnow_pairs(empties).num_rows == 0
     assert ngram_jaccard_pairs(empties).num_rows == 0
+
+
+def test_ngram_jaccard_stop_gram_cap(ray_session):
+    """A universal bigram present in EVERY doc must not create pairs once
+    its df exceeds max_df — the quadratic-bucket guard. Near-dup pairs
+    built from uncapped grams still qualify."""
+    from anycrawl_ray.stages.dedup import ngram_jaccard_pairs
+
+    stop = "of the"  # one universal bigram, df = n_docs
+    rows = [(i, f"{stop} unique{i} tail{i}") for i in range(50)]
+    # plant a true near-dup pair sharing non-stop grams
+    rows.append((100, "shared alpha beta gamma delta run"))
+    rows.append((101, "shared alpha beta gamma delta jog"))
+    ds = _docs_ds(rows)
+    out = ngram_jaccard_pairs(ds, threshold_pct=25, n=2, max_df=10)
+    got = list(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert got == [(100, 101)]
+    # uncapped (max_df=None) exact mode: the stop gram creates a df=52
+    # clique where every doc shares 1 of ~3 grams -> i*100 >= 25*union
+    # admits the tiny docs' pairs; the cap removes exactly those
+    unc = ngram_jaccard_pairs(ds, threshold_pct=10, n=2, max_df=None)
+    assert unc.num_rows > 1
 
 
 def test_keyword_topk_integer_idf(ray_session):
