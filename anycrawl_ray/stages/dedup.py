@@ -434,20 +434,23 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
     cand = cand_ds.materialize()
     if cand.count() == 0:
         return empty
-    # distinct candidate ids in one pass over the (pairs-sized) dataset;
-    # Dataset.unique's set-aggregate chokes on many tiny blocks (ndarray
-    # accumulators), and we need the id list driver-side anyway
-    need_set: set = set()
-    for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        need_set.update(b.column("a").to_pylist())
-        need_set.update(b.column("b").to_pylist())
-    need = sorted(need_set)
-    need_ref = ray.put(pa.array(need))
+    # distinct candidate ids as a DATASET (groupby-distinct over the
+    # pairs-sized data — Dataset.unique's set-aggregate chokes on many
+    # tiny blocks); only its COUNT reaches the driver, so the path choice
+    # never materializes an O(pairs) Python set
+    from ray.data.aggregate import Count
 
-    def semi_join_filter(batch: pa.Table) -> pa.Table:
-        value_set = _cached_get(need_ref)
-        mask = pc.is_in(batch.column(id_col), value_set=value_set)
-        kept = batch.filter(mask).select([id_col, payload_col])
+    def ids_of(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([pa.table({id_col: batch.column("a")}),
+                                 pa.table({id_col: batch.column("b")})])
+
+    ids_ds = (cand.map_batches(ids_of, batch_format="pyarrow")
+              .groupby(id_col).aggregate(Count(alias_name="_n"))
+              .select_columns([id_col]).materialize())
+    n_need = ids_ds.count()
+
+    def encode_payloads(batch: pa.Table) -> pa.Table:
+        kept = batch.select([id_col, payload_col])
         if payload_encoder is not None:
             # Arrow's hash join rejects nested non-key fields (list<float>
             # embeddings) — carry them as binary instead
@@ -456,9 +459,6 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
                            pa.binary())
             kept = kept.set_column(1, payload_col, enc)
         return kept
-
-    cand_payloads = source_ds.map_batches(semi_join_filter,
-                                          batch_format="pyarrow")
 
     def emit_verified(batch: pa.Table, lookup) -> pa.Table:
         out_a, out_b, out_s = [], [], []
@@ -473,9 +473,24 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
                          "b": pa.array(out_b, pa.int64()),
                          score_col: pa.array(out_s, score_type)})
 
-    if len(need) <= broadcast_limit:
-        # broadcast path: payload blocks stay in the object store; each
-        # worker assembles the id->payload dict once (cached on the ref key)
+    if n_need <= broadcast_limit:
+        # broadcast path: pull the (guard-bounded) id list driver-side,
+        # is_in-filter the corpus MAP-SIDE (no corpus shuffle); payload
+        # blocks stay in the object store and each worker assembles the
+        # id->payload dict once (cached on the ref key)
+        need: list = []
+        for b in ids_ds.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+            need.extend(b.column(id_col).to_pylist())
+        need_ref = ray.put(pa.array(sorted(need)))
+
+        def semi_join_filter(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(id_col),
+                            value_set=_cached_get(need_ref))
+            return encode_payloads(batch.filter(mask))
+
+        cand_payloads = source_ds.map_batches(semi_join_filter,
+                                              batch_format="pyarrow")
         block_refs = cand_payloads.materialize().to_arrow_refs()
         ref_keys = tuple(r.hex() for r in block_refs)
 
@@ -488,9 +503,15 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
     else:
         cand = _dedup_pairs(cand).materialize()
         n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
-        # both join sides consume the filtered payloads; without this the
-        # full corpus scan in semi_join_filter would execute twice
-        cand_payloads = cand_payloads.materialize()
+        # above the guard an is_in value set would not fit a worker either:
+        # semi-join the corpus against the DISTRIBUTED id set instead (one
+        # slim hash join — ids and encoded payloads shuffle, never the
+        # driver); materialized so both pair sides reuse one corpus scan
+        cand_payloads = (source_ds
+                         .map_batches(encode_payloads,
+                                      batch_format="pyarrow")
+                         .join(ids_ds, "inner", n_parts, on=(id_col,))
+                         .materialize())
         side_a = cand_payloads.map_batches(
             lambda b: b.rename_columns(["a", "payload_a"]),
             batch_format="pyarrow")
