@@ -144,11 +144,14 @@ def cached_fetcher(engine: str, pages_ref, options: dict | None = None):
 
 
 class HttpFetcher:
-    """Real-network fetch stage (NOT exercised in the sandbox — no network).
+    """Real-network fetch stage, exercised live against loopback sockets
+    (tests/test_http_fetcher.py: retry policy, proxy rotation, refused
+    connections — no external network needed).
 
     Mirrors HttpClient.ts:31-129: bounded manual retries with a proxy list
-    rotated per attempt. Plug in as the fetch stage class in place of
-    ``SyntheticFetcher`` when running outside the sandbox."""
+    rotated per attempt; selective retry on 403/429/5xx, other 4xx return
+    immediately (HttpClient.ts:59-123). Plug in as the fetch stage class in
+    place of ``SyntheticFetcher`` when running outside the sandbox."""
 
     def __init__(self, timeout_s: float = 30.0, retries: int = 3,
                  proxies: list[str] | None = None) -> None:
