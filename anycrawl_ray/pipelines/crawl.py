@@ -44,6 +44,7 @@ import pyarrow.parquet as pq
 
 from ..stages.fetch import build_lookup, cached_fetcher
 from ..stages.parse import PageParser
+from ..state import storage as _storage
 from ..state.frontier import Frontier
 
 DOC_COLUMNS = ["doc_id", "spans", "job_id", "url", "status"]
@@ -172,13 +173,13 @@ def epoch_part_files(job_out: str | None) -> list[str]:
         files.extend(
             os.path.join(edir, f)
             for f in sorted(os.listdir(edir))
-            if f.endswith(".parquet")
+            if _storage.is_part(f)
         )
     return files
 
 
 def _read_docs(job_out: str | None) -> pa.Table:
-    parts = [pq.read_table(f) for f in epoch_part_files(job_out)]
+    parts = [_storage.read_table(f) for f in epoch_part_files(job_out)]
     docs = pa.concat_tables(parts) if parts else _empty_docs()
     return docs.sort_by("doc_id")
 
@@ -317,7 +318,7 @@ def _wave_task():
             if write_path is not None:
                 # sink documents at the worker — span payloads never cross
                 # the driver; only light link/status columns return
-                pq.write_table(make_doc_table(parsed, job_id), write_path)
+                _storage.write_table(make_doc_table(parsed, job_id), write_path)
                 return parsed.select(WAVE_RESULT_COLUMNS)
             return parsed
 
@@ -357,7 +358,7 @@ class FetchParsePool:
                     write_path: str | None) -> pa.Table:
                 parsed = _run_fetch_parse(chunk, self.fetcher, self.parser)
                 if write_path is not None:
-                    pq.write_table(make_doc_table(parsed, job_id), write_path)
+                    _storage.write_table(make_doc_table(parsed, job_id), write_path)
                     return parsed.select(WAVE_RESULT_COLUMNS)
                 return parsed
 
@@ -448,7 +449,8 @@ def _ensure_seq_order(table: pa.Table) -> pa.Table:
 def _parse_wave_ray(wave: pa.Table, pages_ref, parser: PageParser,
                     batch_size: int, engine: str = "actors",
                     job_id: str = "", write_tmp_dir: str | None = None,
-                    pool: "FetchParsePool | None" = None) -> pa.Table:
+                    pool: "FetchParsePool | None" = None,
+                    part_ext: str = ".parquet") -> pa.Table:
     """Distributed wave execution.
 
     Default is raw Ray tasks over Arrow chunks: the crawl inner loop is an
@@ -475,7 +477,7 @@ def _parse_wave_ray(wave: pa.Table, pages_ref, parser: PageParser,
         tables = ray.get(ds.materialize().to_arrow_refs())
     else:
         if write_tmp_dir is not None:
-            write_paths = [os.path.join(write_tmp_dir, f"part-{i:04d}.parquet")
+            write_paths = [os.path.join(write_tmp_dir, f"part-{i:04d}{part_ext}")
                            for i in range(len(chunks))]
         else:
             write_paths = [None] * len(chunks)
@@ -522,9 +524,15 @@ def run_crawl(
     record_admissions: bool = True,
     cancel_check=None,
     webhooks=None,
+    storage_format: str = "parquet",
 ) -> CrawlResult:
     """Run one crawl job to completion (or until ``crash_after_epoch`` for
-    resume tests). Ray must already be initialised when ``use_ray``."""
+    resume tests). Ray must already be initialised when ``use_ray``.
+
+    ``storage_format``: ``"parquet"`` (default) or ``"lance"`` — the
+    north-rule Lance sink behind an import guard (state/storage.py);
+    validated up front so a missing backend fails at submit time."""
+    part_ext = _storage.part_extension(_storage.require_format(storage_format))
     pages_ref = None
     if use_ray:
         pages_ref = _memoized_put(pages)
@@ -649,7 +657,7 @@ def run_crawl(
                     off += ln
                 if dist_write:
                     write_paths: list[str | None] = [
-                        os.path.join(tmp_dir, f"part-{i:04d}.parquet")
+                        os.path.join(tmp_dir, f"part-{i:04d}{part_ext}")
                         for i in range(len(ranges))
                     ]
                 else:
@@ -668,6 +676,7 @@ def run_crawl(
                     wave, pages_ref, parser, batch_size, wave_engine,
                     job_id=job.job_id,
                     write_tmp_dir=tmp_dir if dist_write else None,
+                    part_ext=part_ext,
                 ))
             else:
                 consume(_parse_wave_inline(wave, inline_fetcher, parser))
@@ -677,7 +686,8 @@ def run_crawl(
                              pa.concat_tables(epoch_docs,
                                               promote_options="default"))
                 if tmp_dir is not None:
-                    pq.write_table(doc_table, os.path.join(tmp_dir, "part-0000.parquet"))
+                    _storage.write_table(
+                        doc_table, os.path.join(tmp_dir, f"part-0000{part_ext}"))
                 else:
                     doc_tables.append(doc_table)
             if tmp_dir is not None:
