@@ -1781,18 +1781,32 @@ def events_running_total(sf_dir: str):
     """Per-user ordered cumulative purchase value — the SUM() OVER
     (PARTITION BY ... ORDER BY ...) window class. Fixed-point cents keep
     the cumulative exact; one shuffle, vectorized lexsort+cumsum per
-    group."""
-    from ..stages.window import running_total
+    group. Routed through the AUTO hot-key path: keys above the row-count
+    threshold are detected from a slim distributed count and take the
+    salted (user, day) shuffle; everything else the plain keyed plan —
+    same window-function oracle either way."""
+    from ..stages.window import running_total_auto
 
     rd = _rd()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "event_type",
                                   "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = _add_cents(b)
+        ts = b.column("ts")
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        day = pc.divide(pc.cast(ts, pa.int64()),
+                        pa.scalar(86_400 * per_sec, pa.int64()))
+        return b.append_column("day", day)
+
     ds = ev.filter(expr="event_type == 'purchase'").map_batches(
-        _add_cents, batch_format="pyarrow")
-    out = running_total(ds, key="user_id", order_cols=["ts", "event_id"],
-                        cents_col="cents",
-                        out_cols=["event_id", "user_id", "ts"])
+        prep, batch_format="pyarrow")
+    out = running_total_auto(ds, key="user_id",
+                             order_cols=["ts", "event_id"],
+                             cents_col="cents", chunk_col="day",
+                             out_cols=["event_id", "user_id", "ts"],
+                             hot_threshold=10_000)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 

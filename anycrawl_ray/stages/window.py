@@ -412,6 +412,76 @@ def running_total_salted(ds, key: str, order_cols: list[str],
             .map_batches(add_carry, batch_format="pyarrow"))
 
 
+def running_total_auto(ds, key: str, order_cols: list[str], cents_col: str,
+                       out_cols: list[str], chunk_col: str,
+                       total_col: str = "running_cents",
+                       hot_threshold: int = 1_000_000,
+                       n_buckets: int | None = None):
+    """Running total with AUTOMATIC hot-key salting: detect keys whose row
+    count exceeds ``hot_threshold`` (map-side Arrow count partials + one
+    slim distributed groupby-Sum — the only thing the driver sees is the
+    hot-key list, bounded by total_rows/hot_threshold by construction) and
+    route ONLY those through the salted (key, chunk) path; everything else
+    takes the plain one-shuffle keyed path. No hot keys -> the plain plan,
+    byte-for-byte. Callers no longer choose: skew routing is data-driven."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ds.materialize()  # count pass + both splits reuse one lineage
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (pa.table({key: batch.column(key)})
+                .group_by([key]).aggregate([([], "count_all")])
+                .rename_columns([key, "n"]))
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(key).aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    hot = counts.filter(expr=f"n >= {int(hot_threshold)}").to_pandas()
+    if len(hot) == 0:
+        return running_total(ds, key, order_cols, cents_col, out_cols,
+                             total_col, n_buckets)
+    total_rows = int(counts.sum("n"))
+    hot_rows = int(hot["n"].sum())
+    hot_ref = ray.put(pa.array(hot[key]))
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(key),
+                                     value_set=_cached_ray_get(hot_ref)))
+
+    def cold_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(
+            batch.column(key), value_set=_cached_ray_get(hot_ref))))
+
+    salted = running_total_salted(
+        ds.map_batches(hot_only, batch_format="pyarrow"), key, order_cols,
+        cents_col, out_cols, chunk_col, total_col, n_buckets)
+    if hot_rows == total_rows:  # every key hot: no cold branch to union
+        return salted
+    plain = running_total(ds.map_batches(cold_only, batch_format="pyarrow"),
+                          key, order_cols, cents_col, out_cols, total_col,
+                          n_buckets)
+    return plain.union(salted)
+
+
+_RT_HOT_CACHE: dict[str, object] = {}
+
+
+def _cached_ray_get(ref):
+    """Per-worker cache of the broadcast hot-key array (same pattern as
+    stages/dedup._cached_get; tiny local copy to avoid a cross-module
+    import of dedup's LRU)."""
+    import ray
+
+    k = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if k not in _RT_HOT_CACHE:
+        if len(_RT_HOT_CACHE) > 4:
+            _RT_HOT_CACHE.clear()
+        _RT_HOT_CACHE[k] = ray.get(ref)
+    return _RT_HOT_CACHE[k]
+
+
 def funnel(ds, key: str, ts_col: str, type_col: str, stages: list[str],
            within, n_buckets: int | None = None) -> pa.Table:
     """Funnel analysis — sequential per-key pattern matching: a key

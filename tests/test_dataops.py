@@ -810,6 +810,57 @@ def test_running_total_salted_equals_unsalted(ray_session):
     assert (merged["running_cents_u"] == merged["running_cents_s"]).all()
 
 
+def test_running_total_auto_routes_hot_keys(ray_session):
+    """Auto hot-key detection: a skewed corpus (one whale user, many small
+    ones) must split — whale through the salted path, rest through the
+    plain path — and the union must equal the plain operator on the whole
+    input exactly. Also: no hot keys -> identical to plain."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import running_total, running_total_auto
+
+    rng = np.random.default_rng(7)
+    n = 600
+    user = np.where(rng.random(n) < 0.6, 999, rng.integers(0, 40, n))
+    ts = rng.integers(0, 300, n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(user, pa.int64()),
+        "ts": pa.array(ts, pa.int64()),
+        "cents": pa.array(rng.integers(-50, 500, n), pa.int64()),
+        "chunk": pa.array(ts // 30, pa.int64()),
+    })
+    base = running_total(rd.from_arrow(t).repartition(4), key="user_id",
+                         order_cols=["ts", "event_id"], cents_col="cents",
+                         out_cols=["event_id"]).to_pandas()
+    # threshold 100: user 999 (~360 rows) is hot, the 40 others are not
+    auto = running_total_auto(
+        rd.from_arrow(t).repartition(4), key="user_id",
+        order_cols=["ts", "event_id"], cents_col="cents",
+        out_cols=["event_id"], chunk_col="chunk",
+        hot_threshold=100).to_pandas()
+    merged = base.merge(auto, on="event_id", suffixes=("_u", "_a"))
+    assert len(merged) == n
+    assert (merged["running_cents_u"] == merged["running_cents_a"]).all()
+    # threshold above every key: pure plain plan, same rows
+    cold = running_total_auto(
+        rd.from_arrow(t).repartition(4), key="user_id",
+        order_cols=["ts", "event_id"], cents_col="cents",
+        out_cols=["event_id"], chunk_col="chunk",
+        hot_threshold=10_000).to_pandas()
+    m2 = base.merge(cold, on="event_id", suffixes=("_u", "_a"))
+    assert (m2["running_cents_u"] == m2["running_cents_a"]).all()
+    # every key hot: pure salted plan, still exact
+    allhot = running_total_auto(
+        rd.from_arrow(t).repartition(4), key="user_id",
+        order_cols=["ts", "event_id"], cents_col="cents",
+        out_cols=["event_id"], chunk_col="chunk",
+        hot_threshold=1).to_pandas()
+    m3 = base.merge(allhot, on="event_id", suffixes=("_u", "_a"))
+    assert len(m3) == n
+    assert (m3["running_cents_u"] == m3["running_cents_a"]).all()
+
+
 def test_funnel_semantics(ray_session):
     """Funnel: stage i+1 must be strictly after stage i's time and within
     the window OF THAT time (first qualifying event advances the clock);
