@@ -861,6 +861,49 @@ def test_running_total_auto_routes_hot_keys(ray_session):
     assert (m3["running_cents_u"] == m3["running_cents_a"]).all()
 
 
+def test_funnel_vectorized_matches_reference(ray_session):
+    """The batched-searchsorted kernel must equal a straightforward
+    per-key scan on a randomized corpus (dup timestamps, missing stages,
+    keys split across input blocks)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import funnel
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    stages = ["signup", "click", "purchase"]
+    within = 40
+    keys = rng.integers(0, 300, n)
+    ts = rng.integers(0, 200, n)
+    types = rng.choice(stages + ["other"], n)
+    t = pa.table({"user_id": pa.array(keys, pa.int64()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "event_type": pa.array(types)})
+    got = funnel(rd.from_arrow(t).repartition(5), key="user_id",
+                 ts_col="ts", type_col="event_type", stages=stages,
+                 within=within)
+    # reference: per-key first-strictly-after walk
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "ts": ts, "ty": types})
+    want = [0] * len(stages)
+    for _, g in df.groupby("k"):
+        per = {s: np.sort(g.loc[g["ty"] == s, "ts"].to_numpy())
+               for s in stages}
+        if per[stages[0]].size == 0:
+            continue
+        t_prev = per[stages[0]][0]
+        want[0] += 1
+        for i, s in enumerate(stages[1:], start=1):
+            cand = per[s]
+            j = np.searchsorted(cand, t_prev, side="right")
+            if j == cand.size or cand[j] > t_prev + within:
+                break
+            t_prev = cand[j]
+            want[i] += 1
+    assert got.column("n_keys").to_pylist() == want
+
+
 def test_funnel_semantics(ray_session):
     """Funnel: stage i+1 must be strictly after stage i's time and within
     the window OF THAT time (first qualifying event advances the clock);
