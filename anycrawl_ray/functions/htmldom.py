@@ -23,6 +23,7 @@ from __future__ import annotations
 import re
 from html import escape
 from html.parser import HTMLParser
+from types import MappingProxyType
 
 # every \s-class character that is NOT plain ASCII whitespace (NBSP, thin
 # space, line separator, ...) re-encodes as an entity on serialization —
@@ -55,14 +56,30 @@ BLOCK_TAGS = frozenset(
 )
 
 
+# allocation diet (measured: leaf nodes are ~half of a page's nodes and
+# never hold attributes or children): text/comment/doctype nodes share one
+# read-only empty mapping and the empty tuple instead of allocating a fresh
+# dict + list each — two fewer heap objects per leaf, which is what the
+# memory-bandwidth-bound 8->32 parse scaling wall is made of. The proxy is
+# write-protected, so a bug that mutates a leaf's attrs raises instead of
+# corrupting every other leaf.
+_EMPTY_ATTRS: dict = MappingProxyType({})
+_NO_CHILDREN: tuple = ()
+_LEAF_KINDS = frozenset(("text", "comment", "doctype"))
+
+
 class Node:
     __slots__ = ("kind", "tag", "attrs", "children", "parent", "text")
 
     def __init__(self, kind: str, tag: str = "", attrs: dict | None = None, text: str = ""):
         self.kind = kind  # 'document' | 'element' | 'text' | 'comment' | 'doctype'
         self.tag = tag
-        self.attrs: dict[str, str | None] = attrs or {}
-        self.children: list[Node] = []
+        if kind in _LEAF_KINDS:
+            self.attrs = _EMPTY_ATTRS
+            self.children = _NO_CHILDREN
+        else:
+            self.attrs: dict[str, str | None] = attrs or {}
+            self.children: list[Node] = []
         self.parent: Node | None = None
         self.text = text
 
@@ -130,27 +147,55 @@ class Node:
 
     # -- selectors --------------------------------------------------------
     def select(self, selector: str) -> list["Node"]:
-        """All elements under (and incl.) self matching a selector list."""
+        """All elements under (and incl.) self matching a selector list.
+        Inline iterative walk — the generator version paid one resumption
+        per node per query (48k resumptions per 400-page batch measured),
+        pure interpreter overhead on the hottest path."""
         matchers = _compiled_list(selector)
+        out: list[Node] = []
+        stack = [self]
         if len(matchers) == 1:
             m = matchers[0]
-            return [e for e in self.elements() if m(e)]
-        return [e for e in self.elements() if any(m(e) for m in matchers)]
+            while stack:
+                node = stack.pop()
+                if node.kind == "element" and m(node):
+                    out.append(node)
+                cs = node.children
+                if cs:
+                    stack.extend(reversed(cs))
+            return out
+        while stack:
+            node = stack.pop()
+            if node.kind == "element" and any(m(node) for m in matchers):
+                out.append(node)
+            cs = node.children
+            if cs:
+                stack.extend(reversed(cs))
+        return out
 
     def select_one(self, selector: str) -> "Node | None":
         """First match in document order — early exit (callers probe with
         this inside per-node loops, so scanning the whole subtree for a
         full hit list was a measured hotspot)."""
         matchers = _compiled_list(selector)
+        stack = [self]
         if len(matchers) == 1:
             m = matchers[0]
-            for e in self.elements():
-                if m(e):
-                    return e
+            while stack:
+                node = stack.pop()
+                if node.kind == "element" and m(node):
+                    return node
+                cs = node.children
+                if cs:
+                    stack.extend(reversed(cs))
             return None
-        for e in self.elements():
-            if any(m(e) for m in matchers):
-                return e
+        while stack:
+            node = stack.pop()
+            if node.kind == "element" and any(m(node) for m in matchers):
+                return node
+            cs = node.children
+            if cs:
+                stack.extend(reversed(cs))
         return None
 
     def remove_all(self, selector: str) -> int:
@@ -173,8 +218,11 @@ class Node:
 
     def _serialize(self, buf: list[str]) -> None:
         if self.kind == "text":
-            # unicode-whitespace -> entities (see _UNICODE_WS above)
-            buf.append(_UNICODE_WS.sub(_encode_ws, escape(self.text, quote=False)))
+            # unicode-whitespace -> entities (see _UNICODE_WS above); the
+            # ASCII fast path skips the regex machinery — _UNICODE_WS can
+            # only match non-ASCII, and isascii() is a C-level flag check
+            t = escape(self.text, quote=False)
+            buf.append(t if t.isascii() else _UNICODE_WS.sub(_encode_ws, t))
         elif self.kind == "comment":
             buf.append(f"<!--{self.text}-->")
         elif self.kind == "doctype":
@@ -188,8 +236,10 @@ class Node:
                 if v is None:
                     buf.append(f" {k}")
                 else:
-                    buf.append(
-                        f' {k}="{_UNICODE_WS.sub(_encode_ws, escape(v))}"')
+                    ev = escape(v)
+                    if not ev.isascii():
+                        ev = _UNICODE_WS.sub(_encode_ws, ev)
+                    buf.append(f' {k}="{ev}"')
             buf.append(">")
             if self.tag in VOID_ELEMENTS:
                 return
