@@ -2219,6 +2219,84 @@ def media_frames(sf_dir: str):
 # Registry
 # ===================================================================
 
+def events_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle: cohort = first active week per user,
+    count users per (cohort_week, week_offset). One user-bucketed shuffle
+    (stages/window.py retention_cohorts); exact SQL oracle."""
+    from ..stages.window import retention_cohorts
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
+_RETENTION_SQL = """
+WITH w AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS week FROM events),
+fw AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT fw.cohort_week AS cohort_week,
+       w.week - fw.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM w JOIN fw USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def docs_repetition_scores(sf_dir: str):
+    """Gopher-style within-doc repeated-trigram fraction (integer
+    fixed-point), pure map-side — the quality-filter signal dedup can't
+    see (a doc that repeats ITSELF). Exact SQL oracle."""
+    from ..stages.text_analysis import repetition_scores_batch
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_scores_batch, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_REPETITION_SQL = r"""
+WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '') AS w
+     FROM documents),
+g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+c AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT g) AS nd
+      FROM g GROUP BY doc_id)
+SELECT doc_id, (n - nd) * 1000000 // n AS rep_scaled
+FROM c ORDER BY doc_id
+"""
+
+
+def events_distinct_kmv(sf_dir: str):
+    """KMV (bottom-k) distinct-user sketch: map-side per-block bottom-256
+    mix64 hashes, one tiny driver merge, integer estimator — no shuffle.
+    Exact SQL oracle via the shared u64 macro kernel (mix64 is a
+    bijection, so both engines see identical hash order)."""
+    from ..stages.sketches import kmv_distinct
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return kmv_distinct(ev, "user_id", k=256)
+
+
+def _kmv_sql(k: int = 256) -> str:
+    from . import oracle_kernels as _ok
+
+    return f"""{_ok.U64_PRELUDE}
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT mix64(CAST(user_id AS UBIGINT)) AS h FROM u),
+bk AS (SELECT h FROM h ORDER BY h LIMIT {k})
+SELECT CASE WHEN (SELECT COUNT(*) FROM bk) < {k}
+            THEN (SELECT COUNT(*) FROM bk)
+            ELSE CAST(({k} - 1) * 18446744073709551616::HUGEINT
+                      // CAST((SELECT MAX(h) FROM bk) AS HUGEINT) AS BIGINT)
+       END AS est_distinct
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2276,6 +2354,9 @@ QUERIES = {
     "media_frames": media_frames,
     "training_pipeline": training_pipeline,
     "crawl_span_stats": crawl_span_stats,
+    "events_retention_cohorts": events_retention_cohorts,
+    "docs_repetition_scores": docs_repetition_scores,
+    "events_distinct_kmv": events_distinct_kmv,
 }
 
 ORACLE_SQL = {
@@ -2353,6 +2434,12 @@ ORACLE_SQL = {
     "media_features": _oracle_kernels.media_features_sql(),
     "media_resize": _oracle_kernels.media_resize_sql(),
     "media_frames": _oracle_kernels.media_frames_sql(),
+    # cohort retention triangle — distinct (user, week) + min-week join
+    "events_retention_cohorts": _RETENTION_SQL,
+    # Gopher repeated-trigram fraction (integer fixed-point)
+    "docs_repetition_scores": _REPETITION_SQL,
+    # KMV bottom-k distinct sketch — mix64 bijection replays exactly
+    "events_distinct_kmv": _kmv_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

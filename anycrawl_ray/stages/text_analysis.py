@@ -350,3 +350,29 @@ def keyword_topk(ds, terms: list[str], k: int = 10,
         "doc_id": pa.array(merged["doc_id"].tolist()),
         "score": pa.array(merged["score"].astype("int64"), pa.int64()),
     })
+
+
+def repetition_scores_batch(batch: pa.Table, n: int = 3,
+                            scale: int = 1_000_000,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> pa.Table:
+    """Within-document repetition score — the Gopher-style repeated-n-gram
+    quality filter (Rae et al. 2021 §A1.1): fraction of a doc's word
+    n-grams that are repeats of an earlier gram, as integer fixed-point
+    ``(total - distinct) * scale // total``. Pure map-side (no shuffle);
+    docs with fewer than ``n`` tokens emit nothing (no grams to score —
+    the SQL oracle's empty-UNNEST behavior). Tokenization is THE pinned
+    kernel: ``str.split()`` == DuckDB regexp_split ``\\s+`` (see
+    dedup._word_ngrams)."""
+    ids, reps = [], []
+    for d, t in zip(batch.column(id_col).to_pylist(),
+                    batch.column(text_col).to_pylist()):
+        words = t.split()
+        total = len(words) - n + 1
+        if total <= 0:
+            continue
+        distinct = len({" ".join(words[i:i + n]) for i in range(total)})
+        ids.append(d)
+        reps.append((total - distinct) * scale // total)
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "rep_scaled": pa.array(reps, pa.int64())})

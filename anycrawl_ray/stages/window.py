@@ -412,6 +412,71 @@ def running_total_salted(ds, key: str, order_cols: list[str],
             .map_batches(add_carry, batch_format="pyarrow"))
 
 
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      week_us: int = 604_800_000_000,
+                      n_buckets: int | None = None) -> pa.Table:
+    """Cohort retention: cohort = a user's FIRST active week; for every
+    (cohort_week, week_offset) count the users active in that week — the
+    standard product-analytics retention triangle.
+
+    ONE shuffle total: per-batch Arrow group_by first shrinks rows to
+    distinct (user, week) pairs, users hash into fat mix64 buckets, and
+    the bucket kernel (all rows of a user share its bucket) derives each
+    user's cohort and emits per-(cohort, offset) partial counts with one
+    lexsort + boundary arithmetic — users are PARTITIONED across buckets,
+    so the partials are disjoint and the final merge is a tiny driver-side
+    Arrow group_by sum (cohorts × offsets rows, not users)."""
+    import pyarrow.compute as pc
+
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        w = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // week_us
+        t = pa.table({user_col: batch.column(user_col),
+                      "week": pa.array(w, pa.int64())})
+        # distinct-per-batch before the shuffle: events >> (user, week)
+        t = (t.group_by([user_col, "week"]).aggregate([([], "count_all")])
+             .select([user_col, "week"]))
+        return _bucket_col(t, user_col, nb)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[user_col].to_numpy()
+        w = group["week"].to_numpy()
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # global distinct (user, week): batch partials can overlap
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])))
+        u, w = u[keep], w[keep]
+        starts = np.concatenate(([True], u[1:] != u[:-1]))
+        seg_id = np.cumsum(starts) - 1
+        cohort = w[np.flatnonzero(starts)][seg_id]  # min week per user
+        out = pd.DataFrame({"cohort_week": cohort, "week_offset": w - cohort})
+        return (out.groupby(["cohort_week", "week_offset"], sort=False)
+                .size().reset_index(name="n_users"))
+
+    parts = list(ds.map_batches(prep, batch_format="pyarrow")
+                 .groupby("_kb").map_groups(per_bucket,
+                                            batch_format="pandas")
+                 .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"cohort_week": pa.array([], pa.int64()),
+                         "week_offset": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    merged = (pa.concat_tables(parts)
+              .group_by(["cohort_week", "week_offset"])
+              .aggregate([("n_users", "sum")])
+              .rename_columns(["cohort_week", "week_offset", "n_users"]))
+    return merged.sort_by([("cohort_week", "ascending"),
+                           ("week_offset", "ascending")]).select(
+        ["cohort_week", "week_offset", "n_users"]).cast(
+        pa.schema([("cohort_week", pa.int64()),
+                   ("week_offset", pa.int64()),
+                   ("n_users", pa.int64())]))
+
+
 def running_total_auto(ds, key: str, order_cols: list[str], cents_col: str,
                        out_cols: list[str], chunk_col: str,
                        total_col: str = "running_cents",

@@ -955,3 +955,62 @@ def test_dedup_incremental_anti_join(ray_session):
                     (7, "brand new")])       # survives (self-dup kept)
     out = dedup_incremental(new, prior).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [3, 7]
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.sketches import kmv_distinct
+
+    # below k: exact (mix64 is a bijection — no collision correction)
+    t = pa.table({"u": pa.array([1, 2, 3, 2, 1, 7], pa.int64())})
+    out = kmv_distinct(rd.from_arrow(t).repartition(3), "u", k=256)
+    assert out.column("est_distinct").to_pylist() == [4]
+    # above k: estimator within 20% of truth for 5000 distinct, k=256
+    big = pa.table({"u": pa.array(np.arange(5000, dtype=np.int64))})
+    est = kmv_distinct(rd.from_arrow(big).repartition(4), "u",
+                       k=256).column("est_distinct")[0].as_py()
+    assert abs(est - 5000) / 5000 < 0.2
+    # block-split invariance: same estimate regardless of partitioning
+    est2 = kmv_distinct(rd.from_arrow(big).repartition(13), "u",
+                        k=256).column("est_distinct")[0].as_py()
+    assert est == est2
+
+
+def test_retention_cohorts_small(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import retention_cohorts
+
+    wk = 604_800_000_000
+    # user 1: weeks 0,1,3 / user 2: weeks 1,1 (dup events) / user 3: week 3
+    rows = [(1, 0), (1, 1), (1, 3), (2, 1), (2, 1), (3, 3)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * wk + 5 for r in rows],
+                       pa.timestamp("us")),
+    })
+    out = retention_cohorts(rd.from_arrow(t).repartition(3))
+    got = {(c, o): n for c, o, n in zip(
+        out.column("cohort_week").to_pylist(),
+        out.column("week_offset").to_pylist(),
+        out.column("n_users").to_pylist())}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (3, 0): 1}
+
+
+def test_repetition_scores_fixed_point():
+    from anycrawl_ray.stages.text_analysis import repetition_scores_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["a b c a b c a b c",   # 7 trigrams, 3 distinct
+                 "all words unique here now",  # 3 trigrams, all distinct
+                 "xy",                    # < 3 tokens -> omitted
+                 "w w w w"],              # 2 trigrams, 1 distinct
+    })
+    out = repetition_scores_batch(t)
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("rep_scaled").to_pylist()))
+    assert got == {1: (7 - 3) * 1_000_000 // 7, 2: 0,
+                   4: (2 - 1) * 1_000_000 // 2}
