@@ -107,6 +107,10 @@ class _Converter:
             handler = _TAG_DISPATCH[tag]
         except KeyError:
             handler = getattr(type(self), f"_tag_{tag}", None)
+            if len(_TAG_DISPATCH) > 512:
+                # tag names are attacker-controlled HTML; bound the cache
+                # like _COMPILED_SELECTORS does
+                _TAG_DISPATCH.clear()
             _TAG_DISPATCH[tag] = handler
         if handler is not None:
             return handler(self, node)

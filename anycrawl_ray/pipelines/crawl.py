@@ -571,6 +571,14 @@ def run_crawl(
             shutil.rmtree(job_out)
         if job_out:
             os.makedirs(job_out, exist_ok=True)
+        if resume and job_out and epoch_part_files(job_out):
+            # a resumed job keeps writing whatever format its first run
+            # wrote (ARCHITECTURE §6) — the detected format wins over the
+            # argument, and a missing backend still fails up front
+            detected = _storage.latest_format(job_out)
+            if detected != storage_format:
+                part_ext = _storage.part_extension(
+                    _storage.require_format(detected))
 
         cancelled = False
         start_epoch = epoch

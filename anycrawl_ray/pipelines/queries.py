@@ -1203,27 +1203,31 @@ ORDER BY doc_id
 """
 
 
+_NGRAM_MAX_DF = 200  # stop-gram cap — ONE constant, mirrored into the SQL
+
+
 def docs_ngram_jaccard(sf_dir: str):
     """Exact word-bigram Jaccard >= 25% via distributed inverted index —
     full SQL oracle (integer threshold arithmetic on both sides). The
-    df > 200 stop-gram cap is ACTIVE and mirrored by the oracle's ``df``
-    CTE (capped grams leave the index on both engines)."""
+    df > _NGRAM_MAX_DF stop-gram cap is ACTIVE and mirrored by the
+    oracle's ``df`` CTE (capped grams leave the index on both engines)."""
     from ..stages.dedup import ngram_jaccard_pairs
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, threshold_pct=25, n=2, max_df=200)
+    return ngram_jaccard_pairs(ds, threshold_pct=25, n=2,
+                               max_df=_NGRAM_MAX_DF)
 
 
-_NGRAM_JACCARD_SQL = """
+_NGRAM_JACCARD_SQL = f"""
 WITH w AS (SELECT doc_id,
-            list_filter(regexp_split_to_array(text, '\s+'),
+            list_filter(regexp_split_to_array(text, '\\s+'),
                         x -> x <> '') AS w
      FROM documents),
 bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bg
        FROM w, UNNEST(range(1, len(w))) AS t(i)),
 sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
-df AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= 200),
+df AS (SELECT bg FROM bg GROUP BY bg HAVING count(*) <= {_NGRAM_MAX_DF}),
 bgk AS (SELECT bg.doc_id, bg.bg FROM bg JOIN df USING (bg)),
 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
           FROM bgk a JOIN bgk b ON a.bg = b.bg AND a.doc_id < b.doc_id

@@ -100,7 +100,8 @@ def exact_dedup(ds, text_col: str = "text", broadcast_limit: int = 1_000_000):
         lambda b: add_text_hash(b, text_col), batch_format="pyarrow"
     ).materialize()
     counts = hashed.groupby("text_hash").aggregate(Count(alias_name="n"))
-    dup = counts.filter(expr="n >= 2")
+    # materialize: count() and the fast path's to_pandas() both consume it
+    dup = counts.filter(expr="n >= 2").materialize()
     n_dup_groups = dup.count()
 
     def all_unique(batch: pa.Table) -> pa.Table:
@@ -849,7 +850,7 @@ def _segment_pair_counts(keys: np.ndarray, docs: np.ndarray,
 
 def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_df: int | None = 10_000):
+                        max_df: int | None = None):
     """EXACT word n-gram Jaccard near-dup pairs via a distributed inverted
     index — the SQL-oracle-checkable counterpart of the MinHash estimate.
     Admission is the integer threshold test ``inter * 100 >= pct * union``
@@ -863,8 +864,9 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
     ``nb`` stay the FULL per-doc distinct-gram totals, so the admitted
     Jaccard is a lower bound of the uncapped value (capped grams can only
     lose pairs, never invent them) and the SQL oracle replays the exact
-    same filter. ``max_df=None`` disables the cap (exact mode for small
-    verification corpora).
+    same filter. The DEFAULT is ``max_df=None`` — exact mode, preserving
+    this function's contract as the exact SQL-checkable counterpart of
+    MinHash; pass a cap for any corpus that could contain a stop-gram.
 
     Scale note: even capped, exact inverted-index Jaccard emits O(df^2)
     rows per gram — use it for verification corpora / samples;

@@ -434,7 +434,17 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
         ts = batch.column(ts_col)
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        w = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // week_us
+        # divisor in the column's NATIVE tick unit — cast(int64) yields
+        # ns/ms/us/s ticks depending on the parquet writer, while week_us
+        # is specified in us (the SQL oracle's epoch_us)
+        if isinstance(ts.type, pa.TimestampType):
+            per_us = {"s": 1 / 1_000_000, "ms": 1 / 1_000,
+                      "us": 1, "ns": 1_000}[ts.type.unit]
+            div = int(week_us * per_us) if per_us >= 1 else \
+                int(week_us // round(1 / per_us))
+        else:
+            div = week_us
+        w = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // div
         t = pa.table({user_col: batch.column(user_col),
                       "week": pa.array(w, pa.int64())})
         # distinct-per-batch before the shuffle: events >> (user, week)
@@ -604,6 +614,11 @@ def funnel(ds, key: str, ts_col: str, type_col: str, stages: list[str],
                 break
             mi = sidx == i
             ki, ti = key_id[mi], ts[mi]
+            if ti.size == 0:
+                # no stage-i events anywhere in the bucket: nobody advances
+                # (guard needed — the batched indexing below is eager and
+                # would index the empty array)
+                break
             # rank space makes (key, ts) composable into ONE sorted int64
             # key: rank equality <=> value equality, so composite order ==
             # (key, ts) lexicographic order and one batched searchsorted

@@ -1014,3 +1014,20 @@ def test_repetition_scores_fixed_point():
                    out.column("rep_scaled").to_pylist()))
     assert got == {1: (7 - 3) * 1_000_000 // 7, 2: 0,
                    4: (2 - 1) * 1_000_000 // 2}
+
+
+def test_funnel_stage_with_zero_events(ray_session):
+    """A bucket whose keys entered the funnel but where a LATER stage has
+    no events at all must count zero, not crash (regression: the batched
+    kernel eagerly indexed the empty candidate array)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import funnel
+
+    t = pa.table({"user_id": pa.array([1, 2, 3], pa.int64()),
+                  "ts": pa.array([10, 20, 30], pa.int64()),
+                  "event_type": pa.array(["signup"] * 3)})
+    out = funnel(rd.from_arrow(t), key="user_id", ts_col="ts",
+                 type_col="event_type",
+                 stages=["signup", "click", "purchase"], within=100)
+    assert out.column("n_keys").to_pylist() == [3, 0, 0]

@@ -81,3 +81,28 @@ def test_lance_roundtrip(tmp_path):  # pragma: no cover - cluster-only
     p = str(tmp_path / "part-0000.lance")
     storage.write_table(t, p)
     assert storage.read_table(p).equals(t)
+
+
+@pytest.mark.skipif(LANCE_PRESENT, reason="lance installed: guard inactive")
+def test_resume_detects_prior_format(tmp_path, ray_session):
+    """Resume must keep writing the format the FIRST run wrote: with a
+    .lance part on disk and the default (parquet) argument, detection
+    must select lance — proven here by the import guard firing."""
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+
+    pages = build_site_table("/root/testdata/sf0.001/documents.parquet")
+    job = CrawlJob(job_id="rf", seed_urls=[page_url(0)], strategy="all",
+                   limit=60)
+    ck = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_crawl(job, pages, out_dir=str(tmp_path), checkpoint_dir=ck,
+                  use_ray=False, crash_after_epoch=1)
+    # masquerade the finished epochs as lance parts
+    job_out = tmp_path / "rf"
+    for edir in job_out.glob("epoch=*"):
+        for part in edir.glob("*.parquet"):
+            part.rename(part.with_suffix(".lance"))
+    with pytest.raises(RuntimeError, match="lance"):
+        run_crawl(job, pages, out_dir=str(tmp_path), checkpoint_dir=ck,
+                  use_ray=False, resume=True)
