@@ -2301,6 +2301,44 @@ SELECT CASE WHEN (SELECT COUNT(*) FROM bk) < {k}
 """
 
 
+def docs_bm25_topk(sf_dir: str):
+    """Full BM25 ranking (k1=1.2, b=0.75) in exact integer arithmetic —
+    denominators cleared instead of float-evaluated, so the HUGEINT
+    DuckDB oracle matches bit-for-bit at every corpus size."""
+    from ..stages.text_analysis import bm25_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bm25_topk(ds, _KEYWORD_TERMS, k=_KEYWORD_K)
+
+
+def _bm25_topk_sql(terms: list[str] | None = None, k: int = _KEYWORD_K,
+                   scale: int = 1_000_000) -> str:
+    tlist = ", ".join(f"'{t}'" for t in (terms or _KEYWORD_TERMS))
+    return f"""
+WITH lists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM lists),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+toks AS (SELECT doc_id, UNNEST(t) AS tok FROM lists),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ({tlist}) GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(SUM( (g.n // df.df)
+                   * (22::HUGEINT * tf.tf * g.tl * {scale})
+                   // (10::HUGEINT * g.tl * tf.tf + 3::HUGEINT * g.tl
+                       + 9::HUGEINT * dl.dl * g.n) ) AS BIGINT) AS score
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), g
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2361,6 +2399,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "docs_repetition_scores": docs_repetition_scores,
     "events_distinct_kmv": events_distinct_kmv,
+    "docs_bm25_topk": docs_bm25_topk,
 }
 
 ORACLE_SQL = {
@@ -2444,6 +2483,8 @@ ORACLE_SQL = {
     "docs_repetition_scores": _REPETITION_SQL,
     # KMV bottom-k distinct sketch — mix64 bijection replays exactly
     "events_distinct_kmv": _kmv_sql(),
+    # full BM25 with cleared denominators — HUGEINT replay, no floats
+    "docs_bm25_topk": _bm25_topk_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -376,3 +376,102 @@ def repetition_scores_batch(batch: pa.Table, n: int = 3,
         reps.append((total - distinct) * scale // total)
     return pa.table({id_col: pa.array(ids, pa.int64()),
                      "rep_scaled": pa.array(reps, pa.int64())})
+
+
+def bm25_topk(ds, terms: list[str], k: int = 10, scale: int = 1_000_000,
+              id_col: str = "doc_id", text_col: str = "text") -> "pa.Table":
+    """BM25 top-k with EXACT integer arithmetic (k1 = 1.2, b = 0.75) — the
+    full Robertson-Sparck Jones ranking function, kept oracle-exact by
+    clearing denominators instead of evaluating floats:
+
+        term = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with avgdl = TL/N (TL = corpus token count); multiplying num and den
+    by 10*TL and substituting k1, b gives the all-integer form
+
+        term_scaled = idf * 22*tf*TL * scale // (10*TL*tf + 3*TL + 9*dl*N)
+
+    with idf = N // df (the pinned integer-idf convention of
+    ``keyword_topk``). Python bigints carry the products, so no int64
+    overflow at any corpus size; the DuckDB oracle computes the identical
+    expression in HUGEINT.
+
+    Scale shape: ONE corpus pass emits a per-doc sentinel row (doc length
+    — the corpus stats feed) plus the query-term-restricted (doc, term,
+    tf, dl) inverted index; N/TL/df reduce from that table (no second
+    corpus scan); scoring runs over the narrow index rows with broadcast
+    globals; top-k is per-block local + driver merge."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    term_set = set(terms)
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        out_id, out_t, out_tf, out_dl = [], [], [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = t.split()
+            dl = len(toks)
+            out_id.append(d)       # sentinel row: term "" carries dl
+            out_t.append("")
+            out_tf.append(0)
+            out_dl.append(dl)
+            counts: dict[str, int] = {}
+            for tok in toks:
+                if tok in term_set:
+                    counts[tok] = counts.get(tok, 0) + 1
+            for term, tf in counts.items():
+                out_id.append(d)
+                out_t.append(term)
+                out_tf.append(tf)
+                out_dl.append(dl)
+        return pa.table({"doc_id": pa.array(out_id),
+                         "term": pa.array(out_t, pa.string()),
+                         "tf": pa.array(out_tf, pa.int64()),
+                         "dl": pa.array(out_dl, pa.int64())})
+
+    idx = ds.map_batches(index_rows, batch_format="pyarrow").materialize()
+    stats = idx.filter(expr="term == ''") \
+        .aggregate(Count(alias_name="n"), Sum("dl", alias_name="tl"))
+    n_docs, tl = int(stats["n"]), int(stats["tl"])
+    hits = idx.filter(expr="term != ''").materialize()
+    df = hits.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    if len(df) == 0 or tl == 0:
+        id_type = {f.name: f.type for f in ds.schema().base_schema}[id_col]
+        return pa.table({"doc_id": pa.array([], id_type),
+                         "score": pa.array([], pa.int64())})
+    idf = {t: n_docs // int(c) for t, c in zip(df["term"], df["df"])}
+    g_ref = ray.put((idf, n_docs, tl))
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        idf_m, n, tl_ = ray.get(g_ref)
+        out_id, out_s = [], []
+        for d, term, tf, dl in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("term").to_pylist(),
+                                   batch.column("tf").to_pylist(),
+                                   batch.column("dl").to_pylist()):
+            # Python bigints: products exceed int64 at large TL by design
+            s = idf_m[term] * 22 * tf * tl_ * scale \
+                // (10 * tl_ * tf + 3 * tl_ + 9 * dl * n)
+            out_id.append(d)
+            out_s.append(s)
+        return pa.table({"doc_id": pa.array(out_id),
+                         "part": pa.array(out_s, pa.int64())})
+
+    scores = (hits.map_batches(score_rows, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("part", alias_name="score")))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        d = batch.to_pandas()
+        d = d.sort_values(["score", "doc_id"], ascending=[False, True])
+        return pa.Table.from_pandas(d.head(k), preserve_index=False)
+
+    parts = pa.concat_tables(
+        scores.map_batches(local_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    merged = parts.to_pandas().sort_values(["score", "doc_id"],
+                                           ascending=[False, True]).head(k)
+    return pa.table({
+        "doc_id": pa.array(merged["doc_id"].tolist()),
+        "score": pa.array(merged["score"].astype("int64"), pa.int64()),
+    })

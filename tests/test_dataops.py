@@ -1031,3 +1031,41 @@ def test_funnel_stage_with_zero_events(ray_session):
                  type_col="event_type",
                  stages=["signup", "click", "purchase"], within=100)
     assert out.column("n_keys").to_pylist() == [3, 0, 0]
+
+
+def test_bm25_matches_float_reference(ray_session):
+    """Integer BM25 with cleared denominators must rank exactly like the
+    float textbook formula (idf quantized to N//df on both sides)."""
+    from anycrawl_ray.stages.text_analysis import bm25_topk
+
+    rows = [(1, "data systems love data and more data"),
+            (2, "the quick fox and the lazy dog"),
+            (3, "of data of systems of pipelines"),
+            (4, "no query words here at all"),
+            (5, "data")]
+    out = bm25_topk(_docs_ds(rows), ["data", "the", "of"], k=5)
+    got = out.column("doc_id").to_pylist()
+    # float reference
+    docs = {d: t.split() for d, t in rows}
+    n = len(docs)
+    tl = sum(len(t) for t in docs.values())
+    avgdl = tl / n
+    df = {}
+    for t in docs.values():
+        for q in {"data", "the", "of"} & set(t):
+            df[q] = df.get(q, 0) + 1
+    scores = {}
+    for d, t in docs.items():
+        s = 0.0
+        for q in ("data", "the", "of"):
+            tf = t.count(q)
+            if tf == 0 or q not in df:
+                continue
+            idf = n // df[q]
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+        if s > 0:
+            scores[d] = s
+    want = sorted(scores, key=lambda d: (-scores[d], d))
+    assert got == want
+    # doc 4 (no query terms) must not appear
+    assert 4 not in got
