@@ -154,6 +154,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("docs_pack_sequences", Q.docs_pack_sequences)
     timed("embeddings_knn", Q.embeddings_knn)
     timed("events_asof_join", Q.events_asof_join)
+    timed("events_running_total", Q.events_running_total)
+    timed("events_funnel", Q.events_funnel)
+    timed("events_retention_cohorts", Q.events_retention_cohorts)
+    timed("docs_bm25_topk", Q.docs_bm25_topk)
     timed("docs_winnow_pairs", Q.docs_winnow_pairs)
 
     # exact all-pairs n-gram Jaccard is the documented verification-corpus
