@@ -2339,6 +2339,56 @@ SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+def docs_redact_pii(sf_dir: str):
+    """Email redaction with per-doc counts — RE2-safe pattern, exact
+    regexp_replace oracle."""
+    from ..stages.text_analysis import redact_pii_batch
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(redact_pii_batch, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_REDACT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '[EMAIL]', 'g') AS clean_text,
+       len(regexp_extract_all(
+           text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_redactions
+FROM documents ORDER BY doc_id
+"""
+
+
+def docs_chunk_overlap(sf_dir: str):
+    """Overlapping 64-token chunks every 48 tokens (RAG prep explode) —
+    list-slicing SQL oracle on the pinned tokenizer."""
+    from ..stages.text_analysis import chunk_overlap_batch
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(chunk_overlap_batch, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_CHUNK_OVERLAP_SQL = r"""
+WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS t
+      FROM documents)
+SELECT doc_id,
+       s // 48 AS chunk_idx,
+       len(t[s + 1 : s + 64]) AS n_tokens,
+       array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+FROM toks, UNNEST(range(0, greatest(len(t), 1), 48)) AS u(s)
+WHERE len(t) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2400,6 +2450,8 @@ QUERIES = {
     "docs_repetition_scores": docs_repetition_scores,
     "events_distinct_kmv": events_distinct_kmv,
     "docs_bm25_topk": docs_bm25_topk,
+    "docs_redact_pii": docs_redact_pii,
+    "docs_chunk_overlap": docs_chunk_overlap,
 }
 
 ORACLE_SQL = {
@@ -2485,6 +2537,10 @@ ORACLE_SQL = {
     "events_distinct_kmv": _kmv_sql(),
     # full BM25 with cleared denominators — HUGEINT replay, no floats
     "docs_bm25_topk": _bm25_topk_sql(),
+    # RE2-safe email scrub — regexp_replace replay
+    "docs_redact_pii": _REDACT_SQL,
+    # RAG overlap chunking — list-slicing replay on the pinned tokenizer
+    "docs_chunk_overlap": _CHUNK_OVERLAP_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -475,3 +475,54 @@ def bm25_topk(ds, terms: list[str], k: int = 10, scale: int = 1_000_000,
         "doc_id": pa.array(merged["doc_id"].tolist()),
         "score": pa.array(merged["score"].astype("int64"), pa.int64()),
     })
+
+
+_EMAIL_RX = None
+
+
+def redact_pii_batch(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """PII scrub — the pre-training redaction stage: replace email
+    addresses with ``[EMAIL]`` and count redactions per doc. Pure
+    map-side; the pattern is RE2-compatible (no backrefs/lookaround) so
+    DuckDB ``regexp_replace(..., 'g')`` replays it exactly."""
+    import re
+
+    global _EMAIL_RX
+    if _EMAIL_RX is None:  # compile once per worker process
+        _EMAIL_RX = re.compile(
+            r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ids, texts, counts = [], [], []
+    for d, t in zip(batch.column(id_col).to_pylist(),
+                    batch.column(text_col).to_pylist()):
+        clean, n = _EMAIL_RX.subn("[EMAIL]", t)
+        ids.append(d)
+        texts.append(clean)
+        counts.append(n)
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "clean_text": pa.array(texts, pa.string()),
+                     "n_redactions": pa.array(counts, pa.int64())})
+
+
+def chunk_overlap_batch(batch: pa.Table, size: int = 64, stride: int = 48,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Overlapping token chunking — the RAG/packing prep stage: emit
+    chunks of ``size`` tokens every ``stride`` tokens (chunk starts =
+    0, stride, 2*stride, ... while start < n_tokens). Map-side explode;
+    tokenization is the pinned ``str.split()`` kernel, so the DuckDB
+    oracle replays via list slicing + ``range(0, n, stride)``."""
+    ids, idxs, lens, texts = [], [], [], []
+    for d, t in zip(batch.column(id_col).to_pylist(),
+                    batch.column(text_col).to_pylist()):
+        toks = t.split()
+        for ci, start in enumerate(range(0, len(toks), stride)):
+            chunk = toks[start:start + size]
+            ids.append(d)
+            idxs.append(ci)
+            lens.append(len(chunk))
+            texts.append(" ".join(chunk))
+    return pa.table({id_col: pa.array(ids, pa.int64()),
+                     "chunk_idx": pa.array(idxs, pa.int64()),
+                     "n_tokens": pa.array(lens, pa.int64()),
+                     "chunk_text": pa.array(texts, pa.string())})

@@ -1069,3 +1069,30 @@ def test_bm25_matches_float_reference(ray_session):
     assert got == want
     # doc 4 (no query terms) must not appear
     assert 4 not in got
+
+
+def test_redact_pii_counts_and_rewrites():
+    from anycrawl_ray.stages.text_analysis import redact_pii_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["mail a.b+c@x-y.co.uk and d@e.io today",
+                           "no addresses here"]})
+    out = redact_pii_batch(t)
+    assert out.column("n_redactions").to_pylist() == [2, 0]
+    assert out.column("clean_text").to_pylist()[0] == \
+        "mail [EMAIL] and [EMAIL] today"
+
+
+def test_chunk_overlap_boundaries():
+    from anycrawl_ray.stages.text_analysis import chunk_overlap_batch
+
+    toks = " ".join(f"t{i}" for i in range(100))
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": [toks, ""]})
+    out = chunk_overlap_batch(t, size=64, stride=48)
+    # starts 0, 48, 96 -> lengths 64, 52, 4; empty doc emits nothing
+    assert out.column("doc_id").to_pylist() == [1, 1, 1]
+    assert out.column("n_tokens").to_pylist() == [64, 52, 4]
+    first = out.column("chunk_text").to_pylist()
+    assert first[0].startswith("t0 ") and first[0].endswith(" t63")
+    assert first[2] == "t96 t97 t98 t99"
