@@ -2389,6 +2389,64 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def events_interarrival(sf_dir: str):
+    """Per-user inter-event gap stats (count/sum/max of consecutive
+    deltas) — the LAG() window class, one fat-bucket shuffle + reduceat
+    kernel (stages/window.py::interarrival_stats). Exact SQL oracle."""
+    from ..stages.window import interarrival_stats
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return interarrival_stats(ev, key="user_id", ts_col="ts")
+
+
+_INTERARRIVAL_SQL = """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+d AS (SELECT user_id,
+             t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+      FROM o)
+SELECT user_id, COUNT(gap) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+       MAX(gap) AS max_gap_us
+FROM d WHERE gap IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def docs_substring_dedup(sf_dir: str):
+    """Exact duplicated-substring (k=8 token span) coverage per doc —
+    Lee et al. 2022's span-level dedup signal, two fat-bucket shuffles,
+    no suffix array, nothing corpus-sized on the driver
+    (stages/dedup.py::substring_dup_coverage). Exact SQL oracle via
+    string-gram self-join + DISTINCT covered positions."""
+    from ..stages.dedup import substring_dup_coverage
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return substring_dup_coverage(ds, k=8)
+
+
+_SUBSTRING_DEDUP_SQL = r"""
+WITH toks AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS t
+      FROM documents),
+l AS (SELECT doc_id, len(t) AS n_tokens FROM toks WHERE len(t) > 0),
+g AS (SELECT doc_id, i AS pos, array_to_string(t[i + 1 : i + 8], ' ') AS gram
+      FROM toks, UNNEST(range(0, greatest(len(t) - 7, 0))) AS u(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+occ AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+cov AS (SELECT doc_id, COUNT(DISTINCT j) AS dup_tokens
+        FROM occ, UNNEST(range(pos, pos + 8)) AS v(j) GROUP BY doc_id)
+SELECT l.doc_id AS doc_id, l.n_tokens AS n_tokens,
+       COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+       COALESCE(cov.dup_tokens, 0) * 1000000 // l.n_tokens AS frac_ppm
+FROM l LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2452,6 +2510,8 @@ QUERIES = {
     "docs_bm25_topk": docs_bm25_topk,
     "docs_redact_pii": docs_redact_pii,
     "docs_chunk_overlap": docs_chunk_overlap,
+    "events_interarrival": events_interarrival,
+    "docs_substring_dedup": docs_substring_dedup,
 }
 
 ORACLE_SQL = {
@@ -2541,6 +2601,8 @@ ORACLE_SQL = {
     "docs_redact_pii": _REDACT_SQL,
     # RAG overlap chunking — list-slicing replay on the pinned tokenizer
     "docs_chunk_overlap": _CHUNK_OVERLAP_SQL,
+    "events_interarrival": _INTERARRIVAL_SQL,
+    "docs_substring_dedup": _SUBSTRING_DEDUP_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

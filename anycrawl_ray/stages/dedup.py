@@ -1221,3 +1221,166 @@ def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
     new_h = new_ds.map_batches(hash_slim, batch_format="pyarrow")
     prior_h = prior_ds.map_batches(hash_keys, batch_format="pyarrow")
     return new_h.join(prior_h, "left_anti", n_parts, on=("text_hash",))
+
+
+# ------------------------------------- exact duplicated-substring spans
+
+def _gram_hash_rows(batch: pa.Table, k: int, id_col: str, text_col: str):
+    """Per-doc dual polynomial rolling hashes of every k-token gram.
+
+    Two INDEPENDENT Horner accumulations (different odd bases) give an
+    effective 128-bit gram identity, so in-bucket equality of the
+    (gh1, gh2) pair stands in for string equality of the k-gram — the
+    occurrence rows ship 16 bytes instead of the ~100-byte gram text.
+    Returns (gh1, gh2, doc, pos) numpy columns for the batch."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    g1, g2, dd, pp = [], [], [], []
+    for d, t in zip(ids, texts):
+        th = token_hashes(t)
+        n = th.size
+        if n < k:
+            continue
+        m = n - k + 1
+        with np.errstate(over="ignore"):
+            a1 = th[:m].copy()
+            a2 = th[:m] * np.uint64(0x9E3779B97F4A7C15)
+            for i in range(1, k):
+                a1 = a1 * np.uint64(1099511628211) + th[i: m + i]
+                a2 = a2 * np.uint64(0xC2B2AE3D27D4EB4F) + \
+                    th[i: m + i] * np.uint64(0x9E3779B97F4A7C15)
+        g1.append(a1.view(np.int64))
+        g2.append(a2.view(np.int64))
+        dd.append(np.full(m, d, dtype=np.int64))
+        pp.append(np.arange(m, dtype=np.int64))
+    if not g1:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    return (np.concatenate(g1), np.concatenate(g2),
+            np.concatenate(dd), np.concatenate(pp))
+
+
+def substring_dup_coverage(ds, k: int = 8, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_buckets: int | None = None) -> pa.Table:
+    """Exact duplicated-substring coverage, the span-level dedup signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): a k-token gram is *duplicated* if it occurs >= 2 times in
+    the corpus (any doc, including the same one); per doc, report how many
+    token positions are covered by at least one duplicated-gram occurrence
+    (the union of the [pos, pos+k) intervals) as an exact ppm fraction.
+
+    The reference paper builds a monolithic suffix array; the Ray-native
+    shape is two fat-bucket shuffles over hash rows instead — no global
+    index, no driver materialization of anything corpus-sized:
+
+    1. gram-hash rows (16-byte dual identity per occurrence) bucket by
+       ``gh1 % nb``; a bucket holds EVERY occurrence of its grams, so
+       "count >= 2" is decided in-bucket with one lexsort + boundary diff
+       and only duplicated occurrences (doc, pos) leave the bucket.
+    2. duplicated occurrences union a slim per-doc length side (second
+       pruned scan) and bucket by doc hash; the per-bucket kernel computes
+       each doc's interval union vectorized (sorted-position diffs clipped
+       at k, reduceat per doc segment).
+
+    Output: one row per non-empty doc (doc_id, n_tokens, dup_tokens,
+    frac_ppm = dup_tokens * 1_000_000 // n_tokens), sorted by doc."""
+    import pandas as pd
+    import ray
+
+    nb = n_buckets or max(16, min(256,
+                                  int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        g1, g2, dd, pp = _gram_hash_rows(batch, k, id_col, text_col)
+        kb = (g1.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"g1": pa.array(g1, pa.int64()),
+                         "g2": pa.array(g2, pa.int64()),
+                         "doc": pa.array(dd, pa.int64()),
+                         "pos": pa.array(pp, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def dup_occurrences(group: pd.DataFrame) -> pd.DataFrame:
+        g1 = group["g1"].to_numpy(dtype=np.int64)
+        g2 = group["g2"].to_numpy(dtype=np.int64)
+        order = np.lexsort((g2, g1))
+        g1s, g2s = g1[order], g2[order]
+        boundary = np.concatenate(
+            ([True], (g1s[1:] != g1s[:-1]) | (g2s[1:] != g2s[:-1])))
+        seg_id = np.cumsum(boundary) - 1
+        sizes = np.diff(np.append(np.flatnonzero(boundary), g1s.size))
+        keep = sizes[seg_id] >= 2
+        kept = order[keep]
+        return pd.DataFrame({"doc": group["doc"].to_numpy()[kept],
+                             "pos": group["pos"].to_numpy()[kept]})
+
+    occ = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("_kb").map_groups(dup_occurrences, batch_format="pandas"))
+
+    def occ_tag(batch: pa.Table) -> pa.Table:
+        t = pa.table({"doc": batch.column("doc"), "pos": batch.column("pos"),
+                      "_side": pa.array(np.ones(len(batch), dtype=np.int8),
+                                        pa.int8())})
+        from ..stages.window import _bucket_col
+        return _bucket_col(t, "doc", nb)
+
+    def len_tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_tok = pc.count_substring_regex(batch.column(text_col), r"\S+")
+        n = np.asarray(pc.cast(n_tok, pa.int64()))
+        ids = np.asarray(batch.column(id_col).cast(pa.int64()))
+        m = n > 0
+        t = pa.table({"doc": pa.array(ids[m], pa.int64()),
+                      "pos": pa.array(n[m], pa.int64()),  # length rides pos
+                      "_side": pa.array(np.zeros(int(m.sum()), dtype=np.int8),
+                                        pa.int8())})
+        from ..stages.window import _bucket_col
+        return _bucket_col(t, "doc", nb)
+
+    lengths = ds.map_batches(len_tag, batch_format="pyarrow")
+    tagged = occ.map_batches(occ_tag, batch_format="pyarrow").union(lengths)
+
+    def coverage(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["_side"].to_numpy()
+        docs_l = group["doc"].to_numpy()[side == 0]
+        lens_l = group["pos"].to_numpy()[side == 0]
+        od = group["doc"].to_numpy()[side == 1]
+        op = group["pos"].to_numpy()[side == 1]
+        cov = np.zeros(docs_l.size, dtype=np.int64)
+        if od.size:
+            order = np.lexsort((op, od))
+            od, op = od[order], op[order]
+            boundary = np.concatenate(([True], od[1:] != od[:-1]))
+            starts = np.flatnonzero(boundary)
+            # interval union of [pos, pos+k): k per segment start + the
+            # clipped diffs for every following occurrence in the segment
+            d = np.minimum(op[1:] - op[:-1], k)
+            d = np.concatenate(([np.int64(k)], d))
+            d[starts] = k
+            per_doc = np.add.reduceat(d, starts)
+            # align to the length side (docs sorted there too)
+            lorder = np.argsort(docs_l, kind="stable")
+            docs_l, lens_l = docs_l[lorder], lens_l[lorder]
+            cov = np.zeros(docs_l.size, dtype=np.int64)
+            ix = np.searchsorted(docs_l, od[starts])
+            ok = (ix < docs_l.size)
+            ok &= docs_l[np.minimum(ix, docs_l.size - 1)] == od[starts]
+            cov[ix[ok]] = per_doc[ok]
+        return pd.DataFrame({
+            "doc_id": docs_l, "n_tokens": lens_l, "dup_tokens": cov,
+            "frac_ppm": cov * 1_000_000 // np.maximum(lens_l, 1)})
+
+    out = tagged.groupby("_kb").map_groups(coverage, batch_format="pandas") \
+        .to_pandas()
+    if len(out) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "dup_tokens": pa.array([], pa.int64()),
+                         "frac_ppm": pa.array([], pa.int64())})
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    return tbl.cast(pa.schema([("doc_id", pa.int64()),
+                               ("n_tokens", pa.int64()),
+                               ("dup_tokens", pa.int64()),
+                               ("frac_ppm", pa.int64())])) \
+        .sort_by([("doc_id", "ascending")])

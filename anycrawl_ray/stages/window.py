@@ -503,20 +503,25 @@ def running_total_auto(ds, key: str, order_cols: list[str], cents_col: str,
     import ray
     from ray.data.aggregate import Sum
 
-    ds = ds.materialize()  # count pass + both splits reuse one lineage
-
     def count_partial(batch: pa.Table) -> pa.Table:
         return (pa.table({key: batch.column(key)})
                 .group_by([key]).aggregate([([], "count_all")])
                 .rename_columns([key, "n"]))
 
+    # NOT materialized: the cold (no-hot-keys) path is the common case,
+    # and it needs only TWO executions — counts+filter fused into one,
+    # then the plain keyed plan over the original (cheap-to-replay)
+    # lineage.  Materializing up front cost a third full execution that
+    # only pays off when hot keys exist, so it moves into that branch.
     counts = (ds.map_batches(count_partial, batch_format="pyarrow")
-              .groupby(key).aggregate(Sum("n", alias_name="n"))
-              .materialize())
+              .groupby(key).aggregate(Sum("n", alias_name="n")))
     hot = counts.filter(expr=f"n >= {int(hot_threshold)}").to_pandas()
     if len(hot) == 0:
         return running_total(ds, key, order_cols, cents_col, out_cols,
                              total_col, n_buckets)
+    # hot branch: the salted path's two stages re-read their input, so one
+    # materialization here is shared by the hot/cold splits.
+    ds = ds.materialize()
     total_rows = int(counts.sum("n"))
     hot_rows = int(hot["n"].sum())
     hot_ref = ray.put(pa.array(hot[key]))
@@ -652,3 +657,78 @@ def funnel(ds, key: str, ts_col: str, type_col: str, stages: list[str],
         "stage": pa.array(stages, pa.string()),
         "n_keys": pa.array(totals, pa.int64()),
     })
+
+
+def interarrival_stats(ds, key: str = "user_id", ts_col: str = "ts",
+                       n_buckets: int | None = None) -> pa.Table:
+    """Per-key inter-event gap statistics (count / sum / max of the
+    consecutive time deltas) — the LAG() OVER (PARTITION BY key ORDER BY
+    ts) window class, reference-free training-pipeline telemetry.
+
+    Scale shape is the standard fat-bucket one-shuffle plan: keys hash
+    into ``mix64 % n_buckets`` groups, ONE lexsort per bucket orders
+    (key, ts), and every per-key aggregate falls out of vectorized
+    ``np.diff`` + ``reduceat`` over segment starts — no per-key Python.
+    Gaps are computed on the sorted-multiset timestamps, so ties need no
+    tie-break: count/sum/max of consecutive diffs are tie-order-free.
+    Output is one row per key with >= 2 events (keys are PARTITIONED
+    across buckets, so bucket outputs are disjoint and the driver only
+    concatenates + sorts the per-key result, not the events)."""
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = np.asarray(ts.cast(pa.int64()), dtype=np.int64)
+        if isinstance(ts.type, pa.TimestampType):
+            unit = ts.type.unit
+            if unit == "ns":
+                t = t // 1_000
+            elif unit == "ms":
+                t = t * 1_000
+            elif unit == "s":
+                t = t * 1_000_000
+        out = pa.table({key: batch.column(key),
+                        "t_us": pa.array(t, pa.int64())})
+        return _bucket_col(out, key, nb)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[key].to_numpy()
+        t = group["t_us"].to_numpy(dtype=np.int64)
+        if u.size == 0:
+            return pd.DataFrame({key: np.empty(0, dtype=u.dtype),
+                                 "n_gaps": np.empty(0, dtype=np.int64),
+                                 "sum_gap_us": np.empty(0, dtype=np.int64),
+                                 "max_gap_us": np.empty(0, dtype=np.int64)})
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        same = u[1:] == u[:-1]          # gap rows: same key as previous
+        gaps = (t[1:] - t[:-1])[same]
+        gu = u[1:][same]
+        if gu.size == 0:
+            return pd.DataFrame({key: np.empty(0, dtype=u.dtype),
+                                 "n_gaps": np.empty(0, dtype=np.int64),
+                                 "sum_gap_us": np.empty(0, dtype=np.int64),
+                                 "max_gap_us": np.empty(0, dtype=np.int64)})
+        starts = np.concatenate(([True], gu[1:] != gu[:-1]))
+        idx = np.flatnonzero(starts)
+        return pd.DataFrame({
+            key: gu[idx],
+            "n_gaps": np.diff(np.append(idx, gu.size)).astype(np.int64),
+            "sum_gap_us": np.add.reduceat(gaps, idx).astype(np.int64),
+            "max_gap_us": np.maximum.reduceat(gaps, idx).astype(np.int64),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    tbl = pa.Table.from_pandas(out, preserve_index=False) if len(out) else \
+        pa.table({key: pa.array([], pa.int64()),
+                  "n_gaps": pa.array([], pa.int64()),
+                  "sum_gap_us": pa.array([], pa.int64()),
+                  "max_gap_us": pa.array([], pa.int64())})
+    return tbl.cast(pa.schema([(key, pa.int64()), ("n_gaps", pa.int64()),
+                               ("sum_gap_us", pa.int64()),
+                               ("max_gap_us", pa.int64())])) \
+        .sort_by([(key, "ascending")])
