@@ -2447,6 +2447,70 @@ FROM l LEFT JOIN cov USING (doc_id) ORDER BY doc_id
 """
 
 
+def docs_unigram_surprise(sf_dir: str):
+    """Corpus-trained unigram LM score per doc (CCNet perplexity-bucket
+    shape, integer-exact) — no vocab broadcast: token counts are decided
+    inside hash buckets that hold every occurrence of their tokens
+    (stages/text_analysis.py::unigram_surprise). Exact SQL oracle."""
+    from ..stages.text_analysis import unigram_surprise
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return unigram_surprise(ds)
+
+
+_UNIGRAM_SURPRISE_SQL = r"""
+WITH toks AS (SELECT doc_id,
+               UNNEST(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS tok
+      FROM documents),
+c AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+s AS (SELECT doc_id, CAST(SUM(total // c) AS BIGINT) AS ssum,
+             COUNT(*) AS n_tokens
+      FROM toks JOIN c USING (tok), t GROUP BY doc_id)
+SELECT doc_id, n_tokens, ssum // n_tokens AS mean_surprise
+FROM s ORDER BY doc_id
+"""
+
+
+def docs_quality_rules(sf_dir: str):
+    """Gopher-style rule-table quality filter (length / mean word length /
+    symbol ratio / stopword rules, scaled-integer), pure map-side
+    (stages/text_analysis.py::quality_rules_batch). Exact SQL oracle."""
+    from ..stages.text_analysis import quality_rules_batch
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(quality_rules_batch, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
+        .sort_by([("doc_id", "ascending")])
+
+
+_QUALITY_RULES_SQL = r"""
+WITH s AS (SELECT doc_id,
+    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+    len(regexp_extract_all(text, '\S')) AS n_sym_chars,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '\b(?:the|a|and|of|to|in)\b')) AS stop_hits
+  FROM documents),
+r AS (SELECT doc_id, n_tokens,
+    n_sym_chars * 10 // greatest(n_tokens, 1) AS mean_wlen_x10,
+    CASE WHEN n_tokens >= 30 THEN 1 ELSE 0 END AS rule_len,
+    CASE WHEN n_sym_chars * 10 // greatest(n_tokens, 1) BETWEEN 40 AND 100
+         THEN 1 ELSE 0 END AS rule_wordlen,
+    CASE WHEN n_punct * 10 <= n_tokens THEN 1 ELSE 0 END AS rule_symbol,
+    CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS rule_stop
+  FROM s)
+SELECT doc_id, n_tokens, mean_wlen_x10, rule_len, rule_wordlen,
+       rule_symbol, rule_stop,
+       rule_len * rule_wordlen * rule_symbol * rule_stop AS keep
+FROM r ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2512,6 +2576,8 @@ QUERIES = {
     "docs_chunk_overlap": docs_chunk_overlap,
     "events_interarrival": events_interarrival,
     "docs_substring_dedup": docs_substring_dedup,
+    "docs_unigram_surprise": docs_unigram_surprise,
+    "docs_quality_rules": docs_quality_rules,
 }
 
 ORACLE_SQL = {
@@ -2603,6 +2669,8 @@ ORACLE_SQL = {
     "docs_chunk_overlap": _CHUNK_OVERLAP_SQL,
     "events_interarrival": _INTERARRIVAL_SQL,
     "docs_substring_dedup": _SUBSTRING_DEDUP_SQL,
+    "docs_unigram_surprise": _UNIGRAM_SURPRISE_SQL,
+    "docs_quality_rules": _QUALITY_RULES_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

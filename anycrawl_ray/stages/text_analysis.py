@@ -526,3 +526,139 @@ def chunk_overlap_batch(batch: pa.Table, size: int = 64, stride: int = 48,
                      "chunk_idx": pa.array(idxs, pa.int64()),
                      "n_tokens": pa.array(lens, pa.int64()),
                      "chunk_text": pa.array(texts, pa.string())})
+
+
+def unigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int | None = None) -> pa.Table:
+    """Corpus-trained unigram LM scoring (the CCNet perplexity-bucketing
+    shape, integer-exact): train unigram counts over the corpus itself,
+    then score every doc by its mean per-token *surprise*
+    ``T // count(tok)`` (T = total corpus tokens) — rare-token-heavy docs
+    score high, boilerplate scores low. Integer division keeps it exactly
+    SQL-replayable (float log-probs drift between libm builds).
+
+    Fully distributed, NO vocab broadcast: (doc, token-hash) rows bucket
+    by ``hash % nb``, so a bucket holds EVERY occurrence of its tokens
+    and the global count is an in-bucket lexsort + segment size; the
+    per-occurrence surprise reduces to per-(doc, bucket) partials and one
+    slim groupby-Sum finishes per doc. T is a scalar from a pruned
+    counting pass. Nothing vocabulary- or corpus-sized ever sits on the
+    driver — the usual CCNet design broadcasts the LM, this one co-locates
+    it with its occurrences instead."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    nb = n_buckets or max(16, min(256,
+                                  int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    def tok_count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column(text_col), r"\S+")
+        return pa.table({"n": pa.array(
+            [int(pc.sum(n).as_py() or 0)], pa.int64())})
+
+    total = int(ds.map_batches(tok_count, batch_format="pyarrow")
+                .sum("n") or 0)
+    if total == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "mean_surprise": pa.array([], pa.int64())})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        th_all, d_all = [], []
+        for d, t in zip(ids, texts):
+            th = token_hashes(t)
+            if th.size == 0:
+                continue
+            th_all.append(th.view(np.int64))
+            d_all.append(np.full(th.size, d, dtype=np.int64))
+        if not th_all:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc": z, "th": z, "_kb": z})
+        th_c = np.concatenate(th_all)
+        d_c = np.concatenate(d_all)
+        kb = (th_c.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"doc": pa.array(d_c, pa.int64()),
+                         "th": pa.array(th_c, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_partials(group: pd.DataFrame) -> pd.DataFrame:
+        th = group["th"].to_numpy(dtype=np.int64)
+        doc = group["doc"].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc, th))
+        th, doc = th[order], doc[order]
+        boundary = np.concatenate(([True], th[1:] != th[:-1]))
+        seg_id = np.cumsum(boundary) - 1
+        sizes = np.diff(np.append(np.flatnonzero(boundary), th.size))
+        surprise = total // sizes[seg_id]          # per occurrence
+        # reduce to per-doc partials inside the bucket
+        dorder = np.argsort(doc, kind="stable")
+        doc, surprise = doc[dorder], surprise[dorder]
+        dstart = np.concatenate(([True], doc[1:] != doc[:-1]))
+        idx = np.flatnonzero(dstart)
+        return pd.DataFrame({
+            "doc": doc[idx],
+            "ssum": np.add.reduceat(surprise, idx).astype(np.int64),
+            "n": np.diff(np.append(idx, doc.size)).astype(np.int64)})
+
+    parts = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_partials,
+                                        batch_format="pandas")
+             .groupby("doc").aggregate(Sum("ssum", alias_name="ssum"),
+                                       Sum("n", alias_name="n_tokens"))
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "mean_surprise": pa.array([], pa.int64())})
+    parts = parts.sort_values("doc").reset_index(drop=True)
+    n = parts["n_tokens"].to_numpy(dtype=np.int64)
+    s = parts["ssum"].to_numpy(dtype=np.int64)
+    return pa.table({id_col: pa.array(parts["doc"], pa.int64()),
+                     "n_tokens": pa.array(n, pa.int64()),
+                     "mean_surprise": pa.array(s // n, pa.int64())})
+
+
+def quality_rules_batch(batch: pa.Table, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """Gopher-style rule-table quality filter (Rae et al. 2021 §A1.1 class
+    of rules, scaled-integer arithmetic so the SQL oracle is exact):
+
+    - ``rule_len``:     >= 30 tokens
+    - ``rule_wordlen``: mean token length in [4.0, 10.0] (x10 fixed-point)
+    - ``rule_symbol``:  <= 0.1 symbol (non-word, non-space) chars per token
+    - ``rule_stop``:    >= 1 whole-word stopword hit
+    - ``keep``:         every rule passes
+
+    Pure vectorized map-side stage (pyarrow regex kernels, no shuffle) —
+    at 100 TB this runs embarrassingly parallel at the read."""
+    text = batch.column(text_col)
+    n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    n_sym_chars = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.int64())
+    stop_pat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    stop_hits = pc.cast(pc.count_substring_regex(text, stop_pat), pa.int64())
+
+    nt = np.asarray(n_tok, dtype=np.int64)
+    nsc = np.asarray(n_sym_chars, dtype=np.int64)
+    npt = np.asarray(n_punct, dtype=np.int64)
+    sh = np.asarray(stop_hits, dtype=np.int64)
+    safe_nt = np.maximum(nt, 1)
+    wlen10 = nsc * 10 // safe_nt
+    r_len = (nt >= 30).astype(np.int64)
+    r_wordlen = ((wlen10 >= 40) & (wlen10 <= 100)).astype(np.int64)
+    r_symbol = (npt * 10 <= nt).astype(np.int64)
+    r_stop = (sh >= 1).astype(np.int64)
+    keep = r_len * r_wordlen * r_symbol * r_stop
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_tokens": n_tok,
+        "mean_wlen_x10": pa.array(wlen10, pa.int64()),
+        "rule_len": pa.array(r_len, pa.int64()),
+        "rule_wordlen": pa.array(r_wordlen, pa.int64()),
+        "rule_symbol": pa.array(r_symbol, pa.int64()),
+        "rule_stop": pa.array(r_stop, pa.int64()),
+        "keep": pa.array(keep, pa.int64()),
+    })
