@@ -2511,6 +2511,145 @@ FROM r ORDER BY doc_id
 """
 
 
+def q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): revenue by nation for
+    ASIA-region nations where the supplying supplier and the ordering
+    customer share the nation, orders in [1995, 1997).
+
+    Plan: region→nation (driver-tiny) gates two broadcast dim lookups —
+    suppkey→nation and custkey→nation as int8 arrays (-1 = out of
+    region), the q3 customer-mask precedent; orders prune to (orderkey,
+    c_nat) map-side; lineitem prunes to in-region suppliers and
+    pre-aggregates exact fixed-point revenue per (orderkey, s_nat); ONE
+    all-to-all (the hash join on orderkey) co-locates them, the
+    same-nation filter and per-nation partials finish per joined block,
+    and the driver folds ≤ |nations| rows. Revenue is scaled to integer
+    PER ROW (cents x (100 - disc_cents), 1e-4 units) before any sum —
+    order-free arithmetic, exact at every scale (the q1 lesson)."""
+    import ray
+
+    from ..stages.dedup import _cached_get
+
+    rd = _rd()
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    rk = region.filter(pc.equal(region.column("r_name"), "ASIA")) \
+        .column("r_regionkey").to_numpy(zero_copy_only=False)
+    nat = nation.filter(pc.is_in(nation.column("n_regionkey"),
+                                 value_set=pa.array(rk)))
+    nat_keys = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    nat_names = dict(zip(nat_keys.tolist(),
+                         nat.column("n_name").to_pylist()))
+    in_region = np.zeros(int(nation.column("n_nationkey")
+                             .to_numpy(zero_copy_only=False).max()) + 1,
+                         dtype=bool)
+    in_region[nat_keys] = True
+
+    def _dim_lookup(path: str, key_col: str, nat_col: str) -> np.ndarray:
+        t = pq.read_table(path, columns=[key_col, nat_col])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        nats = t.column(nat_col).to_numpy(zero_copy_only=False)
+        lut = np.full(int(keys.max()) + 1, -1, dtype=np.int8)
+        ok = in_region[nats]
+        lut[keys[ok]] = nats[ok].astype(np.int8)
+        return lut
+
+    supp_ref = ray.put(_dim_lookup(f"{sf_dir}/supplier.parquet",
+                                   "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_dim_lookup(f"{sf_dir}/customer.parquet",
+                                   "c_custkey", "c_nationkey"))
+
+    lo = np.datetime64("1995-01-01").astype("datetime64[s]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[s]").astype(np.int64)
+
+    def orders_slim(b: pa.Table) -> pa.Table:
+        lut = _cached_get(cust_ref)
+        per = {"s": 1, "ms": 10**3, "us": 10**6,
+               "ns": 10**9}[b.column("o_orderdate").type.unit]
+        od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy()
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        c_nat = lut[ck]
+        keep = (od >= lo * per) & (od < hi * per) & (c_nat >= 0)
+        kept = b.filter(pa.array(keep))
+        return pa.table({
+            "l_orderkey": pc.cast(kept.column("o_orderkey"), pa.int64()),
+            "c_nat": pa.array(c_nat[keep].astype(np.int64), pa.int64()),
+        })
+
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_slim, batch_format="pyarrow")
+
+    def lineitem_partial(b: pa.Table) -> pa.Table:
+        lut = _cached_get(supp_ref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        s_nat = lut[sk]
+        keep = s_nat >= 0
+        kept = b.filter(pa.array(keep))
+        ep = np.rint(kept.column("l_extendedprice")
+                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        dc = np.rint(kept.column("l_discount")
+                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({
+            "l_orderkey": pc.cast(kept.column("l_orderkey"), pa.int64()),
+            "s_nat": pa.array(s_nat[keep].astype(np.int64), pa.int64()),
+            "rev": pa.array(ep * (100 - dc), pa.int64()),
+        })
+        g = t.group_by(["l_orderkey", "s_nat"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "s_nat", "rev"])
+
+    rev = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(lineitem_partial, batch_format="pyarrow")
+
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = rev.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        same = pc.equal(b.column("s_nat"), b.column("c_nat"))
+        kept = b.filter(same)
+        g = pa.table({"nat": kept.column("s_nat"),
+                      "rev": kept.column("rev")}) \
+            .group_by("nat").aggregate([("rev", "sum")])
+        return g.rename_columns(["nat", "rev"])
+
+    parts = joined.map_batches(nation_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if len(parts) == 0:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue_scaled": pa.array([], pa.int64())})
+    fin = parts.groupby("nat", sort=False)["rev"].sum().reset_index()
+    fin["n_name"] = [nat_names[int(n)] for n in fin["nat"]]
+    fin = fin.sort_values(["rev", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pa.table({"n_name": pa.array(fin["n_name"], pa.string()),
+                     "revenue_scaled": pa.array(
+                         fin["rev"].astype("int64"), pa.int64())})
+
+
+_Q5_SQL = """
+SELECT n.n_name AS n_name,
+       CAST(SUM(CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round_even(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_scaled
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+             AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_scaled DESC, n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2578,6 +2717,7 @@ QUERIES = {
     "docs_substring_dedup": docs_substring_dedup,
     "docs_unigram_surprise": docs_unigram_surprise,
     "docs_quality_rules": docs_quality_rules,
+    "q5_local_supplier": q5_local_supplier,
 }
 
 ORACLE_SQL = {
@@ -2671,6 +2811,7 @@ ORACLE_SQL = {
     "docs_substring_dedup": _SUBSTRING_DEDUP_SQL,
     "docs_unigram_surprise": _UNIGRAM_SURPRISE_SQL,
     "docs_quality_rules": _QUALITY_RULES_SQL,
+    "q5_local_supplier": _Q5_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

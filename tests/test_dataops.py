@@ -1096,3 +1096,97 @@ def test_chunk_overlap_boundaries():
     first = out.column("chunk_text").to_pylist()
     assert first[0].startswith("t0 ") and first[0].endswith(" t63")
     assert first[2] == "t96 t97 t98 t99"
+
+
+def test_substring_dup_coverage_planted(ray_session):
+    """Plant an identical 8-token span in two docs; a third doc shares
+    nothing. Coverage must mark exactly the span tokens (interval union,
+    incl. overlapping occurrences within one doc)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.dedup import substring_dup_coverage
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"one two three {span} four five",            # 13 tokens, 8 dup
+            f"{span} six seven eight nine ten eleven",    # 14 tokens, 8 dup
+            "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12",     # no dup
+        ]),
+    })
+    out = substring_dup_coverage(rd.from_arrow(docs), k=8)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["dup_tokens"] == 8 and rows[1]["n_tokens"] == 13
+    assert rows[2]["dup_tokens"] == 8 and rows[2]["n_tokens"] == 14
+    assert rows[3]["dup_tokens"] == 0
+    assert rows[1]["frac_ppm"] == 8 * 1_000_000 // 13
+
+    # overlapping occurrences inside ONE doc: "a b c a b c a b c" with k=3
+    # duplicates every 3-gram; the union must cover the whole doc, not 3x
+    rep = pa.table({"doc_id": pa.array([7], pa.int64()),
+                    "text": pa.array(["a b c a b c a b c"])})
+    out2 = substring_dup_coverage(rd.from_arrow(rep), k=3)
+    r = out2.to_pylist()[0]
+    assert r["n_tokens"] == 9 and r["dup_tokens"] == 9
+    assert r["frac_ppm"] == 1_000_000
+
+
+def test_interarrival_stats_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import interarrival_stats
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+    })
+    out = interarrival_stats(rd.from_pandas(df), key="user_id",
+                             ts_col="ts").to_pandas()
+
+    ref = df.sort_values(["user_id", "ts"]).copy()
+    ref["gap"] = ref.groupby("user_id")["ts"].diff().dt.total_seconds() * 1e6
+    agg = (ref.dropna(subset=["gap"]).groupby("user_id")["gap"]
+           .agg(n_gaps="count", sum_gap_us="sum", max_gap_us="max")
+           .reset_index())
+    agg = agg.astype({"n_gaps": "int64", "sum_gap_us": "int64",
+                      "max_gap_us": "int64"})
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  agg.reset_index(drop=True))
+
+
+def test_unigram_surprise_tiny(ray_session):
+    """Hand-checkable corpus: counts {x:3, y:2, z:1}, T=6 ->
+    surprise(x)=2, (y)=3, (z)=6."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import unigram_surprise
+
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["x x y", "x y z"])})
+    out = unigram_surprise(rd.from_arrow(docs))
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["mean_surprise"] == (2 + 2 + 3) // 3
+    assert rows[2]["mean_surprise"] == (2 + 3 + 6) // 3
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 3
+
+
+def test_quality_rules_edges():
+    from anycrawl_ray.stages.text_analysis import quality_rules_batch
+
+    long_good = " ".join(["words"] * 29 + ["the"])         # 30 tokens, stop
+    short = "the tiny one"                                  # fails len
+    no_stop = " ".join(["zzzz"] * 40)                       # fails stop
+    symbols = " ".join(["!!"] * 30 + ["the"]) + " " + \
+        " ".join(["word"] * 9)                              # symbol-heavy
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([long_good, short, no_stop, symbols])})
+    out = quality_rules_batch(t).to_pylist()
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["keep"] == 1
+    assert by[2]["keep"] == 0 and by[2]["rule_len"] == 0
+    assert by[3]["keep"] == 0 and by[3]["rule_stop"] == 0
+    assert by[4]["rule_symbol"] == 0 and by[4]["keep"] == 0
