@@ -159,6 +159,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("events_retention_cohorts", Q.events_retention_cohorts)
     timed("docs_bm25_topk", Q.docs_bm25_topk)
     timed("docs_winnow_pairs", Q.docs_winnow_pairs)
+    timed("docs_substring_dedup", Q.docs_substring_dedup)
+    timed("docs_unigram_surprise", Q.docs_unigram_surprise)
+    timed("docs_quality_rules", Q.docs_quality_rules)
+    timed("events_interarrival", Q.events_interarrival)
+    timed("q5_local_supplier", Q.q5_local_supplier)
 
     # exact all-pairs n-gram Jaccard is the documented verification-corpus
     # tool (O(sum df^2): nearly every doc pair on this tiny-vocab corpus
