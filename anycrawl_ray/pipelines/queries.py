@@ -2650,6 +2650,34 @@ ORDER BY revenue_scaled DESC, n_name
 """
 
 
+def embeddings_knn_graph(sf_dir: str):
+    """Exact kNN graph (top-5 cosine neighbors for EVERY vector, self
+    excluded) — chunked-plasma blocked matmul, per-task memory = one
+    batch x one chunk (stages/similarity.py::knn_graph). Integer
+    (vec_id, rank, neighbor_id) output; exact SQL oracle."""
+    from ..stages.similarity import knn_graph
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=5)
+
+
+_KNN_GRAPH_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT vec_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2718,6 +2746,7 @@ QUERIES = {
     "docs_unigram_surprise": docs_unigram_surprise,
     "docs_quality_rules": docs_quality_rules,
     "q5_local_supplier": q5_local_supplier,
+    "embeddings_knn_graph": embeddings_knn_graph,
 }
 
 ORACLE_SQL = {
@@ -2812,6 +2841,7 @@ ORACLE_SQL = {
     "docs_unigram_surprise": _UNIGRAM_SURPRISE_SQL,
     "docs_quality_rules": _QUALITY_RULES_SQL,
     "q5_local_supplier": _Q5_SQL,
+    "embeddings_knn_graph": _KNN_GRAPH_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -251,3 +251,71 @@ class IVFIndex:
         # no cross-query candidate bleed from the union of paths)
         sub = rd.read_parquet(paths, columns=["vec_id", "embedding"])
         return _probed_topk(sub, self.centroids, qn, query_ids, probe, k)
+
+
+def knn_graph(ds, k: int = 5, chunk_rows: int = 4096) -> pa.Table:
+    """EXACT k-nearest-neighbor graph: for every vector, its top-k cosine
+    neighbors over the whole corpus (self excluded) — the building block
+    for embedding-space near-dup clustering and kNN-graph curation.
+
+    Shape: the corpus streams once into plasma as normalized matrix
+    CHUNKS (driver holds only the refs); a second streaming pass maps
+    each query batch against every chunk ref — zero-copy reads from the
+    object store, one (batch x chunk) matmul at a time, per-task memory
+    = one batch + one chunk — keeping a per-query running top-k;
+    per-batch local top-k tables fold in a tiny driver merge. Compute is
+    inherently O(N^2/cluster); the object store spills chunks instead of
+    any worker (or the driver) ever holding the corpus. For billion-row
+    corpora the IVF-partitioned index bounds the candidate set
+    (``IVFIndex.search``); this exact graph is the recall oracle and the
+    small/medium-N path."""
+    import ray
+
+    chunk_refs = []
+    for batch in ds.iter_batches(batch_size=chunk_rows,
+                                 batch_format="pyarrow"):
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = _normalize(_batch_embeddings(batch))
+        chunk_refs.append(ray.put((ids, emb)))
+    if not chunk_refs:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "neighbor_id": pa.array([], pa.int64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        q = _normalize(_batch_embeddings(batch))
+        best_s = np.full((q.shape[0], 0), 0.0)
+        best_n = np.full((q.shape[0], 0), 0, dtype=np.int64)
+        for ref in chunk_refs:
+            ids, emb = ray.get(ref)
+            sims = q @ emb.T                       # (B, C)
+            sims[qids[:, None] == ids[None, :]] = -np.inf  # self
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            best_s = np.concatenate(
+                [best_s, np.take_along_axis(sims, idx, axis=1)], axis=1)
+            best_n = np.concatenate([best_n, ids[idx]], axis=1)
+            if best_s.shape[1] > 4 * k:            # re-prune the running set
+                keep = np.argpartition(-best_s, k - 1, axis=1)[:, :k]
+                best_s = np.take_along_axis(best_s, keep, axis=1)
+                best_n = np.take_along_axis(best_n, keep, axis=1)
+        # final exact per-query top-k, ties by neighbor_id ascending
+        order = np.lexsort((best_n, -best_s), axis=1)[:, :k]
+        out_q = np.repeat(qids, order.shape[1])
+        out_n = np.take_along_axis(best_n, order, axis=1).ravel()
+        out_s = np.take_along_axis(best_s, order, axis=1).ravel()
+        rank = np.tile(np.arange(1, order.shape[1] + 1), qids.size)
+        ok = np.isfinite(out_s)
+        return pa.table({"vec_id": pa.array(out_q[ok], pa.int64()),
+                         "rank": pa.array(rank[ok].astype(np.int32),
+                                          pa.int32()),
+                         "neighbor_id": pa.array(out_n[ok], pa.int64())})
+
+    out = ds.map_batches(local_topk, batch_format="pyarrow",
+                         batch_size=chunk_rows).to_pandas()
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    return tbl.cast(pa.schema([("vec_id", pa.int64()),
+                               ("rank", pa.int32()),
+                               ("neighbor_id", pa.int64())])) \
+        .sort_by([("vec_id", "ascending"), ("rank", "ascending")])

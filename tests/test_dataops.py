@@ -1190,3 +1190,28 @@ def test_quality_rules_edges():
     assert by[2]["keep"] == 0 and by[2]["rule_len"] == 0
     assert by[3]["keep"] == 0 and by[3]["rule_stop"] == 0
     assert by[4]["rule_symbol"] == 0 and by[4]["keep"] == 0
+
+
+def test_knn_graph_matches_bruteforce(ray_session):
+    """Exact graph vs direct numpy all-pairs; also crosses chunk
+    boundaries (chunk_rows < n) so the running-top-k merge is exercised."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import knn_graph
+
+    rng = np.random.default_rng(5)
+    n, d, k = 300, 16, 4
+    emb = rng.normal(size=(n, d))
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(list(emb),
+                                          pa.list_(pa.float64()))})
+    out = knn_graph(rd.from_arrow(tbl), k=k, chunk_rows=64).to_pandas()
+
+    nrm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    np.fill_diagonal(sims, -np.inf)
+    for i in range(n):
+        order = np.lexsort((np.arange(n), -sims[i]))[:k]
+        got = out[out.vec_id == i].sort_values("rank")
+        assert got["neighbor_id"].tolist() == order.tolist(), i
+    assert len(out) == n * k
