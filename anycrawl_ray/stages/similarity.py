@@ -253,7 +253,7 @@ class IVFIndex:
         return _probed_topk(sub, self.centroids, qn, query_ids, probe, k)
 
 
-def knn_graph(ds, k: int = 5, chunk_rows: int = 4096) -> pa.Table:
+def knn_graph(ds, k: int = 5, chunk_rows: int = 4096, collect: bool = True):
     """EXACT k-nearest-neighbor graph: for every vector, its top-k cosine
     neighbors over the whole corpus (self excluded) — the building block
     for embedding-space near-dup clustering and kNN-graph curation.
@@ -312,8 +312,14 @@ def knn_graph(ds, k: int = 5, chunk_rows: int = 4096) -> pa.Table:
                                           pa.int32()),
                          "neighbor_id": pa.array(out_n[ok], pa.int64())})
 
-    out = ds.map_batches(local_topk, batch_format="pyarrow",
-                         batch_size=chunk_rows).to_pandas()
+    edges = ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=chunk_rows)
+    # each batch's rows are FINAL (its running top-k saw every chunk), so
+    # the streaming Dataset form costs nothing extra — at corpus scale the
+    # N*k edge list belongs in parquet, not on the driver
+    if not collect:
+        return edges
+    out = edges.to_pandas()
     tbl = pa.Table.from_pandas(out, preserve_index=False)
     return tbl.cast(pa.schema([("vec_id", pa.int64()),
                                ("rank", pa.int32()),

@@ -547,7 +547,6 @@ def unigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
     it with its occurrences instead."""
     import pandas as pd
     import ray
-    from ray.data.aggregate import Sum
 
     nb = n_buckets or max(16, min(256,
                                   int(ray.cluster_resources().get("CPU", 8)) * 2))
@@ -603,22 +602,45 @@ def unigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
             "ssum": np.add.reduceat(surprise, idx).astype(np.int64),
             "n": np.diff(np.append(idx, doc.size)).astype(np.int64)})
 
+    def rebucket(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch.column("doc"), dtype=np.int64)
+        db = (_mix64_np(doc.view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return batch.append_column("_db", pa.array(db, pa.int64()))
+
+    def doc_totals(group: pd.DataFrame) -> pd.DataFrame:
+        doc = group["doc"].to_numpy(dtype=np.int64)
+        s = group["ssum"].to_numpy(dtype=np.int64)
+        n = group["n"].to_numpy(dtype=np.int64)
+        order = np.argsort(doc, kind="stable")
+        doc, s, n = doc[order], s[order], n[order]
+        start = np.concatenate(([True], doc[1:] != doc[:-1]))
+        idx = np.flatnonzero(start)
+        ssum = np.add.reduceat(s, idx).astype(np.int64)
+        ntok = np.add.reduceat(n, idx).astype(np.int64)
+        return pd.DataFrame({"doc": doc[idx], "n_tokens": ntok,
+                             "mean_surprise": ssum // ntok})
+
+    # second fat-bucket shuffle finishes the per-doc sums — Ray's
+    # sort-based groupby over the natural doc key measured 12.9 s on 91k
+    # partial rows vs ~1 s for the bucketed kernel (the map_groups
+    # per-natural-key overhead anti-pattern, same fix as window.py)
     parts = (ds.map_batches(explode, batch_format="pyarrow")
              .groupby("_kb").map_groups(bucket_partials,
                                         batch_format="pandas")
-             .groupby("doc").aggregate(Sum("ssum", alias_name="ssum"),
-                                       Sum("n", alias_name="n_tokens"))
+             .map_batches(rebucket, batch_format="pyarrow")
+             .groupby("_db").map_groups(doc_totals, batch_format="pandas")
              .to_pandas())
     if len(parts) == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "n_tokens": pa.array([], pa.int64()),
                          "mean_surprise": pa.array([], pa.int64())})
     parts = parts.sort_values("doc").reset_index(drop=True)
-    n = parts["n_tokens"].to_numpy(dtype=np.int64)
-    s = parts["ssum"].to_numpy(dtype=np.int64)
     return pa.table({id_col: pa.array(parts["doc"], pa.int64()),
-                     "n_tokens": pa.array(n, pa.int64()),
-                     "mean_surprise": pa.array(s // n, pa.int64())})
+                     "n_tokens": pa.array(parts["n_tokens"].to_numpy(
+                         dtype=np.int64), pa.int64()),
+                     "mean_surprise": pa.array(parts["mean_surprise"]
+                                               .to_numpy(dtype=np.int64),
+                                               pa.int64())})
 
 
 def quality_rules_batch(batch: pa.Table, id_col: str = "doc_id",
