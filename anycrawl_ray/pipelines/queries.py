@@ -1796,22 +1796,26 @@ def events_running_total(sf_dir: str):
                          columns=["event_id", "user_id", "ts", "event_type",
                                   "value"])
 
-    def prep(b: pa.Table) -> pa.Table:
-        b = _add_cents(b)
-        ts = b.column("ts")
-        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
-        day = pc.divide(pc.cast(ts, pa.int64()),
-                        pa.scalar(86_400 * per_sec, pa.int64()))
-        return b.append_column("day", day)
-
     ds = ev.filter(expr="event_type == 'purchase'").map_batches(
-        prep, batch_format="pyarrow")
+        _prep_purchase_days, batch_format="pyarrow")
     out = running_total_auto(ds, key="user_id",
                              order_cols=["ts", "event_id"],
                              cents_col="cents", chunk_col="day",
                              out_cols=["event_id", "user_id", "ts"],
                              hot_threshold=10_000)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _prep_purchase_days(b: pa.Table) -> pa.Table:
+    """Shared by events_running_total and events_running_total_salted:
+    exact fixed-point cents + the coarse day chunk column (derived in the
+    timestamp column's native tick unit)."""
+    b = _add_cents(b)
+    ts = b.column("ts")
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+    day = pc.divide(pc.cast(ts, pa.int64()),
+                    pa.scalar(86_400 * per_sec, pa.int64()))
+    return b.append_column("day", day)
 
 
 def _add_cents(b: pa.Table) -> pa.Table:
@@ -2015,16 +2019,8 @@ def events_running_total_salted(sf_dir: str):
                          columns=["event_id", "user_id", "ts", "event_type",
                                   "value"])
 
-    def prep(b: pa.Table) -> pa.Table:
-        b = _add_cents(b)
-        ts = b.column("ts")
-        per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
-        day = pc.divide(pc.cast(ts, pa.int64()),
-                        pa.scalar(86_400 * per_sec, pa.int64()))
-        return b.append_column("day", day)
-
     ds = ev.filter(expr="event_type == 'purchase'").map_batches(
-        prep, batch_format="pyarrow")
+        _prep_purchase_days, batch_format="pyarrow")
     out = running_total_salted(ds, key="user_id",
                                order_cols=["ts", "event_id"],
                                cents_col="cents", chunk_col="day",

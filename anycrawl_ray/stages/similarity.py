@@ -258,29 +258,43 @@ def knn_graph(ds, k: int = 5, chunk_rows: int = 4096, collect: bool = True):
     neighbors over the whole corpus (self excluded) — the building block
     for embedding-space near-dup clustering and kNN-graph curation.
 
-    Shape: the corpus streams once into plasma as normalized matrix
-    CHUNKS (driver holds only the refs); a second streaming pass maps
-    each query batch against every chunk ref — zero-copy reads from the
-    object store, one (batch x chunk) matmul at a time, per-task memory
-    = one batch + one chunk — keeping a per-query running top-k;
+    Shape: ONE materialization pins the corpus blocks in plasma (workers
+    wrote them; the driver holds only the block refs); a second streaming
+    pass maps each query batch against every block ref — zero-copy reads
+    from the object store, one (batch x chunk) matmul at a time, per-task
+    memory = one batch + one chunk — keeping a per-query running top-k;
     per-batch local top-k tables fold in a tiny driver merge. Compute is
     inherently O(N^2/cluster); the object store spills chunks instead of
     any worker (or the driver) ever holding the corpus. For billion-row
     corpora the IVF-partitioned index bounds the candidate set
     (``IVFIndex.search``); this exact graph is the recall oracle and the
-    small/medium-N path."""
+    small/medium-N path.
+
+    Every top-k selection (per chunk, running-set re-prune, final) uses
+    the SAME lexicographic (cosine DESC, neighbor_id ASC) order — an
+    argpartition prune would drop an arbitrary subset of TIED neighbors
+    (exact-duplicate embeddings, this operator's target case) and diverge
+    from the SQL oracle's deterministic tie-break."""
     import ray
 
-    chunk_refs = []
-    for batch in ds.iter_batches(batch_size=chunk_rows,
-                                 batch_format="pyarrow"):
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = _normalize(_batch_embeddings(batch))
-        chunk_refs.append(ray.put((ids, emb)))
-    if not chunk_refs:
-        return pa.table({"vec_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int32()),
-                         "neighbor_id": pa.array([], pa.int64())})
+    mat = ds.materialize()
+    chunk_refs = list(mat.to_arrow_refs())
+    if mat.count() == 0:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int32()),
+                          "neighbor_id": pa.array([], pa.int64())})
+        return empty
+
+    def _chunk(ref):
+        tbl = ray.get(ref)
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        return ids, _normalize(_batch_embeddings(tbl))
+
+    def _prune(sims, nids, kk):
+        # deterministic composite order: cosine DESC then neighbor ASC
+        order = np.lexsort((nids, -sims), axis=1)[:, :kk]
+        return (np.take_along_axis(sims, order, axis=1),
+                np.take_along_axis(nids, order, axis=1))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
@@ -288,18 +302,17 @@ def knn_graph(ds, k: int = 5, chunk_rows: int = 4096, collect: bool = True):
         best_s = np.full((q.shape[0], 0), 0.0)
         best_n = np.full((q.shape[0], 0), 0, dtype=np.int64)
         for ref in chunk_refs:
-            ids, emb = ray.get(ref)
+            ids, emb = _chunk(ref)
+            if ids.size == 0:
+                continue
             sims = q @ emb.T                       # (B, C)
             sims[qids[:, None] == ids[None, :]] = -np.inf  # self
             kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            best_s = np.concatenate(
-                [best_s, np.take_along_axis(sims, idx, axis=1)], axis=1)
-            best_n = np.concatenate([best_n, ids[idx]], axis=1)
+            cs, cn = _prune(sims, np.broadcast_to(ids, sims.shape), kk)
+            best_s = np.concatenate([best_s, cs], axis=1)
+            best_n = np.concatenate([best_n, cn], axis=1)
             if best_s.shape[1] > 4 * k:            # re-prune the running set
-                keep = np.argpartition(-best_s, k - 1, axis=1)[:, :k]
-                best_s = np.take_along_axis(best_s, keep, axis=1)
-                best_n = np.take_along_axis(best_n, keep, axis=1)
+                best_s, best_n = _prune(best_s, best_n, k)
         # final exact per-query top-k, ties by neighbor_id ascending
         order = np.lexsort((best_n, -best_s), axis=1)[:, :k]
         out_q = np.repeat(qids, order.shape[1])
@@ -312,8 +325,8 @@ def knn_graph(ds, k: int = 5, chunk_rows: int = 4096, collect: bool = True):
                                           pa.int32()),
                          "neighbor_id": pa.array(out_n[ok], pa.int64())})
 
-    edges = ds.map_batches(local_topk, batch_format="pyarrow",
-                           batch_size=chunk_rows)
+    edges = mat.map_batches(local_topk, batch_format="pyarrow",
+                            batch_size=chunk_rows)
     # each batch's rows are FINAL (its running top-k saw every chunk), so
     # the streaming Dataset form costs nothing extra — at corpus scale the
     # N*k edge list belongs in parquet, not on the driver

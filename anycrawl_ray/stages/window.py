@@ -520,19 +520,23 @@ def running_total_auto(ds, key: str, order_cols: list[str], cents_col: str,
         return running_total(ds, key, order_cols, cents_col, out_cols,
                              total_col, n_buckets)
     # hot branch: the salted path's two stages re-read their input, so one
-    # materialization here is shared by the hot/cold splits.
+    # materialization here is shared by the hot/cold splits.  total_rows
+    # comes from the materialized blocks' metadata — summing `counts`
+    # would replay its whole lineage (scan + groupby) for a scalar.
     ds = ds.materialize()
-    total_rows = int(counts.sum("n"))
+    total_rows = int(ds.count())
     hot_rows = int(hot["n"].sum())
     hot_ref = ray.put(pa.array(hot[key]))
 
+    from ..stages.dedup import _cached_get  # shared per-worker LRU
+
     def hot_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch.column(key),
-                                     value_set=_cached_ray_get(hot_ref)))
+                                     value_set=_cached_get(hot_ref)))
 
     def cold_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(pc.is_in(
-            batch.column(key), value_set=_cached_ray_get(hot_ref))))
+            batch.column(key), value_set=_cached_get(hot_ref))))
 
     salted = running_total_salted(
         ds.map_batches(hot_only, batch_format="pyarrow"), key, order_cols,
@@ -543,23 +547,6 @@ def running_total_auto(ds, key: str, order_cols: list[str], cents_col: str,
                           key, order_cols, cents_col, out_cols, total_col,
                           n_buckets)
     return plain.union(salted)
-
-
-_RT_HOT_CACHE: dict[str, object] = {}
-
-
-def _cached_ray_get(ref):
-    """Per-worker cache of the broadcast hot-key array (same pattern as
-    stages/dedup._cached_get; tiny local copy to avoid a cross-module
-    import of dedup's LRU)."""
-    import ray
-
-    k = ref.hex() if hasattr(ref, "hex") else str(ref)
-    if k not in _RT_HOT_CACHE:
-        if len(_RT_HOT_CACHE) > 4:
-            _RT_HOT_CACHE.clear()
-        _RT_HOT_CACHE[k] = ray.get(ref)
-    return _RT_HOT_CACHE[k]
 
 
 def funnel(ds, key: str, ts_col: str, type_col: str, stages: list[str],

@@ -1215,3 +1215,26 @@ def test_knn_graph_matches_bruteforce(ray_session):
         got = out[out.vec_id == i].sort_values("rank")
         assert got["neighbor_id"].tolist() == order.tolist(), i
     assert len(out) == n * k
+
+
+def test_knn_graph_tied_duplicates_deterministic(ray_session):
+    """More than k exact-duplicate embeddings: every prune step must keep
+    the SQL oracle's tie order (cosine DESC, neighbor_id ASC), so the
+    neighbors of a duplicated vector are exactly the k smallest other ids
+    in its duplicate class (review finding: argpartition pruning dropped
+    arbitrary tied neighbors)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import knn_graph
+
+    n, k = 40, 3
+    base = np.ones(8)
+    emb = np.tile(base, (n, 1))                     # all identical
+    tbl = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(list(emb),
+                                          pa.list_(pa.float64()))})
+    out = knn_graph(rd.from_arrow(tbl), k=k, chunk_rows=7).to_pandas()
+    for i in range(n):
+        want = [j for j in range(n) if j != i][:k]
+        got = out[out.vec_id == i].sort_values("rank")["neighbor_id"].tolist()
+        assert got == want, (i, got, want)
