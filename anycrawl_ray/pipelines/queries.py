@@ -2674,6 +2674,173 @@ FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank
 """
 
 
+def docs_curation_span(sf_dir: str):
+    """Round-4 curation composite over the documents table: Gopher rule
+    filter (keep) -> exact first-wins dedup -> duplicated-span coverage
+    gate (frac_ppm < 200_000). Each stage is the registered distributed
+    operator — the composite exists to pin that they CHAIN as Datasets
+    (filter stays map-side, dedup's shuffle feeds coverage's shuffles)
+    with one exact end-to-end SQL oracle. Output: kept (doc_id,
+    n_tokens), sorted."""
+    from ..stages.dedup import exact_dedup, substring_dup_coverage
+    from ..stages.text_analysis import quality_rules_batch
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        keep = quality_rules_batch(batch).column("keep")
+        return batch.filter(pc.equal(keep, 1))
+
+    survivors = exact_dedup(
+        ds.map_batches(keep_quality, batch_format="pyarrow"))
+    cov = substring_dup_coverage(survivors, k=8)
+    kept = cov.filter(pc.less(cov.column("frac_ppm"), 200_000))
+    return kept.select(["doc_id", "n_tokens"]) \
+        .sort_by([("doc_id", "ascending")])
+
+
+_CURATION_SPAN_SQL = r"""
+WITH s AS (SELECT doc_id, text,
+    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+    len(regexp_extract_all(text, '\S')) AS nsc,
+    len(regexp_extract_all(text, '[^\w\s]')) AS npunct,
+    len(regexp_extract_all(text, '\b(?:the|a|and|of|to|in)\b')) AS sh
+  FROM documents),
+q AS (SELECT doc_id, text, n_tokens FROM s
+      WHERE n_tokens >= 30
+        AND nsc * 10 // greatest(n_tokens, 1) BETWEEN 40 AND 100
+        AND npunct * 10 <= n_tokens AND sh >= 1),
+dd AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+kept AS (SELECT q.doc_id, q.text, q.n_tokens FROM q JOIN dd USING (doc_id)),
+toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x <> '') AS t
+         FROM kept),
+g AS (SELECT doc_id, i AS pos, array_to_string(t[i + 1 : i + 8], ' ') AS gram
+      FROM toks, UNNEST(range(0, greatest(len(t) - 7, 0))) AS u(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+occ AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+cov AS (SELECT doc_id, COUNT(DISTINCT j) AS c
+        FROM occ, UNNEST(range(pos, pos + 8)) AS v(j) GROUP BY doc_id)
+SELECT k.doc_id AS doc_id, k.n_tokens AS n_tokens
+FROM kept k LEFT JOIN cov USING (doc_id)
+WHERE COALESCE(cov.c, 0) * 1000000 // k.n_tokens < 200000
+ORDER BY doc_id
+"""
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    quantity exceeds 200, with customer name, top 10 by total price.
+
+    Plan: lineitem pre-aggregates integer qty partials per orderkey
+    map-side; ONE hash join against slim orders co-locates every
+    partial of a key (join partitioning doubles as the final
+    aggregation, the q3 shape), so the HAVING gate and the per-block
+    top-10 run inside each joined block; customer names attach from a
+    broadcast dim LUT and the driver merges <= 10 rows per block."""
+    import ray
+
+    from ..stages.dedup import _cached_get
+
+    rd = _rd()
+    qty_threshold = 200
+
+    def lineitem_partial(b: pa.Table) -> pa.Table:
+        qty = np.rint(b.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"l_orderkey": pc.cast(b.column("l_orderkey"),
+                                            pa.int64()),
+                      "qty": pa.array(qty, pa.int64())})
+        g = t.group_by("l_orderkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["l_orderkey", "qty"])
+
+    qtys = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
+    ).map_batches(lineitem_partial, batch_format="pyarrow")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    names = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_name").to_pylist()))
+    names_ref = ray.put(names)
+
+    def orders_slim(b: pa.Table) -> pa.Table:
+        per = {"s": 1, "ms": 10**3, "us": 10**6,
+               "ns": 10**9}[b.column("o_orderdate").type.unit]
+        epoch = pc.divide(pc.cast(b.column("o_orderdate"), pa.int64()), per)
+        tp = np.rint(b.column("o_totalprice")
+                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+            "order_epoch": epoch,
+            "totalprice_cents": pa.array(tp, pa.int64()),
+        })
+
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(orders_slim, batch_format="pyarrow")
+
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = qtys.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "o_custkey", "order_epoch",
+                        "totalprice_cents"]).aggregate([("qty", "sum")])
+        df = g.rename_columns(["l_orderkey", "o_custkey", "order_epoch",
+                               "totalprice_cents", "sum_qty"]).to_pandas()
+        df = df[df["sum_qty"] > qty_threshold]
+        df = df.sort_values(["totalprice_cents", "l_orderkey"],
+                            ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tops = joined.map_batches(local_top, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if len(tops) == 0:
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "o_custkey": pa.array([], pa.int64()),
+                         "l_orderkey": pa.array([], pa.int64()),
+                         "order_epoch": pa.array([], pa.int64()),
+                         "totalprice_cents": pa.array([], pa.int64()),
+                         "sum_qty": pa.array([], pa.int64())})
+    fin = tops.sort_values(["totalprice_cents", "l_orderkey"],
+                           ascending=[False, True]).head(10)
+    lut = _cached_get(names_ref)
+    fin = fin.reset_index(drop=True)
+    return pa.table({
+        "c_name": pa.array([lut[int(c)] for c in fin["o_custkey"]],
+                           pa.string()),
+        "o_custkey": pa.array(fin["o_custkey"].astype("int64"), pa.int64()),
+        "l_orderkey": pa.array(fin["l_orderkey"].astype("int64"), pa.int64()),
+        "order_epoch": pa.array(fin["order_epoch"].astype("int64"),
+                                pa.int64()),
+        "totalprice_cents": pa.array(fin["totalprice_cents"].astype("int64"),
+                                     pa.int64()),
+        "sum_qty": pa.array(fin["sum_qty"].astype("int64"), pa.int64()),
+    })
+
+
+_Q18_SQL = """
+SELECT c.c_name AS c_name, o.o_custkey AS o_custkey,
+       l.l_orderkey AS l_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS order_epoch,
+       CAST(round_even(o.o_totalprice * 100, 0) AS BIGINT)
+           AS totalprice_cents,
+       CAST(SUM(CAST(round_even(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING SUM(CAST(round_even(l.l_quantity, 0) AS BIGINT)) > 200
+ORDER BY totalprice_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2743,6 +2910,8 @@ QUERIES = {
     "docs_quality_rules": docs_quality_rules,
     "q5_local_supplier": q5_local_supplier,
     "embeddings_knn_graph": embeddings_knn_graph,
+    "docs_curation_span": docs_curation_span,
+    "q18_large_orders": q18_large_orders,
 }
 
 ORACLE_SQL = {
@@ -2838,6 +3007,8 @@ ORACLE_SQL = {
     "docs_quality_rules": _QUALITY_RULES_SQL,
     "q5_local_supplier": _Q5_SQL,
     "embeddings_knn_graph": _KNN_GRAPH_SQL,
+    "docs_curation_span": _CURATION_SPAN_SQL,
+    "q18_large_orders": _Q18_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
