@@ -262,10 +262,14 @@ class App:
         _deduct_credits(self.state, req, status)
         return status, payload
 
-    # -- optional real server (manual use; tests never need a socket) ----
+    # -- optional real server (manual use + live-socket tests) -----------
 
-    def serve(self, port: int = 8080):  # pragma: no cover - manual tool
-        """Minimal stdlib HTTP front for interactive use."""
+    def make_server(self, port: int = 0):
+        """Build (not start) the stdlib HTTP front: returns a
+        ``ThreadingHTTPServer`` bound to 127.0.0.1:``port`` (0 = ephemeral,
+        read the bound port from ``server.server_address``). ``serve()``
+        runs it forever for interactive use; tests run it in a thread and
+        drive the SDK's ``UrllibTransport`` against it."""
         import http.server
 
         app = self
@@ -305,5 +309,8 @@ class App:
 
             do_GET = do_POST = do_PUT = do_PATCH = do_DELETE = _run
 
-        http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler) \
-            .serve_forever()
+        return http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+    def serve(self, port: int = 8080):  # pragma: no cover - manual tool
+        """Minimal stdlib HTTP front for interactive use."""
+        self.make_server(port).serve_forever()

@@ -745,3 +745,72 @@ def test_parity_quirk_min_credits_fixed_at_create(pages):
         "task_type": "crawl",
         "task_payload": {"url": page_url(0), "limit": 1000}})
     assert app.state.scheduled_tasks[task_id]["min_credits_required"] == 1
+
+
+# -------------------------------------------------- live-socket server
+
+
+def test_sdk_client_over_real_http_socket(pages):
+    """The stdlib server + UrllibTransport path that interactive use and
+    the CLI `api` subcommand take: a real loopback socket, real HTTP
+    framing, the same envelopes as InProcessTransport — closes the last
+    transport seam the same way test_http_fetcher.py does for the
+    fetcher (S1 over a live socket)."""
+    import threading
+
+    from anycrawl_ray.client import AnyCrawlClient, UrllibTransport
+
+    app = make_app(pages)
+    srv = app.make_server(0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cli = AnyCrawlClient(
+            api_key="", sleep=lambda s: None,
+            transport=UrllibTransport(f"http://127.0.0.1:{port}"))
+        assert cli.health_check() == {"status": "ok"}
+
+        doc = cli.scrape(page_url(0), engine="cheerio",
+                         formats=["markdown"])
+        assert doc["status"] == "completed" and doc["spans"]
+
+        res = cli.crawl(page_url(0), engine="cheerio", strategy="all",
+                        limit=25)
+        assert res["status"] == "completed" and len(res["data"]) == 25
+
+        # error envelope over the wire: unknown engine -> API Error
+        with pytest.raises(RuntimeError, match="API Error|Validation"):
+            cli.scrape(page_url(0), engine="nope")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_sdk_client_real_socket_auth_failure(pages):
+    import threading
+
+    from anycrawl_ray.client import AnyCrawlClient, UrllibTransport
+
+    app = make_app(pages, auth_enabled=True)
+    app.state.add_api_key("good-key", credits=100)
+    srv = app.make_server(0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        calls = []
+        bad = AnyCrawlClient(api_key="wrong", sleep=lambda s: None,
+                             on_auth_failure=lambda: calls.append(1),
+                             transport=UrllibTransport(base))
+        with pytest.raises(RuntimeError, match="Authentication failed"):
+            bad.scrape(page_url(0), engine="cheerio")
+        assert calls == [1]
+
+        good = AnyCrawlClient(api_key="good-key", sleep=lambda s: None,
+                              transport=UrllibTransport(base))
+        doc = good.scrape(page_url(0), engine="cheerio")
+        assert doc["status"] == "completed"
+    finally:
+        srv.shutdown()
+        srv.server_close()
