@@ -164,6 +164,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("docs_quality_rules", Q.docs_quality_rules)
     timed("events_interarrival", Q.events_interarrival)
     timed("q5_local_supplier", Q.q5_local_supplier)
+    timed("q18_large_orders", Q.q18_large_orders)
+    timed("embeddings_knn_graph", Q.embeddings_knn_graph)
 
     # exact all-pairs n-gram Jaccard is the documented verification-corpus
     # tool (O(sum df^2): nearly every doc pair on this tiny-vocab corpus
