@@ -2841,6 +2841,128 @@ LIMIT 10
 """
 
 
+def docs_neardup_keep(sf_dir: str):
+    """The dedup family's actual OUTPUT: the kept corpus after MinHash
+    near-dup clustering — drop every doc whose cluster representative
+    (min id in its connected component) is another doc. Non-reps are
+    O(verified pairs) << corpus, so they broadcast and the corpus is
+    anti-filtered map-side (one slim pass, no extra shuffle)."""
+    import ray
+
+    from ..stages.dedup import (_cached_get, minhash_lsh_pairs,
+                                neardup_components)
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    comps = neardup_components(minhash_lsh_pairs(ds, threshold=0.5))
+    drop = comps.filter(pc.not_equal(comps.column("cluster_rep"),
+                                     comps.column("doc_id")))
+    drop_ref = ray.put(drop.column("doc_id").combine_chunks())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("doc_id"),
+                                  value_set=_cached_get(drop_ref)))
+        return pa.table({"doc_id": pc.cast(
+            batch.filter(mask).column("doc_id"), pa.int64())})
+
+    slim = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    out = slim.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64"),
+                                        pa.int64())})
+
+
+def _neardup_keep_sql() -> str:
+    from . import oracle_kernels as _ok
+
+    return f"""{_ok.U64_PRELUDE}
+WITH RECURSIVE {_ok._minhash_ctes()},
+edges AS (SELECT a, b FROM scored WHERE (u = 0) OR (2 * i >= u)),
+sym AS (SELECT a AS x, b AS y FROM edges
+        UNION ALL SELECT b, a FROM edges),
+reach(x, y) AS (
+    SELECT x, y FROM sym
+    UNION
+    SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+),
+nonrep AS (SELECT x AS doc_id FROM reach GROUP BY x
+           HAVING least(x, min(y)) <> x)
+SELECT d.doc_id AS doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM nonrep)
+ORDER BY doc_id
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): promo revenue as an exact ppm
+    share of total revenue for shipments in 1995-06 — broadcast
+    part-type bitmask, ONE lineitem pass folding two fixed-point scalars
+    per block, no shuffle at all."""
+    import ray
+
+    from ..stages.dedup import _cached_get
+
+    rd = _rd()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    promo = np.zeros(int(pk.max()) + 1, dtype=bool)
+    is_promo = pc.equal(part.column("p_type"), "PROMO") \
+        .to_numpy(zero_copy_only=False)
+    promo[pk[is_promo]] = True
+    promo_ref = ray.put(promo)
+
+    lo = np.datetime64("1995-06-01").astype("datetime64[s]").astype(np.int64)
+    hi = np.datetime64("1995-07-01").astype("datetime64[s]").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lut = _cached_get(promo_ref)
+        per = {"s": 1, "ms": 10**3, "us": 10**6,
+               "ns": 10**9}[b.column("l_shipdate").type.unit]
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy()
+        keep = (sd >= lo * per) & (sd < hi * per)
+        kept = b.filter(pa.array(keep))
+        ep = np.rint(kept.column("l_extendedprice")
+                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        dc = np.rint(kept.column("l_discount")
+                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        rev = ep * (100 - dc)
+        pm = lut[kept.column("l_partkey").to_numpy(zero_copy_only=False)]
+        return pa.table({"promo": pa.array([int(rev[pm].sum())], pa.int64()),
+                         "total": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_rev = int(parts["promo"].sum())
+    total_rev = int(parts["total"].sum())
+    ppm = promo_rev * 1_000_000 // total_rev if total_rev else 0
+    return pa.table({"promo_ppm": pa.array([ppm], pa.int64()),
+                     "promo_rev_scaled": pa.array([promo_rev], pa.int64()),
+                     "total_rev_scaled": pa.array([total_rev], pa.int64())})
+
+
+_Q14_SQL = """
+WITH f AS (
+  SELECT CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+         * (100 - CAST(round_even(l.l_discount * 100, 0) AS BIGINT)) AS rev,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-06-01'
+    AND l.l_shipdate < TIMESTAMP '1995-07-01')
+SELECT CAST(COALESCE(SUM(rev) FILTER (WHERE is_promo), 0) * 1000000
+            // SUM(rev) AS BIGINT) AS promo_ppm,
+       CAST(COALESCE(SUM(rev) FILTER (WHERE is_promo), 0) AS BIGINT)
+           AS promo_rev_scaled,
+       CAST(SUM(rev) AS BIGINT) AS total_rev_scaled
+FROM f
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -2912,6 +3034,8 @@ QUERIES = {
     "embeddings_knn_graph": embeddings_knn_graph,
     "docs_curation_span": docs_curation_span,
     "q18_large_orders": q18_large_orders,
+    "docs_neardup_keep": docs_neardup_keep,
+    "q14_promo_revenue": q14_promo_revenue,
 }
 
 ORACLE_SQL = {
@@ -3009,6 +3133,8 @@ ORACLE_SQL = {
     "embeddings_knn_graph": _KNN_GRAPH_SQL,
     "docs_curation_span": _CURATION_SPAN_SQL,
     "q18_large_orders": _Q18_SQL,
+    "docs_neardup_keep": _neardup_keep_sql(),
+    "q14_promo_revenue": _Q14_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
