@@ -2963,6 +2963,58 @@ FROM f
 """
 
 
+def events_anomaly_hours(sf_dir: str):
+    """Traffic-spike detection: hours whose event count exceeds 3x the
+    trailing-24h hourly average (integer cross-multiplication: n * 24 >
+    3 * trailing_sum, gap-hours count 0 via a true RANGE window). The
+    corpus reduces DISTRIBUTED to the tiny hourly table (map-side Arrow
+    partials + one groupby-Sum, the events_hourly shape); the window
+    finish runs on that hours-sized result via prefix-sum searchsorted —
+    a small-result driver finish, not a corpus materialization."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        per_sec = {"s": 1, "ms": 10**3, "us": 10**6,
+                   "ns": 10**9}[ts.type.unit]
+        hour = pc.divide(pc.cast(ts, pa.int64()), 3600 * per_sec)
+        g = pa.table({"hour": hour}).group_by("hour").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["hour", "n"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    hours = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("hour").aggregate(Sum("n", alias_name="n"))
+             .to_pandas().sort_values("hour"))
+    h = hours["hour"].to_numpy(dtype=np.int64)
+    n = hours["n"].to_numpy(dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(n)))
+    lo = np.searchsorted(h, h - 24, side="left")
+    hi = np.searchsorted(h, h, side="left")
+    trailing = csum[hi] - csum[lo]
+    flag = (trailing > 0) & (n * 24 > 3 * trailing)
+    return pa.table({
+        "hour_epoch": pa.array(h[flag] * 3600, pa.int64()),
+        "n": pa.array(n[flag], pa.int64()),
+        "trailing_24h": pa.array(trailing[flag], pa.int64()),
+    })
+
+
+_ANOMALY_SQL = """
+WITH hrs AS (SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+             FROM events GROUP BY 1),
+w AS (SELECT hour, n,
+             COALESCE(SUM(n) OVER (ORDER BY hour
+                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS t24
+      FROM hrs)
+SELECT hour * 3600 AS hour_epoch, n, CAST(t24 AS BIGINT) AS trailing_24h
+FROM w WHERE t24 > 0 AND n * 24 > 3 * t24
+ORDER BY hour_epoch
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -3036,6 +3088,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "docs_neardup_keep": docs_neardup_keep,
     "q14_promo_revenue": q14_promo_revenue,
+    "events_anomaly_hours": events_anomaly_hours,
 }
 
 ORACLE_SQL = {
@@ -3135,6 +3188,7 @@ ORACLE_SQL = {
     "q18_large_orders": _Q18_SQL,
     "docs_neardup_keep": _neardup_keep_sql(),
     "q14_promo_revenue": _Q14_SQL,
+    "events_anomaly_hours": _ANOMALY_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
