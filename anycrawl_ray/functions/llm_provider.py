@@ -448,3 +448,83 @@ class LLMExtractAgent(BaseAgent):
 def _build_prompt(user_prompt: str | None, content: str) -> str:
     base = f"{user_prompt}\n\n" if user_prompt else ""
     return f"{base}Content:\n{content}"
+
+
+class OpenAICompatTransport:
+    """REAL HTTP transport for any OpenAI-compatible ``/chat/completions``
+    endpoint — the public wire protocol the reference's ai-SDK providers
+    (openai, openrouter, self-hosted vLLM/ollama gateways) speak. This
+    moves T4 from "documented seam" to a concrete transport: plug it into
+    ``ProviderRegistry`` as ``{"openai": {"transport":
+    OpenAICompatTransport(base_url, api_key)}}`` and everything above the
+    seam (retry policy, cost tracking, chunk merge, json_options) runs
+    unchanged over a live socket (loopback-tested in
+    tests/test_llm_transport.py; no external network in this sandbox).
+
+    Error mapping mirrors HttpClient.ts semantics: 408/409/429/5xx and
+    socket errors raise RetryableProviderError (eligible for
+    ``call_with_retries`` backoff), other HTTP errors raise ProviderError;
+    a 200 whose content is not schema-conforming JSON raises
+    NoObjectGeneratedError (ai-SDK's NoObjectGeneratedError)."""
+
+    RETRYABLE_STATUSES = (408, 409, 429)
+
+    def __init__(self, base_url: str, api_key: str = "",
+                 timeout: float = 120.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.timeout = timeout
+
+    def __call__(self, model: str, system: str, messages: list,
+                 schema: dict | None):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        body = {"model": model,
+                "messages": ([{"role": "system", "content": system}]
+                             if system else []) + list(messages)}
+        if schema is not None:
+            body["response_format"] = {
+                "type": "json_schema",
+                "json_schema": {"name": "extraction", "strict": True,
+                                "schema": schema}}
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            self.base_url + "/chat/completions",
+            data=_json.dumps(body).encode(), method="POST", headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                payload = _json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode(errors="replace")[:200]
+            msg = f"HTTP {e.code} from {self.base_url}: {detail}"
+            if e.code in self.RETRYABLE_STATUSES or e.code >= 500:
+                raise RetryableProviderError(msg) from e
+            raise ProviderError(msg) from e
+        except OSError as e:
+            raise RetryableProviderError(
+                f"network error reaching {self.base_url}: {e}") from e
+
+        try:
+            content = payload["choices"][0]["message"]["content"]
+        except (KeyError, IndexError, TypeError) as e:
+            raise NoObjectGeneratedError(
+                "provider response has no choices[0].message.content") from e
+        if schema is not None:
+            try:
+                obj = _json.loads(content)
+            except (TypeError, _json.JSONDecodeError) as e:
+                raise NoObjectGeneratedError(
+                    "model output is not valid JSON") from e
+        else:
+            obj = content
+        usage = payload.get("usage") or {}
+        out = {"object": obj}
+        if usage:
+            out["usage"] = {"input_tokens": usage.get("prompt_tokens"),
+                            "output_tokens": usage.get("completion_tokens"),
+                            "cost": usage.get("cost")}
+        return out
