@@ -3015,6 +3015,355 @@ ORDER BY hour_epoch
 """
 
 
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): orders placed in 1996
+    counted per priority when at least one of their lineitems shipped
+    AFTER the order date (EXISTS semi-join; the reference predicate uses
+    commitdate/receiptdate which this dataset lacks — shipdate >
+    orderdate keeps the same correlated-EXISTS shape).
+
+    Plan: lineitem pre-reduces to one (orderkey, max ship epoch) partial
+    per batch map-side, ONE hash join against the slim filtered orders
+    co-locates every partial of a key (join partitioning doubles as the
+    final aggregation — the q3/q18 shape), so the EXISTS test and the
+    per-priority count both finish inside each joined block; the driver
+    merges ~5 rows per block."""
+    import ray
+
+    rd = _rd()
+    lo = pd.Timestamp("1996-01-01").value // 1000  # epoch micros
+    hi = pd.Timestamp("1997-01-01").value // 1000
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "ship_us": pc.cast(pc.cast(b.column("l_shipdate"),
+                                       pa.timestamp("us")), pa.int64()),
+        })
+        g = t.group_by("l_orderkey").aggregate([("ship_us", "max")])
+        return g.rename_columns(["l_orderkey", "ship_us"])
+
+    ships = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(ship_partial, batch_format="pyarrow")
+
+    def orders_slim(b: pa.Table) -> pa.Table:
+        ep = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                     pa.int64())
+        t = pa.table({
+            "l_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "order_us": ep,
+            "o_orderpriority": b.column("o_orderpriority"),
+        })
+        mask = pc.and_(pc.greater_equal(t.column("order_us"), lo),
+                       pc.less(t.column("order_us"), hi))
+        return t.filter(mask)
+
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_slim, batch_format="pyarrow")
+
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = ships.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        # all ship partials of a key are co-located here: finish the
+        # per-order max, apply the EXISTS predicate, count per priority
+        g = b.group_by(["l_orderkey", "order_us", "o_orderpriority"]
+                       ).aggregate([("ship_us", "max")])
+        g = g.rename_columns(["l_orderkey", "order_us", "o_orderpriority",
+                              "max_ship"])
+        hit = g.filter(pc.greater(g.column("max_ship"),
+                                  g.column("order_us")))
+        c = hit.group_by("o_orderpriority").aggregate([("l_orderkey",
+                                                        "count")])
+        return c.rename_columns(["o_orderpriority", "order_count"])
+
+    parts = joined.map_batches(block_counts, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "order_count": pa.array([], pa.int64())})
+    fin = (parts.groupby("o_orderpriority", as_index=False)["order_count"]
+           .sum().sort_values("o_orderpriority").reset_index(drop=True))
+    return pa.table({
+        "o_orderpriority": pa.array(fin["o_orderpriority"], pa.string()),
+        "order_count": pa.array(fin["order_count"].astype("int64"),
+                                pa.int64()),
+    })
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape (customer distribution): histogram of customers
+    by how many orders they placed, INCLUDING the zero-order bucket of
+    the left join.
+
+    Plan: orders pre-count per custkey map-side (one partial row per
+    custkey per batch), fat-bucket shuffle on mix64(custkey) — never a
+    natural-key groupby — then each bucket finishes its custkeys with a
+    bincount and emits its local (c_count, custdist) histogram; the
+    driver merges tiny histograms. The zero bucket is arithmetic:
+    total customers (parquet metadata) minus customers seen in orders —
+    no customer-side scan, no join."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text_analysis import _mix64_np
+    from ..stages.window import _default_buckets
+
+    rd = _rd()
+    nb = _default_buckets()
+    total_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet"
+                                ).metadata.num_rows
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"c": pc.cast(b.column("o_custkey"), pa.int64())}
+                     ).group_by("c").aggregate([("c", "count")])
+        g = g.rename_columns(["c_custkey", "cnt"])
+        bucket = _mix64_np(np.asarray(g.column("c_custkey"),
+                                      dtype=np.int64)) % nb
+        return g.append_column("bucket",
+                               pa.array(bucket.astype(np.int64)))
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["c_custkey"].to_numpy(np.int64)
+        cnt = df["cnt"].to_numpy(np.int64)
+        _, inv = np.unique(keys, return_inverse=True)
+        per_cust = np.bincount(inv, weights=cnt).astype(np.int64)
+        c_count, custdist = np.unique(per_cust, return_counts=True)
+        return pd.DataFrame({"c_count": c_count.astype(np.int64),
+                             "custdist": custdist.astype(np.int64)})
+
+    hist = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey"])
+            .map_batches(count_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_hist, batch_format="pandas")
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist"))
+            .to_pandas())
+    seen = int(hist["custdist"].sum()) if len(hist) else 0
+    zero = total_cust - seen
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})])
+    hist = hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]).reset_index(drop=True)
+    return pa.table({
+        "c_count": pa.array(hist["c_count"].astype("int64"), pa.int64()),
+        "custdist": pa.array(hist["custdist"].astype("int64"), pa.int64()),
+    })
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): supplier(s) with the maximum
+    lineitem revenue over a 3-month ship window — the argmax-over-an-
+    aggregate (correlated MAX subquery) shape.
+
+    Plan: map-side fixed-point revenue partials per suppkey (the
+    revenue_by_brand 1e-4 integer convention), ONE groupby-Sum shuffle
+    at supplier-dim cardinality, then the max + tie filter runs on the
+    dim-sized result; names attach from the supplier dim read."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1996-04-01").value // 1000
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ep = pc.cast(pc.cast(b.column("l_shipdate"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ep >= lo) & (ep < hi)
+        keys = b.column("l_suppkey").to_numpy(zero_copy_only=False)[m]
+        price = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        rev4 = (np.rint(price * 100)
+                * (100 - np.rint(disc * 100))).astype(np.int64)
+        t = pa.table({"l_suppkey": pa.array(keys.astype(np.int64)),
+                      "total_revenue": pa.array(rev4)})
+        g = t.group_by("l_suppkey").aggregate([("total_revenue", "sum")])
+        return g.rename_columns(["l_suppkey", "total_revenue"])
+
+    rev = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("total_revenue", alias_name="total_revenue"))
+        .to_pandas())
+    if len(rev) == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue": pa.array([], pa.int64())})
+    best = int(rev["total_revenue"].max())
+    win = rev[rev["total_revenue"] == best]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_name").to_pylist()))
+    win = win.sort_values("l_suppkey").reset_index(drop=True)
+    return pa.table({
+        "s_suppkey": pa.array(win["l_suppkey"].astype("int64"), pa.int64()),
+        "s_name": pa.array([names[int(k)] for k in win["l_suppkey"]],
+                           pa.string()),
+        "total_revenue": pa.array(win["total_revenue"].astype("int64"),
+                                  pa.int64()),
+    })
+
+
+_Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round_even(l_discount * 100, 0)
+                                  AS BIGINT))) AS BIGINT) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+       r.total_revenue AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape (global sales opportunity): per-nation count and
+    balance of above-average-balance customers with NO urgent orders —
+    the scalar-subquery broadcast + NOT EXISTS anti-join shape. (The
+    reference groups by phone country code and anti-joins all orders;
+    this dataset has no phone and no order-less customers, so nationkey
+    and '1-URGENT' keep both shapes non-degenerate.)
+
+    Plan: the positive-balance average reduces to two integer scalar
+    partials map-side (the comparison is the exact integer
+    cross-multiply cents * n > total_cents — no division on either
+    side); urgent custkeys stay distributed and drop candidates via
+    Ray's native LEFT ANTI hash join (the dedup_incremental shape);
+    per-nation partials finish map-side."""
+    import ray
+
+    rd = _rd()
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("c_acctbal").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"tot": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([int(pos.size)], pa.int64())})
+
+    bal = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_acctbal"]
+                          ).map_batches(bal_partial,
+                                        batch_format="pyarrow").to_pandas()
+    tot, n = int(bal["tot"].sum()), int(bal["n"].sum())
+
+    def cand(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("c_acctbal").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        m = cents * n > tot
+        return pa.table({
+            "c_custkey": pc.cast(b.column("c_custkey"),
+                                 pa.int64()).filter(pa.array(m)),
+            "c_nationkey": pc.cast(b.column("c_nationkey"),
+                                   pa.int64()).filter(pa.array(m)),
+            "cents": pa.array(cents[m], pa.int64()),
+        })
+
+    cands = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cand, batch_format="pyarrow")
+
+    def urgent(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        return pa.table({"c_custkey": pc.cast(
+            b.filter(m).column("o_custkey"), pa.int64())})
+
+    urgent_keys = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(urgent, batch_format="pyarrow")
+
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    kept = cands.join(urgent_keys, "left_anti", n_parts,
+                      on=("c_custkey",))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("c_nationkey").aggregate([("c_custkey", "count"),
+                                                 ("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "numcust",
+                                 "totacctbal_cents"])
+
+    parts = kept.map_batches(nation_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                         "numcust": pa.array([], pa.int64()),
+                         "totacctbal_cents": pa.array([], pa.int64())})
+    fin = (parts.groupby("c_nationkey", as_index=False)
+           .sum().sort_values("c_nationkey").reset_index(drop=True))
+    return pa.table({
+        "c_nationkey": pa.array(fin["c_nationkey"].astype("int64"),
+                                pa.int64()),
+        "numcust": pa.array(fin["numcust"].astype("int64"), pa.int64()),
+        "totacctbal_cents": pa.array(
+            fin["totacctbal_cents"].astype("int64"), pa.int64()),
+    })
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(round_even(c_acctbal * 100, 0) AS BIGINT))
+                AS BIGINT) AS tot,
+           COUNT(*) AS n
+    FROM customer WHERE round_even(c_acctbal * 100, 0) > 0)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(round_even(c.c_acctbal * 100, 0) AS BIGINT))
+            AS BIGINT) AS totacctbal_cents
+FROM customer c, avg_bal
+WHERE CAST(round_even(c.c_acctbal * 100, 0) AS BIGINT) * avg_bal.n
+      > avg_bal.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -3089,6 +3438,10 @@ QUERIES = {
     "docs_neardup_keep": docs_neardup_keep,
     "q14_promo_revenue": q14_promo_revenue,
     "events_anomaly_hours": events_anomaly_hours,
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q22_sales_opportunity": q22_sales_opportunity,
 }
 
 ORACLE_SQL = {
@@ -3189,6 +3542,10 @@ ORACLE_SQL = {
     "docs_neardup_keep": _neardup_keep_sql(),
     "q14_promo_revenue": _Q14_SQL,
     "events_anomaly_hours": _ANOMALY_SQL,
+    "q4_order_priority": _Q4_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q22_sales_opportunity": _Q22_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -323,3 +323,174 @@ def test_cli_results_paging(tmp_path):
     ids = [d["doc_id"] for d in p1["data"] + p2["data"]]
     assert ids == res.documents.column("doc_id").to_pylist()
     assert all("spans" not in d for d in p1["data"])  # --full not passed
+
+
+# ------------------------- TPC-H shape queries: edge-case equivalence
+
+def _tpch_dir(tmp_path, customer=None, orders=None, lineitem=None,
+              supplier=None):
+    """Write tiny synthetic TPC-H tables to a tmp sf_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    if customer is not None:
+        pq.write_table(pa.table(customer), d / "customer.parquet")
+    if orders is not None:
+        pq.write_table(pa.table(orders), d / "orders.parquet")
+    if lineitem is not None:
+        pq.write_table(pa.table(lineitem), d / "lineitem.parquet")
+    if supplier is not None:
+        pq.write_table(pa.table(supplier), d / "supplier.parquet")
+    return str(d)
+
+
+def _oracle_df(sf_dir, sql, tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def test_q13_zero_order_customers(ray_session, tmp_path):
+    """Customers with NO orders must appear in the c_count=0 bucket —
+    the left-join edge the sf data never exercises (every sf customer
+    has orders)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from anycrawl_ray.pipelines.queries import _Q13_SQL, \
+        q13_customer_distribution
+
+    ts = pd.Timestamp("1996-06-01")
+    sf = _tpch_dir(
+        tmp_path,
+        customer={"c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                  "c_nationkey": pa.array([0] * 6, pa.int32()),
+                  "c_acctbal": pa.array([10.0] * 6)},
+        orders={"o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 5),
+                "o_totalprice": pa.array([1.0] * 5),
+                "o_orderdate": pa.array([ts] * 5),
+                "o_orderpriority": pa.array(["5-LOW"] * 5)},
+    )
+    got = q13_customer_distribution(sf).to_pandas()
+    want = _oracle_df(sf, _Q13_SQL, ["customer", "orders"])
+    assert got.values.tolist() == want.values.tolist()
+    assert (got[got["c_count"] == 0]["custdist"] == 3).all()
+
+
+def test_q15_revenue_tie_returns_all_max_suppliers(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    from anycrawl_ray.pipelines.queries import _Q15_SQL, q15_top_supplier
+
+    inside = pd.Timestamp("1996-02-01")
+    outside = pd.Timestamp("1997-02-01")
+    sf = _tpch_dir(
+        tmp_path,
+        lineitem={"l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                  "l_partkey": pa.array([1] * 4, pa.int64()),
+                  "l_suppkey": pa.array([7, 8, 8, 9], pa.int64()),
+                  "l_linenumber": pa.array([1] * 4, pa.int32()),
+                  "l_quantity": pa.array([1.0] * 4),
+                  "l_extendedprice": pa.array([100.0, 50.0, 50.0, 999.0]),
+                  "l_discount": pa.array([0.0] * 4),
+                  "l_tax": pa.array([0.0] * 4),
+                  "l_returnflag": pa.array(["N"] * 4),
+                  "l_linestatus": pa.array(["O"] * 4),
+                  # supplier 9's big row ships OUTSIDE the window
+                  "l_shipdate": pa.array([inside, inside, inside,
+                                          outside])},
+        supplier={"s_suppkey": pa.array([7, 8, 9], pa.int64()),
+                  "s_name": pa.array(["a", "b", "c"]),
+                  "s_nationkey": pa.array([0, 0, 0], pa.int32()),
+                  "s_acctbal": pa.array([0.0, 0.0, 0.0])},
+    )
+    got = q15_top_supplier(sf).to_pandas()
+    want = _oracle_df(sf, _Q15_SQL, ["lineitem", "supplier"])
+    assert got.values.tolist() == want.values.tolist()
+    assert sorted(got["s_suppkey"]) == [7, 8]  # tie at 100.0 revenue
+
+
+def test_q4_exists_semantics(ray_session, tmp_path):
+    """Orders with no lineitems and orders whose lineitems all shipped
+    on/before the order date must NOT count; multiple qualifying
+    lineitems count once."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from anycrawl_ray.pipelines.queries import _Q4_SQL, q4_order_priority
+
+    od = pd.Timestamp("1996-06-01")
+    sf = _tpch_dir(
+        tmp_path,
+        orders={"o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "o_custkey": pa.array([1] * 4, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 4),
+                "o_totalprice": pa.array([1.0] * 4),
+                "o_orderdate": pa.array([od] * 4),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"])},
+        # order 1: two late lineitems (counts once); order 2: shipped
+        # same-day (no); order 3: none (no); order 4: one late (yes)
+        lineitem={"l_orderkey": pa.array([1, 1, 2, 4], pa.int64()),
+                  "l_partkey": pa.array([1] * 4, pa.int64()),
+                  "l_suppkey": pa.array([1] * 4, pa.int64()),
+                  "l_linenumber": pa.array([1, 2, 1, 1], pa.int32()),
+                  "l_quantity": pa.array([1.0] * 4),
+                  "l_extendedprice": pa.array([1.0] * 4),
+                  "l_discount": pa.array([0.0] * 4),
+                  "l_tax": pa.array([0.0] * 4),
+                  "l_returnflag": pa.array(["N"] * 4),
+                  "l_linestatus": pa.array(["O"] * 4),
+                  "l_shipdate": pa.array([
+                      od + pd.Timedelta(days=3),
+                      od + pd.Timedelta(days=9),
+                      od,
+                      od + pd.Timedelta(days=1)])},
+    )
+    got = q4_order_priority(sf).to_pandas()
+    want = _oracle_df(sf, _Q4_SQL, ["orders", "lineitem"])
+    assert got.values.tolist() == want.values.tolist()
+    assert got.set_index("o_orderpriority")["order_count"].to_dict() == {
+        "1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_q22_anti_join_and_avg_cross_multiply(ray_session, tmp_path):
+    """Negative balances stay out of the average; the urgent anti-join
+    drops candidates; the avg comparison is exact (cross-multiply)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from anycrawl_ray.pipelines.queries import _Q22_SQL, \
+        q22_sales_opportunity
+
+    ts = pd.Timestamp("1996-06-01")
+    sf = _tpch_dir(
+        tmp_path,
+        # positive avg = (300+100+200)/3 = 200.00
+        customer={"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "c_nationkey": pa.array([0, 0, 1, 1, 1], pa.int32()),
+                  "c_acctbal": pa.array([300.0, 100.0, 200.0, -50.0,
+                                         250.0])},
+        # cust 1 (above avg) has an urgent order -> dropped;
+        # cust 5 (above avg) has only a LOW order -> kept
+        orders={"o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 5], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 2),
+                "o_totalprice": pa.array([1.0] * 2),
+                "o_orderdate": pa.array([ts] * 2),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW"])},
+    )
+    got = q22_sales_opportunity(sf).to_pandas()
+    want = _oracle_df(sf, _Q22_SQL, ["customer", "orders"])
+    assert got.values.tolist() == want.values.tolist()
+    assert got["numcust"].tolist() == [1] and \
+        got["totacctbal_cents"].tolist() == [25000]
