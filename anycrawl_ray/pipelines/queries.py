@@ -3364,6 +3364,56 @@ ORDER BY 1
 """
 
 
+def events_heavy_hitters(sf_dir: str):
+    """Frequent-items over the event stream: users emitting more than
+    n/k of all events (k=200), found with Misra-Gries-pruned candidate
+    partials + an exact verify pass (stages/sketches.heavy_hitters) —
+    the output is EXACT, so the plain HAVING-threshold SQL is its
+    oracle."""
+    rd = _rd()
+    from ..stages.sketches import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = heavy_hitters(ds, "user_id", k=200)
+    return out.rename_columns(["user_id", "cnt"])
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1
+HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM events)
+ORDER BY cnt DESC, user_id
+"""
+
+
+def events_transition_matrix(sf_dir: str):
+    """Per-user event-type Markov transitions: counts of consecutive
+    (prev -> next) event-type bigrams in each user's (ts, event_id)-
+    ordered stream (stages/window.transition_matrix fat-bucket plan)."""
+    rd = _rd()
+    from ..stages.window import transition_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return transition_matrix(ds)
+
+
+_TRANSITION_SQL = """
+WITH s AS (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -3442,6 +3492,8 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q22_sales_opportunity": q22_sales_opportunity,
+    "events_heavy_hitters": events_heavy_hitters,
+    "events_transition_matrix": events_transition_matrix,
 }
 
 ORACLE_SQL = {
@@ -3546,6 +3598,8 @@ ORACLE_SQL = {
     "q13_customer_distribution": _Q13_SQL,
     "q15_top_supplier": _Q15_SQL,
     "q22_sales_opportunity": _Q22_SQL,
+    "events_heavy_hitters": _HEAVY_HITTERS_SQL,
+    "events_transition_matrix": _TRANSITION_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -50,3 +50,72 @@ def kmv_distinct(ds, col: str, k: int = 256) -> pa.Table:
         kth = int(merged[k - 1])  # k-th smallest over the whole stream
         est = (k - 1) * (1 << 64) // kth
     return pa.table({"est_distinct": pa.array([est], pa.int64())})
+
+
+def heavy_hitters(ds, col: str, k: int = 200, prune_factor: int = 4,
+                  n_rows: int | None = None) -> pa.Table:
+    """EXACT distributed heavy hitters: items of int64 ``col`` whose
+    frequency strictly exceeds n/k (Misra-Gries '82 pruning + exact
+    verify — the standard two-pass shape at corpus scale).
+
+    Pass 1 (candidates): each block keeps items with local count >
+    local_n / (prune_factor*k) — the MG deficit bound: an item pruned in
+    every block has true count <= sum_b n_b/(p*k) = n/(p*k) < n/k, so the
+    survivor union is a SUPERSET of every true heavy hitter, while each
+    block emits < p*k rows (tiny shuffle). A groupby-Sum merges the
+    partial counts into lower bounds; merged candidates that cannot reach
+    the threshold even with the global deficit added are dropped, which
+    caps the candidate list at ~k*p/(p-1) items regardless of corpus
+    size.
+
+    Pass 2 (verify): the candidate list broadcasts (O(k) by the bound
+    above) and exact counts accumulate map-side; the final filter is the
+    integer cross-multiply ``cnt * k > n`` — no division, no sketch error
+    in the output. Returns (col, cnt) sorted by cnt desc, item asc."""
+    from ray.data.aggregate import Sum
+
+    pk = prune_factor * k
+    if n_rows is None:
+        n_rows = ds.count()  # parquet metadata for source reads
+    if n_rows == 0:
+        return pa.table({col: pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+
+
+    def local_freq(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        items, cnt = np.unique(v, return_counts=True)
+        keep = cnt * pk > v.size
+        return pa.table({col: pa.array(items[keep], pa.int64()),
+                         "cnt": pa.array(cnt[keep].astype(np.int64))})
+
+    empty = pa.table({col: pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    merged = (ds.map_batches(local_freq, batch_format="pyarrow")
+              .groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    if len(merged) == 0:  # Ray drops schema when every partial is empty
+        return empty
+    deficit = n_rows // pk
+    cand = merged[(merged["cnt"] + deficit) * k > n_rows][col]
+    cand_arr = np.sort(cand.to_numpy(np.int64))
+    if cand_arr.size == 0:
+        return empty
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = v[np.isin(v, cand_arr)]
+        items, cnt = np.unique(v, return_counts=True)
+        return pa.table({col: pa.array(items, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    exact = (ds.map_batches(exact_counts, batch_format="pyarrow")
+             .groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    if len(exact) == 0:
+        return empty
+    out = exact[exact["cnt"] * k > n_rows].sort_values(
+        ["cnt", col], ascending=[False, True]).reset_index(drop=True)
+    return pa.table({col: pa.array(out[col].astype("int64"), pa.int64()),
+                     "cnt": pa.array(out["cnt"].astype("int64"),
+                                     pa.int64())})

@@ -719,3 +719,72 @@ def interarrival_stats(ds, key: str = "user_id", ts_col: str = "ts",
                                ("sum_gap_us", pa.int64()),
                                ("max_gap_us", pa.int64())])) \
         .sort_by([(key, "ascending")])
+
+
+def transition_matrix(ds, key: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      order_col: str = "event_id",
+                      n_buckets: int | None = None) -> pa.Table:
+    """Per-key event-type transition counts — for every key's event
+    stream ordered by (ts, order_col), count each consecutive
+    (prev_type -> next_type) bigram: the Markov-chain / user-path
+    aggregate (LAG() OVER (PARTITION BY key ORDER BY ts, order_col)).
+
+    Scale shape: the interarrival_stats fat-bucket plan — keys hash into
+    mix64 buckets (ONE shuffle), one lexsort per bucket orders every
+    key's events, the adjacency mask + a coded np.unique count the
+    bigrams vectorized; each bucket emits at most |types|^2 partial rows
+    and the driver merges a types^2-sized table, never the events."""
+    import pyarrow.compute as pc
+
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = np.asarray(ts.cast(pa.int64()), dtype=np.int64)
+        out = pa.table({key: batch.column(key),
+                        "t": pa.array(t, pa.int64()),
+                        "o": pc.cast(batch.column(order_col), pa.int64()),
+                        type_col: batch.column(type_col)})
+        return _bucket_col(out, key, nb)
+
+    empty = pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                          "next_type": pd.Series([], dtype=object),
+                          "cnt": pd.Series([], dtype=np.int64)})
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[key].to_numpy(np.int64)
+        if u.size < 2:
+            return empty.copy()
+        t = group["t"].to_numpy(np.int64)
+        o = group["o"].to_numpy(np.int64)
+        types, code = np.unique(group[type_col].to_numpy(), return_inverse=True)
+        order = np.lexsort((o, t, u))
+        u, code = u[order], code[order]
+        same = u[1:] == u[:-1]
+        prev, nxt = code[:-1][same], code[1:][same]
+        if prev.size == 0:
+            return empty.copy()
+        m = len(types)
+        pair, cnt = np.unique(prev * m + nxt, return_counts=True)
+        return pd.DataFrame({"prev_type": types[pair // m],
+                             "next_type": types[pair % m],
+                             "cnt": cnt.astype(np.int64)})
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb")
+             .map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"prev_type": pa.array([], pa.string()),
+                         "next_type": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    fin = (parts.groupby(["prev_type", "next_type"], as_index=False)["cnt"]
+           .sum().sort_values(["prev_type", "next_type"])
+           .reset_index(drop=True))
+    return pa.table({"prev_type": pa.array(fin["prev_type"], pa.string()),
+                     "next_type": pa.array(fin["next_type"], pa.string()),
+                     "cnt": pa.array(fin["cnt"].astype("int64"),
+                                     pa.int64())})

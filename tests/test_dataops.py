@@ -1238,3 +1238,76 @@ def test_knn_graph_tied_duplicates_deterministic(ray_session):
         want = [j for j in range(n) if j != i][:k]
         got = out[out.vec_id == i].sort_values("rank")["neighbor_id"].tolist()
         assert got == want, (i, got, want)
+
+
+def test_heavy_hitters_skewed_exact(ray_session):
+    """Zipf-ish corpus where the per-block pruning actually drops items:
+    output must equal the exact HAVING-threshold answer, including
+    counts."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # 3 hot items + a long tail of 2000 cold items, shuffled
+    vals = np.concatenate([
+        np.repeat(np.int64(101), 3000),
+        np.repeat(np.int64(202), 1200),
+        np.repeat(np.int64(303), 900),
+        rng.integers(10_000, 12_000, 4900).astype(np.int64),
+    ])
+    rng.shuffle(vals)
+    k = 10  # threshold = n/k = 1000
+    n = vals.size
+    ds = rd.from_arrow(pa.table({"item": pa.array(vals, pa.int64())})
+                       ).repartition(8)
+    got = heavy_hitters(ds, "item", k=k).to_pandas()
+    import collections
+
+    exact = collections.Counter(vals.tolist())
+    want = sorted(((c, i) for i, c in exact.items() if c * k > n),
+                  key=lambda t: (-t[0], t[1]))
+    assert got["item"].tolist() == [i for _, i in want]
+    assert got["cnt"].tolist() == [c for c, _ in want]
+    assert got["item"].tolist() == [101, 202]  # 303 at 900 < 1000 misses
+
+
+def test_heavy_hitters_none_qualify(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.sketches import heavy_hitters
+
+    vals = np.arange(1000, dtype=np.int64)  # all distinct
+    ds = rd.from_arrow(pa.table({"item": pa.array(vals, pa.int64())}))
+    got = heavy_hitters(ds, "item", k=50).to_pandas()
+    assert len(got) == 0
+
+
+def test_transition_matrix_matches_bruteforce_with_ties(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import transition_matrix
+
+    rng = np.random.default_rng(11)
+    n = 600
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+        # coarse timestamps -> many exact ties inside a user
+        "ts": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "event_type": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+    })
+    got = transition_matrix(rd.from_arrow(t).repartition(5),
+                            n_buckets=7).to_pandas()
+    con = duckdb.connect()
+    con.register("events", t.to_pandas())
+    want = con.execute("""
+        WITH s AS (SELECT event_type,
+                          LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s WHERE prev IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""").df()
+    assert got.values.tolist() == want.values.tolist()
