@@ -3414,6 +3414,53 @@ ORDER BY 1, 2
 """
 
 
+def docs_link_triangles(sf_dir: str):
+    """Per-document triangle counts over the deterministic site link
+    graph (stages/graph.site_edges rule) — degree-oriented distributed
+    triangle counting (stages/graph.triangle_counts). The oracle
+    recomputes the same edge rule in SQL and counts each a<b<c triangle
+    once with a 3-way self-join (orientation-free, so it checks the
+    RESULT, not the plan)."""
+    rd = _rd()
+    from ..stages.graph import site_edges, triangle_counts
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    return triangle_counts(site_edges(ids, n), n)
+
+
+_TRIANGLES_SQL = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+    SELECT d.doc_id AS a, 2 * d.doc_id + 1 AS b
+    FROM documents d, n WHERE 2 * d.doc_id + 1 < n.n
+    UNION ALL
+    SELECT d.doc_id, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT 2 * d.doc_id + 1, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT least(d.doc_id, (7 * d.doc_id + 3) % n.n),
+           greatest(d.doc_id, (7 * d.doc_id + 3) % n.n)
+    FROM documents d, n WHERE (7 * d.doc_id + 3) % n.n <> d.doc_id
+),
+edges AS (SELECT DISTINCT a, b FROM raw),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (SELECT x AS v FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -3494,6 +3541,7 @@ QUERIES = {
     "q22_sales_opportunity": q22_sales_opportunity,
     "events_heavy_hitters": events_heavy_hitters,
     "events_transition_matrix": events_transition_matrix,
+    "docs_link_triangles": docs_link_triangles,
 }
 
 ORACLE_SQL = {
@@ -3600,6 +3648,7 @@ ORACLE_SQL = {
     "q22_sales_opportunity": _Q22_SQL,
     "events_heavy_hitters": _HEAVY_HITTERS_SQL,
     "events_transition_matrix": _TRANSITION_SQL,
+    "docs_link_triangles": _TRIANGLES_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -88,3 +88,191 @@ def pagerank_int(n_nodes: int, iters: int = 10,
     return pa.table({"doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
                      "rank_scaled": pa.array(out["r"].to_numpy(np.int64),
                                              pa.int64())})
+
+
+def site_edges(ds, n_nodes: int):
+    """Deterministic undirected link graph over doc ids (0..n-1), as
+    canonical (a < b) edge rows: the binary-tree edges, the sibling edge
+    closing each (parent, child, child) triangle, and a (i, (7i+3) mod n)
+    chord for irregularity. SQL-replicable (see _TRIANGLES_SQL)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        a_parts, b_parts = [], []
+        c1, c2 = 2 * i + 1, 2 * i + 2
+        m = c1 < n_nodes
+        a_parts.append(i[m]); b_parts.append(c1[m])
+        m = c2 < n_nodes
+        a_parts.append(i[m]); b_parts.append(c2[m])
+        a_parts.append(c1[m]); b_parts.append(c2[m])  # sibling closure
+        ch = (7 * i + 3) % n_nodes
+        m = ch != i
+        a_parts.append(np.minimum(i[m], ch[m]))
+        b_parts.append(np.maximum(i[m], ch[m]))
+        return pa.table({"a": pa.array(np.concatenate(a_parts), pa.int64()),
+                         "b": pa.array(np.concatenate(b_parts), pa.int64())})
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def triangle_counts(edges_ds, n_nodes: int,
+                    num_partitions: int | None = None) -> pa.Table:
+    """Per-node triangle counts over an undirected edge Dataset — the
+    degree-oriented node-iterator (Schank & Wagner 2005 / Cohen's
+    MapReduce formulation): orient every edge from its lower
+    (degree, id) endpoint, generate wedges at each source, close them
+    with a hash join against the oriented edge set. Degree orientation
+    bounds per-source out-degree by O(sqrt(m)), so wedge volume is
+    O(m^1.5) worst case and per-node work is skew-proof — a raw a<b
+    orientation would square the hubs.
+
+    Dataflow: (1) exact edge dedup on the packed a*n+b key (one
+    shuffle); (2) degrees via endpoint-count partials + groupby-Sum;
+    (3) two hash joins attach endpoint degrees; (4) fat-bucket wedge
+    generation — per-source neighbor pairs in rank order via pure index
+    arithmetic, no per-source Python loop; (5) inner hash join of wedge
+    candidates against oriented edge keys closes triangles; (6) 3
+    count-partial rows per triangle -> groupby-Sum. Input ``edges_ds``
+    rows are (a, b) int64 with a != b in any order/multiplicity.
+
+    Returns (doc_id, n_tri) for nodes in >= 1 triangle, sorted."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .text_analysis import _mix64_np
+    from .window import _default_buckets
+
+    n = n_nodes
+    n_parts = num_partitions or max(
+        2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        e = np.unique(lo * n + hi)  # per-batch pre-dedup
+        return pa.table({"e": pa.array(e, pa.int64())})
+
+    # (1) exact dedup: first-wins per packed key (hash shuffle)
+    edges = (edges_ds.map_batches(pack, batch_format="pyarrow")
+             .groupby("e").aggregate(Sum("e", alias_name="_s"))
+             .select_columns(["e"]).materialize())
+    if edges.count() == 0:  # wedge map_groups would lose its schema
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tri": pa.array([], pa.int64())})
+
+    # (2) degrees: endpoint count partials -> one groupby-Sum
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        e = np.asarray(batch.column("e"), dtype=np.int64)
+        nodes = np.concatenate([e // n, e % n])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+    # (3) attach endpoint degrees with two hash joins
+    def unpack_a(batch: pa.Table) -> pa.Table:
+        e = np.asarray(batch.column("e"), dtype=np.int64)
+        return pa.table({"e": batch.column("e"),
+                         "node": pa.array(e // n, pa.int64())})
+
+    with_a = edges.map_batches(unpack_a, batch_format="pyarrow").join(
+        deg, "inner", n_parts, on=("node",))
+
+    def key_b(batch: pa.Table) -> pa.Table:
+        e = np.asarray(batch.column("e"), dtype=np.int64)
+        return pa.table({"e": batch.column("e"),
+                         "deg_a": batch.column("deg"),
+                         "node": pa.array(e % n, pa.int64())})
+
+    with_ab = with_a.map_batches(key_b, batch_format="pyarrow").join(
+        deg, "inner", n_parts, on=("node",))
+
+    # (4) orient by (deg, id) rank and bucket wedge generation by source
+    nb = _default_buckets()
+
+    def orient(batch: pa.Table) -> pa.Table:
+        e = np.asarray(batch.column("e"), dtype=np.int64)
+        da = np.asarray(batch.column("deg_a"), dtype=np.int64)
+        db = np.asarray(batch.column("deg"), dtype=np.int64)
+        a, b = e // n, e % n
+        ra, rb = (da << 32) | a, (db << 32) | b  # ids dense < 2^32
+        a_first = ra < rb
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        rv = np.where(a_first, rb, ra)
+        kb = (_mix64_np(u.view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "rv": pa.array(rv, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    oriented = with_ab.map_batches(orient, batch_format="pyarrow"
+                                   ).materialize()
+
+    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        u = df["u"].to_numpy(np.int64)
+        if u.size == 0:
+            return pd.DataFrame({"c": np.empty(0, np.int64),
+                                 "ctr": np.empty(0, np.int64)})
+        rv = df["rv"].to_numpy(np.int64)
+        vid = df["v"].to_numpy(np.int64)
+        order = np.lexsort((rv, u))
+        u, rv, vid = u[order], rv[order], vid[order]
+        m = u.size
+        boundary = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, m))
+        seg_id = np.cumsum(boundary) - 1
+        local = np.arange(m) - starts[seg_id]
+        counts = sizes[seg_id] - 1 - local
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({"c": np.empty(0, np.int64),
+                                 "ctr": np.empty(0, np.int64)})
+        ai = np.repeat(np.arange(m), counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                            counts)
+        bj = ai + 1 + offs
+        # rank order within the segment -> candidate oriented edge
+        return pd.DataFrame({"c": vid[ai] * n + vid[bj],
+                             "ctr": u[ai]})
+
+    cands = oriented.groupby("_kb").map_groups(
+        wedges, batch_format="pandas").materialize()
+    if cands.count() == 0:  # all-empty map_groups drops the schema
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tri": pa.array([], pa.int64())})
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("u"), dtype=np.int64)
+        v = np.asarray(batch.column("v"), dtype=np.int64)
+        return pa.table({"c": pa.array(u * n + v, pa.int64())})
+
+    closing = oriented.map_batches(edge_keys, batch_format="pyarrow")
+    tris = cands.join(closing, "inner", n_parts, on=("c",))
+
+    # (6) per-node count partials; each triangle contributes its 3 nodes
+    def node_partial(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("c"), dtype=np.int64)
+        ctr = np.asarray(batch.column("ctr"), dtype=np.int64)
+        nodes = np.concatenate([c // n, c % n, ctr])
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"doc_id": pa.array(un, pa.int64()),
+                         "n_tri": pa.array(cnt.astype(np.int64))})
+
+    out = (tris.map_batches(node_partial, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Sum("n_tri", alias_name="n_tri"))
+           .to_pandas())
+    if len(out) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tri": pa.array([], pa.int64())})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64"),
+                                        pa.int64()),
+                     "n_tri": pa.array(out["n_tri"].astype("int64"),
+                                       pa.int64())})

@@ -1311,3 +1311,63 @@ def test_transition_matrix_matches_bruteforce_with_ties(ray_session):
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM s WHERE prev IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""").df()
     assert got.values.tolist() == want.values.tolist()
+
+
+def _tri_brute(edges, n):
+    """Per-node triangle counts by explicit enumeration."""
+    import itertools
+
+    adj = [set() for _ in range(n)]
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = [0] * n
+    for x, y, z in itertools.combinations(range(n), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            cnt[x] += 1
+            cnt[y] += 1
+            cnt[z] += 1
+    return {i: c for i, c in enumerate(cnt) if c}
+
+
+def test_triangle_counts_random_graph(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(3)
+    n = 40
+    pairs = {(a, b) for a, b in zip(rng.integers(0, n, 220),
+                                    rng.integers(0, n, 220)) if a != b}
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    # feed duplicated, unsorted rows: the op must dedup + canonicalize
+    a = [e[0] for e in edges] + [e[1] for e in edges]
+    b = [e[1] for e in edges] + [e[0] for e in edges]
+    ds = rd.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                 "b": pa.array(b, pa.int64())})
+                       ).repartition(4)
+    got = triangle_counts(ds, n).to_pandas()
+    want = _tri_brute(edges, n)
+    assert dict(zip(got["doc_id"], got["n_tri"])) == want
+    assert len(want) > 0  # the random graph really has triangles
+
+
+def test_triangle_counts_complete_and_star(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import triangle_counts
+
+    n = 9
+    comp = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in comp], pa.int64()),
+        "b": pa.array([e[1] for e in comp], pa.int64())}))
+    got = triangle_counts(ds, n).to_pandas()
+    per_node = (n - 1) * (n - 2) // 2  # K9: C(8,2) per node
+    assert got["n_tri"].tolist() == [per_node] * n
+
+    star = [(0, i) for i in range(1, 30)]  # hub, triangle-free
+    ds2 = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in star], pa.int64()),
+        "b": pa.array([e[1] for e in star], pa.int64())}))
+    assert len(triangle_counts(ds2, 30).to_pandas()) == 0
