@@ -3461,6 +3461,67 @@ ORDER BY 1
 """
 
 
+_KMEANS_K, _KMEANS_ITERS = 8, 3
+
+
+def embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding column in EXACT
+    integer fixed-point (stages/similarity.kmeans_int): hash-seeded
+    centroids, 3 iterations, squared-L2 assignment with lowest-index
+    tie-break. Integer arithmetic makes the full iteration history
+    bit-replayable in SQL — the oracle unrolls the same 3 iterations as
+    CTEs (the pagerank_int convention)."""
+    rd = _rd()
+    from ..stages.similarity import kmeans_int
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_int(ds, n_clusters=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                scale: int = 100, offset: int = 1000) -> str:
+    dist = ("list_sum(list_transform(list_zip(v.q, c.q), "
+            "s -> (s[1]-s[2])*(s[1]-s[2])))")
+    ctes = [f"""qv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+      x -> CAST(round_even(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)
+           + {offset}) AS q
+  FROM embeddings),
+cent0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY mix64(CAST(vec_id AS UBIGINT)),
+                            vec_id) - 1 AS cluster, q
+  FROM qv
+  QUALIFY row_number() OVER (ORDER BY mix64(CAST(vec_id AS UBIGINT)),
+                             vec_id) <= {k})"""]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}f" if i > 1 else "cent0"
+        ctes.append(f"""assign{i} AS MATERIALIZED (
+  SELECT v.vec_id, v.q, c.cluster
+  FROM qv v CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {dist}, c.cluster) = 1),
+cent{i} AS (
+  SELECT cluster, list(s // m ORDER BY dim) AS q
+  FROM (SELECT cluster, dim, SUM(val) AS s, COUNT(*) AS m
+        FROM (SELECT cluster, generate_subscripts(q, 1) AS dim,
+                     unnest(q) AS val FROM assign{i})
+        GROUP BY 1, 2)
+  GROUP BY cluster),
+cent{i}f AS MATERIALIZED (
+  SELECT c0.cluster, COALESCE(c1.q, c0.q) AS q
+  FROM {prev} c0 LEFT JOIN cent{i} c1 USING (cluster))""")
+    joined = ",\n".join(ctes)
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH {joined}
+SELECT v.vec_id AS vec_id, c.cluster AS cluster
+FROM qv v CROSS JOIN cent{iters}f c
+QUALIFY row_number() OVER (PARTITION BY v.vec_id
+          ORDER BY {dist}, c.cluster) = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -3542,6 +3603,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_transition_matrix": events_transition_matrix,
     "docs_link_triangles": docs_link_triangles,
+    "embeddings_kmeans": embeddings_kmeans,
 }
 
 ORACLE_SQL = {
@@ -3649,6 +3711,7 @@ ORACLE_SQL = {
     "events_heavy_hitters": _HEAVY_HITTERS_SQL,
     "events_transition_matrix": _TRANSITION_SQL,
     "docs_link_triangles": _TRIANGLES_SQL,
+    "embeddings_kmeans": _kmeans_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -338,3 +338,90 @@ def knn_graph(ds, k: int = 5, chunk_rows: int = 4096, collect: bool = True):
                                ("rank", pa.int32()),
                                ("neighbor_id", pa.int64())])) \
         .sort_by([("vec_id", "ascending"), ("rank", "ascending")])
+
+
+def kmeans_int(ds, n_clusters: int = 8, iters: int = 3, scale: int = 100,
+               offset: int = 1000):
+    """Distributed Lloyd's k-means in EXACT integer fixed-point — every
+    arithmetic step is order-free int64, so the whole iteration history
+    is bit-identical between this pipeline and a DuckDB unrolled-CTE
+    replay (the pagerank_int convention; float centroid means would
+    drift by summation order and poison later assignments).
+
+    Coordinates quantize as rint(x * scale) + offset; the offset keeps
+    every value (hence every cluster sum) non-negative so the centroid
+    update ``sum // count`` means the same thing in numpy (floor) and
+    DuckDB (``//`` truncates toward zero — they differ on negatives).
+    Distances are integer squared-L2 (shift-invariant, so the offset
+    cancels); assignment tie-breaks to the lowest cluster index; empty
+    clusters keep their previous centroid.
+
+    Scale shape per iteration: centroids (k x d ints) broadcast into ONE
+    assignment map_batches that emits k partial-sum rows per batch
+    (cluster, elementwise sums, count), then a k-group map_groups merge;
+    the corpus is never collected and the shuffle carries
+    O(k * d * blocks) ints. Seeds = hash_centroids (lowest
+    (mix64(vec_id), vec_id) ranks). Returns (vec_id, cluster) sorted."""
+    import pandas as pd
+
+    seeds = hash_centroids(ds, n_clusters)
+    cents = (np.rint(seeds * scale) + offset).astype(np.int64)
+    k = cents.shape[0]
+
+    def quantize(batch: pa.Table):
+        q = (np.rint(_batch_embeddings(batch) * scale) + offset
+             ).astype(np.int64)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        return ids, q
+
+    for _ in range(iters):
+        c = cents  # bind current value into the closure
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            _, q = quantize(batch)
+            d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first occurrence = lowest idx
+            sums = np.zeros((k, q.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "s": pa.array(list(sums), pa.list_(pa.int64())),
+                "m": pa.array(cnt),
+            })
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            s = np.stack(df["s"].to_numpy()).astype(np.int64).sum(axis=0)
+            return pd.DataFrame({
+                "cluster": df["cluster"].iloc[:1].astype(np.int64),
+                "s": [s.tolist()],
+                "m": [np.int64(df["m"].sum())],
+            })
+
+        got = (ds.map_batches(partial_sums, batch_format="pyarrow")
+               .groupby("cluster").map_groups(merge, batch_format="pandas")
+               .to_pandas())
+        new_cents = cents.copy()  # empty clusters keep their centroid
+        for _, row in got.iterrows():
+            m = int(row["m"])
+            if m > 0:
+                s = np.asarray(row["s"], dtype=np.int64)
+                new_cents[int(row["cluster"])] = s // m
+        cents = new_cents
+
+    c_final = cents
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        ids, q = quantize(batch)
+        d2 = ((q[:, None, :] - c_final[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(d2.argmin(axis=1)
+                                             .astype(np.int64))})
+
+    out = (ds.map_batches(assign_out, batch_format="pyarrow")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return pa.table({"vec_id": pa.array(out["vec_id"].astype("int64"),
+                                        pa.int64()),
+                     "cluster": pa.array(out["cluster"].astype("int64"),
+                                         pa.int64())})

@@ -1371,3 +1371,82 @@ def test_triangle_counts_complete_and_star(ray_session):
         "a": pa.array([e[0] for e in star], pa.int64()),
         "b": pa.array([e[1] for e in star], pa.int64())}))
     assert len(triangle_counts(ds2, 30).to_pandas()) == 0
+
+
+def _kmeans_ref(ids, emb, k, iters, scale=100, offset=1000):
+    """Driver-side reference of the exact integer k-means recurrence."""
+    q = (np.rint(np.asarray(emb, dtype=np.float64) * scale)
+         + offset).astype(np.int64)
+    from anycrawl_ray.stages.text_analysis import _mix64_np
+
+    rank = _mix64_np(np.asarray(ids, dtype=np.int64).view(np.uint64))
+    seed_idx = np.lexsort((ids, rank))[:k]
+    cents = q[seed_idx].copy()
+    for _ in range(iters):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                cents[j] = q[a == j].sum(axis=0) // np.int64((a == j).sum())
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d2.argmin(axis=1)
+
+
+def test_kmeans_int_matches_reference(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import kmeans_int
+
+    rng = np.random.default_rng(5)
+    n, d, k = 300, 16, 6
+    emb = rng.normal(0, 1, (n, d))  # negative coords exercised
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(emb.astype(np.float32)),
+                                          pa.list_(pa.float32()))})
+    got = kmeans_int(rd.from_arrow(tbl).repartition(5), n_clusters=k,
+                     iters=3).to_pandas()
+    want = _kmeans_ref(ids, emb.astype(np.float32), k, 3)
+    assert got["vec_id"].tolist() == ids.tolist()
+    assert got["cluster"].tolist() == want.tolist()
+
+
+def test_kmeans_int_empty_cluster_keeps_centroid(ray_session):
+    """A seed with no members after reassignment must keep its previous
+    centroid (not crash or drift) — engineered by placing every point on
+    top of one seed."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import kmeans_int
+
+    n, d = 40, 4
+    emb = np.full((n, d), 5.0)
+    emb[0] = -5.0  # one far seed candidate
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(emb.astype(np.float32)),
+                                          pa.list_(pa.float32()))})
+    got = kmeans_int(rd.from_arrow(tbl), n_clusters=3, iters=3).to_pandas()
+    want = _kmeans_ref(ids, emb.astype(np.float32), 3, 3)
+    assert got["cluster"].tolist() == want.tolist()
+
+
+def test_kmeans_int_partitioning_invariant(ray_session):
+    """Identical assignments regardless of block layout — the integer
+    recurrence is order-free, so repartitioning must not change any
+    label (float means would not survive this test)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import kmeans_int
+
+    rng = np.random.default_rng(9)
+    emb = rng.normal(0, 2, (240, 8)).astype(np.float32)
+    ids = np.arange(len(emb), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(emb),
+                                          pa.list_(pa.float32()))})
+    a = kmeans_int(rd.from_arrow(tbl).repartition(2), n_clusters=5,
+                   iters=3).to_pandas()
+    b = kmeans_int(rd.from_arrow(tbl).repartition(13), n_clusters=5,
+                   iters=3).to_pandas()
+    assert a["cluster"].tolist() == b["cluster"].tolist()
