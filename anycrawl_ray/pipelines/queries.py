@@ -3461,6 +3461,301 @@ ORDER BY 1
 """
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecasting revenue change): one pruned scan,
+    map-side predicate + fixed-point partial sums, a 1-row result — the
+    pure filter-aggregate baseline every engine must not add overhead
+    to. Revenue = extendedprice * discount summed exactly in 1e-4
+    units; the discount band compares quantized integers so both sides
+    make the identical float-boundary decision."""
+    rd = _rd()
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1997-01-01").value // 1000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ep = pc.cast(pc.cast(b.column("l_shipdate"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc = np.rint(b.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100)
+        m = ((ep >= lo) & (ep < hi) & (qty < 24.0)
+             & (disc >= 5) & (disc <= 7))
+        price = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        rev4 = int((np.rint(price * 100).astype(np.int64)
+                    * disc[m].astype(np.int64)).sum())
+        return pa.table({"revenue": pa.array([rev4], pa.int64())})
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_discount",
+                 "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({"revenue": pa.array([int(parts["revenue"].sum())],
+                                         pa.int64())})
+
+
+_Q6_SQL = """
+SELECT CAST(COALESCE(SUM(
+           CAST(round_even(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round_even(l_discount * 100, 0) AS BIGINT)), 0)
+       AS BIGINT) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24.0
+  AND round_even(l_discount * 100, 0) BETWEEN 5 AND 7
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    revenue lost to returned lineitems for orders placed in a quarter.
+
+    Plan: returned-lineitem revenue partials pre-aggregate per orderkey
+    map-side, ONE hash join against the slim window-filtered orders
+    (the q18 shape — join partitioning co-locates all partials of a
+    key), per-block partials re-key to custkey, a custkey groupby-Sum
+    finishes revenue, and per-block top-20 + a driver merge of <= 20
+    rows per block bound the result; names/balances attach from a
+    broadcast customer LUT at the very end (20 rows)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1996-04-01").value // 1000
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("l_returnflag"), "R")
+        t = b.filter(m)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = np.rint(t.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100)
+        rev4 = (np.rint(price * 100).astype(np.int64)
+                * (100 - disc.astype(np.int64)))
+        g = pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "revenue": pa.array(rev4, pa.int64()),
+        }).group_by("l_orderkey").aggregate([("revenue", "sum")])
+        return g.rename_columns(["l_orderkey", "revenue"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    def orders_slim(b: pa.Table) -> pa.Table:
+        ep = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                     pa.int64())
+        t = pa.table({"l_orderkey": pc.cast(b.column("o_orderkey"),
+                                            pa.int64()),
+                      "c_custkey": pc.cast(b.column("o_custkey"),
+                                           pa.int64()),
+                      "order_us": ep})
+        mask = pc.and_(pc.greater_equal(t.column("order_us"), lo),
+                       pc.less(t.column("order_us"), hi))
+        return t.filter(mask).select(["l_orderkey", "c_custkey"])
+
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_slim, batch_format="pyarrow")
+
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+
+    def rekey(b: pa.Table) -> pa.Table:
+        g = b.group_by("c_custkey").aggregate([("revenue", "sum")])
+        return g.rename_columns(["c_custkey", "revenue"])
+
+    per_cust = (joined.map_batches(rekey, batch_format="pyarrow",
+                                   batch_size=None)
+                .groupby("c_custkey")
+                .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True]).head(20),
+            preserve_index=False)
+
+    tops = per_cust.map_batches(local_top, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    if len(tops) == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.int64()),
+                         "acctbal_cents": pa.array([], pa.int64())})
+    fin = tops.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True]).head(20)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal"])
+    names = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_name").to_pylist()))
+    bals = dict(zip(cust.column("c_custkey").to_pylist(),
+                    cust.column("c_acctbal").to_pylist()))
+    keys = fin["c_custkey"].astype("int64")
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array([names[int(k)] for k in keys], pa.string()),
+        "revenue": pa.array(fin["revenue"].astype("int64"), pa.int64()),
+        "acctbal_cents": pa.array(
+            [int(np.rint(bals[int(k)] * 100)) for k in keys], pa.int64()),
+    })
+
+
+_Q10_SQL = """
+SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+       CAST(SUM(CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round_even(l.l_discount * 100, 0)
+                              AS BIGINT))) AS BIGINT) AS revenue,
+       CAST(round_even(c.c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping): revenue between two nations by
+    (supplier nation, customer nation, ship year) for 1996-1997, the
+    directional nation-pair filter. Supplier and customer nations are
+    broadcast dim LUTs (dense numpy gathers); the only all-to-all is
+    the lineitem x orders hash join, and revenue partials complete per
+    joined block (at most 2 pair-years per block reach the driver)."""
+    import ray
+
+    rd = _rd()
+    lo = pd.Timestamp("1996-01-01").value // 1000
+    hi = pd.Timestamp("1998-01-01").value // 1000
+    nation_a, nation_b = 3, 8  # both nations have suppliers at every sf
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    snat = np.zeros(int(sk.max()) + 1, dtype=np.int32)
+    snat[sk] = supp.column("s_nationkey").to_numpy(zero_copy_only=False)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    cnat = np.zeros(int(ck.max()) + 1, dtype=np.int32)
+    cnat[ck] = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        ep = pc.cast(pc.cast(b.column("l_shipdate"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        sn = snat[b.column("l_suppkey").to_numpy(zero_copy_only=False)]
+        m = ((ep >= lo) & (ep < hi)
+             & ((sn == nation_a) | (sn == nation_b)))
+        price = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        disc = np.rint(b.column("l_discount")
+                       .to_numpy(zero_copy_only=False)[m] * 100)
+        rev4 = (np.rint(price * 100).astype(np.int64)
+                * (100 - disc.astype(np.int64)))
+        # epoch-us -> calendar year: integer days then numpy datetime math
+        yrs = (ep[m].astype("datetime64[us]").astype("datetime64[Y]")
+               .astype(np.int64) + 1970)
+        return pa.table({
+            "l_orderkey": pc.cast(b.column("l_orderkey"),
+                                  pa.int64()).filter(pa.array(m)),
+            "supp_nation": pa.array(sn[m].astype(np.int64), pa.int64()),
+            "l_year": pa.array(yrs, pa.int64()),
+            "revenue": pa.array(rev4, pa.int64()),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_slim, batch_format="pyarrow")
+
+    def orders_slim(b: pa.Table) -> pa.Table:
+        cn = cnat[b.column("o_custkey").to_numpy(zero_copy_only=False)]
+        m = (cn == nation_a) | (cn == nation_b)
+        return pa.table({
+            "l_orderkey": pc.cast(b.column("o_orderkey"),
+                                  pa.int64()).filter(pa.array(m)),
+            "cust_nation": pa.array(cn[m].astype(np.int64), pa.int64()),
+        })
+
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+    ).map_batches(orders_slim, batch_format="pyarrow")
+
+    li = li.materialize()
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.int64())})
+    if li.count() == 0:  # all-empty map output drops the join schema
+        return empty
+
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+
+    def block_agg(b: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(b.column("supp_nation"),
+                               b.column("cust_nation")))
+        t = b.filter(m)
+        g = t.group_by(["supp_nation", "cust_nation", "l_year"]
+                       ).aggregate([("revenue", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation", "l_year",
+                                 "revenue"])
+
+    parts = joined.map_batches(block_agg, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return empty
+    fin = (parts.groupby(["supp_nation", "cust_nation", "l_year"],
+                         as_index=False)["revenue"].sum()
+           .sort_values(["supp_nation", "cust_nation", "l_year"])
+           .reset_index(drop=True))
+    return pa.table({
+        "supp_nation": pa.array([nname[int(x)] for x in
+                                 fin["supp_nation"]], pa.string()),
+        "cust_nation": pa.array([nname[int(x)] for x in
+                                 fin["cust_nation"]], pa.string()),
+        "l_year": pa.array(fin["l_year"].astype("int64"), pa.int64()),
+        "revenue": pa.array(fin["revenue"].astype("int64"), pa.int64()),
+    })
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round_even(l.l_discount * 100, 0)
+                              AS BIGINT))) AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_nationkey = 3 AND n2.n_nationkey = 8)
+       OR (n1.n_nationkey = 8 AND n2.n_nationkey = 3))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -3604,6 +3899,9 @@ QUERIES = {
     "events_transition_matrix": events_transition_matrix,
     "docs_link_triangles": docs_link_triangles,
     "embeddings_kmeans": embeddings_kmeans,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q7_volume_shipping": q7_volume_shipping,
 }
 
 ORACLE_SQL = {
@@ -3712,6 +4010,9 @@ ORACLE_SQL = {
     "events_transition_matrix": _TRANSITION_SQL,
     "docs_link_triangles": _TRIANGLES_SQL,
     "embeddings_kmeans": _kmeans_sql(),
+    "q6_forecast_revenue": _Q6_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q7_volume_shipping": _Q7_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -328,7 +328,7 @@ def test_cli_results_paging(tmp_path):
 # ------------------------- TPC-H shape queries: edge-case equivalence
 
 def _tpch_dir(tmp_path, customer=None, orders=None, lineitem=None,
-              supplier=None):
+              supplier=None, nation=None):
     """Write tiny synthetic TPC-H tables to a tmp sf_dir."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -343,6 +343,8 @@ def _tpch_dir(tmp_path, customer=None, orders=None, lineitem=None,
         pq.write_table(pa.table(lineitem), d / "lineitem.parquet")
     if supplier is not None:
         pq.write_table(pa.table(supplier), d / "supplier.parquet")
+    if nation is not None:
+        pq.write_table(pa.table(nation), d / "nation.parquet")
     return str(d)
 
 
@@ -494,3 +496,97 @@ def test_q22_anti_join_and_avg_cross_multiply(ray_session, tmp_path):
     assert got.values.tolist() == want.values.tolist()
     assert got["numcust"].tolist() == [1] and \
         got["totacctbal_cents"].tolist() == [25000]
+
+
+def test_q7_excludes_same_nation_and_sums_per_year(ray_session, tmp_path):
+    """An order where both supplier and customer sit in nation 3 must
+    not count; cross-nation revenue lands in the right (direction,
+    year) bucket."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from anycrawl_ray.pipelines.queries import _Q7_SQL, q7_volume_shipping
+
+    d96 = pd.Timestamp("1996-07-01")
+    d97 = pd.Timestamp("1997-07-01")
+    sf = _tpch_dir(
+        tmp_path,
+        lineitem={"l_orderkey": pa.array([1, 2, 3], pa.int64()),
+                  "l_partkey": pa.array([1] * 3, pa.int64()),
+                  # supp 7 in nation 3; supp 8 in nation 8
+                  "l_suppkey": pa.array([7, 7, 8], pa.int64()),
+                  "l_linenumber": pa.array([1] * 3, pa.int32()),
+                  "l_quantity": pa.array([1.0] * 3),
+                  "l_extendedprice": pa.array([100.0, 200.0, 400.0]),
+                  "l_discount": pa.array([0.0] * 3),
+                  "l_tax": pa.array([0.0] * 3),
+                  "l_returnflag": pa.array(["N"] * 3),
+                  "l_linestatus": pa.array(["O"] * 3),
+                  "l_shipdate": pa.array([d96, d96, d97])},
+        # order 1: cust in nation 8 (counts, 3->8); order 2: cust in
+        # nation 3 (same as supplier -> excluded); order 3: cust in 3
+        # (counts, 8->3, year 1997)
+        orders={"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([21, 22, 22], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array([1.0] * 3),
+                "o_orderdate": pa.array([d96] * 3),
+                "o_orderpriority": pa.array(["5-LOW"] * 3)},
+        customer={"c_custkey": pa.array([21, 22], pa.int64()),
+                  "c_nationkey": pa.array([8, 3], pa.int32()),
+                  "c_acctbal": pa.array([0.0, 0.0])},
+        supplier={"s_suppkey": pa.array([7, 8], pa.int64()),
+                  "s_name": pa.array(["a", "b"]),
+                  "s_nationkey": pa.array([3, 8], pa.int32()),
+                  "s_acctbal": pa.array([0.0, 0.0])},
+        nation={"n_nationkey": pa.array([3, 8], pa.int32()),
+                "n_name": pa.array(["NATION_3", "NATION_8"])},
+    )
+    got = q7_volume_shipping(sf).to_pandas()
+    want = _oracle_df(sf, _Q7_SQL,
+                      ["lineitem", "orders", "customer", "supplier",
+                       "nation"])
+    assert got.values.tolist() == want.values.tolist()
+    assert got["revenue"].tolist() == [1000000, 4000000]  # 1e-4 units
+
+
+def test_q10_tie_at_rank_boundary(ray_session, tmp_path):
+    """Customers tied on revenue at the top-20 boundary resolve by
+    custkey on both sides."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from anycrawl_ray.pipelines.queries import _Q10_SQL, q10_returned_items
+
+    od = pd.Timestamp("1996-02-01")
+    n_cust = 25
+    custkeys = list(range(1, n_cust + 1))
+    sf = _tpch_dir(
+        tmp_path,
+        customer={"c_custkey": pa.array(custkeys, pa.int64()),
+                  "c_name": pa.array([f"Customer{k}" for k in custkeys]),
+                  "c_nationkey": pa.array([0] * n_cust, pa.int32()),
+                  "c_acctbal": pa.array([float(k) for k in custkeys])},
+        orders={"o_orderkey": pa.array(custkeys, pa.int64()),
+                "o_custkey": pa.array(custkeys, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n_cust),
+                "o_totalprice": pa.array([1.0] * n_cust),
+                "o_orderdate": pa.array([od] * n_cust),
+                "o_orderpriority": pa.array(["5-LOW"] * n_cust)},
+        # every customer returns exactly 10.00 -> all tied
+        lineitem={"l_orderkey": pa.array(custkeys, pa.int64()),
+                  "l_partkey": pa.array([1] * n_cust, pa.int64()),
+                  "l_suppkey": pa.array([1] * n_cust, pa.int64()),
+                  "l_linenumber": pa.array([1] * n_cust, pa.int32()),
+                  "l_quantity": pa.array([1.0] * n_cust),
+                  "l_extendedprice": pa.array([10.0] * n_cust),
+                  "l_discount": pa.array([0.0] * n_cust),
+                  "l_tax": pa.array([0.0] * n_cust),
+                  "l_returnflag": pa.array(["R"] * n_cust),
+                  "l_linestatus": pa.array(["O"] * n_cust),
+                  "l_shipdate": pa.array([od] * n_cust)},
+    )
+    got = q10_returned_items(sf).to_pandas()
+    want = _oracle_df(sf, _Q10_SQL, ["customer", "orders", "lineitem"])
+    assert got.values.tolist() == want.values.tolist()
+    assert got["c_custkey"].tolist() == custkeys[:20]  # lowest keys win
