@@ -3756,6 +3756,86 @@ ORDER BY 1, 2, 3
 """
 
 
+def docs_containment_pairs(sf_dir: str):
+    """Broder containment near-dup pairs: |A n B| / min(|A|,|B|) >= 50%
+    over distinct word bigrams — the asymmetric excerpt/quote-inclusion
+    detector Jaccard dilutes away on lopsided sizes. Same two-shuffle
+    fat-bucket machinery as docs_ngram_jaccard (stages/dedup) with the
+    containment denominator."""
+    rd = _rd()
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold_pct=50, n=2,
+                               mode="containment")
+
+
+_CONTAINMENT_SQL = r"""
+WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '') AS w
+     FROM documents),
+bg AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bg
+       FROM w, UNNEST(range(1, len(w))) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM bg a JOIN bg b ON a.bg = b.bg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT inter.a AS a, inter.b AS b
+FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+           JOIN sizes sb ON sb.doc_id = inter.b
+WHERE i * 100 >= 50 * least(sa.n, sb.n)
+ORDER BY a, b
+"""
+
+
+def docs_cooccurrence_pmi(sf_dir: str):
+    """Token co-occurrence with integer PMI-ratio scoring over the
+    first-32-distinct-token sets of each document
+    (stages/text_analysis.cooccurrence_pmi): within-block pair
+    explosion, pair-hash bucket counting with the min-cooc gate inside
+    the bucket, df hash joins, integer (cooc*N*1000)//(df_a*df_b)
+    score — no float log on either engine."""
+    rd = _rd()
+    from ..stages.text_analysis import cooccurrence_pmi
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return cooccurrence_pmi(ds, max_tokens=32, min_cooc=3, top_k=50)
+
+
+_COOC_PMI_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS tok,
+           generate_subscripts(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> ''), 1)
+               AS pos
+    FROM documents),
+firsts AS (SELECT doc_id, tok, MIN(pos) AS fp FROM toks GROUP BY 1, 2),
+capped AS (
+    SELECT doc_id, tok FROM firsts
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY fp) <= 32),
+df AS (SELECT tok, COUNT(*) AS df FROM capped GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+pairs AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS cooc
+    FROM capped a JOIN capped b
+      ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3)
+SELECT tok_a, tok_b, CAST(cooc AS BIGINT) AS cooc,
+       CAST((cooc * n.nd * 1000) // (da.df * db.df) AS BIGINT) AS score
+FROM pairs, n
+JOIN df da ON da.tok = pairs.tok_a
+JOIN df db ON db.tok = pairs.tok_b
+ORDER BY score DESC, tok_a, tok_b
+LIMIT 50
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -3902,6 +3982,8 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q7_volume_shipping": q7_volume_shipping,
+    "docs_containment_pairs": docs_containment_pairs,
+    "docs_cooccurrence_pmi": docs_cooccurrence_pmi,
 }
 
 ORACLE_SQL = {
@@ -4013,6 +4095,8 @@ ORACLE_SQL = {
     "q6_forecast_revenue": _Q6_SQL,
     "q10_returned_items": _Q10_SQL,
     "q7_volume_shipping": _Q7_SQL,
+    "docs_containment_pairs": _CONTAINMENT_SQL,
+    "docs_cooccurrence_pmi": _COOC_PMI_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

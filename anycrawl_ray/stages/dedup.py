@@ -850,7 +850,8 @@ def _segment_pair_counts(keys: np.ndarray, docs: np.ndarray,
 
 def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_df: int | None = None):
+                        max_df: int | None = None,
+                        mode: str = "jaccard"):
     """EXACT word n-gram Jaccard near-dup pairs via a distributed inverted
     index — the SQL-oracle-checkable counterpart of the MinHash estimate.
     Admission is the integer threshold test ``inter * 100 >= pct * union``
@@ -951,8 +952,14 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
         tot = np.zeros(ps.size, dtype=np.int64)
         np.add.at(tot, seg_id, iv)
         a, b, na, nbg = a[ps], b[ps], na[ps], nbg[ps]
-        union = na + nbg - tot
-        keep = tot * 100 >= threshold_pct * union
+        if mode == "containment":
+            # Broder containment of the smaller gram set in the larger:
+            # |A n B| / min(|A|, |B|) -- catches quote/excerpt inclusion
+            # Jaccard dilutes away when the two sizes are lopsided
+            denom = np.minimum(na, nbg)
+        else:
+            denom = na + nbg - tot  # union
+        keep = tot * 100 >= threshold_pct * denom
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     qual = (ds.map_batches(explode, batch_format="pyarrow")

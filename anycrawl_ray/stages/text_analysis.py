@@ -684,3 +684,155 @@ def quality_rules_batch(batch: pa.Table, id_col: str = "doc_id",
         "rule_stop": pa.array(r_stop, pa.int64()),
         "keep": pa.array(keep, pa.int64()),
     })
+
+
+def cooccurrence_pmi(ds, max_tokens: int = 32, min_cooc: int = 3,
+                     top_k: int = 50, id_col: str = "doc_id",
+                     text_col: str = "text", n_buckets: int | None = None
+                     ) -> pa.Table:
+    """Token co-occurrence with integer PMI-ratio scoring: for every
+    unordered token pair sharing a document (each document contributes
+    its first ``max_tokens`` DISTINCT tokens, by position), count
+    co-occurring documents, drop pairs below ``min_cooc``, and score
+    survivors with the exact integer
+
+        score = (cooc * n_docs * 1000) // (df_a * df_b)
+
+    — a monotone transform of the PMI ratio P(a,b)/(P(a)P(b)) with no
+    float log (libm log would drift between engines). Returns the
+    ``top_k`` pairs by (score desc, tok_a, tok_b).
+
+    Scale shape: pairs explode WITHIN the tokenize batch (a doc's
+    <= C(max_tokens,2) pairs never cross blocks, so no doc-keyed
+    shuffle); pair counting and the min_cooc gate run inside pair-hash
+    fat buckets (a bucket holds every copy of its pair strings — the
+    ngram_jaccard_pairs routing argument); document frequencies count
+    inside token-hash buckets the same way; survivors (already gated,
+    tiny) attach their two df values via hash joins and the driver
+    merges per-block top-k lists only."""
+    import ray
+
+    import pandas as pd
+
+    n_docs = ds.count()
+    nb = n_buckets or max(16, min(256, int(
+        ray.cluster_resources().get("CPU", 8)) * 2))
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks_doc, toks_tok = [], []
+        pair_a, pair_b = [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            seen: dict = {}
+            for w in t.split():
+                if w not in seen:
+                    seen[w] = None
+                    if len(seen) >= max_tokens:
+                        break
+            toks = sorted(seen)  # lexicographic == SQL a.tok < b.tok
+            toks_doc.extend([d] * len(toks))
+            toks_tok.extend(toks)
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    pair_a.append(toks[i])
+                    pair_b.append(toks[j])
+        tok_tbl = pa.table({"doc": pa.array(toks_doc, pa.int64()),
+                            "tok": pa.array(toks_tok, pa.string())})
+        pair_tbl = pa.table({"tok_a": pa.array(pair_a, pa.string()),
+                             "tok_b": pa.array(pair_b, pa.string())})
+        return tok_tbl, pair_tbl
+
+    # one tokenize pass feeds both sides: tag rows so a single
+    # map_batches output carries tokens (for df) and pairs
+    def emit_tagged(batch: pa.Table) -> pa.Table:
+        tok_tbl, pair_tbl = tokenize(batch)
+        toks = tok_tbl.column("tok").to_pylist()
+        th = np.asarray(_fnv1a_bulk(toks), dtype=np.uint64)
+        pa_l = pair_tbl.column("tok_a").to_pylist()
+        pb_l = pair_tbl.column("tok_b").to_pylist()
+        ph = np.asarray(_fnv1a_bulk([x + "\x1f" + y
+                                     for x, y in zip(pa_l, pb_l)]),
+                        dtype=np.uint64)
+        return pa.table({
+            "tok_a": pa.array(toks + pa_l, pa.string()),
+            "tok_b": pa.array([""] * len(toks) + pb_l, pa.string()),
+            "is_pair": pa.array([0] * len(toks) + [1] * len(pa_l),
+                                pa.int8()),
+            "_kb": pa.array(np.concatenate([th, ph]).astype(np.int64)
+                            % nb, pa.int64()),
+        })
+
+    tagged = ds.map_batches(emit_tagged, batch_format="pyarrow")
+
+    def count_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for flag in (0, 1):
+            g = group[group["is_pair"] == flag]
+            if len(g) == 0:
+                continue
+            c = (g.groupby(["tok_a", "tok_b"], as_index=False, sort=False)
+                 .size().rename(columns={"size": "cnt"}))
+            if flag == 1:
+                c = c[c["cnt"] >= min_cooc]
+            c["is_pair"] = np.int8(flag)
+            frames.append(c)
+        if not frames:
+            return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                                 "tok_b": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "is_pair": pd.Series([], dtype=np.int8)})
+        out = pd.concat(frames, ignore_index=True)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[["tok_a", "tok_b", "cnt", "is_pair"]]
+
+    counted = (tagged.groupby("_kb")
+               .map_groups(count_bucket, batch_format="pandas")
+               .materialize())
+    pairs = counted.filter(expr="is_pair == 1") \
+        .select_columns(["tok_a", "tok_b", "cnt"])
+    df_tbl = counted.filter(expr="is_pair == 0") \
+        .select_columns(["tok_a", "cnt"])
+
+    def df_key_a(batch: pa.Table) -> pa.Table:
+        return pa.table({"tok_a": batch.column("tok_a"),
+                         "df_a": batch.column("cnt")})
+
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    with_a = pairs.join(df_tbl.map_batches(df_key_a,
+                                           batch_format="pyarrow"),
+                        "inner", n_parts, on=("tok_a",))
+
+    def df_key_b(batch: pa.Table) -> pa.Table:
+        return pa.table({"tok_b": batch.column("tok_a"),
+                         "df_b": batch.column("cnt")})
+
+    with_ab = with_a.join(df_tbl.map_batches(df_key_b,
+                                             batch_format="pyarrow"),
+                          "inner", n_parts, on=("tok_b",))
+
+    def score_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        score = (df["cnt"].to_numpy(np.int64) * n_docs * 1000
+                 // (df["df_a"].to_numpy(np.int64)
+                     * df["df_b"].to_numpy(np.int64)))
+        df["score"] = score
+        df = df.sort_values(["score", "tok_a", "tok_b"],
+                            ascending=[False, True, True]).head(top_k)
+        return pa.Table.from_pandas(
+            df[["tok_a", "tok_b", "cnt", "score"]], preserve_index=False)
+
+    tops = with_ab.map_batches(score_top, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if len(tops) == 0:
+        return pa.table({"tok_a": pa.array([], pa.string()),
+                         "tok_b": pa.array([], pa.string()),
+                         "cooc": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    fin = tops.sort_values(["score", "tok_a", "tok_b"],
+                           ascending=[False, True, True]).head(top_k)
+    return pa.table({
+        "tok_a": pa.array(fin["tok_a"], pa.string()),
+        "tok_b": pa.array(fin["tok_b"], pa.string()),
+        "cooc": pa.array(fin["cnt"].astype("int64"), pa.int64()),
+        "score": pa.array(fin["score"].astype("int64"), pa.int64()),
+    })

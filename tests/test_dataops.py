@@ -1450,3 +1450,65 @@ def test_kmeans_int_partitioning_invariant(ray_session):
     b = kmeans_int(rd.from_arrow(tbl).repartition(13), n_clusters=5,
                    iters=3).to_pandas()
     assert a["cluster"].tolist() == b["cluster"].tolist()
+
+
+def test_containment_catches_excerpt_jaccard_misses(ray_session):
+    """A short excerpt fully contained in a long doc: containment >= 50
+    admits it, Jaccard at the same threshold cannot (sizes lopsided)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.dedup import ngram_jaccard_pairs
+
+    long_words = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(40, 60))
+    ds = _docs_ds([(1, long_words), (2, excerpt), (3, "unrelated text x")])
+    cont = ngram_jaccard_pairs(ds, threshold_pct=50,
+                               mode="containment").to_pandas()
+    jac = ngram_jaccard_pairs(ds, threshold_pct=50).to_pandas()
+    assert cont.values.tolist() == [[1, 2]]
+    assert len(jac) == 0
+
+
+def test_cooccurrence_pmi_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import cooccurrence_pmi
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = []
+    for d in range(80):
+        n = rng.integers(5, 40)
+        docs.append((d, " ".join(rng.choice(vocab, n))))
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string())})
+    got = cooccurrence_pmi(rd.from_arrow(tbl).repartition(4),
+                           max_tokens=8, min_cooc=4,
+                           top_k=25).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl.to_pandas())
+    want = con.execute(r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS tok,
+           generate_subscripts(list_filter(
+               regexp_split_to_array(text, '\s+'), x -> x <> ''), 1) AS pos
+    FROM documents),
+firsts AS (SELECT doc_id, tok, MIN(pos) AS fp FROM toks GROUP BY 1, 2),
+capped AS (SELECT doc_id, tok FROM firsts
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY fp) <= 8),
+df AS (SELECT tok, COUNT(*) AS df FROM capped GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS cooc
+          FROM capped a JOIN capped b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING COUNT(*) >= 4)
+SELECT tok_a, tok_b, CAST(cooc AS BIGINT) AS cooc,
+       CAST((cooc * n.nd * 1000) // (da.df * db.df) AS BIGINT) AS score
+FROM pairs, n
+JOIN df da ON da.tok = pairs.tok_a
+JOIN df db ON db.tok = pairs.tok_b
+ORDER BY score DESC, tok_a, tok_b LIMIT 25""").df()
+    assert got.values.tolist() == want.values.tolist()
