@@ -3836,6 +3836,137 @@ LIMIT 50
 """
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): per order-year, the ppm
+    share of PROMO-part revenue to region-1 customers that was supplied
+    by nation 3. All dimension hops (part type, supplier nation,
+    customer nation -> region) collapse into dense broadcast numpy
+    gathers; the ONLY all-to-all is the lineitem x orders hash join,
+    and each joined block emits (year, total, national) integer
+    partials — the share is the exact integer num * 1e6 // den at the
+    driver (the q14 ppm convention)."""
+    import ray
+
+    rd = _rd()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    is_promo = np.zeros(int(pk.max()) + 1, dtype=bool)
+    is_promo[pk] = np.asarray(part.column("p_type").to_numpy(
+        zero_copy_only=False) == "PROMO")
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    snat = np.full(int(sk.max()) + 1, -1, dtype=np.int32)
+    snat[sk] = supp.column("s_nationkey").to_numpy(zero_copy_only=False)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False)
+    region_of = np.full(int(nk.max()) + 1, -1, dtype=np.int32)
+    region_of[nk] = nation.column("n_regionkey").to_numpy(
+        zero_copy_only=False)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    cust_region = np.full(int(ck.max()) + 1, -1, dtype=np.int32)
+    cust_region[ck] = region_of[cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False)]
+
+    def li_slim(b: pa.Table) -> pa.Table:
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        m = is_promo[keys]
+        t = b.filter(pa.array(m))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = np.rint(t.column("l_discount")
+                       .to_numpy(zero_copy_only=False) * 100)
+        rev4 = (np.rint(price * 100).astype(np.int64)
+                * (100 - disc.astype(np.int64)))
+        nat = snat[t.column("l_suppkey").to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "revenue": pa.array(rev4, pa.int64()),
+            "is_nation": pa.array((nat == 3).astype(np.int64), pa.int64()),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_slim, batch_format="pyarrow")
+
+    def orders_slim(b: pa.Table) -> pa.Table:
+        reg = cust_region[b.column("o_custkey").to_numpy(
+            zero_copy_only=False)]
+        m = reg == 1
+        ep = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)[m]
+        yrs = (ep.astype("datetime64[us]").astype("datetime64[Y]")
+               .astype(np.int64) + 1970)
+        return pa.table({
+            "l_orderkey": pc.cast(b.column("o_orderkey"),
+                                  pa.int64()).filter(pa.array(m)),
+            "o_year": pa.array(yrs, pa.int64()),
+        })
+
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_slim, batch_format="pyarrow")
+
+    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+
+    def block_agg(b: pa.Table) -> pa.Table:
+        rev = b.column("revenue").to_numpy(zero_copy_only=False)
+        isn = b.column("is_nation").to_numpy(zero_copy_only=False)
+        yr = b.column("o_year").to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        tot = np.bincount(inv, weights=rev.astype(np.float64))
+        nat = np.bincount(inv, weights=(rev * isn).astype(np.float64))
+        return pa.table({
+            "o_year": pa.array(uy, pa.int64()),
+            "total": pa.array(tot.astype(np.int64), pa.int64()),
+            "national": pa.array(nat.astype(np.int64), pa.int64()),
+        })
+
+    parts = joined.map_batches(block_agg, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return pa.table({"o_year": pa.array([], pa.int64()),
+                         "mkt_share_ppm": pa.array([], pa.int64())})
+    fin = (parts.groupby("o_year", as_index=False)[["total", "national"]]
+           .sum().sort_values("o_year").reset_index(drop=True))
+    share = (fin["national"].astype("int64") * 1_000_000
+             // fin["total"].astype("int64"))
+    return pa.table({
+        "o_year": pa.array(fin["o_year"].astype("int64"), pa.int64()),
+        "mkt_share_ppm": pa.array(share.astype("int64"), pa.int64()),
+    })
+
+
+_Q8_SQL = """
+WITH base AS (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round_even(l.l_discount * 100, 0) AS BIGINT))
+               AS rev,
+           CASE WHEN s.s_nationkey = 3 THEN 1 ELSE 0 END AS isn
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE p.p_type = 'PROMO' AND n.n_regionkey = 1)
+SELECT o_year,
+       CAST(CAST(SUM(rev * isn) AS BIGINT) * 1000000
+            // CAST(SUM(rev) AS BIGINT) AS BIGINT) AS mkt_share_ppm
+FROM base
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -3854,45 +3985,95 @@ def embeddings_kmeans(sf_dir: str):
     return kmeans_int(ds, n_clusters=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
-def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
-                scale: int = 100, offset: int = 1000) -> str:
-    dist = ("list_sum(list_transform(list_zip(v.q, c.q), "
-            "s -> (s[1]-s[2])*(s[1]-s[2])))")
-    ctes = [f"""qv AS MATERIALIZED (
-  SELECT vec_id, list_transform(embedding,
+def _kmeans_ctes(k: int, iters: int, scale: int, offset: int,
+                 sfx: str = "", dim_lo: int | None = None,
+                 dim_hi: int | None = None) -> str:
+    """CTE chain replaying the kmeans_int recurrence; ``sfx`` namespaces
+    the CTEs so several chains (PQ subspaces) coexist in one query.
+    dim_lo/dim_hi are 0-based python slice bounds (DuckDB lists are
+    1-based inclusive)."""
+    emb = ("embedding" if dim_lo is None
+           else f"embedding[{dim_lo + 1}:{dim_hi}]")
+    dist = (f"list_sum(list_transform(list_zip(v.q, c.q), "
+            f"s -> (s[1]-s[2])*(s[1]-s[2])))")
+    ctes = [f"""qv{sfx} AS MATERIALIZED (
+  SELECT vec_id, list_transform({emb},
       x -> CAST(round_even(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)
            + {offset}) AS q
   FROM embeddings),
-cent0 AS MATERIALIZED (
+cent0{sfx} AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY mix64(CAST(vec_id AS UBIGINT)),
                             vec_id) - 1 AS cluster, q
-  FROM qv
+  FROM qv{sfx}
   QUALIFY row_number() OVER (ORDER BY mix64(CAST(vec_id AS UBIGINT)),
                              vec_id) <= {k})"""]
     for i in range(1, iters + 1):
-        prev = f"cent{i - 1}f" if i > 1 else "cent0"
-        ctes.append(f"""assign{i} AS MATERIALIZED (
+        prev = f"cent{i - 1}f{sfx}" if i > 1 else f"cent0{sfx}"
+        ctes.append(f"""assign{i}{sfx} AS MATERIALIZED (
   SELECT v.vec_id, v.q, c.cluster
-  FROM qv v CROSS JOIN {prev} c
+  FROM qv{sfx} v CROSS JOIN {prev} c
   QUALIFY row_number() OVER (PARTITION BY v.vec_id
             ORDER BY {dist}, c.cluster) = 1),
-cent{i} AS (
+cent{i}{sfx} AS (
   SELECT cluster, list(s // m ORDER BY dim) AS q
   FROM (SELECT cluster, dim, SUM(val) AS s, COUNT(*) AS m
         FROM (SELECT cluster, generate_subscripts(q, 1) AS dim,
-                     unnest(q) AS val FROM assign{i})
+                     unnest(q) AS val FROM assign{i}{sfx})
         GROUP BY 1, 2)
   GROUP BY cluster),
-cent{i}f AS MATERIALIZED (
+cent{i}f{sfx} AS MATERIALIZED (
   SELECT c0.cluster, COALESCE(c1.q, c0.q) AS q
-  FROM {prev} c0 LEFT JOIN cent{i} c1 USING (cluster))""")
-    joined = ",\n".join(ctes)
+  FROM {prev} c0 LEFT JOIN cent{i}{sfx} c1 USING (cluster))""")
+    ctes.append(f"""out{sfx} AS (
+  SELECT v.vec_id, c.cluster
+  FROM qv{sfx} v CROSS JOIN cent{iters}f{sfx} c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY {dist}, c.cluster) = 1)""")
+    return ",\n".join(ctes)
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                scale: int = 100, offset: int = 1000) -> str:
+    chain = _kmeans_ctes(k, iters, scale, offset)
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH {chain}
+SELECT vec_id, cluster FROM out ORDER BY vec_id
+"""
+
+
+_PQ_SUB, _PQ_K, _PQ_ITERS = 2, 4, 2
+
+
+def embeddings_pq(sf_dir: str):
+    """Product-quantization codes over the embedding column
+    (stages/similarity.pq_codes): 2 contiguous 32-dim subspaces, each
+    trained with the exact integer k-means recurrence (k=4, 2
+    iterations) — codebooks and codes bit-replayable in SQL (two
+    namespaced kmeans CTE chains joined on vec_id)."""
+    rd = _rd()
+    from ..stages.similarity import pq_codes
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pq_codes(ds, n_sub=_PQ_SUB, n_clusters=_PQ_K, iters=_PQ_ITERS,
+                    dim=64)
+
+
+def _pq_sql(n_sub: int = _PQ_SUB, k: int = _PQ_K, iters: int = _PQ_ITERS,
+            dim: int = 64) -> str:
+    width = dim // n_sub
+    chains = [_kmeans_ctes(k, iters, 100, 1000, sfx=f"_s{i}",
+                           dim_lo=i * width, dim_hi=(i + 1) * width)
+              for i in range(n_sub)]
+    joined = ",\n".join(chains)
+    sel = ", ".join(f"o{i}.cluster AS code_{i}" for i in range(n_sub))
+    frm = " ".join(
+        ["FROM out_s0 o0"] + [f"JOIN out_s{i} o{i} USING (vec_id)"
+                              for i in range(1, n_sub)])
     return f"""{_oracle_kernels.U64_PRELUDE}
 WITH {joined}
-SELECT v.vec_id AS vec_id, c.cluster AS cluster
-FROM qv v CROSS JOIN cent{iters}f c
-QUALIFY row_number() OVER (PARTITION BY v.vec_id
-          ORDER BY {dist}, c.cluster) = 1
+SELECT o0.vec_id AS vec_id, {sel}
+{frm}
 ORDER BY vec_id
 """
 
@@ -3984,6 +4165,8 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "docs_containment_pairs": docs_containment_pairs,
     "docs_cooccurrence_pmi": docs_cooccurrence_pmi,
+    "q8_market_share": q8_market_share,
+    "embeddings_pq": embeddings_pq,
 }
 
 ORACLE_SQL = {
@@ -4097,6 +4280,8 @@ ORACLE_SQL = {
     "q7_volume_shipping": _Q7_SQL,
     "docs_containment_pairs": _CONTAINMENT_SQL,
     "docs_cooccurrence_pmi": _COOC_PMI_SQL,
+    "q8_market_share": _Q8_SQL,
+    "embeddings_pq": _pq_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

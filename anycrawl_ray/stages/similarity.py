@@ -341,7 +341,8 @@ def knn_graph(ds, k: int = 5, chunk_rows: int = 4096, collect: bool = True):
 
 
 def kmeans_int(ds, n_clusters: int = 8, iters: int = 3, scale: int = 100,
-               offset: int = 1000):
+               offset: int = 1000, dim_lo: int | None = None,
+               dim_hi: int | None = None):
     """Distributed Lloyd's k-means in EXACT integer fixed-point — every
     arithmetic step is order-free int64, so the whole iteration history
     is bit-identical between this pipeline and a DuckDB unrolled-CTE
@@ -364,12 +365,13 @@ def kmeans_int(ds, n_clusters: int = 8, iters: int = 3, scale: int = 100,
     (mix64(vec_id), vec_id) ranks). Returns (vec_id, cluster) sorted."""
     import pandas as pd
 
-    seeds = hash_centroids(ds, n_clusters)
+    sl = slice(dim_lo, dim_hi)  # optional subspace (PQ codebooks)
+    seeds = hash_centroids(ds, n_clusters)[:, sl]
     cents = (np.rint(seeds * scale) + offset).astype(np.int64)
     k = cents.shape[0]
 
     def quantize(batch: pa.Table):
-        q = (np.rint(_batch_embeddings(batch) * scale) + offset
+        q = (np.rint(_batch_embeddings(batch)[:, sl] * scale) + offset
              ).astype(np.int64)
         ids = np.asarray(batch.column("vec_id").to_pylist(),
                          dtype=np.int64)
@@ -425,3 +427,31 @@ def kmeans_int(ds, n_clusters: int = 8, iters: int = 3, scale: int = 100,
                                         pa.int64()),
                      "cluster": pa.array(out["cluster"].astype("int64"),
                                          pa.int64())})
+
+
+def pq_codes(ds, n_sub: int = 2, n_clusters: int = 4, iters: int = 2,
+             dim: int = 64) -> pa.Table:
+    """Product-quantization codes (Jegou et al. 2011): the embedding
+    splits into ``n_sub`` contiguous subspaces, each trained with the
+    EXACT integer k-means recurrence (``kmeans_int`` on a dim slice) so
+    every codebook — and therefore every code — is bit-replayable in
+    SQL. Returns (vec_id, code_0..code_{n_sub-1}); at corpus scale the
+    codes would stream to a parquet sink instead of the driver, but
+    training cost is the same either way: n_sub independent kmeans_int
+    runs, each one assignment pass + a k-group merge per iteration."""
+    import pandas as pd
+
+    width = dim // n_sub
+    merged: pd.DataFrame | None = None
+    for si in range(n_sub):
+        a = kmeans_int(ds, n_clusters=n_clusters, iters=iters,
+                       dim_lo=si * width, dim_hi=(si + 1) * width
+                       ).to_pandas().rename(columns={"cluster":
+                                                     f"code_{si}"})
+        merged = a if merged is None else merged.merge(a, on="vec_id")
+    cols = {"vec_id": pa.array(merged["vec_id"].astype("int64"),
+                               pa.int64())}
+    for si in range(n_sub):
+        cols[f"code_{si}"] = pa.array(merged[f"code_{si}"].astype("int64"),
+                                      pa.int64())
+    return pa.table(cols)

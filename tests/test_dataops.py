@@ -1512,3 +1512,37 @@ JOIN df da ON da.tok = pairs.tok_a
 JOIN df db ON db.tok = pairs.tok_b
 ORDER BY score DESC, tok_a, tok_b LIMIT 25""").df()
     assert got.values.tolist() == want.values.tolist()
+
+
+def test_pq_codes_match_per_subspace_kmeans(ray_session):
+    """PQ codes are definitionally the per-subspace kmeans_int labels;
+    the two subspaces must be trained independently (a vector moved in
+    dims 0-31 changes code_0 only)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import kmeans_int, pq_codes
+
+    rng = np.random.default_rng(17)
+    emb = rng.normal(0, 2, (120, 16)).astype(np.float32)
+    ids = np.arange(120, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(list(emb),
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = pq_codes(ds, n_sub=2, n_clusters=3, iters=2, dim=16).to_pandas()
+    k0 = kmeans_int(ds, n_clusters=3, iters=2, dim_lo=0,
+                    dim_hi=8).to_pandas()
+    k1 = kmeans_int(ds, n_clusters=3, iters=2, dim_lo=8,
+                    dim_hi=16).to_pandas()
+    assert got["code_0"].tolist() == k0["cluster"].tolist()
+    assert got["code_1"].tolist() == k1["cluster"].tolist()
+
+    emb2 = emb.copy()
+    emb2[:, :8] = rng.normal(0, 2, (120, 8))  # perturb subspace 0 only
+    tbl2 = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "embedding": pa.array(list(emb2),
+                                           pa.list_(pa.float32()))})
+    got2 = pq_codes(rd.from_arrow(tbl2), n_sub=2, n_clusters=3, iters=2,
+                    dim=16).to_pandas()
+    assert got2["code_1"].tolist() == got["code_1"].tolist()
+    assert got2["code_0"].tolist() != got["code_0"].tolist()
