@@ -116,7 +116,8 @@ def site_edges(ds, n_nodes: int):
 
 
 def triangle_counts(edges_ds, n_nodes: int,
-                    num_partitions: int | None = None) -> pa.Table:
+                    num_partitions: int | None = None,
+                    broadcast_limit: int = 2_000_000) -> pa.Table:
     """Per-node triangle counts over an undirected edge Dataset — the
     degree-oriented node-iterator (Schank & Wagner 2005 / Cohen's
     MapReduce formulation): orient every edge from its lower
@@ -135,6 +136,12 @@ def triangle_counts(edges_ds, n_nodes: int,
     count-partial rows per triangle -> groupby-Sum. Input ``edges_ds``
     rows are (a, b) int64 with a != b in any order/multiplicity.
 
+    When the degree table fits under ``broadcast_limit`` rows it is
+    broadcast once (ray.put) and read as a dense gather inside the
+    orient pass — two hash joins disappear (measured: each join spawn
+    costs ~1 s of fixed aggregator-actor time at small scale). Above
+    the limit the join path runs unchanged; pass 0 to force it.
+
     Returns (doc_id, n_tri) for nodes in >= 1 triangle, sorted."""
     import ray
     from ray.data.aggregate import Sum
@@ -146,17 +153,30 @@ def triangle_counts(edges_ds, n_nodes: int,
     n_parts = num_partitions or max(
         2, min(8, int(ray.cluster_resources().get("CPU", 8))))
 
+    nb = _default_buckets()
+
     def pack(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("a"), dtype=np.int64)
         b = np.asarray(batch.column("b"), dtype=np.int64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         e = np.unique(lo * n + hi)  # per-batch pre-dedup
-        return pa.table({"e": pa.array(e, pa.int64())})
+        kb = (_mix64_np(e.view(np.uint64)) % np.uint64(nb)
+              ).astype(np.int64)
+        return pa.table({"e": pa.array(e, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
 
-    # (1) exact dedup: first-wins per packed key (hash shuffle)
+    def uniq_bucket(df):
+        import pandas as pd
+
+        return pd.DataFrame({"e": np.unique(df["e"].to_numpy(np.int64))})
+
+    # (1) exact dedup inside mix64 fat buckets (every copy of an edge
+    # key lands in one bucket) — measurably cheaper than a natural-key
+    # groupby-aggregate over the edge set (the repo-wide rebucket rule)
     edges = (edges_ds.map_batches(pack, batch_format="pyarrow")
-             .groupby("e").aggregate(Sum("e", alias_name="_s"))
-             .select_columns(["e"]).materialize())
+             .groupby("_kb").map_groups(uniq_bucket,
+                                        batch_format="pandas")
+             .materialize())
     if edges.count() == 0:  # wedge map_groups would lose its schema
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "n_tri": pa.array([], pa.int64())})
@@ -170,33 +190,10 @@ def triangle_counts(edges_ds, n_nodes: int,
                          "deg": pa.array(c.astype(np.int64))})
 
     deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+           .materialize())
 
-    # (3) attach endpoint degrees with two hash joins
-    def unpack_a(batch: pa.Table) -> pa.Table:
-        e = np.asarray(batch.column("e"), dtype=np.int64)
-        return pa.table({"e": batch.column("e"),
-                         "node": pa.array(e // n, pa.int64())})
-
-    with_a = edges.map_batches(unpack_a, batch_format="pyarrow").join(
-        deg, "inner", n_parts, on=("node",))
-
-    def key_b(batch: pa.Table) -> pa.Table:
-        e = np.asarray(batch.column("e"), dtype=np.int64)
-        return pa.table({"e": batch.column("e"),
-                         "deg_a": batch.column("deg"),
-                         "node": pa.array(e % n, pa.int64())})
-
-    with_ab = with_a.map_batches(key_b, batch_format="pyarrow").join(
-        deg, "inner", n_parts, on=("node",))
-
-    # (4) orient by (deg, id) rank and bucket wedge generation by source
-    nb = _default_buckets()
-
-    def orient(batch: pa.Table) -> pa.Table:
-        e = np.asarray(batch.column("e"), dtype=np.int64)
-        da = np.asarray(batch.column("deg_a"), dtype=np.int64)
-        db = np.asarray(batch.column("deg"), dtype=np.int64)
+    def _orient_arrays(e, da, db):
         a, b = e // n, e % n
         ra, rb = (da << 32) | a, (db << 32) | b  # ids dense < 2^32
         a_first = ra < rb
@@ -209,8 +206,49 @@ def triangle_counts(edges_ds, n_nodes: int,
                          "rv": pa.array(rv, pa.int64()),
                          "_kb": pa.array(kb, pa.int64())})
 
-    oriented = with_ab.map_batches(orient, batch_format="pyarrow"
-                                   ).materialize()
+    if deg.count() <= broadcast_limit:
+        # (3a) degrees broadcast once; orient straight off the edge rows
+        dd = deg.to_pandas()
+        deg_np = np.zeros(n, dtype=np.int64)
+        deg_np[dd["node"].to_numpy(np.int64)] = dd["deg"].to_numpy(np.int64)
+        deg_ref = ray.put(deg_np)
+
+        from .dedup import _cached_get
+
+        def orient_bcast(batch: pa.Table) -> pa.Table:
+            dnp = _cached_get(deg_ref)
+            e = np.asarray(batch.column("e"), dtype=np.int64)
+            return _orient_arrays(e, dnp[e // n], dnp[e % n])
+
+        oriented = edges.map_batches(orient_bcast, batch_format="pyarrow"
+                                     ).materialize()
+    else:
+        # (3b) attach endpoint degrees with two hash joins
+        def unpack_a(batch: pa.Table) -> pa.Table:
+            e = np.asarray(batch.column("e"), dtype=np.int64)
+            return pa.table({"e": batch.column("e"),
+                             "node": pa.array(e // n, pa.int64())})
+
+        with_a = edges.map_batches(unpack_a, batch_format="pyarrow").join(
+            deg, "inner", n_parts, on=("node",))
+
+        def key_b(batch: pa.Table) -> pa.Table:
+            e = np.asarray(batch.column("e"), dtype=np.int64)
+            return pa.table({"e": batch.column("e"),
+                             "deg_a": batch.column("deg"),
+                             "node": pa.array(e % n, pa.int64())})
+
+        with_ab = with_a.map_batches(key_b, batch_format="pyarrow").join(
+            deg, "inner", n_parts, on=("node",))
+
+        def orient(batch: pa.Table) -> pa.Table:
+            e = np.asarray(batch.column("e"), dtype=np.int64)
+            da = np.asarray(batch.column("deg_a"), dtype=np.int64)
+            db = np.asarray(batch.column("deg"), dtype=np.int64)
+            return _orient_arrays(e, da, db)
+
+        oriented = with_ab.map_batches(orient, batch_format="pyarrow"
+                                       ).materialize()
 
     def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd

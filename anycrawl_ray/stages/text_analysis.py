@@ -688,8 +688,8 @@ def quality_rules_batch(batch: pa.Table, id_col: str = "doc_id",
 
 def cooccurrence_pmi(ds, max_tokens: int = 32, min_cooc: int = 3,
                      top_k: int = 50, id_col: str = "doc_id",
-                     text_col: str = "text", n_buckets: int | None = None
-                     ) -> pa.Table:
+                     text_col: str = "text", n_buckets: int | None = None,
+                     broadcast_limit: int = 2_000_000) -> pa.Table:
     """Token co-occurrence with integer PMI-ratio scoring: for every
     unordered token pair sharing a document (each document contributes
     its first ``max_tokens`` DISTINCT tokens, by position), count
@@ -708,8 +708,11 @@ def cooccurrence_pmi(ds, max_tokens: int = 32, min_cooc: int = 3,
     fat buckets (a bucket holds every copy of its pair strings — the
     ngram_jaccard_pairs routing argument); document frequencies count
     inside token-hash buckets the same way; survivors (already gated,
-    tiny) attach their two df values via hash joins and the driver
-    merges per-block top-k lists only."""
+    tiny) attach their two df values via hash joins — or, when the
+    vocabulary df table fits under ``broadcast_limit`` rows, via one
+    broadcast dict lookup (two join-actor spawns measured ~2 s of fixed
+    cost at small scale; pass 0 to force the join path) — and the
+    driver merges per-block top-k lists only."""
     import ray
 
     import pandas as pd
@@ -793,22 +796,44 @@ def cooccurrence_pmi(ds, max_tokens: int = 32, min_cooc: int = 3,
     df_tbl = counted.filter(expr="is_pair == 0") \
         .select_columns(["tok_a", "cnt"])
 
-    def df_key_a(batch: pa.Table) -> pa.Table:
-        return pa.table({"tok_a": batch.column("tok_a"),
-                         "df_a": batch.column("cnt")})
+    if df_tbl.count() <= broadcast_limit:
+        df_map: dict = {}
+        for b in df_tbl.iter_batches(batch_size=1 << 18,
+                                     batch_format="pyarrow"):
+            df_map.update(zip(b.column("tok_a").to_pylist(),
+                              b.column("cnt").to_pylist()))
+        df_ref = ray.put(df_map)
 
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
-    with_a = pairs.join(df_tbl.map_batches(df_key_a,
-                                           batch_format="pyarrow"),
-                        "inner", n_parts, on=("tok_a",))
+        from .dedup import _cached_get
 
-    def df_key_b(batch: pa.Table) -> pa.Table:
-        return pa.table({"tok_b": batch.column("tok_a"),
-                         "df_b": batch.column("cnt")})
+        def attach_bcast(batch: pa.Table) -> pa.Table:
+            lut = _cached_get(df_ref)
+            df = batch.to_pandas()
+            df["df_a"] = np.asarray([lut[t] for t in df["tok_a"]],
+                                    dtype=np.int64)
+            df["df_b"] = np.asarray([lut[t] for t in df["tok_b"]],
+                                    dtype=np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False)
 
-    with_ab = with_a.join(df_tbl.map_batches(df_key_b,
-                                             batch_format="pyarrow"),
-                          "inner", n_parts, on=("tok_b",))
+        with_ab = pairs.map_batches(attach_bcast, batch_format="pyarrow")
+    else:
+        def df_key_a(batch: pa.Table) -> pa.Table:
+            return pa.table({"tok_a": batch.column("tok_a"),
+                             "df_a": batch.column("cnt")})
+
+        n_parts = max(2, min(8, int(
+            ray.cluster_resources().get("CPU", 8))))
+        with_a = pairs.join(df_tbl.map_batches(df_key_a,
+                                               batch_format="pyarrow"),
+                            "inner", n_parts, on=("tok_a",))
+
+        def df_key_b(batch: pa.Table) -> pa.Table:
+            return pa.table({"tok_b": batch.column("tok_a"),
+                             "df_b": batch.column("cnt")})
+
+        with_ab = with_a.join(df_tbl.map_batches(df_key_b,
+                                                 batch_format="pyarrow"),
+                              "inner", n_parts, on=("tok_b",))
 
     def score_top(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

@@ -166,6 +166,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q5_local_supplier", Q.q5_local_supplier)
     timed("q18_large_orders", Q.q18_large_orders)
     timed("embeddings_knn_graph", Q.embeddings_knn_graph)
+    timed("q13_customer_distribution", Q.q13_customer_distribution)
+    timed("q8_market_share", Q.q8_market_share)
+    timed("events_heavy_hitters", Q.events_heavy_hitters)
+    timed("events_transition_matrix", Q.events_transition_matrix)
+    timed("docs_link_triangles", Q.docs_link_triangles)
+    timed("docs_cooccurrence_pmi", Q.docs_cooccurrence_pmi)
+    timed("embeddings_kmeans", Q.embeddings_kmeans)
 
     # exact all-pairs n-gram Jaccard is the documented verification-corpus
     # tool (O(sum df^2): nearly every doc pair on this tiny-vocab corpus

@@ -1546,3 +1546,42 @@ def test_pq_codes_match_per_subspace_kmeans(ray_session):
                     dim=16).to_pandas()
     assert got2["code_1"].tolist() == got["code_1"].tolist()
     assert got2["code_0"].tolist() != got["code_0"].tolist()
+
+
+def test_triangles_broadcast_and_join_paths_equal(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(21)
+    n = 30
+    pairs = {(a, b) for a, b in zip(rng.integers(0, n, 150),
+                                    rng.integers(0, n, 150)) if a != b}
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64())})).repartition(3)
+    fast = triangle_counts(ds, n).to_pandas()
+    slow = triangle_counts(ds, n, broadcast_limit=0).to_pandas()
+    assert fast.values.tolist() == slow.values.tolist()
+    assert len(fast) > 0
+
+
+def test_cooccurrence_broadcast_and_join_paths_equal(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import cooccurrence_pmi
+
+    rng = np.random.default_rng(22)
+    vocab = [f"t{i}" for i in range(15)]
+    docs = [(d, " ".join(rng.choice(vocab, rng.integers(4, 20))))
+            for d in range(50)]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string())})
+    ds = rd.from_arrow(tbl).repartition(3)
+    fast = cooccurrence_pmi(ds, max_tokens=6, min_cooc=3,
+                            top_k=20).to_pandas()
+    slow = cooccurrence_pmi(ds, max_tokens=6, min_cooc=3, top_k=20,
+                            broadcast_limit=0).to_pandas()
+    assert fast.values.tolist() == slow.values.tolist()
+    assert len(fast) > 0
