@@ -3967,6 +3967,165 @@ ORDER BY 1
 """
 
 
+def q17_small_quantity(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    Brand#11 lineitems whose quantity is below 20% of that part's
+    average quantity — the correlated per-key average subquery.
+
+    Plan: pass 1 builds (sum_q100, cnt) per brand part from quantity
+    partials (the per-part stats side is bounded by the brand's part
+    count — a dim-scale table — so it broadcasts); pass 2 re-scans the
+    pruned lineitem columns and applies the EXACT integer cross-multiply
+    ``q100 * 5 * cnt < sum_q100`` (qty < avg/5 with no division) and
+    sums price cents map-side. Output also reports avg_yearly_cents =
+    total // 7 (integer floor of the reference's /7.0, same on both sides)."""
+    rd = _rd()
+    brand = "Brand#11"
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    in_brand = np.zeros(int(pk.max()) + 1, dtype=bool)
+    in_brand[pk] = np.asarray(part.column("p_brand").to_numpy(
+        zero_copy_only=False) == brand)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        m = in_brand[keys]
+        q100 = np.rint(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)[m] * 100).astype(np.int64)
+        t = pa.table({"p": pa.array(keys[m].astype(np.int64)),
+                      "s": pa.array(q100), "c": pa.array(
+                          np.ones(q100.size, np.int64))})
+        g = t.group_by("p").aggregate([("s", "sum"), ("c", "sum")])
+        return g.rename_columns(["p", "s", "c"])
+
+    stats = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey", "l_quantity"])
+             .map_batches(qty_partial, batch_format="pyarrow")
+             .to_pandas())
+    if len(stats) == 0:
+        return pa.table({"total_cents": pa.array([0], pa.int64()),
+                         "n_items": pa.array([0], pa.int64()),
+                         "avg_yearly_cents": pa.array([0], pa.int64())})
+    stats = stats.groupby("p", as_index=False).sum()
+    sum_of = np.zeros(int(pk.max()) + 1, dtype=np.int64)
+    cnt_of = np.zeros(int(pk.max()) + 1, dtype=np.int64)
+    sum_of[stats["p"]] = stats["s"]
+    cnt_of[stats["p"]] = stats["c"]
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        q100 = np.rint(b.column("l_quantity").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        m = in_brand[keys] & (q100 * 5 * cnt_of[keys] < sum_of[keys])
+        price = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        cents = int(np.rint(price * 100).astype(np.int64).sum())
+        return pa.table({"total_cents": pa.array([cents], pa.int64()),
+                         "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    parts = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(rev_partial, batch_format="pyarrow").to_pandas())
+    total = int(parts["total_cents"].sum())
+    n_items = int(parts["n_items"].sum())
+    return pa.table({"total_cents": pa.array([total], pa.int64()),
+                     "n_items": pa.array([n_items], pa.int64()),
+                     "avg_yearly_cents": pa.array([total // 7],
+                                                  pa.int64())})
+
+
+_Q17_SQL = """
+WITH pstats AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(round_even(l_quantity * 100, 0) AS BIGINT))
+                AS BIGINT) AS s,
+           COUNT(*) AS c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#11'
+    GROUP BY 1),
+hits AS (
+    SELECT CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+               AS cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pstats ps ON ps.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND CAST(round_even(l.l_quantity * 100, 0) AS BIGINT) * 5 * ps.c
+          < ps.s)
+SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(SUM(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+FROM hits
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    revenue over an OR of three (brand, size range, quantity band)
+    conjunctions — the predicate-pushdown stress shape. Entirely
+    map-side: part attributes collapse to dense broadcast gathers, the
+    three-way disjunction evaluates vectorized per batch, fixed-point
+    partials sum to one row."""
+    rd = _rd()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    brands = part.column("p_brand").to_numpy(zero_copy_only=False)
+    sizes = part.column("p_size").to_numpy(zero_copy_only=False)
+    brand_of = np.empty(int(pk.max()) + 1, dtype=object)
+    brand_of[pk] = brands
+    size_of = np.zeros(int(pk.max()) + 1, dtype=np.int64)
+    size_of[pk] = sizes
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = np.rint(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        br, sz = brand_of[keys], size_of[keys]
+        m = (((br == "Brand#12") & (sz >= 1) & (sz <= 5)
+              & (q >= 1) & (q <= 11))
+             | ((br == "Brand#23") & (sz >= 1) & (sz <= 10)
+                & (q >= 10) & (q <= 20))
+             | ((br == "Brand#3") & (sz >= 1) & (sz <= 15)
+                & (q >= 20) & (q <= 30)))
+        price = b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[m]
+        disc = np.rint(b.column("l_discount").to_numpy(
+            zero_copy_only=False)[m] * 100)
+        rev4 = int((np.rint(price * 100).astype(np.int64)
+                    * (100 - disc.astype(np.int64))).sum())
+        return pa.table({"revenue": pa.array([rev4], pa.int64()),
+                         "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    parts = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+        .map_batches(partial, batch_format="pyarrow").to_pandas())
+    return pa.table({
+        "revenue": pa.array([int(parts["revenue"].sum())], pa.int64()),
+        "n_items": pa.array([int(parts["n_items"].sum())], pa.int64()),
+    })
+
+
+_Q19_SQL = """
+SELECT CAST(COALESCE(SUM(
+           CAST(round_even(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round_even(l.l_discount * 100, 0) AS BIGINT))),
+           0) AS BIGINT) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND round_even(l.l_quantity, 0) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND round_even(l.l_quantity, 0) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND round_even(l.l_quantity, 0) BETWEEN 20 AND 30)
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -4167,6 +4326,8 @@ QUERIES = {
     "docs_cooccurrence_pmi": docs_cooccurrence_pmi,
     "q8_market_share": q8_market_share,
     "embeddings_pq": embeddings_pq,
+    "q17_small_quantity": q17_small_quantity,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
 }
 
 ORACLE_SQL = {
@@ -4282,6 +4443,8 @@ ORACLE_SQL = {
     "docs_cooccurrence_pmi": _COOC_PMI_SQL,
     "q8_market_share": _Q8_SQL,
     "embeddings_pq": _pq_sql(),
+    "q17_small_quantity": _Q17_SQL,
+    "q19_disjunctive_revenue": _Q19_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
