@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from . import oracle_kernels as _oracle_kernels
+from ..util import join_parts as _join_parts
 from .control_queries import CONTROL_ORACLE_SQL, CONTROL_QUERIES
 
 _HOSTS = 4  # keep in sync with sources/synthetic_site.py
@@ -356,7 +357,7 @@ def q3_shipping_priority(sf_dir: str):
     # each partition = one hash-shuffle aggregator ACTOR (a fresh worker
     # process): cap low — spawn cost dominates at bench scale, and at
     # real scale partition count should track data size, not CPU count
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    n_parts = _join_parts()
     joined = rev.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def local_top(b: pa.Table):
@@ -2601,7 +2602,7 @@ def q5_local_supplier(sf_dir: str):
                  "l_discount"],
     ).map_batches(lineitem_partial, batch_format="pyarrow")
 
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    n_parts = _join_parts()
     joined = rev.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def nation_partial(b: pa.Table) -> pa.Table:
@@ -2784,7 +2785,7 @@ def q18_large_orders(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     ).map_batches(orders_slim, batch_format="pyarrow")
 
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    n_parts = _join_parts()
     joined = qtys.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def local_top(b: pa.Table) -> pa.Table:
@@ -3064,7 +3065,7 @@ def q4_order_priority(sf_dir: str):
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(orders_slim, batch_format="pyarrow")
 
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    n_parts = _join_parts()
     joined = ships.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def block_counts(b: pa.Table) -> pa.Table:
@@ -3316,7 +3317,7 @@ def q22_sales_opportunity(sf_dir: str):
         columns=["o_custkey", "o_orderpriority"],
     ).map_batches(urgent, batch_format="pyarrow")
 
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    n_parts = _join_parts()
     kept = cands.join(urgent_keys, "left_anti", n_parts,
                       on=("c_custkey",))
 
@@ -3564,7 +3565,7 @@ def q10_returned_items(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(orders_slim, batch_format="pyarrow")
 
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    n_parts = _join_parts()
     joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def rekey(b: pa.Table) -> pa.Table:
@@ -3705,7 +3706,7 @@ def q7_volume_shipping(sf_dir: str):
     if li.count() == 0:  # all-empty map output drops the join schema
         return empty
 
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    n_parts = _join_parts()
     joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def block_agg(b: pa.Table) -> pa.Table:
@@ -3913,7 +3914,7 @@ def q8_market_share(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(orders_slim, batch_format="pyarrow")
 
-    n_parts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    n_parts = _join_parts()
     joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
     def block_agg(b: pa.Table) -> pa.Table:
@@ -3921,12 +3922,17 @@ def q8_market_share(sf_dir: str):
         isn = b.column("is_nation").to_numpy(zero_copy_only=False)
         yr = b.column("o_year").to_numpy(zero_copy_only=False)
         uy, inv = np.unique(yr, return_inverse=True)
-        tot = np.bincount(inv, weights=rev.astype(np.float64))
-        nat = np.bincount(inv, weights=(rev * isn).astype(np.float64))
+        # join-output blocks are unbounded: accumulate in int64 (a
+        # float64 bincount sum would shed low bits past 2^53 and break
+        # the exact ppm-share contract at large sf)
+        tot = np.zeros(uy.size, dtype=np.int64)
+        nat = np.zeros(uy.size, dtype=np.int64)
+        np.add.at(tot, inv, rev.astype(np.int64))
+        np.add.at(nat, inv, (rev * isn).astype(np.int64))
         return pa.table({
             "o_year": pa.array(uy, pa.int64()),
-            "total": pa.array(tot.astype(np.int64), pa.int64()),
-            "national": pa.array(nat.astype(np.int64), pa.int64()),
+            "total": pa.array(tot, pa.int64()),
+            "national": pa.array(nat, pa.int64()),
         })
 
     parts = joined.map_batches(block_agg, batch_format="pyarrow",
@@ -3999,15 +4005,18 @@ def q17_small_quantity(sf_dir: str):
         g = t.group_by("p").aggregate([("s", "sum"), ("c", "sum")])
         return g.rename_columns(["p", "s", "c"])
 
+    from ray.data.aggregate import Sum
+
     stats = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                              columns=["l_partkey", "l_quantity"])
              .map_batches(qty_partial, batch_format="pyarrow")
-             .to_pandas())
+             .groupby("p").aggregate(Sum("s", alias_name="s"),
+                                     Sum("c", alias_name="c"))
+             .to_pandas())  # bounded by the brand's part count
     if len(stats) == 0:
         return pa.table({"total_cents": pa.array([0], pa.int64()),
                          "n_items": pa.array([0], pa.int64()),
                          "avg_yearly_cents": pa.array([0], pa.int64())})
-    stats = stats.groupby("p", as_index=False).sum()
     sum_of = np.zeros(int(pk.max()) + 1, dtype=np.int64)
     cnt_of = np.zeros(int(pk.max()) + 1, dtype=np.int64)
     sum_of[stats["p"]] = stats["s"]

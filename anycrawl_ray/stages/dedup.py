@@ -503,7 +503,9 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
         verified = cand.map_batches(verify_broadcast, batch_format="pyarrow")
     else:
         cand = _dedup_pairs(cand).materialize()
-        n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+        from ..util import join_parts
+
+        n_parts = join_parts(16)
         # above the guard an is_in value set would not fit a worker either:
         # semi-join the corpus against the DISTRIBUTED id set instead (one
         # slim hash join — ids and encoded payloads shuffle, never the
@@ -881,8 +883,11 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
     routes, so hash collisions cannot merge distinct grams); each bucket
     emits partial pair counts with pure index arithmetic, carrying the
     per-doc gram totals it learned at explode time; a SECOND pair-hash
-    bucket shuffle sums the partials and applies the integer threshold
-    ``inter * 100 >= pct * union`` INSIDE the bucket — only qualifying
+    bucket shuffle sums the partials and applies the integer threshold —
+    ``inter * 100 >= pct * union`` (``mode="jaccard"``, default) or
+    ``inter * 100 >= pct * min(na, nb)`` (``mode="containment"``,
+    Broder's asymmetric excerpt-inclusion test) — INSIDE the bucket;
+    only qualifying
     pairs ever reach the driver (no sizes join, no O(corpus) broadcast,
     no driver-side 35M-row merge: that merge alone measured ~30 s)."""
     import ray
@@ -890,6 +895,10 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
     import pandas as pd
 
     from .text_analysis import _fnv1a_bulk
+
+    if mode not in ("jaccard", "containment"):
+        raise ValueError(f"unknown mode {mode!r}: "
+                         "expected 'jaccard' or 'containment'")
 
     def explode(batch: pa.Table) -> pa.Table:
         out_id, out_gram, out_ng = [], [], []
@@ -1224,7 +1233,9 @@ def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
         hashed = add_text_hash(batch, text_col)
         return pa.table({"text_hash": hashed.column("text_hash")})
 
-    n_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8))))
+    from ..util import join_parts
+
+    n_parts = join_parts(16)
     new_h = new_ds.map_batches(hash_slim, batch_format="pyarrow")
     prior_h = prior_ds.map_batches(hash_keys, batch_format="pyarrow")
     return new_h.join(prior_h, "left_anti", n_parts, on=("text_hash",))

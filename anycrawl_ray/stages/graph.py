@@ -150,8 +150,13 @@ def triangle_counts(edges_ds, n_nodes: int,
     from .window import _default_buckets
 
     n = n_nodes
-    n_parts = num_partitions or max(
-        2, min(8, int(ray.cluster_resources().get("CPU", 8))))
+    if n >= 1 << 31:
+        # lo*n+hi packing needs n^2 < 2^63 and (deg<<32)|id needs dense
+        # ids < 2^32; past that, switch the packed keys to two columns
+        raise ValueError(f"n_nodes={n} exceeds the 2^31 packing bound")
+    from ..util import join_parts
+
+    n_parts = num_partitions or join_parts()
 
     nb = _default_buckets()
 

@@ -342,7 +342,8 @@ def knn_graph(ds, k: int = 5, chunk_rows: int = 4096, collect: bool = True):
 
 def kmeans_int(ds, n_clusters: int = 8, iters: int = 3, scale: int = 100,
                offset: int = 1000, dim_lo: int | None = None,
-               dim_hi: int | None = None):
+               dim_hi: int | None = None,
+               seeds_full: np.ndarray | None = None):
     """Distributed Lloyd's k-means in EXACT integer fixed-point — every
     arithmetic step is order-free int64, so the whole iteration history
     is bit-identical between this pipeline and a DuckDB unrolled-CTE
@@ -365,8 +366,11 @@ def kmeans_int(ds, n_clusters: int = 8, iters: int = 3, scale: int = 100,
     (mix64(vec_id), vec_id) ranks). Returns (vec_id, cluster) sorted."""
     import pandas as pd
 
+    ds = ds.materialize()  # iters+2 passes read plasma, not the source
     sl = slice(dim_lo, dim_hi)  # optional subspace (PQ codebooks)
-    seeds = hash_centroids(ds, n_clusters)[:, sl]
+    if seeds_full is None:
+        seeds_full = hash_centroids(ds, n_clusters)
+    seeds = np.asarray(seeds_full, dtype=np.float64)[:, sl]
     cents = (np.rint(seeds * scale) + offset).astype(np.int64)
     k = cents.shape[0]
 
@@ -442,10 +446,14 @@ def pq_codes(ds, n_sub: int = 2, n_clusters: int = 4, iters: int = 2,
     import pandas as pd
 
     width = dim // n_sub
+    ds = ds.materialize()  # one source read feeds every subspace pass
+    seeds_full = hash_centroids(ds, n_clusters)  # rank order is
+    # vec_id-only, so one seed scan serves all subspace slices
     merged: pd.DataFrame | None = None
     for si in range(n_sub):
         a = kmeans_int(ds, n_clusters=n_clusters, iters=iters,
-                       dim_lo=si * width, dim_hi=(si + 1) * width
+                       dim_lo=si * width, dim_hi=(si + 1) * width,
+                       seeds_full=seeds_full
                        ).to_pandas().rename(columns={"cluster":
                                                      f"code_{si}"})
         merged = a if merged is None else merged.merge(a, on="vec_id")

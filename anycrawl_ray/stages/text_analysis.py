@@ -821,8 +821,9 @@ def cooccurrence_pmi(ds, max_tokens: int = 32, min_cooc: int = 3,
             return pa.table({"tok_a": batch.column("tok_a"),
                              "df_a": batch.column("cnt")})
 
-        n_parts = max(2, min(8, int(
-            ray.cluster_resources().get("CPU", 8))))
+        from ..util import join_parts
+
+        n_parts = join_parts()
         with_a = pairs.join(df_tbl.map_batches(df_key_a,
                                                batch_format="pyarrow"),
                             "inner", n_parts, on=("tok_a",))

@@ -37,3 +37,13 @@ def init_local_ray(num_cpus: int | None = None, *,
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def join_parts(cap: int = 8) -> int:
+    """Hash-join partition count: min(cap, CPUs), floor 2. Joins spawn
+    one aggregator ACTOR per partition (fresh processes — cold spawn
+    dominates small-scale joins), so the cap stays low; raise it here,
+    once, for clusters where join fan-in is the bottleneck."""
+    import ray
+
+    return max(2, min(cap, int(ray.cluster_resources().get("CPU", 8))))
