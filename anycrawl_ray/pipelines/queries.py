@@ -4135,6 +4135,174 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 """
 
 
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted to
+    this dataset's columns): in orders served by >= 2 distinct
+    suppliers, find the supplier who UNIQUELY shipped last (their
+    per-order max shipdate equals the order max and nobody ties) and
+    count offending orders per supplier, top 10 — the
+    EXISTS / NOT-EXISTS double self-join collapsed into per-order
+    aggregates.
+
+    Plan: map-side (orderkey, suppkey, max ship) partials, ONE
+    mix64(orderkey) fat-bucket shuffle co-locates each order entirely;
+    inside the bucket a vectorized pandas groupby finishes per-supplier
+    maxima, order maxima, supplier counts, and the uniqueness gate;
+    buckets emit per-supplier partial counts (disjoint orders, so the
+    driver merges supplier-dim-sized partials and takes the top 10)."""
+    from ..stages.text_analysis import _mix64_np
+    from ..stages.window import _default_buckets
+
+    rd = _rd()
+    nb = _default_buckets()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o": pc.cast(b.column("l_orderkey"), pa.int64()),
+            "s": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "ms": pc.cast(pc.cast(b.column("l_shipdate"),
+                                  pa.timestamp("us")), pa.int64()),
+        })
+        g = t.group_by(["o", "s"]).aggregate([("ms", "max")])
+        g = g.rename_columns(["o", "s", "ms"])
+        kb = (_mix64_np(np.asarray(g.column("o"), dtype=np.int64)
+                        .view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return g.append_column("_kb", pa.array(kb, pa.int64()))
+
+    def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        per = (df.groupby(["o", "s"], as_index=False)["ms"].max())
+        ost = per.groupby("o").agg(omax=("ms", "max"),
+                                   nsupp=("s", "size")).reset_index()
+        m = per.merge(ost, on="o")
+        late = m[(m["nsupp"] >= 2) & (m["ms"] == m["omax"])]
+        uniq = late.groupby("o", as_index=False).size()
+        uniq = uniq[uniq["size"] == 1][["o"]]
+        hits = late.merge(uniq, on="o")
+        out = hits.groupby("s", as_index=False).size().rename(
+            columns={"s": "s_suppkey", "size": "numwait"})
+        return pd.DataFrame({
+            "s_suppkey": out["s_suppkey"].astype(np.int64),
+            "numwait": out["numwait"].astype(np.int64)})
+
+    parts = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_kb").map_groups(bucket_kernel, batch_format="pandas")
+        .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "numwait": pa.array([], pa.int64())})
+    fin = (parts.groupby("s_suppkey", as_index=False)["numwait"].sum()
+           .sort_values(["numwait", "s_suppkey"],
+                        ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    return pa.table({
+        "s_suppkey": pa.array(fin["s_suppkey"].astype("int64"),
+                              pa.int64()),
+        "numwait": pa.array(fin["numwait"].astype("int64"), pa.int64()),
+    })
+
+
+_Q21_SQL = """
+WITH per AS (
+    SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS ms
+    FROM lineitem GROUP BY 1, 2),
+ostats AS (
+    SELECT l_orderkey, MAX(ms) AS omax, COUNT(*) AS nsupp
+    FROM per GROUP BY 1),
+late AS (
+    SELECT p.l_orderkey, p.l_suppkey
+    FROM per p JOIN ostats o USING (l_orderkey)
+    WHERE o.nsupp >= 2 AND p.ms = o.omax),
+uniq AS (SELECT l_orderkey FROM late GROUP BY 1 HAVING COUNT(*) = 1)
+SELECT late.l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late JOIN uniq USING (l_orderkey)
+GROUP BY 1
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
+def docs_split_assign(sf_dir: str):
+    """Deterministic train/valid/test split assignment — the first op of
+    every training pipeline: split = mix64(doc_id) % 1000 thresholded
+    at 800/900 (stable under corpus growth, no RNG state, one map-side
+    pass). Output is the per-split count table; the per-doc labels
+    stream to the sink at scale."""
+    rd = _rd()
+    from ..stages.text_analysis import _mix64_np
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False
+                                          ).astype(np.int64)
+        h = (_mix64_np(ids.view(np.uint64))
+             % np.uint64(1000)).astype(np.int64)
+        split = np.where(h < 800, "train",
+                         np.where(h < 900, "valid", "test"))
+        t = pa.table({"split": pa.array(split, pa.string()),
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by("split").aggregate([("n", "sum")])
+        return g.rename_columns(["split", "n_docs"])
+
+    parts = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+             .map_batches(assign, batch_format="pyarrow").to_pandas())
+    fin = (parts.groupby("split", as_index=False)["n_docs"].sum()
+           .sort_values("split").reset_index(drop=True))
+    return pa.table({"split": pa.array(fin["split"], pa.string()),
+                     "n_docs": pa.array(fin["n_docs"].astype("int64"),
+                                        pa.int64())})
+
+
+def _split_assign_sql() -> str:
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH h AS (
+    SELECT CAST(mix64(CAST(doc_id AS UBIGINT)) % 1000 AS BIGINT) AS r
+    FROM documents)
+SELECT CASE WHEN r < 800 THEN 'train'
+            WHEN r < 900 THEN 'valid' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_histogram(sf_dir: str):
+    """Fixed-bin value histogram over the event stream: quantized cents
+    bucketed at width 50.00 into 20 clamped bins — map-side bincount
+    partials, one tiny merge, zero shuffles."""
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        v100 = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        bins = np.clip(v100 // 5000, 0, 19)
+        cnt = np.bincount(bins, minlength=20).astype(np.int64)
+        return pa.table({"bin": pa.array(np.arange(20, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    parts = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["value"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    fin = (parts.groupby("bin", as_index=False)["n"].sum()
+           .sort_values("bin").reset_index(drop=True))
+    fin = fin[fin["n"] > 0]
+    return pa.table({"bin": pa.array(fin["bin"].astype("int64"),
+                                     pa.int64()),
+                     "n": pa.array(fin["n"].astype("int64"), pa.int64())})
+
+
+_EVENTS_HISTOGRAM_SQL = """
+WITH b AS (
+    SELECT least(greatest(
+               CAST(round_even(value * 100, 0) AS BIGINT) // 5000,
+               0), 19) AS bin
+    FROM events)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -4337,6 +4505,9 @@ QUERIES = {
     "embeddings_pq": embeddings_pq,
     "q17_small_quantity": q17_small_quantity,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "docs_split_assign": docs_split_assign,
+    "events_histogram": events_histogram,
 }
 
 ORACLE_SQL = {
@@ -4454,6 +4625,9 @@ ORACLE_SQL = {
     "embeddings_pq": _pq_sql(),
     "q17_small_quantity": _Q17_SQL,
     "q19_disjunctive_revenue": _Q19_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
+    "docs_split_assign": _split_assign_sql(),
+    "events_histogram": _EVENTS_HISTOGRAM_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

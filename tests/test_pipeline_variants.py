@@ -590,3 +590,38 @@ def test_q10_tie_at_rank_boundary(ray_session, tmp_path):
     want = _oracle_df(sf, _Q10_SQL, ["customer", "orders", "lineitem"])
     assert got.values.tolist() == want.values.tolist()
     assert got["c_custkey"].tolist() == custkeys[:20]  # lowest keys win
+
+
+def test_q21_tie_at_max_excludes_order(ray_session, tmp_path):
+    """An order where TWO suppliers share the max shipdate blames
+    nobody; single-supplier orders never count; the unique last shipper
+    of a multi-supplier order counts once."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from anycrawl_ray.pipelines.queries import _Q21_SQL, \
+        q21_waiting_suppliers
+
+    d = pd.Timestamp("1996-06-01")
+    d2 = d + pd.Timedelta(days=5)
+    sf = _tpch_dir(
+        tmp_path,
+        # order 1: supp 7 ships last alone (counts for 7)
+        # order 2: supp 7 and 8 tie at max (excluded)
+        # order 3: single supplier (excluded)
+        lineitem={"l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                  "l_partkey": pa.array([1] * 5, pa.int64()),
+                  "l_suppkey": pa.array([7, 8, 7, 8, 9], pa.int64()),
+                  "l_linenumber": pa.array([1, 2, 1, 2, 1], pa.int32()),
+                  "l_quantity": pa.array([1.0] * 5),
+                  "l_extendedprice": pa.array([1.0] * 5),
+                  "l_discount": pa.array([0.0] * 5),
+                  "l_tax": pa.array([0.0] * 5),
+                  "l_returnflag": pa.array(["N"] * 5),
+                  "l_linestatus": pa.array(["O"] * 5),
+                  "l_shipdate": pa.array([d2, d, d2, d2, d])},
+    )
+    got = q21_waiting_suppliers(sf).to_pandas()
+    want = _oracle_df(sf, _Q21_SQL, ["lineitem"])
+    assert got.values.tolist() == want.values.tolist()
+    assert got.values.tolist() == [[7, 1]]
