@@ -4303,6 +4303,197 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def orders_rollup(sf_dir: str):
+    """ROLLUP aggregate (nation, year) -> nation subtotals -> grand
+    total in ONE pass: every map batch emits partials for all three
+    grouping levels at once (sentinel -1 marks the rolled-up column —
+    hash-compare-safe where NULL keys are not), so the multi-level
+    aggregate costs exactly one tiny merge, not three scans."""
+    rd = _rd()
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    nat_of = np.zeros(int(ck.max()) + 1, dtype=np.int64)
+    nat_of[ck] = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nat = nat_of[b.column("o_custkey").to_numpy(zero_copy_only=False)]
+        ep = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        yr = (ep.astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        cents = np.rint(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        lvl0 = pa.table({"n": pa.array(nat), "y": pa.array(yr),
+                         "cents": pa.array(cents),
+                         "cnt": pa.array(np.ones(len(b), np.int64))})
+        g0 = lvl0.group_by(["n", "y"]).aggregate([("cents", "sum"),
+                                                  ("cnt", "sum")])
+        g0 = g0.rename_columns(["n", "y", "cents", "cnt"])
+        n0 = g0.column("n").to_numpy(zero_copy_only=False)
+        c0 = g0.column("cents").to_numpy(zero_copy_only=False)
+        k0 = g0.column("cnt").to_numpy(zero_copy_only=False)
+        # nation subtotal partials + grand total, derived from g0 rows
+        un, inv = np.unique(n0, return_inverse=True)
+        sub_c = np.zeros(un.size, np.int64)
+        sub_k = np.zeros(un.size, np.int64)
+        np.add.at(sub_c, inv, c0)
+        np.add.at(sub_k, inv, k0)
+        return pa.table({
+            "c_nationkey": pa.array(np.concatenate(
+                [n0, un, [-1]]).astype(np.int64)),
+            "o_year": pa.array(np.concatenate(
+                [g0.column("y").to_numpy(zero_copy_only=False),
+                 np.full(un.size, -1), [-1]]).astype(np.int64)),
+            "total_cents": pa.array(np.concatenate(
+                [c0, sub_c, [c0.sum()]]).astype(np.int64)),
+            "n_orders": pa.array(np.concatenate(
+                [k0, sub_k, [k0.sum()]]).astype(np.int64)),
+        })
+
+    parts = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    fin = (parts.groupby(["c_nationkey", "o_year"], as_index=False)
+           [["total_cents", "n_orders"]].sum()
+           .sort_values(["c_nationkey", "o_year"]).reset_index(drop=True))
+    return pa.table({
+        "c_nationkey": pa.array(fin["c_nationkey"].astype("int64"),
+                                pa.int64()),
+        "o_year": pa.array(fin["o_year"].astype("int64"), pa.int64()),
+        "total_cents": pa.array(fin["total_cents"].astype("int64"),
+                                pa.int64()),
+        "n_orders": pa.array(fin["n_orders"].astype("int64"), pa.int64()),
+    })
+
+
+_ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(CAST(c.c_nationkey AS BIGINT), -1) AS c_nationkey,
+       COALESCE(CAST(year(o.o_orderdate) AS BIGINT), -1) AS o_year,
+       CAST(SUM(CAST(round_even(o.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY ROLLUP (c.c_nationkey, year(o.o_orderdate))
+ORDER BY 1, 2
+"""
+
+
+def events_cumulative_users(sf_dir: str):
+    """Cumulative-distinct-users-per-day growth curve: each user's
+    first-seen day via a fat-bucket min reduction, then per-day
+    new-user counts accumulate into the running total (tiny day-indexed
+    table at the driver; the events never leave the map side twice)."""
+    from ..stages.text_analysis import _mix64_np
+    from ..stages.window import _default_buckets
+
+    rd = _rd()
+    nb = _default_buckets()
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "u": pc.cast(b.column("user_id"), pa.int64()),
+            "d": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+        })
+        g = t.group_by("u").aggregate([("d", "min")])
+        g = g.rename_columns(["u", "d"])
+        kb = (_mix64_np(np.asarray(g.column("u"), dtype=np.int64)
+                        .view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return g.append_column("_kb", pa.array(kb, pa.int64()))
+
+    def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", as_index=False)["d"].min()
+        day = g["d"].to_numpy(np.int64) // 86_400_000_000
+        du, cnt = np.unique(day, return_counts=True)
+        return pd.DataFrame({"day": du.astype(np.int64),
+                             "new_users": cnt.astype(np.int64)})
+
+    parts = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_min,
+                                        batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"day_epoch": pa.array([], pa.int64()),
+                         "new_users": pa.array([], pa.int64()),
+                         "cumulative_users": pa.array([], pa.int64())})
+    fin = (parts.groupby("day", as_index=False)["new_users"].sum()
+           .sort_values("day").reset_index(drop=True))
+    return pa.table({
+        "day_epoch": pa.array(fin["day"].astype("int64") * 86_400,
+                              pa.int64()),
+        "new_users": pa.array(fin["new_users"].astype("int64"),
+                              pa.int64()),
+        "cumulative_users": pa.array(
+            fin["new_users"].astype("int64").cumsum(), pa.int64()),
+    })
+
+
+_CUMULATIVE_USERS_SQL = """
+WITH firsts AS (
+    SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+    FROM events GROUP BY 1),
+per_day AS (
+    SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY 1)
+SELECT day * 86400 AS day_epoch, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+           AS cumulative_users
+FROM per_day
+ORDER BY day_epoch
+"""
+
+
+def docs_sample_weighted(sf_dir: str):
+    """Deterministic size-weighted bottom-k sample: priority =
+    mix64(doc_id) // n_chars (longer docs get proportionally smaller
+    priorities — the integer-arithmetic cousin of bottom-k weighted
+    sampling), keep the 20 lowest. Map-side local top-k partials + a
+    tiny driver merge; no RNG state, no shuffle, SQL-exact."""
+    rd = _rd()
+    from ..stages.text_analysis import _mix64_np
+
+    k = 20
+
+    def local_top(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False
+                                          ).astype(np.int64)
+        chars = np.maximum(
+            b.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64), 1)
+        prio = (_mix64_np(ids.view(np.uint64)) // chars.view(np.uint64)
+                ).view(np.int64)
+        order = np.lexsort((ids, prio.view(np.uint64)))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "prio": pa.array(prio[order], pa.int64())})
+
+    parts = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+             .map_batches(local_top, batch_format="pyarrow").to_pandas())
+    pr = parts["prio"].to_numpy(np.int64).view(np.uint64)
+    order = np.lexsort((parts["doc_id"].to_numpy(np.int64), pr))[:k]
+    fin = parts.iloc[order]
+    out = fin.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64"),
+                                        pa.int64())})
+
+
+def _sample_weighted_sql() -> str:
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH pr AS (
+    SELECT doc_id,
+           mix64(CAST(doc_id AS UBIGINT))
+               // CAST(greatest(n_chars, 1) AS UBIGINT) AS prio
+    FROM documents)
+SELECT doc_id FROM (
+    SELECT doc_id FROM pr ORDER BY prio, doc_id LIMIT 20)
+ORDER BY doc_id
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -4508,6 +4699,9 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "docs_split_assign": docs_split_assign,
     "events_histogram": events_histogram,
+    "orders_rollup": orders_rollup,
+    "events_cumulative_users": events_cumulative_users,
+    "docs_sample_weighted": docs_sample_weighted,
 }
 
 ORACLE_SQL = {
@@ -4628,6 +4822,9 @@ ORACLE_SQL = {
     "q21_waiting_suppliers": _Q21_SQL,
     "docs_split_assign": _split_assign_sql(),
     "events_histogram": _EVENTS_HISTOGRAM_SQL,
+    "orders_rollup": _ORDERS_ROLLUP_SQL,
+    "events_cumulative_users": _CUMULATIVE_USERS_SQL,
+    "docs_sample_weighted": _sample_weighted_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

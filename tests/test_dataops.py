@@ -1585,3 +1585,106 @@ def test_cooccurrence_broadcast_and_join_paths_equal(ray_session):
                             broadcast_limit=0).to_pandas()
     assert fast.values.tolist() == slow.values.tolist()
     assert len(fast) > 0
+
+
+def test_orders_rollup_levels_consistent(ray_session, tmp_path):
+    """The three rollup levels must be internally consistent and match
+    DuckDB's GROUP BY ROLLUP exactly (sentinel -1 for rolled columns)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from anycrawl_ray.pipelines.queries import _ORDERS_ROLLUP_SQL, \
+        orders_rollup
+
+    rng = np.random.default_rng(31)
+    n = 400
+    d = tmp_path / "sf"
+    d.mkdir()
+    custkeys = np.arange(1, 41)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(custkeys, pa.int64()),
+        "c_nationkey": pa.array(rng.integers(0, 5, 40).astype(np.int32)),
+        "c_acctbal": pa.array(np.zeros(40))}), d / "customer.parquet")
+    dates = pd.Timestamp("1995-01-01") + pd.to_timedelta(
+        rng.integers(0, 2000, n), unit="D")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n), pa.int64()),
+        "o_custkey": pa.array(rng.choice(custkeys, n), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(np.round(rng.uniform(1, 9999, n), 2)),
+        "o_orderdate": pa.array(dates),
+        "o_orderpriority": pa.array(["5-LOW"] * n)}),
+        d / "orders.parquet")
+    got = orders_rollup(str(d)).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.execute(_ORDERS_ROLLUP_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    grand = got[got["c_nationkey"] == -1]
+    assert grand["n_orders"].tolist() == [n]
+    detail = got[(got["c_nationkey"] >= 0) & (got["o_year"] >= 0)]
+    assert detail["n_orders"].sum() == n
+
+
+def test_cumulative_users_matches_window_sql(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    # exercised through a synthetic events table with ties + gaps
+    rng = np.random.default_rng(33)
+    n = 800
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(pd.Timestamp("2024-01-01")
+                       + pd.to_timedelta(rng.integers(0, 40 * 86400, n),
+                                         unit="s")),
+        "user_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "event_type": pa.array(["x"] * n),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array([""] * n),
+    })
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp(dir="/tmp")
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    from anycrawl_ray.pipelines.queries import _CUMULATIVE_USERS_SQL, \
+        events_cumulative_users
+
+    got = events_cumulative_users(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{d}/events.parquet'")
+    want = con.execute(_CUMULATIVE_USERS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert got["cumulative_users"].iloc[-1] == 60  # every user counted
+
+
+def test_sample_weighted_favors_long_docs(ray_session, tmp_path):
+    """Statistical sanity at the op level: the weighted sample picks
+    long docs far more often than uniform would, and the result is a
+    deterministic function of (doc_id, n_chars)."""
+    import pyarrow.parquet as pq
+
+    from anycrawl_ray.pipelines.queries import docs_sample_weighted
+
+    n = 2000
+    n_chars = np.where(np.arange(n) < 100, 50_000, 10)  # 100 giants
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array([""] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(n_chars, pa.int64())}),
+        d / "documents.parquet")
+    got = docs_sample_weighted(str(d)).to_pandas()
+    again = docs_sample_weighted(str(d)).to_pandas()
+    assert got.values.tolist() == again.values.tolist()
+    # giants are 5% of docs but 99.6% of mass; expect the sample to be
+    # dominated by them (uniform would pick ~1 giant in 20)
+    assert (got["doc_id"] < 100).sum() >= 15
