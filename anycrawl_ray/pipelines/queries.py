@@ -4494,6 +4494,94 @@ ORDER BY doc_id
 """
 
 
+def media_phash_pairs(sf_dir: str):
+    """Image near-duplicate pairs by perceptual hash: aHash over the
+    media decode grid (stages/media.phash64_from_payloads), then the
+    SAME 4x16-bit pigeonhole blocking + in-bucket Hamming verify the
+    text simhash uses (stages/dedup.hamming_pairs_from_sigs) — one
+    signature pass over the binary payload column, one band shuffle.
+
+    The synthetic page->image rule makes every 3 consecutive docs embed
+    the SAME asset (anchor = doc_id - doc_id % 3 — site-wide banner
+    reuse, the dominant image-dup pattern in crawls), so the expected
+    output is each triple's 3 pairs at Hamming 0; the near-zero-Hamming
+    verify path is pinned by a handcrafted-signature test (the stub
+    grids are avalanche-random, so real images are the only source of
+    1-3-bit neighbors)."""
+    rd = _rd()
+    from ..stages.dedup import hamming_pairs_from_sigs
+    from ..stages.media import phash64_from_payloads
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids_np = docs.column("doc_id").to_numpy(zero_copy_only=False)
+    text_of = np.empty(int(ids_np.max()) + 1, dtype=object)
+    text_of[ids_np] = docs.column("text").to_numpy(zero_copy_only=False)
+    anchors = ids_np - ids_np % 3
+    media = pa.table({
+        "doc_id": pa.array(ids_np.astype(np.int64), pa.int64()),
+        "payload": pa.array([t.encode() for t in text_of[anchors]],
+                            pa.binary()),
+    })
+    ds = rd.from_arrow(media, override_num_blocks=8)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ph = phash64_from_payloads(batch.column("payload").to_pylist())
+        return pa.table({"doc_id": pc.cast(batch.column("doc_id"),
+                                           pa.int64()),
+                         "simhash": pa.array(ph, pa.uint64())})
+
+    pairs = hamming_pairs_from_sigs(
+        ds.map_batches(sig, batch_format="pyarrow"), max_hamming=3)
+    return pa.table({
+        "a": pairs.column("a"),
+        "b": pairs.column("b"),
+        "hamming": pc.cast(pairs.column("hamming"), pa.int64()),
+    })
+
+
+def _media_phash_sql() -> str:
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH m AS (
+    SELECT d.doc_id AS media_id, d.doc_id,
+           fnv1a(a.text) AS h
+    FROM documents d
+    JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 3),
+seed AS MATERIALIZED (SELECT media_id, doc_id, h FROM m),
+idx(i) AS (SELECT UNNEST(range(0, 64))),
+cellseed AS MATERIALIZED (
+    SELECT media_id, i,
+           xor(h, u64mul(CAST(i + 1 AS UBIGINT),
+                         {_oracle_kernels._GOLDEN}::UBIGINT)) AS s
+    FROM seed CROSS JOIN idx),
+cells AS MATERIALIZED (
+    SELECT media_id, i, CAST(mix64(s) & 255::UBIGINT AS INTEGER) AS v
+    FROM cellseed),
+tot AS (SELECT media_id, SUM(v) AS tot FROM cells GROUP BY 1),
+ph AS MATERIALIZED (
+    SELECT s.doc_id,
+           CAST(CAST(SUM(CASE WHEN CAST(c.v AS BIGINT) * 64 > t.tot
+                              THEN CAST(1 AS HUGEINT) << c.i
+                              ELSE CAST(0 AS HUGEINT) END)
+                AS HUGEINT) AS UBIGINT) AS ph
+    FROM cells c JOIN tot t USING (media_id) JOIN seed s USING (media_id)
+    GROUP BY s.doc_id),
+bands AS (
+    SELECT doc_id, b, CAST((ph >> CAST(b * 16 AS UBIGINT))
+                           & 65535::UBIGINT AS BIGINT) AS key, ph
+    FROM ph CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           l.ph AS pa, r.ph AS pb
+    FROM bands l JOIN bands r
+      ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 3
+ORDER BY a, b
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -4702,6 +4790,7 @@ QUERIES = {
     "orders_rollup": orders_rollup,
     "events_cumulative_users": events_cumulative_users,
     "docs_sample_weighted": docs_sample_weighted,
+    "media_phash_pairs": media_phash_pairs,
 }
 
 ORACLE_SQL = {
@@ -4825,6 +4914,7 @@ ORACLE_SQL = {
     "orders_rollup": _ORDERS_ROLLUP_SQL,
     "events_cumulative_users": _CUMULATIVE_USERS_SQL,
     "docs_sample_weighted": _sample_weighted_sql(),
+    "media_phash_pairs": _media_phash_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -648,11 +648,45 @@ def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
     Fully distributed: band explode (signatures ride along) -> collision
     pre-filter -> bucket ``map_groups`` verifies Hamming in-place ->
     vectorized pair-dedup aggregate. The driver only collects the final
-    (small) pair table."""
+    (small) pair table. The generic blocking/verify machinery lives in
+    ``hamming_pairs_from_sigs`` (shared with media perceptual hashes);
+    this wrapper just computes the text simhash signatures."""
+    band_ds = ds.map_batches(simhash_bands_batch, batch_format="pyarrow")
+    return _hamming_pairs_from_bands(band_ds, max_hamming, max_bucket)
+
+
+def hamming_pairs_from_sigs(sig_ds, max_hamming: int = 3,
+                            max_bucket: int = 200):
+    """Generic 64-bit-signature near-dup pairs: Dataset of (doc_id,
+    simhash uint64) -> verified pairs within ``max_hamming`` via the
+    same 4x16-bit pigeonhole blocking simhash_pairs uses — any
+    signature family (text simhash, image perceptual hash, audio
+    fingerprint) routes here once it is a u64 per item."""
+
+    def bands(batch: pa.Table) -> pa.Table:
+        sigs = (batch.column("simhash").to_numpy(zero_copy_only=False)
+                .astype(np.uint64))
+        D = len(sigs)
+        idx = np.repeat(np.arange(D, dtype=np.int64), 4)
+        band_shift = np.tile(np.arange(4, dtype=np.uint64)
+                             * np.uint64(16), D)
+        rep = np.repeat(sigs, 4)
+        return _append_bucket(pa.table({
+            "doc_id": batch.column("doc_id").take(pa.array(idx)),
+            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), D)),
+            "band_key": pa.array(((rep >> band_shift) & np.uint64(0xFFFF)
+                                  ).astype(np.int64)),
+            "simhash": pa.array(rep, pa.uint64()),
+        }))
+
+    band_ds = sig_ds.map_batches(bands, batch_format="pyarrow")
+    return _hamming_pairs_from_bands(band_ds, max_hamming, max_bucket)
+
+
+def _hamming_pairs_from_bands(band_ds, max_hamming: int, max_bucket: int):
     import pandas as pd
     from ray.data.aggregate import Min
 
-    band_ds = ds.map_batches(simhash_bands_batch, batch_format="pyarrow")
     hot_rows = _collision_rows(band_ds.materialize(), max_bucket)
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),

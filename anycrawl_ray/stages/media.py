@@ -306,3 +306,20 @@ def sample_frames(ds, every_ms: int = 1000, concurrency: int = 2,
         FrameSampler, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=0.5, max_restarts=0,
         fn_constructor_kwargs={"every_ms": every_ms})
+
+
+def phash64_from_payloads(payloads: list[bytes]) -> np.ndarray:
+    """Perceptual (average) hash per payload: bit i of the u64 is set
+    when grid cell i is above the grid mean — the classic aHash over the
+    decode stub's 8x8 grid. The mean test is the exact integer
+    cross-multiply ``cell * 64 > sum`` (no division), so the whole hash
+    replays in SQL; with a real codec the same bits come from the
+    downscaled luma grid and nothing downstream changes."""
+    seeds = np.array(fnv1a_bytes_bulk(payloads), dtype=np.uint64)
+    if seeds.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    grids = _grids_from_seeds(seeds).reshape(-1, 64).astype(np.int64)
+    tot = grids.sum(axis=1)
+    bits = (grids * 64 > tot[:, None]).astype(np.uint64)
+    return (bits << np.arange(64, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64)

@@ -1688,3 +1688,35 @@ def test_sample_weighted_favors_long_docs(ray_session, tmp_path):
     # giants are 5% of docs but 99.6% of mass; expect the sample to be
     # dominated by them (uniform would pick ~1 giant in 20)
     assert (got["doc_id"] < 100).sum() >= 15
+
+
+def test_hamming_pairs_from_sigs_near_neighbors(ray_session):
+    """The generic u64-signature blocking must find 1-3-bit neighbors
+    (pigeonhole guarantee), reject 4+-bit ones, and report exact
+    distances — handcrafted signatures, since the stub image grids are
+    avalanche-random and only produce distance-0 pairs."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.dedup import hamming_pairs_from_sigs
+
+    base = np.uint64(0xDEADBEEFCAFE1234)
+    sigs = [
+        (0, base),
+        (1, base ^ np.uint64(1)),                      # d=1
+        (2, base ^ np.uint64(0b111)),                  # d=3
+        (3, base ^ np.uint64(0x8000000000000001)),     # d=2, bit 63
+        (4, base ^ np.uint64(0xF0F0)),                 # d=8 -> rejected
+        (5, np.uint64(0x0123456789ABCDEF)),            # far away
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([i for i, _ in sigs], pa.int64()),
+        "simhash": pa.array([s for _, s in sigs], pa.uint64()),
+    })).repartition(2)
+    got = hamming_pairs_from_sigs(ds, max_hamming=3).to_pandas()
+    have = {(a, b): h for a, b, h in got.values.tolist()}
+    assert have[(0, 1)] == 1 and have[(0, 2)] == 3 and have[(0, 3)] == 2
+    assert (4 not in {a for a, _ in have} | {b for _, b in have}
+            or all(4 not in p for p in have))
+    # transitive near pairs between the perturbed sigs
+    assert have[(1, 2)] == 2  # 0b111 ^ 0b1 = 0b110
+    assert (0, 4) not in have and (0, 5) not in have
