@@ -4135,6 +4135,33 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
 """
 
 
+def docs_dedup_bloom(sf_dir: str):
+    """The dedup_incremental Bloom-prefilter path as a first-class row:
+    same snapshot/increment split as docs_dedup_incremental, but
+    new-side rows that miss the prior-corpus Bloom filter (built
+    distributed, OR-merged streaming, no-false-negative) bypass the
+    anti-join shuffle entirely — at low dup rates the all-to-all
+    shrinks to the dup slice + the ~n/2^bits FP trickle. Identical
+    output contract, same exact SQL oracle."""
+    from ..stages.dedup import dedup_incremental
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+
+    def parity(par: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+            return b.filter(pa.array(ids % 2 == par))
+        return fn
+
+    prior = docs.map_batches(parity(0), batch_format="pyarrow")
+    new = docs.map_batches(parity(1), batch_format="pyarrow")
+    out = dedup_incremental(new, prior, bloom_bits=1 << 22)
+    res = out.to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(res["doc_id"], pa.int64())})
+
+
 def q21_waiting_suppliers(sf_dir: str):
     """TPC-H Q21 shape (suppliers who kept orders waiting, adapted to
     this dataset's columns): in orders served by >= 2 distinct
@@ -4582,6 +4609,89 @@ ORDER BY a, b
 """
 
 
+def events_sliding_distinct(sf_dir: str):
+    """Trailing-7-day DISTINCT active users per day — the windowed
+    count-distinct shape (plain window SUMs can't express it; engines
+    resort to self-joins). ONE user-hash fat-bucket shuffle does all of
+    it: users are partitioned across buckets, so per-bucket distinct
+    users are globally distinct — inside each bucket, per-user active
+    days explode into the 7 window days they cover, dedup per (user,
+    wday) vectorized, and the bucket emits (wday, users, active) count
+    partials; the driver merges a days-sized table and keeps observed
+    days (active > 0)."""
+    from ..stages.text_analysis import _mix64_np
+    from ..stages.window import _default_buckets
+
+    rd = _rd()
+    nb = _default_buckets()
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "u": pc.cast(b.column("user_id"), pa.int64()),
+            "d": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                         pa.int64()),
+        })
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        day = (t.column("d").to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        key = np.unique(u * 1_000_000 + day)  # per-batch (user,day) dedup
+        uu = key // 1_000_000
+        kb = (_mix64_np(uu.view(np.uint64)) % np.uint64(nb)
+              ).astype(np.int64)
+        return pa.table({"k": pa.array(key, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_window(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(df["k"].to_numpy(np.int64))
+        u, day = k // 1_000_000, k % 1_000_000
+        # explode each active day into the 7 trailing windows it feeds
+        off = np.arange(7, dtype=np.int64)
+        wk = np.unique((u[:, None] * 1_000_000
+                        + (day[:, None] + off[None, :])).ravel())
+        wday = wk % 1_000_000
+        wdays, wcnt = np.unique(wday, return_counts=True)
+        adays, acnt = np.unique(day, return_counts=True)
+        out = pd.DataFrame({"day": wdays.astype(np.int64),
+                            "users": wcnt.astype(np.int64),
+                            "active": np.zeros(wdays.size, np.int64)})
+        act = pd.DataFrame({"day": adays.astype(np.int64),
+                            "users": np.zeros(adays.size, np.int64),
+                            "active": acnt.astype(np.int64)})
+        return pd.concat([out, act], ignore_index=True)
+
+    parts = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_window,
+                                        batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"day_epoch": pa.array([], pa.int64()),
+                         "users_7d": pa.array([], pa.int64())})
+    fin = (parts.groupby("day", as_index=False)[["users", "active"]]
+           .sum())
+    fin = (fin[fin["active"] > 0].sort_values("day")
+           .reset_index(drop=True))
+    return pa.table({
+        "day_epoch": pa.array(fin["day"].astype("int64") * 86_400,
+                              pa.int64()),
+        "users_7d": pa.array(fin["users"].astype("int64"), pa.int64()),
+    })
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+    FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day * 86400 AS day_epoch,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -4791,6 +4901,8 @@ QUERIES = {
     "events_cumulative_users": events_cumulative_users,
     "docs_sample_weighted": docs_sample_weighted,
     "media_phash_pairs": media_phash_pairs,
+    "events_sliding_distinct": events_sliding_distinct,
+    "docs_dedup_bloom": docs_dedup_bloom,
 }
 
 ORACLE_SQL = {
@@ -4915,6 +5027,8 @@ ORACLE_SQL = {
     "events_cumulative_users": _CUMULATIVE_USERS_SQL,
     "docs_sample_weighted": _sample_weighted_sql(),
     "media_phash_pairs": _media_phash_sql(),
+    "events_sliding_distinct": _SLIDING_DISTINCT_SQL,
+    "docs_dedup_bloom": _DEDUP_INCREMENTAL_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -1247,7 +1247,8 @@ def neardup_components(pairs: pa.Table, num_partitions: int = 4
 # ------------------------------------------------- incremental (delta) dedup
 
 def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
-                      text_col: str = "text"):
+                      text_col: str = "text",
+                      bloom_bits: int | None = None):
     """Incremental (delta) dedup — the daily-increment workflow at corpus
     scale: keep only NEW documents whose content does not appear in a
     PRIOR snapshot. Both sides hash their text worker-side (xxh64 int64
@@ -1255,7 +1256,18 @@ def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
     hash join drops seen content — the hash shuffle co-locates keys, so
     neither the prior corpus nor its hash set is ever broadcast or
     driver-materialized. Returns the surviving new-side rows
-    (id, text_hash)."""
+    (id, text_hash).
+
+    ``bloom_bits`` (power of two, e.g. 1 << 23) turns on a Bloom
+    prefilter over the prior hashes: blocks of the prior side each
+    build a partial bitmap (two mix64-derived probes per key), the
+    driver ORs the fixed-size bitmaps streaming (O(bits) memory however
+    large the snapshot), and new-side rows that MISS the filter are
+    provably absent from the prior corpus — they bypass the join
+    entirely, so only the bloom-hit slice (true dups + the ~n/2^bits
+    false-positive trickle) pays the anti-join shuffle. Output is
+    byte-identical to the plain path (pinned by test): misses are exact
+    by the no-false-negative property, hits are verified by the join."""
     import ray
 
     def hash_slim(batch: pa.Table) -> pa.Table:
@@ -1272,7 +1284,58 @@ def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
     n_parts = join_parts(16)
     new_h = new_ds.map_batches(hash_slim, batch_format="pyarrow")
     prior_h = prior_ds.map_batches(hash_keys, batch_format="pyarrow")
-    return new_h.join(prior_h, "left_anti", n_parts, on=("text_hash",))
+    if bloom_bits is None:
+        return new_h.join(prior_h, "left_anti", n_parts,
+                          on=("text_hash",))
+
+    assert bloom_bits & (bloom_bits - 1) == 0, "bloom_bits: power of two"
+    mask = np.uint64(bloom_bits - 1)
+    nbytes = bloom_bits // 8
+
+    def probes(h: np.ndarray):
+        h = h.view(np.uint64)
+        p1 = _mix64_np(h) & mask
+        p2 = _mix64_np(h ^ np.uint64(0x9E3779B97F4A7C15)) & mask
+        return p1, p2
+
+    def block_bitmap(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        for p in probes(h.astype(np.int64)):
+            np.bitwise_or.at(bm, (p >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1),
+                                           (p & np.uint64(7))
+                                           .astype(np.uint8)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    bloom = np.zeros(nbytes, dtype=np.uint8)
+    for b in (prior_h.map_batches(block_bitmap, batch_format="pyarrow")
+              .iter_batches(batch_size=64, batch_format="pyarrow")):
+        for buf in b.column("bm").to_pylist():
+            bloom |= np.frombuffer(buf, dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    def split(batch: pa.Table, want_hit: bool) -> pa.Table:
+        bm = _cached_get(bloom_ref)
+        h = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        p1, p2 = probes(h.astype(np.int64))
+        hit = ((bm[(p1 >> np.uint64(3)).astype(np.int64)]
+                >> (p1 & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+        hit &= ((bm[(p2 >> np.uint64(3)).astype(np.int64)]
+                 >> (p2 & np.uint64(7)).astype(np.uint8)) & 1
+                ).astype(bool)
+        return batch.filter(pa.array(hit if want_hit else ~hit))
+
+    new_m = new_h.materialize()  # both split sides branch off one pass
+    misses = new_m.map_batches(lambda b: split(b, False),
+                               batch_format="pyarrow")
+    maybe = new_m.map_batches(lambda b: split(b, True),
+                              batch_format="pyarrow").materialize()
+    if maybe.count() == 0:  # all-empty side would drop the join schema
+        return misses
+    survivors = maybe.join(prior_h, "left_anti", n_parts,
+                           on=("text_hash",))
+    return misses.union(survivors)
 
 
 # ------------------------------------- exact duplicated-substring spans

@@ -1720,3 +1720,28 @@ def test_hamming_pairs_from_sigs_near_neighbors(ray_session):
     # transitive near pairs between the perturbed sigs
     assert have[(1, 2)] == 2  # 0b111 ^ 0b1 = 0b110
     assert (0, 4) not in have and (0, 5) not in have
+
+
+def test_dedup_incremental_bloom_path_equals_plain(ray_session):
+    """Bloom prefilter must be output-invariant (no false negatives; FP
+    slice re-verified by the join) — checked against the plain LEFT
+    ANTI path on a corpus with real dups, and with a tiny filter (64
+    bits) that forces heavy false-positive traffic through the join."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.dedup import dedup_incremental
+
+    rng = np.random.default_rng(41)
+    prior_rows = [(i, f"doc {i % 37} body") for i in range(0, 200, 2)]
+    new_rows = [(i, f"doc {i % 37} body") for i in range(1, 120, 2)]
+    new_rows += [(1001, "genuinely new a"), (1003, "genuinely new b")]
+    prior = _docs_ds(prior_rows).repartition(4)
+    new = _docs_ds(new_rows).repartition(3)
+
+    plain = (dedup_incremental(new, prior).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    for bits in (1 << 20, 64):  # roomy filter and FP-saturated filter
+        fast = (dedup_incremental(new, prior, bloom_bits=bits)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert fast.values.tolist() == plain.values.tolist(), bits
+    assert {1001, 1003} <= set(plain["doc_id"])
