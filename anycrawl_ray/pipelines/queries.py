@@ -4692,6 +4692,240 @@ ORDER BY 1
 """
 
 
+def docs_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams — the canonical distributed
+    word-count: per-batch partial counts (one pandas groupby per
+    batch), gram-hash fat-bucket merge (every copy of a gram string
+    lands in one bucket, so the bucket emits final counts), per-bucket
+    top-k, driver merges <= 20 rows per bucket. Counts TOTAL
+    occurrences (not per-doc distinct — the decontaminate/jaccard ops
+    own that convention)."""
+    from ..stages.text_analysis import _fnv1a_bulk
+    from ..stages.window import _default_buckets
+
+    rd = _rd()
+    k = 20
+    nb = _default_buckets()
+
+    def partial(b: pa.Table) -> pa.Table:
+        grams: dict = {}
+        for t in b.column("text").to_pylist():
+            w = t.split()
+            for i in range(len(w) - 1):
+                g = w[i] + " " + w[i + 1]
+                grams[g] = grams.get(g, 0) + 1
+        keys = list(grams)
+        kb = (np.asarray(_fnv1a_bulk(keys), dtype=np.uint64)
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({"bigram": pa.array(keys, pa.string()),
+                         "cnt": pa.array([grams[g] for g in keys],
+                                         pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", as_index=False)["cnt"].sum()
+        g = g.sort_values(["cnt", "bigram"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({"bigram": g["bigram"],
+                             "cnt": g["cnt"].astype(np.int64)})
+
+    parts = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["text"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_top,
+                                        batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    fin = (parts.sort_values(["cnt", "bigram"],
+                             ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    return pa.table({"bigram": pa.array(fin["bigram"], pa.string()),
+                     "cnt": pa.array(fin["cnt"].astype("int64"),
+                                     pa.int64())})
+
+
+_TOP_BIGRAMS_SQL = r"""
+WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '') AS w
+     FROM documents),
+bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram
+       FROM w, UNNEST(range(1, len(w))) AS t(i))
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM bg GROUP BY 1
+ORDER BY cnt DESC, bigram
+LIMIT 20
+"""
+
+
+def docs_top_terms(sf_dir: str):
+    """Per-document top-3 tf-idf terms — the standard auto-labeling op:
+    tf counts are per-doc local (no shuffle), document frequencies
+    come from one token-hash bucket reduction and broadcast (vocab is
+    corpus-sublinear; the join path of cooccurrence_pmi is the
+    above-limit fallback shape), idf is the integer N // df (float log
+    would drift between libm builds — the keyword_topk convention),
+    score = tf * idf with ties broken by term."""
+    import ray
+
+    from ..stages.dedup import _cached_get
+    from ..stages.text_analysis import _fnv1a_bulk
+    from ..stages.window import _default_buckets
+
+    rd = _rd()
+    nb = _default_buckets()
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet"
+                            ).metadata.num_rows
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for t in b.column("text").to_pylist():
+            for tok in set(t.split()):
+                counts[tok] = counts.get(tok, 0) + 1
+        keys = list(counts)
+        kb = (np.asarray(_fnv1a_bulk(keys), dtype=np.uint64)
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({"tok": pa.array(keys, pa.string()),
+                         "df": pa.array([counts[t] for t in keys],
+                                        pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)["df"].sum()
+        return pd.DataFrame({"tok": g["tok"],
+                             "df": g["df"].astype(np.int64)})
+
+    df_tbl = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["text"])
+              .map_batches(df_partial, batch_format="pyarrow")
+              .groupby("_kb").map_groups(bucket_sum,
+                                         batch_format="pandas"))
+    df_map: dict = {}
+    for b in df_tbl.iter_batches(batch_size=1 << 18,
+                                 batch_format="pyarrow"):
+        df_map.update(zip(b.column("tok").to_pylist(),
+                          b.column("df").to_pylist()))
+    ref = ray.put(df_map)
+
+    def top3(b: pa.Table) -> pa.Table:
+        lut = _cached_get(ref)
+        out_id, out_tok, out_rank = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(),
+                        b.column("text").to_pylist()):
+            tf: dict = {}
+            for tok in t.split():
+                tf[tok] = tf.get(tok, 0) + 1
+            scored = sorted(
+                ((-(c * (n_docs // lut[tok])), tok)
+                 for tok, c in tf.items()))[:3]
+            for r, (_, tok) in enumerate(scored, 1):
+                out_id.append(d)
+                out_tok.append(tok)
+                out_rank.append(r)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "term": pa.array(out_tok, pa.string()),
+                         "rank": pa.array(out_rank, pa.int64())})
+
+    res = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+           .map_batches(top3, batch_format="pyarrow").to_pandas())
+    res = res.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(res["doc_id"], pa.int64()),
+                     "term": pa.array(res["term"], pa.string()),
+                     "rank": pa.array(res["rank"], pa.int64())})
+
+
+_TOP_TERMS_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf * (n.nd // df.df) AS score
+    FROM tf JOIN df USING (tok), n)
+SELECT doc_id, tok AS term,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok) AS BIGINT)
+           AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, tok) <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def events_mad(sf_dir: str):
+    """Median absolute deviation of event values per type — the robust
+    dispersion statistic, exactly: per-type integer-cents medians via
+    the group_quantiles fixed-point machinery run twice (median, then
+    median of |v - median|). Deviations recompute map-side against the
+    broadcast per-type medians; medians are quantile_disc (element at
+    ceil(p*n)) so every value is an actual data point."""
+    import ray
+
+    from ..stages.dedup import _cached_get
+    from ..stages.window import group_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"]).materialize()
+    med = group_quantiles(ds, key="event_type", value_col="value",
+                          ps=[0.5]).to_pandas()
+    med_map = dict(zip(med["event_type"], med["q50_cents"]))
+    ref = ray.put(med_map)
+
+    def dev(b: pa.Table) -> pa.Table:
+        lut = _cached_get(ref)
+        types = b.column("event_type").to_pylist()
+        cents = np.rint(b.column("value").to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        meds = np.asarray([lut[t] for t in types], dtype=np.int64)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "value": pa.array(np.abs(cents - meds) / 100.0,
+                              pa.float64()),
+        })
+
+    mad = group_quantiles(ds.map_batches(dev, batch_format="pyarrow"),
+                          key="event_type", value_col="value",
+                          ps=[0.5]).to_pandas()
+    mad = mad.sort_values("event_type").reset_index(drop=True)
+    out = med.sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "median_cents": pa.array(out["q50_cents"].astype("int64"),
+                                 pa.int64()),
+        "mad_cents": pa.array(mad["q50_cents"].astype("int64"),
+                              pa.int64()),
+    })
+
+
+_EVENTS_MAD_SQL = """
+WITH med AS (
+    SELECT event_type,
+           quantile_disc(CAST(round_even(value * 100, 0) AS BIGINT),
+                         0.5) AS m
+    FROM events GROUP BY 1),
+dev AS (
+    SELECT e.event_type,
+           abs(CAST(round_even(e.value * 100, 0) AS BIGINT) - med.m)
+               AS d
+    FROM events e JOIN med USING (event_type))
+SELECT d.event_type AS event_type,
+       CAST(med.m AS BIGINT) AS median_cents,
+       CAST(quantile_disc(d.d, 0.5) AS BIGINT) AS mad_cents
+FROM dev d JOIN med USING (event_type)
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -4903,6 +5137,9 @@ QUERIES = {
     "media_phash_pairs": media_phash_pairs,
     "events_sliding_distinct": events_sliding_distinct,
     "docs_dedup_bloom": docs_dedup_bloom,
+    "docs_top_bigrams": docs_top_bigrams,
+    "docs_top_terms": docs_top_terms,
+    "events_mad": events_mad,
 }
 
 ORACLE_SQL = {
@@ -5029,6 +5266,9 @@ ORACLE_SQL = {
     "media_phash_pairs": _media_phash_sql(),
     "events_sliding_distinct": _SLIDING_DISTINCT_SQL,
     "docs_dedup_bloom": _DEDUP_INCREMENTAL_SQL,
+    "docs_top_bigrams": _TOP_BIGRAMS_SQL,
+    "docs_top_terms": _TOP_TERMS_SQL,
+    "events_mad": _EVENTS_MAD_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
