@@ -4926,6 +4926,127 @@ ORDER BY 1
 """
 
 
+def events_user_overlap(sf_dir: str):
+    """Exact distinct-set algebra: |weekday users|, |weekend users|,
+    |intersection|, |union| in ONE user-bucket pass — users are
+    partitioned by the hash bucket, so per-bucket set sizes add up to
+    the global answer (the KMV sketch covers the approximate path;
+    this is its exact verifier shape). Weekday/weekend flags OR-reduce
+    per user inside the bucket."""
+    from ..stages.text_analysis import _mix64_np
+    from ..stages.window import _default_buckets
+
+    rd = _rd()
+    nb = _default_buckets()
+
+    def prep(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column("user_id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        dow = (day + 3) % 7  # Monday=0; 1970-01-01 (day 0) = Thursday = 3
+        wk = (dow >= 5).astype(np.int64)
+        key = np.unique(u * 2 + wk)  # (user, is_weekend) dedup per batch
+        uu = key // 2
+        kb = (_mix64_np(uu.view(np.uint64)) % np.uint64(nb)
+              ).astype(np.int64)
+        return pa.table({"k": pa.array(key, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_sets(df: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(df["k"].to_numpy(np.int64))
+        u, wk = k // 2, k % 2
+        uu, inv = np.unique(u, return_inverse=True)
+        has_wd = np.zeros(uu.size, bool)
+        has_we = np.zeros(uu.size, bool)
+        has_wd[inv[wk == 0]] = True
+        has_we[inv[wk == 1]] = True
+        return pd.DataFrame({
+            "weekday_users": [np.int64(has_wd.sum())],
+            "weekend_users": [np.int64(has_we.sum())],
+            "both": [np.int64((has_wd & has_we).sum())],
+            "either": [np.int64(uu.size)],
+        })
+
+    parts = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_sets,
+                                        batch_format="pandas")
+             .to_pandas())
+    tot = parts.sum()
+    return pa.table({
+        "weekday_users": pa.array([int(tot["weekday_users"])], pa.int64()),
+        "weekend_users": pa.array([int(tot["weekend_users"])], pa.int64()),
+        "both": pa.array([int(tot["both"])], pa.int64()),
+        "either": pa.array([int(tot["either"])], pa.int64()),
+    })
+
+
+_USER_OVERLAP_SQL = """
+WITH f AS (
+    SELECT user_id,
+           MAX(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)
+               AS wd,
+           MAX(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+               AS we
+    FROM events GROUP BY 1)
+SELECT CAST(SUM(wd) AS BIGINT) AS weekday_users,
+       CAST(SUM(we) AS BIGINT) AS weekend_users,
+       CAST(SUM(wd * we) AS BIGINT) AS both,
+       CAST(COUNT(*) AS BIGINT) AS either
+FROM f
+"""
+
+
+def events_dow_pivot(sf_dir: str):
+    """Pivot to a wide matrix: event counts per (event_type x
+    day-of-week) as seven columns — the report-table shape. Map-side
+    partials carry all 7 columns per type, the driver merges a
+    types-sized frame; no shuffle."""
+    rd = _rd()
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000 + 3) % 7).astype(np.int64)
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(types, return_inverse=True)
+        mat = np.zeros((ut.size, 7), np.int64)
+        np.add.at(mat, (inv, dow), 1)
+        cols = {"event_type": pa.array(ut, pa.string())}
+        for d in range(7):
+            cols[f"dow{d}"] = pa.array(mat[:, d], pa.int64())
+        return pa.table(cols)
+
+    parts = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow").to_pandas())
+    fin = (parts.groupby("event_type", as_index=False).sum()
+           .sort_values("event_type").reset_index(drop=True))
+    cols = {"event_type": pa.array(fin["event_type"], pa.string())}
+    for d in range(7):
+        cols[f"dow{d}"] = pa.array(fin[f"dow{d}"].astype("int64"),
+                                   pa.int64())
+    return pa.table(cols)
+
+
+def _dow_pivot_sql() -> str:
+    # dow here is days-since-epoch mod 7 with Monday=0 (epoch+4);
+    # DuckDB dayofweek() is Sunday=0, so map: ours = (dayofweek+6)%7
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN (dayofweek(ts) + 6) % 7 = {d} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS dow{d}" for d in range(7))
+    return f"""
+SELECT event_type,
+       {cols}
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -5140,6 +5261,8 @@ QUERIES = {
     "docs_top_bigrams": docs_top_bigrams,
     "docs_top_terms": docs_top_terms,
     "events_mad": events_mad,
+    "events_user_overlap": events_user_overlap,
+    "events_dow_pivot": events_dow_pivot,
 }
 
 ORACLE_SQL = {
@@ -5269,6 +5392,8 @@ ORACLE_SQL = {
     "docs_top_bigrams": _TOP_BIGRAMS_SQL,
     "docs_top_terms": _TOP_TERMS_SQL,
     "events_mad": _EVENTS_MAD_SQL,
+    "events_user_overlap": _USER_OVERLAP_SQL,
+    "events_dow_pivot": _dow_pivot_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
