@@ -1745,3 +1745,44 @@ def test_dedup_incremental_bloom_path_equals_plain(ray_session):
                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert fast.values.tolist() == plain.values.tolist(), bits
     assert {1001, 1003} <= set(plain["doc_id"])
+
+
+def test_user_overlap_asymmetric_sets(ray_session, tmp_path):
+    """Engineered corpus: weekday-only, weekend-only, and both-side
+    users must land in the right counters (the sf data is dense enough
+    that every user hits both sides, so this is the discriminating
+    case)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import os
+
+    from anycrawl_ray.pipelines.queries import _USER_OVERLAP_SQL, \
+        events_user_overlap
+
+    mon = pd.Timestamp("2024-01-01")  # a Monday
+    sat = pd.Timestamp("2024-01-06")  # a Saturday
+    rows = []
+    for u in range(10):
+        rows.append((u, mon))            # 10 weekday users
+    for u in range(5, 18):
+        rows.append((u, sat))            # 13 weekend users, 5 overlap
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([ts for _, ts in rows]),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array(np.zeros(len(rows))),
+        "props": pa.array([""] * len(rows)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    got = events_user_overlap(str(d)).to_pandas()
+    assert got.values.tolist() == [[10, 13, 5, 18]]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{d}/events.parquet'")
+    assert con.execute(_USER_OVERLAP_SQL).df().values.tolist() == \
+        got.values.tolist()
