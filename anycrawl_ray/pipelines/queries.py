@@ -4338,14 +4338,27 @@ def orders_rollup(sf_dir: str):
     aggregate costs exactly one tiny merge, not three scans."""
     rd = _rd()
 
+    import ray
+
+    from ..stages.dedup import _cached_get
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
     ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
-    nat_of = np.zeros(int(ck.max()) + 1, dtype=np.int64)
-    nat_of[ck] = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+    _nat = np.full(int(ck.max()) + 1, -1, dtype=np.int64)  # -1 = absent
+    _nat[ck] = cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+    nat_ref = ray.put(_nat)  # object store, not per-task pickling
 
     def partial(b: pa.Table) -> pa.Table:
-        nat = nat_of[b.column("o_custkey").to_numpy(zero_copy_only=False)]
+        nat_of = _cached_get(nat_ref)
+        keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        # inner-join semantics: orders with unknown custkeys drop, as
+        # in the oracle's JOIN (out-of-range or unmapped keys alike)
+        ok = keys <= (len(nat_of) - 1)
+        nat = np.where(ok, nat_of[np.minimum(keys, len(nat_of) - 1)], -1)
+        m = nat >= 0
+        b = b.filter(pa.array(m))
+        nat = nat[m]
         ep = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")),
                      pa.int64()).to_numpy(zero_copy_only=False)
         yr = (ep.astype("datetime64[us]").astype("datetime64[Y]")
@@ -4425,6 +4438,9 @@ def events_cumulative_users(sf_dir: str):
             "d": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
                          pa.int64()),
         })
+        # corrupt pre-epoch rows drop BEFORE the per-user min (the
+        # oracle's WHERE runs before MIN; a user's valid events count)
+        t = t.filter(pc.greater_equal(t.column("d"), 0))
         g = t.group_by("u").aggregate([("d", "min")])
         g = g.rename_columns(["u", "d"])
         kb = (_mix64_np(np.asarray(g.column("u"), dtype=np.int64)
@@ -4433,6 +4449,7 @@ def events_cumulative_users(sf_dir: str):
 
     def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("u", as_index=False)["d"].min()
+        g = g[g["d"] >= 0]  # pre-epoch ts: floor/trunc divergence guard
         day = g["d"].to_numpy(np.int64) // 86_400_000_000
         du, cnt = np.unique(day, return_counts=True)
         return pd.DataFrame({"day": du.astype(np.int64),
@@ -4463,7 +4480,7 @@ def events_cumulative_users(sf_dir: str):
 _CUMULATIVE_USERS_SQL = """
 WITH firsts AS (
     SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
-    FROM events GROUP BY 1),
+    FROM events WHERE epoch_us(ts) >= 0 GROUP BY 1),
 per_day AS (
     SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY 1)
 SELECT day * 86400 AS day_epoch, CAST(new_users AS BIGINT) AS new_users,
@@ -4539,27 +4556,45 @@ def media_phash_pairs(sf_dir: str):
     from ..stages.dedup import hamming_pairs_from_sigs
     from ..stages.media import phash64_from_payloads
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    ids_np = docs.column("doc_id").to_numpy(zero_copy_only=False)
-    text_of = np.empty(int(ids_np.max()) + 1, dtype=object)
-    text_of[ids_np] = docs.column("text").to_numpy(zero_copy_only=False)
-    anchors = ids_np - ids_np % 3
-    media = pa.table({
-        "doc_id": pa.array(ids_np.astype(np.int64), pa.int64()),
-        "payload": pa.array([t.encode() for t in text_of[anchors]],
-                            pa.binary()),
-    })
-    ds = rd.from_arrow(media, override_num_blocks=8)
+    # the phash of a page's image IS its anchor doc's payload hash, so
+    # only anchor docs decode: one streaming sig pass over the anchors
+    # + a hash join assigns each member its triple's signature (docs
+    # whose anchor is missing drop, matching the oracle's inner join);
+    # nothing driver-materializes
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
 
-    def sig(batch: pa.Table) -> pa.Table:
-        ph = phash64_from_payloads(batch.column("payload").to_pylist())
-        return pa.table({"doc_id": pc.cast(batch.column("doc_id"),
+    def anchor_sigs(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        m = ids % 3 == 0
+        t = b.filter(pa.array(m))
+        ph = phash64_from_payloads(
+            [x.encode() for x in t.column("text").to_pylist()])
+        return pa.table({"anchor": pc.cast(t.column("doc_id"),
                                            pa.int64()),
-                         "simhash": pa.array(ph, pa.uint64())})
+                         "simhash": pa.array(ph.view(np.int64),
+                                             pa.int64())})
+
+    def members(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "anchor": pa.array(ids - ids % 3, pa.int64())})
+
+    sigs = docs.map_batches(anchor_sigs, batch_format="pyarrow")
+    mem = docs.map_batches(members, batch_format="pyarrow")
+    joined = mem.join(sigs, "inner", _join_parts(), on=("anchor",))
+
+    def as_sig_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "simhash": pa.array(
+                np.asarray(b.column("simhash"), dtype=np.int64)
+                .view(np.uint64), pa.uint64()),
+        })
 
     pairs = hamming_pairs_from_sigs(
-        ds.map_batches(sig, batch_format="pyarrow"), max_hamming=3)
+        joined.map_batches(as_sig_rows, batch_format="pyarrow"),
+        max_hamming=3)
     return pa.table({
         "a": pairs.column("a"),
         "b": pairs.column("b"),
@@ -4632,8 +4667,10 @@ def events_sliding_distinct(sf_dir: str):
                          pa.int64()),
         })
         u = t.column("u").to_numpy(zero_copy_only=False)
-        day = (t.column("d").to_numpy(zero_copy_only=False)
-               // 86_400_000_000)
+        us = t.column("d").to_numpy(zero_copy_only=False)
+        ok = us >= 0  # pre-epoch ts = corrupt data; // floor vs DuckDB
+        u, us = u[ok], us[ok]  # trunc also diverge below zero
+        day = us // 86_400_000_000
         key = np.unique(u * 1_000_000 + day)  # per-batch (user,day) dedup
         uu = key // 1_000_000
         kb = (_mix64_np(uu.view(np.uint64)) % np.uint64(nb)
@@ -4682,7 +4719,7 @@ def events_sliding_distinct(sf_dir: str):
 _SLIDING_DISTINCT_SQL = """
 WITH ud AS (
     SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
-    FROM events),
+    FROM events WHERE epoch_us(ts) >= 0),
 days AS (SELECT DISTINCT day FROM ud)
 SELECT d.day * 86400 AS day_epoch,
        CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
@@ -4797,8 +4834,9 @@ def docs_top_terms(sf_dir: str):
         return pd.DataFrame({"tok": g["tok"],
                              "df": g["df"].astype(np.int64)})
 
-    df_tbl = (rd.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["text"])
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    df_tbl = (docs.select_columns(["text"])
               .map_batches(df_partial, batch_format="pyarrow")
               .groupby("_kb").map_groups(bucket_sum,
                                          batch_format="pandas"))
@@ -4828,9 +4866,7 @@ def docs_top_terms(sf_dir: str):
                          "term": pa.array(out_tok, pa.string()),
                          "rank": pa.array(out_rank, pa.int64())})
 
-    res = (rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
-           .map_batches(top3, batch_format="pyarrow").to_pandas())
+    res = docs.map_batches(top3, batch_format="pyarrow").to_pandas()
     res = res.sort_values(["doc_id", "rank"]).reset_index(drop=True)
     return pa.table({"doc_id": pa.array(res["doc_id"], pa.int64()),
                      "term": pa.array(res["term"], pa.string()),
@@ -4975,6 +5011,10 @@ def events_user_overlap(sf_dir: str):
              .groupby("_kb").map_groups(bucket_sets,
                                         batch_format="pandas")
              .to_pandas())
+    if len(parts) == 0:
+        zero = pa.array([0], pa.int64())
+        return pa.table({"weekday_users": zero, "weekend_users": zero,
+                         "both": zero, "either": zero})
     tot = parts.sum()
     return pa.table({
         "weekday_users": pa.array([int(tot["weekday_users"])], pa.int64()),

@@ -619,6 +619,26 @@ def simhash_batch(batch: pa.Table, text_col: str = "text",
                      "simhash": pa.array(sigs, pa.uint64())})
 
 
+def _band_explode(ids: pa.ChunkedArray | pa.Array,
+                  sigs: np.ndarray) -> pa.Table:
+    """(ids, u64 sigs) -> bucketed (doc_id, band_id, band_key, simhash)
+    rows, 4x16-bit pigeonhole layout — THE one place the band geometry
+    lives (text simhash and media phash must stay bit-identical)."""
+    sigs = sigs.astype(np.uint64)
+    D = len(sigs)
+    idx = np.repeat(np.arange(D, dtype=np.int64), 4)
+    band_shift = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), D)
+    rep = np.repeat(sigs, 4)
+    return _append_bucket(
+        pa.table({"doc_id": ids.take(pa.array(idx)),
+                  "band_id": pa.array(np.tile(
+                      np.arange(4, dtype=np.int32), D)),
+                  "band_key": pa.array(
+                      ((rep >> band_shift) & np.uint64(0xFFFF)
+                       ).astype(np.int64)),
+                  "simhash": pa.array(rep, pa.uint64())}))
+
+
 def simhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """documents batch -> (doc_id, band_id, band_key, simhash) rows,
     4x16-bit bands.
@@ -626,19 +646,9 @@ def simhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     The 8-byte signature rides along with each band row so buckets can
     verify Hamming distance in-place — no second corpus pass needed."""
     sig_tbl = simhash_batch(batch, text_col)
-    sigs = sig_tbl.column("simhash").to_numpy(zero_copy_only=False)
-    D = len(sigs)
-    idx = np.repeat(np.arange(D, dtype=np.int64), 4)
-    band_shift = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), D)
-    rep = np.repeat(sigs, 4)
-    return _append_bucket(
-        pa.table({"doc_id": sig_tbl.column("doc_id").take(pa.array(idx)),
-                  "band_id": pa.array(np.tile(
-                      np.arange(4, dtype=np.int32), D)),
-                  "band_key": pa.array(
-                      ((rep >> band_shift) & np.uint64(0xFFFF)
-                       ).astype(np.int64)),
-                  "simhash": pa.array(rep, pa.uint64())}))
+    return _band_explode(sig_tbl.column("doc_id"),
+                         sig_tbl.column("simhash")
+                         .to_numpy(zero_copy_only=False))
 
 
 def simhash_pairs(ds, max_hamming: int = 3, max_bucket: int = 200):
@@ -664,20 +674,9 @@ def hamming_pairs_from_sigs(sig_ds, max_hamming: int = 3,
     fingerprint) routes here once it is a u64 per item."""
 
     def bands(batch: pa.Table) -> pa.Table:
-        sigs = (batch.column("simhash").to_numpy(zero_copy_only=False)
-                .astype(np.uint64))
-        D = len(sigs)
-        idx = np.repeat(np.arange(D, dtype=np.int64), 4)
-        band_shift = np.tile(np.arange(4, dtype=np.uint64)
-                             * np.uint64(16), D)
-        rep = np.repeat(sigs, 4)
-        return _append_bucket(pa.table({
-            "doc_id": batch.column("doc_id").take(pa.array(idx)),
-            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), D)),
-            "band_key": pa.array(((rep >> band_shift) & np.uint64(0xFFFF)
-                                  ).astype(np.int64)),
-            "simhash": pa.array(rep, pa.uint64()),
-        }))
+        return _band_explode(batch.column("doc_id"),
+                             batch.column("simhash")
+                             .to_numpy(zero_copy_only=False))
 
     band_ds = sig_ds.map_batches(bands, batch_format="pyarrow")
     return _hamming_pairs_from_bands(band_ds, max_hamming, max_bucket)
@@ -1288,7 +1287,9 @@ def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
         return new_h.join(prior_h, "left_anti", n_parts,
                           on=("text_hash",))
 
-    assert bloom_bits & (bloom_bits - 1) == 0, "bloom_bits: power of two"
+    if bloom_bits < 64 or bloom_bits & (bloom_bits - 1) != 0:
+        raise ValueError(f"bloom_bits={bloom_bits}: need a power of two"
+                         " >= 64")
     mask = np.uint64(bloom_bits - 1)
     nbytes = bloom_bits // 8
 
@@ -1308,6 +1309,7 @@ def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
                                            .astype(np.uint8)))
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
+    prior_h = prior_h.materialize()  # bloom build + join share one pass
     bloom = np.zeros(nbytes, dtype=np.uint8)
     for b in (prior_h.map_batches(block_bitmap, batch_format="pyarrow")
               .iter_batches(batch_size=64, batch_format="pyarrow")):
