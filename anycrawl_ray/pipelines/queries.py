@@ -5087,6 +5087,64 @@ ORDER BY 1
 """
 
 
+def docs_curation_train(sf_dir: str):
+    """The full training-set curation DAG as ONE chained Dataset
+    pipeline: deterministic split gate (train = mix64(doc_id)%1000 <
+    800, map-side) -> Gopher quality rules (map-side) -> exact
+    first-wins dedup (hash shuffle) -> greedy sequence packing
+    (distributed prefix-sum). Returns the packing manifest of the
+    curated train split — the artifact a trainer consumes. One exact
+    end-to-end SQL oracle covers the whole chain."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.text_analysis import _mix64_np, pack_sequences, \
+        quality_rules_batch
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def train_quality(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False
+                                              ).astype(np.int64)
+        in_train = (_mix64_np(ids.view(np.uint64))
+                    % np.uint64(1000)) < 800
+        batch = batch.filter(pa.array(in_train))
+        keep = quality_rules_batch(batch).column("keep")
+        return batch.filter(pc.equal(keep, 1))
+
+    survivors = exact_dedup(
+        ds.map_batches(train_quality, batch_format="pyarrow"))
+    return pack_sequences(survivors, budget=512)
+
+
+def _curation_train_sql() -> str:
+    return rf"""{_oracle_kernels.U64_PRELUDE}
+WITH tr AS (
+    SELECT doc_id, text FROM documents
+    WHERE mix64(CAST(doc_id AS UBIGINT)) % 1000 < 800),
+s AS (SELECT doc_id, text,
+    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+    len(regexp_extract_all(text, '\S')) AS nsc,
+    len(regexp_extract_all(text, '[^\w\s]')) AS npunct,
+    len(regexp_extract_all(text, '\b(?:the|a|and|of|to|in)\b')) AS sh
+  FROM tr),
+q AS (SELECT doc_id, text, n_tokens FROM s
+      WHERE n_tokens >= 30
+        AND nsc * 10 // greatest(n_tokens, 1) BETWEEN 40 AND 100
+        AND npunct * 10 <= n_tokens AND sh >= 1),
+dd AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+kept AS (SELECT q.doc_id, q.n_tokens FROM q JOIN dd USING (doc_id)),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS before
+      FROM kept)
+SELECT CAST(COALESCE(before, 0) // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -5303,6 +5361,7 @@ QUERIES = {
     "events_mad": events_mad,
     "events_user_overlap": events_user_overlap,
     "events_dow_pivot": events_dow_pivot,
+    "docs_curation_train": docs_curation_train,
 }
 
 ORACLE_SQL = {
@@ -5434,6 +5493,7 @@ ORACLE_SQL = {
     "events_mad": _EVENTS_MAD_SQL,
     "events_user_overlap": _USER_OVERLAP_SQL,
     "events_dow_pivot": _dow_pivot_sql(),
+    "docs_curation_train": _curation_train_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
