@@ -1333,8 +1333,14 @@ def dedup_incremental(new_ds, prior_ds, id_col: str = "doc_id",
                                batch_format="pyarrow")
     maybe = new_m.map_batches(lambda b: split(b, True),
                               batch_format="pyarrow").materialize()
-    if maybe.count() == 0:  # all-empty side would drop the join schema
+    n_maybe = maybe.count()
+    if n_maybe == 0:  # all-empty side would drop the join schema
         return misses
+    # compact the sparse hit slice: Ray 2.49's hash join crashes when a
+    # partition receives only EMPTY blocks (column-less table reaches
+    # acero) — exactly the shape a low-dup-rate bloom filter produces
+    maybe = maybe.repartition(
+        max(1, min(n_parts, (n_maybe + 4095) // 4096)))
     survivors = maybe.join(prior_h, "left_anti", n_parts,
                            on=("text_hash",))
     return misses.union(survivors)
