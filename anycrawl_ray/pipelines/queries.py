@@ -5145,6 +5145,118 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def docs_lang_confusion(sf_dir: str):
+    """Evaluation row: the language-ID confusion matrix (true lang x
+    guessed lang, counts) — classifier quality as a first-class
+    pipeline output. The guess runs on the same LangId actor pool as
+    docs_lang_guess; the confusion cells reduce map-side (per-batch
+    pair counts, a languages^2-sized merge)."""
+    from ..stages.text_analysis import LangId
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pyarrow",
+                         concurrency=_conc(), num_cpus=0.5,
+                         max_restarts=0)
+
+    def cells(b: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": b.column("lang"),
+                       "lang_guess": b.column("lang_guess"),
+                       "n": pa.array(np.ones(len(b), np.int64))})
+             .group_by(["lang", "lang_guess"]).aggregate([("n", "sum")]))
+        return g.rename_columns(["lang", "lang_guess", "n_docs"])
+
+    parts = out.map_batches(cells, batch_format="pyarrow").to_pandas()
+    fin = (parts.groupby(["lang", "lang_guess"], as_index=False)
+           ["n_docs"].sum().sort_values(["lang", "lang_guess"])
+           .reset_index(drop=True))
+    return pa.table({
+        "lang": pa.array(fin["lang"], pa.string()),
+        "lang_guess": pa.array(fin["lang_guess"], pa.string()),
+        "n_docs": pa.array(fin["n_docs"].astype("int64"), pa.int64()),
+    })
+
+
+_LANG_CONFUSION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '')[1:200]) AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang, text,
+    len(list_intersect(t, ['the','and','of','is','with'])) AS en,
+    len(list_intersect(t, ['der','die','und','ist','mit'])) AS de,
+    len(list_intersect(t, ['le','la','et','est','avec'])) AS fr,
+    len(list_intersect(t, ['el','la','y','es','con'])) AS es
+  FROM toks
+), g AS (
+  SELECT lang, CASE
+    WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+    WHEN de > en AND de >= fr AND de >= es THEN 'de'
+    WHEN fr > en AND fr > de AND fr >= es THEN 'fr'
+    WHEN es > en AND es > de AND es > fr THEN 'es'
+    ELSE 'en' END AS lang_guess
+  FROM hits
+)
+SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def embeddings_ivf_recall(sf_dir: str):
+    """Evaluation row: recall@k of the IVF probe path against the
+    exact brute-force top-k, per query, as exact ppm — the ANN quality
+    gate a 100-TB embedding pipeline runs before trusting its index.
+    Both sides are the registered operators (embeddings_knn /
+    embeddings_knn_ivf share parameters); the overlap divides in
+    integer ppm so the oracle replays bit-exact."""
+    from ..stages.similarity import hash_centroids, ivf_knn, knn_brute
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+    queries, qids = _load_queries(sf_dir)
+    brute = knn_brute(ds, queries, qids, k=_KNN_K).to_pandas()
+    cents = hash_centroids(ds, n_clusters=16)
+    ivf = ivf_knn(ds, queries, qids, k=_KNN_K, nprobe=6,
+                  centroids=cents).to_pandas()
+    rows = []
+    for q in qids:
+        want = set(brute[brute["query_id"] == q]["neighbor_id"])
+        got = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        rows.append((q, len(want & got) * 1_000_000 // _KNN_K))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "recall_ppm": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _ivf_recall_sql() -> str:
+    brute = _KNN_SQL.strip()
+    # _ivf_knn_sql carries its own macro prelude; hoist it to the top
+    # and nest the remaining WITH...SELECT as a parenthesized CTE body
+    ivf = _ivf_knn_sql(16, 6).replace(
+        _oracle_kernels.U64_PRELUDE, "").strip()
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH brute AS ({brute}),
+ivf AS ({ivf}),
+hits AS (
+    SELECT b.query_id, COUNT(*) AS inter
+    FROM brute b JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY 1)
+SELECT b.query_id AS query_id,
+       CAST(COALESCE(h.inter, 0) * 1000000 // {_KNN_K} AS BIGINT)
+           AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM brute) b
+LEFT JOIN hits h USING (query_id)
+ORDER BY query_id
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -5362,6 +5474,8 @@ QUERIES = {
     "events_user_overlap": events_user_overlap,
     "events_dow_pivot": events_dow_pivot,
     "docs_curation_train": docs_curation_train,
+    "docs_lang_confusion": docs_lang_confusion,
+    "embeddings_ivf_recall": embeddings_ivf_recall,
 }
 
 ORACLE_SQL = {
@@ -5494,6 +5608,8 @@ ORACLE_SQL = {
     "events_user_overlap": _USER_OVERLAP_SQL,
     "events_dow_pivot": _dow_pivot_sql(),
     "docs_curation_train": _curation_train_sql(),
+    "docs_lang_confusion": _LANG_CONFUSION_SQL,
+    "embeddings_ivf_recall": _ivf_recall_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
