@@ -252,3 +252,53 @@ def test_winnow_guarantee_property(seed_a, seed_b, run_len):
     fa = set(winnow_fingerprints(a, 3, 4).tolist())
     fb = set(winnow_fingerprints(b, 3, 4).tolist())
     assert fa & fb
+
+
+@settings(max_examples=150)
+@given(st.binary(min_size=0, max_size=64), st.binary(min_size=0, max_size=64))
+def test_phash_deterministic_and_mean_bit_rule(p1, p2):
+    import numpy as np
+
+    from anycrawl_ray.stages.media import (_grids_from_seeds,
+                                           fnv1a_bytes_bulk,
+                                           phash64_from_payloads)
+
+    h = phash64_from_payloads([p1, p2, p1])
+    assert h[0] == h[2]  # pure function of payload bytes
+    if p1 != p2:
+        # avalanche grids: distinct payloads virtually never collide
+        assert h[0] != h[1] or p1 == p2
+    # bit i == (cell_i * 64 > sum) against a naive recompute
+    seeds = np.array(fnv1a_bytes_bulk([p1]), dtype=np.uint64)
+    grid = _grids_from_seeds(seeds).reshape(64).astype(np.int64)
+    tot = int(grid.sum())
+    want = 0
+    for i in range(64):
+        if grid[i] * 64 > tot:
+            want |= 1 << i
+    assert int(h[0]) == want
+
+
+@settings(max_examples=200)
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1),
+       st.lists(st.integers(min_value=0, max_value=63), min_size=0,
+                max_size=3, unique=True))
+def test_band_explode_pigeonhole_guarantee(sig, flip_bits):
+    """Any two signatures within Hamming distance 3 share at least one
+    of the 4 16-bit band keys — the property the blocking correctness
+    rests on."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anycrawl_ray.stages.dedup import _band_explode
+
+    a = np.uint64(sig)
+    b = a
+    for bit in flip_bits:
+        b = b ^ np.uint64(1 << bit)
+    t = _band_explode(pa.array([0, 1], pa.int64()),
+                      np.array([a, b], dtype=np.uint64))
+    df = t.to_pandas()
+    keys_a = set(map(tuple, df[df["doc_id"] == 0][["band_id", "band_key"]].values))
+    keys_b = set(map(tuple, df[df["doc_id"] == 1][["band_id", "band_key"]].values))
+    assert keys_a & keys_b  # pigeonhole: <=3 flipped bits, 4 bands
