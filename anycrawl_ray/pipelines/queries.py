@@ -5257,6 +5257,66 @@ ORDER BY query_id
 """
 
 
+def docs_minhash_recall(sf_dir: str):
+    """Evaluation row: recall of the MinHash-LSH candidate machinery
+    against the EXACT trigram-Jaccard >= 0.5 pair set (same shingle
+    definition) — verified LSH pairs are exact-Jaccard-checked, so any
+    miss is purely banding recall, which is the quantity a dedup
+    operator owner must monitor at scale. Output: one row
+    (n_exact, n_detected, recall_ppm), all exact integers."""
+    from ..stages.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).materialize()
+    exact = ngram_jaccard_pairs(ds, threshold_pct=50, n=3)
+    det = minhash_lsh_pairs(ds, threshold=0.5)
+    exact_set = set(zip(exact.column("a").to_pylist(),
+                        exact.column("b").to_pylist()))
+    det_set = set(zip(det.column("a").to_pylist(),
+                      det.column("b").to_pylist()))
+    n_exact = len(exact_set)
+    n_det = len(det_set & exact_set)
+    recall = 1_000_000 if n_exact == 0 else n_det * 1_000_000 // n_exact
+    return pa.table({
+        "n_exact": pa.array([n_exact], pa.int64()),
+        "n_detected": pa.array([n_det], pa.int64()),
+        "recall_ppm": pa.array([recall], pa.int64()),
+    })
+
+
+def _minhash_recall_sql() -> str:
+    det = _oracle_kernels.minhash_pairs_sql().replace(
+        _oracle_kernels.U64_PRELUDE, "").strip()
+    return rf"""{_oracle_kernels.U64_PRELUDE}
+WITH det AS ({det}),
+w AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '') AS w
+      FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM w, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+exact AS (SELECT inter.a, inter.b
+          FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                     JOIN sizes sb ON sb.doc_id = inter.b
+          WHERE 2 * i >= (sa.n + sb.n - i)),
+hit AS (SELECT COUNT(*) AS n FROM exact
+        JOIN det ON det.a = exact.a AND det.b = exact.b),
+tot AS (SELECT COUNT(*) AS n FROM exact)
+SELECT CAST(tot.n AS BIGINT) AS n_exact,
+       CAST(hit.n AS BIGINT) AS n_detected,
+       CAST(CASE WHEN tot.n = 0 THEN 1000000
+                 ELSE hit.n * 1000000 // tot.n END AS BIGINT)
+           AS recall_ppm
+FROM tot, hit
+"""
+
+
 _KMEANS_K, _KMEANS_ITERS = 8, 3
 
 
@@ -5476,6 +5536,7 @@ QUERIES = {
     "docs_curation_train": docs_curation_train,
     "docs_lang_confusion": docs_lang_confusion,
     "embeddings_ivf_recall": embeddings_ivf_recall,
+    "docs_minhash_recall": docs_minhash_recall,
 }
 
 ORACLE_SQL = {
@@ -5610,6 +5671,7 @@ ORACLE_SQL = {
     "docs_curation_train": _curation_train_sql(),
     "docs_lang_confusion": _LANG_CONFUSION_SQL,
     "embeddings_ivf_recall": _ivf_recall_sql(),
+    "docs_minhash_recall": _minhash_recall_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
