@@ -113,3 +113,74 @@ def latest_format(job_out: str | None) -> str:
             if f.endswith(".parquet"):
                 return "parquet"
     return "parquet"
+
+
+def write_dataset_partitioned(ds, out_dir: str, by: str,
+                              fmt: str = "parquet",
+                              skip_finished: bool = True) -> dict:
+    """Resumable partitioned sink: one directory per distinct ``by``
+    value, each written to a temp path and atomically renamed when its
+    partition is COMPLETE — a re-run after a crash skips finished
+    partitions (present = complete, the crawl epoch-sink invariant) and
+    rewrites only the missing ones. Returns {partition: n_rows}.
+
+    Scale shape: ONE hash shuffle co-locates each partition
+    (groupby(by).map_groups), every partition file writes WORKER-side
+    inside the group kernel (the driver never sees rows), and the
+    skip-set is just a directory listing. Keys should be
+    bounded-cardinality (split names, date buckets, shard ids) — this
+    is the job-output sink, not a general repartitioner."""
+    import json
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = part_extension(require_format(fmt))
+    done = set()
+    if skip_finished:
+        done = {d[len("part="):] for d in os.listdir(out_dir)
+                if d.startswith("part=")}
+    if done:
+        import pyarrow.compute as pc
+
+        done_arr = pa.array(sorted(done), pa.string())
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            keys = pc.cast(batch.column(by), pa.string())
+            return batch.filter(pc.invert(pc.is_in(keys,
+                                                   value_set=done_arr)))
+
+        # finished partitions drop BEFORE the shuffle (vectorized)
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    def write_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"part": pd.Series([], dtype=object),
+                                 "n_rows": pd.Series([], dtype="int64")})
+        key = str(df[by].iloc[0])
+        final = os.path.join(out_dir, f"part={key}")
+        tmp = final + f".tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp, f"data{ext}"))
+        try:
+            os.rename(tmp, final)  # atomic: partition appears complete
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+        return pd.DataFrame({"part": [key], "n_rows": [len(df)]})
+
+    out = (ds.groupby(by).map_groups(write_group, batch_format="pandas")
+           .to_pandas())
+    counts = {} if len(out) == 0 else dict(zip(out["part"], out["n_rows"]))
+    manifest = os.path.join(out_dir, "MANIFEST.json")
+    existing = {}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            existing = json.load(f)
+    existing.update({k: int(v) for k, v in counts.items()})
+    with open(manifest + ".tmp", "w") as f:
+        json.dump(existing, f, sort_keys=True)
+    os.rename(manifest + ".tmp", manifest)
+    return counts

@@ -106,3 +106,43 @@ def test_resume_detects_prior_format(tmp_path, ray_session):
     with pytest.raises(RuntimeError, match="lance"):
         run_crawl(job, pages, out_dir=str(tmp_path), checkpoint_dir=ck,
                   use_ray=False, resume=True)
+
+
+def test_write_dataset_partitioned_resumable(ray_session, tmp_path):
+    """Partitioned sink: atomic part dirs, manifest, and a re-run after
+    a simulated crash writes ONLY the missing partitions."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.state.storage import (read_table,
+                                            write_dataset_partitioned)
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "split": pa.array(["train" if i % 10 < 8 else
+                           ("valid" if i % 10 == 8 else "test")
+                           for i in range(100)]),
+    })
+    out = str(tmp_path / "o")
+    counts = write_dataset_partitioned(rd.from_arrow(t).repartition(4),
+                                       out, by="split")
+    assert counts == {"train": 80, "valid": 10, "test": 10}
+    assert sorted(os.listdir(out)) == ["MANIFEST.json", "part=test",
+                                       "part=train", "part=valid"]
+    got = read_table(os.path.join(out, "part=train", "data.parquet"))
+    assert got.num_rows == 80
+
+    # simulated crash: one partition vanished; re-run restores ONLY it
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "part=valid"))
+    marker = os.path.join(out, "part=train", "data.parquet")
+    before = os.path.getmtime(marker)
+    counts2 = write_dataset_partitioned(rd.from_arrow(t).repartition(4),
+                                        out, by="split")
+    assert counts2 == {"valid": 10}  # finished partitions skipped
+    assert os.path.getmtime(marker) == before  # train untouched
+    assert sorted(os.listdir(out)) == ["MANIFEST.json", "part=test",
+                                       "part=train", "part=valid"]
