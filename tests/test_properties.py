@@ -81,7 +81,12 @@ def test_chunker_covers_all_content(lines, max_tokens, overlap):
         if line.strip():
             assert line.strip() in joined or line in joined
     for c in chunks:
-        assert c["chunk"].strip()
+        # Reference quirk (TextChunker.ts:36-41): a chunk built solely from
+        # whitespace lines is pushed as "" after trim; any content line in the
+        # chunk's range must make the chunk non-empty.
+        if not c["chunk"].strip():
+            assert all(not ln.strip()
+                       for ln in lines[c["start_index"]:c["end_index"] + 1])
 
 
 # ---------------------------------------------------------- round-2 props
