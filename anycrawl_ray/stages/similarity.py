@@ -364,10 +364,34 @@ def kmeans_int(ds, n_clusters: int = 8, iters: int = 3, scale: int = 100,
     the corpus is never collected and the shuffle carries
     O(k * d * blocks) ints. Seeds = hash_centroids (lowest
     (mix64(vec_id), vec_id) ranks). Returns (vec_id, cluster) sorted."""
-    import pandas as pd
-
     ds = ds.materialize()  # iters+2 passes read plasma, not the source
     sl = slice(dim_lo, dim_hi)  # optional subspace (PQ codebooks)
+    c_final, quantize = _kmeans_fit(ds, n_clusters, iters, scale, offset,
+                                    sl, seeds_full)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        ids, q = quantize(batch)
+        d2 = ((q[:, None, :] - c_final[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(d2.argmin(axis=1)
+                                             .astype(np.int64))})
+
+    out = (ds.map_batches(assign_out, batch_format="pyarrow")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return pa.table({"vec_id": pa.array(out["vec_id"].astype("int64"),
+                                        pa.int64()),
+                     "cluster": pa.array(out["cluster"].astype("int64"),
+                                         pa.int64())})
+
+
+def _kmeans_fit(ds, n_clusters: int, iters: int, scale: int, offset: int,
+                sl: slice, seeds_full: np.ndarray | None = None):
+    """The kmeans_int fit loop (shared with semdedup): runs ``iters``
+    exact integer Lloyd iterations over an already-materialized dataset
+    and returns ``(final centroids int64 (k, d), quantize(batch) ->
+    (ids, q))``. See kmeans_int for the arithmetic contract."""
+    import pandas as pd
+
     if seeds_full is None:
         seeds_full = hash_centroids(ds, n_clusters)
     seeds = np.asarray(seeds_full, dtype=np.float64)[:, sl]
@@ -416,21 +440,91 @@ def kmeans_int(ds, n_clusters: int = 8, iters: int = 3, scale: int = 100,
                 new_cents[int(row["cluster"])] = s // m
         cents = new_cents
 
-    c_final = cents
+    return cents, quantize
 
-    def assign_out(batch: pa.Table) -> pa.Table:
+
+def semdedup(ds, n_clusters: int = 8, iters: int = 3, tau_num: int = 4,
+             tau_den: int = 5, scale: int = 100,
+             offset: int = 1000) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space (the exact kmeans_int recurrence), then inside each
+    cluster drop all but one member of every semantic-duplicate component
+    (cosine similarity >= tau_num/tau_den). EXACT integer end to end: the
+    cosine test cos(a, b) >= t runs on centered quantized coordinates
+    (rint(x*scale); the kmeans offset cancels) as
+
+        dot > 0  AND  tau_den^2 * dot^2 >= tau_num^2 * |a|^2 * |b|^2
+
+    — all int64 (|q| <= ~60 at scale=100 over unit-ish 64-dim vectors
+    keeps every product < 2^51), so the keep-set is bit-replayable in SQL.
+    Zero-norm vectors never match anything (dot > 0 is strict).
+
+    Scale shape: the fit broadcasts k*d ints per iteration (kmeans_int);
+    the dedup pass is ONE assignment map_batches emitting (vec_id,
+    cluster, centered vec) and ONE groupby(cluster) shuffle; the
+    in-cluster kernel is an O(m^2 d) integer matmul plus a local
+    union-find where m ~ N/k. SemDeDup's operating contract is that k
+    grows with the corpus so m stays bounded (the paper runs ~50k
+    clusters over LAION); a pathological hot cluster would get the same
+    cap treatment as the LSH buckets. Pairs never cross clusters, so
+    components are cluster-local — no global label propagation round.
+
+    Returns (vec_id, cluster, rep, keep) sorted by vec_id; rep = min
+    vec_id of the duplicate component (rep = vec_id for singletons),
+    keep = 1 iff vec_id == rep."""
+    import pandas as pd
+
+    ds = ds.materialize()  # fit passes + the dedup pass read plasma
+    sl = slice(None, None)
+    c_final, quantize = _kmeans_fit(ds, n_clusters, iters, scale, offset,
+                                    sl)
+    num2 = tau_num * tau_num
+    den2 = tau_den * tau_den
+
+    def assign_vec(batch: pa.Table) -> pa.Table:
         ids, q = quantize(batch)
         d2 = ((q[:, None, :] - c_final[None, :, :]) ** 2).sum(axis=2)
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "cluster": pa.array(d2.argmin(axis=1)
-                                             .astype(np.int64))})
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            "q": pa.array([r.tolist() for r in (q - offset)],
+                          pa.list_(pa.int64())),
+        })
 
-    out = (ds.map_batches(assign_out, batch_format="pyarrow")
+    def in_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        q = np.stack(df["q"].to_numpy()).astype(np.int64)
+        dot = q @ q.T
+        n2 = np.einsum("ij,ij->i", q, q)
+        hit = (dot > 0) & (den2 * dot * dot >= num2 * np.outer(n2, n2))
+        ai, bi = np.nonzero(np.triu(hit, k=1))
+        parent = np.arange(ids.size)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ai.tolist(), bi.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.fromiter((find(i) for i in range(ids.size)),
+                            count=ids.size, dtype=np.int64)
+        rep = ids[roots]  # ids ascending => root index carries min id
+        return pd.DataFrame({"vec_id": ids,
+                             "cluster": df["cluster"].to_numpy(np.int64),
+                             "rep": rep,
+                             "keep": (rep == ids).astype(np.int64)})
+
+    out = (ds.map_batches(assign_vec, batch_format="pyarrow")
+           .groupby("cluster").map_groups(in_cluster,
+                                          batch_format="pandas")
            .to_pandas().sort_values("vec_id").reset_index(drop=True))
-    return pa.table({"vec_id": pa.array(out["vec_id"].astype("int64"),
-                                        pa.int64()),
-                     "cluster": pa.array(out["cluster"].astype("int64"),
-                                         pa.int64())})
+    return pa.table({c: pa.array(out[c].astype("int64"), pa.int64())
+                     for c in ("vec_id", "cluster", "rep", "keep")})
 
 
 def pq_codes(ds, n_sub: int = 2, n_clusters: int = 4, iters: int = 2,

@@ -1786,3 +1786,46 @@ def test_user_overlap_asymmetric_sets(ray_session, tmp_path):
                 f"FROM '{d}/events.parquet'")
     assert con.execute(_USER_OVERLAP_SQL).df().values.tolist() == \
         got.values.tolist()
+
+
+def test_semdedup_components_and_zero_vectors(ray_session):
+    """SemDeDup contract: transitive in-cluster components collapse to the
+    min vec_id (a~b, b~c admits c even though a!~c), singletons survive,
+    and zero-norm vectors never match anything (dot > 0 is strict) —
+    including another zero vector."""
+    import math
+
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import semdedup
+
+    def unit(theta_deg):
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t), 0.0, 0.0]
+
+    vecs = [
+        unit(0),        # 0: chain head
+        unit(45),       # 1: cos(0,45)=.707 >= .5, cos(45,90)=.707
+        unit(90),       # 2: cos(0,90)=0 < .5 — admitted transitively
+        [0.0, 0.0, 1.0, 0.0],   # 3: singleton (orthogonal to the chain
+                                 #    except vec 2's axis? no: dim 2)
+        [0.0, 0.0, 0.0, 0.0],   # 4: zero vector
+        [0.0, 0.0, 0.0, 0.0],   # 5: second zero vector
+    ]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }))
+    out = semdedup(ds, n_clusters=1, iters=1, tau_num=1, tau_den=2
+                   ).to_pandas().set_index("vec_id")
+    # chain 0-1-2 is one component represented by 0; only 0 kept
+    assert out.loc[0, "rep"] == 0 and out.loc[0, "keep"] == 1
+    assert out.loc[1, "rep"] == 0 and out.loc[1, "keep"] == 0
+    assert out.loc[2, "rep"] == 0 and out.loc[2, "keep"] == 0
+    # vec 3 is similar to nothing at tau=1/2 except itself... but vec 2 is
+    # orthogonal and the zero vectors produce dot=0: singleton survives
+    assert out.loc[3, "rep"] == 3 and out.loc[3, "keep"] == 1
+    # both zero vectors survive: cosine undefined => never duplicates
+    assert out.loc[4, "keep"] == 1 and out.loc[5, "keep"] == 1
+    # every row present, reps never exceed their member ids
+    assert len(out) == 6 and (out["rep"] <= out.index).all()
