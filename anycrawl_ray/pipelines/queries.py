@@ -2444,6 +2444,55 @@ FROM l LEFT JOIN cov USING (doc_id) ORDER BY doc_id
 """
 
 
+def docs_dsir_weights(sf_dir: str):
+    """DSIR data-selection importance weights (Xie et al. 2023) over the
+    documents table: hashed-bigram likelihood ratio of the lang='en'
+    target slice vs the raw corpus, Laplace-smoothed, integer-exact
+    (stages/text_analysis.py::dsir_weights). The oracle replays the same
+    token-hash chain, Horner bigram combine, 4096-bucket counts, and
+    HUGEINT ratio arithmetic."""
+    from ..stages.text_analysis import dsir_weights
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return dsir_weights(ds)
+
+
+def _dsir_sql(nb: int = 4096, scale: int = 1_000_000,
+              target: str = "en") -> str:
+    from . import oracle_kernels as _ok
+
+    prime = "1099511628211"
+    return f"""{_ok.U64_PRELUDE}
+WITH {_ok._token_hash_ctes()},
+harr AS (SELECT doc_id, list(h ORDER BY pos) AS hs
+         FROM hm GROUP BY doc_id),
+bg AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(u64add(u64mul(hs[i], {prime}::UBIGINT), hs[i+1])
+              % {nb} AS BIGINT) AS b
+  FROM harr, UNNEST(range(1, len(hs))) AS t(i)),
+cr AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+ctg AS (SELECT b, COUNT(*) AS c FROM bg JOIN documents USING (doc_id)
+        WHERE lang = '{target}' GROUP BY b),
+tr AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cr),
+tt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM ctg),
+lut AS (SELECT cr.b,
+        CAST(CAST({scale} AS HUGEINT) * (COALESCE(ctg.c, 0) + 1)
+             * (tr.t + {nb})
+             // ((cr.c + 1) * (tt.t + {nb})) AS BIGINT) AS s
+        FROM cr LEFT JOIN ctg USING (b), tr, tt),
+dw AS (SELECT doc_id, SUM(s) AS ssum, COUNT(*) AS n
+       FROM bg JOIN lut USING (b) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(ssum // n, 0) AS BIGINT) AS weight_ppm
+FROM documents d LEFT JOIN dw USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def docs_unigram_surprise(sf_dir: str):
     """Corpus-trained unigram LM score per doc (CCNet perplexity-bucket
     shape, integer-exact) — no vocab broadcast: token counts are decided
@@ -5556,6 +5605,7 @@ QUERIES = {
     "events_interarrival": events_interarrival,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_unigram_surprise": docs_unigram_surprise,
+    "docs_dsir_weights": docs_dsir_weights,
     "docs_quality_rules": docs_quality_rules,
     "q5_local_supplier": q5_local_supplier,
     "embeddings_knn_graph": embeddings_knn_graph,
@@ -5692,6 +5742,7 @@ ORACLE_SQL = {
     "events_interarrival": _INTERARRIVAL_SQL,
     "docs_substring_dedup": _SUBSTRING_DEDUP_SQL,
     "docs_unigram_surprise": _UNIGRAM_SURPRISE_SQL,
+    "docs_dsir_weights": _dsir_sql(),
     "docs_quality_rules": _QUALITY_RULES_SQL,
     "q5_local_supplier": _Q5_SQL,
     "embeddings_knn_graph": _KNN_GRAPH_SQL,

@@ -686,6 +686,98 @@ def quality_rules_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def dsir_weights(ds, target_langs: tuple[str, ...] = ("en",),
+                 n_buckets: int = 4096, scale: int = 1_000_000,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 lang_col: str = "lang") -> pa.Table:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every document by the likelihood ratio of its hashed-bigram features
+    under a target distribution vs the raw corpus — the data-selection
+    weight that upsamples target-like text. Target here = the corpus's
+    ``target_langs`` slice (DSIR's target is any trusted subset).
+
+    Integer-exact variant: per-bucket score
+    ``s(b) = scale*(ct+1)*(Tr+B) // ((cr+1)*(Tt+B))`` (Laplace-smoothed
+    count ratio; ct/cr = target/raw bucket counts, Tt/Tr their totals,
+    B = n_buckets) and per-doc weight = mean bucket score
+    ``sum(s) // n_grams`` — Python-int exact, so the whole weight table
+    replays in SQL (float log-ratios would drift between libm builds).
+    target ⊆ raw keeps every score <= scale * Tr/Tt, far inside int64.
+
+    Features are DSIR's hashed bigrams: consecutive token-hash pairs
+    Horner-combined (``h[i]*FNV_PRIME + h[i+1]``, the shingle kernel with
+    k=2) mod a FIXED n_buckets. Scale shape: the feature table is
+    O(n_buckets) by construction, so pass 1 emits one (raw, tgt) count
+    array per batch and reduces driver-side (the sketch-combine shape —
+    #blocks * 32 KiB, never corpus-sized), the LUT broadcast is 32 KiB,
+    and pass 2 is pure map-side. Docs with < 2 tokens get weight 0.
+
+    Returns (doc_id, n_grams, weight_ppm) sorted by doc_id."""
+    prime = np.uint64(1099511628211)
+    nb = n_buckets
+    tset = set(target_langs)
+
+    def bigram_buckets(text: str) -> np.ndarray:
+        th = token_hashes(text)
+        if th.size < 2:
+            return np.empty(0, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            bg = th[:-1] * prime + th[1:]
+        return (bg % np.uint64(nb)).astype(np.int64)
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        raw = np.zeros(nb, dtype=np.int64)
+        tgt = np.zeros(nb, dtype=np.int64)
+        for t, lg in zip(batch.column(text_col).to_pylist(),
+                         batch.column(lang_col).to_pylist()):
+            b = bigram_buckets(t)
+            if b.size == 0:
+                continue
+            cnt = np.bincount(b, minlength=nb)
+            raw += cnt
+            if lg in tset:
+                tgt += cnt
+        return pa.table({"raw": pa.array([raw.tolist()],
+                                         pa.list_(pa.int64())),
+                         "tgt": pa.array([tgt.tolist()],
+                                         pa.list_(pa.int64()))})
+
+    parts = (ds.map_batches(count_partials, batch_format="pyarrow")
+             .to_pandas())
+    raw = np.sum(np.stack(parts["raw"].to_numpy()), axis=0,
+                 dtype=np.int64) if len(parts) else np.zeros(nb, np.int64)
+    tgt = np.sum(np.stack(parts["tgt"].to_numpy()), axis=0,
+                 dtype=np.int64) if len(parts) else np.zeros(nb, np.int64)
+    tr, tt = int(raw.sum()), int(tgt.sum())
+    lut = np.fromiter(
+        ((scale * (int(ct) + 1) * (tr + nb))
+         // ((int(cr) + 1) * (tt + nb))
+         for cr, ct in zip(raw.tolist(), tgt.tolist())),
+        count=nb, dtype=np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        n_out = np.empty(len(ids), dtype=np.int64)
+        w_out = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            b = bigram_buckets(t)
+            n_out[i] = b.size
+            w_out[i] = int(lut[b].sum()) // b.size if b.size else 0
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(n_out, pa.int64()),
+                         "weight_ppm": pa.array(w_out, pa.int64())})
+
+    out = (ds.map_batches(score, batch_format="pyarrow")
+           .to_pandas().sort_values(id_col).reset_index(drop=True))
+    return pa.table({id_col: pa.array(out[id_col].astype("int64"),
+                                      pa.int64()),
+                     "n_grams": pa.array(out["n_grams"].to_numpy(np.int64),
+                                         pa.int64()),
+                     "weight_ppm": pa.array(out["weight_ppm"]
+                                            .to_numpy(np.int64),
+                                            pa.int64())})
+
+
 def cooccurrence_pmi(ds, max_tokens: int = 32, min_cooc: int = 3,
                      top_k: int = 50, id_col: str = "doc_id",
                      text_col: str = "text", n_buckets: int | None = None,

@@ -1829,3 +1829,43 @@ def test_semdedup_components_and_zero_vectors(ray_session):
     assert out.loc[4, "keep"] == 1 and out.loc[5, "keep"] == 1
     # every row present, reps never exceed their member ids
     assert len(out) == 6 and (out["rep"] <= out.index).all()
+
+
+def test_dsir_weights_upsample_target_like_docs(ray_session, tmp_path):
+    """DSIR contract: documents whose bigrams look like the target slice
+    score above raw-corpus-typical documents; < 2-token docs weigh 0; and
+    the integer arithmetic replays in DuckDB."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from anycrawl_ray.pipelines.queries import _dsir_sql, docs_dsir_weights
+
+    rows = []
+    for i in range(20):          # target slice: distinctive vocabulary
+        rows.append((i, "alpha beta gamma delta alpha beta", "en"))
+    for i in range(20, 40):      # background: different vocabulary
+        rows.append((i, "zeta eta theta iota zeta eta", "fr"))
+    rows.append((40, "alpha beta gamma delta", "fr"))  # en-like non-en doc
+    rows.append((41, "solo", "fr"))                    # 1 token -> 0 grams
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array([r[2] for r in rows]),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(t, d / "documents.parquet")
+    got = docs_dsir_weights(str(d)).to_pandas().set_index("doc_id")
+    # the en-like fr doc scores with the target, far above background fr
+    assert got.loc[40, "weight_ppm"] > got.loc[20, "weight_ppm"]
+    assert got.loc[0, "weight_ppm"] > got.loc[20, "weight_ppm"]
+    assert got.loc[41, "n_grams"] == 0 and got.loc[41, "weight_ppm"] == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{d}/documents.parquet'")
+    want = con.execute(_dsir_sql()).df()
+    assert want.values.tolist() == got.reset_index().values.tolist()
