@@ -2444,6 +2444,77 @@ FROM l LEFT JOIN cov USING (doc_id) ORDER BY doc_id
 """
 
 
+_BPE_MERGES = 3
+
+
+def docs_bpe_merge_train(sf_dir: str):
+    """BPE merge training (Sennrich et al. 2016): 3 rounds of corpus-wide
+    top-adjacent-pair selection + greedy non-overlapping rewrite over the
+    token-hash symbol stream (stages/text_analysis.py::bpe_merges). The
+    oracle unrolls each round as CTEs: pair counts with (c DESC, p1, p2)
+    argmax, then the greedy rewrite via the run-parity closed form
+    ((i - run_start) % 2 = 0 over consecutive match positions)."""
+    from ..stages.text_analysis import bpe_merges
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bpe_merges(ds, n_merges=_BPE_MERGES)
+
+
+def _bpe_train_sql(n_merges: int = _BPE_MERGES) -> str:
+    from . import oracle_kernels as _ok
+
+    prime = "1099511628211"
+    ctes = [f"""seq0 AS MATERIALIZED (
+  SELECT doc_id, list(h ORDER BY pos) AS hs FROM hm GROUP BY doc_id)"""]
+    for r in range(1, n_merges + 1):
+        prev = f"seq{r - 1}"
+        ctes.append(f"""pc{r} AS (
+  SELECT hs[i] AS p1, hs[i+1] AS p2, COUNT(*) AS c
+  FROM {prev}, UNNEST(range(1, len(hs))) AS t(i)
+  GROUP BY 1, 2),
+best{r} AS MATERIALIZED (
+  SELECT p1, p2, c, u64add(u64mul(p1, {prime}::UBIGINT), p2) AS m
+  FROM pc{r} ORDER BY c DESC, p1, p2 LIMIT 1),
+mt{r} AS (
+  SELECT s.doc_id, i
+  FROM {prev} s, best{r} b, UNNEST(range(1, len(s.hs))) AS t(i)
+  WHERE s.hs[i] = b.p1 AND s.hs[i+1] = b.p2),
+kp{r} AS MATERIALIZED (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           MIN(i) OVER (PARTITION BY doc_id, i - rn) AS run_start
+    FROM (SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY i) AS rn
+          FROM mt{r}))
+  WHERE (i - run_start) % 2 = 0),
+exp{r} AS (
+  SELECT s.doc_id, u.j, s.hs[u.j] AS sym
+  FROM {prev} s, UNNEST(range(1, len(s.hs) + 1)) AS u(j)),
+seq{r} AS MATERIALIZED (
+  SELECT e.doc_id,
+         list(CASE WHEN k.i IS NOT NULL THEN b.m ELSE e.sym END
+              ORDER BY e.j) AS hs
+  FROM exp{r} e
+  CROSS JOIN best{r} b
+  LEFT JOIN kp{r} k ON k.doc_id = e.doc_id AND k.i = e.j
+  LEFT JOIN kp{r} k2 ON k2.doc_id = e.doc_id AND k2.i = e.j - 1
+  WHERE k2.i IS NULL
+  GROUP BY e.doc_id)""")
+    chain = ",\n".join(ctes)
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, p1, p2, m AS merged, "
+        f"CAST(c AS BIGINT) AS cnt FROM best{r}"
+        for r in range(1, n_merges + 1))
+    return f"""{_ok.U64_PRELUDE}
+WITH {_ok._token_hash_ctes()},
+{chain}
+SELECT * FROM ({sel}) ORDER BY round
+"""
+
+
 def docs_dsir_weights(sf_dir: str):
     """DSIR data-selection importance weights (Xie et al. 2023) over the
     documents table: hashed-bigram likelihood ratio of the lang='en'
@@ -5606,6 +5677,7 @@ QUERIES = {
     "docs_substring_dedup": docs_substring_dedup,
     "docs_unigram_surprise": docs_unigram_surprise,
     "docs_dsir_weights": docs_dsir_weights,
+    "docs_bpe_merge_train": docs_bpe_merge_train,
     "docs_quality_rules": docs_quality_rules,
     "q5_local_supplier": q5_local_supplier,
     "embeddings_knn_graph": embeddings_knn_graph,
@@ -5743,6 +5815,7 @@ ORACLE_SQL = {
     "docs_substring_dedup": _SUBSTRING_DEDUP_SQL,
     "docs_unigram_surprise": _UNIGRAM_SURPRISE_SQL,
     "docs_dsir_weights": _dsir_sql(),
+    "docs_bpe_merge_train": _bpe_train_sql(),
     "docs_quality_rules": _QUALITY_RULES_SQL,
     "q5_local_supplier": _Q5_SQL,
     "embeddings_knn_graph": _KNN_GRAPH_SQL,

@@ -686,6 +686,140 @@ def quality_rules_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def _greedy_merge_positions(idx: np.ndarray) -> np.ndarray:
+    """Greedy left-to-right non-overlapping match selection over sorted
+    match positions: within each maximal run of CONSECUTIVE positions,
+    every other one is kept (a kept match at i consumes i+1, so the run's
+    parity decides) — the closed form of the sequential scan, and exactly
+    what a (i - run_start) % 2 = 0 filter computes in SQL."""
+    if idx.size == 0:
+        return idx
+    starts = np.concatenate(([True], np.diff(idx) > 1))
+    run_start = idx[starts][np.cumsum(starts) - 1]
+    return idx[((idx - run_start) % 2) == 0]
+
+
+def bpe_merges(ds, n_merges: int = 3, n_buckets: int = 64,
+               id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """BPE merge training (Sennrich et al. 2016 top-pair recurrence) over
+    the corpus token stream: each round counts all adjacent symbol pairs
+    (overlapping occurrences included, the classic Counter-over-zip), the
+    winner is the (count DESC, p1 ASC, p2 ASC) argmax, and every sequence
+    rewrites by greedy left-to-right non-overlapping replacement of the
+    winning pair with a fresh symbol ``p1*FNV_PRIME + p2`` (uint64 wrap —
+    the shingle Horner combine, so the merge table is SQL-replayable).
+
+    Scale shape per round: ONE map_batches emits per-batch deduplicated
+    (p1, p2, count) partials bucketed by a pair hash, an n_buckets-group
+    kernel sums and keeps its local argmax, and the driver reduces
+    n_buckets candidate rows — the global pair-count table never
+    materializes anywhere. The rewrite is map-side with the winner
+    broadcast. Rounds iterate on a materialized symbol-sequence dataset
+    (same convention as kmeans_int's fit passes).
+
+    Stops early if no adjacent pair exists. Returns the merge table
+    (round, p1, p2, merged, cnt) — k rows, sorted by round."""
+    import pandas as pd
+
+    prime = np.uint64(1099511628211)
+    nb = n_buckets
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [token_hashes(t).tolist()
+              for t in batch.column(text_col).to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hs": pa.array(hs, pa.list_(pa.uint64()))})
+
+    seq = ds.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        p1s, p2s = [], []
+        for hs in batch.column("hs").to_pylist():
+            if len(hs) >= 2:
+                h = np.asarray(hs, dtype=np.uint64)
+                p1s.append(h[:-1])
+                p2s.append(h[1:])
+        if not p1s:
+            u = pa.array([], pa.uint64())
+            z = pa.array([], pa.int64())
+            return pa.table({"p1": u, "p2": u, "c": z, "_kb": z})
+        p1 = np.concatenate(p1s)
+        p2 = np.concatenate(p2s)
+        order = np.lexsort((p2, p1))
+        p1, p2 = p1[order], p2[order]
+        b = np.concatenate(([True],
+                            (p1[1:] != p1[:-1]) | (p2[1:] != p2[:-1])))
+        idx = np.flatnonzero(b)
+        c = np.diff(np.append(idx, p1.size)).astype(np.int64)
+        p1u, p2u = p1[idx], p2[idx]
+        kb = (_mix64_np(p1u ^ _mix64_np(p2u)) % np.uint64(nb)
+              ).astype(np.int64)
+        return pa.table({"p1": pa.array(p1u, pa.uint64()),
+                         "p2": pa.array(p2u, pa.uint64()),
+                         "c": pa.array(c, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_best(df: pd.DataFrame) -> pd.DataFrame:
+        p1 = df["p1"].to_numpy(dtype=np.uint64)
+        p2 = df["p2"].to_numpy(dtype=np.uint64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        order = np.lexsort((p2, p1))
+        p1, p2, c = p1[order], p2[order], c[order]
+        b = np.concatenate(([True],
+                            (p1[1:] != p1[:-1]) | (p2[1:] != p2[:-1])))
+        idx = np.flatnonzero(b)
+        cs = np.add.reduceat(c, idx).astype(np.int64)
+        p1u, p2u = p1[idx], p2[idx]
+        best = np.lexsort((p2u, p1u, -cs))[0]
+        return pd.DataFrame({"p1": [p1u[best]], "p2": [p2u[best]],
+                             "c": [cs[best]]})
+
+    merges: list[tuple[int, int, int, int, int]] = []
+    for r in range(1, n_merges + 1):
+        cand = (seq.map_batches(pair_partials, batch_format="pyarrow")
+                .groupby("_kb").map_groups(bucket_best,
+                                           batch_format="pandas")
+                .to_pandas())
+        if len(cand) == 0:
+            break
+        cand = cand.sort_values(
+            ["c", "p1", "p2"], ascending=[False, True, True])
+        p1 = np.uint64(cand["p1"].iloc[0])
+        p2 = np.uint64(cand["p2"].iloc[0])
+        cnt = int(cand["c"].iloc[0])
+        with np.errstate(over="ignore"):
+            merged = np.uint64(p1 * prime + p2)
+        merges.append((r, int(p1), int(p2), int(merged), cnt))
+
+        def rewrite(batch: pa.Table, a=p1, b=p2, m=merged) -> pa.Table:
+            out = []
+            for hs in batch.column("hs").to_pylist():
+                h = np.asarray(hs, dtype=np.uint64)
+                if h.size >= 2:
+                    hit = (h[:-1] == a) & (h[1:] == b)
+                    kept = _greedy_merge_positions(np.flatnonzero(hit))
+                    if kept.size:
+                        h = h.copy()
+                        h[kept] = m
+                        drop = np.zeros(h.size, dtype=bool)
+                        drop[kept + 1] = True
+                        h = h[~drop]
+                out.append(h.tolist())
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "hs": pa.array(out, pa.list_(pa.uint64()))})
+
+        seq = seq.map_batches(rewrite, batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "round": pa.array([m[0] for m in merges], pa.int64()),
+        "p1": pa.array([m[1] for m in merges], pa.uint64()),
+        "p2": pa.array([m[2] for m in merges], pa.uint64()),
+        "merged": pa.array([m[3] for m in merges], pa.uint64()),
+        "cnt": pa.array([m[4] for m in merges], pa.int64()),
+    })
+
+
 def dsir_weights(ds, target_langs: tuple[str, ...] = ("en",),
                  n_buckets: int = 4096, scale: int = 1_000_000,
                  id_col: str = "doc_id", text_col: str = "text",

@@ -1869,3 +1869,36 @@ def test_dsir_weights_upsample_target_like_docs(ray_session, tmp_path):
                 f"FROM '{d}/documents.parquet'")
     want = con.execute(_dsir_sql()).df()
     assert want.values.tolist() == got.reset_index().values.tolist()
+
+
+def test_bpe_merges_cascade_and_overlap(ray_session):
+    """BPE training contract: round 1 merges the top pair (overlapping
+    occurrences counted, greedy application), and round 2 can merge a
+    symbol MADE in round 1 (the cascade that makes it BPE rather than
+    one-shot pair counting)."""
+    import numpy as np
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import bpe_merges, token_hashes
+
+    # 'a a' dominates round 1 (4 overlapping occurrences across docs);
+    # after merging, '<aa> b' dominates round 2
+    docs = ["a a a b", "a a b x", "y a a b"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    }))
+    out = bpe_merges(ds, n_merges=2).to_pandas()
+    ha, hb = (int(token_hashes("a")[0]), int(token_hashes("b")[0]))
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        haa = int(np.uint64(ha) * prime + np.uint64(hb - hb + ha))
+    assert [int(out.loc[0, "p1"]), int(out.loc[0, "p2"])] == [ha, ha]
+    assert int(out.loc[0, "cnt"]) == 4  # overlapping pairs all counted
+    assert int(out.loc[0, "merged"]) == haa
+    # round 2: the fresh <aa> symbol followed by b (3 occurrences: the
+    # greedy rewrite leaves 'a a a b' as '<aa> a b'... so '<aa> b' appears
+    # in docs 1 and 2 only; 'a b' also appears twice (docs 0 rewritten +
+    # nowhere else) — tie broken by symbol order
+    assert int(out.loc[1, "p1"]) in (haa, ha)
+    assert len(out) == 2 and out["round"].tolist() == [1, 2]

@@ -307,3 +307,20 @@ def test_band_explode_pigeonhole_guarantee(sig, flip_bits):
     keys_a = set(map(tuple, df[df["doc_id"] == 0][["band_id", "band_key"]].values))
     keys_b = set(map(tuple, df[df["doc_id"] == 1][["band_id", "band_key"]].values))
     assert keys_a & keys_b  # pigeonhole: <=3 flipped bits, 4 bands
+
+
+@settings(max_examples=200)
+@given(st.lists(st.booleans(), max_size=40))
+def test_greedy_merge_positions_match_sequential_scan(mask):
+    """The run-parity closed form equals the sequential greedy scan."""
+    import numpy as np
+
+    from anycrawl_ray.stages.text_analysis import _greedy_merge_positions
+
+    idx = np.flatnonzero(np.asarray(mask, dtype=bool))
+    kept, last = [], -2
+    for i in idx.tolist():
+        if i > last + 1:
+            kept.append(i)
+            last = i
+    assert _greedy_merge_positions(idx).tolist() == kept
