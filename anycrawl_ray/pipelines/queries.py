@@ -2462,9 +2462,53 @@ def docs_bpe_merge_train(sf_dir: str):
     return bpe_merges(ds, n_merges=_BPE_MERGES)
 
 
+def docs_bpe_token_counts(sf_dir: str):
+    """BPE compression view: apply the 3 learned merges to the corpus
+    itself and report per-doc token counts before/after
+    (stages/text_analysis.py::bpe_token_counts — shared training loop
+    with docs_bpe_merge_train). Oracle = the same unrolled CTE chain,
+    reading lengths off seq0 / seq3."""
+    from ..stages.text_analysis import bpe_token_counts
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bpe_token_counts(ds, n_merges=_BPE_MERGES)
+
+
+def _bpe_counts_sql(n_merges: int = _BPE_MERGES) -> str:
+    from . import oracle_kernels as _ok
+
+    chain = _bpe_round_ctes(n_merges)
+    return f"""{_ok.U64_PRELUDE}
+WITH {_ok._token_hash_ctes()},
+{chain}
+SELECT d.doc_id,
+       CAST(COALESCE(len(s0.hs), 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(len(sk.hs), 0) AS BIGINT) AS n_after
+FROM documents d
+LEFT JOIN seq0 s0 USING (doc_id)
+LEFT JOIN seq{n_merges} sk USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _bpe_train_sql(n_merges: int = _BPE_MERGES) -> str:
     from . import oracle_kernels as _ok
 
+    chain = _bpe_round_ctes(n_merges)
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, p1, p2, m AS merged, "
+        f"CAST(c AS BIGINT) AS cnt FROM best{r}"
+        for r in range(1, n_merges + 1))
+    return f"""{_ok.U64_PRELUDE}
+WITH {_ok._token_hash_ctes()},
+{chain}
+SELECT * FROM ({sel}) ORDER BY round
+"""
+
+
+def _bpe_round_ctes(n_merges: int = _BPE_MERGES) -> str:
     prime = "1099511628211"
     ctes = [f"""seq0 AS MATERIALIZED (
   SELECT doc_id, list(h ORDER BY pos) AS hs FROM hm GROUP BY doc_id)"""]
@@ -2503,16 +2547,7 @@ seq{r} AS MATERIALIZED (
   LEFT JOIN kp{r} k2 ON k2.doc_id = e.doc_id AND k2.i = e.j - 1
   WHERE k2.i IS NULL
   GROUP BY e.doc_id)""")
-    chain = ",\n".join(ctes)
-    sel = "\nUNION ALL ".join(
-        f"SELECT {r} AS round, p1, p2, m AS merged, "
-        f"CAST(c AS BIGINT) AS cnt FROM best{r}"
-        for r in range(1, n_merges + 1))
-    return f"""{_ok.U64_PRELUDE}
-WITH {_ok._token_hash_ctes()},
-{chain}
-SELECT * FROM ({sel}) ORDER BY round
-"""
+    return ",\n".join(ctes)
 
 
 def docs_dsir_weights(sf_dir: str):
@@ -5678,6 +5713,7 @@ QUERIES = {
     "docs_unigram_surprise": docs_unigram_surprise,
     "docs_dsir_weights": docs_dsir_weights,
     "docs_bpe_merge_train": docs_bpe_merge_train,
+    "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_quality_rules": docs_quality_rules,
     "q5_local_supplier": q5_local_supplier,
     "embeddings_knn_graph": embeddings_knn_graph,
@@ -5816,6 +5852,7 @@ ORACLE_SQL = {
     "docs_unigram_surprise": _UNIGRAM_SURPRISE_SQL,
     "docs_dsir_weights": _dsir_sql(),
     "docs_bpe_merge_train": _bpe_train_sql(),
+    "docs_bpe_token_counts": _bpe_counts_sql(),
     "docs_quality_rules": _QUALITY_RULES_SQL,
     "q5_local_supplier": _Q5_SQL,
     "embeddings_knn_graph": _KNN_GRAPH_SQL,

@@ -719,19 +719,63 @@ def bpe_merges(ds, n_merges: int = 3, n_buckets: int = 64,
 
     Stops early if no adjacent pair exists. Returns the merge table
     (round, p1, p2, merged, cnt) — k rows, sorted by round."""
-    import pandas as pd
+    merges, _ = _bpe_train_loop(_bpe_seed(ds, id_col, text_col),
+                                n_merges, n_buckets)
+    return pa.table({
+        "round": pa.array([m[0] for m in merges], pa.int64()),
+        "p1": pa.array([m[1] for m in merges], pa.uint64()),
+        "p2": pa.array([m[2] for m in merges], pa.uint64()),
+        "merged": pa.array([m[3] for m in merges], pa.uint64()),
+        "cnt": pa.array([m[4] for m in merges], pa.int64()),
+    })
 
-    prime = np.uint64(1099511628211)
-    nb = n_buckets
 
+def bpe_token_counts(ds, n_merges: int = 3, n_buckets: int = 64,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> pa.Table:
+    """Apply ``n_merges`` rounds of BPE training to the corpus itself and
+    report per-document token counts before/after — the compression view
+    a tokenizer owner monitors (merge quality = corpus length shrink).
+    Same training recurrence as bpe_merges (shared loop); the before
+    count rides the sequence rows so no join is needed. Returns (doc_id,
+    n_before, n_after) sorted by doc_id."""
+    _, seq = _bpe_train_loop(_bpe_seed(ds, id_col, text_col),
+                             n_merges, n_buckets)
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        hs = batch.column("hs")
+        n_after = pc.list_value_length(hs).cast(pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_before": batch.column("n0"),
+                         "n_after": n_after})
+
+    out = (seq.map_batches(lengths, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({c: pa.array(out[c].to_numpy(np.int64), pa.int64())
+                     for c in ("doc_id", "n_before", "n_after")})
+
+
+def _bpe_seed(ds, id_col: str, text_col: str):
     def seed(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         hs = [token_hashes(t).tolist()
               for t in batch.column(text_col).to_pylist()]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "hs": pa.array(hs, pa.list_(pa.uint64()))})
+                         "hs": pa.array(hs, pa.list_(pa.uint64())),
+                         "n0": pa.array([len(h) for h in hs],
+                                        pa.int64())})
 
-    seq = ds.map_batches(seed, batch_format="pyarrow").materialize()
+    return ds.map_batches(seed, batch_format="pyarrow").materialize()
+
+
+def _bpe_train_loop(seq, n_merges: int, n_buckets: int):
+    """The shared bpe_merges/bpe_token_counts round loop over a seeded
+    (doc_id, hs, n0) sequence dataset. Returns (merge tuples, final
+    sequence dataset)."""
+    import pandas as pd
+
+    prime = np.uint64(1099511628211)
+    nb = n_buckets
 
     def pair_partials(batch: pa.Table) -> pa.Table:
         p1s, p2s = [], []
@@ -807,17 +851,12 @@ def bpe_merges(ds, n_merges: int = 3, n_buckets: int = 64,
                         h = h[~drop]
                 out.append(h.tolist())
             return pa.table({"doc_id": batch.column("doc_id"),
-                             "hs": pa.array(out, pa.list_(pa.uint64()))})
+                             "hs": pa.array(out, pa.list_(pa.uint64())),
+                             "n0": batch.column("n0")})
 
         seq = seq.map_batches(rewrite, batch_format="pyarrow").materialize()
 
-    return pa.table({
-        "round": pa.array([m[0] for m in merges], pa.int64()),
-        "p1": pa.array([m[1] for m in merges], pa.uint64()),
-        "p2": pa.array([m[2] for m in merges], pa.uint64()),
-        "merged": pa.array([m[3] for m in merges], pa.uint64()),
-        "cnt": pa.array([m[4] for m in merges], pa.int64()),
-    })
+    return merges, seq
 
 
 def dsir_weights(ds, target_langs: tuple[str, ...] = ("en",),

@@ -173,6 +173,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("docs_link_triangles", Q.docs_link_triangles)
     timed("docs_cooccurrence_pmi", Q.docs_cooccurrence_pmi)
     timed("embeddings_kmeans", Q.embeddings_kmeans)
+    timed("embeddings_semdedup", Q.embeddings_semdedup)
+    timed("docs_dsir_weights", Q.docs_dsir_weights)
+    timed("docs_bpe_merge_train", Q.docs_bpe_merge_train)
 
     # exact all-pairs n-gram Jaccard is the documented verification-corpus
     # tool (O(sum df^2): nearly every doc pair on this tiny-vocab corpus
