@@ -5645,6 +5645,103 @@ ORDER BY vec_id
 """
 
 
+
+_N_SESSION_WINDOWS = 12
+
+
+def events_session_windows(sf_dir: str):
+    """Interval OVERLAP join: 30-min gap sessions (closed [first, last]
+    ts intervals) against 12 deterministic analysis windows derived from
+    the event-time span — per window: overlapping sessions, distinct
+    users, covered events (stages/window.py::session_window_overlap; one
+    fat-bucket shuffle, windows broadcast map-side). Exact SQL oracle
+    (window functions + non-equi LEFT JOIN)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.window import session_window_overlap
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    mm = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]) \
+        .map_batches(lambda b: pa.table(
+            {"t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
+                          pa.int64())}), batch_format="pyarrow") \
+        .aggregate(Min("t"), Max("t"))
+    tmin, tmax = int(mm["min(t)"]), int(mm["max(t)"])
+    span = tmax - tmin
+    k = _N_SESSION_WINDOWS
+    i = np.arange(k, dtype=np.int64)
+    windows = pa.table({"window_id": pa.array(i, pa.int64()),
+                        "ws_us": pa.array(tmin + i * span // k, pa.int64()),
+                        "we_us": pa.array(tmin + i * span // k + span // 8,
+                                          pa.int64())})
+    return session_window_overlap(ev, windows)
+
+
+_SESSION_WINDOWS_SQL = f"""
+WITH b AS (SELECT epoch_us(MIN(ts)) AS tmin,
+                  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span FROM events),
+w AS (SELECT i AS window_id,
+             tmin + i * span // {_N_SESSION_WINDOWS} AS ws_us,
+             tmin + i * span // {_N_SESSION_WINDOWS} + span // 8 AS we_us
+      FROM b, UNNEST(range(0, {_N_SESSION_WINDOWS})) AS u(i)),
+marked AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER win > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+numbered AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+sess AS (SELECT user_id, sid, MIN(t) AS s, MAX(t) AS e, COUNT(*) AS n
+         FROM numbered GROUP BY user_id, sid)
+SELECT w.window_id, w.ws_us, w.we_us,
+       CAST(COUNT(sess.user_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT sess.user_id) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(sess.n), 0) AS BIGINT) AS n_events
+FROM w LEFT JOIN sess ON sess.s <= w.we_us AND sess.e >= w.ws_us
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def events_gap_fill(sf_dir: str):
+    """Sparse -> dense time-series regularization: per-user hourly grid
+    over [first, last] event hour, last-observation-carried-forward
+    values, folded to (n_hours, locf_sum) per user WITHOUT materializing
+    the grid (entry weight = hours until the next observation;
+    stages/window.py::locf_hourly). Oracle materializes the grid with
+    generate_series + ASOF JOIN — same fold, independent plan."""
+    from ..stages.window import locf_hourly
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return locf_hourly(ev)
+
+
+_GAP_FILL_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+                  CAST(round_even(value * 10000, 0) AS BIGINT) AS v,
+                  epoch_us(ts) AS t, event_id
+           FROM events),
+hv AS (SELECT user_id, h, v FROM e
+       QUALIFY row_number() OVER (PARTITION BY user_id, h
+                                  ORDER BY t DESC, event_id DESC) = 1),
+bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e
+           GROUP BY user_id),
+grid AS (SELECT user_id, UNNEST(range(h0, h1 + 1)) AS h FROM bounds),
+filled AS (SELECT g.user_id AS user_id, hv.v AS v
+           FROM grid g ASOF JOIN hv
+           ON g.user_id = hv.user_id AND g.h >= hv.h)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(v) AS BIGINT) AS locf_sum
+FROM filled GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -5653,6 +5750,8 @@ QUERIES = {
     "top_users_by_value": top_users_by_value,
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
+    "events_session_windows": events_session_windows,
+    "events_gap_fill": events_gap_fill,
     "orderkey_union_count": orderkey_union_count,
     "docs_llm_extract": docs_llm_extract,
     "docs_llm_extract_schema": docs_llm_extract_schema,
@@ -5768,6 +5867,8 @@ ORACLE_SQL = {
     "top_users_by_value": _TOP_USERS_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sliding": _EVENTS_SLIDING_SQL,
+    "events_session_windows": _SESSION_WINDOWS_SQL,
+    "events_gap_fill": _GAP_FILL_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,
     "top_events_per_type": _TOP_EVENTS_SQL,
     "events_distinct_users": _DISTINCT_USERS_SQL,

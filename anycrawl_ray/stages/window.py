@@ -788,3 +788,187 @@ def transition_matrix(ds, key: str = "user_id", ts_col: str = "ts",
                      "next_type": pa.array(fin["next_type"], pa.string()),
                      "cnt": pa.array(fin["cnt"].astype("int64"),
                                      pa.int64())})
+
+
+def _epoch_us(ts) -> np.ndarray:
+    """Timestamp column -> int64 epoch microseconds, honoring the column's
+    native tick unit (plain int64 columns pass through unchanged)."""
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    t = np.asarray(ts.cast(pa.int64()), dtype=np.int64)
+    if isinstance(ts.type, pa.TimestampType):
+        unit = ts.type.unit
+        if unit == "ns":
+            t = t // 1_000
+        elif unit == "ms":
+            t = t * 1_000
+        elif unit == "s":
+            t = t * 1_000_000
+    return t
+
+
+def session_window_overlap(ds, windows: pa.Table, key: str = "user_id",
+                           ts_col: str = "ts",
+                           gap_us: int = 1_800_000_000,
+                           n_buckets: int | None = None) -> pa.Table:
+    """Interval OVERLAP join: gap-based per-key session intervals
+    (closed [first_ts, last_ts]) against a small table of analysis
+    windows (closed [ws_us, we_us]) — sessions and windows overlap iff
+    ``s <= we AND e >= ws``. The reference class is campaign/window
+    attribution over sessionized streams; Ray Data has no interval
+    join, so this composes the engine's keyed-window machinery with a
+    broadcast small side.
+
+    Scale shape: ONE fat-bucket shuffle sessionizes every key (keys hash
+    into ``mix64 % nb`` groups, sessions fall out of one lexsort + gap
+    boundaries per bucket, all-numpy); the window table is tiny BY
+    CONSTRUCTION (an analyst's window list), so the overlap test is a
+    map-side broadcast — each bucket emits one partial row per window
+    (n_sessions / n_events / n_users). Keys are partitioned across
+    buckets, so bucket-local distinct users are globally distinct and
+    the driver folds nb x |windows| partial rows, never sessions.
+    Windows with no overlapping sessions still appear (zero counts)."""
+    nb = n_buckets or _default_buckets()
+    wid = np.asarray(windows.column("window_id"), dtype=np.int64)
+    ws = np.asarray(windows.column("ws_us"), dtype=np.int64)
+    we = np.asarray(windows.column("we_us"), dtype=np.int64)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out = pa.table({key: batch.column(key),
+                        "t_us": pa.array(_epoch_us(batch.column(ts_col)),
+                                         pa.int64())})
+        return _bucket_col(out, key, nb)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[key].to_numpy(dtype=np.int64)
+        t = group["t_us"].to_numpy(dtype=np.int64)
+        if u.size == 0:
+            return pd.DataFrame({"window_id": np.empty(0, np.int64),
+                                 "n_sessions": np.empty(0, np.int64),
+                                 "n_users": np.empty(0, np.int64),
+                                 "n_events": np.empty(0, np.int64)})
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        new_key = np.concatenate(([True], u[1:] != u[:-1]))
+        gap_brk = np.concatenate(([False], (t[1:] - t[:-1]) > gap_us))
+        start = new_key | gap_brk
+        idx = np.flatnonzero(start)
+        ends = np.append(idx[1:], u.size) - 1
+        su, ss, se = u[idx], t[idx], t[ends]
+        sn = np.diff(np.append(idx, u.size)).astype(np.int64)
+        n_sess = np.empty(wid.size, np.int64)
+        n_ev = np.empty(wid.size, np.int64)
+        n_usr = np.empty(wid.size, np.int64)
+        for k in range(wid.size):  # |windows| is tiny by construction
+            m = (ss <= we[k]) & (se >= ws[k])
+            n_sess[k] = int(np.count_nonzero(m))
+            n_ev[k] = int(sn[m].sum())
+            n_usr[k] = int(np.unique(su[m]).size)
+        return pd.DataFrame({"window_id": wid, "n_sessions": n_sess,
+                             "n_users": n_usr, "n_events": n_ev})
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        fin = pd.DataFrame({"window_id": wid,
+                            "n_sessions": np.zeros(wid.size, np.int64),
+                            "n_users": np.zeros(wid.size, np.int64),
+                            "n_events": np.zeros(wid.size, np.int64)})
+    else:
+        fin = (parts.groupby("window_id", as_index=False).sum()
+               .set_index("window_id")
+               .reindex(wid, fill_value=0).reset_index())
+    fin = fin.sort_values("window_id").reset_index(drop=True)
+    wo = np.argsort(wid)  # fin is reindexed over wid then id-sorted,
+    # so its rows align with wid[wo] / ws[wo] / we[wo]
+    return pa.table({
+        "window_id": pa.array(fin["window_id"].astype("int64"), pa.int64()),
+        "ws_us": pa.array(ws[wo], pa.int64()),
+        "we_us": pa.array(we[wo], pa.int64()),
+        "n_sessions": pa.array(fin["n_sessions"].astype("int64"), pa.int64()),
+        "n_users": pa.array(fin["n_users"].astype("int64"), pa.int64()),
+        "n_events": pa.array(fin["n_events"].astype("int64"), pa.int64()),
+    })
+
+
+def locf_hourly(ds, key: str = "user_id", ts_col: str = "ts",
+                val_col: str = "value", id_col: str = "event_id",
+                scale: int = 10_000,
+                n_buckets: int | None = None) -> pa.Table:
+    """Dense-grid gap fill with last-observation-carried-forward: every
+    key gets an hourly grid spanning [first event hour, last event hour],
+    each grid hour takes the value of the key's most recent event in an
+    hour <= it (ties inside an hour break by (ts, id) — the latest wins),
+    and the operator returns the per-key fold (n_hours, locf_sum in
+    fixed-point) rather than the materialized grid. This is the sparse ->
+    dense time-series regularization step (feature backfill ahead of
+    windowed training data), a class Ray Data has no primitive for.
+
+    Scale shape: ONE fat-bucket shuffle (``mix64(key) % nb``). Inside a
+    bucket one lexsort orders (key, t, id); per-(key, hour) last values
+    are segment ends, and the LOCF fold needs NO grid materialization —
+    an entry at hour h carries weight (next entry's hour - h), the last
+    entry weight 1, so ``locf_sum = sum(v * weight)`` per key via
+    reduceat. Values are scaled to integers per row (round_even parity
+    with the SQL oracle) before any sum, so the fold is order-free and
+    exact at any scale; nothing grid-sized or key-sized ever leaves the
+    buckets except one row per key."""
+    nb = n_buckets or _default_buckets()
+    us_per_hour = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vals = batch.column(val_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = np.rint(np.asarray(vals, dtype=np.float64) * scale).astype(
+            np.int64)
+        out = pa.table({key: batch.column(key),
+                        "t_us": pa.array(_epoch_us(batch.column(ts_col)),
+                                         pa.int64()),
+                        "v": pa.array(v, pa.int64()),
+                        "o": batch.column(id_col)})
+        return _bucket_col(out, key, nb)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: np.empty(0, np.int64),
+                              "n_hours": np.empty(0, np.int64),
+                              "locf_sum": np.empty(0, np.int64)})
+        u = group[key].to_numpy(dtype=np.int64)
+        if u.size == 0:
+            return empty
+        t = group["t_us"].to_numpy(dtype=np.int64)
+        v = group["v"].to_numpy(dtype=np.int64)
+        o = group["o"].to_numpy(dtype=np.int64)
+        order = np.lexsort((o, t, u))
+        u, v = u[order], v[order]
+        h = t[order] // us_per_hour
+        # per-(key, hour) last value = segment END under the total order
+        seg_last = np.concatenate((
+            (u[1:] != u[:-1]) | (h[1:] != h[:-1]), [True]))
+        u2, h2, v2 = u[seg_last], h[seg_last], v[seg_last]
+        key_end = np.concatenate((u2[1:] != u2[:-1], [True]))
+        next_h = np.empty_like(h2)
+        next_h[:-1] = h2[1:]
+        next_h[key_end] = h2[key_end] + 1  # last entry covers its own hour
+        w = next_h - h2
+        starts = np.flatnonzero(np.concatenate(([True], u2[1:] != u2[:-1])))
+        ends = np.append(starts[1:], u2.size) - 1
+        return pd.DataFrame({
+            key: u2[starts],
+            "n_hours": (h2[ends] - h2[starts] + 1).astype(np.int64),
+            "locf_sum": np.add.reduceat(v2 * w, starts).astype(np.int64)})
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "n_hours": pa.array([], pa.int64()),
+                         "locf_sum": pa.array([], pa.int64())})
+    parts = parts.sort_values(key).reset_index(drop=True)
+    return pa.table({key: pa.array(parts[key].astype("int64"), pa.int64()),
+                     "n_hours": pa.array(parts["n_hours"].astype("int64"),
+                                         pa.int64()),
+                     "locf_sum": pa.array(parts["locf_sum"].astype("int64"),
+                                          pa.int64())})

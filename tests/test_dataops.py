@@ -1902,3 +1902,130 @@ def test_bpe_merges_cascade_and_overlap(ray_session):
     # nowhere else) — tie broken by symbol order
     assert int(out.loc[1, "p1"]) in (haa, ha)
     assert len(out) == 2 and out["round"].tolist() == [1, 2]
+
+
+def test_session_window_overlap_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import session_window_overlap
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    gap_us = 1_800_000_000
+    t = np.sort(rng.integers(0, 10**6, n)) * 1_000_000  # epoch us
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(rng.permutation(t), unit="us"),
+    })
+    tmin, tmax = int(df["ts"].min().value // 1000), int(df["ts"].max().value // 1000)
+    span = tmax - tmin
+    k = 6
+    i = np.arange(k, dtype=np.int64)
+    ws = tmin + i * span // k
+    we = ws + span // 4
+    windows = pa.table({"window_id": pa.array(i, pa.int64()),
+                        "ws_us": pa.array(ws, pa.int64()),
+                        "we_us": pa.array(we, pa.int64())})
+    out = session_window_overlap(rd.from_pandas(df), windows).to_pandas()
+
+    # pandas reference: sessionize, then overlap per window
+    ref = df.copy()
+    ref["t"] = ref["ts"].astype("int64") // 1000
+    ref = ref.sort_values(["user_id", "t"])
+    brk = ref.groupby("user_id")["t"].diff() > gap_us
+    ref["sid"] = brk.groupby(ref["user_id"]).cumsum()
+    sess = ref.groupby(["user_id", "sid"])["t"].agg(["min", "max", "count"]) \
+        .reset_index()
+    for j in range(k):
+        m = (sess["min"] <= we[j]) & (sess["max"] >= ws[j])
+        row = out[out["window_id"] == j].iloc[0]
+        assert row["n_sessions"] == int(m.sum())
+        assert row["n_events"] == int(sess.loc[m, "count"].sum())
+        assert row["n_users"] == sess.loc[m, "user_id"].nunique()
+        assert row["ws_us"] == ws[j] and row["we_us"] == we[j]
+
+
+def test_session_window_overlap_zero_windows_present(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import session_window_overlap
+
+    df = pd.DataFrame({"user_id": [1, 1, 2],
+                       "ts": pd.to_datetime([10, 20, 30], unit="s")})
+    # one window far outside the event span, one covering everything
+    windows = pa.table({"window_id": pa.array([0, 1], pa.int64()),
+                        "ws_us": pa.array([10**15, 0], pa.int64()),
+                        "we_us": pa.array([10**15 + 1, 10**9], pa.int64())})
+    out = session_window_overlap(rd.from_pandas(df), windows).to_pandas()
+    assert out["n_sessions"].tolist() == [0, 2]
+    assert out["n_users"].tolist() == [0, 2]
+    assert out["n_events"].tolist() == [0, 3]
+
+
+def test_session_gap_boundary_is_exclusive(ray_session):
+    """A gap of EXACTLY 30 min stays one session (break is strict >)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import session_window_overlap
+
+    base = 10**12
+    df = pd.DataFrame({
+        "user_id": [7, 7, 7],
+        "ts": pd.to_datetime([base, base + 1_800_000_000,
+                              base + 1_800_000_000 * 2 + 1], unit="us"),
+    })
+    windows = pa.table({"window_id": pa.array([0], pa.int64()),
+                        "ws_us": pa.array([0], pa.int64()),
+                        "we_us": pa.array([2 * base], pa.int64())})
+    out = session_window_overlap(rd.from_pandas(df), windows).to_pandas()
+    assert out["n_sessions"].tolist() == [2]  # 3rd event breaks (gap+1us)
+
+
+def test_locf_hourly_matches_python_reference(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import locf_hourly
+
+    rng = np.random.default_rng(31)
+    n = 2500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 30, n),
+        "ts": pd.to_datetime(rng.integers(0, 400 * 3600, n), unit="s"),
+        "value": np.round(rng.uniform(0, 100, n), 4),
+    })
+    # force in-hour ties to exercise the (ts, event_id) tie-break
+    df.loc[1::7, "ts"] = df.loc[0::7, "ts"].to_numpy()[: len(df.loc[1::7])]
+    out = locf_hourly(rd.from_pandas(df)).to_pandas()
+
+    ref_rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        g["h"] = g["ts"].astype("int64") // (3600 * 10**9)
+        last = g.groupby("h").tail(1)
+        hours = np.arange(g["h"].min(), g["h"].max() + 1)
+        vh = last.set_index("h")["value"]
+        idx = np.searchsorted(vh.index.to_numpy(), hours, side="right") - 1
+        filled = np.rint(vh.to_numpy()[idx] * 10_000).astype(np.int64)
+        ref_rows.append((uid, len(hours), int(filled.sum())))
+    ref = pd.DataFrame(ref_rows, columns=["user_id", "n_hours", "locf_sum"]) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), ref,
+                                  check_dtype=False)
+
+
+def test_locf_hourly_single_event_user(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import locf_hourly
+
+    df = pd.DataFrame({"event_id": [0], "user_id": [5],
+                       "ts": pd.to_datetime([7200], unit="s"),
+                       "value": [2.5]})
+    out = locf_hourly(rd.from_pandas(df)).to_pandas()
+    assert out.iloc[0].tolist() == [5, 1, 25000]
