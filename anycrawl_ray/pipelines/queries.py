@@ -5742,6 +5742,44 @@ FROM filled GROUP BY user_id ORDER BY user_id
 """
 
 
+
+def docs_bigram_surprise(sf_dir: str):
+    """Corpus-trained bigram conditional-LM score per doc (the KenLM-
+    filter shape, integer-exact): transition surprise = context count //
+    pair count, decided inside context-hash buckets that hold every
+    transition of their contexts — the LM is co-located with its
+    occurrences, never broadcast or materialized
+    (stages/text_analysis.py::bigram_surprise). Exact SQL oracle."""
+    from ..stages.text_analysis import bigram_surprise
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bigram_surprise(ds)
+
+
+_BIGRAM_SURPRISE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok, unnest(range(1, len(arr) + 1)) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)),
+big AS (
+  SELECT doc_id, tok AS w1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks QUALIFY w2 IS NOT NULL),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+pr AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+s AS (SELECT doc_id, CAST(SUM(c1 // c2) AS BIGINT) AS ssum,
+             COUNT(*) AS n_transitions
+      FROM big JOIN ctx USING (w1) JOIN pr USING (w1, w2)
+      GROUP BY doc_id)
+SELECT doc_id, n_transitions, ssum // n_transitions AS mean_surprise
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -5751,6 +5789,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
     "events_session_windows": events_session_windows,
+    "docs_bigram_surprise": docs_bigram_surprise,
     "events_gap_fill": events_gap_fill,
     "orderkey_union_count": orderkey_union_count,
     "docs_llm_extract": docs_llm_extract,
@@ -5868,6 +5907,7 @@ ORACLE_SQL = {
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sliding": _EVENTS_SLIDING_SQL,
     "events_session_windows": _SESSION_WINDOWS_SQL,
+    "docs_bigram_surprise": _BIGRAM_SURPRISE_SQL,
     "events_gap_fill": _GAP_FILL_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,
     "top_events_per_type": _TOP_EVENTS_SQL,

@@ -1127,3 +1127,106 @@ def cooccurrence_pmi(ds, max_tokens: int = 32, min_cooc: int = 3,
         "cooc": pa.array(fin["cnt"].astype("int64"), pa.int64()),
         "score": pa.array(fin["score"].astype("int64"), pa.int64()),
     })
+
+
+def bigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int | None = None) -> pa.Table:
+    """Corpus-trained BIGRAM conditional-LM scoring, integer-exact: every
+    transition (w1 -> w2) scores ``count(w1 as context) // count(w1, w2)``
+    (high = the continuation is surprising given its context — the
+    KenLM-filter shape with integer division instead of log-probs so the
+    SQL replay is bit-exact), and a doc's score is the mean over its
+    transitions.
+
+    Same zero-broadcast plan as ``unigram_surprise`` one order higher:
+    transition rows (doc, h1, h2) bucket by ``h1 % nb``, so a bucket
+    holds EVERY transition of its contexts — both the context count and
+    the pair count are in-bucket segment sizes off ONE lexsort, and the
+    per-occurrence surprise reduces to per-(doc, bucket) partials. A
+    second fat-bucket shuffle on the doc id finishes the mean. The LM is
+    never materialized anywhere; it is co-located with its occurrences."""
+    import pandas as pd
+    import ray
+
+    nb = n_buckets or max(16, min(256,
+                                  int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        h1_all, h2_all, d_all = [], [], []
+        for d, t in zip(ids, texts):
+            th = token_hashes(t)
+            if th.size < 2:
+                continue
+            h1_all.append(th[:-1].view(np.int64))
+            h2_all.append(th[1:].view(np.int64))
+            d_all.append(np.full(th.size - 1, d, dtype=np.int64))
+        if not h1_all:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc": z, "h1": z, "h2": z, "_kb": z})
+        h1 = np.concatenate(h1_all)
+        kb = (h1.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"doc": pa.array(np.concatenate(d_all), pa.int64()),
+                         "h1": pa.array(h1, pa.int64()),
+                         "h2": pa.array(np.concatenate(h2_all), pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_partials(group: pd.DataFrame) -> pd.DataFrame:
+        h1 = group["h1"].to_numpy(dtype=np.int64)
+        h2 = group["h2"].to_numpy(dtype=np.int64)
+        doc = group["doc"].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc, h2, h1))
+        h1, h2, doc = h1[order], h2[order], doc[order]
+        ctx_b = np.concatenate(([True], h1[1:] != h1[:-1]))
+        ctx_id = np.cumsum(ctx_b) - 1
+        ctx_sz = np.diff(np.append(np.flatnonzero(ctx_b), h1.size))
+        pair_b = ctx_b | np.concatenate(([True], h2[1:] != h2[:-1]))
+        pair_id = np.cumsum(pair_b) - 1
+        pair_sz = np.diff(np.append(np.flatnonzero(pair_b), h1.size))
+        surprise = ctx_sz[ctx_id] // pair_sz[pair_id]
+        dorder = np.argsort(doc, kind="stable")
+        doc, surprise = doc[dorder], surprise[dorder]
+        dstart = np.concatenate(([True], doc[1:] != doc[:-1]))
+        idx = np.flatnonzero(dstart)
+        return pd.DataFrame({
+            "doc": doc[idx],
+            "ssum": np.add.reduceat(surprise, idx).astype(np.int64),
+            "n": np.diff(np.append(idx, doc.size)).astype(np.int64)})
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch.column("doc"), dtype=np.int64)
+        db = (_mix64_np(doc.view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return batch.append_column("_db", pa.array(db, pa.int64()))
+
+    def doc_totals(group: pd.DataFrame) -> pd.DataFrame:
+        doc = group["doc"].to_numpy(dtype=np.int64)
+        s = group["ssum"].to_numpy(dtype=np.int64)
+        n = group["n"].to_numpy(dtype=np.int64)
+        order = np.argsort(doc, kind="stable")
+        doc, s, n = doc[order], s[order], n[order]
+        start = np.concatenate(([True], doc[1:] != doc[:-1]))
+        idx = np.flatnonzero(start)
+        ssum = np.add.reduceat(s, idx).astype(np.int64)
+        ntr = np.add.reduceat(n, idx).astype(np.int64)
+        return pd.DataFrame({"doc": doc[idx], "n_transitions": ntr,
+                             "mean_surprise": ssum // ntr})
+
+    parts = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("_kb").map_groups(bucket_partials,
+                                        batch_format="pandas")
+             .map_batches(rebucket, batch_format="pyarrow")
+             .groupby("_db").map_groups(doc_totals, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_transitions": pa.array([], pa.int64()),
+                         "mean_surprise": pa.array([], pa.int64())})
+    parts = parts.sort_values("doc").reset_index(drop=True)
+    return pa.table({id_col: pa.array(parts["doc"], pa.int64()),
+                     "n_transitions": pa.array(
+                         parts["n_transitions"].to_numpy(np.int64),
+                         pa.int64()),
+                     "mean_surprise": pa.array(
+                         parts["mean_surprise"].to_numpy(np.int64),
+                         pa.int64())})

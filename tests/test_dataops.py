@@ -2029,3 +2029,26 @@ def test_locf_hourly_single_event_user(ray_session):
                        "value": [2.5]})
     out = locf_hourly(rd.from_pandas(df)).to_pandas()
     assert out.iloc[0].tolist() == [5, 1, 25000]
+
+
+def test_bigram_surprise_tiny(ray_session):
+    """Hand-checkable: corpus transitions 'a b'(x2), 'a c'(x1), 'b a'(x1)
+    -> ctx(a)=3, ctx(b)=1; surprise(a->b)=3//2=1, (a->c)=3//1=3,
+    (b->a)=1//1=1."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import bigram_surprise
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "a b a c"},   # a->b, b->a, a->c
+        {"doc_id": 1, "text": "a b"},        # a->b
+        {"doc_id": 2, "text": "solo"},       # no transition -> excluded
+        {"doc_id": 3, "text": "   "},        # no tokens -> excluded
+    ])
+    out = bigram_surprise(ds).to_pandas().set_index("doc_id")
+    assert list(out.index) == [0, 1]
+    # doc 0: (1 + 1 + 3) // 3 = 1 ; doc 1: 1
+    assert out.loc[0, "n_transitions"] == 3
+    assert out.loc[0, "mean_surprise"] == (1 + 1 + 3) // 3
+    assert out.loc[1, "n_transitions"] == 1
+    assert out.loc[1, "mean_surprise"] == 1
