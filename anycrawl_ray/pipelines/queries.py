@@ -5780,6 +5780,70 @@ FROM s ORDER BY doc_id
 """
 
 
+
+def docs_typo_pairs(sf_dir: str):
+    """Edit-distance-1 pair discovery over the corpus vocabulary —
+    SymSpell symmetric-delete blocking (candidates share a {word} ∪
+    {delete-1} variant key; one equality shuffle + exact verify instead
+    of all-pairs; stages/text_analysis.py::edit1_pairs). The corpus's
+    base vocabulary has no natural typos, so the vocabulary is anchored
+    with deterministic per-doc mutations of the doc's first token (one
+    deletion at doc_id %% len, one 'z'-substitution at (doc_id*7+1) %%
+    len) — the media_phash_pairs precedent for planting the phenomenon
+    an op targets. Oracle replays the variant join + levenshtein."""
+    from ..stages.text_analysis import edit1_pairs
+
+    rd = _rd()
+
+    def planted_vocab(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ws = []
+        for d, t in zip(ids, texts):
+            toks = t.split()
+            ws.extend(toks)
+            if toks and len(toks[0]) >= 4:
+                ft = toks[0]
+                L = len(ft)
+                p = d % L
+                ws.append(ft[:p] + ft[p + 1:])
+                q = (d * 7 + 1) % L
+                ws.append(ft[:q] + "z" + ft[q + 1:])
+        # per-batch pre-dedup shrinks the first shuffle (Zipf: the block
+        # repeats its vocabulary constantly)
+        uniq = list(dict.fromkeys(ws))
+        return pa.table({"w": pa.array(uniq, pa.string())})
+
+    words = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .map_batches(planted_vocab, batch_format="pyarrow")
+    return edit1_pairs(words)
+
+
+_TYPO_PAIRS_SQL = r"""
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '') AS arr
+              FROM documents),
+base AS (SELECT DISTINCT unnest(arr) AS w FROM toks),
+ft AS (SELECT doc_id, arr[1] AS t FROM toks
+       WHERE len(arr) > 0 AND length(arr[1]) >= 4),
+delv AS (SELECT substr(t, 1, doc_id % length(t))
+                || substr(t, doc_id % length(t) + 2) AS w FROM ft),
+subv AS (SELECT substr(t, 1, (doc_id * 7 + 1) % length(t)) || 'z'
+                || substr(t, (doc_id * 7 + 1) % length(t) + 2) AS w FROM ft),
+vocab AS (SELECT DISTINCT w FROM (SELECT w FROM base
+                                  UNION ALL SELECT w FROM delv
+                                  UNION ALL SELECT w FROM subv)),
+vars AS (SELECT w, w AS var FROM vocab
+         UNION ALL
+         SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS var
+         FROM vocab, UNNEST(range(1, length(w) + 1)) AS u(i)),
+cand AS (SELECT DISTINCT v1.w AS w1, v2.w AS w2
+         FROM vars v1 JOIN vars v2 ON v1.var = v2.var AND v1.w < v2.w)
+SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) <= 1 ORDER BY w1, w2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -5790,6 +5854,7 @@ QUERIES = {
     "events_sliding": events_sliding,
     "events_session_windows": events_session_windows,
     "docs_bigram_surprise": docs_bigram_surprise,
+    "docs_typo_pairs": docs_typo_pairs,
     "events_gap_fill": events_gap_fill,
     "orderkey_union_count": orderkey_union_count,
     "docs_llm_extract": docs_llm_extract,
@@ -5908,6 +5973,7 @@ ORACLE_SQL = {
     "events_sliding": _EVENTS_SLIDING_SQL,
     "events_session_windows": _SESSION_WINDOWS_SQL,
     "docs_bigram_surprise": _BIGRAM_SURPRISE_SQL,
+    "docs_typo_pairs": _TYPO_PAIRS_SQL,
     "events_gap_fill": _GAP_FILL_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,
     "top_events_per_type": _TOP_EVENTS_SQL,

@@ -1230,3 +1230,139 @@ def bigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
                      "mean_surprise": pa.array(
                          parts["mean_surprise"].to_numpy(np.int64),
                          pa.int64())})
+
+
+def _edit_distance_le1(a: str, b: str) -> bool:
+    """Exact 'is edit distance <= 1' check (substitution / single
+    insert-delete / equality) — O(len) without the full DP matrix."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter by 1: one skip allowed in b
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit1_pairs(words_ds, word_col: str = "w",
+                n_buckets: int | None = None,
+                max_group: int = 64) -> pa.Table:
+    """All edit-distance-1 pairs over a vocabulary — SymSpell deletion-
+    neighborhood blocking (Garbe's symmetric delete algorithm): every
+    ED<=1 pair shares an entry of {word} ∪ {delete-one variants}, so
+    candidates come from ONE equality join on variant keys instead of an
+    all-pairs scan, and an exact in-bucket verify removes the false
+    candidates (including 64-bit variant-hash collisions, which the
+    verify makes harmless — only the HASH of a variant is ever shuffled,
+    never the variant strings).
+
+    Dataflow: (1) distinct words via word-hash fat buckets; (2) each
+    word emits (variant_hash, word) rows — L+1 per word — bucketed by
+    variant hash; (3) per-bucket: sort by variant hash, expand per-group
+    candidate pairs with index arithmetic (groups over ``max_group``
+    words are truncated and logged — a stop-variant cap, same policy as
+    winnow/ngram df caps), verify ED<=1 exactly; (4) one last shuffle on
+    the pair hash dedups pairs found through multiple shared variants.
+    Nothing vocabulary-sized touches the driver."""
+    import logging
+
+    import pandas as pd
+
+    from .window import _default_buckets
+
+    nb = n_buckets or _default_buckets()
+
+    def word_hash_bucket(batch: pa.Table) -> pa.Table:
+        w = batch.column(word_col).to_pylist()
+        h = np.array(_fnv1a_bulk(w), dtype=np.uint64)
+        kb = (h % np.uint64(nb)).astype(np.int64)
+        return pa.table({"w": pa.array(w, pa.string()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def uniq_words(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"w": pd.unique(g["w"])})
+
+    vocab = (words_ds.map_batches(word_hash_bucket, batch_format="pyarrow")
+             .groupby("_kb").map_groups(uniq_words, batch_format="pandas"))
+
+    def emit_variants(batch: pa.Table) -> pa.Table:
+        ws, vs = [], []
+        for w in batch.column("w").to_pylist():
+            vs.append(w)
+            ws.append(w)
+            for i in range(len(w)):
+                vs.append(w[:i] + w[i + 1:])
+                ws.append(w)
+        h = np.array(_fnv1a_bulk(vs), dtype=np.uint64).view(np.int64)
+        kb = (h.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        return pa.table({"vh": pa.array(h, pa.int64()),
+                         "w": pa.array(ws, pa.string()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vh = g["vh"].to_numpy(dtype=np.int64)
+        w = g["w"].to_numpy()
+        order = np.lexsort((w, vh))
+        vh, w = vh[order], w[order]
+        start = np.concatenate(([True], vh[1:] != vh[:-1]))
+        idx = np.flatnonzero(start)
+        sizes = np.diff(np.append(idx, vh.size))
+        clipped = np.minimum(sizes, max_group)
+        if np.any(sizes > max_group):
+            logging.getLogger(__name__).warning(
+                "edit1_pairs: %d variant groups over max_group=%d truncated",
+                int((sizes > max_group).sum()), max_group)
+        a_parts, b_parts = [], []
+        for s, size in zip(idx, clipped):
+            if size < 2:
+                continue
+            seg = w[s:s + size]
+            # a variant group can repeat a word (same word through its
+            # own key and a collision) — pair distinct words only
+            seg = pd.unique(seg)
+            if seg.size < 2:
+                continue
+            ii, jj = np.triu_indices(seg.size, k=1)
+            a_parts.append(seg[ii])
+            b_parts.append(seg[jj])
+        if not a_parts:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object)})
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = np.fromiter((_edit_distance_le1(x, y)
+                            for x, y in zip(lo, hi)),
+                           count=lo.size, dtype=bool)
+        return pd.DataFrame({"w1": lo[keep], "w2": hi[keep]})
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        w1 = batch.column("w1").to_pylist()
+        w2 = batch.column("w2").to_pylist()
+        h = np.array(_fnv1a_bulk([a + "\x00" + b for a, b in zip(w1, w2)]),
+                     dtype=np.uint64)
+        kb = (h % np.uint64(nb)).astype(np.int64)
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string()),
+                         "_pb": pa.array(kb, pa.int64())})
+
+    def uniq_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["w1", "w2"])[["w1", "w2"]]
+
+    out = (vocab.map_batches(emit_variants, batch_format="pyarrow")
+           .groupby("_kb").map_groups(bucket_pairs, batch_format="pandas")
+           .map_batches(pair_bucket, batch_format="pyarrow")
+           .groupby("_pb").map_groups(uniq_pairs, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string())})
+    out = out.sort_values(["w1", "w2"]).reset_index(drop=True)
+    return pa.table({"w1": pa.array(out["w1"], pa.string()),
+                     "w2": pa.array(out["w2"], pa.string())})

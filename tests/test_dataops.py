@@ -2052,3 +2052,38 @@ def test_bigram_surprise_tiny(ray_session):
     assert out.loc[0, "mean_surprise"] == (1 + 1 + 3) // 3
     assert out.loc[1, "n_transitions"] == 1
     assert out.loc[1, "mean_surprise"] == 1
+
+
+def test_edit_distance_le1_exact():
+    from anycrawl_ray.stages.text_analysis import _edit_distance_le1
+
+    assert _edit_distance_le1("abc", "abc")
+    assert _edit_distance_le1("abc", "abd")       # substitution
+    assert _edit_distance_le1("abc", "abcd")      # insertion at end
+    assert _edit_distance_le1("abc", "xabc")      # insertion at start
+    assert _edit_distance_le1("abc", "ac")        # deletion
+    assert not _edit_distance_le1("abc", "adc_x")
+    assert not _edit_distance_le1("abc", "acb")   # transposition = 2
+    assert not _edit_distance_le1("abc", "xbd")
+
+
+def test_edit1_pairs_matches_brute_force(ray_session):
+    """SymSpell blocking finds EXACTLY the brute-force ED<=1 pair set."""
+    import itertools
+
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import (_edit_distance_le1,
+                                                   edit1_pairs)
+
+    vocab = ["table", "tble", "tab", "fable", "cable", "cables", "stream",
+             "dream", "steam", "hash", "bash", "mash", "mesh", "zzz",
+             "table"]  # duplicate word must not self-pair
+    ds = rd.from_items([{"w": w} for w in vocab])
+    out = edit1_pairs(ds).to_pandas()
+    got = set(map(tuple, out[["w1", "w2"]].to_numpy()))
+    uniq = sorted(set(vocab))
+    want = {(a, b) for a, b in itertools.combinations(uniq, 2)
+            if _edit_distance_le1(a, b)}
+    assert got == want
+    assert ("bash", "hash") in got and ("steam", "stream") in got
