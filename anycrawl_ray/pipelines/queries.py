@@ -5844,6 +5844,60 @@ SELECT w1, w2 FROM cand WHERE levenshtein(w1, w2) <= 1 ORDER BY w1, w2
 """
 
 
+
+def docs_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction over the deterministic site link
+    graph: every NON-adjacent doc pair sharing >= 2 neighbors, scored by
+    the shared-neighbor count (stages/graph.py::common_neighbor_pairs;
+    wedge expansion in center buckets + pair-key rebucket, adjacency is
+    a map-side rule predicate so no anti-join shuffle). The oracle
+    recomputes the edge rule and counts wedges with a self-join."""
+    from ..stages.graph import common_neighbor_pairs, site_edges
+
+    rd = _rd()
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def site_adjacent(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # canonical a < b pairs against the site_edges rule
+        child = (b == 2 * a + 1) | (b == 2 * a + 2)
+        sibling = (a % 2 == 1) & (b == a + 1)
+        chord = ((7 * a + 3) % n == b) | ((7 * b + 3) % n == a)
+        return child | sibling | chord
+
+    return common_neighbor_pairs(site_edges(ids, n), n,
+                                 adjacent_fn=site_adjacent, min_common=2)
+
+
+_LINK_PREDICTION_SQL = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+    SELECT d.doc_id AS a, 2 * d.doc_id + 1 AS b
+    FROM documents d, n WHERE 2 * d.doc_id + 1 < n.n
+    UNION ALL
+    SELECT d.doc_id, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT 2 * d.doc_id + 1, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT least(d.doc_id, (7 * d.doc_id + 3) % n.n),
+           greatest(d.doc_id, (7 * d.doc_id + 3) % n.n)
+    FROM documents d, n WHERE (7 * d.doc_id + 3) % n.n <> d.doc_id
+),
+edges AS (SELECT DISTINCT a, b FROM raw),
+adj AS (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b, a FROM edges),
+wed AS (SELECT a1.y AS u, a2.y AS w
+        FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y),
+cn AS (SELECT u, w, COUNT(*) AS n_common FROM wed GROUP BY u, w)
+SELECT cn.u AS a, cn.w AS b, CAST(cn.n_common AS BIGINT) AS n_common
+FROM cn LEFT JOIN edges e ON e.a = cn.u AND e.b = cn.w
+WHERE e.a IS NULL AND cn.n_common >= 2
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -5855,6 +5909,7 @@ QUERIES = {
     "events_session_windows": events_session_windows,
     "docs_bigram_surprise": docs_bigram_surprise,
     "docs_typo_pairs": docs_typo_pairs,
+    "docs_link_prediction": docs_link_prediction,
     "events_gap_fill": events_gap_fill,
     "orderkey_union_count": orderkey_union_count,
     "docs_llm_extract": docs_llm_extract,
@@ -5974,6 +6029,7 @@ ORACLE_SQL = {
     "events_session_windows": _SESSION_WINDOWS_SQL,
     "docs_bigram_surprise": _BIGRAM_SURPRISE_SQL,
     "docs_typo_pairs": _TYPO_PAIRS_SQL,
+    "docs_link_prediction": _LINK_PREDICTION_SQL,
     "events_gap_fill": _GAP_FILL_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,
     "top_events_per_type": _TOP_EVENTS_SQL,

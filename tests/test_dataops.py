@@ -2087,3 +2087,69 @@ def test_edit1_pairs_matches_brute_force(ray_session):
             if _edit_distance_le1(a, b)}
     assert got == want
     assert ("bash", "hash") in got and ("steam", "stream") in got
+
+
+def test_common_neighbor_pairs_matches_brute(ray_session):
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import common_neighbor_pairs
+
+    rng = np.random.default_rng(17)
+    n = 60
+    m = 150
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    edges = rd.from_pandas(pd.DataFrame({"a": a, "b": b}))
+    eset = {(min(x, y), max(x, y)) for x, y in zip(a.tolist(), b.tolist())}
+
+    def adjacent(aa: np.ndarray, bb: np.ndarray) -> np.ndarray:
+        return np.fromiter(((x, y) in eset for x, y in
+                            zip(aa.tolist(), bb.tolist())),
+                           count=aa.size, dtype=bool)
+
+    out = common_neighbor_pairs(edges, n, adjacent_fn=adjacent,
+                                min_common=2).to_pandas()
+    got = {(r.a, r.b): r.n_common for r in out.itertuples()}
+
+    nbrs = {v: set() for v in range(n)}
+    for x, y in eset:
+        nbrs[x].add(y)
+        nbrs[y].add(x)
+    want = {}
+    for u, w in itertools.combinations(range(n), 2):
+        if (u, w) in eset:
+            continue
+        c = len(nbrs[u] & nbrs[w])
+        if c >= 2:
+            want[(u, w)] = c
+    assert got == want
+
+
+def test_common_neighbor_hub_cap_drops_centers(ray_session):
+    """A star hub over max_degree contributes no wedges; the spokes'
+    other connections still do."""
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import common_neighbor_pairs
+
+    # hub 0 connects to 1..9; nodes 1,2 also both connect to 10 and 11
+    rows = [(0, i) for i in range(1, 10)] + \
+        [(1, 10), (2, 10), (1, 11), (2, 11)]
+    edges = rd.from_pandas(pd.DataFrame(rows, columns=["a", "b"]))
+
+    def never_adjacent(a, b):
+        return np.zeros(a.size, dtype=bool)
+
+    capped = common_neighbor_pairs(edges, 12, adjacent_fn=never_adjacent,
+                                   min_common=2, max_degree=4).to_pandas()
+    # hub wedges gone; (1,2) still share {10, 11} (and NOT 0: hub dropped)
+    got = {(r.a, r.b): r.n_common for r in capped.itertuples()}
+    assert got[(1, 2)] == 2
+    assert (3, 4) not in got  # only common neighbor was the capped hub
+    assert (10, 11) in got and got[(10, 11)] == 2  # centers 1,2 survive
