@@ -2499,7 +2499,7 @@ def _bpe_train_sql(n_merges: int = _BPE_MERGES) -> str:
     chain = _bpe_round_ctes(n_merges)
     sel = "\nUNION ALL ".join(
         f"SELECT {r} AS round, p1, p2, m AS merged, "
-        f"CAST(c AS BIGINT) AS cnt FROM best{r}"
+        f"CAST(c AS BIGINT) AS cnt FROM best{r} WHERE c > 0"
         for r in range(1, n_merges + 1))
     return f"""{_ok.U64_PRELUDE}
 WITH {_ok._token_hash_ctes()},
@@ -2518,9 +2518,20 @@ def _bpe_round_ctes(n_merges: int = _BPE_MERGES) -> str:
   SELECT hs[i] AS p1, hs[i+1] AS p2, COUNT(*) AS c
   FROM {prev}, UNNEST(range(1, len(hs))) AS t(i)
   GROUP BY 1, 2),
+top{r} AS (
+  SELECT p1, p2, c FROM pc{r} ORDER BY c DESC, p1, p2 LIMIT 1),
 best{r} AS MATERIALIZED (
-  SELECT p1, p2, c, u64add(u64mul(p1, {prime}::UBIGINT), p2) AS m
-  FROM pc{r} ORDER BY c DESC, p1, p2 LIMIT 1),
+  -- always exactly ONE row: when no adjacent pair exists anywhere the
+  -- (0, 0, c=0) sentinel makes the round's rewrite a no-op, matching
+  -- the implementation's loop break (a real pair always has c >= 1, and
+  -- mt{r} can only match the sentinel if symbol hash 0 occurs adjacent
+  -- to itself — not reachable for mix64 token hashes)
+  SELECT COALESCE(MAX(p1), 0::UBIGINT) AS p1,
+         COALESCE(MAX(p2), 0::UBIGINT) AS p2,
+         COALESCE(MAX(c), 0) AS c,
+         u64add(u64mul(COALESCE(MAX(p1), 0::UBIGINT), {prime}::UBIGINT),
+                COALESCE(MAX(p2), 0::UBIGINT)) AS m
+  FROM top{r}),
 mt{r} AS (
   SELECT s.doc_id, i
   FROM {prev} s, best{r} b, UNNEST(range(1, len(s.hs))) AS t(i)
@@ -5556,7 +5567,8 @@ def embeddings_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means over the embedding column
     (exact integer kmeans_int recurrence, same k/iters as
     embeddings_kmeans), then in-cluster semantic-duplicate removal at
-    integer cosine >= 4/5 (stages/similarity.semdedup). Output (vec_id,
+    integer cosine >= _SEMDEDUP_NUM/_SEMDEDUP_DEN (7/20 here — see the
+    constant's comment; stages/similarity.semdedup). Output (vec_id,
     cluster, rep, keep) is bit-replayable: the oracle unrolls the same
     kmeans CTEs, re-runs the integer cosine test pairwise within each
     cluster, and closes components with a recursive min-label CTE."""
@@ -5649,6 +5661,36 @@ ORDER BY vec_id
 _N_SESSION_WINDOWS = 12
 
 
+def _ts_minmax_from_stats(path: str, col: str) -> tuple[int, int]:
+    """Exact (min, max) of a timestamp column in epoch microseconds, read
+    from parquet row-group statistics — a driver-side metadata scan
+    replaces a full distributed pass for a 2-value scalar. Falls back to
+    a Ray aggregate when any row group lacks statistics."""
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index(col)
+    los, his = [], []
+    ok = True
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            ok = False
+            break
+        los.append(st.min)
+        his.append(st.max)
+    if ok and los:
+        to_us = lambda v: int(pa.scalar(v).cast(  # noqa: E731
+            pa.timestamp("us")).cast(pa.int64()).as_py())
+        return min(map(to_us, los)), max(map(to_us, his))
+    from ray.data.aggregate import Max, Min
+
+    mm = _rd().read_parquet(path, columns=[col]).map_batches(
+        lambda b: pa.table({"t": pc.cast(pc.cast(b.column(col),
+                                                 pa.timestamp("us")),
+                                         pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("t"), Max("t"))
+    return int(mm["min(t)"]), int(mm["max(t)"])
+
+
 def events_session_windows(sf_dir: str):
     """Interval OVERLAP join: 30-min gap sessions (closed [first, last]
     ts intervals) against 12 deterministic analysis windows derived from
@@ -5656,19 +5698,12 @@ def events_session_windows(sf_dir: str):
     users, covered events (stages/window.py::session_window_overlap; one
     fat-bucket shuffle, windows broadcast map-side). Exact SQL oracle
     (window functions + non-equi LEFT JOIN)."""
-    from ray.data.aggregate import Max, Min
-
     from ..stages.window import session_window_overlap
 
     rd = _rd()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
-    mm = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]) \
-        .map_batches(lambda b: pa.table(
-            {"t": pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")),
-                          pa.int64())}), batch_format="pyarrow") \
-        .aggregate(Min("t"), Max("t"))
-    tmin, tmax = int(mm["min(t)"]), int(mm["max(t)"])
+    tmin, tmax = _ts_minmax_from_stats(f"{sf_dir}/events.parquet", "ts")
     span = tmax - tmin
     k = _N_SESSION_WINDOWS
     i = np.arange(k, dtype=np.int64)
@@ -5723,7 +5758,12 @@ def events_gap_fill(sf_dir: str):
 
 
 _GAP_FILL_SQL = """
-WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+WITH e AS (SELECT user_id,
+                  -- FLOOR division (numpy semantics): DuckDB's // truncates
+                  -- toward zero, which would shift pre-1970 hours by one
+                  (epoch_us(ts)
+                   - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)
+                  // 3600000000 AS h,
                   CAST(round_even(value * 10000, 0) AS BIGINT) AS v,
                   epoch_us(ts) AS t, event_id
            FROM events),

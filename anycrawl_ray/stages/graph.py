@@ -356,7 +356,10 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
         a = np.asarray(batch.column("a"), dtype=np.int64)
         b = np.asarray(batch.column("b"), dtype=np.int64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        e = np.unique(lo * n + hi)
+        # drop self-loops: a (v, v) row would duplicate v's center rows
+        # in both_dirs and inflate every pair count at that center
+        keep = lo != hi
+        e = np.unique(lo[keep] * n + hi[keep])
         kb = (_mix64_np(e.view(np.uint64)) % np.uint64(nb)).astype(np.int64)
         return pa.table({"e": pa.array(e, pa.int64()),
                          "_kb": pa.array(kb, pa.int64())})

@@ -1251,7 +1251,7 @@ def _edit_distance_le1(a: str, b: str) -> bool:
 
 def edit1_pairs(words_ds, word_col: str = "w",
                 n_buckets: int | None = None,
-                max_group: int = 64) -> pa.Table:
+                max_group: int | None = None) -> pa.Table:
     """All edit-distance-1 pairs over a vocabulary — SymSpell deletion-
     neighborhood blocking (Garbe's symmetric delete algorithm): every
     ED<=1 pair shares an entry of {word} ∪ {delete-one variants}, so
@@ -1264,9 +1264,10 @@ def edit1_pairs(words_ds, word_col: str = "w",
     Dataflow: (1) distinct words via word-hash fat buckets; (2) each
     word emits (variant_hash, word) rows — L+1 per word — bucketed by
     variant hash; (3) per-bucket: sort by variant hash, expand per-group
-    candidate pairs with index arithmetic (groups over ``max_group``
-    words are truncated and logged — a stop-variant cap, same policy as
-    winnow/ngram df caps), verify ED<=1 exactly; (4) one last shuffle on
+    candidate pairs with index arithmetic (``max_group`` is an OPT-IN
+    stop-variant cap — truncated groups are logged; the default is
+    exact, same policy as the ngram df cap), verify ED<=1 exactly; (4)
+    one last shuffle on
     the pair hash dedups pairs found through multiple shared variants.
     Nothing vocabulary-sized touches the driver."""
     import logging
@@ -1312,11 +1313,16 @@ def edit1_pairs(words_ds, word_col: str = "w",
         start = np.concatenate(([True], vh[1:] != vh[:-1]))
         idx = np.flatnonzero(start)
         sizes = np.diff(np.append(idx, vh.size))
-        clipped = np.minimum(sizes, max_group)
-        if np.any(sizes > max_group):
-            logging.getLogger(__name__).warning(
-                "edit1_pairs: %d variant groups over max_group=%d truncated",
-                int((sizes > max_group).sum()), max_group)
+        # cap is OPT-IN: the default stays exact so the op matches an
+        # uncapped SQL replay; pass max_group only with a mirrored cap
+        if max_group is None:
+            clipped = sizes
+        else:
+            clipped = np.minimum(sizes, max_group)
+            if np.any(sizes > max_group):
+                logging.getLogger(__name__).warning(
+                    "edit1_pairs: %d variant groups over max_group=%d "
+                    "truncated", int((sizes > max_group).sum()), max_group)
         a_parts, b_parts = [], []
         for s, size in zip(idx, clipped):
             if size < 2:

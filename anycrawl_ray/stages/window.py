@@ -664,20 +664,9 @@ def interarrival_stats(ds, key: str = "user_id", ts_col: str = "ts",
     nb = n_buckets or _default_buckets()
 
     def prep(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col)
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        t = np.asarray(ts.cast(pa.int64()), dtype=np.int64)
-        if isinstance(ts.type, pa.TimestampType):
-            unit = ts.type.unit
-            if unit == "ns":
-                t = t // 1_000
-            elif unit == "ms":
-                t = t * 1_000
-            elif unit == "s":
-                t = t * 1_000_000
         out = pa.table({key: batch.column(key),
-                        "t_us": pa.array(t, pa.int64())})
+                        "t_us": pa.array(_epoch_us(batch.column(ts_col)),
+                                         pa.int64())})
         return _bucket_col(out, key, nb)
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:

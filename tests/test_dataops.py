@@ -2153,3 +2153,31 @@ def test_common_neighbor_hub_cap_drops_centers(ray_session):
     assert got[(1, 2)] == 2
     assert (3, 4) not in got  # only common neighbor was the capped hub
     assert (10, 11) in got and got[(10, 11)] == 2  # centers 1,2 survive
+
+
+def test_locf_hourly_pre_epoch_floor_parity(ray_session):
+    """Negative epoch hours: numpy floors, DuckDB // truncates — the
+    oracle uses the floor-div idiom, so both sides must agree on a
+    pre-1970 timestamp."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.pipelines.queries import ORACLE_SQL
+    from anycrawl_ray.stages.window import locf_hourly
+
+    df = pd.DataFrame({
+        "event_id": [0, 1, 2],
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime([-90 * 60 * 10**6, -30 * 60 * 10**6,
+                              45 * 60 * 10**6], unit="us"),
+        "value": [1.0, 2.0, 3.0],
+    })
+    out = locf_hourly(rd.from_pandas(df)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", df)
+    ref = con.sql(ORACLE_SQL["events_gap_fill"]).df()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # hours -2, -1, 0: LOCF = 10000 (h=-2), 20000 (h=-1), 30000 (h=0)
+    assert out.iloc[0]["n_hours"] == 3
+    assert out.iloc[0]["locf_sum"] == 60000
