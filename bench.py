@@ -176,6 +176,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("embeddings_semdedup", Q.embeddings_semdedup)
     timed("docs_dsir_weights", Q.docs_dsir_weights)
     timed("docs_bpe_merge_train", Q.docs_bpe_merge_train)
+    timed("docs_bigram_surprise", Q.docs_bigram_surprise)
+    timed("events_session_windows", Q.events_session_windows)
 
     # exact all-pairs n-gram Jaccard is the documented verification-corpus
     # tool (O(sum df^2): nearly every doc pair on this tiny-vocab corpus
