@@ -5938,6 +5938,55 @@ ORDER BY a, b
 """
 
 
+
+def events_late_arrivals(sf_dir: str):
+    """Watermark late-data audit: an event is late when the max event
+    time over all PRIOR arrivals exceeds its own by a threshold (16
+    average gaps, derived from parquet statistics). Events arrive
+    ts-ordered in the synthetic table, so the arrival order is anchored
+    with a deterministic 64-block reversal of event_id (the planted-
+    phenomenon precedent). The kernel is a distributed global prefix-max:
+    contiguous order chunks, a narrow per-chunk max pass, driver-side
+    exclusive prefix over ONE scalar per chunk, then per-chunk vectorized
+    watermark counts (stages/window.py::late_arrivals). Exact SQL oracle
+    (MAX OVER ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)."""
+    from ..stages.window import late_arrivals
+
+    rd = _rd()
+    path = f"{sf_dir}/events.parquet"
+    tmin, tmax = _ts_minmax_from_stats(path, "ts")
+    n = pq.ParquetFile(path).metadata.num_rows
+    thr = (tmax - tmin) * 16 // n
+
+    def with_arrival(batch: pa.Table) -> pa.Table:
+        e = np.asarray(batch.column("event_id"), dtype=np.int64)
+        arr = (e // 64) * 64 + (63 - e % 64)
+        return batch.append_column("arr", pa.array(arr, pa.int64()))
+
+    ev = rd.read_parquet(path, columns=["event_id", "event_type", "ts"]) \
+        .map_batches(with_arrival, batch_format="pyarrow")
+    return late_arrivals(ev, key="event_type", order_col="arr",
+                         threshold_us=thr)
+
+
+_LATE_ARRIVALS_SQL = """
+WITH b AS (SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) * 16 // COUNT(*)
+                  AS thr FROM events),
+o AS (SELECT (event_id // 64) * 64 + (63 - event_id % 64) AS arr,
+             event_type, epoch_us(ts) AS t
+      FROM events),
+m AS (SELECT event_type, t,
+             MAX(t) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS wm
+      FROM o)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (wm > t + (SELECT thr FROM b)) AS BIGINT)
+           AS n_late,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM m GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -5951,6 +6000,7 @@ QUERIES = {
     "docs_typo_pairs": docs_typo_pairs,
     "docs_link_prediction": docs_link_prediction,
     "events_gap_fill": events_gap_fill,
+    "events_late_arrivals": events_late_arrivals,
     "orderkey_union_count": orderkey_union_count,
     "docs_llm_extract": docs_llm_extract,
     "docs_llm_extract_schema": docs_llm_extract_schema,
@@ -6071,6 +6121,7 @@ ORACLE_SQL = {
     "docs_typo_pairs": _TYPO_PAIRS_SQL,
     "docs_link_prediction": _LINK_PREDICTION_SQL,
     "events_gap_fill": _GAP_FILL_SQL,
+    "events_late_arrivals": _LATE_ARRIVALS_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,
     "top_events_per_type": _TOP_EVENTS_SQL,
     "events_distinct_users": _DISTINCT_USERS_SQL,

@@ -961,3 +961,123 @@ def locf_hourly(ds, key: str = "user_id", ts_col: str = "ts",
                                          pa.int64()),
                      "locf_sum": pa.array(parts["locf_sum"].astype("int64"),
                                           pa.int64())})
+
+
+def late_arrivals(ds, key: str = "event_type", order_col: str = "event_id",
+                  ts_col: str = "ts", threshold_us: int = 3_600_000_000,
+                  n_chunks: int | None = None) -> pa.Table:
+    """Watermark late-data detection over a GLOBAL arrival order: an
+    event is late when the watermark — the max event time seen over all
+    PRIOR arrivals (``order_col`` ascending) — is more than
+    ``threshold_us`` ahead of it. The streaming-ingestion audit: how
+    much data would a tumbling window with this allowed-lateness drop.
+
+    This is a global running-max prefix scan, the order-partitioned
+    cousin of the salted running total: arrivals split into CONTIGUOUS
+    order-range chunks; a narrow first pass reduces each chunk to its
+    max event time (map-side partials, one tiny groupby); the driver
+    prefix-maxes the per-chunk maxima into exclusive carry-ins (one
+    scalar per chunk — the only driver-side state); the second pass
+    re-shuffles on the chunk id and counts late rows per (chunk, key)
+    with a vectorized local prefix max seeded by the carry-in. Output
+    is one row per key: (n_late, n_events)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    from .dedup import _cached_get
+
+    nc = n_chunks or _default_buckets()
+
+    def order_bounds(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch.column(order_col), dtype=np.int64)
+        if o.size == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(o.min())], pa.int64()),
+                         "hi": pa.array([int(o.max())], pa.int64())})
+
+    empty_out = pa.table({key: pa.array([], pa.string()),
+                          "n_late": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+    bounds = ds.map_batches(order_bounds, batch_format="pyarrow")
+    lo_v = bounds.min("lo")
+    if lo_v is None:
+        return empty_out
+    lo = int(lo_v)
+    hi = int(bounds.max("hi"))
+    width = max(1, (hi - lo) // nc + 1)
+
+    def chunk_partials(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch.column(order_col), dtype=np.int64)
+        t = _epoch_us(batch.column(ts_col))
+        ck = (o - lo) // width
+        order = np.argsort(ck, kind="stable")
+        ck, t = ck[order], t[order]
+        start = np.concatenate(([True], ck[1:] != ck[:-1]))
+        idx = np.flatnonzero(start)
+        return pa.table({"ck": pa.array(ck[idx], pa.int64()),
+                         "mx": pa.array(np.maximum.reduceat(t, idx)
+                                        .astype(np.int64), pa.int64())})
+
+    cmax = (ds.map_batches(chunk_partials, batch_format="pyarrow")
+            .groupby("ck").aggregate(Max("mx", alias_name="mx"))
+            .to_pandas().sort_values("ck"))
+    # exclusive prefix max over ordered chunks -> per-chunk carry-in
+    carry = np.full(nc + 1, np.iinfo(np.int64).min, dtype=np.int64)
+    cks = cmax["ck"].to_numpy(np.int64)
+    mxs = cmax["mx"].to_numpy(np.int64)
+    dense = np.full(nc + 1, np.iinfo(np.int64).min, dtype=np.int64)
+    dense[cks] = mxs
+    carry[1:] = np.maximum.accumulate(dense[:-1])
+    carry_ref = ray.put(carry)
+
+    def tag_chunk(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch.column(order_col), dtype=np.int64)
+        ck = (o - lo) // width
+        return pa.table({key: batch.column(key),
+                         "o": pa.array(o, pa.int64()),
+                         "t": pa.array(_epoch_us(batch.column(ts_col)),
+                                       pa.int64()),
+                         "_ck": pa.array(ck, pa.int64())})
+
+    def per_chunk(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[key].to_numpy()
+        if k.size == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 "n_late": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64)})
+        o = group["o"].to_numpy(np.int64)
+        t = group["t"].to_numpy(np.int64)
+        order = np.argsort(o, kind="stable")
+        k, t = k[order], t[order]
+        ck = int(group["_ck"].iloc[0])
+        seed = _cached_get(carry_ref)[ck]
+        # watermark BEFORE each row = exclusive prefix max seeded by the
+        # carry-in from all prior chunks
+        wm = np.empty(t.size, dtype=np.int64)
+        wm[0] = seed
+        if t.size > 1:
+            wm[1:] = np.maximum.accumulate(
+                np.maximum(t[:-1], seed))
+        # compare as wm > t + threshold: the first global chunk's seed is
+        # int64 min, so (wm - t) would wrap
+        late = wm > (t + threshold_us)
+        types, code = np.unique(k, return_inverse=True)
+        n_late = np.bincount(code, weights=late, minlength=types.size)
+        n_all = np.bincount(code, minlength=types.size)
+        return pd.DataFrame({key: types,
+                             "n_late": n_late.astype(np.int64),
+                             "n_events": n_all.astype(np.int64)})
+
+    parts = (ds.map_batches(tag_chunk, batch_format="pyarrow")
+             .groupby("_ck").map_groups(per_chunk, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return empty_out
+    fin = (parts.groupby(key, as_index=False)[["n_late", "n_events"]].sum()
+           .sort_values(key).reset_index(drop=True))
+    return pa.table({key: pa.array(fin[key], pa.string()),
+                     "n_late": pa.array(fin["n_late"].astype("int64"),
+                                        pa.int64()),
+                     "n_events": pa.array(fin["n_events"].astype("int64"),
+                                          pa.int64())})

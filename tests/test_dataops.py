@@ -2181,3 +2181,59 @@ def test_locf_hourly_pre_epoch_floor_parity(ray_session):
     # hours -2, -1, 0: LOCF = 10000 (h=-2), 20000 (h=-1), 30000 (h=0)
     assert out.iloc[0]["n_hours"] == 3
     assert out.iloc[0]["locf_sum"] == 60000
+
+
+def test_late_arrivals_matches_pandas(ray_session):
+    """Distributed chunked prefix-max == a serial watermark scan,
+    including carry-ins across chunk boundaries (n_chunks=4 on 400
+    rows forces many boundaries)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import late_arrivals
+
+    rng = np.random.default_rng(41)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": rng.permutation(n).astype(np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+    })
+    thr = 50_000_000
+    out = late_arrivals(rd.from_pandas(df), key="event_type",
+                        order_col="event_id", threshold_us=thr,
+                        n_chunks=4).to_pandas()
+
+    ref = df.sort_values("event_id")
+    t = ref["ts"].astype("int64").to_numpy() // 1000
+    wm = np.empty(n, dtype=np.int64)
+    wm[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(t[:-1], out=wm[1:])
+    late = wm > t + thr
+    want = (pd.DataFrame({"event_type": ref["event_type"].to_numpy(),
+                          "late": late})
+            .groupby("event_type").agg(n_late=("late", "sum"),
+                                       n_events=("late", "size"))
+            .reset_index())
+    got = out.sort_values("event_type").reset_index(drop=True)
+    want = want.sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_late"].sum() > 0  # permuted arrivals must contain late rows
+
+
+def test_late_arrivals_in_order_stream_has_none(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import late_arrivals
+
+    df = pd.DataFrame({
+        "event_id": np.arange(100, dtype=np.int64),
+        "event_type": ["x"] * 100,
+        "ts": pd.to_datetime(np.arange(100) * 60, unit="s"),
+    })
+    out = late_arrivals(rd.from_pandas(df), key="event_type",
+                        order_col="event_id", threshold_us=1,
+                        n_chunks=4).to_pandas()
+    assert out["n_late"].tolist() == [0]
+    assert out["n_events"].tolist() == [100]
