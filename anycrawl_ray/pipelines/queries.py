@@ -5987,6 +5987,63 @@ FROM m GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def docs_link_resource_alloc(sf_dir: str):
+    """Resource-allocation link-prediction index (Zhou et al. 2009) over
+    the site graph: non-adjacent pairs scored by sum(1/deg(z)) over the
+    shared neighbors z, integer fixed-point (1e6 // deg) so the replay
+    is exact — rare shared neighbors outweigh hubs. Same wedge plan as
+    docs_link_prediction with weight partials riding the pair rows."""
+    from ..stages.graph import common_neighbor_pairs, site_edges
+
+    rd = _rd()
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def site_adjacent(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        child = (b == 2 * a + 1) | (b == 2 * a + 2)
+        sibling = (a % 2 == 1) & (b == a + 1)
+        chord = ((7 * a + 3) % n == b) | ((7 * b + 3) % n == a)
+        return child | sibling | chord
+
+    return common_neighbor_pairs(site_edges(ids, n), n,
+                                 adjacent_fn=site_adjacent, min_common=2,
+                                 ra_scale=1_000_000)
+
+
+_LINK_RESOURCE_ALLOC_SQL = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+    SELECT d.doc_id AS a, 2 * d.doc_id + 1 AS b
+    FROM documents d, n WHERE 2 * d.doc_id + 1 < n.n
+    UNION ALL
+    SELECT d.doc_id, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT 2 * d.doc_id + 1, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT least(d.doc_id, (7 * d.doc_id + 3) % n.n),
+           greatest(d.doc_id, (7 * d.doc_id + 3) % n.n)
+    FROM documents d, n WHERE (7 * d.doc_id + 3) % n.n <> d.doc_id
+),
+edges AS (SELECT DISTINCT a, b FROM raw),
+adj AS (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
+wed AS (SELECT a1.y AS u, a2.y AS w, 1000000 // deg.d AS ra
+        FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
+        JOIN deg ON deg.x = a1.x),
+cn AS (SELECT u, w, COUNT(*) AS n_common, CAST(SUM(ra) AS BIGINT) AS ra
+       FROM wed GROUP BY u, w)
+SELECT cn.u AS a, cn.w AS b, CAST(cn.n_common AS BIGINT) AS n_common,
+       cn.ra AS ra
+FROM cn LEFT JOIN edges e ON e.a = cn.u AND e.b = cn.w
+WHERE e.a IS NULL AND cn.n_common >= 2
+ORDER BY a, b
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -5999,6 +6056,7 @@ QUERIES = {
     "docs_bigram_surprise": docs_bigram_surprise,
     "docs_typo_pairs": docs_typo_pairs,
     "docs_link_prediction": docs_link_prediction,
+    "docs_link_resource_alloc": docs_link_resource_alloc,
     "events_gap_fill": events_gap_fill,
     "events_late_arrivals": events_late_arrivals,
     "orderkey_union_count": orderkey_union_count,
@@ -6120,6 +6178,7 @@ ORACLE_SQL = {
     "docs_bigram_surprise": _BIGRAM_SURPRISE_SQL,
     "docs_typo_pairs": _TYPO_PAIRS_SQL,
     "docs_link_prediction": _LINK_PREDICTION_SQL,
+    "docs_link_resource_alloc": _LINK_RESOURCE_ALLOC_SQL,
     "events_gap_fill": _GAP_FILL_SQL,
     "events_late_arrivals": _LATE_ARRIVALS_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,

@@ -324,7 +324,8 @@ def triangle_counts(edges_ds, n_nodes: int,
 def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
                           min_common: int = 2,
                           n_buckets: int | None = None,
-                          max_degree: int | None = None) -> pa.Table:
+                          max_degree: int | None = None,
+                          ra_scale: int | None = None) -> pa.Table:
     """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003's
     baseline score): for every NON-adjacent pair with >= ``min_common``
     shared neighbors, the shared-neighbor count. Candidate edges for a
@@ -339,7 +340,13 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
     (4) adjacency is a map-side RULE predicate (``adjacent_fn(a, b) ->
     bool mask``) — rule-derivable graphs need no anti-join shuffle.
     Per-center expansion is O(deg^2): pass ``max_degree`` to drop hub
-    centers (logged), the standard wedge cap; None keeps it exact."""
+    centers (logged), the standard wedge cap; None keeps it exact.
+
+    ``ra_scale`` adds the resource-allocation index (Zhou et al. 2009)
+    as integer fixed-point: each wedge at center z contributes
+    ``ra_scale // deg(z)`` (deg = the center's neighbor-list length in
+    its bucket — the true degree when no cap is set), summed per pair
+    into an ``ra`` column. Rare shared neighbors count more than hubs."""
     import logging
 
     import pandas as pd
@@ -370,9 +377,12 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
     edges = (edges_ds.map_batches(pack, batch_format="pyarrow")
              .groupby("_kb").map_groups(uniq_bucket, batch_format="pandas")
              .materialize())
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
-                      "n_common": pa.array([], pa.int64())})
+    empty_cols = {"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.int64()),
+                  "n_common": pa.array([], pa.int64())}
+    if ra_scale is not None:
+        empty_cols["ra"] = pa.array([], pa.int64())
+    empty = pa.table(empty_cols)
     if edges.count() == 0:
         return empty
 
@@ -385,12 +395,17 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
                          "nbr": pa.array(nbr, pa.int64()),
                          "_kb": pa.array(kb, pa.int64())})
 
+    def _empty_partial() -> pd.DataFrame:
+        out = {"p": np.empty(0, np.int64), "c": np.empty(0, np.int64)}
+        if ra_scale is not None:
+            out["w"] = np.empty(0, np.int64)
+        return pd.DataFrame(out)
+
     def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
         ctr = df["ctr"].to_numpy(np.int64)
         nbr = df["nbr"].to_numpy(np.int64)
         if ctr.size == 0:
-            return pd.DataFrame({"p": np.empty(0, np.int64),
-                                 "c": np.empty(0, np.int64)})
+            return _empty_partial()
         order = np.lexsort((nbr, ctr))
         ctr, nbr = ctr[order], nbr[order]
         boundary = np.concatenate(([True], ctr[1:] != ctr[:-1]))
@@ -406,23 +421,28 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
             starts = np.flatnonzero(boundary)
             sizes = np.diff(np.append(starts, ctr.size))
         if ctr.size == 0:
-            return pd.DataFrame({"p": np.empty(0, np.int64),
-                                 "c": np.empty(0, np.int64)})
+            return _empty_partial()
         seg_id = np.cumsum(boundary) - 1
         local = np.arange(ctr.size) - starts[seg_id]
         counts = sizes[seg_id] - 1 - local
         total = int(counts.sum())
         if total == 0:
-            return pd.DataFrame({"p": np.empty(0, np.int64),
-                                 "c": np.empty(0, np.int64)})
+            return _empty_partial()
         ai = np.repeat(np.arange(ctr.size), counts)
         offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
                                             counts)
         bj = ai + 1 + offs
         # neighbors sorted ascending inside the segment -> nbr[ai] < nbr[bj]
         p = nbr[ai] * n + nbr[bj]
-        up, cnt = np.unique(p, return_counts=True)
-        return pd.DataFrame({"p": up, "c": cnt.astype(np.int64)})
+        up, inv, cnt = np.unique(p, return_inverse=True,
+                                 return_counts=True)
+        out = {"p": up, "c": cnt.astype(np.int64)}
+        if ra_scale is not None:
+            w = ra_scale // sizes[seg_id[ai]]  # deg of the wedge CENTER
+            ws = np.zeros(up.size, dtype=np.int64)
+            np.add.at(ws, inv, w)
+            out["w"] = ws
+        return pd.DataFrame(out)
 
     def rebucket(batch: pa.Table) -> pa.Table:
         p = np.asarray(batch.column("p"), dtype=np.int64)
@@ -441,8 +461,11 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
         a, b = up // n, up % n
         keep = (total >= min_common) & ~np.asarray(adjacent_fn(a, b),
                                                    dtype=bool)
-        return pd.DataFrame({"a": a[keep], "b": b[keep],
-                             "n_common": total[keep]})
+        out = {"a": a[keep], "b": b[keep], "n_common": total[keep]}
+        if ra_scale is not None:
+            w = df["w"].to_numpy(np.int64)[order]
+            out["ra"] = np.add.reduceat(w, idx).astype(np.int64)[keep]
+        return pd.DataFrame(out)
 
     out = (edges.map_batches(both_dirs, batch_format="pyarrow")
            .groupby("_kb").map_groups(wedge_partials, batch_format="pandas")
@@ -452,7 +475,10 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
     if len(out) == 0:
         return empty
     out = out.sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.table({"a": pa.array(out["a"].astype("int64"), pa.int64()),
-                     "b": pa.array(out["b"].astype("int64"), pa.int64()),
-                     "n_common": pa.array(out["n_common"].astype("int64"),
-                                          pa.int64())})
+    cols = {"a": pa.array(out["a"].astype("int64"), pa.int64()),
+            "b": pa.array(out["b"].astype("int64"), pa.int64()),
+            "n_common": pa.array(out["n_common"].astype("int64"),
+                                 pa.int64())}
+    if ra_scale is not None:
+        cols["ra"] = pa.array(out["ra"].astype("int64"), pa.int64())
+    return pa.table(cols)

@@ -2237,3 +2237,44 @@ def test_late_arrivals_in_order_stream_has_none(ray_session):
                         n_chunks=4).to_pandas()
     assert out["n_late"].tolist() == [0]
     assert out["n_events"].tolist() == [100]
+
+
+def test_resource_alloc_weights_match_brute(ray_session):
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import common_neighbor_pairs
+
+    rng = np.random.default_rng(53)
+    n = 40
+    a = rng.integers(0, n, 90)
+    b = rng.integers(0, n, 90)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    eset = {(min(x, y), max(x, y)) for x, y in zip(a.tolist(), b.tolist())}
+    edges = rd.from_pandas(pd.DataFrame({"a": a, "b": b}))
+
+    def adjacent(aa, bb):
+        return np.fromiter(((x, y) in eset for x, y in
+                            zip(aa.tolist(), bb.tolist())),
+                           count=aa.size, dtype=bool)
+
+    out = common_neighbor_pairs(edges, n, adjacent_fn=adjacent,
+                                min_common=1, ra_scale=10**6).to_pandas()
+    got = {(r.a, r.b): (r.n_common, r.ra) for r in out.itertuples()}
+
+    nbrs = {v: set() for v in range(n)}
+    for x, y in eset:
+        nbrs[x].add(y)
+        nbrs[y].add(x)
+    want = {}
+    for u, w in itertools.combinations(range(n), 2):
+        if (u, w) in eset:
+            continue
+        shared = nbrs[u] & nbrs[w]
+        if shared:
+            want[(u, w)] = (len(shared),
+                            sum(10**6 // len(nbrs[z]) for z in shared))
+    assert got == want
