@@ -6044,6 +6044,40 @@ ORDER BY a, b
 """
 
 
+
+_SHUFFLE_SHARDS = 32
+_SHUFFLE_SEED = 3
+
+
+def docs_shuffle_shards(sf_dir: str):
+    """Deterministic epoch shuffle (training read order): shard =
+    mix64(doc_id XOR seed) % S, pos = unsigned key rank inside the shard
+    — a fresh permutation per seed with no random_shuffle all-to-all
+    (stages/text_analysis.py::shuffle_shards). Exact SQL oracle via the
+    shared mix64 macro."""
+    from ..stages.text_analysis import shuffle_shards
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return shuffle_shards(ds, n_shards=_SHUFFLE_SHARDS, seed=_SHUFFLE_SEED)
+
+
+def _shuffle_shards_sql() -> str:
+    from . import oracle_kernels as _ok
+
+    return f"""{_ok.U64_PRELUDE}
+WITH k AS (SELECT doc_id,
+                  mix64(xor(CAST(doc_id AS UBIGINT),
+                            {_SHUFFLE_SEED}::UBIGINT)) AS h
+           FROM documents)
+SELECT doc_id, CAST(h % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {_SHUFFLE_SHARDS}
+                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM k ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6057,6 +6091,7 @@ QUERIES = {
     "docs_typo_pairs": docs_typo_pairs,
     "docs_link_prediction": docs_link_prediction,
     "docs_link_resource_alloc": docs_link_resource_alloc,
+    "docs_shuffle_shards": docs_shuffle_shards,
     "events_gap_fill": events_gap_fill,
     "events_late_arrivals": events_late_arrivals,
     "orderkey_union_count": orderkey_union_count,
@@ -6179,6 +6214,7 @@ ORACLE_SQL = {
     "docs_typo_pairs": _TYPO_PAIRS_SQL,
     "docs_link_prediction": _LINK_PREDICTION_SQL,
     "docs_link_resource_alloc": _LINK_RESOURCE_ALLOC_SQL,
+    "docs_shuffle_shards": _shuffle_shards_sql(),
     "events_gap_fill": _GAP_FILL_SQL,
     "events_late_arrivals": _LATE_ARRIVALS_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,

@@ -1372,3 +1372,52 @@ def edit1_pairs(words_ds, word_col: str = "w",
     out = out.sort_values(["w1", "w2"]).reset_index(drop=True)
     return pa.table({"w1": pa.array(out["w1"], pa.string()),
                      "w2": pa.array(out["w2"], pa.string())})
+
+
+def shuffle_shards(ds, id_col: str = "doc_id", n_shards: int = 32,
+                   seed: int = 0) -> pa.Table:
+    """Deterministic epoch shuffle for training-data ordering: every doc
+    gets a pseudorandom 64-bit key ``mix64(id XOR seed)``; the key's
+    residue picks the shard and the key's rank inside the shard is the
+    read position. A new seed is a fresh full-corpus permutation, with
+    no ``random_shuffle`` all-to-all and no RNG state — resumable and
+    bit-replayable anywhere.
+
+    ONE shuffle: the shard id IS the group key (at training scale shards
+    number in the thousands — natural fat groups); inside a shard one
+    lexsort on (key, id) — UNSIGNED key order — assigns positions.
+    Output (id, shard, pos) sorted by id."""
+    import pandas as pd
+
+    s = np.uint64(seed)
+
+    def key(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch.column(id_col), dtype=np.int64)
+        h = _mix64_np(i.view(np.uint64) ^ s)
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({id_col: pa.array(i, pa.int64()),
+                         "h": pa.array(h.view(np.int64), pa.int64()),
+                         "shard": pa.array(shard, pa.int64())})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        i = g[id_col].to_numpy(np.int64)
+        h = g["h"].to_numpy(np.int64).view(np.uint64)
+        order = np.lexsort((i, h))
+        pos = np.empty(i.size, dtype=np.int64)
+        pos[order] = np.arange(i.size)
+        return pd.DataFrame({id_col: i, "shard": g["shard"].to_numpy(),
+                             "pos": pos})
+
+    out = (ds.map_batches(key, batch_format="pyarrow")
+           .groupby("shard").map_groups(rank, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "shard": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    out = out.sort_values(id_col).reset_index(drop=True)
+    return pa.table({id_col: pa.array(out[id_col], pa.int64()),
+                     "shard": pa.array(out["shard"].astype("int64"),
+                                       pa.int64()),
+                     "pos": pa.array(out["pos"].astype("int64"),
+                                     pa.int64())})

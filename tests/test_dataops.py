@@ -2278,3 +2278,23 @@ def test_resource_alloc_weights_match_brute(ray_session):
             want[(u, w)] = (len(shared),
                             sum(10**6 // len(nbrs[z]) for z in shared))
     assert got == want
+
+
+def test_shuffle_shards_is_permutation_and_seed_sensitive(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import shuffle_shards
+
+    ds = rd.range(1000).map_batches(
+        lambda b: pa.table({"doc_id": b.column("id")}),
+        batch_format="pyarrow")
+    a = shuffle_shards(ds, n_shards=8, seed=1).to_pandas()
+    b = shuffle_shards(ds, n_shards=8, seed=2).to_pandas()
+    # per-shard positions are each a dense 0..k-1 permutation
+    for s, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # deterministic: same seed reproduces bit-identically
+    a2 = shuffle_shards(ds, n_shards=8, seed=1).to_pandas()
+    assert a.equals(a2)
+    # a different seed is a different permutation
+    assert not a[["shard", "pos"]].equals(b[["shard", "pos"]])
