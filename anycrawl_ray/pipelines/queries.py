@@ -6078,6 +6078,48 @@ FROM k ORDER BY doc_id
 """
 
 
+
+def docs_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail corpus split on the integer unigram-
+    surprise score (x1000 fixed-point for tercile resolution): exact
+    tercile thresholds (rank (k*n+2)//3, 1-indexed)
+    read off a score HISTOGRAM whose size is value-range-bounded, never
+    corpus-sized (stages/text_analysis.py::perplexity_buckets). Exact
+    SQL oracle."""
+    from ..stages.text_analysis import perplexity_buckets
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return perplexity_buckets(ds)
+
+
+_PERPLEXITY_BUCKETS_SQL = r"""
+WITH toks AS (SELECT doc_id,
+               UNNEST(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS tok
+      FROM documents),
+c AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+s AS (SELECT doc_id, CAST(SUM(total // c) AS BIGINT) AS ssum,
+             COUNT(*) AS n_tokens
+      FROM toks JOIN c USING (tok), t GROUP BY doc_id),
+sc AS (SELECT n_tokens, ssum * 1000 // n_tokens AS v FROM s),
+r AS (SELECT v, n_tokens, row_number() OVER (ORDER BY v) AS rk FROM sc),
+nn AS (SELECT COUNT(*) AS n FROM sc),
+th AS (SELECT MAX(CASE WHEN rk = (n + 2) // 3 THEN v END) AS t1,
+              MAX(CASE WHEN rk = (2 * n + 2) // 3 THEN v END) AS t2
+       FROM r, nn),
+b AS (SELECT CASE WHEN v <= t1 THEN 0 WHEN v <= t2 THEN 1 ELSE 2 END
+             AS bucket, v, n_tokens
+      FROM r, th)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(v) AS min_score, MAX(v) AS max_score
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6092,6 +6134,7 @@ QUERIES = {
     "docs_link_prediction": docs_link_prediction,
     "docs_link_resource_alloc": docs_link_resource_alloc,
     "docs_shuffle_shards": docs_shuffle_shards,
+    "docs_perplexity_buckets": docs_perplexity_buckets,
     "events_gap_fill": events_gap_fill,
     "events_late_arrivals": events_late_arrivals,
     "orderkey_union_count": orderkey_union_count,
@@ -6215,6 +6258,7 @@ ORACLE_SQL = {
     "docs_link_prediction": _LINK_PREDICTION_SQL,
     "docs_link_resource_alloc": _LINK_RESOURCE_ALLOC_SQL,
     "docs_shuffle_shards": _shuffle_shards_sql(),
+    "docs_perplexity_buckets": _PERPLEXITY_BUCKETS_SQL,
     "events_gap_fill": _GAP_FILL_SQL,
     "events_late_arrivals": _LATE_ARRIVALS_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,

@@ -529,7 +529,9 @@ def chunk_overlap_batch(batch: pa.Table, size: int = 64, stride: int = 48,
 
 
 def unigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
-                     n_buckets: int | None = None) -> pa.Table:
+                     n_buckets: int | None = None,
+                     as_dataset: bool = False,
+                     score_scale: int = 1) -> pa.Table:
     """Corpus-trained unigram LM scoring (the CCNet perplexity-bucketing
     shape, integer-exact): train unigram counts over the corpus itself,
     then score every doc by its mean per-token *surprise*
@@ -544,7 +546,15 @@ def unigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
     slim groupby-Sum finishes per doc. T is a scalar from a pruned
     counting pass. Nothing vocabulary- or corpus-sized ever sits on the
     driver — the usual CCNet design broadcasts the LM, this one co-locates
-    it with its occurrences instead."""
+    it with its occurrences instead.
+
+    ``as_dataset=True`` returns the per-doc score stream as a Ray
+    Dataset (columns doc / n_tokens / mean_surprise) instead of a
+    driver-side Table — the input for downstream distributed consumers
+    like ``perplexity_buckets`` (empty corpora still return an empty
+    driver Table; callers must accept either). ``score_scale`` raises
+    the fixed-point resolution of the mean (ssum * scale // n_tokens);
+    the default 1 is the original integer mean."""
     import pandas as pd
     import ray
 
@@ -618,18 +628,21 @@ def unigram_surprise(ds, id_col: str = "doc_id", text_col: str = "text",
         ssum = np.add.reduceat(s, idx).astype(np.int64)
         ntok = np.add.reduceat(n, idx).astype(np.int64)
         return pd.DataFrame({"doc": doc[idx], "n_tokens": ntok,
-                             "mean_surprise": ssum // ntok})
+                             "mean_surprise": ssum * score_scale // ntok})
 
     # second fat-bucket shuffle finishes the per-doc sums — Ray's
     # sort-based groupby over the natural doc key measured 12.9 s on 91k
     # partial rows vs ~1 s for the bucketed kernel (the map_groups
     # per-natural-key overhead anti-pattern, same fix as window.py)
-    parts = (ds.map_batches(explode, batch_format="pyarrow")
-             .groupby("_kb").map_groups(bucket_partials,
-                                        batch_format="pandas")
-             .map_batches(rebucket, batch_format="pyarrow")
-             .groupby("_db").map_groups(doc_totals, batch_format="pandas")
-             .to_pandas())
+    scores = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("_kb").map_groups(bucket_partials,
+                                         batch_format="pandas")
+              .map_batches(rebucket, batch_format="pyarrow")
+              .groupby("_db").map_groups(doc_totals,
+                                         batch_format="pandas"))
+    if as_dataset:
+        return scores
+    parts = scores.to_pandas()
     if len(parts) == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "n_tokens": pa.array([], pa.int64()),
@@ -1421,3 +1434,72 @@ def shuffle_shards(ds, id_col: str = "doc_id", n_shards: int = 32,
                                        pa.int64()),
                      "pos": pa.array(out["pos"].astype("int64"),
                                      pa.int64())})
+
+
+def perplexity_buckets(ds, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3)
+    on the integer unigram-surprise score: exact tercile thresholds over
+    the whole corpus, then one fold per bucket (doc count, token sum,
+    score min/max). Integer ranks — threshold k = value at 1-indexed
+    rank ceil(k*n/3) computed as (k*n + 2) // 3 — keep both sides of the
+    oracle bit-exact (no float percentile boundary).
+
+    Scale shape: the per-doc score stream stays a Dataset
+    (``unigram_surprise(as_dataset=True)``); blocks collapse to
+    (score -> count, token-sum) HISTOGRAM partials, one slim groupby
+    merges them, and the driver folds a histogram whose size is bounded
+    by the number of DISTINCT integer scores (value-range-bounded,
+    corpus-size-independent) — never the corpus. Thresholds and the
+    bucket aggregates all read off the same histogram; no second corpus
+    pass."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    scores = unigram_surprise(ds, id_col=id_col, text_col=text_col,
+                              as_dataset=True, score_scale=1000)
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "sum_tokens": pa.array([], pa.int64()),
+                      "min_score": pa.array([], pa.int64()),
+                      "max_score": pa.array([], pa.int64())})
+    if isinstance(scores, pa.Table):  # empty-corpus fallback
+        return empty
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("mean_surprise"), dtype=np.int64)
+        t = np.asarray(batch.column("n_tokens"), dtype=np.int64)
+        uv, inv, cnt = np.unique(v, return_inverse=True,
+                                 return_counts=True)
+        toks = np.zeros(uv.size, dtype=np.int64)
+        np.add.at(toks, inv, t)
+        return pa.table({"v": pa.array(uv, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                         "toks": pa.array(toks, pa.int64())})
+
+    hist = (scores.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("c", alias_name="c"),
+                                    Sum("toks", alias_name="toks"))
+            .to_pandas().sort_values("v").reset_index(drop=True))
+    if len(hist) == 0:
+        return empty
+    v = hist["v"].to_numpy(np.int64)
+    c = hist["c"].to_numpy(np.int64)
+    toks = hist["toks"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    # value at 1-indexed rank r in the sorted score multiset
+    t1 = v[np.searchsorted(cum, (n + 2) // 3)]
+    t2 = v[np.searchsorted(cum, (2 * n + 2) // 3)]
+    bucket = np.where(v <= t1, 0, np.where(v <= t2, 1, 2)).astype(np.int64)
+    rows = []
+    for bk in range(3):
+        m = bucket == bk
+        if not m.any():
+            continue
+        rows.append((bk, int(c[m].sum()), int(toks[m].sum()),
+                     int(v[m].min()), int(v[m].max())))
+    fin = pd.DataFrame(rows, columns=["bucket", "n_docs", "sum_tokens",
+                                      "min_score", "max_score"])
+    return pa.table({k: pa.array(fin[k].astype("int64"), pa.int64())
+                     for k in fin.columns})

@@ -2298,3 +2298,26 @@ def test_shuffle_shards_is_permutation_and_seed_sensitive(ray_session):
     assert a.equals(a2)
     # a different seed is a different permutation
     assert not a[["shard", "pos"]].equals(b[["shard", "pos"]])
+
+
+def test_perplexity_buckets_terciles(ray_session):
+    """Buckets partition the corpus; thresholds follow the integer-rank
+    rule on a hand-built score spread."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import perplexity_buckets
+
+    # 9 docs, 3 clearly separated score groups (common / mixed / rare
+    # vocab) — each tercile gets 3 docs
+    common = "the the the the"
+    docs = [common] * 3 + [f"{common} mid{i}" for i in range(3)] + \
+        [f"rare{i} rare{i + 10} rare{i + 20} odd{i}" for i in range(3)]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(docs)])
+    out = perplexity_buckets(ds).to_pandas()
+    assert out["bucket"].tolist() == [0, 1, 2]
+    assert out["n_docs"].sum() == 9
+    assert out["n_docs"].tolist() == [3, 3, 3]
+    # buckets are ordered score ranges
+    assert out["max_score"][0] <= out["min_score"][1]
+    assert out["max_score"][1] <= out["min_score"][2]
