@@ -6120,6 +6120,55 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+
+_TEXT_INDEX_TERMS = ["stream", "vector", "window"]
+
+
+def docs_text_index_topk(sf_dir: str):
+    """Persistent inverted-index path (the text mirror of the IVF index
+    row): build hive-partitioned postings under /tmp (bucket = term hash
+    % 32), then a partition-PRUNED lookup — only the query terms' bucket
+    directories are read — scoring sum(tf * (N // df)) integer-exact
+    with a per-bucket local top-k (stages/text_analysis.py::TextIndex).
+    Oracle scores the same terms straight off the documents table."""
+    import hashlib
+    import shutil
+
+    from ..stages.text_analysis import TextIndex
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = f"/tmp/text_index_{tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    index = TextIndex.build(ds, idx_dir, n_buckets=32)
+    out = index.lookup(_TEXT_INDEX_TERMS, k=10)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return out
+
+
+def _text_index_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in _TEXT_INDEX_TERMS)
+    return rf"""
+WITH toks AS (SELECT doc_id,
+               UNNEST(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS tok
+      FROM documents),
+q AS (SELECT * FROM (VALUES {vals}) AS t(term)),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+       FROM toks JOIN q ON tok = term GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT doc_id, CAST(SUM(tf * (n // df)) AS BIGINT) AS score
+       FROM tf JOIN df USING (term), nn GROUP BY doc_id)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+FROM sc QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6135,6 +6184,7 @@ QUERIES = {
     "docs_link_resource_alloc": docs_link_resource_alloc,
     "docs_shuffle_shards": docs_shuffle_shards,
     "docs_perplexity_buckets": docs_perplexity_buckets,
+    "docs_text_index_topk": docs_text_index_topk,
     "events_gap_fill": events_gap_fill,
     "events_late_arrivals": events_late_arrivals,
     "orderkey_union_count": orderkey_union_count,
@@ -6259,6 +6309,7 @@ ORACLE_SQL = {
     "docs_link_resource_alloc": _LINK_RESOURCE_ALLOC_SQL,
     "docs_shuffle_shards": _shuffle_shards_sql(),
     "docs_perplexity_buckets": _PERPLEXITY_BUCKETS_SQL,
+    "docs_text_index_topk": _text_index_sql(),
     "events_gap_fill": _GAP_FILL_SQL,
     "events_late_arrivals": _LATE_ARRIVALS_SQL,
     "orderkey_union_count": _UNION_COUNT_SQL,

@@ -1503,3 +1503,171 @@ def perplexity_buckets(ds, id_col: str = "doc_id",
                                       "min_score", "max_score"])
     return pa.table({k: pa.array(fin[k].astype("int64"), pa.int64())
                      for k in fin.columns})
+
+
+class TextIndex:
+    """Persistent inverted text index with REAL partition pruning — the
+    text mirror of ``similarity.IVFIndex``. ``build`` runs ONE corpus
+    pass emitting (term, doc, tf) postings and hive-partitions them by
+    ``bucket = term_hash % n_buckets`` (the resumable layout: a failed
+    build reruns only missing buckets, a lookup reads only its terms'
+    bucket directories). No separate stats table: df(term) is exact from
+    the pruned postings themselves (one row per (doc, term)), and the
+    corpus doc count rides a tiny meta file.
+
+    ``lookup`` scores ``sum(tf * (N // df))`` per doc — the pinned
+    integer-idf convention of ``keyword_topk`` — over ONLY the needed
+    buckets: per-block score partials rebucket by doc hash, each bucket
+    keeps a local top-k, the driver merges n_buckets * k candidate rows,
+    never the postings."""
+
+    def __init__(self, index_dir: str, n_docs: int,
+                 n_buckets: int) -> None:
+        self.index_dir = index_dir
+        self.n_docs = n_docs
+        self.n_buckets = n_buckets
+
+    @staticmethod
+    def _term_buckets(terms: list[str], n_buckets: int) -> np.ndarray:
+        h = _mix64_np(np.array(_fnv1a_bulk(terms), dtype=np.uint64))
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    @classmethod
+    def build(cls, ds, index_dir: str, n_buckets: int = 32,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> "TextIndex":
+        import json
+        import os
+
+        def postings(batch: pa.Table) -> pa.Table:
+            out_t, out_id, out_tf = [], [], []
+            for d, t in zip(batch.column(id_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+                counts: dict[str, int] = {}
+                for tok in t.split():
+                    counts[tok] = counts.get(tok, 0) + 1
+                out_t.extend(counts.keys())
+                out_tf.extend(counts.values())
+                out_id.extend([d] * len(counts))
+            if out_t:
+                bucket = cls._term_buckets(out_t, n_buckets)
+            else:
+                bucket = np.empty(0, dtype=np.int64)
+            return pa.table({"term": pa.array(out_t, pa.string()),
+                             id_col: pa.array(out_id, pa.int64()),
+                             "tf": pa.array(out_tf, pa.int64()),
+                             "bucket": pa.array(bucket, pa.int64())})
+
+        os.makedirs(index_dir, exist_ok=True)
+        n_docs = ds.count()
+        ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+            index_dir, partition_cols=["bucket"])
+        with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+            json.dump({"n_docs": n_docs, "n_buckets": n_buckets}, fh)
+        return cls(index_dir, n_docs, n_buckets)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "TextIndex":
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        return cls(index_dir, meta["n_docs"], meta["n_buckets"])
+
+    def pruned_paths(self, terms: list[str]) -> list[str]:
+        import os
+
+        needed = sorted(set(self._term_buckets(list(terms),
+                                               self.n_buckets).tolist()))
+        paths = []
+        for bk in needed:
+            bdir = os.path.join(self.index_dir, f"bucket={bk}")
+            if os.path.isdir(bdir):
+                paths.extend(os.path.join(bdir, f)
+                             for f in sorted(os.listdir(bdir))
+                             if f.endswith(".parquet"))
+        return paths
+
+    def lookup(self, terms: list[str], k: int = 10,
+               id_col: str = "doc_id") -> pa.Table:
+        import pandas as pd
+        import ray.data as rd
+
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        paths = self.pruned_paths(terms)
+        if not paths:
+            return empty
+        term_arr = pa.array(sorted(set(terms)), pa.string())
+        sub = rd.read_parquet(paths, columns=["term", id_col, "tf"])
+
+        def only_terms(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("term"),
+                                         value_set=term_arr))
+
+        hits = sub.map_batches(only_terms,
+                               batch_format="pyarrow").materialize()
+
+        # exact df per query term from the pruned postings (one row per
+        # (doc, term)); the fold is |terms|-sized
+        def df_partial(batch: pa.Table) -> pa.Table:
+            t = batch.column("term").to_pylist()
+            u, c = np.unique(np.asarray(t, dtype=object),
+                             return_counts=True)
+            return pa.table({"term": pa.array(list(u), pa.string()),
+                             "df": pa.array(c.astype(np.int64))})
+
+        dfp = hits.map_batches(df_partial, batch_format="pyarrow") \
+            .to_pandas()
+        if len(dfp) == 0:
+            return empty
+        df_map = dfp.groupby("term")["df"].sum().to_dict()
+        idf = {t: self.n_docs // int(d) for t, d in df_map.items()}
+        nb = min(64, max(8, self.n_buckets))
+
+        def score_partial(batch: pa.Table) -> pa.Table:
+            t = batch.column("term").to_pylist()
+            d = np.asarray(batch.column(id_col), dtype=np.int64)
+            tf = np.asarray(batch.column("tf"), dtype=np.int64)
+            w = np.fromiter((idf[x] for x in t), count=len(t),
+                            dtype=np.int64)
+            part = tf * w
+            ud, inv = np.unique(d, return_inverse=True)
+            s = np.zeros(ud.size, dtype=np.int64)
+            np.add.at(s, inv, part)
+            kb = (_mix64_np(ud.view(np.uint64)) % np.uint64(nb)).astype(
+                np.int64)
+            return pa.table({id_col: pa.array(ud, pa.int64()),
+                             "s": pa.array(s, pa.int64()),
+                             "_kb": pa.array(kb, pa.int64())})
+
+        def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+            d = g[id_col].to_numpy(np.int64)
+            s = g["s"].to_numpy(np.int64)
+            order = np.argsort(d, kind="stable")
+            d, s = d[order], s[order]
+            start = np.concatenate(([True], d[1:] != d[:-1]))
+            idx = np.flatnonzero(start)
+            ud = d[idx]
+            tot = np.add.reduceat(s, idx).astype(np.int64)
+            top = np.lexsort((ud, -tot))[:k]
+            return pd.DataFrame({id_col: ud[top], "score": tot[top]})
+
+        cand = (hits.map_batches(score_partial, batch_format="pyarrow")
+                .groupby("_kb").map_groups(bucket_topk,
+                                           batch_format="pandas")
+                .to_pandas())
+        if len(cand) == 0:
+            return empty
+        cand = cand.sort_values(["score", id_col],
+                                ascending=[False, True]).head(k)
+        cand = cand.reset_index(drop=True)
+        return pa.table({id_col: pa.array(cand[id_col].astype("int64"),
+                                          pa.int64()),
+                         "score": pa.array(cand["score"].astype("int64"),
+                                           pa.int64()),
+                         "rank": pa.array(
+                             np.arange(1, len(cand) + 1, dtype=np.int64),
+                             pa.int64())})

@@ -2321,3 +2321,52 @@ def test_perplexity_buckets_terciles(ray_session):
     # buckets are ordered score ranges
     assert out["max_score"][0] <= out["min_score"][1]
     assert out["max_score"][1] <= out["min_score"][2]
+
+
+def test_text_index_prunes_partitions_and_matches_full_scan(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import TextIndex
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta beta gamma"},
+        {"doc_id": 1, "text": "alpha alpha delta"},
+        {"doc_id": 2, "text": "gamma gamma gamma epsilon"},
+        {"doc_id": 3, "text": "zeta eta theta"},
+    ]
+    ds = rd.from_items(docs)
+    idx = TextIndex.build(ds, str(tmp_path / "ti"), n_buckets=16)
+
+    # pruning is real: the lookup's path set is a strict subset of the
+    # bucket dirs on disk (16 buckets, <= 2 terms' worth read)
+    all_buckets = [d for d in os.listdir(tmp_path / "ti")
+                   if d.startswith("bucket=")]
+    pruned = idx.pruned_paths(["alpha", "gamma"])
+    pruned_buckets = {p.split("bucket=")[1].split("/")[0] for p in pruned}
+    assert len(pruned_buckets) <= 2 < len(all_buckets)
+
+    out = idx.lookup(["alpha", "gamma"], k=10).to_pandas()
+    # manual scoring: N=4, df(alpha)=2, df(gamma)=2 -> idf=2 each
+    # doc0: 1*2 + 1*2 = 4; doc1: 2*2 = 4; doc2: 3*2 = 6
+    assert out[["doc_id", "score"]].values.tolist() == [
+        [2, 6], [0, 4], [1, 4]]
+    assert out["rank"].tolist() == [1, 2, 3]
+
+    # reload from disk reproduces bit-identically
+    idx2 = TextIndex.load(str(tmp_path / "ti"))
+    assert idx2.lookup(["alpha", "gamma"], k=10).equals(
+        idx.lookup(["alpha", "gamma"], k=10))
+
+
+def test_text_index_missing_terms(ray_session, tmp_path):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.text_analysis import TextIndex
+
+    ds = rd.from_items([{"doc_id": 0, "text": "only these words"}])
+    idx = TextIndex.build(ds, str(tmp_path / "ti2"), n_buckets=8)
+    out = idx.lookup(["absent"], k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "score", "rank"]
