@@ -6169,6 +6169,37 @@ FROM sc QUALIFY rank <= 10 ORDER BY rank
 """
 
 
+def events_attribution(sf_dir: str):
+    """First-touch attribution: per first-touch event type, the number
+    of users who entered through it and the conversions (purchases)
+    those users produced. One slim shuffle — blocks reduce to one
+    candidate row per user before users hash into fat buckets
+    (stages/window.py::first_touch_attribution). Exact SQL oracle
+    (row_number tie-broken by event_id)."""
+    from ..stages.window import first_touch_attribution
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return first_touch_attribution(ev)
+
+
+_ATTRIBUTION_SQL = """
+WITH f AS (
+    SELECT user_id, event_type FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) = 1),
+c AS (SELECT user_id, COUNT(*) AS conv FROM events
+      WHERE event_type = 'purchase' GROUP BY 1)
+SELECT f.event_type AS first_touch,
+       CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(COALESCE(SUM(c.conv), 0) AS BIGINT) AS conversions
+FROM f LEFT JOIN c USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6292,9 +6323,11 @@ QUERIES = {
     "docs_lang_confusion": docs_lang_confusion,
     "embeddings_ivf_recall": embeddings_ivf_recall,
     "docs_minhash_recall": docs_minhash_recall,
+    "events_attribution": events_attribution,
 }
 
 ORACLE_SQL = {
+    "events_attribution": _ATTRIBUTION_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "revenue_by_brand": _REVENUE_BRAND_SQL,
     "orders_by_nation": _ORDERS_NATION_SQL,

@@ -1081,3 +1081,90 @@ def late_arrivals(ds, key: str = "event_type", order_col: str = "event_id",
                                         pa.int64()),
                      "n_events": pa.array(fin["n_events"].astype("int64"),
                                           pa.int64())})
+
+
+def first_touch_attribution(ds, user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            type_col: str = "event_type",
+                            conv_type: str = "purchase",
+                            n_buckets: int | None = None) -> pa.Table:
+    """First-touch attribution: credit every conversion (``conv_type``
+    event) to the event type of the user's FIRST event ever (ordered by
+    ``(ts, event_id)`` — the tie-break makes the argmin total). Output is
+    one row per first-touch type: how many users entered through it and
+    how many conversions those users produced.
+
+    Scale shape (one shuffle, partial-argmin): each block reduces to at
+    most one candidate row per user — the block-local argmin (first
+    event) plus the block-local conversion count — so the shuffle carries
+    O(users x blocks-touched) slim rows, never events. Users hash into
+    fat mix64 buckets; the bucket kernel re-runs the same lexsort argmin
+    over the candidates and emits per-type partials. Users are
+    partitioned across buckets, so the driver merge folds
+    (buckets x types) rows, not users.
+
+    Reference class: the attribution joins the reference runs over its
+    request-log events (AnyCrawl keys jobs to their seed/origin the same
+    first-wins way, packages/scrape/src/Utils.ts uniqueKey semantics);
+    here it is the standard product-analytics first-touch report."""
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column(user_col).combine_chunks()
+                       if isinstance(batch.column(user_col), pa.ChunkedArray)
+                       else batch.column(user_col), dtype=np.int64)
+        t = _epoch_us(batch.column(ts_col))
+        eid = np.asarray(batch.column(id_col), dtype=np.int64)
+        typ = np.asarray(batch.column(type_col).to_pandas())
+        order = np.lexsort((eid, t, u))
+        us, ts_s, eid_s, typ_s = u[order], t[order], eid[order], typ[order]
+        first = np.concatenate(([True], us[1:] != us[:-1]))
+        fidx = np.flatnonzero(first)
+        uu = us[fidx]
+        conv = np.bincount(
+            np.searchsorted(uu, us), weights=(typ_s == conv_type),
+            minlength=uu.size).astype(np.int64)
+        out = pa.table({user_col: pa.array(uu, pa.int64()),
+                        "_ts": pa.array(ts_s[fidx], pa.int64()),
+                        "_eid": pa.array(eid_s[fidx], pa.int64()),
+                        "_typ": pa.array(typ_s[fidx], pa.string()),
+                        "_conv": pa.array(conv, pa.int64())})
+        return _bucket_col(out, user_col, nb)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[user_col].to_numpy()
+        t = group["_ts"].to_numpy()
+        eid = group["_eid"].to_numpy()
+        typ = group["_typ"].to_numpy()
+        conv = group["_conv"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        us = u[order]
+        first = np.concatenate(([True], us[1:] != us[:-1]))
+        fidx = np.flatnonzero(first)
+        ftyp = typ[order][fidx]
+        # per-user conversion totals across block partials
+        seg = np.cumsum(first) - 1
+        conv_tot = np.bincount(seg, weights=conv[order],
+                               minlength=fidx.size).astype(np.int64)
+        out = pd.DataFrame({"first_touch": ftyp, "conv": conv_tot})
+        agg = (out.groupby("first_touch", sort=False)
+               .agg(users=("conv", "size"), conversions=("conv", "sum"))
+               .reset_index())
+        return agg
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"first_touch": pa.array([], pa.string()),
+                         "users": pa.array([], pa.int64()),
+                         "conversions": pa.array([], pa.int64())})
+    fin = (parts.groupby("first_touch", as_index=False)
+           [["users", "conversions"]].sum()
+           .sort_values("first_touch").reset_index(drop=True))
+    return pa.table({
+        "first_touch": pa.array(fin["first_touch"], pa.string()),
+        "users": pa.array(fin["users"].astype("int64"), pa.int64()),
+        "conversions": pa.array(fin["conversions"].astype("int64"),
+                                pa.int64())})

@@ -2370,3 +2370,33 @@ def test_text_index_missing_terms(ray_session, tmp_path):
     out = idx.lookup(["absent"], k=5)
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "score", "rank"]
+
+
+def test_first_touch_attribution_tiebreak_and_partials(ray_session):
+    """First event resolved by (ts, event_id) across block boundaries;
+    users without conversions still count toward `users`."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import first_touch_attribution
+
+    # user 1: tie at ts=10 -> event_id 2 ('view') wins over 5 ('click');
+    # 2 purchases. user 2: first is 'signup', 0 purchases.
+    # user 3: first IS the purchase.
+    rows = [
+        (5, 1, 10, "click"), (2, 1, 10, "view"),
+        (7, 1, 20, "purchase"), (9, 1, 30, "purchase"),
+        (3, 2, 5, "signup"), (4, 2, 50, "click"),
+        (8, 3, 7, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = first_touch_attribution(rd.from_arrow(t).repartition(4))
+    got = {ft: (u, c) for ft, u, c in zip(
+        out.column("first_touch").to_pylist(),
+        out.column("users").to_pylist(),
+        out.column("conversions").to_pylist())}
+    assert got == {"view": (1, 2), "signup": (1, 0), "purchase": (1, 1)}
