@@ -6200,6 +6200,50 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_rfm(sf_dir: str):
+    """RFM segmentation: per-user recency/frequency/monetary quartile
+    scores (percentile_disc cuts, ascending 1..4), counted per
+    (r,f,m) cell (stages/window.py::rfm_segments). One user shuffle of
+    map-side partials + value-histogram cuts; exact SQL oracle."""
+    from ..stages.window import rfm_segments
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    return rfm_segments(ev)
+
+
+_RFM_SQL = """
+WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+peru AS (
+    SELECT user_id, MAX(epoch_us(ts)) AS umax, COUNT(*) AS f,
+           CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT))
+                AS BIGINT) AS m
+    FROM events GROUP BY user_id),
+base AS (SELECT (g.gmax - umax) // 86400000000 AS r, f, m FROM peru, g),
+cuts AS (SELECT
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY r) AS r1,
+    percentile_disc(0.50) WITHIN GROUP (ORDER BY r) AS r2,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY r) AS r3,
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY f) AS f1,
+    percentile_disc(0.50) WITHIN GROUP (ORDER BY f) AS f2,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY f) AS f3,
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY m) AS m1,
+    percentile_disc(0.50) WITHIN GROUP (ORDER BY m) AS m2,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY m) AS m3
+  FROM base)
+SELECT CAST(1 + (b.r > c.r1)::INT + (b.r > c.r2)::INT + (b.r > c.r3)::INT
+            AS BIGINT) AS r_score,
+       CAST(1 + (b.f > c.f1)::INT + (b.f > c.f2)::INT + (b.f > c.f3)::INT
+            AS BIGINT) AS f_score,
+       CAST(1 + (b.m > c.m1)::INT + (b.m > c.m2)::INT + (b.m > c.m3)::INT
+            AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM base b, cuts c
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6324,10 +6368,12 @@ QUERIES = {
     "embeddings_ivf_recall": embeddings_ivf_recall,
     "docs_minhash_recall": docs_minhash_recall,
     "events_attribution": events_attribution,
+    "events_rfm": events_rfm,
 }
 
 ORACLE_SQL = {
     "events_attribution": _ATTRIBUTION_SQL,
+    "events_rfm": _RFM_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "revenue_by_brand": _REVENUE_BRAND_SQL,
     "orders_by_nation": _ORDERS_NATION_SQL,

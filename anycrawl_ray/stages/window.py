@@ -1168,3 +1168,120 @@ def first_touch_attribution(ds, user_col: str = "user_id",
         "users": pa.array(fin["users"].astype("int64"), pa.int64()),
         "conversions": pa.array(fin["conversions"].astype("int64"),
                                 pa.int64())})
+
+
+def rfm_segments(ds, user_col: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value",
+                 day_us: int = 86_400_000_000) -> pa.Table:
+    """RFM segmentation: per user, recency (whole days between the
+    corpus max timestamp and the user's last event), frequency (event
+    count) and monetary (exact cents sum); each metric is quartile-scored
+    1..4 by ``1 + (v > q25) + (v > q50) + (v > q75)`` with
+    ``percentile_disc`` cut values (an actual element — smallest value
+    whose cumulative count reaches ceil(p*n)), so ties merge buckets
+    deterministically on both engines. Scores ascend with the raw metric
+    (recency score 4 = LONGEST-dormant users). Output: one row per
+    (r_score, f_score, m_score) cell with its user count.
+
+    Scale shape: blocks fold to per-user Arrow partials before the ONE
+    user shuffle (Ray groupby Max/Sum/Sum), so the exchange carries
+    O(users x blocks-touched) slim rows. The quartile cuts come from
+    fixed-point value histograms (map-side (metric, value) -> count
+    partials; the merged histogram is value-distinctness-bounded, not
+    user-bounded — same contract as group_quantiles), and the final
+    scoring pass is map-side against 9 broadcast scalars folding into at
+    most 64 cells."""
+    from ray.data.aggregate import Max, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t_us = _epoch_us(batch.column(ts_col))
+        vals = batch.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        cents = np.rint(np.asarray(vals, dtype=np.float64) * 100) \
+            .astype(np.int64)
+        t = pa.table({user_col: batch.column(user_col),
+                      "_t": pa.array(t_us, pa.int64()),
+                      "_c": pa.array(cents, pa.int64())})
+        return (t.group_by(user_col)
+                .aggregate([("_t", "max"), ("_c", "sum"), ([], "count_all")])
+                .rename_columns([user_col, "_t", "_c", "_n"]))
+
+    peru = (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(user_col)
+            .aggregate(Max("_t", alias_name="umax"),
+                       Sum("_n", alias_name="f"),
+                       Sum("_c", alias_name="m"))
+            .materialize())
+    gmax = peru.max("umax")
+    if gmax is None:
+        return pa.table({"r_score": pa.array([], pa.int64()),
+                         "f_score": pa.array([], pa.int64()),
+                         "m_score": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    gmax = int(gmax)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        r = (gmax - np.asarray(batch.column("umax"), dtype=np.int64)) \
+            // day_us
+        return pa.table({"r": pa.array(r, pa.int64()),
+                         "f": batch.column("f").cast(pa.int64()),
+                         "m": batch.column("m").cast(pa.int64())})
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        m = metrics(batch)
+        parts = []
+        for code, col in enumerate(("r", "f", "m")):
+            t = pa.table({"metric": pa.array(
+                np.full(m.num_rows, code, np.int64), pa.int64()),
+                "v": m.column(col)})
+            parts.append(t.group_by(["metric", "v"])
+                         .aggregate([([], "count_all")])
+                         .rename_columns(["metric", "v", "n"]))
+        return pa.concat_tables(parts)
+
+    hist = pa.concat_tables(
+        peru.map_batches(hist_partial, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    hist = (hist.group_by(["metric", "v"]).aggregate([("n", "sum")])
+            .rename_columns(["metric", "v", "n"]).to_pandas()
+            .sort_values(["metric", "v"]))
+    cuts = {}
+    for code, col in enumerate(("r", "f", "m")):
+        g = hist[hist["metric"] == code]
+        cum = g["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        cs = []
+        for p in (0.25, 0.50, 0.75):
+            pos = int(np.ceil(p * n))
+            cs.append(int(g["v"].iloc[int(np.searchsorted(cum, pos,
+                                                          side="left"))]))
+        cuts[col] = cs
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = metrics(batch)
+        out = {}
+        for col in ("r", "f", "m"):
+            v = np.asarray(m.column(col), dtype=np.int64)
+            c1, c2, c3 = cuts[col]
+            out[f"{col}_score"] = pa.array(
+                1 + (v > c1).astype(np.int64) + (v > c2) + (v > c3),
+                pa.int64())
+        t = pa.table(out)
+        return (t.group_by(["r_score", "f_score", "m_score"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["r_score", "f_score", "m_score",
+                                 "n_users"]))
+
+    cells = pa.concat_tables(
+        peru.map_batches(score, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    cells = (cells.group_by(["r_score", "f_score", "m_score"])
+             .aggregate([("n_users", "sum")])
+             .rename_columns(["r_score", "f_score", "m_score", "n_users"])
+             .sort_by([("r_score", "ascending"), ("f_score", "ascending"),
+                       ("m_score", "ascending")]))
+    return cells.cast(pa.schema([("r_score", pa.int64()),
+                                 ("f_score", pa.int64()),
+                                 ("m_score", pa.int64()),
+                                 ("n_users", pa.int64())]))

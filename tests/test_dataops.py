@@ -2400,3 +2400,45 @@ def test_first_touch_attribution_tiebreak_and_partials(ray_session):
         out.column("users").to_pylist(),
         out.column("conversions").to_pylist())}
     assert got == {"view": (1, 2), "signup": (1, 0), "purchase": (1, 1)}
+
+
+def test_rfm_segments_known_quartiles(ray_session):
+    """4 users with strictly ordered metrics land in 4 distinct buckets;
+    recency derives from the corpus max ts; cents use half-even rint."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import rfm_segments
+
+    day = 86_400_000_000
+    # user k (1..4): last event at day 10-k (r = k days before gmax+10),
+    # k events, value sum k dollars. gmax belongs to user 1 (ts=9*day).
+    rows = []
+    for k in (1, 2, 3, 4):
+        for j in range(k):
+            rows.append((k, (9 - k) * day - j * 1000, float(k) / k))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    out = rfm_segments(rd.from_arrow(t).repartition(3)).to_pandas()
+    # metrics: r = k-1 days, f = k, m = 100*k -> user k scores (k,k,k)
+    got = {(r, f, m): n for r, f, m, n in out.itertuples(index=False)}
+    assert got == {(1, 1, 1): 1, (2, 2, 2): 1, (3, 3, 3): 1, (4, 4, 4): 1}
+
+
+def test_rfm_segments_all_tied(ray_session):
+    """Identical users: every quartile cut equals the value, so all
+    scores collapse to 1 (v > cut is false everywhere)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import rfm_segments
+
+    t = pa.table({
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([100, 100, 100], pa.timestamp("us")),
+        "value": pa.array([2.5, 2.5, 2.5], pa.float64()),
+    })
+    out = rfm_segments(rd.from_arrow(t)).to_pandas()
+    assert out.to_dict("records") == [
+        {"r_score": 1, "f_score": 1, "m_score": 1, "n_users": 3}]
