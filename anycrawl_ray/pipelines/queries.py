@@ -6244,6 +6244,61 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+_HITS_ITERS = 4
+_HITS_SCALE = 10 ** 9
+
+
+def docs_hits(sf_dir: str):
+    """HITS hubs/authorities over the synthetic site graph in exact
+    integer fixed-point (stages/graph.py::hits_int): per half-iteration
+    one edge-table hash join + one groupby-Sum, sum-normalized to 1e9
+    with an overflow-free floor decomposition. Unrolled-CTE oracle
+    (the pagerank_int convention, HUGEINT normalization)."""
+    from ..stages.graph import hits_int
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return hits_int(n, iters=_HITS_ITERS, scale=_HITS_SCALE)
+
+
+def _hits_sql(iters: int = _HITS_ITERS, scale: int = _HITS_SCALE) -> str:
+    parts = [f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS MATERIALIZED (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0),
+h0 AS (SELECT doc_id AS node, CAST({scale} // n.c AS BIGINT) AS h
+       FROM documents, n)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+ar{k} AS (SELECT e.dst AS node, SUM(h.h) AS s
+  FROM edges e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst),
+a{k} AS MATERIALIZED (
+  SELECT node, CAST(CAST(s AS HUGEINT) * {scale}
+                    // (SELECT SUM(s) FROM ar{k}) AS BIGINT) AS a
+  FROM ar{k}),
+hr{k} AS (SELECT e.src AS node, SUM(a.a) AS s
+  FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),
+h{k} AS MATERIALIZED (
+  SELECT node, CAST(CAST(s AS HUGEINT) * {scale}
+                    // (SELECT SUM(s) FROM hr{k}) AS BIGINT) AS h
+  FROM hr{k})""")
+    parts.append(f"""
+SELECT d.doc_id, COALESCE(h.h, 0) AS hub_scaled,
+       COALESCE(a.a, 0) AS auth_scaled
+FROM documents d
+LEFT JOIN h{iters} h ON h.node = d.doc_id
+LEFT JOIN a{iters} a ON a.node = d.doc_id
+ORDER BY d.doc_id
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6369,9 +6424,11 @@ QUERIES = {
     "docs_minhash_recall": docs_minhash_recall,
     "events_attribution": events_attribution,
     "events_rfm": events_rfm,
+    "docs_hits": docs_hits,
 }
 
 ORACLE_SQL = {
+    "docs_hits": _hits_sql(),
     "events_attribution": _ATTRIBUTION_SQL,
     "events_rfm": _RFM_SQL,
     "q1_pricing_summary": _Q1_SQL,

@@ -482,3 +482,100 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
     if ra_scale is not None:
         cols["ra"] = pa.array(out["ra"].astype("int64"), pa.int64())
     return pa.table(cols)
+
+
+def hits_int(n_nodes: int, iters: int = 4,
+             scale: int = 10 ** 9,
+             num_partitions: int | None = None) -> pa.Table:
+    """Integer fixed-point HITS (Kleinberg hubs & authorities) over the
+    synthetic site graph — the OTHER classic link-analysis score next to
+    pagerank_int, and the one that needs BOTH gather directions.
+
+    Exact arithmetic contract: scores are int64 scaled to ``scale``;
+    each half-iteration gathers neighbor scores (authority(v) = sum of
+    in-neighbor hubs, hub(u) = sum of out-neighbor authorities) and
+    sum-normalizes back to ``scale`` with the overflow-free decomposition
+    ``s*scale//A == (s//A)*scale + ((s%A)*scale)//A`` (A = global sum
+    <= out_deg_max*scale, so every intermediate fits int64; the DuckDB
+    oracle uses one HUGEINT cast instead). Identical edge multiset as
+    _pagerank_sql (duplicate chord/child arms stay duplicated).
+
+    Scale shape: the edge table is materialized ONCE and each
+    half-iteration is the canonical edge-partitioned gather — one hash
+    join on the vertex id + one groupby-Sum; zero-score vertices drop out
+    mid-iteration (they contribute nothing) and are re-attached with
+    zeros only in the final n-row assembly. Hot vertices skew the join
+    the usual way; the synthetic graph's in/out degrees are <= ~5."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..util import join_parts
+
+    n_parts = num_partitions or join_parts()
+
+    def emit_edges(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch.column("id"), dtype=np.int64)
+        srcs, dsts = [], []
+        for child in (2 * i + 1, 2 * i + 2):
+            m = child < n_nodes
+            srcs.append(i[m]); dsts.append(child[m])
+        m = i % 3 == 0
+        srcs.append(i[m]); dsts.append((7 * i[m] + 3) % n_nodes)
+        return pa.table({"src": pa.array(np.concatenate(srcs), pa.int64()),
+                         "dst": pa.array(np.concatenate(dsts), pa.int64())})
+
+    edges = (rd.range(n_nodes).map_batches(emit_edges,
+                                           batch_format="pyarrow")
+             .materialize())
+
+    def normalize(total: int, in_col: str, out_name: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = np.asarray(batch.column(in_col), dtype=np.int64)
+            q, rem = s // total, s % total
+            v = q * scale + (rem * scale) // total
+            return pa.table({key: batch.column(key),
+                             out_name: pa.array(v, pa.int64())})
+        return fn
+
+    def empty_scores() -> pa.Table:
+        ids = np.arange(n_nodes, dtype=np.int64)
+        z = np.zeros(n_nodes, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hub_scaled": pa.array(z, pa.int64()),
+                         "auth_scaled": pa.array(z, pa.int64())})
+
+    # h0: every node starts at scale // n (the SQL oracle's h0)
+    h = rd.range(n_nodes).map_batches(
+        lambda b: pa.table({
+            "src": pa.array(np.asarray(b.column("id"), dtype=np.int64),
+                            pa.int64()),
+            "h": pa.array(np.full(len(b), scale // n_nodes, np.int64),
+                          pa.int64())}),
+        batch_format="pyarrow")
+    a = None
+    for _ in range(iters):
+        ar = (edges.join(h, "inner", n_parts, on=("src",))
+              .groupby("dst").aggregate(Sum("h", alias_name="s")))
+        total = ar.sum("s")
+        if not total:
+            return empty_scores()
+        a = ar.map_batches(normalize(int(total), "s", "a", "dst"),
+                           batch_format="pyarrow").materialize()
+        hr = (edges.join(a, "inner", n_parts, on=("dst",))
+              .groupby("src").aggregate(Sum("a", alias_name="s")))
+        total = hr.sum("s")
+        if not total:
+            return empty_scores()
+        h = hr.map_batches(normalize(int(total), "s", "h", "src"),
+                           batch_format="pyarrow").materialize()
+
+    hub = h.to_pandas().set_index("src")["h"]
+    auth = a.to_pandas().set_index("dst")["a"]
+    ids = np.arange(n_nodes, dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "hub_scaled": pa.array(
+            hub.reindex(ids, fill_value=0).to_numpy(np.int64), pa.int64()),
+        "auth_scaled": pa.array(
+            auth.reindex(ids, fill_value=0).to_numpy(np.int64), pa.int64()),
+    })

@@ -2442,3 +2442,40 @@ def test_rfm_segments_all_tied(ray_session):
     out = rfm_segments(rd.from_arrow(t)).to_pandas()
     assert out.to_dict("records") == [
         {"r_score": 1, "f_score": 1, "m_score": 1, "n_users": 3}]
+
+
+def test_hits_int_matches_numpy_reference(ray_session):
+    """Distributed integer HITS == a serial numpy replay of the same
+    integer recurrence (gather + floor-decomposed sum normalization)."""
+    from anycrawl_ray.stages.graph import hits_int
+
+    n, iters, scale = 61, 3, 10 ** 9
+    got = hits_int(n, iters=iters, scale=scale)
+
+    ids = np.arange(n, dtype=np.int64)
+    srcs, dsts = [], []
+    for child in (2 * ids + 1, 2 * ids + 2):
+        m = child < n
+        srcs.append(ids[m]); dsts.append(child[m])
+    m = ids % 3 == 0
+    srcs.append(ids[m]); dsts.append((7 * ids[m] + 3) % n)
+    src = np.concatenate(srcs); dst = np.concatenate(dsts)
+
+    def norm(s):
+        tot = int(s.sum())
+        return (s // tot) * scale + ((s % tot) * scale) // tot
+
+    h = np.full(n, scale // n, dtype=np.int64)
+    a = None
+    for _ in range(iters):
+        ar = np.zeros(n, dtype=np.int64)
+        np.add.at(ar, dst, h[src])
+        a = norm(ar)
+        hr = np.zeros(n, dtype=np.int64)
+        np.add.at(hr, src, a[dst])
+        h = norm(hr)
+    assert got.column("doc_id").to_pylist() == ids.tolist()
+    assert got.column("hub_scaled").to_pylist() == h.tolist()
+    assert got.column("auth_scaled").to_pylist() == a.tolist()
+    # leaves with no out-edges are hub 0 but may still hold authority
+    assert h[(2 * ids + 1 >= n) & (2 * ids + 2 >= n) & (ids % 3 != 0)].max() == 0
