@@ -6299,6 +6299,51 @@ ORDER BY d.doc_id
     return "".join(parts)
 
 
+def docs_tfidf_cosine(sf_dir: str):
+    """All-pairs sparse tf-idf cosine similarity join (Elsayed/Vernica
+    inverted-index shape, stages/dedup.py::tfidf_cosine_pairs): word
+    TRIGRAM terms (the corpus's unigram vocabulary is ~31 words — zero
+    discrimination), df cap 100 active, squared-cosine scores in exact
+    integer/HUGEINT arithmetic. Exact SQL oracle."""
+    from ..stages.dedup import tfidf_cosine_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tfidf_cosine_pairs(ds, threshold_ppm=250_000, min_shared=2,
+                              max_df=100, gram_n=3)
+
+
+_TFIDF_COSINE_SQL = r"""
+WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '') AS w
+     FROM documents),
+toks AS (SELECT DISTINCT doc_id,
+            w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+     FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+vocab AS (SELECT tok, df FROM df WHERE df <= 100),
+wt AS (SELECT tok, (n.nd * 1000) // df AS w FROM vocab, n),
+posts AS (SELECT t.doc_id, t.tok, wt.w FROM toks t JOIN wt USING (tok)),
+norms AS (SELECT doc_id, SUM(w * w) AS nsq FROM posts GROUP BY 1),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared,
+                 SUM(a.w * a.w) AS num
+          FROM posts a JOIN posts b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+scored AS (
+  SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+         CAST(CAST(num AS HUGEINT) * num * 1000000
+              // (CAST(na.nsq AS HUGEINT) * nb.nsq) AS BIGINT) AS cos2_ppm
+  FROM pairs p JOIN norms na ON na.doc_id = p.a
+               JOIN norms nb ON nb.doc_id = p.b)
+SELECT a, b, shared, cos2_ppm FROM scored
+WHERE cos2_ppm >= 250000 ORDER BY a, b
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6425,10 +6470,12 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_rfm": events_rfm,
     "docs_hits": docs_hits,
+    "docs_tfidf_cosine": docs_tfidf_cosine,
 }
 
 ORACLE_SQL = {
     "docs_hits": _hits_sql(),
+    "docs_tfidf_cosine": _TFIDF_COSINE_SQL,
     "events_attribution": _ATTRIBUTION_SQL,
     "events_rfm": _RFM_SQL,
     "q1_pricing_summary": _Q1_SQL,

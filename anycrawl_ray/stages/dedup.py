@@ -835,19 +835,26 @@ def _word_ngrams(text: str, n: int) -> set:
 
 
 def _segment_pair_counts(keys: np.ndarray, docs: np.ndarray,
-                         extras: dict | None = None) -> dict:
+                         extras: dict | None = None,
+                         weights: np.ndarray | None = None) -> dict:
     """THE shared bucket pair kernel (ngram_jaccard_pairs + winnow_pairs):
     rows pre-sorted by (keys, docs) -> per-DISTINCT (a, b) partial
     co-occurrence counts via pure index arithmetic (np.repeat + within-row
     arange + boundary counting), no per-segment Python. ``extras`` maps
     column name -> per-row array; each comes back as ``<name>_a`` /
-    ``<name>_b`` taken from the pair's two source rows. Empty- and
-    no-pair-safe (returns zero-length int64 arrays)."""
+    ``<name>_b`` taken from the pair's two source rows. ``weights`` (a
+    per-row int64 array, constant within a key segment — e.g. a term's
+    squared idf) adds a ``wsum`` output: the sum over the pair's shared
+    keys of that weight — the dot-product partial tfidf_cosine_pairs
+    rides on. Empty- and no-pair-safe (returns zero-length int64
+    arrays)."""
     extras = extras or {}
 
     def _empty() -> dict:
         out = {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
                "cnt": np.empty(0, np.int64)}
+        if weights is not None:
+            out["wsum"] = np.empty(0, np.int64)
         for name, col in extras.items():
             out[name + "_a"] = np.empty(0, col.dtype)
             out[name + "_b"] = np.empty(0, col.dtype)
@@ -876,6 +883,12 @@ def _segment_pair_counts(keys: np.ndarray, docs: np.ndarray,
     ps = np.flatnonzero(pb)
     out = {"a": a[ps].astype(np.int64), "b": b[ps].astype(np.int64),
            "cnt": np.diff(np.append(ps, a.size))}
+    if weights is not None:
+        pseg = np.cumsum(pb) - 1
+        wsum = np.zeros(ps.size, dtype=np.int64)
+        # the weight is the KEY's (identical on both rows of the pair)
+        np.add.at(wsum, pseg, weights[left][po])
+        out["wsum"] = wsum
     for name, col in extras.items():
         picked = col[left][po][ps]
         out[name + "_a"] = picked
@@ -1507,3 +1520,222 @@ def substring_dup_coverage(ds, k: int = 8, id_col: str = "doc_id",
                                ("dup_tokens", pa.int64()),
                                ("frac_ppm", pa.int64())])) \
         .sort_by([("doc_id", "ascending")])
+
+
+def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
+                       min_shared: int = 2, max_df: int | None = None,
+                       idf_scale: int = 1000, gram_n: int = 1,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       broadcast_limit: int = 2_000_000) -> pa.Table:
+    """EXACT all-pairs tf-idf cosine similarity join over the corpus — the
+    sparse-vector counterpart of embedding_brute_pairs, built as a
+    term-partitioned inverted index (Elsayed et al. 2008 / Vernica et
+    al. 2010 shape: the ONLY pairs ever materialized are those sharing a
+    vocabulary term).
+
+    Vector model (integer-exact on both engines): per doc, the DISTINCT
+    whitespace tokens (``gram_n`` > 1 switches the term space to word
+    n-grams — the right space when the unigram vocabulary is small);
+    per term, presence weight ``w = (n_docs * idf_scale) // df``; the reported score is squared cosine in ppm —
+    ``cos2_ppm = num^2 * 10^6 // (normsq_a * normsq_b)`` with ``num =
+    sum of w^2 over shared terms`` — so no sqrt/float leaves either
+    engine (the final ratio runs in arbitrary-precision Python ints /
+    DuckDB HUGEINT; every distributed partial stays int64, which bounds
+    ``n_docs * idf_scale`` to ~3e9 — rescale idf_scale for larger
+    corpora). Pairs need ``>= min_shared`` shared terms and ``cos2_ppm >=
+    threshold_ppm``.
+
+    Stop-term cap (the scale guard, same shape as ngram_jaccard_pairs):
+    terms with df > ``max_df`` leave the VOCABULARY entirely — they feed
+    neither dot products nor norms, so capped cosine is the true cosine
+    of the capped vector space, oracle-replayable. Default None = exact
+    full vocabulary.
+
+    Shuffle shape: postings hash into term FAT buckets (a bucket holds
+    every posting of its terms, so df and w are bucket-computable); the
+    shared index-arithmetic pair kernel emits per-pair dot partials
+    (weights ride as w^2) and per-doc norm partials from the SAME pass;
+    a second pair-hash bucket shuffle folds dot partials and applies the
+    min_shared gate; norms attach via broadcast dict under
+    ``broadcast_limit`` or two hash joins above it (the
+    cooccurrence_pmi duality); only gated candidates reach the
+    arbitrary-precision finish."""
+    import ray
+
+    import pandas as pd
+
+    from .text_analysis import _fnv1a_bulk
+
+    n_docs = ds.count()
+    nb = max(16, min(256,
+                     int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_id, out_tok = [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = (set(t.split()) if gram_n == 1
+                    else _word_ngrams(t, gram_n))
+            out_id.extend([d] * len(toks))
+            out_tok.extend(toks)
+        th = np.asarray(_fnv1a_bulk(out_tok), dtype=np.uint64)
+        return pa.table({
+            "doc": pa.array(out_id, pa.int64()),
+            "tok": pa.array(out_tok, pa.string()),
+            "_kb": pa.array((th % np.uint64(nb)).astype(np.int64),
+                            pa.int64())})
+
+    def per_term_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["tok", "doc"], kind="mergesort")
+        tok = g["tok"].to_numpy()
+        doc = g["doc"].to_numpy(dtype=np.int64)
+        if tok.size == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "wsum": pd.Series([], dtype=np.int64),
+                                 "is_pair": pd.Series([], dtype=np.int8)})
+        boundary = np.concatenate(([True], tok[1:] != tok[:-1]))
+        seg_id = np.cumsum(boundary) - 1
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, tok.size))
+        df_row = sizes[seg_id]
+        if max_df is not None:
+            keep = df_row <= max_df
+            tok, doc, df_row = tok[keep], doc[keep], df_row[keep]
+        w_row = (n_docs * idf_scale) // df_row
+        w2_row = w_row * w_row
+        pc = _segment_pair_counts(tok, doc, weights=w2_row)
+        # per-doc norm partials from the SAME postings pass
+        ud, inv = np.unique(doc, return_inverse=True)
+        nsq = np.zeros(ud.size, dtype=np.int64)
+        np.add.at(nsq, inv, w2_row)
+        return pd.DataFrame({
+            "a": np.concatenate([pc["a"], ud]),
+            "b": np.concatenate([pc["b"],
+                                 np.zeros(ud.size, np.int64)]),
+            "cnt": np.concatenate([pc["cnt"],
+                                   np.zeros(ud.size, np.int64)]),
+            "wsum": np.concatenate([pc["wsum"], nsq]),
+            "is_pair": np.concatenate([np.ones(pc["a"].size, np.int8),
+                                       np.zeros(ud.size, np.int8)]),
+        })
+
+    tagged = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("_kb").map_groups(per_term_bucket,
+                                         batch_format="pandas")
+              .materialize())
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64).view(np.uint64)
+        b = np.asarray(batch.column("b"), dtype=np.int64).view(np.uint64)
+        from .text_analysis import _mix64_np
+        with np.errstate(over="ignore"):
+            pk = _mix64_np(a) + _mix64_np(b) * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "_pb", pa.array((pk % np.uint64(nb)).astype(np.int64),
+                            pa.int64()))
+
+    def fold_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a = group["a"].to_numpy(dtype=np.int64)
+        b = group["b"].to_numpy(dtype=np.int64)
+        cnt = group["cnt"].to_numpy(dtype=np.int64)
+        ws = group["wsum"].to_numpy(dtype=np.int64)
+        po = np.lexsort((b, a))
+        a, b, cnt, ws = a[po], b[po], cnt[po], ws[po]
+        pb = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        ps = np.flatnonzero(pb)
+        seg = np.cumsum(pb) - 1
+        shared = np.zeros(ps.size, dtype=np.int64)
+        num = np.zeros(ps.size, dtype=np.int64)
+        np.add.at(shared, seg, cnt)
+        np.add.at(num, seg, ws)
+        keep = shared >= min_shared
+        return pd.DataFrame({"a": a[ps][keep], "b": b[ps][keep],
+                             "shared": shared[keep], "num": num[keep]})
+
+    pairs = (tagged.filter(expr="is_pair == 1")
+             .map_batches(add_pair_bucket, batch_format="pyarrow")
+             .groupby("_pb").map_groups(fold_pairs, batch_format="pandas"))
+    norm_rows = tagged.filter(expr="is_pair == 0")
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "shared": pa.array([], pa.int64()),
+                      "cos2_ppm": pa.array([], pa.int64())})
+
+    def score_rows(a, b, shared, num, na, nbv) -> pa.Table:
+        # arbitrary-precision finish: num^2 overflows int64 by design
+        # (the threshold gate runs HERE, distributed, so only survivors
+        # ever reach the driver)
+        cos2 = [n_ * n_ * 1_000_000 // (x * y)
+                for n_, x, y in zip(num, na, nbv)]
+        keep = [i for i, c in enumerate(cos2) if c >= threshold_ppm]
+        return pa.table({
+            "a": pa.array([a[i] for i in keep], pa.int64()),
+            "b": pa.array([b[i] for i in keep], pa.int64()),
+            "shared": pa.array([shared[i] for i in keep], pa.int64()),
+            "cos2_ppm": pa.array([cos2[i] for i in keep], pa.int64())})
+
+    if n_docs <= broadcast_limit:
+        nsq_map: dict = {}
+        for b in norm_rows.iter_batches(batch_size=1 << 18,
+                                        batch_format="pyarrow"):
+            aa = np.asarray(b.column("a"), dtype=np.int64)
+            ww = np.asarray(b.column("wsum"), dtype=np.int64)
+            for d_, v_ in zip(aa.tolist(), ww.tolist()):
+                nsq_map[d_] = nsq_map.get(d_, 0) + v_
+        nsq_ref = ray.put(nsq_map)
+
+        def score_bcast(batch: pa.Table) -> pa.Table:
+            lut = _cached_get(nsq_ref)
+            a = batch.column("a").to_pylist()
+            b = batch.column("b").to_pylist()
+            return score_rows(a, b, batch.column("shared").to_pylist(),
+                              batch.column("num").to_pylist(),
+                              [lut[d] for d in a], [lut[d] for d in b])
+
+        scored = pairs.map_batches(score_bcast, batch_format="pyarrow")
+    else:
+        from ray.data.aggregate import Sum
+
+        from ..util import join_parts
+
+        n_parts = join_parts()
+        norms = (norm_rows.groupby("a")
+                 .aggregate(Sum("wsum", alias_name="nsq")).materialize())
+
+        def key_a(batch: pa.Table) -> pa.Table:
+            return pa.table({"a": batch.column("a"),
+                             "na": batch.column("nsq")})
+
+        def key_b(batch: pa.Table) -> pa.Table:
+            return pa.table({"b": batch.column("a"),
+                             "nb": batch.column("nsq")})
+
+        with_n = (pairs.join(norms.map_batches(key_a,
+                                               batch_format="pyarrow"),
+                             "inner", n_parts, on=("a",))
+                  .join(norms.map_batches(key_b, batch_format="pyarrow"),
+                        "inner", n_parts, on=("b",)))
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            return score_rows(batch.column("a").to_pylist(),
+                              batch.column("b").to_pylist(),
+                              batch.column("shared").to_pylist(),
+                              batch.column("num").to_pylist(),
+                              batch.column("na").to_pylist(),
+                              batch.column("nb").to_pylist())
+
+        scored = with_n.map_batches(score_joined, batch_format="pyarrow")
+
+    out = scored.to_pandas()
+    if len(out) == 0:
+        return empty
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.table({
+        "a": pa.array(out["a"].astype("int64"), pa.int64()),
+        "b": pa.array(out["b"].astype("int64"), pa.int64()),
+        "shared": pa.array(out["shared"].astype("int64"), pa.int64()),
+        "cos2_ppm": pa.array(out["cos2_ppm"].astype("int64"),
+                             pa.int64())})

@@ -2479,3 +2479,39 @@ def test_hits_int_matches_numpy_reference(ray_session):
     assert got.column("auth_scaled").to_pylist() == a.tolist()
     # leaves with no out-edges are hub 0 but may still hold authority
     assert h[(2 * ids + 1 >= n) & (2 * ids + 2 >= n) & (ids % 3 != 0)].max() == 0
+
+
+def test_tfidf_cosine_pairs_exact_small(ray_session):
+    """Hand-computed integer cosine on a 3-doc corpus, plus df-cap
+    semantics: the capped term leaves vocabulary (norms AND dots)."""
+    from anycrawl_ray.stages.dedup import tfidf_cosine_pairs
+
+    # vocab (unigrams): x shared by all 3 (df=3), y shared by 1&2 (df=2),
+    # z only doc3 (df=1). With max_df=2 the 'x' term drops entirely.
+    ds = _docs_ds([(1, "x y"), (2, "x y"), (3, "x z")])
+    out = tfidf_cosine_pairs(ds, threshold_ppm=0, min_shared=1,
+                             max_df=2, gram_n=1)
+    # vocabulary: y (df=2, w=1500), z (df=1, w=3000)
+    # doc1 = doc2 = {y}: norm 1500^2; doc3 = {z}: no shared terms
+    rows = list(zip(out.column("a").to_pylist(),
+                    out.column("b").to_pylist(),
+                    out.column("shared").to_pylist(),
+                    out.column("cos2_ppm").to_pylist()))
+    w2 = 1500 * 1500
+    assert rows == [(1, 2, 1, w2 * w2 * 1_000_000 // (w2 * w2))]
+    assert rows[0][3] == 1_000_000  # identical capped vectors -> cos^2=1
+
+
+def test_tfidf_cosine_paths_equal(ray_session):
+    """Broadcast-norm and join-norm paths return byte-equal tables."""
+    from anycrawl_ray.stages.dedup import tfidf_cosine_pairs
+
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)]
+    docs += [(100, "совершенно other words here unrelated text")]
+    ds = _docs_ds(docs)
+    a = tfidf_cosine_pairs(ds, threshold_ppm=900_000, min_shared=2,
+                           gram_n=2)
+    b = tfidf_cosine_pairs(_docs_ds(docs), threshold_ppm=900_000,
+                           min_shared=2, gram_n=2, broadcast_limit=0)
+    assert a.equals(b)
+    assert a.num_rows == 28  # identical 8-doc clique, all cos^2 = 1
