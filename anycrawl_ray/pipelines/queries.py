@@ -6344,6 +6344,74 @@ WHERE cos2_ppm >= 250000 ORDER BY a, b
 """
 
 
+def embeddings_cluster_purity(sf_dir: str):
+    """Clustering evaluation: kmeans_int assignments scored against the
+    ground-truth label column — per-cluster majority label and purity
+    ppm (stages/similarity.py::cluster_purity). The contingency fold is
+    k x |labels|; assignments never reach the driver. Oracle = the
+    kmeans CTE chain + a QUALIFY majority pick."""
+    rd = _rd()
+    from ..stages.similarity import cluster_purity
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return cluster_purity(ds, n_clusters=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def _cluster_purity_sql(k: int = 8, iters: int = 3, scale: int = 100,
+                        offset: int = 1000) -> str:
+    chain = _kmeans_ctes(k, iters, scale, offset)
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH {chain},
+cl AS (SELECT o.cluster, e.label FROM out o
+       JOIN embeddings e USING (vec_id)),
+cnt AS (SELECT cluster, label, COUNT(*) AS n FROM cl GROUP BY 1, 2),
+top AS (SELECT cluster, CAST(label AS BIGINT) AS maj_label,
+               n AS maj_n FROM cnt
+        QUALIFY row_number() OVER (PARTITION BY cluster
+                                   ORDER BY n DESC, label) = 1),
+tot AS (SELECT cluster, SUM(n) AS n FROM cnt GROUP BY 1)
+SELECT t.cluster, CAST(tot.n AS BIGINT) AS n, t.maj_label,
+       CAST(t.maj_n AS BIGINT) AS maj_n,
+       CAST(t.maj_n * 1000000 // tot.n AS BIGINT) AS purity_ppm
+FROM top t JOIN tot USING (cluster) ORDER BY t.cluster
+"""
+
+
+def events_count_min(sf_dir: str):
+    """Count-min sketch per-user frequency estimates next to the exact
+    counts (stages/sketches.py::count_min): 4x64 counter matrix from
+    zero-shuffle map-side partials, estimates attached map-side from the
+    broadcast matrix. Oracle replays the sketch bit-for-bit via the
+    shared mix64 macro kernel (n_est >= n_exact by construction)."""
+    from ..stages.sketches import count_min
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return count_min(ev, "user_id", depth=4, width=64)
+
+
+def _count_min_sql(depth: int = 4, width: int = 64) -> str:
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH rws AS (SELECT CAST(r AS BIGINT) AS r,
+                    mix64(CAST(r + 1 AS UBIGINT)) AS salt
+             FROM range({depth}) t(r)),
+ev AS (SELECT user_id, mix64(CAST(user_id AS UBIGINT)) AS uh FROM events),
+cells AS (SELECT w.r,
+                 CAST(mix64(xor(e.uh, w.salt)) % {width} AS BIGINT) AS c,
+                 COUNT(*) AS n
+          FROM ev e CROSS JOIN rws w GROUP BY 1, 2),
+probes AS (SELECT user_id, COUNT(*) AS n_exact, ANY_VALUE(uh) AS uh
+           FROM ev GROUP BY 1)
+SELECT p.user_id, CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(MIN(c.n) AS BIGINT) AS n_est
+FROM probes p CROSS JOIN rws w
+JOIN cells c ON c.r = w.r
+            AND c.c = CAST(mix64(xor(p.uh, w.salt)) % {width} AS BIGINT)
+GROUP BY 1, 2 ORDER BY p.user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6471,9 +6539,14 @@ QUERIES = {
     "events_rfm": events_rfm,
     "docs_hits": docs_hits,
     "docs_tfidf_cosine": docs_tfidf_cosine,
+    "embeddings_cluster_purity": embeddings_cluster_purity,
+    "events_count_min": events_count_min,
 }
 
 ORACLE_SQL = {
+    "events_count_min": _count_min_sql(),
+    "embeddings_cluster_purity": _cluster_purity_sql(
+        _KMEANS_K, _KMEANS_ITERS),
     "docs_hits": _hits_sql(),
     "docs_tfidf_cosine": _TFIDF_COSINE_SQL,
     "events_attribution": _ATTRIBUTION_SQL,

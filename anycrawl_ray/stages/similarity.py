@@ -557,3 +557,60 @@ def pq_codes(ds, n_sub: int = 2, n_clusters: int = 4, iters: int = 2,
         cols[f"code_{si}"] = pa.array(merged[f"code_{si}"].astype("int64"),
                                       pa.int64())
     return pa.table(cols)
+
+
+def cluster_purity(ds, n_clusters: int = 8, iters: int = 3,
+                   scale: int = 100, offset: int = 1000,
+                   label_col: str = "label") -> pa.Table:
+    """Clustering-evaluation row (the embedding mirror of the lang-ID
+    confusion matrix): run the exact-integer kmeans_int recurrence, then
+    score each cluster against the ground-truth ``label`` column —
+    majority label (ties -> smallest label), majority count, and purity
+    in ppm (``maj * 10^6 // n``). One extra map_batches pass emits
+    (cluster, label) count partials, so the only thing folded at the
+    driver is the k x |labels| contingency table, never assignments."""
+    import pandas as pd
+
+    ds = ds.materialize()
+    c_final, quantize = _kmeans_fit(ds, n_clusters, iters, scale, offset,
+                                    slice(None))
+
+    def contingency(batch: pa.Table) -> pa.Table:
+        _, q = quantize(batch)
+        d2 = ((q[:, None, :] - c_final[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1).astype(np.int64)
+        lab = np.asarray(batch.column(label_col), dtype=np.int64)
+        t = pa.table({"cluster": pa.array(assign, pa.int64()),
+                      "label": pa.array(lab, pa.int64())})
+        return (t.group_by(["cluster", "label"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["cluster", "label", "n"]))
+
+    parts = pa.concat_tables(
+        ds.map_batches(contingency, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return pa.table({"cluster": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "maj_label": pa.array([], pa.int64()),
+                         "maj_n": pa.array([], pa.int64()),
+                         "purity_ppm": pa.array([], pa.int64())})
+    df = (parts.group_by(["cluster", "label"]).aggregate([("n", "sum")])
+          .rename_columns(["cluster", "label", "n"]).to_pandas())
+    df = df.sort_values(["cluster", "n", "label"],
+                        ascending=[True, False, True])
+    top = df.groupby("cluster", as_index=False).first() \
+        .rename(columns={"label": "maj_label", "n": "maj_n"})
+    tot = (df.groupby("cluster", as_index=False)["n"].sum()
+           .rename(columns={"n": "n_total"}))
+    fin = top.merge(tot, on="cluster").sort_values("cluster")
+    purity = (fin["maj_n"].astype("int64") * 1_000_000
+              // fin["n_total"].astype("int64"))
+    return pa.table({
+        "cluster": pa.array(fin["cluster"].astype("int64"), pa.int64()),
+        "n": pa.array(fin["n_total"].astype("int64"), pa.int64()),
+        "maj_label": pa.array(fin["maj_label"].astype("int64"),
+                              pa.int64()),
+        "maj_n": pa.array(fin["maj_n"].astype("int64"), pa.int64()),
+        "purity_ppm": pa.array(purity.astype("int64"), pa.int64()),
+    })

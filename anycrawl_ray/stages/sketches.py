@@ -119,3 +119,88 @@ def heavy_hitters(ds, col: str, k: int = 200, prune_factor: int = 4,
     return pa.table({col: pa.array(out[col].astype("int64"), pa.int64()),
                      "cnt": pa.array(out["cnt"].astype("int64"),
                                      pa.int64())})
+
+
+def count_min(ds, col: str, depth: int = 4, width: int = 64) -> pa.Table:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for ``col`` (int64): ``depth`` hash rows x ``width``
+    counters, row r hashing a value v to ``mix64(mix64(v) ^ mix64(r+1))
+    % width``; the point estimate is the min counter across rows, an
+    OVERESTIMATE by construction (``n_est >= n_exact`` always). Output:
+    one row per distinct value with both the exact count and the sketch
+    estimate, so the row doubles as the sketch's own error report.
+
+    Scale shape: the sketch is a depth x width int64 matrix built from
+    map-side per-block partials folded at the driver (O(depth*width) per
+    block, ZERO shuffle — the KMV idiom); exact counts take the one slim
+    groupby-Sum of per-block (value, cnt) partials, and estimates attach
+    map-side from the broadcast matrix. At real scale the probe set
+    would be a fixed key list instead of every distinct value; the
+    sketch build is unchanged."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    salts = _mix64_np(np.arange(1, depth + 1, dtype=np.uint64))
+
+    def local_sketch(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        uh = _mix64_np(np.asarray(v.cast(pa.int64()), dtype=np.int64)
+                       .view(np.uint64))
+        mats = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            c = (_mix64_np(uh ^ salts[r]) % np.uint64(width)).astype(
+                np.int64)
+            mats[r] = np.bincount(c, minlength=width)
+        rr, cc = np.divmod(np.arange(depth * width), width)
+        return pa.table({"r": pa.array(rr.astype(np.int64), pa.int64()),
+                         "c": pa.array(cc.astype(np.int64), pa.int64()),
+                         "n": pa.array(mats.ravel(), pa.int64())})
+
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for p in ds.map_batches(local_sketch, batch_format="pyarrow") \
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        rr = np.asarray(p.column("r"), dtype=np.int64)
+        cc = np.asarray(p.column("c"), dtype=np.int64)
+        nn = np.asarray(p.column("n"), dtype=np.int64)
+        np.add.at(sketch, (rr, cc), nn)
+    sketch_ref = ray.put(sketch)
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        items, cnt = np.unique(
+            np.asarray(v.cast(pa.int64()), dtype=np.int64),
+            return_counts=True)
+        return pa.table({col: pa.array(items, pa.int64()),
+                         "n_exact": pa.array(cnt.astype(np.int64))})
+
+    def attach_est(batch: pa.Table) -> pa.Table:
+        from .dedup import _cached_get
+
+        m = _cached_get(sketch_ref)
+        items = np.asarray(batch.column(col), dtype=np.int64)
+        uh = _mix64_np(items.view(np.uint64))
+        est = np.full(items.size, np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(depth):
+            c = (_mix64_np(uh ^ salts[r]) % np.uint64(width)).astype(
+                np.int64)
+            est = np.minimum(est, m[r][c])
+        return batch.append_column("n_est", pa.array(est, pa.int64()))
+
+    out = (ds.map_batches(local_counts, batch_format="pyarrow")
+           .groupby(col).aggregate(Sum("n_exact", alias_name="n_exact"))
+           .map_batches(attach_est, batch_format="pyarrow")
+           .to_pandas())
+    if len(out) == 0:
+        return pa.table({col: pa.array([], pa.int64()),
+                         "n_exact": pa.array([], pa.int64()),
+                         "n_est": pa.array([], pa.int64())})
+    out = out.sort_values(col).reset_index(drop=True)
+    return pa.table({col: pa.array(out[col].astype("int64"), pa.int64()),
+                     "n_exact": pa.array(out["n_exact"].astype("int64"),
+                                         pa.int64()),
+                     "n_est": pa.array(out["n_est"].astype("int64"),
+                                       pa.int64())})

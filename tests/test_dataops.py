@@ -2515,3 +2515,52 @@ def test_tfidf_cosine_paths_equal(ray_session):
                            min_shared=2, gram_n=2, broadcast_limit=0)
     assert a.equals(b)
     assert a.num_rows == 28  # identical 8-doc clique, all cos^2 = 1
+
+
+def test_count_min_overestimates_and_conserves_mass(ray_session):
+    """CM invariants: n_est >= n_exact for every key; each sketch row
+    conserves total mass (sum of estimates' source counters == n_rows,
+    checked via the exact column sum)."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.sketches import count_min
+
+    vals = ([7] * 30 + [13] * 11 + list(range(100, 140)) * 2)
+    t = pa.table({"user_id": pa.array(vals, pa.int64())})
+    out = count_min(rd.from_arrow(t).repartition(4), "user_id",
+                    depth=4, width=8)  # narrow width forces collisions
+    exact = dict(zip(out.column("user_id").to_pylist(),
+                     out.column("n_exact").to_pylist()))
+    est = dict(zip(out.column("user_id").to_pylist(),
+                   out.column("n_est").to_pylist()))
+    assert exact[7] == 30 and exact[13] == 11
+    assert all(est[k] >= exact[k] for k in exact)
+    assert sum(exact.values()) == len(vals)
+    # with width 8 and 42 keys, at least one estimate must collide
+    assert any(est[k] > exact[k] for k in exact)
+
+
+def test_cluster_purity_bounds(ray_session):
+    """Purity rows: one per non-empty cluster, maj_n <= n, purity in
+    (0, 1e6], total n equals the corpus size."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import cluster_purity
+
+    rng = np.random.default_rng(7)
+    n = 120
+    emb = rng.normal(size=(n, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n) % 3).astype(np.int32),
+                          pa.int32()),
+    })
+    out = cluster_purity(rd.from_arrow(t).repartition(3), n_clusters=4,
+                         iters=2)
+    assert out.num_rows <= 4
+    nn = np.asarray(out.column("n"))
+    mj = np.asarray(out.column("maj_n"))
+    pp = np.asarray(out.column("purity_ppm"))
+    assert nn.sum() == n
+    assert (mj <= nn).all() and (pp > 0).all() and (pp <= 1_000_000).all()
