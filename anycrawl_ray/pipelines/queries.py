@@ -6412,6 +6412,66 @@ GROUP BY 1, 2 ORDER BY p.user_id
 """
 
 
+_MMR_K, _MMR_POOL = 5, 50
+
+
+def embeddings_mmr(sf_dir: str):
+    """Maximal-marginal-relevance diversified top-k over the embedding
+    column (stages/similarity.py::mmr_topk): query = vector 0, lambda =
+    1/2, exact integer dot-product arithmetic, relevance pool top-50
+    from a distributed scan, greedy on the pool. Oracle unrolls the k
+    greedy steps as CTEs (argmax + NOT IN per step)."""
+    rd = _rd()
+    from ..stages.similarity import mmr_topk
+
+    qs, ids = _load_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return mmr_topk(ds, qs[0], k=_MMR_K, pool=_MMR_POOL,
+                    exclude_ids=(int(ids[0]),))
+
+
+def _mmr_sql(k: int = _MMR_K, pool: int = _MMR_POOL,
+             scale: int = 100) -> str:
+    dot = ("list_sum(list_transform(list_zip(p.q, s.q), "
+           "z -> z[1]*z[2]))")
+    parts = [f"""
+WITH qv AS (SELECT vec_id, list_transform(embedding,
+        x -> CAST(round_even(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT))
+        AS q FROM embeddings),
+q0 AS (SELECT q FROM qv ORDER BY vec_id LIMIT 1),
+qid AS (SELECT vec_id FROM qv ORDER BY vec_id LIMIT 1),
+scored AS (SELECT v.vec_id,
+        list_sum(list_transform(list_zip(v.q, q0.q),
+                                z -> z[1]*z[2])) AS rel, v.q
+    FROM qv v, q0 WHERE v.vec_id <> (SELECT vec_id FROM qid)),
+pool AS MATERIALIZED (SELECT vec_id, rel, q FROM scored
+    QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {pool}),
+s1 AS (SELECT vec_id, q, rel AS score FROM pool
+    QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1),
+sel1 AS (SELECT vec_id, q FROM s1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+ms{t} AS (SELECT p.vec_id, MAX({dot}) AS ms
+    FROM pool p, sel{t - 1} s GROUP BY p.vec_id),
+s{t} AS (SELECT p.vec_id, p.q, p.rel - m.ms AS score
+    FROM pool p JOIN ms{t} m USING (vec_id)
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+    QUALIFY row_number() OVER (ORDER BY p.rel - m.ms DESC,
+                               p.vec_id) = 1),
+sel{t} AS (SELECT vec_id, q FROM sel{t - 1}
+           UNION ALL SELECT vec_id, q FROM s{t})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS rank, vec_id, score FROM s{t}"
+        for t in range(1, k + 1))
+    parts.append(f"""
+SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       CAST(score AS BIGINT) AS score
+FROM ({sel}) ORDER BY rank
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6541,10 +6601,12 @@ QUERIES = {
     "docs_tfidf_cosine": docs_tfidf_cosine,
     "embeddings_cluster_purity": embeddings_cluster_purity,
     "events_count_min": events_count_min,
+    "embeddings_mmr": embeddings_mmr,
 }
 
 ORACLE_SQL = {
     "events_count_min": _count_min_sql(),
+    "embeddings_mmr": _mmr_sql(),
     "embeddings_cluster_purity": _cluster_purity_sql(
         _KMEANS_K, _KMEANS_ITERS),
     "docs_hits": _hits_sql(),

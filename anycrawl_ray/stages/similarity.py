@@ -614,3 +614,82 @@ def cluster_purity(ds, n_clusters: int = 8, iters: int = 3,
         "maj_n": pa.array(fin["maj_n"].astype("int64"), pa.int64()),
         "purity_ppm": pa.array(purity.astype("int64"), pa.int64()),
     })
+
+
+def mmr_topk(ds, query: np.ndarray, k: int = 5, pool: int = 50,
+             lam_num: int = 1, lam_den: int = 2, scale: int = 100,
+             exclude_ids: tuple = ()) -> pa.Table:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick the item maximizing
+    ``lam*rel(c) - (1-lam)*max_{s in selected} sim(c, s)`` — the
+    standard diversity re-ranker over a similarity search result.
+
+    Exact integer contract: vectors quantize as rint(x*scale) (no
+    offset — only products/sums, no floor division on negatives);
+    rel/sim are integer dot products; lambda is the rational
+    ``lam_num/lam_den`` so the greedy comparison is the int64
+    ``lam_num*rel - (lam_den-lam_num)*maxsim`` with ties to the smaller
+    vec_id. Step 1 scores ``lam_num*rel`` (empty selected set).
+
+    Scale shape (the standard two-stage MMR): stage 1 is a distributed
+    relevance scan — the query vector broadcasts into map_batches, each
+    block emits its local top-``pool`` rows by (rel desc, vec_id), and
+    the driver merges O(pool x blocks) rows once; stage 2 runs the
+    O(k * pool * d) greedy on the pool matrix driver-side (pool is a
+    caller constant, never corpus-sized)."""
+    qq = np.rint(np.asarray(query, dtype=np.float64) * scale) \
+        .astype(np.int64)
+    excl = np.asarray(sorted(exclude_ids), dtype=np.int64)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        q = np.rint(_batch_embeddings(batch) * scale).astype(np.int64)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        if excl.size:
+            keep = ~np.isin(ids, excl)
+            q, ids = q[keep], ids[keep]
+        rel = q @ qq
+        order = np.lexsort((ids, -rel))[:pool]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "rel": pa.array(rel[order], pa.int64()),
+            "q": pa.array(list(q[order]), pa.list_(pa.int64()))})
+
+    parts = list(ds.map_batches(local_top, batch_format="pyarrow")
+                 .iter_batches(batch_size=1 << 20,
+                               batch_format="pyarrow"))
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts)
+    ids = np.asarray(merged.column("vec_id"), dtype=np.int64)
+    rel = np.asarray(merged.column("rel"), dtype=np.int64)
+    qm = np.asarray(merged.column("q").to_pylist(), dtype=np.int64)
+    order = np.lexsort((ids, -rel))[:pool]
+    ids, rel, qm = ids[order], rel[order], qm[order]
+
+    lam_gap = lam_den - lam_num
+    selected: list[int] = []
+    scores: list[int] = []
+    ms = None  # max sim to selected — NO zero clamp (sims can be < 0)
+    taken = np.zeros(ids.size, dtype=bool)
+    for _ in range(min(k, ids.size)):
+        sc = (lam_num * rel if ms is None
+              else lam_num * rel - lam_gap * ms)
+        sc_m = np.where(taken, np.iinfo(np.int64).min, sc)
+        # rows are rel-ordered, not id-ordered — break score ties to the
+        # smallest vec_id explicitly
+        cand = np.flatnonzero(sc_m == sc_m.max())
+        best = int(cand[np.argmin(ids[cand])])
+        taken[best] = True
+        selected.append(int(ids[best]))
+        scores.append(int(sc[best]))
+        d = qm @ qm[best]
+        ms = d if ms is None else np.maximum(ms, d)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(selected) + 1, dtype=np.int64),
+                         pa.int64()),
+        "vec_id": pa.array(selected, pa.int64()),
+        "score": pa.array(scores, pa.int64())})

@@ -2564,3 +2564,31 @@ def test_cluster_purity_bounds(ray_session):
     pp = np.asarray(out.column("purity_ppm"))
     assert nn.sum() == n
     assert (mj <= nn).all() and (pp > 0).all() and (pp <= 1_000_000).all()
+
+
+def test_mmr_diversifies_vs_pure_relevance(ray_session):
+    """A clique of near-identical high-relevance vectors: pure top-k
+    would take the whole clique; MMR (lambda=1/2) must interleave the
+    orthogonal lower-relevance item. Exact greedy replayed in numpy."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import mmr_topk
+
+    # query along e0+e1: ids 1-3 an identical clique on e0, id 4 on e1
+    # (equal relevance, orthogonal to the clique)
+    vecs = {1: [1.0, 0.0], 2: [1.0, 0.0], 3: [1.0, 0.0],
+            4: [0.0, 1.0]}
+    t = pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                              pa.list_(pa.float32())),
+    })
+    out = mmr_topk(rd.from_arrow(t).repartition(2),
+                   np.array([1.0, 1.0]), k=3, pool=4)
+    picked = out.column("vec_id").to_pylist()
+    # step1: all rel 10000, tie -> id 1. step2: clique penalized
+    # (10000 - 10000 = 0) but id 4 keeps 10000 - 0 -> DIVERSIFIES.
+    # step3: ids 2,3 tie at 0, ms(2)=max(sim to 1, sim to 4)=10000.
+    assert picked == [1, 4, 2]
+    assert out.column("score").to_pylist() == [10000, 10000, 0]
+    # pure relevance would have returned the clique [1, 2, 3]
