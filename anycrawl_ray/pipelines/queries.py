@@ -6472,6 +6472,215 @@ FROM ({sel}) ORDER BY rank
     return "".join(parts)
 
 
+_BASKET_MIN_SUPPORT = 5
+
+
+def orders_market_basket(sf_dir: str):
+    """Association-rule mining (Apriori level 2) over order baskets:
+    for every part-brand pair co-bought in >= _BASKET_MIN_SUPPORT
+    orders, the co-occurrence count and the integer lift in ppm
+    (``cooc * n_orders * 10^6 // (s_a * s_b)``, arbitrary-precision at
+    the tiny finish). The frequent-itemset operator family — distinct
+    from similarity joins (no weights) and from PMI (basket = order,
+    not document).
+
+    Scale shape: the brand dimension broadcasts as a dense numpy gather
+    (the q8 idiom); baskets co-locate via ONE orderkey fat-bucket
+    shuffle; the in-bucket pair arithmetic is the shared index kernel
+    (dedup._segment_pair_counts), and per-brand supports + the order
+    count ride out of the same pass as disjoint partials (orderkeys are
+    partitioned across buckets). The driver folds brand-pair rows
+    (bounded by |brands|^2), never baskets."""
+    import ray
+
+    from ..stages.dedup import _segment_pair_counts
+    from ..stages.text_analysis import _mix64_np
+
+    rd = _rd()
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    brands = part.column("p_brand").to_pylist()
+    uniq = sorted(set(brands))
+    code_of = {b: i for i, b in enumerate(uniq)}
+    part_code = np.full(int(pk.max()) + 1, -1, dtype=np.int64)
+    part_code[pk] = np.asarray([code_of[b] for b in brands],
+                               dtype=np.int64)
+
+    nb = max(16, min(256,
+                     int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
+        code = part_code[np.asarray(batch.column("l_partkey"),
+                                    dtype=np.int64)]
+        t = pa.table({"ok": pa.array(ok, pa.int64()),
+                      "code": pa.array(code, pa.int64())})
+        t = (t.group_by(["ok", "code"]).aggregate([([], "count_all")])
+             .select(["ok", "code"]))
+        okv = np.asarray(t.column("ok"), dtype=np.int64)
+        kb = (_mix64_np(okv.view(np.uint64)) % np.uint64(nb)) \
+            .astype(np.int64)
+        return t.append_column("_kb", pa.array(kb, pa.int64()))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ok = group["ok"].to_numpy(dtype=np.int64)
+        code = group["code"].to_numpy(dtype=np.int64)
+        order = np.lexsort((code, ok))
+        ok, code = ok[order], code[order]
+        # global distinct (order, brand): block partials can overlap
+        keep = np.concatenate(([True], (ok[1:] != ok[:-1])
+                               | (code[1:] != code[:-1])))
+        ok, code = ok[keep], code[keep]
+        pc = _segment_pair_counts(ok, code)
+        ub, bcnt = np.unique(code, return_counts=True)
+        n_orders = np.unique(ok).size
+        return pd.DataFrame({
+            "a": np.concatenate([pc["a"], ub, [-1]]),
+            "b": np.concatenate([pc["b"], np.zeros(ub.size, np.int64),
+                                 [-1]]),
+            "cnt": np.concatenate([pc["cnt"],
+                                   bcnt.astype(np.int64), [n_orders]]),
+            "kind": np.concatenate([np.full(pc["a"].size, 2, np.int8),
+                                    np.ones(ub.size, np.int8), [0]]),
+        })
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    rows = (li.map_batches(prep, batch_format="pyarrow")
+            .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+            .to_pandas())
+    empty = pa.table({"brand_a": pa.array([], pa.string()),
+                      "brand_b": pa.array([], pa.string()),
+                      "cooc": pa.array([], pa.int64()),
+                      "lift_ppm": pa.array([], pa.int64())})
+    if len(rows) == 0:
+        return empty
+    n_orders = int(rows.loc[rows["kind"] == 0, "cnt"].sum())
+    sup = (rows[rows["kind"] == 1].groupby("a")["cnt"].sum())
+    pairs = (rows[rows["kind"] == 2].groupby(["a", "b"], as_index=False)
+             ["cnt"].sum())
+    pairs = pairs[pairs["cnt"] >= _BASKET_MIN_SUPPORT]
+    if len(pairs) == 0:
+        return empty
+    lift = [int(c) * n_orders * 1_000_000 // (int(sup[a]) * int(sup[b]))
+            for a, b, c in zip(pairs["a"], pairs["b"], pairs["cnt"])]
+    out = pd.DataFrame({
+        "brand_a": [uniq[int(a)] for a in pairs["a"]],
+        "brand_b": [uniq[int(b)] for b in pairs["b"]],
+        "cooc": pairs["cnt"].astype("int64").to_numpy(),
+        "lift_ppm": np.asarray(lift, dtype=np.int64),
+    }).sort_values(["brand_a", "brand_b"]).reset_index(drop=True)
+    return pa.table({
+        "brand_a": pa.array(out["brand_a"], pa.string()),
+        "brand_b": pa.array(out["brand_b"], pa.string()),
+        "cooc": pa.array(out["cooc"], pa.int64()),
+        "lift_ppm": pa.array(out["lift_ppm"], pa.int64())})
+
+
+_MARKET_BASKET_SQL = f"""
+WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON p_partkey = l_partkey),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS no FROM ob),
+s AS (SELECT p_brand, COUNT(*) AS s FROM ob GROUP BY 1),
+pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                 COUNT(*) AS cooc
+          FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                             AND a.p_brand < b.p_brand
+          GROUP BY 1, 2 HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT})
+SELECT brand_a, brand_b, CAST(cooc AS BIGINT) AS cooc,
+       CAST(CAST(cooc AS HUGEINT) * n.no * 1000000
+            // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_ppm
+FROM pairs, n
+JOIN s sa ON sa.p_brand = pairs.brand_a
+JOIN s sb ON sb.p_brand = pairs.brand_b
+ORDER BY brand_a, brand_b
+"""
+
+
+def events_chi2_ab(sf_dir: str):
+    """A/B significance row: split users into variants by ``user_id %
+    2``, conversion = any purchase event, and report the 2x2
+    contingency cells plus the chi-square statistic in ppm — the exact
+    integer ``N * (ad-bc)^2 * 10^6 // (n_a * n_b * conv * nonconv)``
+    (Python bigints here, HUGEINT in the oracle; exact to ~10^9 users
+    per cell before the oracle's HUGEINT would saturate). Scale shape:
+    per-block user partials -> ONE groupby-Max shuffle -> map-side cell
+    partials; the driver folds 4 integers."""
+    from ray.data.aggregate import Max
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        conv = (np.asarray(batch.column("event_type").to_pandas())
+                == "purchase").astype(np.int64)
+        t = pa.table({"user_id": pa.array(u, pa.int64()),
+                      "conv": pa.array(conv, pa.int64())})
+        return (t.group_by("user_id").aggregate([("conv", "max")])
+                .rename_columns(["user_id", "conv"]))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        cv = np.asarray(batch.column("conv"), dtype=np.int64)
+        b_side = (u % 2).astype(bool)
+        return pa.table({
+            "n_a": pa.array([int((~b_side).sum())], pa.int64()),
+            "conv_a": pa.array([int(cv[~b_side].sum())], pa.int64()),
+            "n_b": pa.array([int(b_side.sum())], pa.int64()),
+            "conv_b": pa.array([int(cv[b_side].sum())], pa.int64())})
+
+    parts = (ev.map_batches(prep, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Max("conv", alias_name="conv"))
+             .map_batches(cells, batch_format="pyarrow").to_pandas())
+    n_a = int(parts["n_a"].sum())
+    conv_a = int(parts["conv_a"].sum())
+    n_b = int(parts["n_b"].sum())
+    conv_b = int(parts["conv_b"].sum())
+    n = n_a + n_b
+    conv = conv_a + conv_b
+    den = n_a * n_b * conv * (n - conv)
+    if den == 0:
+        chi2 = 0
+    else:
+        diff = conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+        chi2 = n * diff * diff * 1_000_000 // den
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "conv_a": pa.array([conv_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "conv_b": pa.array([conv_b], pa.int64()),
+        "chi2_ppm": pa.array([chi2], pa.int64())})
+
+
+_CHI2_AB_SQL = """
+WITH u AS (SELECT user_id,
+                  MAX(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+c AS (SELECT
+    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS conv_a,
+    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS conv_b
+  FROM u)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       CASE WHEN n_a * n_b * (conv_a + conv_b)
+                 * (n_a + n_b - conv_a - conv_b) = 0 THEN 0
+            ELSE CAST(CAST(n_a + n_b AS HUGEINT)
+                 * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+                 * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+                 * 1000000
+                 // (CAST(n_a AS HUGEINT) * n_b * (conv_a + conv_b)
+                     * (n_a + n_b - conv_a - conv_b)) AS BIGINT)
+       END AS chi2_ppm
+FROM c
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6602,9 +6811,13 @@ QUERIES = {
     "embeddings_cluster_purity": embeddings_cluster_purity,
     "events_count_min": events_count_min,
     "embeddings_mmr": embeddings_mmr,
+    "orders_market_basket": orders_market_basket,
+    "events_chi2_ab": events_chi2_ab,
 }
 
 ORACLE_SQL = {
+    "events_chi2_ab": _CHI2_AB_SQL,
+    "orders_market_basket": _MARKET_BASKET_SQL,
     "events_count_min": _count_min_sql(),
     "embeddings_mmr": _mmr_sql(),
     "embeddings_cluster_purity": _cluster_purity_sql(

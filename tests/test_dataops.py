@@ -2592,3 +2592,67 @@ def test_mmr_diversifies_vs_pure_relevance(ray_session):
     assert picked == [1, 4, 2]
     assert out.column("score").to_pylist() == [10000, 10000, 0]
     # pure relevance would have returned the clique [1, 2, 3]
+
+
+def test_market_basket_lift_exact(ray_session):
+    """Brand-pair lift on a hand-built basket set, via a temp parquet
+    pair (the query function reads sf_dir directly)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqt
+
+    from anycrawl_ray.pipelines.queries import orders_market_basket
+
+    with tempfile.TemporaryDirectory() as d:
+        part = pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array(["X", "Y", "Z"], pa.string())})
+        # 6 orders: {X,Y} x5 (co-buy), {Z} x1
+        ok, pk = [], []
+        for o in range(5):
+            ok += [o, o]; pk += [1, 2]
+        ok += [9]; pk += [3]
+        li = pa.table({"l_orderkey": pa.array(ok, pa.int64()),
+                       "l_partkey": pa.array(pk, pa.int64())})
+        pqt.write_table(part, os.path.join(d, "part.parquet"))
+        pqt.write_table(li, os.path.join(d, "lineitem.parquet"))
+        out = orders_market_basket(d)
+    rows = list(zip(out.column("brand_a").to_pylist(),
+                    out.column("brand_b").to_pylist(),
+                    out.column("cooc").to_pylist(),
+                    out.column("lift_ppm").to_pylist()))
+    # lift(X,Y) = 5 * 6 * 1e6 // (5 * 5) = 1_200_000 (positive assoc)
+    assert rows == [("X", "Y", 5, 1_200_000)]
+
+
+def test_chi2_ab_known_value(ray_session):
+    """Chi-square on a constructed split: variant A converts 3/4,
+    variant B 1/4 -> chi2 = 8*(3*3-1*1)^2/(4*4*4*4) = 2.0."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqt
+
+    from anycrawl_ray.pipelines.queries import events_chi2_ab
+
+    rows = []
+    eid = 0
+    for u in range(8):  # users 0..7, variant = u % 2
+        conv = (u % 2 == 0 and u != 6) or (u == 1)
+        rows.append((eid, u, "purchase" if conv else "view"))
+        eid += 1
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([100 + i for i in range(len(rows))],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pqt.write_table(t, os.path.join(d, "events.parquet"))
+        out = events_chi2_ab(d)
+    r = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (4, 3, 4, 1)
+    assert r["chi2_ppm"] == 8 * (3 * 3 - 1 * 1) ** 2 * 1_000_000 // 256
