@@ -6325,7 +6325,8 @@ toks AS (SELECT DISTINCT doc_id,
 n AS (SELECT COUNT(*) AS nd FROM documents),
 df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
 vocab AS (SELECT tok, df FROM df WHERE df <= 100),
-wt AS (SELECT tok, (n.nd * 1000) // df AS w FROM vocab, n),
+wt AS (SELECT tok, LEAST((n.nd * 1000) // df, 1000000) AS w
+       FROM vocab, n),
 posts AS (SELECT t.doc_id, t.tok, wt.w FROM toks t JOIN wt USING (tok)),
 norms AS (SELECT doc_id, SUM(w * w) AS nsq FROM posts GROUP BY 1),
 pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared,
@@ -6392,23 +6393,28 @@ def events_count_min(sf_dir: str):
 
 
 def _count_min_sql(depth: int = 4, width: int = 64) -> str:
+    # mix64 textually expands its argument ~32x (oracle_kernels.py), so
+    # every mix64 input lands in a MATERIALIZED column first
     return f"""{_oracle_kernels.U64_PRELUDE}
-WITH rws AS (SELECT CAST(r AS BIGINT) AS r,
-                    mix64(CAST(r + 1 AS UBIGINT)) AS salt
-             FROM range({depth}) t(r)),
-ev AS (SELECT user_id, mix64(CAST(user_id AS UBIGINT)) AS uh FROM events),
-cells AS (SELECT w.r,
-                 CAST(mix64(xor(e.uh, w.salt)) % {width} AS BIGINT) AS c,
-                 COUNT(*) AS n
-          FROM ev e CROSS JOIN rws w GROUP BY 1, 2),
-probes AS (SELECT user_id, COUNT(*) AS n_exact, ANY_VALUE(uh) AS uh
-           FROM ev GROUP BY 1)
-SELECT p.user_id, CAST(p.n_exact AS BIGINT) AS n_exact,
-       CAST(MIN(c.n) AS BIGINT) AS n_est
-FROM probes p CROSS JOIN rws w
-JOIN cells c ON c.r = w.r
-            AND c.c = CAST(mix64(xor(p.uh, w.salt)) % {width} AS BIGINT)
-GROUP BY 1, 2 ORDER BY p.user_id
+WITH rws AS MATERIALIZED (
+    SELECT CAST(r AS BIGINT) AS r,
+           mix64(CAST(r + 1 AS UBIGINT)) AS salt
+    FROM range({depth}) t(r)),
+ev AS MATERIALIZED (
+    SELECT user_id, mix64(CAST(user_id AS UBIGINT)) AS uh FROM events),
+evx AS MATERIALIZED (
+    SELECT e.user_id, w.r, xor(e.uh, w.salt) AS x
+    FROM ev e CROSS JOIN rws w),
+evc AS MATERIALIZED (
+    SELECT user_id, r, CAST(mix64(x) % {width} AS BIGINT) AS c
+    FROM evx),
+cells AS (SELECT r, c, COUNT(*) AS n FROM evc GROUP BY 1, 2),
+probes AS (SELECT user_id, r, ANY_VALUE(c) AS c, COUNT(*) AS n_exact
+           FROM evc GROUP BY 1, 2)
+SELECT p.user_id, CAST(ANY_VALUE(p.n_exact) AS BIGINT) AS n_exact,
+       CAST(MIN(cl.n) AS BIGINT) AS n_est
+FROM probes p JOIN cells cl ON cl.r = p.r AND cl.c = p.c
+GROUP BY 1 ORDER BY p.user_id
 """
 
 
@@ -6512,10 +6518,16 @@ def orders_market_basket(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         ok = np.asarray(batch.column("l_orderkey"), dtype=np.int64)
-        code = part_code[np.asarray(batch.column("l_partkey"),
-                                    dtype=np.int64)]
-        t = pa.table({"ok": pa.array(ok, pa.int64()),
-                      "code": pa.array(code, pa.int64())})
+        lpk = np.asarray(batch.column("l_partkey"), dtype=np.int64)
+        # partkeys missing from part (sentinel -1 or out of LUT range)
+        # drop, mirroring the oracle's inner join
+        in_range = (lpk >= 0) & (lpk < part_code.size)
+        code = np.where(in_range, part_code[np.clip(lpk, 0,
+                                                    part_code.size - 1)],
+                        -1)
+        keep = code >= 0
+        t = pa.table({"ok": pa.array(ok[keep], pa.int64()),
+                      "code": pa.array(code[keep], pa.int64())})
         t = (t.group_by(["ok", "code"]).aggregate([([], "count_all")])
              .select(["ok", "code"]))
         okv = np.asarray(t.column("ok"), dtype=np.int64)
@@ -6663,8 +6675,8 @@ WITH u AS (SELECT user_id,
 c AS (SELECT
     SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
     SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS conv_a,
-    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
-    SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS conv_b
+    SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS conv_b
   FROM u)
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,

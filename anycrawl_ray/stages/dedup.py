@@ -1525,6 +1525,7 @@ def substring_dup_coverage(ds, k: int = 8, id_col: str = "doc_id",
 def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
                        min_shared: int = 2, max_df: int | None = None,
                        idf_scale: int = 1000, gram_n: int = 1,
+                       idf_clip: int = 1_000_000,
                        id_col: str = "doc_id", text_col: str = "text",
                        broadcast_limit: int = 2_000_000) -> pa.Table:
     """EXACT all-pairs tf-idf cosine similarity join over the corpus — the
@@ -1540,10 +1541,13 @@ def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
     ``cos2_ppm = num^2 * 10^6 // (normsq_a * normsq_b)`` with ``num =
     sum of w^2 over shared terms`` — so no sqrt/float leaves either
     engine (the final ratio runs in arbitrary-precision Python ints /
-    DuckDB HUGEINT; every distributed partial stays int64, which bounds
-    ``n_docs * idf_scale`` to ~3e9 — rescale idf_scale for larger
-    corpora). Pairs need ``>= min_shared`` shared terms and ``cos2_ppm >=
-    threshold_ppm``.
+    DuckDB HUGEINT). Weights CLIP at ``idf_clip`` (standard idf
+    clipping, LEAST() in the oracle): the int64 partials sum w^2 over a
+    doc's terms, so the clip — not idf_scale alone — is what bounds
+    them (w <= 1e6 -> w^2 <= 1e12 -> a doc needs ~9e6 distinct vocab
+    terms before nsq could wrap; unclipped, a df=1 term at n_docs=2e6
+    would already overflow a 3-term doc). Pairs need ``>= min_shared``
+    shared terms and ``cos2_ppm >= threshold_ppm``.
 
     Stop-term cap (the scale guard, same shape as ngram_jaccard_pairs):
     terms with df > ``max_df`` leave the VOCABULARY entirely — they feed
@@ -1567,6 +1571,9 @@ def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
     from .text_analysis import _fnv1a_bulk
 
     n_docs = ds.count()
+    if n_docs * idf_scale >= 1 << 62:  # raw w must stay int64 pre-clip
+        raise ValueError("n_docs * idf_scale exceeds int64 headroom; "
+                         "lower idf_scale")
     nb = max(16, min(256,
                      int(ray.cluster_resources().get("CPU", 8)) * 2))
 
@@ -1603,7 +1610,7 @@ def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
         if max_df is not None:
             keep = df_row <= max_df
             tok, doc, df_row = tok[keep], doc[keep], df_row[keep]
-        w_row = (n_docs * idf_scale) // df_row
+        w_row = np.minimum((n_docs * idf_scale) // df_row, idf_clip)
         w2_row = w_row * w_row
         pc = _segment_pair_counts(tok, doc, weights=w2_row)
         # per-doc norm partials from the SAME postings pass

@@ -486,7 +486,8 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
 
 def hits_int(n_nodes: int, iters: int = 4,
              scale: int = 10 ** 9,
-             num_partitions: int | None = None) -> pa.Table:
+             num_partitions: int | None = None,
+             broadcast_limit: int = 10_000_000) -> pa.Table:
     """Integer fixed-point HITS (Kleinberg hubs & authorities) over the
     synthetic site graph — the OTHER classic link-analysis score next to
     pagerank_int, and the one that needs BOTH gather directions.
@@ -500,18 +501,28 @@ def hits_int(n_nodes: int, iters: int = 4,
     oracle uses one HUGEINT cast instead). Identical edge multiset as
     _pagerank_sql (duplicate chord/child arms stay duplicated).
 
-    Scale shape: the edge table is materialized ONCE and each
-    half-iteration is the canonical edge-partitioned gather — one hash
-    join on the vertex id + one groupby-Sum; zero-score vertices drop out
-    mid-iteration (they contribute nothing) and are re-attached with
-    zeros only in the final n-row assembly. Hot vertices skew the join
-    the usual way; the synthetic graph's in/out degrees are <= ~5."""
+    Scale shape (broadcast/join duality, the cooccurrence_pmi guard):
+    when ``n_nodes <= broadcast_limit`` the per-iteration score vector —
+    node-bounded, the same size as this function's own OUTPUT — rides as
+    a broadcast dense array and each half-iteration is ONE shuffle-free
+    map over the edge table (per-block bincount partials, driver folds
+    O(n) ints; 8 Ray joins of a tiny table measured ~29 s of pure
+    actor-spawn fixed cost, the dense path ~4 s). Above the limit, the
+    canonical edge-partitioned gather: the edge table materializes ONCE
+    and each half-iteration is one vertex-id hash join + one
+    groupby-Sum; zero-score vertices drop out mid-iteration (they
+    contribute nothing) and re-attach as zeros in the final assembly.
+    Hot vertices skew the join the usual way; the synthetic graph's
+    in/out degrees are <= ~5. Both paths are pinned equal in pytest."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from ..util import join_parts
 
-    n_parts = num_partitions or join_parts()
+    # 2*iters joins of a 3n-row edge table: at small n the join
+    # aggregator-actor spawn IS the wall time, so shrink the fan-in
+    n_parts = num_partitions or (2 if n_nodes < 100_000
+                                 else join_parts())
 
     def emit_edges(batch: pa.Table) -> pa.Table:
         i = np.asarray(batch.column("id"), dtype=np.int64)
@@ -528,6 +539,63 @@ def hits_int(n_nodes: int, iters: int = 4,
                                            batch_format="pyarrow")
              .materialize())
 
+    def empty_scores() -> pa.Table:
+        ids = np.arange(n_nodes, dtype=np.int64)
+        z = np.zeros(n_nodes, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hub_scaled": pa.array(z, pa.int64()),
+                         "auth_scaled": pa.array(z, pa.int64())})
+
+    if n_nodes <= broadcast_limit:
+        import ray as _ray
+
+        from .dedup import _cached_get
+
+        def vec_norm(s: np.ndarray, total: int) -> np.ndarray:
+            q, rem = s // total, s % total
+            return q * scale + (rem * scale) // total
+
+        def fold_gather(score_vec: np.ndarray, from_col: str,
+                        to_col: str) -> np.ndarray:
+            ref = _ray.put(score_vec)
+
+            def gather(batch: pa.Table) -> pa.Table:
+                sv = _cached_get(ref)
+                f = np.asarray(batch.column(from_col), dtype=np.int64)
+                t = np.asarray(batch.column(to_col), dtype=np.int64)
+                acc = np.zeros(n_nodes, dtype=np.int64)
+                np.add.at(acc, t, sv[f])  # int64-exact, no float weights
+                nz = np.flatnonzero(acc)
+                return pa.table({"node": pa.array(nz, pa.int64()),
+                                 "c": pa.array(acc[nz], pa.int64())})
+
+            out = np.zeros(n_nodes, dtype=np.int64)
+            for b in edges.map_batches(gather, batch_format="pyarrow") \
+                    .iter_batches(batch_size=1 << 20,
+                                  batch_format="pyarrow"):
+                np.add.at(out, np.asarray(b.column("node"),
+                                          dtype=np.int64),
+                          np.asarray(b.column("c"), dtype=np.int64))
+            return out
+
+        h_vec = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
+        a_vec = np.zeros(n_nodes, dtype=np.int64)
+        for _ in range(iters):
+            ar = fold_gather(h_vec, "src", "dst")
+            total = int(ar.sum())
+            if total == 0:
+                return empty_scores()
+            a_vec = vec_norm(ar, total)
+            hr = fold_gather(a_vec, "dst", "src")
+            total = int(hr.sum())
+            if total == 0:
+                return empty_scores()
+            h_vec = vec_norm(hr, total)
+        ids = np.arange(n_nodes, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "hub_scaled": pa.array(h_vec, pa.int64()),
+                         "auth_scaled": pa.array(a_vec, pa.int64())})
+
     def normalize(total: int, in_col: str, out_name: str, key: str):
         def fn(batch: pa.Table) -> pa.Table:
             s = np.asarray(batch.column(in_col), dtype=np.int64)
@@ -536,13 +604,6 @@ def hits_int(n_nodes: int, iters: int = 4,
             return pa.table({key: batch.column(key),
                              out_name: pa.array(v, pa.int64())})
         return fn
-
-    def empty_scores() -> pa.Table:
-        ids = np.arange(n_nodes, dtype=np.int64)
-        z = np.zeros(n_nodes, dtype=np.int64)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "hub_scaled": pa.array(z, pa.int64()),
-                         "auth_scaled": pa.array(z, pa.int64())})
 
     # h0: every node starts at scale // n (the SQL oracle's h0)
     h = rd.range(n_nodes).map_batches(
@@ -554,15 +615,20 @@ def hits_int(n_nodes: int, iters: int = 4,
         batch_format="pyarrow")
     a = None
     for _ in range(iters):
+        # materialize BEFORE the scalar sum: ar/hr are lazy, and an
+        # unmaterialized sum() + normalize() would run the join+groupby
+        # lineage twice per half-iteration
         ar = (edges.join(h, "inner", n_parts, on=("src",))
-              .groupby("dst").aggregate(Sum("h", alias_name="s")))
+              .groupby("dst").aggregate(Sum("h", alias_name="s"))
+              .materialize())
         total = ar.sum("s")
         if not total:
             return empty_scores()
         a = ar.map_batches(normalize(int(total), "s", "a", "dst"),
                            batch_format="pyarrow").materialize()
         hr = (edges.join(a, "inner", n_parts, on=("dst",))
-              .groupby("src").aggregate(Sum("a", alias_name="s")))
+              .groupby("src").aggregate(Sum("a", alias_name="s"))
+              .materialize())
         total = hr.sum("s")
         if not total:
             return empty_scores()

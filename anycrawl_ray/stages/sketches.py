@@ -146,8 +146,12 @@ def count_min(ds, col: str, depth: int = 4, width: int = 64) -> pa.Table:
         v = batch.column(col)
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        uh = _mix64_np(np.asarray(v.cast(pa.int64()), dtype=np.int64)
-                       .view(np.uint64))
+        iv = np.asarray(v.cast(pa.int64()), dtype=np.int64)
+        if iv.size and iv.min() < 0:
+            # numpy would wrap to uint64 silently while the oracle's
+            # CAST(... AS UBIGINT) errors — fail loudly on BOTH engines
+            raise ValueError(f"count_min requires non-negative {col}")
+        uh = _mix64_np(iv.view(np.uint64))
         mats = np.zeros((depth, width), dtype=np.int64)
         for r in range(depth):
             c = (_mix64_np(uh ^ salts[r]) % np.uint64(width)).astype(

@@ -2656,3 +2656,12 @@ def test_chi2_ab_known_value(ray_session):
     r = {c: out.column(c)[0].as_py() for c in out.column_names}
     assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (4, 3, 4, 1)
     assert r["chi2_ppm"] == 8 * (3 * 3 - 1 * 1) ** 2 * 1_000_000 // 256
+
+
+def test_hits_paths_equal(ray_session):
+    """Dense-broadcast and join-gather HITS paths are byte-equal."""
+    from anycrawl_ray.stages.graph import hits_int
+
+    a = hits_int(61, iters=2)
+    b = hits_int(61, iters=2, broadcast_limit=0)
+    assert a.equals(b)
