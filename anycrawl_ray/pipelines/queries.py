@@ -6693,6 +6693,68 @@ FROM c
 """
 
 
+def crawl_robots_gate(sf_dir: str):
+    """Robots-gated crawl (north_rule's robots component as a driver
+    row, not just pytest): every host serves a robots.txt disallowing
+    the /p/0001 path prefix (doc_ids 100-199), the crawl runs with
+    ``obey_robots=True``, and the output is the fetched URL set + BFS
+    depth. Blocked pages are rejected at ADMISSION (crawl.py robots
+    gate), so their subtrees are reachable only around them — the
+    oracle replays that as a recursive CTE whose edge step skips
+    blocked destinations."""
+    from ..sources.synthetic_site import NUM_HOSTS, build_site_table, \
+        page_url
+    from .crawl import CrawlJob, run_crawl
+
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    body = "User-agent: *\nDisallow: /p/0001\n"
+    robots_rows = pa.table({
+        "url": [f"http://site{h}.test/robots.txt"
+                for h in range(NUM_HOSTS)],
+        "host": [f"site{h}.test" for h in range(NUM_HOSTS)],
+        "status_code": pa.array([200] * NUM_HOSTS, pa.int32()),
+        "html": [body] * NUM_HOSTS,
+        "links": pa.array([[]] * NUM_HOSTS, pa.list_(pa.string())),
+        "content_bytes": pa.array([len(body)] * NUM_HOSTS, pa.int64()),
+    })
+    pages = pa.concat_tables([pages, robots_rows])
+    job = CrawlJob(job_id="rg", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=50_000, obey_robots=True)
+    import ray
+
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(),
+                    ray_wave_threshold=64)
+    df = res.order.to_pandas()[["canonical_url", "depth"]]
+    out = df.groupby("canonical_url", as_index=False)["depth"].min()
+    out = out.rename(columns={"canonical_url": "url"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_CRAWL_ROBOTS_SQL = f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0
+),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20 AND e.dst NOT BETWEEN 100 AND 199
+)
+SELECT 'http://site' || CAST(id % {_HOSTS} AS VARCHAR) || '.test/p/' ||
+       lpad(CAST(id AS VARCHAR), 6, '0') AS url,
+       CAST(MIN(depth) AS INT) AS depth
+FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6825,9 +6887,11 @@ QUERIES = {
     "embeddings_mmr": embeddings_mmr,
     "orders_market_basket": orders_market_basket,
     "events_chi2_ab": events_chi2_ab,
+    "crawl_robots_gate": crawl_robots_gate,
 }
 
 ORACLE_SQL = {
+    "crawl_robots_gate": _CRAWL_ROBOTS_SQL,
     "events_chi2_ab": _CHI2_AB_SQL,
     "orders_market_basket": _MARKET_BASKET_SQL,
     "events_count_min": _count_min_sql(),
