@@ -6755,6 +6755,36 @@ FROM reach GROUP BY id
 """
 
 
+def embeddings_outliers(sf_dir: str):
+    """Embedding-space anomaly detection: integer squared-L2 distance
+    to the vector's own kmeans centroid, global top-20 (ties to the
+    smaller vec_id) — stages/similarity.py::kmeans_outliers. Map-side
+    local top-k + tiny driver merge; oracle = the kmeans CTE chain +
+    distance ORDER BY."""
+    rd = _rd()
+    from ..stages.similarity import kmeans_outliers
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_outliers(ds, k_out=20, n_clusters=_KMEANS_K,
+                           iters=_KMEANS_ITERS)
+
+
+def _outliers_sql(k_out: int = 20, k: int = 8, iters: int = 3,
+                  scale: int = 100, offset: int = 1000) -> str:
+    chain = _kmeans_ctes(k, iters, scale, offset)
+    dist = ("list_sum(list_transform(list_zip(v.q, c.q), "
+            "s -> (s[1]-s[2])*(s[1]-s[2])))")
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH {chain},
+d AS (SELECT o.vec_id, o.cluster, {dist} AS d2
+      FROM out o JOIN qv v USING (vec_id)
+      JOIN cent{iters}f c ON c.cluster = o.cluster)
+SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM d
+ORDER BY d2 DESC, vec_id LIMIT {k_out}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6888,9 +6918,11 @@ QUERIES = {
     "orders_market_basket": orders_market_basket,
     "events_chi2_ab": events_chi2_ab,
     "crawl_robots_gate": crawl_robots_gate,
+    "embeddings_outliers": embeddings_outliers,
 }
 
 ORACLE_SQL = {
+    "embeddings_outliers": _outliers_sql(),
     "crawl_robots_gate": _CRAWL_ROBOTS_SQL,
     "events_chi2_ab": _CHI2_AB_SQL,
     "orders_market_basket": _MARKET_BASKET_SQL,

@@ -693,3 +693,45 @@ def mmr_topk(ds, query: np.ndarray, k: int = 5, pool: int = 50,
                          pa.int64()),
         "vec_id": pa.array(selected, pa.int64()),
         "score": pa.array(scores, pa.int64())})
+
+
+def kmeans_outliers(ds, k_out: int = 20, n_clusters: int = 8,
+                    iters: int = 3, scale: int = 100,
+                    offset: int = 1000) -> pa.Table:
+    """Embedding-space anomaly detection: fit the exact-integer kmeans
+    recurrence, then rank every vector by its integer squared-L2
+    distance to its OWN centroid — the classic distance-to-centroid
+    outlier score — and keep the global top ``k_out`` (ties to the
+    smaller vec_id). One extra map_batches pass; each block emits only
+    its local top-``k_out`` rows, the driver merges O(k_out x blocks)."""
+    ds = ds.materialize()
+    c_final, quantize = _kmeans_fit(ds, n_clusters, iters, scale, offset,
+                                    slice(None))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids, q = quantize(batch)
+        d2 = ((q[:, None, :] - c_final[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        dist = d2[np.arange(ids.size), assign]
+        order = np.lexsort((ids, -dist))[:k_out]
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cluster": pa.array(assign[order].astype(np.int64),
+                                pa.int64()),
+            "d2": pa.array(dist[order], pa.int64())})
+
+    parts = list(ds.map_batches(local_top, batch_format="pyarrow")
+                 .iter_batches(batch_size=1 << 20,
+                               batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "d2": pa.array([], pa.int64())})
+    m = pa.concat_tables(parts)
+    ids = np.asarray(m.column("vec_id"), dtype=np.int64)
+    cl = np.asarray(m.column("cluster"), dtype=np.int64)
+    d2 = np.asarray(m.column("d2"), dtype=np.int64)
+    order = np.lexsort((ids, -d2))[:k_out]
+    return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                     "cluster": pa.array(cl[order], pa.int64()),
+                     "d2": pa.array(d2[order], pa.int64())})
