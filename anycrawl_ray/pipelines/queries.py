@@ -6785,6 +6785,36 @@ ORDER BY d2 DESC, vec_id LIMIT {k_out}
 """
 
 
+def orders_ltv_cohorts(sf_dir: str):
+    """Cohort LTV triangle over orders: cohort = customer's first
+    30-day period, exact cents revenue per (cohort, offset) —
+    stages/window.py::revenue_cohorts (one customer-bucketed shuffle of
+    block partials). Exact SQL oracle."""
+    from ..stages.window import revenue_cohorts
+
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+    return revenue_cohorts(orders)
+
+
+_LTV_COHORTS_SQL = """
+WITH p AS (SELECT o_custkey,
+                  epoch_us(o_orderdate) // 2592000000000 AS period,
+                  CAST(round_even(o_totalprice * 100, 0) AS BIGINT)
+                      AS cents
+           FROM orders),
+fw AS (SELECT o_custkey, MIN(period) AS cohort_period
+       FROM p GROUP BY o_custkey)
+SELECT fw.cohort_period,
+       p.period - fw.cohort_period AS period_offset,
+       CAST(SUM(p.cents) AS BIGINT) AS cents
+FROM p JOIN fw USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6919,9 +6949,11 @@ QUERIES = {
     "events_chi2_ab": events_chi2_ab,
     "crawl_robots_gate": crawl_robots_gate,
     "embeddings_outliers": embeddings_outliers,
+    "orders_ltv_cohorts": orders_ltv_cohorts,
 }
 
 ORACLE_SQL = {
+    "orders_ltv_cohorts": _LTV_COHORTS_SQL,
     "embeddings_outliers": _outliers_sql(),
     "crawl_robots_gate": _CRAWL_ROBOTS_SQL,
     "events_chi2_ab": _CHI2_AB_SQL,

@@ -1285,3 +1285,68 @@ def rfm_segments(ds, user_col: str = "user_id", ts_col: str = "ts",
                                  ("f_score", pa.int64()),
                                  ("m_score", pa.int64()),
                                  ("n_users", pa.int64())]))
+
+
+def revenue_cohorts(ds, key: str = "o_custkey", ts_col: str = "o_orderdate",
+                    value_col: str = "o_totalprice",
+                    period_us: int = 2_592_000_000_000,
+                    n_buckets: int | None = None) -> pa.Table:
+    """Cohort LTV triangle — the revenue-weighted sibling of
+    retention_cohorts: cohort = a customer's FIRST active period (fixed
+    30-day periods, integer epoch division — calendar months are not
+    fixed-width and would need a locale-free mirror anyway); for every
+    (cohort, period_offset), the exact cents revenue booked by that
+    cohort in that period.
+
+    Same one-shuffle shape as retention_cohorts: blocks fold to
+    (customer, period) -> cents partials before customers hash into fat
+    buckets; each bucket derives its customers' cohorts with one lexsort
+    and emits disjoint (cohort, offset) -> cents partials; the driver
+    folds cohorts x offsets rows, never customers."""
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t_us = _epoch_us(batch.column(ts_col))
+        vals = batch.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        cents = np.rint(np.asarray(vals, dtype=np.float64) * 100) \
+            .astype(np.int64)
+        t = pa.table({key: batch.column(key),
+                      "period": pa.array(t_us // period_us, pa.int64()),
+                      "cents": pa.array(cents, pa.int64())})
+        t = (t.group_by([key, "period"]).aggregate([("cents", "sum")])
+             .rename_columns([key, "period", "cents"]))
+        return _bucket_col(t, key, nb)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[key].to_numpy()
+        w = group["period"].to_numpy()
+        c = group["cents"].to_numpy()
+        order = np.lexsort((w, u))
+        u, w, c = u[order], w[order], c[order]
+        starts = np.concatenate(([True], u[1:] != u[:-1]))
+        seg_id = np.cumsum(starts) - 1
+        cohort = w[np.flatnonzero(starts)][seg_id]  # min period per key
+        out = pd.DataFrame({"cohort_period": cohort,
+                            "period_offset": w - cohort, "cents": c})
+        return (out.groupby(["cohort_period", "period_offset"],
+                            sort=False)["cents"].sum().reset_index())
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"cohort_period": pa.array([], pa.int64()),
+                         "period_offset": pa.array([], pa.int64()),
+                         "cents": pa.array([], pa.int64())})
+    fin = (parts.groupby(["cohort_period", "period_offset"],
+                         as_index=False)["cents"].sum()
+           .sort_values(["cohort_period", "period_offset"])
+           .reset_index(drop=True))
+    return pa.table({
+        "cohort_period": pa.array(fin["cohort_period"].astype("int64"),
+                                  pa.int64()),
+        "period_offset": pa.array(fin["period_offset"].astype("int64"),
+                                  pa.int64()),
+        "cents": pa.array(fin["cents"].astype("int64"), pa.int64())})
