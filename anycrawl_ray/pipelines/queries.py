@@ -6815,6 +6815,61 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_PHRASE = ("table", "scan")
+
+
+def docs_phrase_search(sf_dir: str):
+    """Positional phrase search (the proximity-query IR op the scoring
+    index can't answer): docs where token "table" is IMMEDIATELY
+    followed by "scan", with the exact occurrence count. Positions
+    filter at tokenize time (only the two query terms' postings ever
+    leave the map side), adjacency is one shifted-equality numpy mask
+    per doc — no shuffle at all, the driver folds per-block (doc, hits)
+    partials bounded by matching docs. Exact SQL oracle (positional
+    self-join)."""
+    rd = _rd()
+    w1, w2 = _PHRASE
+
+    def find(batch: pa.Table) -> pa.Table:
+        ids_out, hits_out = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            words = np.asarray(t.split(), dtype=object)
+            if words.size < 2:
+                continue
+            n = int(((words[:-1] == w1) & (words[1:] == w2)).sum())
+            if n:
+                ids_out.append(d)
+                hits_out.append(n)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "hits": pa.array(hits_out, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(find, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "hits": pa.array([], pa.int64())})
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64"),
+                                        pa.int64()),
+                     "hits": pa.array(out["hits"].astype("int64"),
+                                      pa.int64())})
+
+
+_PHRASE_SQL = rf"""
+WITH w AS (SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '') AS w
+     FROM documents),
+hits AS (SELECT doc_id, COUNT(*) AS hits
+         FROM (SELECT doc_id, i FROM w, UNNEST(range(1, len(w))) AS t(i)
+               WHERE w[i] = '{_PHRASE[0]}' AND w[i+1] = '{_PHRASE[1]}')
+         GROUP BY doc_id)
+SELECT doc_id, CAST(hits AS BIGINT) AS hits FROM hits ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -6950,9 +7005,11 @@ QUERIES = {
     "crawl_robots_gate": crawl_robots_gate,
     "embeddings_outliers": embeddings_outliers,
     "orders_ltv_cohorts": orders_ltv_cohorts,
+    "docs_phrase_search": docs_phrase_search,
 }
 
 ORACLE_SQL = {
+    "docs_phrase_search": _PHRASE_SQL,
     "orders_ltv_cohorts": _LTV_COHORTS_SQL,
     "embeddings_outliers": _outliers_sql(),
     "crawl_robots_gate": _CRAWL_ROBOTS_SQL,
