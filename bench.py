@@ -198,6 +198,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     timed("docs_ngram_jaccard_1k", _ngram_1k)
     timed("media_features", Q.media_features)
+    timed("docs_hits", Q.docs_hits)
+    timed("docs_tfidf_cosine", Q.docs_tfidf_cosine)
+    timed("orders_market_basket", Q.orders_market_basket)
+    timed("events_rfm", Q.events_rfm)
     timings["crawl_full_site"] = round(crawl_sec, 3)
 
     return {
