@@ -6870,6 +6870,36 @@ SELECT doc_id, CAST(hits AS BIGINT) AS hits FROM hits ORDER BY doc_id
 """
 
 
+def events_top_paths(sf_dir: str):
+    """Top-10 consecutive event-type trigrams per user stream (order-2
+    user paths, stages/window.py::top_paths): one fat-bucket shuffle,
+    coded 3-tuple np.unique per bucket, |types|^3-bounded driver fold.
+    Oracle: two LEAD() windows."""
+    from ..stages.window import top_paths
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return top_paths(ev, k=10)
+
+
+_TOP_PATHS_SQL = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events),
+paths AS (SELECT t1, t2, t3, COUNT(*) AS cnt FROM seq
+          WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+SELECT t1, t2, t3, CAST(cnt AS BIGINT) AS cnt FROM paths
+QUALIFY row_number() OVER (ORDER BY cnt DESC, t1, t2, t3) <= 10
+ORDER BY cnt DESC, t1, t2, t3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7006,9 +7036,11 @@ QUERIES = {
     "embeddings_outliers": embeddings_outliers,
     "orders_ltv_cohorts": orders_ltv_cohorts,
     "docs_phrase_search": docs_phrase_search,
+    "events_top_paths": events_top_paths,
 }
 
 ORACLE_SQL = {
+    "events_top_paths": _TOP_PATHS_SQL,
     "docs_phrase_search": _PHRASE_SQL,
     "orders_ltv_cohorts": _LTV_COHORTS_SQL,
     "embeddings_outliers": _outliers_sql(),

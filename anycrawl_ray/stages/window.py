@@ -1350,3 +1350,75 @@ def revenue_cohorts(ds, key: str = "o_custkey", ts_col: str = "o_orderdate",
         "period_offset": pa.array(fin["period_offset"].astype("int64"),
                                   pa.int64()),
         "cents": pa.array(fin["cents"].astype("int64"), pa.int64())})
+
+
+def top_paths(ds, k: int = 10, key: str = "user_id", ts_col: str = "ts",
+              type_col: str = "event_type", order_col: str = "event_id",
+              n_buckets: int | None = None) -> pa.Table:
+    """Top-k user paths: count every consecutive event-type TRIGRAM in
+    each key's (ts, order_col)-ordered stream — the order-2 extension of
+    transition_matrix (the sequences product analytics calls "top
+    paths"). Ties rank lexicographically.
+
+    Same fat-bucket plan: ONE key shuffle, one lexsort per bucket, the
+    trigram window is two shifted adjacency masks + a coded 3-tuple
+    np.unique; each bucket emits at most |types|^3 partial rows and the
+    driver merge + top-k folds a types^3-sized table, never events."""
+    import pyarrow.compute as pc
+
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = _epoch_us(batch.column(ts_col))
+        out = pa.table({key: batch.column(key),
+                        "t": pa.array(t, pa.int64()),
+                        "o": pc.cast(batch.column(order_col), pa.int64()),
+                        type_col: batch.column(type_col)})
+        return _bucket_col(out, key, nb)
+
+    empty = pd.DataFrame({"t1": pd.Series([], dtype=object),
+                          "t2": pd.Series([], dtype=object),
+                          "t3": pd.Series([], dtype=object),
+                          "cnt": pd.Series([], dtype=np.int64)})
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[key].to_numpy(np.int64)
+        if u.size < 3:
+            return empty.copy()
+        t = group["t"].to_numpy(np.int64)
+        o = group["o"].to_numpy(np.int64)
+        types, code = np.unique(group[type_col].to_numpy(),
+                                return_inverse=True)
+        order = np.lexsort((o, t, u))
+        u, code = u[order], code[order]
+        same3 = (u[2:] == u[:-2])  # trigram stays within one key
+        c1, c2, c3 = code[:-2][same3], code[1:-1][same3], code[2:][same3]
+        if c1.size == 0:
+            return empty.copy()
+        nt = types.size
+        packed = (c1 * nt + c2) * nt + c3
+        vals, cnt = np.unique(packed, return_counts=True)
+        i3 = vals % nt
+        i2 = (vals // nt) % nt
+        i1 = vals // (nt * nt)
+        return pd.DataFrame({"t1": types[i1], "t2": types[i2],
+                             "t3": types[i3],
+                             "cnt": cnt.astype(np.int64)})
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"t1": pa.array([], pa.string()),
+                         "t2": pa.array([], pa.string()),
+                         "t3": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    fin = (parts.groupby(["t1", "t2", "t3"], as_index=False)["cnt"].sum()
+           .sort_values(["cnt", "t1", "t2", "t3"],
+                        ascending=[False, True, True, True])
+           .head(k).reset_index(drop=True))
+    return pa.table({
+        "t1": pa.array(fin["t1"], pa.string()),
+        "t2": pa.array(fin["t2"], pa.string()),
+        "t3": pa.array(fin["t3"], pa.string()),
+        "cnt": pa.array(fin["cnt"].astype("int64"), pa.int64())})
