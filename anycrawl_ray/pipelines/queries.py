@@ -6900,6 +6900,42 @@ ORDER BY cnt DESC, t1, t2, t3
 """
 
 
+def docs_postings_size(sf_dir: str):
+    """Index-storage estimation: top-10 terms by the varint byte cost
+    of their delta-gap postings lists (Zobel/Moffat index-compression
+    model; stages/text_analysis.py::postings_size_topk). Term
+    fat-bucket shuffle, local top-k out. Exact SQL oracle (LAG gaps +
+    CASE varint widths)."""
+    from ..stages.text_analysis import postings_size_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return postings_size_topk(ds, k=10)
+
+
+def _postings_size_sql(k: int = 10) -> str:
+    case = " ".join(
+        f"WHEN gap < {1 << (7 * (i + 1))} THEN {i + 1}"
+        for i in range(8))
+    return rf"""
+WITH toks AS (SELECT DISTINCT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS tok
+      FROM documents),
+g AS (SELECT tok, doc_id - LAG(doc_id, 1, -1)
+                 OVER (PARTITION BY tok ORDER BY doc_id) AS gap
+      FROM toks),
+b AS (SELECT tok AS term, COUNT(*) AS df,
+             SUM(CASE {case} ELSE 9 END) AS bytes
+      FROM g GROUP BY tok)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(bytes AS BIGINT) AS bytes
+FROM b
+QUALIFY row_number() OVER (ORDER BY bytes DESC, term) <= {k}
+ORDER BY bytes DESC, term
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7037,9 +7073,11 @@ QUERIES = {
     "orders_ltv_cohorts": orders_ltv_cohorts,
     "docs_phrase_search": docs_phrase_search,
     "events_top_paths": events_top_paths,
+    "docs_postings_size": docs_postings_size,
 }
 
 ORACLE_SQL = {
+    "docs_postings_size": _postings_size_sql(),
     "events_top_paths": _TOP_PATHS_SQL,
     "docs_phrase_search": _PHRASE_SQL,
     "orders_ltv_cohorts": _LTV_COHORTS_SQL,

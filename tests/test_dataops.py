@@ -2665,3 +2665,19 @@ def test_hits_paths_equal(ray_session):
     a = hits_int(61, iters=2)
     b = hits_int(61, iters=2, broadcast_limit=0)
     assert a.equals(b)
+
+
+def test_postings_size_varint_exact(ray_session):
+    """Varint byte model: gap 0..127 -> 1 byte, 128 -> 2; first posting
+    encodes doc_id + 1."""
+    from anycrawl_ray.stages.text_analysis import postings_size_topk
+
+    # 'w' appears in docs 0, 100, 228: gaps 1(=0+1), 100, 128
+    #   -> bytes 1 + 1 + 2 = 4, df 3
+    # 'z' appears only in doc 200: gap 201 -> 2 bytes, df 1
+    ds = _docs_ds([(0, "w"), (100, "w"), (228, "w"), (200, "z")])
+    out = postings_size_topk(ds, k=10)
+    got = {t: (d, b) for t, d, b in zip(out.column("term").to_pylist(),
+                                        out.column("df").to_pylist(),
+                                        out.column("bytes").to_pylist())}
+    assert got == {"w": (3, 4), "z": (1, 2)}
