@@ -6936,6 +6936,93 @@ ORDER BY bytes DESC, term
 """
 
 
+def docs_neardup_survivor(sf_dir: str):
+    """Survivorship rules (the entity-resolution counterpart of
+    first-wins dedup): per MinHash near-dup cluster, keep the member
+    with the MOST content (max n_chars, ties to the smaller doc_id) —
+    what curation pipelines actually do ("keep the longest"), vs
+    docs_neardup_keep's min-id rule. Cluster members are O(verified
+    pairs) << corpus, so their quality column is fetched with one
+    broadcast-filtered slim pass; the per-cluster argmax folds a
+    pair-bounded table."""
+    import ray
+
+    from ..stages.dedup import (_cached_get, minhash_lsh_pairs,
+                                neardup_components)
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    comps = neardup_components(minhash_lsh_pairs(ds, threshold=0.5)) \
+        .to_pandas()
+    empty = pa.table({"cluster_rep": pa.array([], pa.int64()),
+                      "survivor_id": pa.array([], pa.int64()),
+                      "n_members": pa.array([], pa.int64()),
+                      "survivor_chars": pa.array([], pa.int64())})
+    if len(comps) == 0:
+        return empty
+    member_ref = ray.put(pa.array(comps["doc_id"].astype("int64"),
+                                  pa.int64()))
+
+    def member_chars(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("doc_id"),
+                        value_set=_cached_get(member_ref))
+        t = batch.filter(mask)
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"),
+                                           pa.int64()),
+                         "n_chars": pc.cast(t.column("n_chars"),
+                                            pa.int64())})
+
+    slim = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    chars = (slim.map_batches(member_chars, batch_format="pyarrow")
+             .to_pandas())
+    m = comps.merge(chars, on="doc_id")
+    m = m.sort_values(["cluster_rep", "n_chars", "doc_id"],
+                      ascending=[True, False, True])
+    surv = m.groupby("cluster_rep", as_index=False).first()
+    cnt = (m.groupby("cluster_rep", as_index=False)
+           .size().rename(columns={"size": "n_members"}))
+    fin = surv.merge(cnt, on="cluster_rep").sort_values("cluster_rep")
+    return pa.table({
+        "cluster_rep": pa.array(fin["cluster_rep"].astype("int64"),
+                                pa.int64()),
+        "survivor_id": pa.array(fin["doc_id"].astype("int64"),
+                                pa.int64()),
+        "n_members": pa.array(fin["n_members"].astype("int64"),
+                              pa.int64()),
+        "survivor_chars": pa.array(fin["n_chars"].astype("int64"),
+                                   pa.int64())})
+
+
+def _neardup_survivor_sql() -> str:
+    from . import oracle_kernels as _ok
+
+    return f"""{_ok.U64_PRELUDE}
+WITH RECURSIVE {_ok._minhash_ctes()},
+edges AS (SELECT a, b FROM scored WHERE (u = 0) OR (2 * i >= u)),
+sym AS (SELECT a AS x, b AS y FROM edges
+        UNION ALL SELECT b, a FROM edges),
+reach(x, y) AS (
+    SELECT x, y FROM sym
+    UNION
+    SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+),
+comp AS (SELECT x AS doc_id, least(x, min(y)) AS rep
+         FROM reach GROUP BY x),
+members AS (SELECT c.doc_id, c.rep, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)),
+surv AS (SELECT rep, doc_id, n_chars FROM members
+         QUALIFY row_number() OVER (PARTITION BY rep
+                 ORDER BY n_chars DESC, doc_id) = 1),
+cnt AS (SELECT rep, COUNT(*) AS n_members FROM comp GROUP BY rep)
+SELECT s.rep AS cluster_rep, s.doc_id AS survivor_id,
+       CAST(c.n_members AS BIGINT) AS n_members,
+       CAST(s.n_chars AS BIGINT) AS survivor_chars
+FROM surv s JOIN cnt c USING (rep) ORDER BY cluster_rep
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7074,9 +7161,11 @@ QUERIES = {
     "docs_phrase_search": docs_phrase_search,
     "events_top_paths": events_top_paths,
     "docs_postings_size": docs_postings_size,
+    "docs_neardup_survivor": docs_neardup_survivor,
 }
 
 ORACLE_SQL = {
+    "docs_neardup_survivor": _neardup_survivor_sql(),
     "docs_postings_size": _postings_size_sql(),
     "events_top_paths": _TOP_PATHS_SQL,
     "docs_phrase_search": _PHRASE_SQL,
