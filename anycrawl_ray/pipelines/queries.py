@@ -7023,6 +7023,69 @@ FROM surv s JOIN cnt c USING (rep) ORDER BY cluster_rep
 """
 
 
+_SLO_THRESHOLD_PPM = 400_000
+
+
+def events_slo_breach(sf_dir: str):
+    """Observability row: hourly error-budget burn — hours whose
+    integer error rate exceeds the SLO threshold
+    (``errors * 10^6 // total > 400000`` ppm), with the exact cells.
+    Map-side per-block (hour, total, errors) Arrow partials; the merge
+    folds a timespan-bounded hours table, never events."""
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from ..stages.window import _epoch_us
+
+        hour = _epoch_us(batch.column("ts")) // 3_600_000_000
+        err = (np.asarray(batch.column("event_type").to_pandas())
+               == "error").astype(np.int64)
+        t = pa.table({"hour": pa.array(hour, pa.int64()),
+                      "err": pa.array(err, pa.int64())})
+        return (t.group_by("hour")
+                .aggregate([([], "count_all"), ("err", "sum")])
+                .rename_columns(["hour", "total", "errors"]))
+
+    parts = pa.concat_tables(
+        ev.map_batches(prep, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    empty = pa.table({"hour": pa.array([], pa.int64()),
+                      "total": pa.array([], pa.int64()),
+                      "errors": pa.array([], pa.int64()),
+                      "err_ppm": pa.array([], pa.int64())})
+    if parts.num_rows == 0:
+        return empty
+    df = (parts.group_by("hour")
+          .aggregate([("total", "sum"), ("errors", "sum")])
+          .rename_columns(["hour", "total", "errors"]).to_pandas()
+          .sort_values("hour"))
+    ppm = (df["errors"].astype("int64") * 1_000_000
+           // df["total"].astype("int64"))
+    df = df.assign(err_ppm=ppm)
+    df = df[df["err_ppm"] > _SLO_THRESHOLD_PPM].reset_index(drop=True)
+    return pa.table({
+        "hour": pa.array(df["hour"].astype("int64"), pa.int64()),
+        "total": pa.array(df["total"].astype("int64"), pa.int64()),
+        "errors": pa.array(df["errors"].astype("int64"), pa.int64()),
+        "err_ppm": pa.array(df["err_ppm"].astype("int64"), pa.int64())})
+
+
+_SLO_BREACH_SQL = f"""
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                  COUNT(*) AS total,
+                  SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS errors
+           FROM events GROUP BY 1)
+SELECT hour, CAST(total AS BIGINT) AS total,
+       CAST(errors AS BIGINT) AS errors,
+       CAST(errors * 1000000 // total AS BIGINT) AS err_ppm
+FROM h WHERE errors * 1000000 // total > {_SLO_THRESHOLD_PPM}
+ORDER BY hour
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7162,9 +7225,11 @@ QUERIES = {
     "events_top_paths": events_top_paths,
     "docs_postings_size": docs_postings_size,
     "docs_neardup_survivor": docs_neardup_survivor,
+    "events_slo_breach": events_slo_breach,
 }
 
 ORACLE_SQL = {
+    "events_slo_breach": _SLO_BREACH_SQL,
     "docs_neardup_survivor": _neardup_survivor_sql(),
     "docs_postings_size": _postings_size_sql(),
     "events_top_paths": _TOP_PATHS_SQL,
