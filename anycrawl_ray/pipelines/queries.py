@@ -7086,6 +7086,185 @@ ORDER BY hour
 """
 
 
+def orders_pareto_share(sf_dir: str):
+    """Pareto concentration: the exact revenue share (ppm) of the top
+    20% of customers — distributed ORDER STATISTICS with NO global
+    sort: per-customer cents via one groupby, then the k-th largest
+    value read off the merged value histogram (the group_quantiles
+    contract: histogram size is value-distinctness-bounded), and the
+    top-k sum reconstructed as ``sum(v > cut) + (k - n_gt) * cut`` —
+    tie-invariant, so the oracle's row_number() ranking sums to the
+    identical total."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch.column("o_totalprice"),
+                                   dtype=np.float64) * 100) \
+            .astype(np.int64)
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "cents": pa.array(cents, pa.int64())})
+        return (t.group_by("o_custkey").aggregate([("cents", "sum")])
+                .rename_columns(["o_custkey", "cents"]))
+
+    peru = (orders.map_batches(prep, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("cents", alias_name="cents")).materialize())
+
+    def hist(batch: pa.Table) -> pa.Table:
+        return (batch.select(["cents"]).group_by("cents")
+                .aggregate([([], "count_all")])
+                .rename_columns(["cents", "n"]))
+
+    parts = pa.concat_tables(
+        peru.map_batches(hist, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    empty = pa.table({c: pa.array([], pa.int64()) for c in
+                      ("n_customers", "k", "cut_cents", "top_cents",
+                       "total_cents", "share_ppm")})
+    if parts.num_rows == 0:
+        return empty
+    h = (parts.group_by("cents").aggregate([("n", "sum")])
+         .rename_columns(["cents", "n"]).to_pandas()
+         .sort_values("cents", ascending=False))
+    v = h["cents"].to_numpy(np.int64)
+    c = h["n"].to_numpy(np.int64)
+    n_cust = int(c.sum())
+    k = (n_cust + 4) // 5  # integer ceil(n / 5)
+    cum = c.cumsum()
+    idx = int(np.searchsorted(cum, k, side="left"))
+    cut = int(v[idx])
+    n_gt = int(cum[idx - 1]) if idx > 0 else 0
+    top = int((v[:idx] * c[:idx]).sum()) + (k - n_gt) * cut
+    total = int((v * c).sum())
+    return pa.table({
+        "n_customers": pa.array([n_cust], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "cut_cents": pa.array([cut], pa.int64()),
+        "top_cents": pa.array([top], pa.int64()),
+        "total_cents": pa.array([total], pa.int64()),
+        "share_ppm": pa.array([top * 1_000_000 // total], pa.int64())})
+
+
+_PARETO_SQL = """
+WITH c AS (SELECT o_custkey,
+                  CAST(SUM(CAST(round_even(o_totalprice * 100, 0)
+                                AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+n AS (SELECT COUNT(*) AS n, (COUNT(*) + 4) // 5 AS k FROM c),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+      FROM c),
+t AS (SELECT SUM(r.cents) AS top, MIN(r.cents) AS cut
+      FROM r, n WHERE r.rn <= n.k),
+tot AS (SELECT SUM(cents) AS total FROM c)
+SELECT CAST(n.n AS BIGINT) AS n_customers, CAST(n.k AS BIGINT) AS k,
+       CAST(t.cut AS BIGINT) AS cut_cents,
+       CAST(t.top AS BIGINT) AS top_cents,
+       CAST(tot.total AS BIGINT) AS total_cents,
+       CAST(t.top * 1000000 // tot.total AS BIGINT) AS share_ppm
+FROM n, t, tot
+"""
+
+
+def docs_term_drift(sf_dir: str):
+    """Data-drift monitoring: per-term presence chi-square between the
+    two corpus halves (doc_id parity = the two 'snapshots'), top-10
+    most drifted terms. Exact integer chi2 ppm per term (Python
+    bigints / HUGEINT — the events_chi2_ab cell formula applied
+    per term). Map-side distinct-(term, split) Arrow partials; the
+    driver folds a vocabulary-sized table."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rows_t, rows_s = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = set(t.split())
+            rows_t.extend(toks)
+            rows_s.extend([d % 2] * len(toks))
+        t = pa.table({"term": pa.array(rows_t, pa.string()),
+                      "split": pa.array(rows_s, pa.int64())})
+        return (t.group_by(["term", "split"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["term", "split", "n"]))
+
+    # split sizes from parquet-level doc ids (one metadata-cheap pass)
+    ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id") \
+        .to_numpy(zero_copy_only=False)
+    n_a = int((ids % 2 == 0).sum())
+    n_b = int(ids.size - n_a)
+
+    parts = pa.concat_tables(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "df_a": pa.array([], pa.int64()),
+                      "df_b": pa.array([], pa.int64()),
+                      "chi2_ppm": pa.array([], pa.int64())})
+    if parts.num_rows == 0:
+        return empty
+    df = (parts.group_by(["term", "split"]).aggregate([("n", "sum")])
+          .rename_columns(["term", "split", "n"]).to_pandas())
+    piv = df.pivot_table(index="term", columns="split", values="n",
+                         aggfunc="sum", fill_value=0)
+    terms = piv.index.tolist()
+    a = piv.get(0, pd.Series(0, index=piv.index)).astype(int).tolist()
+    b = piv.get(1, pd.Series(0, index=piv.index)).astype(int).tolist()
+    rows = []
+    for t_, da, db_ in zip(terms, a, b):
+        n = n_a + n_b
+        den = n_a * n_b * (da + db_) * (n - da - db_)
+        if den == 0:
+            chi2 = 0
+        else:
+            diff = da * (n_b - db_) - (n_a - da) * db_
+            chi2 = n * diff * diff * 1_000_000 // den
+        rows.append((t_, da, db_, chi2))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:10]
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "df_a": pa.array([r[1] for r in rows], pa.int64()),
+        "df_b": pa.array([r[2] for r in rows], pa.int64()),
+        "chi2_ppm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+_TERM_DRIFT_SQL = r"""
+WITH toks AS (SELECT DISTINCT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS term
+      FROM documents),
+nn AS (SELECT SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+              SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS nb
+       FROM documents),
+cells AS (SELECT term,
+        SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS da,
+        SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS db
+    FROM toks GROUP BY 1),
+scored AS (SELECT term, da, db,
+    CASE WHEN na * nb * (da + db) * (na + nb - da - db) = 0 THEN 0
+         ELSE CAST(CAST(na + nb AS HUGEINT)
+              * (da * (nb - db) - (na - da) * db)
+              * (da * (nb - db) - (na - da) * db) * 1000000
+              // (CAST(na AS HUGEINT) * nb * (da + db)
+                  * (na + nb - da - db)) AS BIGINT)
+    END AS chi2_ppm
+  FROM cells, nn)
+SELECT term, CAST(da AS BIGINT) AS df_a, CAST(db AS BIGINT) AS df_b,
+       chi2_ppm
+FROM scored
+QUALIFY row_number() OVER (ORDER BY chi2_ppm DESC, term) <= 10
+ORDER BY chi2_ppm DESC, term
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7226,9 +7405,13 @@ QUERIES = {
     "docs_postings_size": docs_postings_size,
     "docs_neardup_survivor": docs_neardup_survivor,
     "events_slo_breach": events_slo_breach,
+    "orders_pareto_share": orders_pareto_share,
+    "docs_term_drift": docs_term_drift,
 }
 
 ORACLE_SQL = {
+    "docs_term_drift": _TERM_DRIFT_SQL,
+    "orders_pareto_share": _PARETO_SQL,
     "events_slo_breach": _SLO_BREACH_SQL,
     "docs_neardup_survivor": _neardup_survivor_sql(),
     "docs_postings_size": _postings_size_sql(),
