@@ -7265,6 +7265,57 @@ ORDER BY chi2_ppm DESC, term
 """
 
 
+_KCORE_K, _KCORE_ROUNDS = 4, 4
+
+
+def docs_kcore(sf_dir: str):
+    """Fixed-round k-core peeling of the undirected site graph
+    (stages/graph.py::kcore_rounds): 4 peel rounds at k=4 (the graph's
+    3-core is the whole graph — k=4 actually peels), output =
+    surviving nodes with their final-round in-core degree. Dense
+    broadcast mask under the node-count guard (hits_int duality);
+    unrolled-CTE oracle."""
+    from ..stages.graph import kcore_rounds
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return kcore_rounds(n, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT doc_id AS a, 2 * doc_id + 1 AS b FROM documents, n
+    WHERE 2 * doc_id + 1 < n.c
+    UNION ALL
+    SELECT doc_id, 2 * doc_id + 2 FROM documents, n
+    WHERE 2 * doc_id + 2 < n.c
+    UNION ALL
+    SELECT 2 * doc_id + 1, 2 * doc_id + 2 FROM documents, n
+    WHERE 2 * doc_id + 2 < n.c
+    UNION ALL
+    SELECT least(doc_id, (7 * doc_id + 3) % n.c),
+           greatest(doc_id, (7 * doc_id + 3) % n.c) FROM documents, n
+    WHERE (7 * doc_id + 3) % n.c <> doc_id)),
+a0 AS (SELECT doc_id AS node FROM documents)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS (SELECT node, COUNT(*) AS d FROM (
+    SELECT e.a AS node FROM edges e
+    JOIN a{r - 1} x ON x.node = e.a JOIN a{r - 1} y ON y.node = e.b
+    UNION ALL
+    SELECT e.b FROM edges e
+    JOIN a{r - 1} x ON x.node = e.a JOIN a{r - 1} y ON y.node = e.b)
+  GROUP BY 1),
+a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k})""")
+    parts.append(f"""
+SELECT a.node AS doc_id, CAST(d.d AS BIGINT) AS deg
+FROM a{rounds} a JOIN d{rounds} d USING (node) ORDER BY doc_id
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7407,9 +7458,11 @@ QUERIES = {
     "events_slo_breach": events_slo_breach,
     "orders_pareto_share": orders_pareto_share,
     "docs_term_drift": docs_term_drift,
+    "docs_kcore": docs_kcore,
 }
 
 ORACLE_SQL = {
+    "docs_kcore": _kcore_sql(),
     "docs_term_drift": _TERM_DRIFT_SQL,
     "orders_pareto_share": _PARETO_SQL,
     "events_slo_breach": _SLO_BREACH_SQL,

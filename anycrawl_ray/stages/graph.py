@@ -645,3 +645,95 @@ def hits_int(n_nodes: int, iters: int = 4,
         "auth_scaled": pa.array(
             auth.reindex(ids, fill_value=0).to_numpy(np.int64), pa.int64()),
     })
+
+
+def kcore_rounds(n_nodes: int, k: int = 3, rounds: int = 4,
+                 broadcast_limit: int = 10_000_000) -> pa.Table:
+    """Fixed-round k-core peeling over the undirected site graph
+    (site_edges rule): each round computes degrees among ACTIVE nodes
+    (an edge counts only when both endpoints are active) and drops
+    nodes with degree < k. ``rounds`` is FIXED — not run-to-fixpoint —
+    so the SQL unroll and this dataflow are bit-identical whether or
+    not the peel has converged. Returns the post-round active nodes
+    with their in-core degree.
+
+    Scale shape: the active set is node-bounded (the same size as the
+    output), so under ``broadcast_limit`` it rides as a broadcast bool
+    mask and each round is ONE shuffle-free map over the materialized
+    edge table (per-block degree bincount partials, driver folds O(n)
+    ints — the hits_int dense-gather duality). Above the limit the
+    round becomes the canonical pair of semi-join + groupby-count; that
+    path shares hits_int's edge-join shape and is deliberately not
+    duplicated here (raise instead of silently materializing)."""
+    import ray as _ray
+    import ray.data as rd
+
+    from .dedup import _cached_get
+
+    if n_nodes > broadcast_limit:
+        raise NotImplementedError(
+            "kcore_rounds dense path needs n_nodes <= broadcast_limit; "
+            "use the hits_int join-gather shape for larger graphs")
+
+    def emit_edges(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch.column("id"), dtype=np.int64)
+        a_parts, b_parts = [], []
+        c1, c2 = 2 * i + 1, 2 * i + 2
+        m = c1 < n_nodes
+        a_parts.append(i[m]); b_parts.append(c1[m])
+        m2 = c2 < n_nodes
+        a_parts.append(i[m2]); b_parts.append(c2[m2])
+        a_parts.append(c1[m2]); b_parts.append(c2[m2])  # sibling closure
+        ch = (7 * i + 3) % n_nodes
+        m3 = ch != i
+        a_parts.append(np.minimum(i[m3], ch[m3]))
+        b_parts.append(np.maximum(i[m3], ch[m3]))
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        e = np.unique(a * n_nodes + b)  # dedup parallel arms per block
+        return pa.table({"a": pa.array(e // n_nodes, pa.int64()),
+                         "b": pa.array(e % n_nodes, pa.int64())})
+
+    edges = (rd.range(n_nodes).map_batches(emit_edges,
+                                           batch_format="pyarrow")
+             .materialize())
+    # block-level dedup is not global (chord arms can duplicate tree
+    # edges across blocks) — fold a global distinct edge set once
+    packed = np.zeros(0, dtype=np.int64)
+    for bt in edges.iter_batches(batch_size=1 << 20,
+                                 batch_format="pyarrow"):
+        p = (np.asarray(bt.column("a"), dtype=np.int64) * n_nodes
+             + np.asarray(bt.column("b"), dtype=np.int64))
+        packed = np.unique(np.concatenate([packed, p]))
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(packed // n_nodes, pa.int64()),
+        "b": pa.array(packed % n_nodes, pa.int64())})).materialize()
+
+    active = np.ones(n_nodes, dtype=bool)
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(rounds):
+        ref = _ray.put(active)
+
+        def degrees(batch: pa.Table) -> pa.Table:
+            act = _cached_get(ref)
+            a = np.asarray(batch.column("a"), dtype=np.int64)
+            b = np.asarray(batch.column("b"), dtype=np.int64)
+            m = act[a] & act[b]
+            d = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(d, a[m], 1)
+            np.add.at(d, b[m], 1)
+            nz = np.flatnonzero(d)
+            return pa.table({"node": pa.array(nz, pa.int64()),
+                             "d": pa.array(d[nz], pa.int64())})
+
+        deg = np.zeros(n_nodes, dtype=np.int64)
+        for bt in edges.map_batches(degrees, batch_format="pyarrow") \
+                .iter_batches(batch_size=1 << 20,
+                              batch_format="pyarrow"):
+            np.add.at(deg, np.asarray(bt.column("node"), dtype=np.int64),
+                      np.asarray(bt.column("d"), dtype=np.int64))
+        active = active & (deg >= k)
+
+    ids = np.flatnonzero(active).astype(np.int64)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "deg": pa.array(deg[ids], pa.int64())})
