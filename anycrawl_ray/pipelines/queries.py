@@ -7167,6 +7167,7 @@ SELECT CAST(n.n AS BIGINT) AS n_customers, CAST(n.k AS BIGINT) AS k,
        CAST(tot.total AS BIGINT) AS total_cents,
        CAST(t.top * 1000000 // tot.total AS BIGINT) AS share_ppm
 FROM n, t, tot
+WHERE n.n > 0
 """
 
 
@@ -7183,23 +7184,27 @@ def docs_term_drift(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         rows_t, rows_s = [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
+        d_ids = batch.column("doc_id").to_pylist()
+        for d, t in zip(d_ids, batch.column("text").to_pylist()):
             toks = set(t.split())
             rows_t.extend(toks)
             rows_s.extend([d % 2] * len(toks))
         t = pa.table({"term": pa.array(rows_t, pa.string()),
-                      "split": pa.array(rows_s, pa.int64())})
-        return (t.group_by(["term", "split"])
-                .aggregate([([], "count_all")])
-                .rename_columns(["term", "split", "n"]))
-
-    # split sizes from parquet-level doc ids (one metadata-cheap pass)
-    ids = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id"]).column("doc_id") \
-        .to_numpy(zero_copy_only=False)
-    n_a = int((ids % 2 == 0).sum())
-    n_b = int(ids.size - n_a)
+                      "split": pa.array(rows_s, pa.int64()),
+                      "kind": pa.array([1] * len(rows_t), pa.int8())})
+        t = (t.group_by(["term", "split", "kind"])
+             .aggregate([([], "count_all")])
+             .rename_columns(["term", "split", "kind", "n"]))
+        # per-split DOC counts ride the same pass (kind 0) — empty-text
+        # docs count here even though they emit no term rows
+        sp = np.asarray(d_ids, dtype=np.int64) % 2
+        docrows = pa.table({
+            "term": pa.array(["", ""], pa.string()),
+            "split": pa.array([0, 1], pa.int64()),
+            "kind": pa.array([0, 0], pa.int8()),
+            "n": pa.array([int((sp == 0).sum()), int((sp == 1).sum())],
+                          pa.int64())})
+        return pa.concat_tables([t, docrows])
 
     parts = pa.concat_tables(
         ds.map_batches(prep, batch_format="pyarrow")
@@ -7210,8 +7215,14 @@ def docs_term_drift(sf_dir: str):
                       "chi2_ppm": pa.array([], pa.int64())})
     if parts.num_rows == 0:
         return empty
-    df = (parts.group_by(["term", "split"]).aggregate([("n", "sum")])
-          .rename_columns(["term", "split", "n"]).to_pandas())
+    folded = (parts.group_by(["term", "split", "kind"])
+              .aggregate([("n", "sum")])
+              .rename_columns(["term", "split", "kind", "n"])
+              .to_pandas())
+    docs = folded[folded["kind"] == 0]
+    n_a = int(docs.loc[docs["split"] == 0, "n"].sum())
+    n_b = int(docs.loc[docs["split"] == 1, "n"].sum())
+    df = folded[folded["kind"] == 1]
     piv = df.pivot_table(index="term", columns="split", values="n",
                          aggfunc="sum", fill_value=0)
     terms = piv.index.tolist()

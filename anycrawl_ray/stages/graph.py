@@ -670,47 +670,36 @@ def kcore_rounds(n_nodes: int, k: int = 3, rounds: int = 4,
 
     from .dedup import _cached_get
 
+    if rounds < 1:
+        # _kcore_sql(k, 0) would reference a non-existent d0 CTE; pin
+        # the shared contract instead of diverging on it
+        raise ValueError("kcore_rounds needs rounds >= 1")
     if n_nodes > broadcast_limit:
         raise NotImplementedError(
             "kcore_rounds dense path needs n_nodes <= broadcast_limit; "
             "use the hits_int join-gather shape for larger graphs")
 
-    def emit_edges(batch: pa.Table) -> pa.Table:
-        i = np.asarray(batch.column("id"), dtype=np.int64)
-        a_parts, b_parts = [], []
-        c1, c2 = 2 * i + 1, 2 * i + 2
-        m = c1 < n_nodes
-        a_parts.append(i[m]); b_parts.append(c1[m])
-        m2 = c2 < n_nodes
-        a_parts.append(i[m2]); b_parts.append(c2[m2])
-        a_parts.append(c1[m2]); b_parts.append(c2[m2])  # sibling closure
-        ch = (7 * i + 3) % n_nodes
-        m3 = ch != i
-        a_parts.append(np.minimum(i[m3], ch[m3]))
-        b_parts.append(np.maximum(i[m3], ch[m3]))
-        a = np.concatenate(a_parts)
-        b = np.concatenate(b_parts)
-        e = np.unique(a * n_nodes + b)  # dedup parallel arms per block
-        return pa.table({"a": pa.array(e // n_nodes, pa.int64()),
-                         "b": pa.array(e % n_nodes, pa.int64())})
+    def to_doc_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("id").cast(pa.int64())})
 
-    edges = (rd.range(n_nodes).map_batches(emit_edges,
-                                           batch_format="pyarrow")
-             .materialize())
-    # block-level dedup is not global (chord arms can duplicate tree
-    # edges across blocks) — fold a global distinct edge set once
-    packed = np.zeros(0, dtype=np.int64)
+    # the ONE site-graph rule lives in site_edges — do not re-derive it
+    edges = site_edges(rd.range(n_nodes).map_batches(
+        to_doc_ids, batch_format="pyarrow"), n_nodes).materialize()
+    # block-level arms are not globally distinct (chord arms can
+    # duplicate tree edges across blocks) — fold ONE global dedup
+    packed_parts = []
     for bt in edges.iter_batches(batch_size=1 << 20,
                                  batch_format="pyarrow"):
-        p = (np.asarray(bt.column("a"), dtype=np.int64) * n_nodes
-             + np.asarray(bt.column("b"), dtype=np.int64))
-        packed = np.unique(np.concatenate([packed, p]))
+        packed_parts.append(
+            np.asarray(bt.column("a"), dtype=np.int64) * n_nodes
+            + np.asarray(bt.column("b"), dtype=np.int64))
+    packed = (np.unique(np.concatenate(packed_parts)) if packed_parts
+              else np.zeros(0, dtype=np.int64))
     edges = rd.from_arrow(pa.table({
         "a": pa.array(packed // n_nodes, pa.int64()),
         "b": pa.array(packed % n_nodes, pa.int64())})).materialize()
 
     active = np.ones(n_nodes, dtype=bool)
-    deg = np.zeros(n_nodes, dtype=np.int64)
     for _ in range(rounds):
         ref = _ray.put(active)
 
