@@ -2681,3 +2681,39 @@ def test_postings_size_varint_exact(ray_session):
                                         out.column("df").to_pylist(),
                                         out.column("bytes").to_pylist())}
     assert got == {"w": (3, 4), "z": (1, 2)}
+
+
+def test_kcore_matches_numpy_peel(ray_session):
+    """kcore_rounds == serial numpy peel of the same fixed-round rule."""
+    from anycrawl_ray.stages.graph import kcore_rounds
+
+    n, k, rounds = 61, 4, 3
+    ids = np.arange(n, dtype=np.int64)
+    a_parts, b_parts = [], []
+    c1, c2 = 2 * ids + 1, 2 * ids + 2
+    m = c1 < n
+    a_parts.append(ids[m]); b_parts.append(c1[m])
+    m2 = c2 < n
+    a_parts.append(ids[m2]); b_parts.append(c2[m2])
+    a_parts.append(c1[m2]); b_parts.append(c2[m2])
+    ch = (7 * ids + 3) % n
+    m3 = ch != ids
+    a_parts.append(np.minimum(ids[m3], ch[m3]))
+    b_parts.append(np.maximum(ids[m3], ch[m3]))
+    packed = np.unique(np.concatenate(a_parts) * n
+                       + np.concatenate(b_parts))
+    ea, eb = packed // n, packed % n
+
+    active = np.ones(n, dtype=bool)
+    deg = np.zeros(n, dtype=np.int64)
+    for _ in range(rounds):
+        m = active[ea] & active[eb]
+        deg = np.zeros(n, dtype=np.int64)
+        np.add.at(deg, ea[m], 1)
+        np.add.at(deg, eb[m], 1)
+        active &= deg >= k
+    got = kcore_rounds(n, k=k, rounds=rounds)
+    assert got.column("doc_id").to_pylist() == \
+        np.flatnonzero(active).tolist()
+    assert got.column("deg").to_pylist() == deg[active].tolist()
+    assert 0 < got.num_rows < n  # the fixture actually peels
