@@ -7327,6 +7327,61 @@ FROM a{rounds} a JOIN d{rounds} d USING (node) ORDER BY doc_id
     return "".join(parts)
 
 
+_PPR_SEED_MOD, _PPR_ITERS = 50, 8
+
+
+def docs_ppr(sf_dir: str):
+    """Personalized PageRank from the deterministic seed set
+    (doc_id % 50 == 0) — the crawl-prioritization score (proximity to
+    seeds), stages/graph.py::ppr_int. Same one-map + one-groupby-Sum
+    iteration shape as pagerank_int; unrolled-CTE oracle with the base
+    term gated on seed membership."""
+    from ..stages.graph import ppr_int
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return ppr_int(n, seed_mod=_PPR_SEED_MOD, iters=_PPR_ITERS,
+                   scale=_PAGERANK_SCALE)
+
+
+def _ppr_sql(seed_mod: int = _PPR_SEED_MOD, iters: int = _PPR_ITERS,
+             scale: int = _PAGERANK_SCALE) -> str:
+    parts = [f"""
+WITH n AS (SELECT COUNT(*) AS c,
+                  (COUNT(*) + {seed_mod} - 1) // {seed_mod} AS ns
+           FROM documents),
+edges AS MATERIALIZED (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS node,
+              CAST(CASE WHEN doc_id % {seed_mod} = 0
+                        THEN {scale} // n.ns ELSE 0 END AS BIGINT) AS r
+       FROM documents, n)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+s{k} AS (
+  SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+  FROM edges e JOIN r{k - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+r{k} AS MATERIALIZED (
+  SELECT p.node,
+         CAST((CASE WHEN p.node % {seed_mod} = 0
+                    THEN 15 * ({scale} // n.ns) ELSE 0 END
+               + 85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM (SELECT doc_id AS node FROM documents) p CROSS JOIN n
+  LEFT JOIN s{k} s ON s.node = p.node)""")
+    parts.append(f"""
+SELECT node AS doc_id, r AS rank_scaled FROM r{iters} ORDER BY doc_id
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7470,9 +7525,11 @@ QUERIES = {
     "orders_pareto_share": orders_pareto_share,
     "docs_term_drift": docs_term_drift,
     "docs_kcore": docs_kcore,
+    "docs_ppr": docs_ppr,
 }
 
 ORACLE_SQL = {
+    "docs_ppr": _ppr_sql(),
     "docs_kcore": _kcore_sql(),
     "docs_term_drift": _TERM_DRIFT_SQL,
     "orders_pareto_share": _PARETO_SQL,

@@ -726,3 +726,67 @@ def kcore_rounds(n_nodes: int, k: int = 3, rounds: int = 4,
     ids = np.flatnonzero(active).astype(np.int64)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "deg": pa.array(deg[ids], pa.int64())})
+
+
+def ppr_int(n_nodes: int, seed_mod: int = 50, iters: int = 8,
+            scale: int = 10 ** 12) -> pa.Table:
+    """Personalized (topic-sensitive) PageRank: teleport mass
+    concentrates on the SEED set (nodes with ``doc_id % seed_mod == 0``)
+    instead of spreading uniformly — the crawl-prioritization variant
+    (score pages by proximity to the seeds you care about). Same exact
+    integer recurrence as pagerank_int with the base term gated on seed
+    membership:
+
+        r'(v) = (15 * (scale // n_seeds) * [v in S] + 85 * s(v)) // 100
+
+    One formula-edge map + one groupby-Sum per iteration, no joins;
+    bit-replayable in the unrolled-CTE oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    n_seeds = max(1, (n_nodes + seed_mod - 1) // seed_mod)
+    seed0 = scale // n_seeds
+
+    def emit(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch.column("node"), dtype=np.int64)
+        r = np.asarray(batch.column("r"), dtype=np.int64)
+        deg = synthetic_degrees(node, n_nodes)
+        cvals = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        dsts = [node]  # presence rows keep every node in the table
+        contribs = [np.zeros(node.size, np.int64)]
+        c1 = 2 * node + 1
+        m = c1 < n_nodes
+        dsts.append(c1[m]); contribs.append(cvals[m])
+        c2 = 2 * node + 2
+        m = c2 < n_nodes
+        dsts.append(c2[m]); contribs.append(cvals[m])
+        m = node % 3 == 0
+        dsts.append((7 * node[m] + 3) % n_nodes); contribs.append(cvals[m])
+        return pa.table({"node": pa.array(np.concatenate(dsts), pa.int64()),
+                         "c": pa.array(np.concatenate(contribs), pa.int64())})
+
+    def update(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch.column("node"), dtype=np.int64)
+        s = np.asarray(batch.column("s"), dtype=np.int64)
+        base = np.where(node % seed_mod == 0, 15 * seed0, 0)
+        r = (base + 85 * s) // 100
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "r": pa.array(r, pa.int64())})
+
+    ranks = rd.range(n_nodes).map_batches(
+        lambda b: pa.table({
+            "node": pa.array(np.asarray(b.column("id"), dtype=np.int64)),
+            "r": pa.array(np.where(
+                np.asarray(b.column("id"), dtype=np.int64)
+                % seed_mod == 0, seed0, 0).astype(np.int64))}),
+        batch_format="pyarrow")
+    for _ in range(iters):
+        sums = (ranks.map_batches(emit, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("c", alias_name="s")))
+        ranks = sums.map_batches(update,
+                                 batch_format="pyarrow").materialize()
+
+    out = ranks.to_pandas().sort_values("node")
+    return pa.table({"doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
+                     "rank_scaled": pa.array(out["r"].to_numpy(np.int64),
+                                             pa.int64())})
