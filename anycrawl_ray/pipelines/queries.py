@@ -7382,6 +7382,87 @@ SELECT node AS doc_id, r AS rank_scaled FROM r{iters} ORDER BY doc_id
     return "".join(parts)
 
 
+def crawl_recrawl_delta(sf_dir: str):
+    """Incremental re-crawl change detection (the delta pass every
+    production crawler runs): crawl the site twice — the second run
+    serves MUTATED content for doc_id % 13 == 0 (uppercased text) —
+    and diff the two document sets by span-content hash. Output: one
+    row per reachable URL with ``changed`` 0/1. The oracle replays the
+    reachability CTE x the mutation rule, so a hash that misses a real
+    content change (or flags a spurious one) fails the row."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.synthetic_site import build_site_table, page_url
+    from .crawl import CrawlJob, run_crawl
+    import ray
+
+    def span_hash(docs: pa.Table) -> dict:
+        out = {}
+        for url, spans in zip(docs.column("url").to_pylist(),
+                              docs.column("spans").to_pylist()):
+            if url in out:
+                continue
+            blob = "\x1f".join(s["text"] or "" for s in spans)
+            out[url] = hashlib.md5(blob.encode()).hexdigest()
+        return out
+
+    def run(pages) -> dict:
+        job = CrawlJob(job_id="rd", seed_urls=[page_url(0)],
+                       strategy="all", max_depth=20, limit=50_000)
+        res = run_crawl(job, pages, use_ray=ray.is_initialized(),
+                        ray_wave_threshold=64)
+        return span_hash(res.documents)
+
+    h1 = run(build_site_table(f"{sf_dir}/documents.parquet"))
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = docs.column("text").to_pylist()
+    ids = docs.column("doc_id").to_pylist()
+    mutated = [t.upper() if d % 13 == 0 else t
+               for d, t in zip(ids, texts)]
+    docs = docs.set_column(docs.schema.get_field_index("text"), "text",
+                           pa.array(mutated, pa.string()))
+    with tempfile.TemporaryDirectory() as tmp:
+        p2 = os.path.join(tmp, "documents.parquet")
+        pq.write_table(docs, p2)
+        h2 = run(build_site_table(p2))
+    urls = sorted(h1)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "changed": pa.array([int(h1[u] != h2.get(u, "")) for u in urls],
+                            pa.int64())})
+
+
+_RECRAWL_DELTA_SQL = f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0
+),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20
+),
+ids AS (SELECT DISTINCT id FROM reach)
+SELECT 'http://site' || CAST(ids.id % {_HOSTS} AS VARCHAR) || '.test/p/'
+       || lpad(CAST(ids.id AS VARCHAR), 6, '0') AS url,
+       CAST(CASE WHEN ids.id % 13 = 0
+                 AND d.text <> upper(d.text) THEN 1 ELSE 0 END
+            AS BIGINT) AS changed
+FROM ids JOIN documents d ON d.doc_id = ids.id
+ORDER BY url
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7526,9 +7607,11 @@ QUERIES = {
     "docs_term_drift": docs_term_drift,
     "docs_kcore": docs_kcore,
     "docs_ppr": docs_ppr,
+    "crawl_recrawl_delta": crawl_recrawl_delta,
 }
 
 ORACLE_SQL = {
+    "crawl_recrawl_delta": _RECRAWL_DELTA_SQL,
     "docs_ppr": _ppr_sql(),
     "docs_kcore": _kcore_sql(),
     "docs_term_drift": _TERM_DRIFT_SQL,
