@@ -2717,3 +2717,33 @@ def test_kcore_matches_numpy_peel(ray_session):
         np.flatnonzero(active).tolist()
     assert got.column("deg").to_pylist() == deg[active].tolist()
     assert 0 < got.num_rows < n  # the fixture actually peels
+
+
+def test_first_touch_attribution_empty(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import first_touch_attribution
+
+    t = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+    })
+    out = first_touch_attribution(rd.from_arrow(t))
+    assert out.num_rows == 0
+    assert out.column_names == ["first_touch", "users", "conversions"]
+
+
+def test_rfm_segments_empty(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import rfm_segments
+
+    t = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    })
+    out = rfm_segments(rd.from_arrow(t))
+    assert out.num_rows == 0
