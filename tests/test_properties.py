@@ -324,3 +324,64 @@ def test_greedy_merge_positions_match_sequential_scan(mask):
             kept.append(i)
             last = i
     assert _greedy_merge_positions(idx).tolist() == kept
+
+
+@settings(max_examples=100)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)),
+                max_size=40))
+def test_segment_pair_counts_weighted_sum(rows):
+    """With per-row weights (constant within a key segment), wsum must
+    equal the brute-force sum of shared-key weights per pair."""
+    from collections import Counter
+
+    from anycrawl_ray.stages.dedup import _segment_pair_counts
+
+    rows = sorted(set(rows))
+    keys = np.asarray([r[0] for r in rows], dtype=np.int64)
+    docs = np.asarray([r[1] for r in rows], dtype=np.int64)
+    w_of_key = {k: (k * 13 + 7) for k in set(keys.tolist())}
+    weights = np.asarray([w_of_key[k] for k in keys.tolist()],
+                         dtype=np.int64)
+    got = _segment_pair_counts(keys, docs, weights=weights)
+    want: Counter = Counter()
+    by_seg: dict[int, list[int]] = {}
+    for s, d in rows:
+        by_seg.setdefault(s, []).append(d)
+    for s, ds_ in by_seg.items():
+        ds_ = sorted(ds_)
+        for i in range(len(ds_)):
+            for j in range(i + 1, len(ds_)):
+                want[(ds_[i], ds_[j])] += w_of_key[s]
+    got_map = dict(zip(zip(got["a"].tolist(), got["b"].tolist()),
+                       got["wsum"].tolist()))
+    assert got_map == dict(want)
+
+
+def _leb128_len(v: int) -> int:
+    n = 1
+    while v >= 128:
+        v >>= 7
+        n += 1
+    return n
+
+
+@settings(max_examples=200)
+@given(st.integers(1, 2**62))
+def test_varint_width_matches_leb128(gap):
+    """The digitize-based varint width == the length of an actual
+    LEB128 encoding for every positive gap."""
+    from anycrawl_ray.stages.text_analysis import _VARINT_EDGES
+
+    got = 1 + int(np.digitize(np.asarray([gap], dtype=np.int64),
+                              _VARINT_EDGES, right=False)[0])
+    assert got == _leb128_len(gap)
+
+
+@settings(max_examples=200)
+@given(st.integers(0, 5 * 10**9), st.integers(1, 3 * 10**9),
+       st.integers(2, 10**9))
+def test_hits_normalization_decomposition_exact(s, total, scale):
+    """(s//A)*scale + ((s%A)*scale)//A == s*scale//A (Python bigints as
+    the oracle) — the overflow-free form hits_int normalizes with."""
+    lhs = (s // total) * scale + ((s % total) * scale) // total
+    assert lhs == (s * scale) // total
