@@ -7463,6 +7463,58 @@ ORDER BY url
 """
 
 
+def embeddings_bq_recall(sf_dir: str):
+    """Binary-quantization evaluation: recall@10 of 64x-compressed
+    sign-bit Hamming search vs the exact cosine top-10
+    (stages/similarity.py::bq_recall). Map-side SWAR-popcount local
+    top-k, zero shuffle; the oracle packs the same codes with
+    SUM(1 << (dim-1)) and ranks by bit_count(xor(...))."""
+    rd = _rd()
+    from ..stages.similarity import bq_recall
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+    queries, qids = _load_queries(sf_dir)
+    return bq_recall(ds, queries, qids, k=_KNN_K)
+
+
+def _bq_recall_sql(k: int = 10, scale: int = 100,
+                   n_queries: int = 5) -> str:
+    brute = _KNN_SQL.strip()
+    return f"""
+WITH qv AS (SELECT vec_id, list_transform(embedding,
+        x -> CAST(round_even(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT))
+        AS q FROM embeddings),
+codes AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN val > 0
+                       THEN CAST(1 AS HUGEINT) << (dim - 1)
+                       ELSE 0 END) AS UBIGINT) AS w
+  FROM (SELECT vec_id, generate_subscripts(q, 1) AS dim,
+               unnest(q) AS val FROM qv)
+  GROUP BY vec_id),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+         LIMIT {n_queries}),
+bq AS (SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id,
+              bit_count(xor(qc.w, c.w)) AS ham
+       FROM codes qc JOIN qids USING (vec_id) CROSS JOIN codes c),
+bqtop AS (SELECT query_id, neighbor_id FROM bq
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                  ORDER BY ham, neighbor_id) <= {k}),
+brute AS ({brute}),
+hits AS (SELECT b.query_id, COUNT(*) AS inter
+         FROM brute b JOIN bqtop t
+           ON t.query_id = b.query_id
+          AND t.neighbor_id = b.neighbor_id
+         GROUP BY 1)
+SELECT q.vec_id AS query_id,
+       CAST(COALESCE(h.inter, 0) * 1000000 // {k} AS BIGINT)
+           AS recall_ppm
+FROM qids q LEFT JOIN hits h ON h.query_id = q.vec_id
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7608,9 +7660,11 @@ QUERIES = {
     "docs_kcore": docs_kcore,
     "docs_ppr": docs_ppr,
     "crawl_recrawl_delta": crawl_recrawl_delta,
+    "embeddings_bq_recall": embeddings_bq_recall,
 }
 
 ORACLE_SQL = {
+    "embeddings_bq_recall": _bq_recall_sql(),
     "crawl_recrawl_delta": _RECRAWL_DELTA_SQL,
     "docs_ppr": _ppr_sql(),
     "docs_kcore": _kcore_sql(),

@@ -735,3 +735,77 @@ def kmeans_outliers(ds, k_out: int = 20, n_clusters: int = 8,
     return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
                      "cluster": pa.array(cl[order], pa.int64()),
                      "d2": pa.array(d2[order], pa.int64())})
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy 1.26 has no
+    bit_count ufunc)."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return (x * h01) >> np.uint64(56)
+
+
+def bq_codes(batch: pa.Table, scale: int = 100) -> np.ndarray:
+    """Embedding batch -> 64-bit binary-quantization codes: bit d set
+    iff rint(v_d * scale) > 0 (exact integer sign rule, replayable as
+    SUM(1 << (dim-1)) in SQL). Requires dim <= 64."""
+    q = np.rint(_batch_embeddings(batch) * scale).astype(np.int64)
+    if q.shape[1] > 64:
+        raise ValueError("bq_codes packs at most 64 dims per word")
+    bits = (q > 0).astype(np.uint64)
+    shifts = np.arange(q.shape[1], dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def bq_recall(ds, queries: np.ndarray, query_ids: list[int],
+              k: int = 10, scale: int = 100) -> pa.Table:
+    """Vector-compression evaluation: recall@k of 64x-compressed
+    binary-quantization Hamming search against the exact float-cosine
+    top-k (the quality gate before shipping BQ to a 100-TB vector
+    store). BQ ranking = (hamming asc, neighbor_id asc); recall in
+    exact integer ppm.
+
+    Scale shape: codes are one uint64 per vector computed map-side;
+    each block emits its local Hamming top-k per query against the
+    broadcast query codes (SWAR popcount, no shuffle), the driver
+    merges O(k x blocks x queries); the cosine side is the registered
+    knn_brute operator."""
+    qcodes = bq_codes(pa.table({
+        "embedding": pa.array([list(map(float, q)) for q in queries],
+                              pa.list_(pa.float64()))}), scale)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        codes = bq_codes(batch, scale)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        out_q, out_n, out_h = [], [], []
+        for qi, qw in enumerate(qcodes):
+            ham = _popcount64(codes ^ qw).astype(np.int64)
+            order = np.lexsort((ids, ham))[:k]
+            out_q.extend([query_ids[qi]] * order.size)
+            out_n.extend(ids[order].tolist())
+            out_h.extend(ham[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "ham": pa.array(out_h, pa.int64())})
+
+    partials = (ds.map_batches(local_top, batch_format="pyarrow")
+                .to_pandas())
+    brute = knn_brute(ds, queries, query_ids, k=k).to_pandas()
+    rows = []
+    for q in query_ids:
+        sub = partials[partials["query_id"] == q].sort_values(
+            ["ham", "neighbor_id"]).head(k)
+        got = set(sub["neighbor_id"])
+        want = set(brute[brute["query_id"] == q]["neighbor_id"])
+        rows.append((q, len(want & got) * 1_000_000 // k))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "recall_ppm": pa.array([r[1] for r in rows], pa.int64())})
