@@ -7515,6 +7515,76 @@ ORDER BY query_id
 """
 
 
+def docs_merge_upsert(sf_dir: str):
+    """Lakehouse MERGE (the Lance/Delta upsert shape the input_hint's
+    storage implies): apply a deterministic delta to the documents
+    base — DELETE doc_id % 17 == 0, UPSERT (uppercase text) doc_id %
+    13 == 0 (delete wins on overlap), INSERT 10 new ids past max —
+    and emit the merged (doc_id, n_chars, op). Delta keys are small
+    BY CONSTRUCTION (a delta batch), so the merge is one map-side
+    pass: broadcast key sets gate delete/replace, inserts union in;
+    at delta >> broadcast scale the same plan is the
+    dedup_incremental LEFT ANTI + hash-join shape."""
+    rd = _rd()
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def merge(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        keep = ids % 17 != 0
+        out_id, out_chars, out_op = [], [], []
+        for d, t, k in zip(ids.tolist(), texts, keep.tolist()):
+            if not k:
+                continue
+            if d % 13 == 0:
+                out_id.append(d)
+                out_chars.append(len(t.upper()))
+                out_op.append("upsert")
+            else:
+                out_id.append(d)
+                out_chars.append(len(t))
+                out_op.append("keep")
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_chars": pa.array(out_chars, pa.int64()),
+                         "op": pa.array(out_op, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    base = ds.map_batches(merge, batch_format="pyarrow").to_pandas()
+    max_id = int(pq.read_table(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+                 .column("doc_id").to_numpy(zero_copy_only=False).max())
+    ins = pd.DataFrame({
+        "doc_id": [max_id + 1 + i for i in range(10)],
+        "n_chars": [len(f"new doc {max_id + 1 + i}") for i in range(10)],
+        "op": ["insert"] * 10})
+    out = (pd.concat([base, ins], ignore_index=True)
+           .sort_values("doc_id").reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+        "n_chars": pa.array(out["n_chars"].astype("int64"), pa.int64()),
+        "op": pa.array(out["op"], pa.string())})
+
+
+_MERGE_UPSERT_SQL = """
+WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN length(upper(text))
+              ELSE length(text) END AS n_chars,
+         CASE WHEN doc_id % 13 = 0 THEN 'upsert' ELSE 'keep' END AS op
+  FROM documents WHERE doc_id % 17 <> 0),
+ins AS (SELECT mx.m + i AS doc_id,
+               length('new doc ' || CAST(mx.m + i AS VARCHAR)) AS n_chars,
+               'insert' AS op
+        FROM mx, UNNEST(range(1, 11)) AS t(i))
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, op FROM base
+UNION ALL
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, op FROM ins
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7661,9 +7731,11 @@ QUERIES = {
     "docs_ppr": docs_ppr,
     "crawl_recrawl_delta": crawl_recrawl_delta,
     "embeddings_bq_recall": embeddings_bq_recall,
+    "docs_merge_upsert": docs_merge_upsert,
 }
 
 ORACLE_SQL = {
+    "docs_merge_upsert": _MERGE_UPSERT_SQL,
     "embeddings_bq_recall": _bq_recall_sql(),
     "crawl_recrawl_delta": _RECRAWL_DELTA_SQL,
     "docs_ppr": _ppr_sql(),
