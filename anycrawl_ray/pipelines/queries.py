@@ -7585,6 +7585,75 @@ ORDER BY doc_id
 """
 
 
+def events_forecast_backtest(sf_dir: str):
+    """Time-series backtest row: the seasonal-naive forecast (value of
+    the same hour one week earlier, lag 168h) evaluated against the
+    actual hourly cents totals — per-day MAE in exact cents (the
+    baseline every forecasting pipeline must beat, and the backtest
+    harness shape itself). Map-side hourly partials fold to a
+    timespan-bounded hours table; the lag join is driver arithmetic on
+    that small table (at real scale: the asof machinery)."""
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from ..stages.window import _epoch_us
+
+        hour = _epoch_us(batch.column("ts")) // 3_600_000_000
+        cents = np.rint(np.asarray(batch.column("value"),
+                                   dtype=np.float64) * 100) \
+            .astype(np.int64)
+        t = pa.table({"hour": pa.array(hour, pa.int64()),
+                      "c": pa.array(cents, pa.int64())})
+        return (t.group_by("hour").aggregate([("c", "sum")])
+                .rename_columns(["hour", "c"]))
+
+    parts = pa.concat_tables(
+        ev.map_batches(prep, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "n_hours": pa.array([], pa.int64()),
+                      "mae_cents": pa.array([], pa.int64())})
+    if parts.num_rows == 0:
+        return empty
+    h = (parts.group_by("hour").aggregate([("c", "sum")])
+         .rename_columns(["hour", "c"]).to_pandas()
+         .sort_values("hour").reset_index(drop=True))
+    lut = dict(zip(h["hour"].astype("int64"), h["c"].astype("int64")))
+    rows = []
+    for hour, c in lut.items():
+        prev = lut.get(hour - 168)
+        if prev is None:
+            continue  # no seasonal history -> excluded from the eval
+        rows.append((hour // 24, abs(int(c) - int(prev))))
+    if not rows:
+        return empty
+    df = pd.DataFrame(rows, columns=["day", "ae"])
+    fin = (df.groupby("day", as_index=False)
+           .agg(n_hours=("ae", "size"), ae_sum=("ae", "sum"))
+           .sort_values("day"))
+    mae = fin["ae_sum"].astype("int64") // fin["n_hours"].astype("int64")
+    return pa.table({
+        "day": pa.array(fin["day"].astype("int64"), pa.int64()),
+        "n_hours": pa.array(fin["n_hours"].astype("int64"), pa.int64()),
+        "mae_cents": pa.array(mae.astype("int64"), pa.int64())})
+
+
+_FORECAST_BACKTEST_SQL = """
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                  CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM events GROUP BY 1),
+j AS (SELECT a.hour, a.c AS actual, b.c AS forecast
+      FROM h a JOIN h b ON b.hour = a.hour - 168)
+SELECT hour // 24 AS day, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(abs(actual - forecast)) // COUNT(*) AS BIGINT)
+           AS mae_cents
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7732,9 +7801,11 @@ QUERIES = {
     "crawl_recrawl_delta": crawl_recrawl_delta,
     "embeddings_bq_recall": embeddings_bq_recall,
     "docs_merge_upsert": docs_merge_upsert,
+    "events_forecast_backtest": events_forecast_backtest,
 }
 
 ORACLE_SQL = {
+    "events_forecast_backtest": _FORECAST_BACKTEST_SQL,
     "docs_merge_upsert": _MERGE_UPSERT_SQL,
     "embeddings_bq_recall": _bq_recall_sql(),
     "crawl_recrawl_delta": _RECRAWL_DELTA_SQL,
