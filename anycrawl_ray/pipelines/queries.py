@@ -7530,23 +7530,19 @@ def docs_merge_upsert(sf_dir: str):
 
     def merge(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        texts = batch.column("text").to_pylist()
-        keep = ids % 17 != 0
-        out_id, out_chars, out_op = [], [], []
-        for d, t, k in zip(ids.tolist(), texts, keep.tolist()):
-            if not k:
-                continue
-            if d % 13 == 0:
-                out_id.append(d)
-                out_chars.append(len(t.upper()))
-                out_op.append("upsert")
-            else:
-                out_id.append(d)
-                out_chars.append(len(t))
-                out_op.append("keep")
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "n_chars": pa.array(out_chars, pa.int64()),
-                         "op": pa.array(out_op, pa.string())})
+        t = batch.filter(pa.array(ids % 17 != 0))
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ups = pa.array(ids % 13 == 0)
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = pc.if_else(ups,
+                       pc.utf8_length(pc.utf8_upper(text)),
+                       pc.utf8_length(text))
+        op = pc.if_else(ups, pa.scalar("upsert"), pa.scalar("keep"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": n.cast(pa.int64()),
+                         "op": op})
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
