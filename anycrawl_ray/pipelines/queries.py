@@ -7650,6 +7650,79 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def embeddings_curation(sf_dir: str):
+    """End-to-end embedding-corpus curation composite (the embedding
+    mirror of docs_curation_train): ONE kmeans fit drives BOTH gates —
+    SemDeDup semantic-duplicate removal (keep = component rep) AND
+    distance-to-centroid outlier removal (drop the global top-20) —
+    and the output is the curated (vec_id, cluster) set. One oracle
+    checks the whole chain, so a drift in any stage (fit, closure,
+    distance ranking) fails the row."""
+    rd = _rd()
+    from ..stages.similarity import kmeans_outliers, semdedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+    sem = semdedup(ds, n_clusters=_KMEANS_K, iters=_KMEANS_ITERS,
+                   tau_num=_SEMDEDUP_NUM, tau_den=_SEMDEDUP_DEN) \
+        .to_pandas()
+    outl = set(kmeans_outliers(ds, k_out=20, n_clusters=_KMEANS_K,
+                               iters=_KMEANS_ITERS)
+               .column("vec_id").to_pylist())
+    kept = sem[(sem["keep"] == 1) & ~sem["vec_id"].isin(outl)]
+    kept = kept.sort_values("vec_id").reset_index(drop=True)
+    return pa.table({
+        "vec_id": pa.array(kept["vec_id"].astype("int64"), pa.int64()),
+        "cluster": pa.array(kept["cluster"].astype("int64"),
+                            pa.int64())})
+
+
+def _curation_emb_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                      scale: int = 100, offset: int = 1000,
+                      num: int = _SEMDEDUP_NUM, den: int = _SEMDEDUP_DEN,
+                      k_out: int = 20) -> str:
+    chain = _kmeans_ctes(k, iters, scale, offset)
+    dot = ("list_sum(list_transform(list_zip(a.c, b.c), "
+           "s -> s[1]*s[2]))")
+    dist = ("list_sum(list_transform(list_zip(v.q, c.q), "
+            "s -> (s[1]-s[2])*(s[1]-s[2])))")
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH RECURSIVE {chain},
+cv AS MATERIALIZED (
+  SELECT o.vec_id, o.cluster,
+         list_transform(v.q, x -> x - {offset}) AS c
+  FROM out o JOIN qv v USING (vec_id)),
+nn AS MATERIALIZED (
+  SELECT vec_id, cluster, c,
+         list_sum(list_transform(c, x -> x * x)) AS n2
+  FROM cv),
+sdedges AS (
+  SELECT x, y FROM (
+    SELECT a.vec_id AS x, b.vec_id AS y, {dot} AS dot,
+           a.n2 * b.n2 AS n2p
+    FROM nn a JOIN nn b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+  WHERE dot > 0 AND {den * den} * dot * dot >= {num * num} * n2p),
+sym AS (SELECT x, y FROM sdedges UNION ALL SELECT y, x FROM sdedges),
+reach(x, y) AS (
+    SELECT x, y FROM sym
+    UNION
+    SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+rep AS (SELECT x AS vec_id, least(x, min(y)) AS rep
+        FROM reach GROUP BY x),
+outl AS (
+  SELECT o.vec_id FROM out o JOIN qv v USING (vec_id)
+  JOIN cent{iters}f c ON c.cluster = o.cluster
+  QUALIFY row_number() OVER (ORDER BY {dist} DESC, o.vec_id)
+          <= {k_out})
+SELECT o.vec_id, o.cluster FROM out o
+LEFT JOIN rep r USING (vec_id)
+WHERE COALESCE(r.rep, o.vec_id) = o.vec_id
+  AND o.vec_id NOT IN (SELECT vec_id FROM outl)
+ORDER BY o.vec_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7798,9 +7871,11 @@ QUERIES = {
     "embeddings_bq_recall": embeddings_bq_recall,
     "docs_merge_upsert": docs_merge_upsert,
     "events_forecast_backtest": events_forecast_backtest,
+    "embeddings_curation": embeddings_curation,
 }
 
 ORACLE_SQL = {
+    "embeddings_curation": _curation_emb_sql(),
     "events_forecast_backtest": _FORECAST_BACKTEST_SQL,
     "docs_merge_upsert": _MERGE_UPSERT_SQL,
     "embeddings_bq_recall": _bq_recall_sql(),
