@@ -7723,6 +7723,78 @@ ORDER BY o.vec_id
 """
 
 
+def docs_uncertain_lang(sf_dir: str):
+    """Active-learning uncertainty sampling: the 20 docs whose lang-ID
+    decision is most ambiguous — margin = top marker-hit count minus
+    the runner-up (ties to the smaller doc_id; Han-script docs are
+    rule-decided, so they are excluded). The op every
+    human-in-the-loop labeling pipeline runs to pick what to annotate
+    next. Map-side local bottom-k over the same marker sets the LangId
+    stage uses; exact SQL oracle (list_sort desc margins)."""
+    rd = _rd()
+    from ..stages.text_analysis import _HAN, _LANG_MARKERS, _TOKEN_RE
+
+    langs = [lang for lang, m in _LANG_MARKERS.items() if m]
+    marker_sets = [frozenset(_LANG_MARKERS[lg]) for lg in langs]
+    k = 20
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        ids_out, margins = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if _HAN.search(t):
+                continue
+            toks = set(_TOKEN_RE.findall(t.lower())[:200])
+            hits = sorted((len(toks & m) for m in marker_sets),
+                          reverse=True)
+            ids_out.append(d)
+            margins.append(hits[0] - hits[1])
+        ids_a = np.asarray(ids_out, dtype=np.int64)
+        mg = np.asarray(margins, dtype=np.int64)
+        order = np.lexsort((ids_a, mg))[:k]
+        return pa.table({"doc_id": pa.array(ids_a[order], pa.int64()),
+                         "margin": pa.array(mg[order], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    parts = (ds.map_batches(local_bottom, batch_format="pyarrow")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "margin": pa.array([], pa.int64())})
+    fin = (parts.sort_values(["margin", "doc_id"]).head(k)
+           .reset_index(drop=True))
+    return pa.table({
+        "doc_id": pa.array(fin["doc_id"].astype("int64"), pa.int64()),
+        "margin": pa.array(fin["margin"].astype("int64"), pa.int64())})
+
+
+_UNCERTAIN_LANG_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_distinct(list_filter(regexp_split_to_array(lower(text),
+                                                         '\s+'),
+                                   x -> x <> '')[1:200]) AS t
+  FROM documents
+  WHERE NOT regexp_matches(text, '[\x{4E00}-\x{9FFF}]')
+), hits AS (
+  SELECT doc_id,
+    len(list_intersect(t, ['the','and','of','is','with'])) AS en,
+    len(list_intersect(t, ['der','die','und','ist','mit'])) AS de,
+    len(list_intersect(t, ['le','la','et','est','avec'])) AS fr,
+    len(list_intersect(t, ['el','la','y','es','con'])) AS es
+  FROM toks
+), m AS (
+  SELECT doc_id,
+         list_sort([en, de, fr, es], 'DESC')[1]
+         - list_sort([en, de, fr, es], 'DESC')[2] AS margin
+  FROM hits)
+SELECT doc_id, CAST(margin AS BIGINT) AS margin FROM m
+QUALIFY row_number() OVER (ORDER BY margin, doc_id) <= 20
+ORDER BY margin, doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7872,9 +7944,11 @@ QUERIES = {
     "docs_merge_upsert": docs_merge_upsert,
     "events_forecast_backtest": events_forecast_backtest,
     "embeddings_curation": embeddings_curation,
+    "docs_uncertain_lang": docs_uncertain_lang,
 }
 
 ORACLE_SQL = {
+    "docs_uncertain_lang": _UNCERTAIN_LANG_SQL,
     "embeddings_curation": _curation_emb_sql(),
     "events_forecast_backtest": _FORECAST_BACKTEST_SQL,
     "docs_merge_upsert": _MERGE_UPSERT_SQL,
