@@ -35,6 +35,21 @@ from .control_queries import CONTROL_ORACLE_SQL, CONTROL_QUERIES
 
 _HOSTS = 4  # keep in sync with sources/synthetic_site.py
 
+# THE directed synthetic-site edge rule as a CTE body (assumes a CTE
+# ``n AS (SELECT COUNT(*) AS c FROM documents)`` is in scope). Every
+# oracle that replays the crawl graph interpolates THIS string —
+# sources/synthetic_site.page_links is the Python twin; change both.
+_EDGES_CTE_BODY = """  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
+  WHERE 2 * d.doc_id + 1 < n.c
+  UNION ALL
+  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
+  WHERE 2 * d.doc_id + 2 < n.c
+  UNION ALL
+  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
+  WHERE d.doc_id % 3 = 0"""
+
+
+
 
 def _rd():
     import ray.data as rd
@@ -1407,14 +1422,7 @@ def crawl_reachable(sf_dir: str):
 _CRAWL_REACHABLE_SQL = f"""
 WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
 edges AS (
-  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
-  WHERE 2 * d.doc_id + 1 < n.c
-  UNION ALL
-  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
-  WHERE 2 * d.doc_id + 2 < n.c
-  UNION ALL
-  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
-  WHERE d.doc_id % 3 = 0
+{_EDGES_CTE_BODY}
 ),
 reach(id, depth) AS (
   SELECT CAST(0 AS BIGINT), 0
@@ -1462,14 +1470,7 @@ def crawl_browser_screenshots(sf_dir: str):
 _CRAWL_BROWSER_SCREENSHOTS_SQL = f"""
 WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
 edges AS (
-  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
-  WHERE 2 * d.doc_id + 1 < n.c
-  UNION ALL
-  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
-  WHERE 2 * d.doc_id + 2 < n.c
-  UNION ALL
-  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
-  WHERE d.doc_id % 3 = 0
+{_EDGES_CTE_BODY}
 ),
 reach(id, depth) AS (
   SELECT CAST(0 AS BIGINT), 0
@@ -1508,17 +1509,10 @@ def crawl_lineage(sf_dir: str):
     )
 
 
-_CRAWL_LINEAGE_SQL = """
+_CRAWL_LINEAGE_SQL = f"""
 WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
 edges AS (
-  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
-  WHERE 2 * d.doc_id + 1 < n.c
-  UNION ALL
-  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
-  WHERE 2 * d.doc_id + 2 < n.c
-  UNION ALL
-  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
-  WHERE d.doc_id % 3 = 0
+{_EDGES_CTE_BODY}
 ),
 reach(id, depth) AS (
   SELECT CAST(0 AS BIGINT), 0
@@ -1966,14 +1960,7 @@ def _pagerank_sql(iters: int = _PAGERANK_ITERS,
     parts = [f"""
 WITH n AS (SELECT COUNT(*) AS c FROM documents),
 edges AS MATERIALIZED (
-  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
-  WHERE 2 * d.doc_id + 1 < n.c
-  UNION ALL
-  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
-  WHERE 2 * d.doc_id + 2 < n.c
-  UNION ALL
-  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
-  WHERE d.doc_id % 3 = 0),
+{_EDGES_CTE_BODY}),
 deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 r0 AS (SELECT doc_id AS node, CAST({scale} // n.c AS BIGINT) AS r
        FROM documents, n)"""]
@@ -5581,16 +5568,14 @@ def embeddings_semdedup(sf_dir: str):
                     tau_num=_SEMDEDUP_NUM, tau_den=_SEMDEDUP_DEN)
 
 
-def _semdedup_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
-                  scale: int = 100, offset: int = 1000,
-                  num: int = _SEMDEDUP_NUM,
-                  den: int = _SEMDEDUP_DEN) -> str:
-    chain = _kmeans_ctes(k, iters, scale, offset)
+def _semdedup_closure_ctes(offset: int, num: int, den: int) -> str:
+    """The SemDeDup component-closure CTE chain (centered coords,
+    integer cosine test, recursive min-label) — shared by _semdedup_sql
+    and _curation_emb_sql so the algebra lives in ONE place. Expects
+    the kmeans chain's ``out``/``qv`` CTEs in scope; emits ``rep``."""
     dot = ("list_sum(list_transform(list_zip(a.c, b.c), "
            "s -> s[1]*s[2]))")
-    return f"""{_oracle_kernels.U64_PRELUDE}
-WITH RECURSIVE {chain},
-cv AS MATERIALIZED (
+    return f"""cv AS MATERIALIZED (
   SELECT o.vec_id, o.cluster,
          list_transform(v.q, x -> x - {offset}) AS c
   FROM out o JOIN qv v USING (vec_id)),
@@ -5598,20 +5583,30 @@ nn AS MATERIALIZED (
   SELECT vec_id, cluster, c,
          list_sum(list_transform(c, x -> x * x)) AS n2
   FROM cv),
-edges AS (
+sdedges AS (
   SELECT x, y FROM (
     SELECT a.vec_id AS x, b.vec_id AS y, {dot} AS dot,
            a.n2 * b.n2 AS n2p
     FROM nn a JOIN nn b
       ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
   WHERE dot > 0 AND {den * den} * dot * dot >= {num * num} * n2p),
-sym AS (SELECT x, y FROM edges UNION ALL SELECT y, x FROM edges),
+sym AS (SELECT x, y FROM sdedges UNION ALL SELECT y, x FROM sdedges),
 reach(x, y) AS (
     SELECT x, y FROM sym
     UNION
     SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
 rep AS (SELECT x AS vec_id, least(x, min(y)) AS rep
-        FROM reach GROUP BY x)
+        FROM reach GROUP BY x)"""
+
+
+def _semdedup_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                  scale: int = 100, offset: int = 1000,
+                  num: int = _SEMDEDUP_NUM,
+                  den: int = _SEMDEDUP_DEN) -> str:
+    chain = _kmeans_ctes(k, iters, scale, offset)
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH RECURSIVE {chain},
+{_semdedup_closure_ctes(offset, num, den)}
 SELECT o.vec_id, o.cluster, COALESCE(r.rep, o.vec_id) AS rep,
        CAST(CASE WHEN COALESCE(r.rep, o.vec_id) = o.vec_id
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
@@ -6264,14 +6259,7 @@ def _hits_sql(iters: int = _HITS_ITERS, scale: int = _HITS_SCALE) -> str:
     parts = [f"""
 WITH n AS (SELECT COUNT(*) AS c FROM documents),
 edges AS MATERIALIZED (
-  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
-  WHERE 2 * d.doc_id + 1 < n.c
-  UNION ALL
-  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
-  WHERE 2 * d.doc_id + 2 < n.c
-  UNION ALL
-  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
-  WHERE d.doc_id % 3 = 0),
+{_EDGES_CTE_BODY}),
 h0 AS (SELECT doc_id AS node, CAST({scale} // n.c AS BIGINT) AS h
        FROM documents, n)"""]
     for k in range(1, iters + 1):
@@ -6733,14 +6721,7 @@ def crawl_robots_gate(sf_dir: str):
 _CRAWL_ROBOTS_SQL = f"""
 WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
 edges AS (
-  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
-  WHERE 2 * d.doc_id + 1 < n.c
-  UNION ALL
-  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
-  WHERE 2 * d.doc_id + 2 < n.c
-  UNION ALL
-  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
-  WHERE d.doc_id % 3 = 0
+{_EDGES_CTE_BODY}
 ),
 reach(id, depth) AS (
   SELECT CAST(0 AS BIGINT), 0
@@ -7350,14 +7331,7 @@ WITH n AS (SELECT COUNT(*) AS c,
                   (COUNT(*) + {seed_mod} - 1) // {seed_mod} AS ns
            FROM documents),
 edges AS MATERIALIZED (
-  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
-  WHERE 2 * d.doc_id + 1 < n.c
-  UNION ALL
-  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
-  WHERE 2 * d.doc_id + 2 < n.c
-  UNION ALL
-  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
-  WHERE d.doc_id % 3 = 0),
+{_EDGES_CTE_BODY}),
 deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 r0 AS (SELECT doc_id AS node,
               CAST(CASE WHEN doc_id % {seed_mod} = 0
@@ -7437,14 +7411,7 @@ def crawl_recrawl_delta(sf_dir: str):
 _RECRAWL_DELTA_SQL = f"""
 WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
 edges AS (
-  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM documents d, n
-  WHERE 2 * d.doc_id + 1 < n.c
-  UNION ALL
-  SELECT d.doc_id, 2 * d.doc_id + 2 FROM documents d, n
-  WHERE 2 * d.doc_id + 2 < n.c
-  UNION ALL
-  SELECT d.doc_id, (7 * d.doc_id + 3) % n.c FROM documents d, n
-  WHERE d.doc_id % 3 = 0
+{_EDGES_CTE_BODY}
 ),
 reach(id, depth) AS (
   SELECT CAST(0 AS BIGINT), 0
@@ -7547,9 +7514,9 @@ def docs_merge_upsert(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     base = ds.map_batches(merge, batch_format="pyarrow").to_pandas()
-    max_id = int(pq.read_table(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
-                 .column("doc_id").to_numpy(zero_copy_only=False).max())
+    # doc ids are contiguous 0..n-1 (every graph/URL oracle relies on
+    # it), so max_id comes from row-count metadata, not a column read
+    max_id = n - 1
     ins = pd.DataFrame({
         "doc_id": [max_id + 1 + i for i in range(10)],
         "n_chars": [len(f"new doc {max_id + 1 + i}") for i in range(10)],
@@ -7605,12 +7572,15 @@ def events_forecast_backtest(sf_dir: str):
         return (t.group_by("hour").aggregate([("c", "sum")])
                 .rename_columns(["hour", "c"]))
 
-    parts = pa.concat_tables(
-        ev.map_batches(prep, batch_format="pyarrow")
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    batches = list(ev.map_batches(prep, batch_format="pyarrow")
+                   .iter_batches(batch_size=1 << 20,
+                                 batch_format="pyarrow"))
     empty = pa.table({"day": pa.array([], pa.int64()),
                       "n_hours": pa.array([], pa.int64()),
                       "mae_cents": pa.array([], pa.int64())})
+    if not batches:  # zero batches: concat_tables would raise
+        return empty
+    parts = pa.concat_tables(batches)
     if parts.num_rows == 0:
         return empty
     h = (parts.group_by("hour").aggregate([("c", "sum")])
@@ -7659,15 +7629,18 @@ def embeddings_curation(sf_dir: str):
     checks the whole chain, so a drift in any stage (fit, closure,
     distance ranking) fails the row."""
     rd = _rd()
-    from ..stages.similarity import kmeans_outliers, semdedup
+    from ..stages.similarity import (_kmeans_fit, kmeans_outliers,
+                                     semdedup)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).materialize()
+    fit = _kmeans_fit(ds, _KMEANS_K, _KMEANS_ITERS, 100, 1000,
+                      slice(None))
     sem = semdedup(ds, n_clusters=_KMEANS_K, iters=_KMEANS_ITERS,
-                   tau_num=_SEMDEDUP_NUM, tau_den=_SEMDEDUP_DEN) \
-        .to_pandas()
+                   tau_num=_SEMDEDUP_NUM, tau_den=_SEMDEDUP_DEN,
+                   fit=fit).to_pandas()
     outl = set(kmeans_outliers(ds, k_out=20, n_clusters=_KMEANS_K,
-                               iters=_KMEANS_ITERS)
+                               iters=_KMEANS_ITERS, fit=fit)
                .column("vec_id").to_pylist())
     kept = sem[(sem["keep"] == 1) & ~sem["vec_id"].isin(outl)]
     kept = kept.sort_values("vec_id").reset_index(drop=True)
@@ -7682,34 +7655,11 @@ def _curation_emb_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
                       num: int = _SEMDEDUP_NUM, den: int = _SEMDEDUP_DEN,
                       k_out: int = 20) -> str:
     chain = _kmeans_ctes(k, iters, scale, offset)
-    dot = ("list_sum(list_transform(list_zip(a.c, b.c), "
-           "s -> s[1]*s[2]))")
     dist = ("list_sum(list_transform(list_zip(v.q, c.q), "
             "s -> (s[1]-s[2])*(s[1]-s[2])))")
     return f"""{_oracle_kernels.U64_PRELUDE}
 WITH RECURSIVE {chain},
-cv AS MATERIALIZED (
-  SELECT o.vec_id, o.cluster,
-         list_transform(v.q, x -> x - {offset}) AS c
-  FROM out o JOIN qv v USING (vec_id)),
-nn AS MATERIALIZED (
-  SELECT vec_id, cluster, c,
-         list_sum(list_transform(c, x -> x * x)) AS n2
-  FROM cv),
-sdedges AS (
-  SELECT x, y FROM (
-    SELECT a.vec_id AS x, b.vec_id AS y, {dot} AS dot,
-           a.n2 * b.n2 AS n2p
-    FROM nn a JOIN nn b
-      ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
-  WHERE dot > 0 AND {den * den} * dot * dot >= {num * num} * n2p),
-sym AS (SELECT x, y FROM sdedges UNION ALL SELECT y, x FROM sdedges),
-reach(x, y) AS (
-    SELECT x, y FROM sym
-    UNION
-    SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
-rep AS (SELECT x AS vec_id, least(x, min(y)) AS rep
-        FROM reach GROUP BY x),
+{_semdedup_closure_ctes(offset, num, den)},
 outl AS (
   SELECT o.vec_id FROM out o JOIN qv v USING (vec_id)
   JOIN cent{iters}f c ON c.cluster = o.cluster

@@ -37,9 +37,10 @@ def page_url(i: int, num_hosts: int = NUM_HOSTS) -> str:
 
 
 def page_links(i: int, n: int) -> list[int]:
-    """Out-neighbor page indices in DOM order. Keep in sync with BOTH
-    copies of the edges CTE in pipelines/queries.py
-    (_CRAWL_REACHABLE_SQL and _CRAWL_LINEAGE_SQL)."""
+    """Out-neighbor page indices in DOM order. Keep in sync with the
+    ONE SQL twin: pipelines/queries.py::_EDGES_CTE_BODY (interpolated
+    into every graph-replaying oracle) — and with
+    stages/graph.py::synthetic_degrees / site_edges."""
     out = []
     if 2 * i + 1 < n:
         out.append(2 * i + 1)

@@ -445,7 +445,7 @@ def _kmeans_fit(ds, n_clusters: int, iters: int, scale: int, offset: int,
 
 def semdedup(ds, n_clusters: int = 8, iters: int = 3, tau_num: int = 4,
              tau_den: int = 5, scale: int = 100,
-             offset: int = 1000) -> pa.Table:
+             offset: int = 1000, fit=None) -> pa.Table:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
     embedding space (the exact kmeans_int recurrence), then inside each
     cluster drop all but one member of every semantic-duplicate component
@@ -475,9 +475,11 @@ def semdedup(ds, n_clusters: int = 8, iters: int = 3, tau_num: int = 4,
     import pandas as pd
 
     ds = ds.materialize()  # fit passes + the dedup pass read plasma
-    sl = slice(None, None)
-    c_final, quantize = _kmeans_fit(ds, n_clusters, iters, scale, offset,
-                                    sl)
+    # ``fit``: a precomputed (c_final, quantize) from _kmeans_fit with
+    # the SAME params — lets composites (embeddings_curation) share one
+    # fit across gates instead of re-running it
+    c_final, quantize = fit or _kmeans_fit(ds, n_clusters, iters, scale,
+                                           offset, slice(None, None))
     num2 = tau_num * tau_num
     den2 = tau_den * tau_den
 
@@ -697,7 +699,7 @@ def mmr_topk(ds, query: np.ndarray, k: int = 5, pool: int = 50,
 
 def kmeans_outliers(ds, k_out: int = 20, n_clusters: int = 8,
                     iters: int = 3, scale: int = 100,
-                    offset: int = 1000) -> pa.Table:
+                    offset: int = 1000, fit=None) -> pa.Table:
     """Embedding-space anomaly detection: fit the exact-integer kmeans
     recurrence, then rank every vector by its integer squared-L2
     distance to its OWN centroid — the classic distance-to-centroid
@@ -705,8 +707,8 @@ def kmeans_outliers(ds, k_out: int = 20, n_clusters: int = 8,
     smaller vec_id). One extra map_batches pass; each block emits only
     its local top-``k_out`` rows, the driver merges O(k_out x blocks)."""
     ds = ds.materialize()
-    c_final, quantize = _kmeans_fit(ds, n_clusters, iters, scale, offset,
-                                    slice(None))
+    c_final, quantize = fit or _kmeans_fit(ds, n_clusters, iters, scale,
+                                           offset, slice(None))
 
     def local_top(batch: pa.Table) -> pa.Table:
         ids, q = quantize(batch)
