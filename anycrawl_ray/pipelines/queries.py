@@ -7745,6 +7745,121 @@ ORDER BY margin, doc_id
 """
 
 
+def events_bot_scores(sf_dir: str):
+    """Abuse/bot-traffic scoring (the traffic-analysis cousin of the
+    crawler's own politeness counters): per user, events per active
+    hour divided by behavioral diversity — ``(n_events * 10^6 //
+    active_hours) // n_types`` — top-5 most bot-like. High-rate,
+    low-variety actors rank first; all-integer, exact oracle.
+
+    Scale shape: one user fat-bucket shuffle of block-distinct
+    (user, hour) / (user, type) rows plus per-user count partials
+    (tagged kinds on one stream); users are partitioned across
+    buckets, so each bucket finishes its users exactly and emits only
+    its local top-5."""
+    import ray
+
+    from ..stages.text_analysis import _mix64_np
+    from ..stages.window import _default_buckets, _epoch_us
+
+    rd = _rd()
+    nb = _default_buckets()
+    k = 5
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), dtype=np.int64)
+        hour = _epoch_us(batch.column("ts")) // 3_600_000_000
+        typ = batch.column("event_type")
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        t0 = pa.table({"u": pa.array(u, pa.int64()),
+                       "v": pa.array(hour, pa.int64()),
+                       "s": pa.array([""] * u.size, pa.string()),
+                       "kind": pa.array(np.zeros(u.size, np.int8),
+                                        pa.int8())})
+        t0 = (t0.group_by(["u", "v", "s", "kind"])
+              .aggregate([([], "count_all")])
+              .rename_columns(["u", "v", "s", "kind", "n"]))
+        t1 = pa.table({"u": pa.array(u, pa.int64()),
+                       "v": pa.array(np.zeros(u.size, np.int64),
+                                     pa.int64()),
+                       "s": typ,
+                       "kind": pa.array(np.ones(u.size, np.int8),
+                                        pa.int8())})
+        t1 = (t1.group_by(["u", "v", "s", "kind"])
+              .aggregate([([], "count_all")])
+              .rename_columns(["u", "v", "s", "kind", "n"]))
+        uu, cnt = np.unique(u, return_counts=True)
+        t2 = pa.table({"u": pa.array(uu, pa.int64()),
+                       "v": pa.array(np.zeros(uu.size, np.int64),
+                                     pa.int64()),
+                       "s": pa.array([""] * uu.size, pa.string()),
+                       "kind": pa.array(np.full(uu.size, 2, np.int8),
+                                        pa.int8()),
+                       "n": pa.array(cnt.astype(np.int64), pa.int64())})
+        t = pa.concat_tables([t0, t1, t2])
+        uv = np.asarray(t.column("u"), dtype=np.int64)
+        kb = (_mix64_np(uv.view(np.uint64)) % np.uint64(nb)) \
+            .astype(np.int64)
+        return t.append_column("_kb", pa.array(kb, pa.int64()))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        stats = {}
+        g0 = group[group["kind"] == 0].drop_duplicates(["u", "v"])
+        hours = g0.groupby("u").size()
+        g1 = group[group["kind"] == 1].drop_duplicates(["u", "s"])
+        types = g1.groupby("u").size()
+        g2 = group[group["kind"] == 2].groupby("u")["n"].sum()
+        df = pd.DataFrame({"active_hours": hours, "n_types": types,
+                           "n_events": g2}).dropna().astype("int64")
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("user_id", "n_events",
+                                           "active_hours", "n_types",
+                                           "bot_score")})
+        score = (df["n_events"] * 1_000_000
+                 // df["active_hours"]) // df["n_types"]
+        df = df.assign(bot_score=score).reset_index(names="user_id")
+        df = df.sort_values(["bot_score", "user_id"],
+                            ascending=[False, True]).head(k)
+        return df[["user_id", "n_events", "active_hours", "n_types",
+                   "bot_score"]]
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    parts = (ev.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    cols = ("user_id", "n_events", "active_hours", "n_types",
+            "bot_score")
+    if len(parts) == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    fin = (parts.sort_values(["bot_score", "user_id"],
+                             ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    return pa.table({c: pa.array(fin[c].astype("int64"), pa.int64())
+                     for c in cols})
+
+
+_BOT_SCORES_SQL = """
+WITH peru AS (SELECT user_id, COUNT(*) AS n_events,
+        COUNT(DISTINCT epoch_us(ts) // 3600000000) AS active_hours,
+        COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(active_hours AS BIGINT) AS active_hours,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST((n_events * 1000000 // active_hours) // n_types AS BIGINT)
+           AS bot_score
+FROM peru
+QUALIFY row_number() OVER (
+    ORDER BY (n_events * 1000000 // active_hours) // n_types DESC,
+             user_id) <= 5
+ORDER BY bot_score DESC, user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -7895,9 +8010,11 @@ QUERIES = {
     "events_forecast_backtest": events_forecast_backtest,
     "embeddings_curation": embeddings_curation,
     "docs_uncertain_lang": docs_uncertain_lang,
+    "events_bot_scores": events_bot_scores,
 }
 
 ORACLE_SQL = {
+    "events_bot_scores": _BOT_SCORES_SQL,
     "docs_uncertain_lang": _UNCERTAIN_LANG_SQL,
     "embeddings_curation": _curation_emb_sql(),
     "events_forecast_backtest": _FORECAST_BACKTEST_SQL,
