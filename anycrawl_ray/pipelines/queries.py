@@ -7860,6 +7860,73 @@ ORDER BY bot_score DESC, user_id
 """
 
 
+def crawl_resume_equivalence(sf_dir: str):
+    """Checkpoint-resume as a DRIVER-CHECKED row (north_rule: a killed
+    run resumes without re-fetching or duplicating): crash the crawl
+    after epoch 2 (simulated kill), resume from the frontier
+    checkpoint, and emit the final per-URL (url, title) set — which
+    must equal the full-reachability oracle exactly. A duplicate or a
+    missing page from the crash/resume seam fails the row."""
+    import shutil
+    import tempfile
+
+    from ..sources.synthetic_site import build_site_table, page_url
+    from .crawl import CrawlJob, run_crawl
+    import ray
+
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    job = CrawlJob(job_id="rz", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=50_000)
+    tmp = tempfile.mkdtemp(prefix="resume_eq_")
+    try:
+        out_dir, ck = f"{tmp}/out", f"{tmp}/ck"
+        use_ray = ray.is_initialized()
+        try:
+            run_crawl(job, pages, use_ray=use_ray, out_dir=out_dir,
+                      checkpoint_dir=ck, ray_wave_threshold=64,
+                      crash_after_epoch=2)
+        except RuntimeError:
+            pass  # the simulated kill
+        res = run_crawl(job, pages, use_ray=use_ray, out_dir=out_dir,
+                        checkpoint_dir=ck, resume=True,
+                        ray_wave_threshold=64)
+        docs = res.documents
+        rows = {}
+        for url, spans in zip(docs.column("url").to_pylist(),
+                              docs.column("spans").to_pylist()):
+            title = next((s["text"] for s in spans
+                          if s["kind"] == "title"), "")
+            if url in rows:  # a duplicate would poison the row count
+                rows[url] = "<DUPLICATE>"
+            else:
+                rows[url] = title
+        urls = sorted(rows)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "title": pa.array([rows[u] for u in urls],
+                                           pa.string())})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_RESUME_EQ_SQL = f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+{_EDGES_CTE_BODY}
+),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20
+)
+SELECT 'http://site' || CAST(id % {{hosts}} AS VARCHAR) || '.test/p/' ||
+       lpad(CAST(id AS VARCHAR), 6, '0') AS url,
+       'Doc ' || CAST(id AS VARCHAR) AS title
+FROM (SELECT DISTINCT id FROM reach)
+ORDER BY url
+""".replace("{hosts}", str(_HOSTS))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -8011,9 +8078,11 @@ QUERIES = {
     "embeddings_curation": embeddings_curation,
     "docs_uncertain_lang": docs_uncertain_lang,
     "events_bot_scores": events_bot_scores,
+    "crawl_resume_equivalence": crawl_resume_equivalence,
 }
 
 ORACLE_SQL = {
+    "crawl_resume_equivalence": _RESUME_EQ_SQL,
     "events_bot_scores": _BOT_SCORES_SQL,
     "docs_uncertain_lang": _UNCERTAIN_LANG_SQL,
     "embeddings_curation": _curation_emb_sql(),
