@@ -128,21 +128,10 @@ ORDER BY doc_id
 """
 
 
-def _minhash_ctes(src: str = "documents", p: str = "", num_perm: int = 64,
-                  bands: int = 16, k: int = 3, max_bucket: int = 200) -> str:
-    """The full MinHash-LSH CTE chain over ``src`` (doc_id, text): shingles
-    -> num_perm signatures -> band keys -> collision buckets
-    (2..max_bucket) -> candidate pairs -> exact-Jaccard counts. Ends with
-    ``{p}scored(a, b, i, u)``; admission at threshold t is
-    ``u = 0 OR i/u >= t`` (integer form for t=0.5: ``2*i >= u``).
-
-    Replicates stages.dedup.minhash_lsh_pairs exactly; grouping is on
-    (band_id, band_key) where the Ray path groups on the combined 64-bit
-    ``bucket`` key — indistinguishable unless a 64-bit mix collision merges
-    two true buckets, which verification then discards anyway."""
-    rows_per_band = num_perm // bands
-    salts = ", ".join(
-        f"({i}, {s}::UBIGINT)" for i, s in enumerate(_perm_salts(num_perm)))
+def _shingle_ctes(src: str = "documents", p: str = "", k: int = 3) -> str:
+    """doc_id -> distinct w-shingle hash CTE chain over ``src``, ending in
+    ``{p}sh(doc_id, s)``. Shared by the MinHash and OPH kernels so the
+    shingle space is bit-identical across signature schemes."""
     return f"""{_token_hash_ctes(src, p)},
 {p}harr AS (
   SELECT doc_id, list(h ORDER BY pos) AS hs FROM {p}hm GROUP BY doc_id),
@@ -158,7 +147,25 @@ def _minhash_ctes(src: str = "documents", p: str = "", num_perm: int = 64,
                                          hs[i+1]), {_FNV_PRIME}::UBIGINT), hs[i+2]))
            ELSE hs END AS sarr
     FROM {p}harr),
-  UNNEST(sarr) AS u(s)),
+  UNNEST(sarr) AS u(s))"""
+
+
+def _minhash_ctes(src: str = "documents", p: str = "", num_perm: int = 64,
+                  bands: int = 16, k: int = 3, max_bucket: int = 200) -> str:
+    """The full MinHash-LSH CTE chain over ``src`` (doc_id, text): shingles
+    -> num_perm signatures -> band keys -> collision buckets
+    (2..max_bucket) -> candidate pairs -> exact-Jaccard counts. Ends with
+    ``{p}scored(a, b, i, u)``; admission at threshold t is
+    ``u = 0 OR i/u >= t`` (integer form for t=0.5: ``2*i >= u``).
+
+    Replicates stages.dedup.minhash_lsh_pairs exactly; grouping is on
+    (band_id, band_key) where the Ray path groups on the combined 64-bit
+    ``bucket`` key — indistinguishable unless a 64-bit mix collision merges
+    two true buckets, which verification then discards anyway."""
+    rows_per_band = num_perm // bands
+    salts = ", ".join(
+        f"({i}, {s}::UBIGINT)" for i, s in enumerate(_perm_salts(num_perm)))
+    return f"""{_shingle_ctes(src, p, k)},
 {p}salts(perm, salt) AS (VALUES {salts}),
 -- signature: min over shingles of (s ^ salt_p) * MULT; all-zeros for
 -- empty-shingle docs (minhash_signature parity)
@@ -213,6 +220,64 @@ SELECT a, b,
             ELSE CAST(ROUND(CAST(i AS DOUBLE) / u * {scale}) AS BIGINT) END AS jaccard
 FROM scored
 WHERE (u = 0) OR (2 * i >= u)
+ORDER BY a, b
+"""
+
+
+def oph_pairs_sql(nbins: int = 32, bands: int = 8, k: int = 3,
+                  max_bucket: int = 200) -> str:
+    """One-permutation-hashing near-dup pairs: shingles bin by ``s %
+    nbins`` (ONE hash pass), per-bin minima densify empty bins by cyclic
+    rotation with offset ``t * GOLDEN`` (Shrivastava & Li 2014), bands
+    collide exactly like the MinHash kernel, and admitted pairs carry the
+    exact matched-bin count (gate: matched/nbins >= 1/2). Replicates
+    stages.dedup.oph_pairs bit-for-bit."""
+    rows_per_band = nbins // bands
+    return f"""{U64_PRELUDE}
+WITH {_shingle_ctes(k=k)},
+bins0 AS MATERIALIZED (
+  SELECT doc_id, CAST(s % {nbins} AS BIGINT) AS bin, MIN(s) AS v
+  FROM sh GROUP BY doc_id, CAST(s % {nbins} AS BIGINT)),
+grid AS (
+  SELECT d.doc_id, CAST(g.b AS BIGINT) AS bin
+  FROM (SELECT DISTINCT doc_id FROM documents) d,
+       UNNEST(range(0, {nbins})) AS g(b)),
+-- rotation densification: empty bin j borrows from the cyclically
+-- nearest filled bin to the right, offset by t * GOLDEN (t = distance)
+fill AS (
+  SELECT g.doc_id, g.bin,
+         u64add(b.v, u64mul(CAST((b.bin - g.bin + {nbins}) % {nbins}
+                                 AS UBIGINT), {_GOLDEN}::UBIGINT)) AS v,
+         row_number() OVER (PARTITION BY g.doc_id, g.bin
+             ORDER BY (b.bin - g.bin + {nbins}) % {nbins}) AS rn
+  FROM grid g JOIN bins0 b ON b.doc_id = g.doc_id),
+sigfull AS MATERIALIZED (
+  SELECT g.doc_id, g.bin, coalesce(f.v, 0::UBIGINT) AS v
+  FROM grid g LEFT JOIN (SELECT * FROM fill WHERE rn = 1) f
+    ON f.doc_id = g.doc_id AND f.bin = g.bin),
+sigm AS MATERIALIZED (SELECT doc_id, bin, mix64(v) AS m FROM sigfull),
+bk AS MATERIALIZED (
+  SELECT doc_id, bin // {rows_per_band} AS band_id,
+         CAST(SUM(CAST(m AS HUGEINT)) % {_MOD64} AS UBIGINT) AS band_key
+  FROM sigm GROUP BY doc_id, bin // {rows_per_band}),
+bsize AS (
+  SELECT band_id, band_key, count(*) AS n
+  FROM bk GROUP BY band_id, band_key),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bk a
+  JOIN bk b ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band_id = a.band_id AND s.band_key = a.band_key
+  WHERE s.n BETWEEN 2 AND {max_bucket}),
+m AS (
+  SELECT c.a, c.b, SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS matched
+  FROM cand c
+  JOIN sigfull sa ON sa.doc_id = c.a
+  JOIN sigfull sb ON sb.doc_id = c.b AND sb.bin = sa.bin
+  GROUP BY c.a, c.b)
+SELECT a, b, CAST(matched AS BIGINT) AS matched
+FROM m WHERE 2 * matched >= {nbins}
 ORDER BY a, b
 """
 

@@ -1045,6 +1045,22 @@ def docs_minhash_pairs(sf_dir: str):
     return _scaled(out, {"jaccard": 1_000_000})
 
 
+def docs_minhash_oph(sf_dir: str):
+    """One-permutation MinHash near-dup pairs (Li et al. 2012 OPH +
+    Shrivastava & Li 2014 rotation densification): one hash pass over the
+    shingles instead of 64 permutations, banded exactly like classic
+    MinHash, exact matched-bin gate at nbins/2. Full value-hash oracle
+    (signatures, densification offsets and band collisions all replay in
+    SQL)."""
+    from ..stages.dedup import oph_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"],
+                         override_num_blocks=32)
+    return oph_pairs(ds, nbins=32, bands=8, k=3)
+
+
 def docs_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_pairs
 
@@ -2282,6 +2298,44 @@ SELECT CASE WHEN (SELECT COUNT(*) FROM bk) < {k}
             ELSE CAST(({k} - 1) * 18446744073709551616::HUGEINT
                       // CAST((SELECT MAX(h) FROM bk) AS HUGEINT) AS BIGINT)
        END AS est_distinct
+"""
+
+
+def events_hll(sf_dir: str):
+    """HyperLogLog distinct-user sketch (p=8, 256 registers) in exact
+    integer arithmetic — per-block register maxima, one <=256-key
+    groupby-Max, denominators-cleared rational-alpha estimator. The
+    register state AND the raw estimate are both pinned by the oracle
+    (same mix64 kernel; rho replayed via length(bin(w)))."""
+    from ..stages.sketches import hll_distinct
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_distinct(ev, "user_id", p=8)
+
+
+def _hll_sql(p: int = 8) -> str:
+    from . import oracle_kernels as _ok
+
+    m = 1 << p
+    q = 64 - p
+    mask = (1 << q) - 1
+    return f"""{_ok.U64_PRELUDE}
+WITH h AS (SELECT mix64(CAST(user_id AS UBIGINT)) AS h FROM events),
+r AS (SELECT CAST(h >> {q} AS BIGINT) AS reg0, h & {mask}::UBIGINT AS w
+      FROM h),
+rr AS (SELECT reg0, CASE WHEN w > 0 THEN {q} - (length(bin(w)) - 1)
+                         ELSE {q} + 1 END AS rho FROM r),
+regs AS (SELECT reg0, MAX(rho) AS rho FROM rr GROUP BY reg0),
+s AS (SELECT COUNT(*) AS filled,
+             ({m} - COUNT(*)) * (1::HUGEINT << {q + 1})
+             + SUM(1::HUGEINT << ({q + 1} - rho)) AS s_val
+      FROM regs)
+SELECT {m}::BIGINT AS m, CAST(filled AS BIGINT) AS filled,
+       CAST(7213::HUGEINT * {m ** 3} * (1::HUGEINT << {q + 1})
+            // (10::HUGEINT * {1000 * m + 1079} * s_val) AS BIGINT)
+       AS est_raw
+FROM s
 """
 
 
@@ -7960,6 +8014,7 @@ QUERIES = {
     "docs_lang_guess": docs_lang_guess,
     "docs_fingerprint": docs_fingerprint,
     "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_minhash_oph": docs_minhash_oph,
     "docs_simhash_pairs": docs_simhash_pairs,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_decontaminate": docs_decontaminate,
@@ -7997,6 +8052,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "docs_repetition_scores": docs_repetition_scores,
     "events_distinct_kmv": events_distinct_kmv,
+    "events_hll": events_hll,
     "docs_bm25_topk": docs_bm25_topk,
     "docs_redact_pii": docs_redact_pii,
     "docs_chunk_overlap": docs_chunk_overlap,
@@ -8161,6 +8217,7 @@ ORACLE_SQL = {
     # FNV-1a/splitmix64/MinHash/SimHash bit-identically via u64 macros
     "docs_fingerprint": _oracle_kernels.fingerprint_sql(),
     "docs_minhash_pairs": _oracle_kernels.minhash_pairs_sql(),
+    "docs_minhash_oph": _oracle_kernels.oph_pairs_sql(),
     "docs_simhash_pairs": _oracle_kernels.simhash_pairs_sql(),
     "training_pipeline": _oracle_kernels.training_pipeline_sql(),
     # hyperplane LSH: the plane matrix is a deterministic constant, so the
@@ -8202,6 +8259,7 @@ ORACLE_SQL = {
     "docs_repetition_scores": _REPETITION_SQL,
     # KMV bottom-k distinct sketch — mix64 bijection replays exactly
     "events_distinct_kmv": _kmv_sql(),
+    "events_hll": _hll_sql(),
     # full BM25 with cleared denominators — HUGEINT replay, no floats
     "docs_bm25_topk": _bm25_topk_sql(),
     # RE2-safe email scrub — regexp_replace replay

@@ -569,6 +569,97 @@ def minhash_lsh_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
         broadcast_limit=broadcast_limit)
 
 
+# ------------------------------------------------- one-permutation hashing
+
+_OPH_OFFSET = np.uint64(0x9E3779B97F4A7C15)
+
+
+def oph_signature(shingles: np.ndarray, nbins: int = 32) -> np.ndarray:
+    """One-permutation MinHash signature (Li, Owen & Zhang 2012): ONE
+    hash pass bins the shingle hashes by ``s % nbins`` and keeps the min
+    per bin — k times cheaper than k independent permutations. Empty bins
+    densify by borrowing the cyclically nearest filled bin to the RIGHT,
+    offset by ``t * GOLDEN`` for rotation distance t (Shrivastava & Li
+    2014 rotation scheme — the offset keeps borrowed values from
+    colliding across distances). Docs with no shingles keep the all-zeros
+    signature (minhash_signature parity)."""
+    sig = np.zeros(nbins, dtype=np.uint64)
+    if shingles.size == 0:
+        return sig
+    bins = (shingles % np.uint64(nbins)).astype(np.int64)
+    base = np.zeros(nbins, dtype=np.uint64)
+    filled = np.zeros(nbins, dtype=bool)
+    order = np.lexsort((shingles, bins))
+    b_s, s_s = bins[order], shingles[order]
+    first = np.concatenate(([True], b_s[1:] != b_s[:-1]))
+    base[b_s[first]] = s_s[first]
+    filled[b_s[first]] = True
+    sig[filled] = base[filled]
+    done = filled.copy()
+    idx = np.arange(nbins)
+    for t in range(1, nbins):
+        if done.all():
+            break
+        src = (idx + t) % nbins
+        take = ~done & filled[src]
+        if take.any():
+            with np.errstate(over="ignore"):
+                sig[take] = base[src[take]] + np.uint64(t) * _OPH_OFFSET
+            done[take] = True
+    return sig
+
+
+def oph_bands_batch(batch: pa.Table, nbins: int = 32, bands: int = 8,
+                    k: int = 3, text_col: str = "text") -> pa.Table:
+    """documents batch -> exploded (doc_id, band_id, band_key, bucket)
+    rows over OPH signatures — same band-key recipe as
+    minhash_bands_batch (sum of mix64 over the band slice mod 2^64)."""
+    rows_per_band = nbins // bands
+    doc_ids = batch.column("doc_id")
+    texts = batch.column(text_col).to_pylist()
+    D = len(texts)
+    sigs = np.stack([oph_signature(shingle_hashes(t, k), nbins)
+                     for t in texts]) if D else np.zeros((0, nbins),
+                                                         np.uint64)
+    keys = _mix64_np(sigs.reshape(-1)).reshape(
+        D, bands, rows_per_band).sum(axis=2, dtype=np.uint64)
+    idx = np.repeat(np.arange(D, dtype=np.int64), bands)
+    t = pa.table({
+        "doc_id": doc_ids.take(pa.array(idx)),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), D)),
+        "band_key": pa.array(keys.reshape(-1).view(np.int64)),
+    })
+    return _append_bucket(t)
+
+
+def oph_pairs(ds, nbins: int = 32, bands: int = 8, k: int = 3,
+              min_matched: int | None = None,
+              broadcast_limit: int = 100_000) -> pa.Table:
+    """documents Dataset -> pa.Table (a, b, matched) of near-dup pairs
+    whose densified OPH signatures agree on >= ``min_matched`` bins
+    (default nbins/2 — est. Jaccard >= 0.5). Candidates come from band
+    collisions (the minhash LSH machinery verbatim); verification
+    recomputes both signatures worker-side and counts equal bins, so the
+    reported score is a signature property, not a text re-scan."""
+    if min_matched is None:
+        min_matched = (nbins + 1) // 2
+    band_ds = ds.map_batches(
+        lambda b: oph_bands_batch(b, nbins, bands, k),
+        batch_format="pyarrow")
+    cand = _pairs_from_buckets(band_ds)
+
+    def matched_bins(ta: str, tb: str) -> int:
+        sa = oph_signature(shingle_hashes(ta, k), nbins)
+        sb = oph_signature(shingle_hashes(tb, k), nbins)
+        return int((sa == sb).sum())
+
+    return _verified_pairs(
+        ds, cand, id_col="doc_id", payload_col="text",
+        verify_fn=matched_bins, score_col="matched",
+        threshold=min_matched, score_type=pa.int64(),
+        broadcast_limit=broadcast_limit)
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -208,3 +208,68 @@ def count_min(ds, col: str, depth: int = 4, width: int = 64) -> pa.Table:
                                          pa.int64()),
                      "n_est": pa.array(out["n_est"].astype("int64"),
                                        pa.int64())})
+
+
+def hll_distinct(ds, col: str, p: int = 8) -> pa.Table:
+    """HyperLogLog (Flajolet et al. 2007) distinct count of int64 ``col``
+    in EXACT integer arithmetic: hash ``h = mix64(v)``; register index =
+    top ``p`` bits, rank ``rho`` = position of the first 1-bit in the low
+    ``64-p`` bits (``65-p`` when they are all zero); each of the ``m =
+    2^p`` registers keeps the max rho. The raw estimate
+    ``alpha_m * m^2 / sum_j 2^-M_j`` is evaluated denominators-cleared:
+    with ``q = 64 - p`` and ``S = sum_j 2^(q + 1 - M_j)`` (empty
+    registers contribute ``2^(q+1)``; rho <= q+1 so every term is a
+    non-negative shift),
+    ``est_raw = 7213 * m^3 * 2^(q+1) // (10 * (1000*m + 1079) * S)``
+    using the published closed-form ``alpha_m = 0.7213/(1 + 1.079/m)`` as
+    the exact rational 7213*m / (10*(1000m+1079)) — Python bigints here,
+    HUGEINT in the oracle, so both engines agree bit-for-bit. No float,
+    no low/high-range correction (the raw estimator is the contract; the
+    row reports ``filled`` so consumers can apply corrections).
+
+    Scale shape: map-side per-block register maxima (<= m tiny rows per
+    block), ONE groupby-Max over at most m keys, a driver finish over
+    <= m rows. The corpus itself never shuffles."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    q = 64 - p
+    mask = np.uint64((1 << q) - 1)
+
+    def local_regs(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        iv = np.asarray(v.cast(pa.int64()), dtype=np.int64)
+        if iv.size and iv.min() < 0:
+            raise ValueError(f"hll_distinct requires non-negative {col}")
+        h = _mix64_np(iv.view(np.uint64))
+        reg = (h >> np.uint64(q)).astype(np.int64)
+        w = h & mask
+        # floor(log2(w)) without floats (exact for full 64-bit range)
+        bl = np.zeros(w.size, dtype=np.int64)
+        vv = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = vv >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            vv[big] >>= np.uint64(s)
+        rho = np.where(w > 0, q - bl, q + 1).astype(np.int64)
+        # per-block register maxima: sort (reg, rho) and keep the last of
+        # each reg run — O(n log n) in the block, <= m output rows
+        order = np.lexsort((rho, reg))
+        reg_s, rho_s = reg[order], rho[order]
+        last = np.concatenate((reg_s[1:] != reg_s[:-1], [True])) \
+            if reg_s.size else np.zeros(0, dtype=bool)
+        return pa.table({"reg": pa.array(reg_s[last], pa.int64()),
+                         "rho": pa.array(rho_s[last], pa.int64())})
+
+    regs = (ds.map_batches(local_regs, batch_format="pyarrow")
+            .groupby("reg").aggregate(Max("rho", alias_name="rho"))
+            .to_pandas())
+    filled = len(regs)
+    s_val = (m - filled) * (1 << (q + 1)) + sum(
+        1 << (q + 1 - int(r)) for r in regs["rho"])
+    est = 7213 * m ** 3 * (1 << (q + 1)) // (10 * (1000 * m + 1079) * s_val)
+    return pa.table({"m": pa.array([m], pa.int64()),
+                     "filled": pa.array([filled], pa.int64()),
+                     "est_raw": pa.array([int(est)], pa.int64())})

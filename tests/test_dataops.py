@@ -2747,3 +2747,72 @@ def test_rfm_segments_empty(ray_session):
     })
     out = rfm_segments(rd.from_arrow(t))
     assert out.num_rows == 0
+
+
+def test_hll_distinct_accuracy_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.sketches import hll_distinct
+
+    # p=8 -> ~6.5% standard error; 5000 distinct should land within 20%
+    big = pa.table({"u": pa.array(np.arange(5000, dtype=np.int64))})
+    out = hll_distinct(rd.from_arrow(big).repartition(4), "u", p=8)
+    assert out.column("m").to_pylist() == [256]
+    est = out.column("est_raw")[0].as_py()
+    assert abs(est - 5000) / 5000 < 0.2
+    # register maxima commute with block splits: identical output
+    out2 = hll_distinct(rd.from_arrow(big).repartition(13), "u", p=8)
+    assert out.equals(out2)
+    # duplicates do not move registers
+    dup = pa.table({"u": pa.array(
+        np.tile(np.arange(5000, dtype=np.int64), 3))})
+    out3 = hll_distinct(rd.from_arrow(dup).repartition(7), "u", p=8)
+    assert out3.column("est_raw")[0].as_py() == est
+    # negative ids fail loudly on both engines (oracle CAST would error)
+    neg = pa.table({"u": pa.array([-1, 2], pa.int64())})
+    with pytest.raises((ValueError, Exception)):
+        hll_distinct(rd.from_arrow(neg), "u", p=8).column("m")
+
+
+def test_oph_signature_properties():
+    from anycrawl_ray.stages.dedup import (_OPH_OFFSET, oph_signature,
+                                           shingle_hashes)
+
+    s = shingle_hashes("the quick brown fox jumps over the lazy dog", 3)
+    sig = oph_signature(s, nbins=32)
+    assert sig.shape == (32,) and sig.dtype == np.uint64
+    # deterministic, and identical shingle sets -> identical signatures
+    assert np.array_equal(sig, oph_signature(s.copy(), nbins=32))
+    # empty docs: all-zeros (minhash parity)
+    assert not oph_signature(np.array([], np.uint64), 32).any()
+    # filled bins hold the true per-bin minimum
+    bins = (s % np.uint64(32)).astype(np.int64)
+    for b in np.unique(bins):
+        assert sig[b] == s[bins == b].min()
+    # a single shingle densifies every bin with distinct offsets
+    one = np.array([12345], dtype=np.uint64)
+    sig1 = oph_signature(one, nbins=32)
+    b0 = int(one[0] % 32)
+    assert sig1[b0] == one[0]
+    with np.errstate(over="ignore"):
+        exp = one[0] + np.uint64((b0 - (b0 + 1) % 32 + 32) % 32) * _OPH_OFFSET
+    # bin (b0+1)%32 borrows from b0 at rotation distance 31
+    assert sig1[(b0 + 1) % 32] == exp
+    assert np.unique(sig1).size == 32
+
+
+def test_oph_pairs_finds_planted_near_dup(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.dedup import oph_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base + " phi"  # one extra token: very high Jaccard
+    far = "one two three four five six seven eight nine ten"
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([base, near, far])})
+    out = oph_pairs(rd.from_arrow(t).repartition(2))
+    assert out.column("a").to_pylist() == [1]
+    assert out.column("b").to_pylist() == [2]
+    assert out.column("matched")[0].as_py() >= 16
