@@ -90,6 +90,71 @@ CREATE OR REPLACE MACRO fnv1a(s) AS (
 """
 
 
+# XXH64 (seed 0) replica for inputs < 32 bytes — the frontier's seen-set /
+# host-shard key (functions/urls.py::xxh64). Constants are the standard
+# XXH64 primes; rotl64 builds OR from disjoint add (u64mul wraps, >> can't
+# overflow). Inputs >= 32 bytes take the 4-lane path the macros don't
+# implement — xxh64_ctes yields NULL there so misuse mismatches loudly.
+_XXP1 = "11400714785074694791"
+_XXP2 = "14029467366897019727"
+_XXP3 = "1609587929392839161"
+_XXP4 = "9650029242287828579"
+_XXP5 = "2870177450012600261"
+
+XXH_MACROS = f"""
+CREATE OR REPLACE MACRO rotl64(x, r) AS (
+  u64add(u64mul(x, (1::UBIGINT << r)), CAST(x AS UBIGINT) >> (64 - r)) );
+CREATE OR REPLACE MACRO xxround0(w) AS (
+  u64mul(rotl64(u64mul(w, {_XXP2}::UBIGINT), 31), {_XXP1}::UBIGINT) );
+CREATE OR REPLACE MACRO xxh8w(h, w) AS (
+  u64add(u64mul(rotl64(xor(h, xxround0(w)), 27), {_XXP1}::UBIGINT),
+         {_XXP4}::UBIGINT) );
+CREATE OR REPLACE MACRO xxh4w(h, w) AS (
+  u64add(u64mul(rotl64(xor(h, u64mul(w, {_XXP1}::UBIGINT)), 23),
+                {_XXP2}::UBIGINT), {_XXP3}::UBIGINT) );
+CREATE OR REPLACE MACRO xxh1b(h, b) AS (
+  u64mul(rotl64(xor(h, u64mul(b, {_XXP5}::UBIGINT)), 11), {_XXP1}::UBIGINT) );
+CREATE OR REPLACE MACRO xxava(h0) AS (
+  xshift(u64mul(xshift(u64mul(xshift(h0, 33), {_XXP2}::UBIGINT), 29),
+                {_XXP3}::UBIGINT), 32) );
+"""
+
+_LE_MULT = ["1", "256", "65536", "16777216", "4294967296", "1099511627776",
+            "281474976710656", "72057594037927936"]
+
+
+def _le_word(start: str, nb: int) -> str:
+    """Little-endian UBIGINT word from bs[start + j], j in [0, nb)."""
+    return " + ".join(f"bs[{start} + {j}] * {_LE_MULT[j]}::UBIGINT"
+                      for j in range(nb))
+
+
+def xxh64_ctes(src: str, col: str, p: str = "x") -> str:
+    """CTE chain computing XXH64(seed 0) of string column ``col`` of
+    ``src`` (< 32-byte inputs; other columns carried through), ending in
+    ``{p}done`` with the hash in column ``xh``. Stepwise CTEs — a single
+    mega-macro exceeds DuckDB's 128-level binder recursion. Requires
+    U64_PRELUDE + XXH_MACROS installed."""
+    return f"""
+{p}b AS (SELECT *, str_bytes({col}) AS bs,
+                octet_length(encode({col})) AS n FROM {src}),
+{p}w AS (SELECT * EXCLUDE (bs), bs,
+  list_reduce(list_prepend(
+    u64add({_XXP5}::UBIGINT, CAST(n AS UBIGINT)),
+    list_transform(range(0, n // 8), i -> {_le_word("8*i + 1", 8)})),
+    (h, w) -> xxh8w(h, w)) AS h8 FROM {p}b),
+{p}w4 AS (SELECT * EXCLUDE (h8),
+  CASE WHEN n % 8 >= 4 THEN xxh4w(h8, {_le_word("8*(n//8) + 1", 4)})
+       ELSE h8 END AS h4 FROM {p}w),
+{p}tl AS (SELECT * EXCLUDE (bs, h4),
+  list_reduce(list_prepend(h4,
+    list_transform(range(8*(n//8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END,
+                         n), i -> bs[i + 1])),
+    (h, b) -> xxh1b(h, b)) AS ht FROM {p}w4),
+{p}done AS (SELECT * EXCLUDE (n, ht),
+  CASE WHEN n < 32 THEN xxava(ht) END AS xh FROM {p}tl)"""
+
+
 def _token_hash_ctes(src: str = "documents", p: str = "") -> str:
     """doc_id -> ordered token-hash CTE chain over ``src`` (needs columns
     doc_id, text), hashing each DISTINCT token once. ``p`` prefixes CTE

@@ -1453,6 +1453,94 @@ FROM reach GROUP BY id
 """
 
 
+def crawl_frontier_shards(sf_dir: str):
+    """Frontier partitioning audit over the crawled seen set: seen-set
+    shard = ``url_key % 8`` (uniform key sharding) and queue shard =
+    ``xxh64(host) % 8`` (host-locality sharding) — the exact routing
+    rules the shard actors apply (state/frontier.py:953-961 and the
+    insert_seen key sharding). The url_key values come from the REAL
+    frontier actors (res.seen), so the oracle's bit-exact SQL XXH64
+    replica independently verifies the engine's keys AND the per-shard
+    balance the north-rule's host-hash partitioning relies on."""
+    from ..functions.urls import host_of, xxh64
+    from ..sources.synthetic_site import build_site_table, page_url
+    from .crawl import CrawlJob, run_crawl
+
+    n_shards = 8
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    job = CrawlJob(job_id="cs", seed_urls=[page_url(0)], strategy="all",
+                   max_depth=20, limit=50_000)
+    import ray
+
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(),
+                    ray_wave_threshold=64)
+    from ..functions.urls import url_key
+
+    # the full fetched set (seeds bypass the seen-set dedup insert, so
+    # res.seen lacks them); keys recomputed via the library rule, then
+    # PINNED against the frontier actors' own stored keys on the overlap
+    fetched = (res.order.to_pandas()
+               .drop_duplicates("canonical_url")[["canonical_url"]])
+    fetched["key"] = fetched["canonical_url"].map(
+        lambda u: np.uint64(url_key(u)))
+    actor_keys = res.seen.to_pandas().drop_duplicates("canonical_url")
+    merged = fetched.merge(actor_keys, on="canonical_url", how="inner")
+    if not (merged["key"].to_numpy(dtype=np.uint64)
+            == merged["url_key"].to_numpy(dtype=np.uint64)).all():
+        raise AssertionError("frontier actor url_key diverged from "
+                             "functions.urls.url_key")
+    keys = fetched["key"].to_numpy(dtype=np.uint64)
+    seen_shard = (keys % np.uint64(n_shards)).astype(np.int64)
+    hosts = fetched["canonical_url"].map(host_of)
+    host_shard = {h: xxh64(h) % n_shards for h in hosts.unique()}
+    queue_shard = hosts.map(host_shard).to_numpy(dtype=np.int64)
+    return pa.table({
+        "shard": pa.array(np.arange(n_shards, dtype=np.int64)),
+        "seen_urls": pa.array(
+            np.bincount(seen_shard, minlength=n_shards).astype(np.int64)),
+        "queue_urls": pa.array(
+            np.bincount(queue_shard, minlength=n_shards).astype(np.int64)),
+    })
+
+
+def _crawl_frontier_shards_sql(n_shards: int = 8) -> str:
+    return f"""{_oracle_kernels.U64_PRELUDE}{_oracle_kernels.XXH_MACROS}
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+{_EDGES_CTE_BODY}
+),
+reach(id, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20
+),
+urls AS (
+  SELECT DISTINCT 'http://site' || CAST(id % {_HOSTS} AS VARCHAR) ||
+         '.test/p/' || lpad(CAST(id AS VARCHAR), 6, '0') AS url,
+         id % {_HOSTS} AS hid
+  FROM reach),
+{_oracle_kernels.xxh64_ctes('urls', 'url', 'u')},
+hosts AS (
+  SELECT DISTINCT 'site' || CAST(hid AS VARCHAR) || '.test' AS host, hid
+  FROM urls),
+{_oracle_kernels.xxh64_ctes('hosts', 'host', 'h')},
+seen AS (SELECT CAST(xh % {n_shards} AS BIGINT) AS shard,
+                COUNT(*) AS seen_urls
+         FROM udone GROUP BY 1),
+queue AS (SELECT CAST(hd.xh % {n_shards} AS BIGINT) AS shard,
+                 COUNT(*) AS queue_urls
+          FROM udone u JOIN hdone hd ON hd.hid = u.hid GROUP BY 1),
+grid AS (SELECT CAST(g.s AS BIGINT) AS shard
+         FROM UNNEST(range(0, {n_shards})) AS g(s))
+SELECT g.shard, CAST(coalesce(s.seen_urls, 0) AS BIGINT) AS seen_urls,
+       CAST(coalesce(q.queue_urls, 0) AS BIGINT) AS queue_urls
+FROM grid g
+LEFT JOIN seen s USING (shard) LEFT JOIN queue q USING (shard)
+ORDER BY g.shard
+"""
+
+
 def crawl_browser_screenshots(sf_dir: str):
     """Crawl through the registry-resolved browser engine
     (``get_engine('browser-sim')``): wait_until/wait_for_selector honored
@@ -8028,6 +8116,7 @@ QUERIES = {
     "embeddings_knn_ivf": embeddings_knn_ivf,
     "embeddings_knn_ivf_index": embeddings_knn_ivf_index,
     "crawl_reachable": crawl_reachable,
+    "crawl_frontier_shards": crawl_frontier_shards,
     "crawl_browser_screenshots": crawl_browser_screenshots,
     "crawl_lineage": crawl_lineage,
     "scrape_titles": scrape_titles,
@@ -8206,6 +8295,7 @@ ORACLE_SQL = {
     "docs_sample_stratified": _sample_stratified_sql(),
     "docs_neardup_clusters": _neardup_clusters_sql(),
     "crawl_reachable": _CRAWL_REACHABLE_SQL,
+    "crawl_frontier_shards": _crawl_frontier_shards_sql(),
     "crawl_browser_screenshots": _CRAWL_BROWSER_SCREENSHOTS_SQL,
     "crawl_lineage": _CRAWL_LINEAGE_SQL,
     "scrape_titles": _SCRAPE_TITLES_SQL,

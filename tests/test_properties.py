@@ -385,3 +385,32 @@ def test_hits_normalization_decomposition_exact(s, total, scale):
     the oracle) — the overflow-free form hits_int normalizes with."""
     lhs = (s // total) * scale + ((s % total) * scale) // total
     assert lhs == (s * scale) // total
+
+
+def test_sql_xxh64_matches_python_on_short_strings():
+    """The oracle kernel's XXH64 CTE replica is bit-exact vs the Python
+    implementation for every input length 0..31 (all three tail paths)."""
+    import duckdb
+
+    from anycrawl_ray.pipelines import oracle_kernels as ok
+
+    con = duckdb.connect()
+    con.execute(ok.U64_PRELUDE)
+    con.execute(ok.XXH_MACROS)
+    cases = [""]
+    # cover every length with mixed bytes, plus URL-shaped strings
+    for n in range(1, 32):
+        cases.append("".join(chr(33 + (i * 7) % 90) for i in range(n)))
+    cases += ["site0.test", "site3.test", "http://site1.test/p/004242"]
+    vals = ", ".join(f"('{c}')" for c in cases)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(u)")
+    got = dict(con.execute(
+        f"WITH {ok.xxh64_ctes('t', 'u')} SELECT u, xh FROM xdone"
+    ).fetchall())
+    for c in cases:
+        assert got[c] == xxh64(c), f"mismatch for {c!r}"
+    # >= 32 bytes: loud NULL, never a wrong hash
+    con.execute("CREATE TABLE t2 AS SELECT repeat('a', 40) AS u")
+    assert con.execute(
+        f"WITH {ok.xxh64_ctes('t2', 'u')} SELECT xh FROM xdone"
+    ).fetchone()[0] is None
