@@ -3710,6 +3710,69 @@ ORDER BY 1, 2
 """
 
 
+def docs_graph_walks(sf_dir: str):
+    """Deterministic DeepWalk corpus sampling (Perozzi et al. 2014) over
+    the site link graph: one 4-step walk per node, neighbor choice =
+    ``mix64(node * GOLDEN + seed * 4 + t) % deg`` over the sorted-unique
+    adjacency — RNG-free, so the unrolled SQL oracle replays every step.
+    Output = per-node visit counts (graph-sampling weight table)."""
+    rd = _rd()
+    from ..stages.graph import graph_walks, site_edges
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    return graph_walks(site_edges(ids, n), n, walk_len=4)
+
+
+def _graph_walks_sql(walk_len: int = 4) -> str:
+    golden = "11400714819323198485"  # 0x9E3779B97F4A7C15
+    steps = []
+    for t in range(walk_len):
+        steps.append(f"""
+k{t} AS MATERIALIZED (
+  SELECT s, node,
+         u64add(u64mul(CAST(node AS UBIGINT), {golden}::UBIGINT),
+                CAST(s * {walk_len} + {t} AS UBIGINT)) AS key
+  FROM w{t}),
+m{t} AS MATERIALIZED (SELECT s, node, mix64(key) AS mx FROM k{t}),
+w{t + 1} AS (
+  SELECT m.s, a.nbr AS node
+  FROM m{t} m JOIN adj a
+    ON a.node = m.node
+   AND a.idx = CAST(m.mx % CAST(a.deg AS UBIGINT) AS BIGINT))""")
+    vis = " UNION ALL ".join(
+        f"SELECT node FROM w{t + 1}" for t in range(walk_len))
+    return f"""{_oracle_kernels.U64_PRELUDE}
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+    SELECT d.doc_id AS a, 2 * d.doc_id + 1 AS b
+    FROM documents d, n WHERE 2 * d.doc_id + 1 < n.n
+    UNION ALL
+    SELECT d.doc_id, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT 2 * d.doc_id + 1, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT least(d.doc_id, (7 * d.doc_id + 3) % n.n),
+           greatest(d.doc_id, (7 * d.doc_id + 3) % n.n)
+    FROM documents d, n WHERE (7 * d.doc_id + 3) % n.n <> d.doc_id
+),
+edges AS (SELECT DISTINCT a, b FROM raw),
+adj AS MATERIALIZED (
+  SELECT node, nbr,
+         row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY node) AS deg
+  FROM (SELECT DISTINCT node, nbr FROM (
+          SELECT a AS node, b AS nbr FROM edges
+          UNION ALL SELECT b, a FROM edges))),
+w0 AS (SELECT doc_id AS s, doc_id AS node FROM documents),{",".join(steps)}
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS visits
+FROM ({vis}) GROUP BY node ORDER BY node
+"""
+
+
 def docs_link_triangles(sf_dir: str):
     """Per-document triangle counts over the deterministic site link
     graph (stages/graph.site_edges rule) — degree-oriented distributed
@@ -8166,6 +8229,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_transition_matrix": events_transition_matrix,
     "docs_link_triangles": docs_link_triangles,
+    "docs_graph_walks": docs_graph_walks,
     "embeddings_kmeans": embeddings_kmeans,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
@@ -8377,6 +8441,7 @@ ORACLE_SQL = {
     "events_heavy_hitters": _HEAVY_HITTERS_SQL,
     "events_transition_matrix": _TRANSITION_SQL,
     "docs_link_triangles": _TRIANGLES_SQL,
+    "docs_graph_walks": _graph_walks_sql(),
     "embeddings_kmeans": _kmeans_sql(),
     "q6_forecast_revenue": _Q6_SQL,
     "q10_returned_items": _Q10_SQL,

@@ -790,3 +790,91 @@ def ppr_int(n_nodes: int, seed_mod: int = 50, iters: int = 8,
     return pa.table({"doc_id": pa.array(out["node"].to_numpy(), pa.int64()),
                      "rank_scaled": pa.array(out["r"].to_numpy(np.int64),
                                              pa.int64())})
+
+
+def graph_walks(edges_ds, n_nodes: int, walk_len: int = 4,
+                golden: int = 0x9E3779B97F4A7C15) -> pa.Table:
+    """Deterministic DeepWalk-style random walks (Perozzi et al. 2014
+    corpus sampling) over the undirected ``site_edges`` graph: one walk
+    of ``walk_len`` steps per node; at step t the walk at node u (seed
+    s) moves to the sorted-unique neighbor with index
+    ``mix64(u * GOLDEN + s * walk_len + t) % deg(u)`` — a hash-derived
+    choice both engines replay exactly (no RNG state). Returns
+    (doc_id, visits): how many times each node is visited across all
+    walks at steps 1..walk_len (starts excluded).
+
+    Scale shape: adjacency builds with ONE groupby (sorted-unique
+    neighbor index + degree riding each row); each step is one slim hash
+    join of the walk frontier (O(#walks) rows) against adjacency —
+    walk state never touches the driver. At 10^9 nodes the frontier is
+    a constant-width Dataset per step; walk_len bounds the join count."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..util import join_parts
+    from .text_analysis import _mix64_np
+
+    import pandas as pd
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "nbr": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def index_nbrs(group: pd.DataFrame) -> pd.DataFrame:
+        node = int(group["node"].iloc[0])
+        nbrs = np.unique(group["nbr"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "node": np.full(nbrs.size, node, dtype=np.int64),
+            "nbr": nbrs,
+            "idx": np.arange(nbrs.size, dtype=np.int64),
+            "deg": np.full(nbrs.size, nbrs.size, dtype=np.int64)})
+
+    adj = (edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+           .groupby("node").map_groups(index_nbrs, batch_format="pandas")
+           .materialize())
+    n_parts = join_parts(8)
+
+    walks = rd.range(n_nodes).map_batches(
+        lambda b: pa.table({
+            "s": pa.array(np.asarray(b.column("id"), dtype=np.int64)),
+            "node": pa.array(np.asarray(b.column("id"), dtype=np.int64))}),
+        batch_format="pyarrow")
+    visit_parts = []
+    for t in range(walk_len):
+        def pick(batch: pa.Table, _t=t) -> pa.Table:
+            s = np.asarray(batch.column("s"), dtype=np.int64)
+            u = np.asarray(batch.column("node"), dtype=np.int64)
+            idx = np.asarray(batch.column("idx"), dtype=np.int64)
+            deg = np.asarray(batch.column("deg"), dtype=np.int64)
+            nbr = np.asarray(batch.column("nbr"), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                key = (u.view(np.uint64) * np.uint64(golden)
+                       + s.view(np.uint64) * np.uint64(walk_len)
+                       + np.uint64(_t))
+            choice = (_mix64_np(key) % deg.view(np.uint64)).astype(np.int64)
+            m = idx == choice
+            return pa.table({"s": pa.array(s[m], pa.int64()),
+                             "node": pa.array(nbr[m], pa.int64())})
+
+        walks = (walks.join(adj, "inner", n_parts, on=("node",))
+                 .map_batches(pick, batch_format="pyarrow")
+                 .materialize())
+        visit_parts.append(walks)
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        node, cnt = np.unique(
+            np.asarray(batch.column("node"), dtype=np.int64),
+            return_counts=True)
+        return pa.table({"doc_id": pa.array(node, pa.int64()),
+                         "visits": pa.array(cnt.astype(np.int64))})
+
+    allv = visit_parts[0]
+    for vp in visit_parts[1:]:
+        allv = allv.union(vp)
+    out = (allv.map_batches(count_part, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Sum("visits", alias_name="visits"))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64")),
+                     "visits": pa.array(out["visits"].astype("int64"))})

@@ -2816,3 +2816,44 @@ def test_oph_pairs_finds_planted_near_dup(ray_session):
     assert out.column("a").to_pylist() == [1]
     assert out.column("b").to_pylist() == [2]
     assert out.column("matched")[0].as_py() >= 16
+
+
+def test_graph_walks_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import graph_walks, site_edges
+    from anycrawl_ray.stages.text_analysis import _mix64_np
+
+    n, W = 40, 4
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(
+        np.arange(n, dtype=np.int64))})).repartition(3)
+    out = graph_walks(site_edges(ids, n), n, walk_len=W)
+
+    # reference: dense adjacency + sequential walk replay
+    adj = {i: set() for i in range(n)}
+    for i in range(n):
+        for j in (2 * i + 1, 2 * i + 2):
+            if j < n:
+                adj[i].add(j); adj[j].add(i)
+        if 2 * i + 2 < n:
+            adj[2 * i + 1].add(2 * i + 2); adj[2 * i + 2].add(2 * i + 1)
+        ch = (7 * i + 3) % n
+        if ch != i:
+            adj[i].add(ch); adj[ch].add(i)
+    G = np.uint64(0x9E3779B97F4A7C15)
+    visits = np.zeros(n, dtype=np.int64)
+    for s in range(n):
+        cur = s
+        for t in range(W):
+            nbrs = sorted(adj[cur])
+            with np.errstate(over="ignore"):
+                key = (np.uint64(cur) * G
+                       + np.uint64(s) * np.uint64(W) + np.uint64(t))
+            cur = nbrs[int(_mix64_np(np.array([key]))[0]
+                           % np.uint64(len(nbrs)))]
+            visits[cur] += 1
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("visits").to_pylist()))
+    for i in range(n):
+        assert got.get(i, 0) == visits[i], f"node {i}"
+    assert sum(got.values()) == n * W
