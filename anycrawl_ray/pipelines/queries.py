@@ -7687,6 +7687,49 @@ ORDER BY query_id
 """
 
 
+def embeddings_mrl_recall(sf_dir: str):
+    """Matryoshka truncation evaluation: recall@10 of cosine search on
+    the first 16 of 64 dims vs the exact full-dim top-10
+    (stages/similarity.py::mrl_recall) — map-side top-k both sides, no
+    shuffle; oracle slices with embedding[1:16] and the shared brute
+    CTE."""
+    rd = _rd()
+    from ..stages.similarity import mrl_recall
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+    queries, qids = _load_queries(sf_dir)
+    return mrl_recall(ds, queries, qids, k=_KNN_K, dims=16)
+
+
+def _mrl_recall_sql(k: int = _KNN_K, dims: int = 16,
+                    n_queries: int = _KNN_QUERIES) -> str:
+    brute = _KNN_SQL.strip()
+    return f"""
+WITH qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+              LIMIT {n_queries}),
+tq AS (SELECT e.vec_id AS query_id, e.embedding[1:{dims}] AS qe
+       FROM embeddings e JOIN qids USING (vec_id)),
+tscored AS (
+  SELECT t.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(t.qe, e.embedding[1:{dims}]) AS sim
+  FROM tq t CROSS JOIN embeddings e),
+ttop AS (SELECT query_id, neighbor_id FROM tscored
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) <= {k}),
+brute AS ({brute}),
+hits AS (SELECT b.query_id, COUNT(*) AS inter
+         FROM brute b JOIN ttop t
+           ON t.query_id = b.query_id
+          AND t.neighbor_id = b.neighbor_id
+         GROUP BY 1)
+SELECT q.vec_id AS query_id,
+       CAST(COALESCE(h.inter, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
+FROM qids q LEFT JOIN hits h ON h.query_id = q.vec_id
+ORDER BY query_id
+"""
+
+
 def docs_merge_upsert(sf_dir: str):
     """Lakehouse MERGE (the Lance/Delta upsert shape the input_hint's
     storage implies): apply a deterministic delta to the documents
@@ -8282,6 +8325,7 @@ QUERIES = {
     "docs_ppr": docs_ppr,
     "crawl_recrawl_delta": crawl_recrawl_delta,
     "embeddings_bq_recall": embeddings_bq_recall,
+    "embeddings_mrl_recall": embeddings_mrl_recall,
     "docs_merge_upsert": docs_merge_upsert,
     "events_forecast_backtest": events_forecast_backtest,
     "embeddings_curation": embeddings_curation,
@@ -8298,6 +8342,7 @@ ORACLE_SQL = {
     "events_forecast_backtest": _FORECAST_BACKTEST_SQL,
     "docs_merge_upsert": _MERGE_UPSERT_SQL,
     "embeddings_bq_recall": _bq_recall_sql(),
+    "embeddings_mrl_recall": _mrl_recall_sql(),
     "crawl_recrawl_delta": _RECRAWL_DELTA_SQL,
     "docs_ppr": _ppr_sql(),
     "docs_kcore": _kcore_sql(),

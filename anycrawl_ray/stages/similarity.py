@@ -811,3 +811,36 @@ def bq_recall(ds, queries: np.ndarray, query_ids: list[int],
     return pa.table({
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "recall_ppm": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def mrl_recall(ds, queries: np.ndarray, query_ids: list[int],
+               k: int = 10, dims: int = 16) -> pa.Table:
+    """Matryoshka truncated-dimension evaluation (Kusupati et al. 2022
+    MRL): recall@k of cosine search over only the FIRST ``dims``
+    coordinates against the exact full-dim top-k — the quality gate
+    before shipping truncated vectors to a 100-TB index (4x smaller at
+    dims=16/64). Both searches are the map-side-top-k knn_brute shape
+    (broadcast queries, no shuffle); recall in exact integer ppm.
+
+    Deterministic tie handling: both rankings break ties by
+    neighbor_id, mirroring the SQL oracle's (sim DESC, neighbor_id)."""
+    queries = np.asarray(queries, dtype=np.float64)
+
+    def truncate(batch: pa.Table) -> pa.Table:
+        emb = _batch_embeddings(batch)[:, :dims]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64()))})
+
+    tds = ds.map_batches(truncate, batch_format="pyarrow")
+    trunc = knn_brute(tds, queries[:, :dims], query_ids, k=k).to_pandas()
+    brute = knn_brute(ds, queries, query_ids, k=k).to_pandas()
+    rows = []
+    for q in query_ids:
+        got = set(trunc[trunc["query_id"] == q]["neighbor_id"])
+        want = set(brute[brute["query_id"] == q]["neighbor_id"])
+        rows.append((q, len(want & got) * 1_000_000 // k))
+    rows.sort()
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "recall_ppm": pa.array([r[1] for r in rows], pa.int64())})

@@ -2857,3 +2857,23 @@ def test_graph_walks_matches_numpy_reference(ray_session):
     for i in range(n):
         assert got.get(i, 0) == visits[i], f"node {i}"
     assert sum(got.values()) == n * W
+
+
+def test_mrl_recall_full_dims_is_perfect(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import mrl_recall
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((80, 8)).astype(np.float64)
+    t = pa.table({"vec_id": pa.array(np.arange(80, dtype=np.int64)),
+                  "embedding": pa.array(list(emb), pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(4)
+    q = emb[:3]
+    # truncating to the FULL dimension must reproduce the exact top-k
+    out = mrl_recall(ds, q, [0, 1, 2], k=5, dims=8)
+    assert out.column("recall_ppm").to_pylist() == [1_000_000] * 3
+    # heavy truncation degrades but stays a valid ppm in [0, 1e6]
+    out2 = mrl_recall(ds, q, [0, 1, 2], k=5, dims=2)
+    for v in out2.column("recall_ppm").to_pylist():
+        assert 0 <= v <= 1_000_000
