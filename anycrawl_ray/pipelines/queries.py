@@ -7687,6 +7687,71 @@ ORDER BY query_id
 """
 
 
+def embeddings_lsh_multiprobe(sf_dir: str):
+    """Multi-probe LSH ANN (Lv et al. 2007): 16 sign planes -> one
+    bucket table; each query probes its bucket + the 3 lowest-|margin|
+    single-bit flips, exact-cosine reranks. Map-side codes + isin
+    candidate gate + local top-k, no shuffle
+    (stages/similarity.py::lsh_multiprobe_knn). The oracle replays
+    planes as literals, margins, probe sets and the rerank."""
+    rd = _rd()
+    from ..stages.similarity import lsh_multiprobe_knn
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    queries, qids = _load_queries(sf_dir)
+    return lsh_multiprobe_knn(ds, queries, qids, k=_KNN_K)
+
+
+def _lsh_multiprobe_sql(k: int = _KNN_K, num_planes: int = 16,
+                        probes: int = 3, seed: int = 7, dim: int = 64,
+                        n_queries: int = _KNN_QUERIES) -> str:
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    vals = ", ".join(
+        f"({p}, {j}, {planes[p, j]!r})"
+        for p in range(num_planes) for j in range(dim))
+    return f"""
+WITH planes(p, j, w) AS (VALUES {vals}),
+ev AS (
+  SELECT vec_id, i - 1 AS j, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+dots AS MATERIALIZED (
+  SELECT e.vec_id, pl.p, SUM(e.x * pl.w) AS dot
+  FROM ev e JOIN planes pl ON pl.j = e.j GROUP BY e.vec_id, pl.p),
+codes AS MATERIALIZED (
+  SELECT vec_id,
+         SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS code
+  FROM dots GROUP BY vec_id),
+qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id
+         LIMIT {n_queries}),
+flips AS (
+  SELECT d.vec_id AS query_id, d.p FROM dots d JOIN qids q USING (vec_id)
+  QUALIFY row_number() OVER (PARTITION BY d.vec_id
+                             ORDER BY abs(d.dot), d.p) <= {probes}),
+probeset AS (
+  SELECT c.vec_id AS query_id, c.code FROM codes c JOIN qids USING (vec_id)
+  UNION ALL
+  SELECT f.query_id, xor(c.code, (1::BIGINT << f.p))
+  FROM flips f JOIN codes c ON c.vec_id = f.query_id),
+cand AS (
+  SELECT DISTINCT ps.query_id, c.vec_id AS neighbor_id
+  FROM probeset ps JOIN codes c ON c.code = ps.code),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_cosine_similarity(qe.embedding, ne.embedding) AS sim
+  FROM cand cd
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+  JOIN embeddings ne ON ne.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def embeddings_mrl_recall(sf_dir: str):
     """Matryoshka truncation evaluation: recall@10 of cosine search on
     the first 16 of 64 dims vs the exact full-dim top-10
@@ -8326,6 +8391,7 @@ QUERIES = {
     "crawl_recrawl_delta": crawl_recrawl_delta,
     "embeddings_bq_recall": embeddings_bq_recall,
     "embeddings_mrl_recall": embeddings_mrl_recall,
+    "embeddings_lsh_multiprobe": embeddings_lsh_multiprobe,
     "docs_merge_upsert": docs_merge_upsert,
     "events_forecast_backtest": events_forecast_backtest,
     "embeddings_curation": embeddings_curation,
@@ -8343,6 +8409,7 @@ ORACLE_SQL = {
     "docs_merge_upsert": _MERGE_UPSERT_SQL,
     "embeddings_bq_recall": _bq_recall_sql(),
     "embeddings_mrl_recall": _mrl_recall_sql(),
+    "embeddings_lsh_multiprobe": _lsh_multiprobe_sql(),
     "crawl_recrawl_delta": _RECRAWL_DELTA_SQL,
     "docs_ppr": _ppr_sql(),
     "docs_kcore": _kcore_sql(),

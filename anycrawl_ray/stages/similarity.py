@@ -844,3 +844,64 @@ def mrl_recall(ds, queries: np.ndarray, query_ids: list[int],
     return pa.table({
         "query_id": pa.array([r[0] for r in rows], pa.int64()),
         "recall_ppm": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def lsh_multiprobe_knn(ds, queries: np.ndarray, query_ids: list[int],
+                       k: int = 10, num_planes: int = 16, probes: int = 3,
+                       seed: int = 7) -> pa.Table:
+    """Multi-probe LSH ANN (Lv et al. 2007): one sign-plane hash table
+    (``num_planes`` random hyperplanes -> a 16-bit bucket code); each
+    query probes its own bucket PLUS the ``probes`` single-bit flips of
+    the planes with the smallest |dot| margin — the buckets a near
+    neighbor most likely fell into — then exact-cosine reranks the
+    candidate union. Returns (query_id, neighbor_id, rank); queries with
+    fewer than k candidates return short lists (the oracle mirrors).
+
+    Scale shape: corpus codes are computed map-side from the broadcast
+    plane matrix; candidate selection is an ``isin`` against <=
+    Q*(probes+1) broadcast codes; each block emits its local top-k and
+    the driver merges O(k x blocks x Q) rows — no shuffle, no index
+    build (the one-table counterpart of the IVF path)."""
+    queries = np.asarray(queries, dtype=np.float64)
+    dim = queries.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((num_planes, dim))
+    shifts = np.arange(num_planes, dtype=np.int64)
+
+    qdots = queries @ planes.T  # raw-vector margins (oracle parity)
+    qcodes = ((qdots > 0).astype(np.int64) << shifts).sum(axis=1)
+    probe_sets = []
+    for qi in range(len(query_ids)):
+        order = np.lexsort((shifts, np.abs(qdots[qi])))[:probes]
+        probe_sets.append(np.concatenate(
+            ([qcodes[qi]], qcodes[qi] ^ (np.int64(1) << order))))
+    qn = _normalize(queries)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        emb_raw = _batch_embeddings(batch)
+        codes = ((emb_raw @ planes.T > 0).astype(np.int64)
+                 << shifts).sum(axis=1)
+        emb = _normalize(emb_raw)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(query_ids):
+            m = np.isin(codes, probe_sets[qi])
+            if not m.any():
+                continue
+            sims = emb[m] @ qn[qi]
+            cids = ids[m]
+            kk = min(k, sims.size)
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qid] * kk)
+            out_n.extend(cids[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if len(partials) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32())})
+    return _merge_topk(partials, k).select(
+        ["query_id", "neighbor_id", "rank"])

@@ -2877,3 +2877,32 @@ def test_mrl_recall_full_dims_is_perfect(ray_session):
     out2 = mrl_recall(ds, q, [0, 1, 2], k=5, dims=2)
     for v in out2.column("recall_ppm").to_pylist():
         assert 0 <= v <= 1_000_000
+
+
+def test_lsh_multiprobe_self_hit_and_probe_gain(ray_session):
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import lsh_multiprobe_knn
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((200, 16)).astype(np.float64)
+    t = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "embedding": pa.array(list(emb), pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(4)
+    q = emb[:4]
+    out = lsh_multiprobe_knn(ds, q, [0, 1, 2, 3], k=5, probes=3).to_pandas()
+    # every query's own bucket contains itself -> rank-1 self hit
+    r1 = out[out["rank"] == 1]
+    assert dict(zip(r1["query_id"], r1["neighbor_id"])) == {
+        0: 0, 1: 1, 2: 2, 3: 3}
+    # probing strictly widens (or keeps) the candidate pool
+    out0 = lsh_multiprobe_knn(ds, q, [0, 1, 2, 3], k=5,
+                              probes=0).to_pandas()
+    assert len(out) >= len(out0)
+    got0 = set(zip(out0["query_id"], out0["neighbor_id"]))
+    # probes=0 results all come from the query's own bucket, which the
+    # probes=3 run also scans: rank lists only grow
+    for qid in (0, 1, 2, 3):
+        sub3 = set(out[out["query_id"] == qid]["neighbor_id"])
+        sub0 = set(out0[out0["query_id"] == qid]["neighbor_id"])
+        assert sub0 - sub3 == set() or len(sub3) == 5
