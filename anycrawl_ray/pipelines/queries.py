@@ -8240,6 +8240,276 @@ ORDER BY url
 """.replace("{hosts}", str(_HOSTS))
 
 
+_RRF_POOL, _RRF_K, _RRF_C = 50, 10, 60
+
+
+def docs_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009)
+    — the standard way modern RAG/training-data pipelines combine a
+    lexical and a dense ranker without score calibration: each ranker
+    contributes ``1/(C + rank)`` (here the exact integer
+    ``10^9 // (60 + rank)``) for its top-50, summed per doc, fused
+    top-10 returned. Lexical = the exact-integer BM25 ranking
+    (text_analysis.bm25_topk); dense = exact-integer dot-product
+    retrieval against the first embedding vector (vec_id aligns 1:1
+    with doc_id in this corpus). Both rankers are DISTRIBUTED scans
+    (map-side local top-k + tiny driver merges); the fusion itself
+    folds two <= 50-row lists — never corpus-sized."""
+    from ..stages.similarity import dense_topk_int
+    from ..stages.text_analysis import bm25_topk
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bm = bm25_topk(docs, _KEYWORD_TERMS, k=_RRF_POOL)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qs, ids = _load_queries(sf_dir)
+    dn = dense_topk_int(emb, qs[0], k=_RRF_POOL,
+                        exclude_ids=(int(ids[0]),))
+    fused: dict[int, list[int]] = {}
+    for r, d in enumerate(bm.column("doc_id").to_pylist(), 1):
+        e = fused.setdefault(int(d), [0, 0, 0])
+        e[0] += 10**9 // (_RRF_C + r)
+        e[1] = r
+    for r, d in zip(dn.column("rank").to_pylist(),
+                    dn.column("vec_id").to_pylist()):
+        e = fused.setdefault(int(d), [0, 0, 0])
+        e[0] += 10**9 // (_RRF_C + int(r))
+        e[2] = int(r)
+    top = sorted(fused.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_RRF_K]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top], pa.int64()),
+        "rrf_score": pa.array([e[0] for _, e in top], pa.int64()),
+        "bm25_rank": pa.array([e[1] for _, e in top], pa.int64()),
+        "dense_rank": pa.array([e[2] for _, e in top], pa.int64())})
+
+
+def _rrf_fusion_sql(terms: list[str] | None = None, pool: int = _RRF_POOL,
+                    k: int = _RRF_K, c: int = _RRF_C,
+                    scale: int = 1_000_000, vscale: int = 100) -> str:
+    tlist = ", ".join(f"'{t}'" for t in (terms or _KEYWORD_TERMS))
+    return f"""
+WITH lists AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM lists),
+g AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+toks AS (SELECT doc_id, UNNEST(t) AS tok FROM lists),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ({tlist}) GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(SUM( (g.n // df.df)
+                   * (22::HUGEINT * tf.tf * g.tl * {scale})
+                   // (10::HUGEINT * g.tl * tf.tf + 3::HUGEINT * g.tl
+                       + 9::HUGEINT * dl.dl * g.n) ) AS BIGINT) AS score
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), g
+  GROUP BY tf.doc_id),
+bm AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM sc QUALIFY r <= {pool}),
+qv AS (SELECT vec_id, list_transform(embedding,
+        x -> CAST(round_even(CAST(x AS DOUBLE) * {vscale}, 0) AS BIGINT))
+        AS q FROM embeddings),
+q0 AS (SELECT q FROM qv ORDER BY vec_id LIMIT 1),
+qid AS (SELECT vec_id AS id0 FROM qv ORDER BY vec_id LIMIT 1),
+dn AS (SELECT v.vec_id AS doc_id,
+              row_number() OVER (
+                ORDER BY list_sum(list_transform(list_zip(v.q, q0.q),
+                                                 z -> z[1]*z[2])) DESC,
+                         v.vec_id) AS r
+       FROM qv v, q0 WHERE v.vec_id <> (SELECT id0 FROM qid)
+       QUALIFY r <= {pool})
+SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+       CAST(COALESCE(1000000000 // ({c} + bm.r), 0)
+            + COALESCE(1000000000 // ({c} + dn.r), 0) AS BIGINT)
+           AS rrf_score,
+       CAST(COALESCE(bm.r, 0) AS BIGINT) AS bm25_rank,
+       CAST(COALESCE(dn.r, 0) AS BIGINT) AS dense_rank
+FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {k}
+"""
+
+
+_HARDNEG_Q = 10
+
+
+def embeddings_hard_negatives(sf_dir: str):
+    """Triplet mining for metric-learning curation
+    (similarity.hard_negatives): for the first 10 anchors, the hardest
+    different-label negative (max integer dot) and hardest same-label
+    positive (min dot). Broadcast anchor matrix, <= 2 candidate rows per
+    anchor per block, tiny driver merge. Exact cross-join oracle."""
+    from ..stages.similarity import hard_negatives
+
+    rd = _rd()
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    order = np.argsort(np.asarray(tbl.column("vec_id").to_pylist()))
+    order = order[:_HARDNEG_Q]
+    aid = [int(tbl.column("vec_id")[int(i)].as_py()) for i in order]
+    alab = [int(tbl.column("label")[int(i)].as_py()) for i in order]
+    anchors = np.asarray(
+        [tbl.column("embedding")[int(i)].as_py() for i in order],
+        dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return hard_negatives(ds, anchors, aid, alab)
+
+
+_HARD_NEGATIVES_SQL = f"""
+WITH qv AS (SELECT vec_id, label, list_transform(embedding,
+        x -> CAST(round_even(CAST(x AS DOUBLE) * 100, 0) AS BIGINT))
+        AS q FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, label AS alab, q AS aq FROM qv
+      ORDER BY vec_id LIMIT {_HARDNEG_Q}),
+d AS (SELECT a.anchor_id, a.alab, v.vec_id, v.label,
+             list_sum(list_transform(list_zip(a.aq, v.q),
+                                     z -> z[1]*z[2])) AS dot
+      FROM a CROSS JOIN qv v),
+hn AS (SELECT anchor_id, vec_id AS hn_id, dot AS hn_dot FROM d
+       WHERE label <> alab
+       QUALIFY row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY dot DESC, vec_id) = 1),
+hp AS (SELECT anchor_id, vec_id AS hp_id, dot AS hp_dot FROM d
+       WHERE label = alab AND vec_id <> anchor_id
+       QUALIFY row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY dot ASC, vec_id) = 1)
+SELECT anchor_id, hn_id, CAST(hn_dot AS BIGINT) AS hn_dot,
+       hp_id, CAST(hp_dot AS BIGINT) AS hp_dot
+FROM hn JOIN hp USING (anchor_id) ORDER BY anchor_id
+"""
+
+
+def events_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user
+    (window.user_streaks) — the gaps-and-islands engagement metric.
+    Locally-distinct (user, day) partials, ONE fat-bucket shuffle,
+    vectorized cross-user run kernel. Oracle = the classic
+    day - row_number() islands SQL."""
+    from ..stages.window import user_streaks
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    df = user_streaks(ev)
+    return pa.table({
+        "user_id": pa.array(df["user_id"].astype("int64"), pa.int64()),
+        "n_active_days": pa.array(df["n_active_days"].astype("int64"),
+                                  pa.int64()),
+        "max_streak": pa.array(df["max_streak"].astype("int64"),
+                               pa.int64())})
+
+
+_USER_STREAKS_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+i AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp FROM d),
+s AS (SELECT user_id, COUNT(*) AS len FROM i GROUP BY user_id, grp)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def docs_heaps_law(sf_dir: str):
+    """Vocabulary-growth curve (Heaps' law measurement — the standard
+    corpus-statistics diagnostic for tokenizer/vocab sizing): at each
+    decile checkpoint ``c_i = i*N//10`` over doc_id, the number of
+    distinct tokens first seen in docs with doc_id < c_i and the
+    cumulative token count.
+
+    Scale shape: ONE tokenizing corpus pass emits (token, local-min
+    doc_id) rows plus 10 sentinel rows carrying the block's per-decile
+    token-count partials (the bm25 sentinel idiom); first occurrences
+    reduce via groupby-Min (the only vocab-sized shuffle), bucketize to
+    <= 10 cells map-side, and the driver folds two 10-row tables — the
+    corpus and the vocabulary never reach the driver."""
+    from ray.data.aggregate import Min, Sum
+
+    rd = _rd()
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet") \
+        .metadata.num_rows
+    cps = np.array([(i * n_docs) // 10 for i in range(1, 11)],
+                   dtype=np.int64)
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        local: dict[str, int] = {}
+        dl_sums = np.zeros(10, dtype=np.int64)
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.split()
+            j = int(np.searchsorted(cps, d, side="right"))
+            if j < 10:
+                dl_sums[j] += len(toks)
+            for tok in set(toks):
+                m = local.get(tok)
+                if m is None or d < m:
+                    local[tok] = d
+        out_t = list(local.keys()) + [""] * 10
+        out_a = list(local.values()) + list(range(10))
+        out_b = [0] * len(local) + dl_sums.tolist()
+        return pa.table({"tok": pa.array(out_t, pa.string()),
+                         "a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    idx = docs.map_batches(index_rows,
+                           batch_format="pyarrow").materialize()
+
+    def vocab_buckets(batch: pa.Table) -> pa.Table:
+        fd = np.asarray(batch.column("fd"), dtype=np.int64)
+        j = np.searchsorted(cps, fd, side="right")
+        cnt = np.bincount(j[j < 10], minlength=10)
+        return pa.table({"bucket": pa.array(np.arange(10), pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    vb = (idx.filter(expr="tok != ''")
+          .groupby("tok").aggregate(Min("a", alias_name="fd"))
+          .map_batches(vocab_buckets, batch_format="pyarrow")
+          .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    db = (idx.filter(expr="tok == ''")
+          .groupby("a").aggregate(Sum("b", alias_name="dl"))
+          .to_pandas())
+    vocab = np.zeros(10, dtype=np.int64)
+    vocab[vb["bucket"].to_numpy(dtype=np.int64)] = \
+        vb["n"].to_numpy(dtype=np.int64)
+    toks = np.zeros(10, dtype=np.int64)
+    toks[db["a"].to_numpy(dtype=np.int64)] = \
+        db["dl"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "decile": pa.array(np.arange(1, 11, dtype=np.int64), pa.int64()),
+        "n_docs": pa.array(cps, pa.int64()),
+        "vocab_size": pa.array(np.cumsum(vocab), pa.int64()),
+        "cum_tokens": pa.array(np.cumsum(toks), pa.int64())})
+
+
+_HEAPS_LAW_SQL = r"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+cps AS (SELECT i, (i * n.n) // 10 AS c FROM range(1, 11) t(i), n),
+lists AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+toks AS (SELECT doc_id, UNNEST(t) AS tok FROM lists),
+fo AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+dl AS (SELECT doc_id, len(t) AS dl FROM lists)
+SELECT CAST(i AS BIGINT) AS decile, CAST(c AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM fo WHERE fd < cps.c) AS BIGINT)
+           AS vocab_size,
+       CAST((SELECT COALESCE(SUM(dl), 0) FROM dl WHERE doc_id < cps.c)
+            AS BIGINT) AS cum_tokens
+FROM cps ORDER BY i
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -8398,6 +8668,10 @@ QUERIES = {
     "docs_uncertain_lang": docs_uncertain_lang,
     "events_bot_scores": events_bot_scores,
     "crawl_resume_equivalence": crawl_resume_equivalence,
+    "docs_rrf_fusion": docs_rrf_fusion,
+    "embeddings_hard_negatives": embeddings_hard_negatives,
+    "events_user_streaks": events_user_streaks,
+    "docs_heaps_law": docs_heaps_law,
 }
 
 ORACLE_SQL = {
@@ -8583,6 +8857,10 @@ ORACLE_SQL = {
     "docs_lang_confusion": _LANG_CONFUSION_SQL,
     "embeddings_ivf_recall": _ivf_recall_sql(),
     "docs_minhash_recall": _minhash_recall_sql(),
+    "docs_rrf_fusion": _rrf_fusion_sql(),
+    "embeddings_hard_negatives": _HARD_NEGATIVES_SQL,
+    "events_user_streaks": _USER_STREAKS_SQL,
+    "docs_heaps_law": _HEAPS_LAW_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -905,3 +905,121 @@ def lsh_multiprobe_knn(ds, queries: np.ndarray, query_ids: list[int],
                          "rank": pa.array([], pa.int32())})
     return _merge_topk(partials, k).select(
         ["query_id", "neighbor_id", "rank"])
+
+
+def dense_topk_int(ds, query: np.ndarray, k: int = 50, scale: int = 100,
+                   exclude_ids: tuple = ()) -> pa.Table:
+    """Exact-integer dense retrieval pool: top-``k`` vectors by the
+    integer dot product against ``query`` (vectors quantized as
+    rint(x*scale), the mmr_topk contract), ties to the smaller vec_id.
+    -> pa.Table (vec_id, rel, rank) with rank 1..k.
+
+    Scale shape: the query broadcasts into ``map_batches`` closures; each
+    block emits its local top-k (rel desc, vec_id) and the driver merges
+    O(k x blocks) rows once — the knn_brute/mmr stage-1 idiom, no shuffle,
+    no corpus materialization."""
+    qq = np.rint(np.asarray(query, dtype=np.float64) * scale) \
+        .astype(np.int64)
+    excl = np.asarray(sorted(exclude_ids), dtype=np.int64)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        q = np.rint(_batch_embeddings(batch) * scale).astype(np.int64)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        if excl.size:
+            keep = ~np.isin(ids, excl)
+            q, ids = q[keep], ids[keep]
+        rel = q @ qq
+        order = np.lexsort((ids, -rel))[:k]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "rel": pa.array(rel[order], pa.int64())})
+
+    parts = list(ds.map_batches(local_top, batch_format="pyarrow")
+                 .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "rel": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts)
+    ids = np.asarray(merged.column("vec_id"), dtype=np.int64)
+    rel = np.asarray(merged.column("rel"), dtype=np.int64)
+    order = np.lexsort((ids, -rel))[:k]
+    ids, rel = ids[order], rel[order]
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "rel": pa.array(rel, pa.int64()),
+        "rank": pa.array(np.arange(1, ids.size + 1, dtype=np.int64),
+                         pa.int64())})
+
+
+def hard_negatives(ds, anchors: np.ndarray, anchor_ids: list[int],
+                   anchor_labels: list[int], scale: int = 100) -> pa.Table:
+    """Triplet mining for metric-learning data curation: for each anchor
+    vector, the HARDEST NEGATIVE (different-label vector with the maximum
+    integer dot — the most confusable impostor) and the HARDEST POSITIVE
+    (same-label vector, excluding the anchor itself, with the MINIMUM dot
+    — the most dissimilar true match). The (anchor, hard-positive,
+    hard-negative) triple is the standard batch-mining unit for
+    triplet/contrastive losses (FaceNet, Schroff et al. 2015).
+
+    Exact integer contract: rint(x*scale) quantization, int64 dots, ties
+    to the smaller vec_id on both sides. Anchors missing either a
+    positive or a negative candidate are dropped (inner-join contract,
+    mirrored in the SQL oracle).
+
+    Scale shape: the anchor matrix broadcasts into map_batches closures
+    (Q is a caller constant); each block emits at most 2 candidate rows
+    per anchor (its local argmax-negative and argmin-positive), and the
+    driver merges O(Q x blocks) rows — one streaming pass, no shuffle."""
+    qa = np.rint(np.asarray(anchors, dtype=np.float64) * scale) \
+        .astype(np.int64)                      # (Q, d)
+    aid = np.asarray(anchor_ids, dtype=np.int64)
+    alab = np.asarray(anchor_labels, dtype=np.int64)
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        q = np.rint(_batch_embeddings(batch) * scale).astype(np.int64)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        labs = np.asarray(batch.column("label").to_pylist(),
+                          dtype=np.int64)
+        dots = qa @ q.T                        # (Q, n)
+        out_a, out_k, out_c, out_d = [], [], [], []
+        for qi in range(aid.size):
+            row = dots[qi]
+            neg = labs != alab[qi]
+            if neg.any():
+                cand = np.flatnonzero(neg)
+                best = cand[np.lexsort((ids[cand], -row[cand]))[0]]
+                out_a.append(int(aid[qi])); out_k.append(0)
+                out_c.append(int(ids[best])); out_d.append(int(row[best]))
+            pos = (labs == alab[qi]) & (ids != aid[qi])
+            if pos.any():
+                cand = np.flatnonzero(pos)
+                best = cand[np.lexsort((ids[cand], row[cand]))[0]]
+                out_a.append(int(aid[qi])); out_k.append(1)
+                out_c.append(int(ids[best])); out_d.append(int(row[best]))
+        return pa.table({"anchor_id": pa.array(out_a, pa.int64()),
+                         "kind": pa.array(out_k, pa.int64()),
+                         "cand_id": pa.array(out_c, pa.int64()),
+                         "dot": pa.array(out_d, pa.int64())})
+
+    parts = ds.map_batches(local_best, batch_format="pyarrow").to_pandas()
+    cols = {"anchor_id": [], "hn_id": [], "hn_dot": [],
+            "hp_id": [], "hp_dot": []}
+    if len(parts):
+        for a in sorted(parts["anchor_id"].unique().tolist()):
+            sub = parts[parts["anchor_id"] == a]
+            hn = sub[sub["kind"] == 0]
+            hp = sub[sub["kind"] == 1]
+            if hn.empty or hp.empty:
+                continue
+            hn = hn.sort_values(["dot", "cand_id"],
+                                ascending=[False, True]).iloc[0]
+            hp = hp.sort_values(["dot", "cand_id"],
+                                ascending=[True, True]).iloc[0]
+            cols["anchor_id"].append(int(a))
+            cols["hn_id"].append(int(hn["cand_id"]))
+            cols["hn_dot"].append(int(hn["dot"]))
+            cols["hp_id"].append(int(hp["cand_id"]))
+            cols["hp_dot"].append(int(hp["dot"]))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})

@@ -1422,3 +1422,71 @@ def top_paths(ds, k: int = 10, key: str = "user_id", ts_col: str = "ts",
         "t2": pa.array(fin["t2"], pa.string()),
         "t3": pa.array(fin["t3"], pa.string()),
         "cnt": pa.array(fin["cnt"].astype("int64"), pa.int64())})
+
+
+def user_streaks(ds, user_col: str = "user_id", ts_col: str = "ts",
+                 n_buckets: int | None = None) -> "pd.DataFrame":
+    """Longest consecutive-day activity streak per user (the classic
+    gaps-and-islands window shape): for every user, the count of
+    distinct active UTC days and the length of the longest run of
+    consecutive days. -> DataFrame (user_id, n_active_days, max_streak).
+
+    Scale shape: map-side the batch reduces to LOCALLY-DISTINCT
+    (user, day) pairs (np.unique on the composite — the shuffle carries
+    day-grain rows, never events); ONE mix64 fat-bucket shuffle
+    co-locates each user's days; the in-bucket kernel is fully
+    vectorized ACROSS users (lexsort -> global dedup -> run boundaries
+    via diff != 1 -> np.maximum/add.reduceat per user segment) — no
+    per-user Python loop, the events_funnel r4 lesson applied from the
+    start."""
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        per = {"s": 1, "ms": 10**3, "us": 10**6,
+               "ns": 10**9}[ts.type.unit]
+        day = np.asarray(ts.cast(pa.int64()), dtype=np.int64) \
+            // (86400 * per)
+        uv = batch.column(user_col)
+        if isinstance(uv, pa.ChunkedArray):
+            uv = uv.combine_chunks()
+        u = np.asarray(uv.cast(pa.int64()), dtype=np.int64)
+        pairs = np.unique(np.stack([u, day], axis=1), axis=0)
+        u, day = pairs[:, 0], pairs[:, 1]
+        kb = (_mix64_np(u.view(np.uint64))
+              % np.uint64(nb)).astype(np.int64)
+        return pa.table({user_col: pa.array(u, pa.int64()),
+                         "day": pa.array(day, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = g[user_col].to_numpy(dtype=np.int64)
+        d = g["day"].to_numpy(dtype=np.int64)
+        if u.size == 0:
+            return pd.DataFrame({user_col: pd.Series([], dtype="int64"),
+                                 "n_active_days": pd.Series([], dtype="int64"),
+                                 "max_streak": pd.Series([], dtype="int64")})
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.ones(u.size, dtype=bool)        # cross-block dedup
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        new_run = np.ones(u.size, dtype=bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        rs = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(rs, u.size))
+        run_user = u[rs]
+        nu = np.ones(run_user.size, dtype=bool)
+        nu[1:] = run_user[1:] != run_user[:-1]
+        us = np.flatnonzero(nu)
+        return pd.DataFrame({
+            user_col: run_user[us],
+            "n_active_days": np.add.reduceat(run_len, us),
+            "max_streak": np.maximum.reduceat(run_len, us)})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(user_col).reset_index(drop=True)

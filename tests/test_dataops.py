@@ -2906,3 +2906,89 @@ def test_lsh_multiprobe_self_hit_and_probe_gain(ray_session):
         sub3 = set(out[out["query_id"] == qid]["neighbor_id"])
         sub0 = set(out0[out0["query_id"] == qid]["neighbor_id"])
         assert sub0 - sub3 == set() or len(sub3) == 5
+
+
+# ------------------------------------------------- round-4 sixth batch
+def test_user_streaks_matches_pandas_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import user_streaks
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    users = rng.integers(0, 40, n)
+    days = rng.integers(0, 30, n)
+    ts = pa.array((days * 86400 + rng.integers(0, 86400, n)) * 10**6,
+                  pa.timestamp("us"))
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(users, pa.int64()),
+                                 "ts": ts})).repartition(8)
+    got = user_streaks(ds)
+
+    ref = pd.DataFrame({"user_id": users, "day": days}) \
+        .drop_duplicates().sort_values(["user_id", "day"])
+    rows = []
+    for u, g in ref.groupby("user_id"):
+        d = g["day"].to_numpy()
+        runs = np.split(d, np.flatnonzero(np.diff(d) != 1) + 1)
+        rows.append((u, d.size, max(len(r) for r in runs)))
+    want = pd.DataFrame(rows, columns=["user_id", "n_active_days",
+                                       "max_streak"])
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
+
+
+def test_user_streaks_single_day_and_gap(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import user_streaks
+
+    us = 86400 * 10**6
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        # user 1: days 0,1,5 (streak 2); user 2: one day
+        "ts": pa.array([0, us + 5, 5 * us, 3 * us], pa.timestamp("us"))})
+    got = user_streaks(rd.from_arrow(tbl))
+    assert got["n_active_days"].tolist() == [3, 1]
+    assert got["max_streak"].tolist() == [2, 1]
+
+
+def test_hard_negatives_tie_break_and_drop(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import hard_negatives
+
+    # anchor 0 (label 0): two negatives with IDENTICAL dots -> smaller id
+    # anchor 1 (label 9): no same-label partner -> dropped entirely
+    emb = [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [0.5, 0.5], [1.0, 0.0]]
+    ids = [0, 1, 2, 3, 4]
+    labs = [0, 9, 1, 1, 0]
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(emb, pa.list_(pa.float64())),
+                    "label": pa.array(labs, pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = hard_negatives(ds, np.asarray(emb[:2]), ids[:2], labs[:2])
+    assert out.column("anchor_id").to_pylist() == [0]
+    assert out.column("hn_id").to_pylist() == [2]   # tie vs id 3 -> min id
+    assert out.column("hp_id").to_pylist() == [4]
+
+
+def test_dense_topk_int_orders_and_excludes(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anycrawl_ray.stages.similarity import dense_topk_int
+
+    emb = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [1.0, 0.0]]
+    tbl = pa.table({"vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "embedding": pa.array(emb, pa.list_(pa.float64()))})
+    out = dense_topk_int(rd.from_arrow(tbl).repartition(2),
+                         np.array([1.0, 0.0]), k=3, exclude_ids=(0,))
+    assert out.column("vec_id").to_pylist() == [3, 1, 2]
+    assert out.column("rank").to_pylist() == [1, 2, 3]
