@@ -585,6 +585,24 @@ def _release_shard_pool(key: tuple, actors) -> None:
             entry["leased"] = False
 
 
+def close_shard_pools() -> None:
+    """Kill every cached (unleased) shard-actor pool — end-of-phase
+    cleanup so idle shard actors don't hold seen-set memory while
+    unrelated Dataset stages run (bench.py calls this between its crawl
+    and query phases). Leased pools are left alone."""
+    import ray
+
+    with _SHARD_POOLS_LOCK:
+        keys = [k for k, e in _SHARD_POOLS.items() if not e["leased"]]
+        entries = [_SHARD_POOLS.pop(k) for k in keys]
+    for entry in entries:
+        for a in entry["actors"]:
+            try:
+                ray.kill(a)
+            except Exception:  # noqa: BLE001 — already dead
+                pass
+
+
 def _make_actor_class():
     import ray
 

@@ -112,13 +112,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ops = admitted / (time.perf_counter() - t0)
         _eprint(f"frontier[{num_shards} shards]: {admitted} admissions at "
                 f"{ops:.0f} ops/s")
+        fr.release_pool()
         return ops
 
     # shard-scaling point (VERDICT r2 #1): admission throughput must grow
     # with shard count now that the driver only routes numpy batches
     frontier_ops_2sh = frontier_run(2)
     frontier_ops = frontier_run(8)
-    del groups  # release shard actors before the query timings
+    del groups
+
+    # ---- tear down the crawl/frontier phase before timing queries:
+    # 32 idle fetch+parse actors each hold the ~100 MB pages dict and the
+    # shard pools hold seen-sets — leaving them alive inflates every
+    # Dataset timing below via heap/object-store pressure (measured: q1
+    # 5.4s with pools alive vs 0.9s without at sf0.1/32cpu)
+    import gc
+
+    from anycrawl_ray.pipelines.crawl import close_pools
+    from anycrawl_ray.state.frontier import close_shard_pools
+
+    close_pools()
+    close_shard_pools()
+    del pages
+    gc.collect()
 
     # ---- operator timings (untimed ray.data warmup first: the crawl uses
     # its own actor pool, so the first Dataset execution would otherwise
@@ -202,6 +218,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("docs_tfidf_cosine", Q.docs_tfidf_cosine)
     timed("orders_market_basket", Q.orders_market_basket)
     timed("events_rfm", Q.events_rfm)
+    timed("docs_rrf_fusion", Q.docs_rrf_fusion)
+    timed("embeddings_hard_negatives", Q.embeddings_hard_negatives)
+    timed("events_user_streaks", Q.events_user_streaks)
+    timed("docs_heaps_law", Q.docs_heaps_law)
     timings["crawl_full_site"] = round(crawl_sec, 3)
 
     return {
