@@ -8510,6 +8510,124 @@ FROM cps ORDER BY i
 """
 
 
+def docs_ngram_novelty(sf_dir: str):
+    """Per-doc first-occurrence shingle novelty (dedup.ngram_novelty) —
+    the RefinedWeb-style pruning signal. One tokenizing pass with
+    sentinel totals, groupby-Min first owners, union-fold finish; the
+    oracle replays the identical shingle-hash space via _shingle_ctes."""
+    from ..stages.dedup import ngram_novelty
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ngram_novelty(ds, k=3)
+
+
+_NGRAM_NOVELTY_SQL = f"""{_oracle_kernels.U64_PRELUDE}
+WITH {_oracle_kernels._shingle_ctes()},
+own AS (SELECT s, MIN(doc_id) AS owner FROM sh GROUP BY s),
+nv AS (SELECT owner AS doc_id, COUNT(*) AS n_novel FROM own
+       GROUP BY owner),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN COALESCE(t.n_shingles, 0) = 0 THEN 0
+            ELSE COALESCE(nv.n_novel, 0) * 1000000 // t.n_shingles END
+            AS BIGINT) AS novelty_ppm
+FROM documents d LEFT JOIN tot t USING (doc_id)
+                 LEFT JOIN nv USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def docs_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink coverage: export the documents table to line-
+    delimited JSON with ``Dataset.write_json`` (partitioned — one file
+    per block, the resumable-output contract), re-ingest it with
+    ``ray.data.read_json``, and aggregate per-lang stats from the
+    re-read dataset. The aggregate is order-free, so the roundtrip is
+    deterministic regardless of block layout; the oracle computes the
+    same stats straight from the parquet view — any field the JSON
+    writer or reader mangled (type, encoding, row loss) breaks the
+    value hash."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    rd = _rd()
+    out = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    try:
+        (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+         .write_json(out))
+        back = rd.read_json(out)
+        res = (back.groupby("lang")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="sum_chars"),
+                          Max("doc_id", alias_name="max_doc"))
+               .to_pandas().sort_values("lang").reset_index(drop=True))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table({
+        "lang": pa.array(res["lang"].astype(str), pa.string()),
+        "n_docs": pa.array(res["n_docs"].astype("int64"), pa.int64()),
+        "sum_chars": pa.array(res["sum_chars"].astype("int64"),
+                              pa.int64()),
+        "max_doc": pa.array(res["max_doc"].astype("int64"), pa.int64())})
+
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def events_csv_roundtrip(sf_dir: str):
+    """CSV source/sink coverage: export (user_id, event_type) to CSV
+    with ``Dataset.write_csv``, re-ingest with ``ray.data.read_csv``,
+    and compute per-type totals + exact distinct-user counts from the
+    re-read dataset (two-level groupby — no driver-side distinct).
+    Oracle = the same aggregate over the parquet view."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    out = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    try:
+        (rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+         .write_csv(out))
+        back = rd.read_csv(out)
+        per_pair = (back.groupby(["event_type", "user_id"])
+                    .aggregate(Count(alias_name="n")))
+        res = (per_pair.groupby("event_type")
+               .aggregate(Sum("n", alias_name="n_events"),
+                          Count(alias_name="n_users"))
+               .to_pandas().sort_values("event_type")
+               .reset_index(drop=True))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table({
+        "event_type": pa.array(res["event_type"].astype(str),
+                               pa.string()),
+        "n_events": pa.array(res["n_events"].astype("int64"),
+                             pa.int64()),
+        "n_users": pa.array(res["n_users"].astype("int64"), pa.int64())})
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -8672,6 +8790,9 @@ QUERIES = {
     "embeddings_hard_negatives": embeddings_hard_negatives,
     "events_user_streaks": events_user_streaks,
     "docs_heaps_law": docs_heaps_law,
+    "docs_ngram_novelty": docs_ngram_novelty,
+    "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
+    "events_csv_roundtrip": events_csv_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -8861,6 +8982,9 @@ ORACLE_SQL = {
     "embeddings_hard_negatives": _HARD_NEGATIVES_SQL,
     "events_user_streaks": _USER_STREAKS_SQL,
     "docs_heaps_law": _HEAPS_LAW_SQL,
+    "docs_ngram_novelty": _NGRAM_NOVELTY_SQL,
+    "docs_jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
+    "events_csv_roundtrip": _CSV_ROUNDTRIP_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -1837,3 +1837,84 @@ def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
         "shared": pa.array(out["shared"].astype("int64"), pa.int64()),
         "cos2_ppm": pa.array(out["cos2_ppm"].astype("int64"),
                              pa.int64())})
+
+
+def ngram_novelty(ds, k: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Per-document n-gram NOVELTY — the data-pruning signal used by
+    RefinedWeb/FineWeb-style curation: how much of a doc's shingle set
+    appears for the FIRST time in the corpus (corpus order = doc_id).
+    For every doc: its distinct k-shingle count, the number of those
+    shingles whose global first owner (MIN doc_id over the corpus) is
+    this doc, and ``novelty_ppm = novel * 10^6 // n_shingles``. Late
+    boilerplate scores near 0; the first copy of a template scores high.
+
+    Shingle space = ``shingle_hashes`` (token-fnv1a -> mix64 -> Horner
+    k-gram, np.unique per doc) — bit-identical to the oracle's
+    ``_shingle_ctes`` chain, so 64-bit collisions (which conflate two
+    grams) are mirrored on both engines and the match stays exact.
+
+    Scale shape: ONE tokenizing pass emits (shingle, doc) postings plus
+    a per-doc sentinel row carrying the distinct-shingle count (the bm25
+    sentinel idiom); first owners reduce via ``groupby(s).Min`` (the
+    only gram-sized shuffle); per-doc novel counts come from a map-side
+    ``np.unique`` fold over the owners table plus a doc-keyed
+    ``groupby-Sum`` that the sentinel totals UNION into — so totals
+    attach without a join and nothing corpus-sized transits the
+    driver."""
+    from ray.data.aggregate import Min, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_s, out_d, out_t, out_k = [], [], [], []
+        for d, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            sh = shingle_hashes(t, k).view(np.int64)
+            out_s.extend(sh.tolist())
+            out_d.extend([d] * sh.size)
+            out_t.extend([0] * sh.size)
+            out_k.extend([0] * sh.size)
+            out_s.append(0)
+            out_d.append(d)
+            out_t.append(int(sh.size))
+            out_k.append(1)
+        return pa.table({"s": pa.array(out_s, pa.int64()),
+                         "doc": pa.array(out_d, pa.int64()),
+                         "total": pa.array(out_t, pa.int64()),
+                         "kind": pa.array(out_k, pa.int64())})
+
+    posts = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def novel_partial(batch: pa.Table) -> pa.Table:
+        o = np.asarray(batch.column("owner"), dtype=np.int64)
+        ud, cnt = np.unique(o, return_counts=True)
+        return pa.table({"doc": pa.array(ud, pa.int64()),
+                         "novel": pa.array(cnt, pa.int64()),
+                         "total": pa.array(np.zeros(ud.size, np.int64),
+                                           pa.int64())})
+
+    novel = (posts.filter(expr="kind == 0")
+             .groupby("s").aggregate(Min("doc", alias_name="owner"))
+             .map_batches(novel_partial, batch_format="pyarrow"))
+
+    def total_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc": batch.column("doc"),
+                         "novel": pa.array(
+                             np.zeros(batch.num_rows, np.int64),
+                             pa.int64()),
+                         "total": batch.column("total")})
+
+    totals = posts.filter(expr="kind == 1") \
+        .map_batches(total_rows, batch_format="pyarrow")
+    folded = (novel.union(totals)
+              .groupby("doc")
+              .aggregate(Sum("novel", alias_name="n_novel"),
+                         Sum("total", alias_name="n_shingles"))
+              .to_pandas().sort_values("doc").reset_index(drop=True))
+    tot = folded["n_shingles"].to_numpy(dtype=np.int64)
+    nov = folded["n_novel"].to_numpy(dtype=np.int64)
+    ppm = np.where(tot > 0, nov * 1_000_000 // np.maximum(tot, 1), 0)
+    return pa.table({
+        "doc_id": pa.array(folded["doc"].astype("int64"), pa.int64()),
+        "n_shingles": pa.array(tot, pa.int64()),
+        "n_novel": pa.array(nov, pa.int64()),
+        "novelty_ppm": pa.array(ppm, pa.int64())})
