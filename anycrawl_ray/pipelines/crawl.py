@@ -268,14 +268,17 @@ def _fetch_parse_fn(pages_ref, parser: PageParser):
 
 def _chunk(wave: pa.Table, batch_size: int, ncpu: int) -> list[pa.Table]:
     """Split a wave so every CPU gets work and the per-wave critical path is
-    short: target ~2 chunks per CPU with a 32-row floor, capped at
-    ``batch_size`` rows per chunk (memory). The floor matters: the driver
-    pays ~5-8 ms per chunk (dispatch serialization + result deserialize),
-    so an 8-row floor turned a 5k-page crawl into ~400 chunks ≈ 3 s of
-    parallelism-INDEPENDENT driver time — the dominant scaling-efficiency
-    killer (measured: constant across 8 and 32 CPUs)."""
+    short: target ~2 chunks per CPU with a 16-row floor, capped at
+    ``batch_size`` rows per chunk (memory). The floor matters both ways:
+    the driver pays per-chunk dispatch + result-deserialize time (an 8-row
+    floor once turned a 5k-page crawl into ~400 chunks of parallelism-
+    INDEPENDENT driver work), while a 32-row floor left most of a 32-actor
+    pool idle on the politeness-capped 100-800-row waves (measured r4:
+    floor 32 -> 1318 pages/s, floor 16 -> 1626 pages/s at 32 CPUs; floor 16
+    beats 8 and 4 too, now that the persistent pool's range-call dispatch
+    costs ~2 ms/chunk instead of the round-robin path's 5-8 ms)."""
     rows = wave.num_rows
-    chunk_rows = min(batch_size, max(32, (rows + ncpu * 2 - 1) // (ncpu * 2)))
+    chunk_rows = min(batch_size, max(16, (rows + ncpu * 2 - 1) // (ncpu * 2)))
     nchunks = (rows + chunk_rows - 1) // chunk_rows
     return [wave.slice(i * chunk_rows, chunk_rows) for i in range(nchunks)]
 
@@ -670,15 +673,32 @@ def run_crawl(
                     ]
                 else:
                     write_paths = [None] * len(ranges)
-                # one consume per wave: admission RPCs stay batched (per-chunk
-                # offers measured 40% slower — 300+ tiny shard RPC rounds)
-                tables = [
-                    t for t in pool.run_wave_ranges_iter(
-                        wave, ranges, job.job_id, write_paths)
-                    if t.num_rows
-                ]
-                consume(_ensure_seq_order(
-                    pa.concat_tables(tables, promote_options="default")))
+                # consume in ~4 in-order slices per wave: admission RPCs stay
+                # near-batched (per-chunk offers measured 40% slower — 300+
+                # tiny shard RPC rounds; 4 rounds/wave keeps that amortized)
+                # while the driver's serial admission/deserialization for the
+                # first 3 slices hides UNDER the remaining wave compute — the
+                # epoch-barrier tail is the parallelism-independent constant
+                # that caps N->4N scaling efficiency
+                slice_rows = max(1, (wave.num_rows + 3) // 4)
+                acc: list[pa.Table] = []
+                acc_rows = 0
+
+                def flush_acc() -> None:
+                    nonlocal acc, acc_rows
+                    if acc:
+                        consume(_ensure_seq_order(pa.concat_tables(
+                            acc, promote_options="default")))
+                        acc, acc_rows = [], 0
+
+                for t in pool.run_wave_ranges_iter(
+                        wave, ranges, job.job_id, write_paths):
+                    if t.num_rows:
+                        acc.append(t)
+                        acc_rows += t.num_rows
+                    if acc_rows >= slice_rows:
+                        flush_acc()
+                flush_acc()
             elif distributed:
                 consume(_parse_wave_ray(
                     wave, pages_ref, parser, batch_size, wave_engine,

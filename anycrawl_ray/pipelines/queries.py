@@ -8628,6 +8628,259 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+
+def events_scd2(sf_dir: str):
+    """SCD Type-2 dimension-history build (window.scd2_intervals): per
+    user, validity intervals for runs of consecutive identical
+    event_type, ordered by (ts, event_id). valid_to_us = next interval's
+    valid_from_us, -1 for the open interval. Oracle = LAG change flags +
+    islands + LEAD."""
+    from ..stages.window import scd2_intervals
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "event_id"])
+    df = scd2_intervals(ev)
+    return pa.table({
+        "user_id": pa.array(df["user_id"].astype("int64"), pa.int64()),
+        "event_type": pa.array(df["event_type"].astype(str), pa.string()),
+        "valid_from_us": pa.array(df["valid_from_us"].astype("int64"),
+                                  pa.int64()),
+        "valid_to_us": pa.array(df["valid_to_us"].astype("int64"),
+                                pa.int64()),
+        "n_events": pa.array(df["n_events"].astype("int64"), pa.int64())})
+
+
+_SCD2_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+           FROM events),
+c AS (SELECT *, CASE WHEN LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY tus, event_id)
+          IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+          ROWS UNBOUNDED PRECEDING) AS run FROM c),
+g AS (SELECT user_id, event_type, run, MIN(tus) AS vf, COUNT(*) AS n
+      FROM r GROUP BY user_id, event_type, run)
+SELECT user_id, event_type, CAST(vf AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf), -1)
+            AS BIGINT) AS valid_to_us,
+       CAST(n AS BIGINT) AS n_events
+FROM g ORDER BY user_id, valid_from_us
+"""
+
+
+def events_twa(sf_dir: str):
+    """Per-user time-weighted average of value (LOCF weighting) at
+    second grain, exact integer cents (window.time_weighted_avg).
+    Single-second users drop (zero span). Values are nonnegative in this
+    schema, so DuckDB's truncating // equals the kernel's floor //."""
+    from ..stages.window import time_weighted_avg
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    df = time_weighted_avg(ev)
+    return pa.table({
+        "user_id": pa.array(df["user_id"].astype("int64"), pa.int64()),
+        "span_sec": pa.array(df["span_sec"].astype("int64"), pa.int64()),
+        "twa_cents": pa.array(df["twa_cents"].astype("int64"), pa.int64())})
+
+
+_TWA_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+                  CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+o AS (SELECT user_id, sec, cents,
+             LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, cents)
+               AS nxt FROM e),
+a AS (SELECT user_id, SUM(cents * (COALESCE(nxt, sec) - sec)) AS wsum,
+             MAX(sec) - MIN(sec) AS span FROM o GROUP BY user_id)
+SELECT user_id, CAST(span AS BIGINT) AS span_sec,
+       CAST(wsum // span AS BIGINT) AS twa_cents
+FROM a WHERE span > 0 ORDER BY user_id
+"""
+
+
+def parts_skyline(sf_dir: str):
+    """2-D skyline over part: pareto-optimal (p_size maximize,
+    retail-price cents minimize) — the multi-criteria short-list operator
+    (window.skyline_2d; local block skylines union then one exact pass).
+    Oracle = the classic NOT EXISTS dominance anti-join."""
+    from ..stages.window import skyline_2d
+
+    rd = _rd()
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch.column("p_retailprice"), dtype=np.float64)
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "p_size": batch.column("p_size").cast(pa.int64()),
+            "price_cents": pa.array(np.rint(price * 100).astype(np.int64),
+                                    pa.int64())})
+
+    parts = (rd.read_parquet(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_size", "p_retailprice"])
+             .map_batches(to_cents, batch_format="pyarrow"))
+    df = skyline_2d(parts, max_col="p_size", min_col="price_cents",
+                    id_col="p_partkey")
+    return pa.table({
+        "p_partkey": pa.array(df["p_partkey"].astype("int64"), pa.int64()),
+        "p_size": pa.array(df["p_size"].astype("int64"), pa.int64()),
+        "price_cents": pa.array(df["price_cents"].astype("int64"),
+                                pa.int64())})
+
+
+_SKYLINE_SQL = """
+WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                  CAST(round_even(p_retailprice * 100, 0) AS BIGINT)
+                    AS price_cents FROM part)
+SELECT s.p_partkey, s.p_size, s.price_cents FROM p s
+WHERE NOT EXISTS (SELECT 1 FROM p q
+                  WHERE q.p_size >= s.p_size
+                    AND q.price_cents <= s.price_cents
+                    AND (q.p_size > s.p_size
+                         OR q.price_cents < s.price_cents))
+ORDER BY s.p_partkey
+"""
+
+
+def events_zorder(sf_dir: str):
+    """Z-order (Morton) clustering layout audit over (user_id, day):
+    16-bit interleave, 16 z-ranges, per-range count + both dimensions'
+    min/max — the range-pruning numbers a z-ordered writer relies on
+    (window.zorder_layout). Oracle replays the interleave bit-by-bit in
+    SQL integer arithmetic."""
+    from ..stages.window import zorder_layout
+
+    rd = _rd()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // 86400000000
+        return pa.table({"user_id": batch.column("user_id"),
+                         "day": pa.array(day, pa.int64())})
+
+    ev = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["user_id", "ts"])
+          .map_batches(prep, batch_format="pyarrow"))
+    # 8-bit dims: at test scale the 16-bit high bits are constant (few
+    # users, one epoch month) and the audit would collapse to one range
+    return zorder_layout(ev, x_col="user_id", y_col="day", bits=8)
+
+
+def _zorder_sql() -> str:
+    interleave = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8))
+    return f"""
+WITH b AS (SELECT user_id & 255 AS x,
+                  (epoch_us(ts) // 86400000000) & 255 AS y FROM events),
+z AS (SELECT x, y, ({interleave}) >> 12 AS zrange FROM b)
+SELECT CAST(zrange AS BIGINT) AS zrange,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z GROUP BY zrange ORDER BY zrange
+"""
+
+
+def events_cusum(sf_dir: str):
+    """Per-event-type CUSUM drift peak over daily counts
+    (window.cusum_drift): day where |cumsum(count - floor-mean)| peaks
+    (earliest on ties). The change-point detection statistic as a
+    distributed reduce + tiny scan."""
+    from ..stages.window import cusum_drift
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return cusum_drift(ev)
+
+
+_CUSUM_SQL = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  COUNT(*) AS n FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, SUM(n) // COUNT(*) AS mean, SUM(n) AS tot,
+             COUNT(*) AS n_days FROM d GROUP BY 1),
+s AS (SELECT d.event_type, d.day,
+             SUM(d.n - m.mean) OVER (PARTITION BY d.event_type
+                 ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cus
+      FROM d JOIN m USING (event_type)),
+p AS (SELECT event_type, day, cus,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY ABS(cus) DESC, day) AS rn FROM s)
+SELECT p.event_type, CAST(p.day AS BIGINT) AS peak_day,
+       CAST(p.cus AS BIGINT) AS peak_cusum,
+       CAST(m.n_days AS BIGINT) AS n_days,
+       CAST(m.tot AS BIGINT) AS n_events
+FROM p JOIN m USING (event_type) WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def docs_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) source/sink coverage: write the documents
+    table as one IPC file per block via a worker-side map_batches sink
+    (the same partitioned-output contract as the parquet epoch sink),
+    re-ingest with ``ray.data.read_binary_files`` + a vectorized IPC
+    decode stage, and aggregate per-source stats from the re-read
+    dataset. Any row loss or type mangling in the IPC writer/reader
+    breaks the value hash against the parquet-direct oracle."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    rd = _rd()
+    out = tempfile.mkdtemp(prefix="ipc_rt_", dir="/tmp")
+    try:
+        def write_part(batch: pa.Table) -> pa.Table:
+            path = os.path.join(out, f"part-{uuid.uuid4().hex}.arrow")
+            with pa.OSFile(path, "wb") as f:
+                with pa.ipc.new_file(f, batch.schema) as w:
+                    w.write_table(batch)
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+         .map_batches(write_part, batch_format="pyarrow").materialize())
+
+        def decode(batch: pa.Table) -> pa.Table:
+            tables = [pa.ipc.open_file(pa.BufferReader(b)).read_all()
+                      for b in batch.column("bytes").to_pylist()]
+            return pa.concat_tables(tables) if tables else pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "source": pa.array([], pa.string()),
+                 "n_chars": pa.array([], pa.int64())})
+
+        back = rd.read_binary_files(out).map_batches(
+            decode, batch_format="pyarrow")
+        res = (back.groupby("source")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="sum_chars"),
+                          Min("doc_id", alias_name="min_doc"))
+               .to_pandas().sort_values("source").reset_index(drop=True))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table({
+        "source": pa.array(res["source"].astype(str), pa.string()),
+        "n_docs": pa.array(res["n_docs"].astype("int64"), pa.int64()),
+        "sum_chars": pa.array(res["sum_chars"].astype("int64"), pa.int64()),
+        "min_doc": pa.array(res["min_doc"].astype("int64"), pa.int64())})
+
+
+_IPC_ROUNDTRIP_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -8793,6 +9046,12 @@ QUERIES = {
     "docs_ngram_novelty": docs_ngram_novelty,
     "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
     "events_csv_roundtrip": events_csv_roundtrip,
+    "events_scd2": events_scd2,
+    "events_twa": events_twa,
+    "parts_skyline": parts_skyline,
+    "events_zorder": events_zorder,
+    "events_cusum": events_cusum,
+    "docs_ipc_roundtrip": docs_ipc_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -8985,6 +9244,12 @@ ORACLE_SQL = {
     "docs_ngram_novelty": _NGRAM_NOVELTY_SQL,
     "docs_jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
     "events_csv_roundtrip": _CSV_ROUNDTRIP_SQL,
+    "events_scd2": _SCD2_SQL,
+    "events_twa": _TWA_SQL,
+    "parts_skyline": _SKYLINE_SQL,
+    "events_zorder": _zorder_sql(),
+    "events_cusum": _CUSUM_SQL,
+    "docs_ipc_roundtrip": _IPC_ROUNDTRIP_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

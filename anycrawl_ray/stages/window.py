@@ -1490,3 +1490,283 @@ def user_streaks(ds, user_col: str = "user_id", ts_col: str = "ts",
            .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
            .to_pandas())
     return out.sort_values(user_col).reset_index(drop=True)
+
+
+def scd2_intervals(ds, key_col: str = "user_id", dim_col: str = "event_type",
+                   ts_col: str = "ts", order_col: str = "event_id",
+                   n_buckets: int | None = None) -> "pd.DataFrame":
+    """Slowly-Changing-Dimension Type-2 history build: per key, collapse
+    the ordered event stream into validity intervals — one row per run of
+    consecutive identical ``dim_col`` values, carrying ``valid_from_us``
+    (first event ts of the run, microseconds), ``valid_to_us`` (the next
+    run's first ts, or -1 for the open current interval) and ``n_events``.
+    The classic lakehouse dimension-history operator (LAG change detection
+    + islands in SQL).
+
+    Scale shape: ONE mix64 fat-bucket shuffle on the key (same partition
+    contract as ``user_streaks``: one key's history fits a worker); the
+    in-bucket kernel is vectorized ACROSS keys — one lexsort on
+    (key, ts, order), run boundaries via neighbor compare, reduceat
+    counts. No per-key Python loop, nothing corpus-sized on the driver."""
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        per = {"s": 10**6, "ms": 10**3, "us": 1, "ns": 1}[ts.type.unit]
+        t = np.asarray(ts.cast(pa.int64()), dtype=np.int64)
+        t = t * per if per != 1 else (t // 1000 if ts.type.unit == "ns" else t)
+        k = np.asarray(batch.column(key_col), dtype=np.int64)
+        kb = (_mix64_np(k.view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table({key_col: pa.array(k, pa.int64()),
+                         dim_col: batch.column(dim_col),
+                         "_ts": pa.array(t, pa.int64()),
+                         "_ord": batch.column(order_col).cast(pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        if len(g) == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 dim_col: pd.Series([], dtype="object"),
+                                 "valid_from_us": pd.Series([], dtype="int64"),
+                                 "valid_to_us": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        k = g[key_col].to_numpy(dtype=np.int64)
+        t = g["_ts"].to_numpy(dtype=np.int64)
+        o = g["_ord"].to_numpy(dtype=np.int64)
+        dims = g[dim_col].to_numpy()
+        order = np.lexsort((o, t, k))
+        k, t, dims = k[order], t[order], dims[order]
+        new_run = np.ones(k.size, dtype=bool)
+        new_run[1:] = (k[1:] != k[:-1]) | (dims[1:] != dims[:-1])
+        rs = np.flatnonzero(new_run)
+        n_events = np.diff(np.append(rs, k.size))
+        rk, rd, rf = k[rs], dims[rs], t[rs]
+        # valid_to = next run's valid_from within the same key, else -1
+        vt = np.full(rk.size, -1, dtype=np.int64)
+        same_key = rk[1:] == rk[:-1]
+        vt[:-1][same_key] = rf[1:][same_key]
+        return pd.DataFrame({key_col: rk, dim_col: rd,
+                             "valid_from_us": rf, "valid_to_us": vt,
+                             "n_events": n_events.astype(np.int64)})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values([key_col, "valid_from_us"]).reset_index(drop=True)
+
+
+def time_weighted_avg(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      val_col: str = "value",
+                      n_buckets: int | None = None) -> "pd.DataFrame":
+    """Per-key time-weighted average with LOCF weighting: each observation
+    holds until the next one, so ``twa = sum(v_i * (t_{i+1} - t_i)) /
+    (t_last - t_first)`` over seconds. Keys whose events all share one
+    second are dropped (zero span). Values are fixed-point cents and the
+    result is ``twa_cents = weighted_sum // span_sec`` — exact integer
+    arithmetic on both engines (int64-safe: cents ~1e5 x span-sec <=3e7
+    x events — the dot product stays < 2^63 for any realistic key).
+
+    Scale shape: identical fat-bucket contract as ``scd2_intervals``; the
+    kernel is one lexsort + vectorized diff/cumsum-per-segment via
+    np.add.reduceat. Tie-break inside one second: ties collapse because
+    dt=0 terms contribute nothing."""
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        sec = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // per
+        k = np.asarray(batch.column(key_col), dtype=np.int64)
+        v = np.asarray(batch.column(val_col), dtype=np.float64)
+        cents = np.round(v * 100).astype(np.int64)
+        kb = (_mix64_np(k.view(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table({key_col: pa.array(k, pa.int64()),
+                         "_sec": pa.array(sec, pa.int64()),
+                         "_cents": pa.array(cents, pa.int64()),
+                         "_kb": pa.array(kb, pa.int64())})
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        if len(g) == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "span_sec": pd.Series([], dtype="int64"),
+                                 "twa_cents": pd.Series([], dtype="int64")})
+        k = g[key_col].to_numpy(dtype=np.int64)
+        t = g["_sec"].to_numpy(dtype=np.int64)
+        c = g["_cents"].to_numpy(dtype=np.int64)
+        order = np.lexsort((c, t, k))  # deterministic within equal ts
+        k, t, c = k[order], t[order], c[order]
+        seg = np.ones(k.size, dtype=bool)
+        seg[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(seg)
+        ends = np.append(starts[1:], k.size) - 1
+        # per-row dt to next row within segment (last row of segment: 0)
+        dt = np.zeros(k.size, dtype=np.int64)
+        dt[:-1] = t[1:] - t[:-1]
+        dt[ends] = 0
+        wsum = np.add.reduceat(c * dt, starts)
+        span = t[ends] - t[starts]
+        keep = span > 0
+        return pd.DataFrame({key_col: k[starts][keep],
+                             "span_sec": span[keep],
+                             "twa_cents": wsum[keep] // span[keep]})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def skyline_2d(ds, max_col: str, min_col: str, id_col: str) -> "pd.DataFrame":
+    """2-D skyline (pareto-optimal set): rows not dominated by any other,
+    where q dominates p iff ``q.max_col >= p.max_col AND q.min_col <=
+    p.min_col`` with at least one strict. The classic multi-criteria
+    short-list operator (Borzsony/Kossmann/Stocker, ICDE'01). Both
+    columns must already be integers (fixed-point upstream).
+
+    Scale shape: the skyline is ANTI-MONOTONE under union — skyline(A
+    union B) is a subset of skyline(A) union skyline(B) — so each block
+    reduces map-side to its local skyline (vectorized: sort by max-col
+    desc / min-col asc, survivors = rows strictly under the running min
+    of min-col over strictly-greater max-col, plus min-col ties within a
+    max-col group); the union of local skylines (tiny for correlated
+    dims) takes one final exact pass. Nothing corpus-sized leaves the
+    workers."""
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column(max_col), dtype=np.int64)
+        b = np.asarray(batch.column(min_col), dtype=np.int64)
+        i = np.asarray(batch.column(id_col), dtype=np.int64)
+        keep = _skyline_mask(a, b)
+        return pa.table({id_col: pa.array(i[keep], pa.int64()),
+                         max_col: pa.array(a[keep], pa.int64()),
+                         min_col: pa.array(b[keep], pa.int64())})
+
+    cand = ds.map_batches(local_skyline, batch_format="pyarrow").to_pandas()
+    a = cand[max_col].to_numpy(dtype=np.int64)
+    b = cand[min_col].to_numpy(dtype=np.int64)
+    keep = _skyline_mask(a, b)
+    out = cand[keep]
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def _skyline_mask(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized exact 2-D skyline survivors (a: larger-better,
+    b: smaller-better). Survivor iff b == min(b | same a) AND
+    b < min(b | strictly larger a)."""
+    if a.size == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((b, -a))  # a desc, b asc
+    a_s, b_s = a[order], b[order]
+    grp = np.ones(a_s.size, dtype=bool)
+    grp[1:] = a_s[1:] != a_s[:-1]
+    starts = np.flatnonzero(grp)
+    gmin = b_s[starts]  # min b per a-group (b ascending inside group)
+    # running min of gmin over STRICTLY larger a = exclusive prefix min
+    prefix = np.minimum.accumulate(gmin)
+    excl = np.empty_like(prefix)
+    excl[0] = np.iinfo(np.int64).max
+    excl[1:] = prefix[:-1]
+    gid = np.cumsum(grp) - 1
+    keep_sorted = (b_s == gmin[gid]) & (gmin[gid] < excl[gid])
+    keep = np.zeros(a.size, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def zorder_layout(ds, x_col: str, y_col: str, bits: int = 16,
+                  n_ranges: int = 16):
+    """Z-order (Morton) locality layout audit — the Delta/Iceberg-style
+    multi-dimensional clustering primitive: interleave the low ``bits``
+    bits of two integer dimensions into a z-value, split the z-space into
+    ``n_ranges`` equal code ranges (the file/partition boundaries a
+    z-ordered writer would use), and report per range the row count and
+    the min/max of BOTH dimensions — the numbers that prove every range
+    prunes on either dimension. -> pa.Table (zrange, n_rows, x_min,
+    x_max, y_min, y_max).
+
+    Scale shape: the interleave is a vectorized shift-or per batch; the
+    audit is a ``groupby(zrange)`` over n_ranges cells with map-side
+    Min/Max partials — one tiny shuffle, no sort (a real z-order WRITE
+    would hand ``zval`` to sort/repartition; the audit row checks the
+    math that layout relies on)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    mask = (1 << bits) - 1
+    shift = 2 * bits - int(np.log2(n_ranges))
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column(x_col), dtype=np.int64) & mask
+        y = np.asarray(batch.column(y_col), dtype=np.int64) & mask
+        z = np.zeros(x.size, dtype=np.int64)
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return pa.table({"zrange": pa.array(z >> shift, pa.int64()),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    res = (ds.map_batches(add_z, batch_format="pyarrow")
+           .groupby("zrange")
+           .aggregate(Count(alias_name="n_rows"),
+                      Min("x", alias_name="x_min"),
+                      Max("x", alias_name="x_max"),
+                      Min("y", alias_name="y_min"),
+                      Max("y", alias_name="y_max"))
+           .to_pandas().sort_values("zrange").reset_index(drop=True))
+    return pa.table({
+        "zrange": pa.array(res["zrange"].astype("int64"), pa.int64()),
+        "n_rows": pa.array(res["n_rows"].astype("int64"), pa.int64()),
+        "x_min": pa.array(res["x_min"].astype("int64"), pa.int64()),
+        "x_max": pa.array(res["x_max"].astype("int64"), pa.int64()),
+        "y_min": pa.array(res["y_min"].astype("int64"), pa.int64()),
+        "y_max": pa.array(res["y_max"].astype("int64"), pa.int64())})
+
+
+def cusum_drift(ds, group_col: str = "event_type", ts_col: str = "ts"):
+    """Per-group CUSUM drift detection over daily counts: for each group,
+    the cumulative sum of (daily count - group mean) is the classic
+    change-point statistic; report the day where |S_d| peaks, its value,
+    and the day/observation counts. Mean is integer floor(total/n_days)
+    so both engines agree exactly; the scan runs over OBSERVED days
+    (gaps contribute no row — documented, mirrored in the oracle).
+
+    Scale shape: the corpus reduces map-side to (group, day) -> count
+    partials; the merged histogram is tiny (groups x days), so the final
+    per-group scan is a vectorized kernel over that reduced table."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        day = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // (86400 * per)
+        return pa.table({group_col: batch.column(group_col),
+                         "day": pa.array(day, pa.int64())})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby([group_col, "day"])
+             .aggregate(Count(alias_name="n"))
+             .to_pandas())
+    daily = daily.sort_values([group_col, "day"]).reset_index(drop=True)
+    out_g, out_day, out_s, out_days, out_n = [], [], [], [], []
+    for grp, sub in daily.groupby(group_col, sort=True):
+        n = sub["n"].to_numpy(dtype=np.int64)
+        d = sub["day"].to_numpy(dtype=np.int64)
+        mean = int(n.sum()) // n.size
+        s = np.cumsum(n - mean)
+        j = int(np.argmax(np.abs(s)))
+        out_g.append(grp)
+        out_day.append(int(d[j]))
+        out_s.append(int(s[j]))
+        out_days.append(n.size)
+        out_n.append(int(n.sum()))
+    return pa.table({
+        group_col: pa.array(out_g, pa.string()),
+        "peak_day": pa.array(out_day, pa.int64()),
+        "peak_cusum": pa.array(out_s, pa.int64()),
+        "n_days": pa.array(out_days, pa.int64()),
+        "n_events": pa.array(out_n, pa.int64())})

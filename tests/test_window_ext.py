@@ -1,0 +1,155 @@
+"""Unit/property tests for the round-4 sixth-continuation window
+operators: skyline mask vs brute-force dominance, SCD2 intervals and
+time-weighted average vs straightforward pandas references, z-order
+interleave vs per-bit reference, CUSUM kernel edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anycrawl_ray.stages.window import _skyline_mask
+
+
+def _brute_skyline(a, b):
+    keep = np.ones(a.size, dtype=bool)
+    for i in range(a.size):
+        for j in range(a.size):
+            if (a[j] >= a[i] and b[j] <= b[i]
+                    and (a[j] > a[i] or b[j] < b[i])):
+                keep[i] = False
+                break
+    return keep
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                max_size=40))
+def test_skyline_mask_matches_brute_force(points):
+    a = np.array([p[0] for p in points], dtype=np.int64)
+    b = np.array([p[1] for p in points], dtype=np.int64)
+    assert np.array_equal(_skyline_mask(a, b), _brute_skyline(a, b))
+
+
+def test_skyline_union_antimonotone():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 50, 300).astype(np.int64)
+    b = rng.randint(0, 50, 300).astype(np.int64)
+    full = set(zip(a[_skyline_mask(a, b)], b[_skyline_mask(a, b)]))
+    # block-local skylines union must contain the global skyline
+    mid = 150
+    m1 = _skyline_mask(a[:mid], b[:mid])
+    m2 = _skyline_mask(a[mid:], b[mid:])
+    union = set(zip(a[:mid][m1], b[:mid][m1])) | set(
+        zip(a[mid:][m2], b[mid:][m2]))
+    assert full <= union
+
+
+def _scd2_pandas(df):
+    rows = []
+    for uid, sub in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        runs = []
+        for _, r in sub.iterrows():
+            if runs and runs[-1]["event_type"] == r.event_type:
+                runs[-1]["n"] += 1
+            else:
+                runs.append({"event_type": r.event_type, "vf": r.ts, "n": 1})
+        for i, run in enumerate(runs):
+            rows.append({
+                "user_id": uid, "event_type": run["event_type"],
+                "valid_from_us": run["vf"],
+                "valid_to_us": runs[i + 1]["vf"] if i + 1 < len(runs) else -1,
+                "n_events": run["n"]})
+    return pd.DataFrame(rows)
+
+
+def test_scd2_intervals_matches_reference(ray_session):
+    import ray
+
+    from anycrawl_ray.stages.window import scd2_intervals
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": rng.randint(0, 50, n).astype(np.int64),  # many ties
+        "event_id": np.arange(n, dtype=np.int64)})
+    tbl = pa.table({"user_id": df.user_id, "event_type": df.event_type,
+                    "ts": pa.array(df.ts, pa.timestamp("us")),
+                    "event_id": df.event_id})
+    got = scd2_intervals(ray.data.from_arrow(tbl), n_buckets=4)
+    want = _scd2_pandas(df).sort_values(
+        ["user_id", "valid_from_us"]).reset_index(drop=True)
+    got = got[["user_id", "event_type", "valid_from_us", "valid_to_us",
+               "n_events"]].astype(
+        {"valid_from_us": "int64", "valid_to_us": "int64"})
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_time_weighted_avg_exact(ray_session):
+    import ray
+
+    from anycrawl_ray.stages.window import time_weighted_avg
+
+    # hand-computed: user 1 holds 100c for 10s then 300c for 30s ->
+    # (1000 + 9000) / 40 = 250c; user 2 single-second -> dropped
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 10_000_000, 40_000_000, 5_000_000],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 3.0, 9.0, 7.0], pa.float64())})
+    df = time_weighted_avg(ray.data.from_arrow(tbl), n_buckets=2)
+    assert df["user_id"].tolist() == [1]
+    assert df["span_sec"].tolist() == [40]
+    assert df["twa_cents"].tolist() == [(100 * 10 + 300 * 30) // 40]
+
+
+def test_zorder_interleave_reference(ray_session):
+    import ray
+
+    from anycrawl_ray.stages.window import zorder_layout
+
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 256, 500).astype(np.int64)
+    y = rng.randint(0, 256, 500).astype(np.int64)
+    tbl = pa.table({"x": pa.array(x), "y": pa.array(y)})
+    res = zorder_layout(ray.data.from_arrow(tbl), "x", "y", bits=8,
+                        n_ranges=16).to_pandas()
+
+    def morton(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    zr = np.array([morton(a, b) >> 12 for a, b in zip(x, y)])
+    for _, row in res.iterrows():
+        m = zr == row.zrange
+        assert row.n_rows == int(m.sum())
+        assert row.x_min == int(x[m].min()) and row.x_max == int(x[m].max())
+        assert row.y_min == int(y[m].min()) and row.y_max == int(y[m].max())
+    assert int(res.n_rows.sum()) == 500
+
+
+def test_cusum_drift_peak(ray_session):
+    import ray
+
+    from anycrawl_ray.stages.window import cusum_drift
+
+    # one type: days 0,0,0,1,2 -> counts [3,1,1], mean=1, cusum=[2,2,2]
+    # peak = first max -> day 0, value 2
+    tbl = pa.table({
+        "event_type": pa.array(["x"] * 5, pa.string()),
+        "ts": pa.array([0, 1, 2, 86_400_000_000, 2 * 86_400_000_000],
+                       pa.timestamp("us"))})
+    res = cusum_drift(ray.data.from_arrow(tbl)).to_pandas()
+    assert res.peak_day.tolist() == [0]
+    assert res.peak_cusum.tolist() == [2]
+    assert res.n_days.tolist() == [3]
+    assert res.n_events.tolist() == [5]
