@@ -139,8 +139,12 @@ def triangle_counts(edges_ds, n_nodes: int,
     When the degree table fits under ``broadcast_limit`` rows it is
     broadcast once (ray.put) and read as a dense gather inside the
     orient pass — two hash joins disappear (measured: each join spawn
-    costs ~1 s of fixed aggregator-actor time at small scale). Above
-    the limit the join path runs unchanged; pass 0 to force it.
+    costs ~1 s of fixed aggregator-actor time at small scale). The same
+    guard (on the deduped edge count) broadcasts the sorted oriented
+    edge-key array so wedges close in-map with searchsorted — the
+    O(m^1.5) candidate shuffle + closing hash join never run, and each
+    bucket emits per-node count partials directly. Above the limit both
+    join paths run unchanged; pass 0 to force them.
 
     Returns (doc_id, n_tri) for nodes in >= 1 triangle, sorted."""
     import ray
@@ -182,7 +186,8 @@ def triangle_counts(edges_ds, n_nodes: int,
              .groupby("_kb").map_groups(uniq_bucket,
                                         batch_format="pandas")
              .materialize())
-    if edges.count() == 0:  # wedge map_groups would lose its schema
+    n_edges = edges.count()
+    if n_edges == 0:  # wedge map_groups would lose its schema
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "n_tri": pa.array([], pa.int64())})
 
@@ -255,13 +260,13 @@ def triangle_counts(edges_ds, n_nodes: int,
         oriented = with_ab.map_batches(orient, batch_format="pyarrow"
                                        ).materialize()
 
-    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
+    def _wedge_arrays(df):
+        """Per-source candidate (closing-key, center) arrays from one
+        oriented fat bucket — rank-ordered neighbor pairs via pure
+        index arithmetic, no per-source Python loop."""
         u = df["u"].to_numpy(np.int64)
         if u.size == 0:
-            return pd.DataFrame({"c": np.empty(0, np.int64),
-                                 "ctr": np.empty(0, np.int64)})
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         rv = df["rv"].to_numpy(np.int64)
         vid = df["v"].to_numpy(np.int64)
         order = np.lexsort((rv, u))
@@ -275,42 +280,87 @@ def triangle_counts(edges_ds, n_nodes: int,
         counts = sizes[seg_id] - 1 - local
         total = int(counts.sum())
         if total == 0:
-            return pd.DataFrame({"c": np.empty(0, np.int64),
-                                 "ctr": np.empty(0, np.int64)})
+            return np.empty(0, np.int64), np.empty(0, np.int64)
         ai = np.repeat(np.arange(m), counts)
         offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
                                             counts)
         bj = ai + 1 + offs
         # rank order within the segment -> candidate oriented edge
-        return pd.DataFrame({"c": vid[ai] * n + vid[bj],
-                             "ctr": u[ai]})
-
-    cands = oriented.groupby("_kb").map_groups(
-        wedges, batch_format="pandas").materialize()
-    if cands.count() == 0:  # all-empty map_groups drops the schema
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_tri": pa.array([], pa.int64())})
+        return vid[ai] * n + vid[bj], u[ai]
 
     def edge_keys(batch: pa.Table) -> pa.Table:
         u = np.asarray(batch.column("u"), dtype=np.int64)
         v = np.asarray(batch.column("v"), dtype=np.int64)
         return pa.table({"c": pa.array(u * n + v, pa.int64())})
 
-    closing = oriented.map_batches(edge_keys, batch_format="pyarrow")
-    tris = cands.join(closing, "inner", n_parts, on=("c",))
+    if n_edges <= broadcast_limit:
+        # (5a) broadcast closing: the deduped oriented edge-key set fits
+        # under the guard (it IS the deduped edge set), so ship it once
+        # as a sorted array and close wedges in-map with searchsorted —
+        # the candidate shuffle + hash join (the O(m^1.5) wedge volume
+        # moving through the object store) never happens. Each bucket
+        # emits per-node count PARTIALS directly.
+        from .dedup import _cached_get
 
-    # (6) per-node count partials; each triangle contributes its 3 nodes
-    def node_partial(batch: pa.Table) -> pa.Table:
-        c = np.asarray(batch.column("c"), dtype=np.int64)
-        ctr = np.asarray(batch.column("ctr"), dtype=np.int64)
-        nodes = np.concatenate([c // n, c % n, ctr])
-        un, cnt = np.unique(nodes, return_counts=True)
-        return pa.table({"doc_id": pa.array(un, pa.int64()),
-                         "n_tri": pa.array(cnt.astype(np.int64))})
+        ekeys = np.sort(oriented.map_batches(
+            edge_keys, batch_format="pyarrow")
+            .to_pandas()["c"].to_numpy(np.int64))
+        ekeys_ref = ray.put(ekeys)
 
-    out = (tris.map_batches(node_partial, batch_format="pyarrow")
-           .groupby("doc_id").aggregate(Sum("n_tri", alias_name="n_tri"))
-           .to_pandas())
+        def wedges_close(df):
+            import pandas as pd
+
+            c, ctr = _wedge_arrays(df)
+            if c.size:
+                keys = _cached_get(ekeys_ref)
+                idx = np.minimum(np.searchsorted(keys, c),
+                                 keys.size - 1)
+                hit = keys[idx] == c
+                c, ctr = c[hit], ctr[hit]
+            if c.size == 0:
+                return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                     "n_tri": np.empty(0, np.int64)})
+            nodes = np.concatenate([c // n, c % n, ctr])
+            un, cnt = np.unique(nodes, return_counts=True)
+            return pd.DataFrame({"doc_id": un,
+                                 "n_tri": cnt.astype(np.int64)})
+
+        partials = oriented.groupby("_kb").map_groups(
+            wedges_close, batch_format="pandas").materialize()
+        if partials.count() == 0:  # all-empty map_groups drops schema
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tri": pa.array([], pa.int64())})
+        out = (partials.groupby("doc_id")
+               .aggregate(Sum("n_tri", alias_name="n_tri")).to_pandas())
+    else:
+        def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as pd
+
+            c, ctr = _wedge_arrays(df)
+            return pd.DataFrame({"c": c, "ctr": ctr})
+
+        cands = oriented.groupby("_kb").map_groups(
+            wedges, batch_format="pandas").materialize()
+        if cands.count() == 0:  # all-empty map_groups drops the schema
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tri": pa.array([], pa.int64())})
+
+        closing = oriented.map_batches(edge_keys, batch_format="pyarrow")
+        tris = cands.join(closing, "inner", n_parts, on=("c",))
+
+        # (6) per-node count partials; each triangle contributes 3 nodes
+        def node_partial(batch: pa.Table) -> pa.Table:
+            c = np.asarray(batch.column("c"), dtype=np.int64)
+            ctr = np.asarray(batch.column("ctr"), dtype=np.int64)
+            nodes = np.concatenate([c // n, c % n, ctr])
+            un, cnt = np.unique(nodes, return_counts=True)
+            return pa.table({"doc_id": pa.array(un, pa.int64()),
+                             "n_tri": pa.array(cnt.astype(np.int64))})
+
+        out = (tris.map_batches(node_partial, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Sum("n_tri", alias_name="n_tri"))
+               .to_pandas())
     if len(out) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "n_tri": pa.array([], pa.int64())})

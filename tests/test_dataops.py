@@ -1350,6 +1350,9 @@ def test_triangle_counts_random_graph(ray_session):
     want = _tri_brute(edges, n)
     assert dict(zip(got["doc_id"], got["n_tri"])) == want
     assert len(want) > 0  # the random graph really has triangles
+    # join path (broadcast guard forced off) must match byte-for-byte
+    forced = triangle_counts(ds, n, broadcast_limit=0).to_pandas()
+    assert forced.values.tolist() == got.values.tolist()
 
 
 def test_triangle_counts_complete_and_star(ray_session):
