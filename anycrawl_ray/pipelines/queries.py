@@ -8881,6 +8881,110 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def events_ewma(sf_dir: str):
+    """Per-event-type EWMA trend over observed daily counts
+    (window.ewma_daily, alpha = 1/8, 1e6 fixed point): the smoothing
+    statistic behind rate dashboards and drift alerts. The oracle
+    replays the exact integer recurrence with a recursive CTE over the
+    per-type day ranks."""
+    from ..stages.window import ewma_daily
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return ewma_daily(ev)
+
+
+_EWMA_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn FROM d),
+rec(event_type, rn, day, n, s) AS (
+  SELECT event_type, rn, day, n, n * 1000000 FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn, r.day, r.n,
+         (7 * rec.s + r.n * 1000000) // 8
+  FROM rec JOIN r ON r.event_type = rec.event_type
+               AND r.rn = rec.rn + 1)
+SELECT event_type, CAST(day AS BIGINT) AS day, n,
+       CAST(s AS BIGINT) AS ewma
+FROM rec ORDER BY event_type, day
+"""
+
+
+def events_benford(sf_dir: str):
+    """First-significant-digit distribution of event values vs the
+    Benford screen (window.benford_digits): cents-quantized, positive
+    rows only, counts + ppm shares — the classic aberration audit as a
+    zero-shuffle map-side fold."""
+    from ..stages.window import benford_digits
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return benford_digits(ev)
+
+
+_BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(round_even(value * 100, 0) AS BIGINT) > 0),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+          AS digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM d)
+SELECT d.digit, d.n,
+       CAST(d.n * 1000000 // greatest(t.total, 1) AS BIGINT)
+           AS share_ppm
+FROM d, t ORDER BY d.digit
+"""
+
+
+def events_autocorr(sf_dir: str):
+    """Per-event-type autocorrelation sufficient statistics of the
+    dense hourly count series at lags 1, 2 and 24 (window.
+    autocorr_hourly) — the seasonality probe, float-free: the exact
+    integer Pearson pieces (n_pairs, cov_n, varx_n, vary_n) so the
+    oracle compares pure BIGINTs."""
+    from ..stages.window import autocorr_hourly
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return autocorr_hourly(ev)
+
+
+_AUTOCORR_SQL = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx
+      FROM h GROUP BY 1),
+grid AS (SELECT b.event_type, unnest(generate_series(b.mn, b.mx)) AS hr
+         FROM b),
+dense AS (SELECT g.event_type, g.hr, COALESCE(h.n, 0) AS n
+          FROM grid g LEFT JOIN h USING (event_type, hr)),
+lags AS (SELECT unnest([1, 2, 24]) AS lag),
+pairs AS (
+  SELECT d1.event_type, l.lag, d1.n AS x, d2.n AS y
+  FROM dense d1
+  JOIN lags l ON true
+  JOIN dense d2 ON d2.event_type = d1.event_type
+               AND d2.hr = d1.hr + l.lag)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_n,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS varx_n,
+       CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS vary_n
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9052,6 +9156,9 @@ QUERIES = {
     "events_zorder": events_zorder,
     "events_cusum": events_cusum,
     "docs_ipc_roundtrip": docs_ipc_roundtrip,
+    "events_ewma": events_ewma,
+    "events_benford": events_benford,
+    "events_autocorr": events_autocorr,
 }
 
 ORACLE_SQL = {
@@ -9250,6 +9357,9 @@ ORACLE_SQL = {
     "events_zorder": _zorder_sql(),
     "events_cusum": _CUSUM_SQL,
     "docs_ipc_roundtrip": _IPC_ROUNDTRIP_SQL,
+    "events_ewma": _EWMA_SQL,
+    "events_benford": _BENFORD_SQL,
+    "events_autocorr": _AUTOCORR_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -1770,3 +1770,147 @@ def cusum_drift(ds, group_col: str = "event_type", ts_col: str = "ts"):
         "peak_cusum": pa.array(out_s, pa.int64()),
         "n_days": pa.array(out_days, pa.int64()),
         "n_events": pa.array(out_n, pa.int64())})
+
+
+def ewma_daily(ds, group_col: str = "event_type", ts_col: str = "ts",
+               alpha_denom: int = 8, scale: int = 10**6) -> pa.Table:
+    """Per-group exponentially-weighted moving average over observed
+    daily counts — the classic smoothing/trend statistic (alpha =
+    1/alpha_denom). The recurrence is exact integer fixed-point:
+    ``s_1 = n_1*scale; s_t = ((alpha_denom-1)*s_{t-1} + n_t*scale)
+    // alpha_denom`` — the numerator is always nonnegative, so Python
+    floor division and DuckDB's truncating ``//`` agree (the repo-wide
+    negative-division parity rule). Gaps contribute no row (observed
+    days only — documented, mirrored in the oracle's recursive CTE).
+
+    Scale shape: the corpus reduces map-side to (group, day) -> count
+    partials (one groupby-Count shuffle); the merged histogram is tiny
+    (groups x days), so the sequential per-group recurrence runs over
+    that reduced table — the cusum_drift pattern."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        day = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // (86400 * per)
+        return pa.table({group_col: batch.column(group_col),
+                         "day": pa.array(day, pa.int64())})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby([group_col, "day"])
+             .aggregate(Count(alias_name="n"))
+             .to_pandas())
+    daily = daily.sort_values([group_col, "day"]).reset_index(drop=True)
+    out_g, out_day, out_n, out_s = [], [], [], []
+    a1 = alpha_denom - 1
+    for grp, sub in daily.groupby(group_col, sort=True):
+        n = sub["n"].to_numpy(dtype=np.int64)
+        d = sub["day"].to_numpy(dtype=np.int64)
+        s = int(n[0]) * scale
+        for i in range(n.size):
+            if i:
+                s = (a1 * s + int(n[i]) * scale) // alpha_denom
+            out_g.append(grp)
+            out_day.append(int(d[i]))
+            out_n.append(int(n[i]))
+            out_s.append(s)
+    return pa.table({
+        group_col: pa.array(out_g, pa.string()),
+        "day": pa.array(out_day, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+        "ewma": pa.array(out_s, pa.int64())})
+
+
+def benford_digits(ds, value_col: str = "value") -> pa.Table:
+    """First-significant-digit distribution of a positive value column
+    vs the Benford expectation — the standard fraud/aberration screen.
+    Values quantize to integer cents with round-half-even (the repo
+    cents convention); rows with cents <= 0 are excluded (mirrored in
+    the oracle). share_ppm = n * 10^6 // total (nonnegative, so floor
+    == truncate). Pure map-side 9-bucket partials; no shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(value_col), dtype=np.float64)
+        c = np.rint(v * 100).astype(np.int64)
+        c = c[c > 0]
+        # strip trailing digits: <= 19 decimal digits in an int64
+        for _ in range(19):
+            big = c >= 10
+            if not big.any():
+                break
+            c = np.where(big, c // 10, c)
+        cnt = np.bincount(c, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby("digit", sort=True)["n"].sum()
+    counts = tot.to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    share = (counts * 1_000_000) // max(total, 1)
+    return pa.table({"digit": pa.array(tot.index.to_numpy(np.int64)),
+                     "n": pa.array(counts),
+                     "share_ppm": pa.array(share.astype(np.int64))})
+
+
+def autocorr_hourly(ds, group_col: str = "event_type", ts_col: str = "ts",
+                    lags: tuple = (1, 2, 24)) -> pa.Table:
+    """Per-group autocorrelation sufficient statistics of the DENSE
+    hourly count series (gap hours count 0) at the given lags — the
+    seasonality probe (lag 24 = daily cycle). To stay float-free the
+    output is the exact integer Pearson pieces per (group, lag):
+    ``n_pairs``, ``cov_n = n*Sxy - Sx*Sy``, ``varx_n = n*Sxx - Sx^2``,
+    ``vary_n = n*Syy - Sy^2`` (r = cov_n / sqrt(varx_n*vary_n) is the
+    caller's one float op). No division happens, so there is no
+    floor/trunc parity surface at all.
+
+    Scale shape: one (group, hour) groupby-Count reduce; the dense
+    series (groups x span-hours) is tiny, the lag arithmetic runs
+    vectorized over it."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        hr = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // (3600 * per)
+        return pa.table({group_col: batch.column(group_col),
+                         "hr": pa.array(hr, pa.int64())})
+
+    hourly = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby([group_col, "hr"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    out_g, out_lag, out_np, out_cov, out_vx, out_vy = ([], [], [], [],
+                                                       [], [])
+    for grp, sub in hourly.groupby(group_col, sort=True):
+        hr = sub["hr"].to_numpy(dtype=np.int64)
+        n = sub["n"].to_numpy(dtype=np.int64)
+        lo, hi = int(hr.min()), int(hr.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[hr - lo] = n
+        for lag in lags:
+            if lag >= dense.size:
+                continue
+            x, y = dense[:-lag], dense[lag:]
+            m = int(x.size)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx = int((x * x).sum())
+            syy = int((y * y).sum())
+            out_g.append(grp)
+            out_lag.append(lag)
+            out_np.append(m)
+            out_cov.append(m * sxy - sx * sy)
+            out_vx.append(m * sxx - sx * sx)
+            out_vy.append(m * syy - sy * sy)
+    return pa.table({
+        group_col: pa.array(out_g, pa.string()),
+        "lag": pa.array(out_lag, pa.int64()),
+        "n_pairs": pa.array(out_np, pa.int64()),
+        "cov_n": pa.array(out_cov, pa.int64()),
+        "varx_n": pa.array(out_vx, pa.int64()),
+        "vary_n": pa.array(out_vy, pa.int64())})

@@ -153,3 +153,60 @@ def test_cusum_drift_peak(ray_session):
     assert res.peak_cusum.tolist() == [2]
     assert res.n_days.tolist() == [3]
     assert res.n_events.tolist() == [5]
+
+
+def test_ewma_daily_recurrence(ray_session):
+    import ray
+
+    from anycrawl_ray.stages.window import ewma_daily
+
+    # counts by day: [4, 1, 2] -> s = [4e6, (7*4e6+1e6)//8, ...]
+    day = 86_400_000_000
+    ts = [0, 1, 2, 3, day, 2 * day, 2 * day + 5]
+    tbl = pa.table({"event_type": pa.array(["a"] * 7, pa.string()),
+                    "ts": pa.array(ts, pa.timestamp("us"))})
+    res = ewma_daily(ray.data.from_arrow(tbl)).to_pandas()
+    s0 = 4_000_000
+    s1 = (7 * s0 + 1_000_000) // 8
+    s2 = (7 * s1 + 2_000_000) // 8
+    assert res.day.tolist() == [0, 1, 2]
+    assert res.n.tolist() == [4, 1, 2]
+    assert res.ewma.tolist() == [s0, s1, s2]
+
+
+def test_benford_digits_counts(ray_session):
+    import ray
+
+    from anycrawl_ray.stages.window import benford_digits
+
+    # cents: 100,2,2,999,-5 (dropped), 0.004 -> 0 (dropped)
+    vals = [1.00, 0.02, 0.02, 9.99, -0.05, 0.00004]
+    tbl = pa.table({"value": pa.array(vals, pa.float64())})
+    res = benford_digits(ray.data.from_arrow(tbl)).to_pandas()
+    got = dict(zip(res.digit, res.n))
+    assert got == {1: 1, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    assert dict(zip(res.digit, res.share_ppm))[2] == 2_000_000 // 4
+
+
+def test_autocorr_hourly_exact(ray_session):
+    import ray
+
+    from anycrawl_ray.stages.window import autocorr_hourly
+
+    # dense hourly series [2, 0, 1, 3] (hour 1 is a gap -> 0)
+    hour = 3_600_000_000
+    ts = ([0, 1] + [2 * hour] + [3 * hour] * 3)
+    tbl = pa.table({"event_type": pa.array(["t"] * 6, pa.string()),
+                    "ts": pa.array(ts, pa.timestamp("us"))})
+    res = autocorr_hourly(ray.data.from_arrow(tbl),
+                          lags=(1, 2)).to_pandas()
+    dense = np.array([2, 0, 1, 3], dtype=np.int64)
+    for _, row in res.iterrows():
+        lag = int(row.lag)
+        x, y = dense[:-lag], dense[lag:]
+        m = x.size
+        assert row.n_pairs == m
+        assert row.cov_n == m * (x * y).sum() - x.sum() * y.sum()
+        assert row.varx_n == m * (x * x).sum() - x.sum() ** 2
+        assert row.vary_n == m * (y * y).sum() - y.sum() ** 2
+    assert set(res.lag) == {1, 2}
