@@ -8985,6 +8985,64 @@ FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def embeddings_pca_power(sf_dir: str):
+    """Top principal direction of the embedding second-moment matrix
+    by integer power iteration (similarity.pca_power): ONE corpus pass
+    folds d x d second-moment partials, the tiny matrix iterates
+    driver-side in arbitrary-precision ints. The oracle replays the
+    identical recurrence as unrolled HUGEINT CTEs in the algebraically
+    equal w = Q^T (Q v) form."""
+    rd = _rd()
+    from ..stages.similarity import pca_power
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return pca_power(ds, iters=_PCA_ITERS, scale=100,
+                     v_scale=_PCA_VSCALE)
+
+
+_PCA_ITERS = 8
+_PCA_VSCALE = 10_000
+
+
+def _pca_power_sql(iters: int = _PCA_ITERS, scale: int = 100,
+                   v_scale: int = _PCA_VSCALE) -> str:
+    ctes = [f"""qv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(round_even(x * {scale}, 0) AS BIGINT)) AS q
+  FROM embeddings),
+qd AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(q, 1) AS dim, unnest(q) AS x
+  FROM qv),
+v0 AS (SELECT DISTINCT dim, CAST({v_scale} AS HUGEINT) AS val
+       FROM qd)"""]
+    for k in range(1, iters + 1):
+        # w{k} is referenced by both mx{k} and v{k}: without
+        # MATERIALIZED DuckDB inlines the whole chain twice per round
+        # (2^iters plan blowup — measured: iters=8 never finishes)
+        ctes.append(f"""vl{k} AS (
+  SELECT list(val ORDER BY dim) AS vl FROM v{k - 1}),
+s{k} AS (
+  SELECT q.vec_id,
+         list_sum(list_transform(list_zip(q.q, vl.vl),
+                  s -> CAST(s[1] AS HUGEINT) * s[2])) AS sv
+  FROM qv q, vl{k} vl),
+w{k} AS MATERIALIZED (
+  SELECT t.dim, SUM(CAST(t.x AS HUGEINT) * s.sv) AS wv
+  FROM qd t JOIN s{k} s USING (vec_id) GROUP BY 1),
+mx{k} AS (SELECT greatest(MAX(ABS(wv)), 1) AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT dim,
+         CASE WHEN wv < 0 THEN -((-wv) * {v_scale} // mx.m)
+              ELSE wv * {v_scale} // mx.m END AS val
+  FROM w{k}, mx{k} mx)""")
+    chain = ",\n".join(ctes)
+    return f"""WITH {chain}
+SELECT CAST(dim AS BIGINT) AS dim, CAST(val AS BIGINT) AS v
+FROM v{iters} ORDER BY dim
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9159,6 +9217,7 @@ QUERIES = {
     "events_ewma": events_ewma,
     "events_benford": events_benford,
     "events_autocorr": events_autocorr,
+    "embeddings_pca_power": embeddings_pca_power,
 }
 
 ORACLE_SQL = {
@@ -9360,6 +9419,7 @@ ORACLE_SQL = {
     "events_ewma": _EWMA_SQL,
     "events_benford": _BENFORD_SQL,
     "events_autocorr": _AUTOCORR_SQL,
+    "embeddings_pca_power": _pca_power_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -1023,3 +1023,49 @@ def hard_negatives(ds, anchors: np.ndarray, anchor_ids: list[int],
             cols["hp_id"].append(int(hp["cand_id"]))
             cols["hp_dot"].append(int(hp["dot"]))
     return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+
+def pca_power(ds, iters: int = 8, scale: int = 100,
+              v_scale: int = 10_000) -> pa.Table:
+    """Top principal direction of the (uncentered) embedding
+    second-moment matrix by deterministic integer power iteration —
+    the whitening/compression primitive (PCA without the float seams).
+
+    Coordinates quantize as rint(x * scale) (NO offset — a shift would
+    plant a rank-1 constant component that wins the iteration). One
+    corpus pass folds per-block second-moment partials M_b = Q_b^T Q_b
+    (d x d, exact int64); the driver sums them into arbitrary-precision
+    Python ints and runs ``w = M v; v = sign(w) * (|w| * v_scale //
+    max|w|)`` for ``iters`` rounds from the all-ones start — trunc-
+    toward-zero normalization so DuckDB's truncating ``//`` replays it
+    verbatim on HUGEINTs (the oracle uses the algebraically identical
+    w = Q^T (Q v) form, exact in integers). d x d stays driver-side by
+    design: it is the k-means-centroid shape, corpus-size-free.
+
+    Returns (dim 1-based, v) — the final scaled iterate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.rint(_batch_embeddings(batch) * scale).astype(np.int64)
+        m = q.T @ q  # d x d block partial, exact in int64
+        return pa.table({"m": pa.array([m.reshape(-1).tolist()],
+                                       pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64())})
+    flats = [np.asarray(x, dtype=np.int64) for x in parts["m"]]
+    d = int(round(len(flats[0]) ** 0.5))
+    acc = [0] * (d * d)
+    for f in flats:  # Python-int accumulation: no overflow at any n
+        for idx in range(d * d):
+            acc[idx] += int(f[idx])
+    v = [v_scale] * d
+    for _ in range(iters):
+        w = [sum(acc[i * d + j] * v[j] for j in range(d))
+             for i in range(d)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [(-((-x) * v_scale // mx) if x < 0 else x * v_scale // mx)
+             for x in w]
+    return pa.table({"dim": pa.array(range(1, d + 1), pa.int64()),
+                     "v": pa.array(v, pa.int64())})
