@@ -9009,7 +9009,8 @@ def _pca_power_sql(iters: int = _PCA_ITERS, scale: int = 100,
                    v_scale: int = _PCA_VSCALE) -> str:
     ctes = [f"""qv AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding,
-         x -> CAST(round_even(x * {scale}, 0) AS BIGINT)) AS q
+         x -> CAST(round_even(CAST(x AS DOUBLE) * {scale}, 0)
+                   AS BIGINT)) AS q
   FROM embeddings),
 qd AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(q, 1) AS dim, unnest(q) AS x

@@ -1031,7 +1031,10 @@ def pca_power(ds, iters: int = 8, scale: int = 100,
     second-moment matrix by deterministic integer power iteration —
     the whitening/compression primitive (PCA without the float seams).
 
-    Coordinates quantize as rint(x * scale) (NO offset — a shift would
+    Coordinates quantize as rint(float64(x) * scale) — the repo-wide
+    embedding convention, mirrored in SQL as round_even(CAST(x AS
+    DOUBLE) * scale) (a bare FLOAT multiply rounds ~1e-7 of elements
+    differently; observed at sf0.1). NO offset — a shift would
     plant a rank-1 constant component that wins the iteration). One
     corpus pass folds per-block second-moment partials M_b = Q_b^T Q_b
     (d x d, exact int64); the driver sums them into arbitrary-precision
