@@ -9044,6 +9044,75 @@ FROM v{iters} ORDER BY dim
 """
 
 
+def events_hdr_quantiles(sf_dir: str):
+    """HDR-histogram quantile sketch per event type (sketches.
+    hdr_quantiles): values collapse to power-of-two buckets keeping 4
+    significant bits (relative error <= 1/8), p50/p95/p99 read off the
+    value-range-bounded histogram — no sort, no raw-row shuffle. The
+    exact quantile (identical integer rank rule) rides along so each
+    row reports its own err_ppm, and the oracle replays bucketing via
+    length(printf('%b', cents)) bit arithmetic."""
+    rd = _rd()
+    from ..stages.sketches import hdr_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return hdr_quantiles(ev, key="event_type", value_col="value",
+                         sub_bits=_HDR_SUB_BITS)
+
+
+_HDR_SUB_BITS = 3
+
+
+def _hdr_quantiles_sql(sub_bits: int = _HDR_SUB_BITS) -> str:
+    return f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+b AS (
+  SELECT event_type, cents,
+         length(printf('%b', greatest(cents, 0))) - 1 AS m
+  FROM c),
+q AS (
+  SELECT event_type, cents,
+         CASE WHEN cents < 1 OR m <= {sub_bits} THEN cents
+              ELSE (cents >> (m - {sub_bits})) << (m - {sub_bits})
+         END AS lo
+  FROM b),
+hs AS (SELECT event_type, lo, COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+hx AS (SELECT event_type, cents AS lo, COUNT(*) AS cnt
+       FROM q GROUP BY 1, 2),
+n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM hs
+      GROUP BY 1),
+ps AS (SELECT unnest([500000, 950000, 990000]) AS p_ppm),
+cs AS (SELECT event_type, lo,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo)
+                  AS cum
+       FROM hs),
+cx AS (SELECT event_type, lo,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo)
+                  AS cum
+       FROM hx),
+est AS (
+  SELECT c.event_type, p.p_ppm, MIN(c.lo) AS est_cents
+  FROM cs c JOIN n USING (event_type) CROSS JOIN ps p
+  WHERE CAST(c.cum AS HUGEINT) * 1000000 >= CAST(p.p_ppm AS HUGEINT) * n.n
+  GROUP BY 1, 2),
+ext AS (
+  SELECT c.event_type, p.p_ppm, MIN(c.lo) AS exact_cents
+  FROM cx c JOIN n USING (event_type) CROSS JOIN ps p
+  WHERE CAST(c.cum AS HUGEINT) * 1000000 >= CAST(p.p_ppm AS HUGEINT) * n.n
+  GROUP BY 1, 2)
+SELECT e.event_type, CAST(e.p_ppm AS BIGINT) AS p_ppm, n.n,
+       e.est_cents, x.exact_cents,
+       (x.exact_cents - e.est_cents) * 1000000
+           // greatest(x.exact_cents, 1) AS err_ppm
+FROM est e JOIN ext x USING (event_type, p_ppm) JOIN n USING (event_type)
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9219,6 +9288,7 @@ QUERIES = {
     "events_benford": events_benford,
     "events_autocorr": events_autocorr,
     "embeddings_pca_power": embeddings_pca_power,
+    "events_hdr_quantiles": events_hdr_quantiles,
 }
 
 ORACLE_SQL = {
@@ -9421,6 +9491,7 @@ ORACLE_SQL = {
     "events_benford": _BENFORD_SQL,
     "events_autocorr": _AUTOCORR_SQL,
     "embeddings_pca_power": _pca_power_sql(),
+    "events_hdr_quantiles": _hdr_quantiles_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -273,3 +273,109 @@ def hll_distinct(ds, col: str, p: int = 8) -> pa.Table:
     return pa.table({"m": pa.array([m], pa.int64()),
                      "filled": pa.array([filled], pa.int64()),
                      "est_raw": pa.array([int(est)], pa.int64())})
+
+
+def _bit_length_np(v: np.ndarray) -> np.ndarray:
+    """Exact integer bit length of non-negative int64 values (the
+    hll_distinct shift cascade, factored): 0 -> 0, 1 -> 1, 255 -> 8."""
+    bl = np.zeros(v.size, dtype=np.int64)
+    vv = v.astype(np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = vv >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        vv[big] >>= np.uint64(s)
+    bl[v > 0] += 1
+    return bl
+
+
+def hdr_quantiles(ds, key: str, value_col: str, sub_bits: int = 3,
+                  ps_ppm: tuple = (500_000, 950_000, 990_000),
+                  scale: int = 100) -> pa.Table:
+    """HDR-histogram quantile sketch (Tene's HdrHistogram bucketing) per
+    ``key`` over strictly-positive ``value_col``: cents quantize via the
+    house round_even convention, then each value collapses to its
+    bucket LOWER BOUND — the top ``sub_bits + 1`` significant bits kept,
+    the rest zeroed — giving a fixed relative error <= 2^-sub_bits with
+    at most ``63 * 2^sub_bits`` buckets per key regardless of row count.
+    Estimate for quantile p = smallest bucket lower bound whose
+    cumulative count covers ceil(p * n) (integer rule cum * 1e6 >=
+    p_ppm * n). Cents below 1 (zero or negative values) pass through
+    exactly — the HDR zero-bucket convention — so the sketch accepts
+    any input, with the relative-error bound applying to the positive
+    range. The exact quantile (same rank rule over exact cents) rides
+    along so every row reports its own error: err_ppm =
+    (exact - est) * 1e6 // greatest(exact, 1), >= 0 for positive
+    quantiles.
+
+    Scale shape: one map pass emits per-block (key, bucket_lo, cnt)
+    partials — value-range-bounded, NOT row-count-bounded — plus exact
+    (key, cents, cnt) partials (cents cardinality is range-bounded
+    too); one slim groupby-Sum each; the driver reads off quantiles
+    from the two tiny histograms. No sort, no all-to-all of raw rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def bucketize(batch: pa.Table, exact: bool) -> pa.Table:
+        v = batch.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        cents = np.rint(np.asarray(v, dtype=np.float64) * scale) \
+            .astype(np.int64)
+        if exact:
+            lo = cents
+        else:
+            m = _bit_length_np(np.maximum(cents, 0)) - 1   # msb position
+            sh = np.maximum(m - sub_bits, 0)
+            lo = np.where(cents >= 1, (cents >> sh) << sh, cents)
+        k = batch.column(key)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        import pandas as pd
+        g = pd.DataFrame({key: np.asarray(k), "lo": lo}) \
+            .groupby([key, "lo"], as_index=False).size()
+        return pa.table({key: pa.array(g[key]),
+                         "lo": pa.array(g["lo"].to_numpy(np.int64)),
+                         "cnt": pa.array(g["size"].to_numpy(np.int64))})
+
+    def readoff(hist, name: str) -> dict:
+        """(key, lo, cnt) pandas -> {(key, p_ppm): quantile}."""
+        out = {}
+        for kv, g in hist.groupby(key, sort=True):
+            g = g.sort_values("lo")
+            lo = g["lo"].to_numpy(np.int64)
+            cum = g["cnt"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            for p in ps_ppm:
+                idx = int(np.searchsorted(cum * 1_000_000, p * n))
+                out[(kv, p)] = int(lo[idx])
+            out[(kv, "n")] = n
+        return out
+
+    sketch = (ds.map_batches(lambda b: bucketize(b, exact=False),
+                             batch_format="pyarrow")
+              .groupby([key, "lo"]).aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+    exact = (ds.map_batches(lambda b: bucketize(b, exact=True),
+                            batch_format="pyarrow")
+             .groupby([key, "lo"]).aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())
+    cols = {key: [], "p_ppm": [], "n": [], "est_cents": [],
+            "exact_cents": [], "err_ppm": []}
+    if len(sketch):
+        est_map, ex_map = readoff(sketch, "est"), readoff(exact, "exact")
+        for kv in sorted(set(sketch[key])):
+            for p in ps_ppm:
+                e, x = est_map[(kv, p)], ex_map[(kv, p)]
+                cols[key].append(kv)
+                cols["p_ppm"].append(p)
+                cols["n"].append(est_map[(kv, "n")])
+                cols["est_cents"].append(e)
+                cols["exact_cents"].append(x)
+                cols["err_ppm"].append((x - e) * 1_000_000 // max(x, 1))
+    return pa.table({key: pa.array(cols[key], pa.string()),
+                     "p_ppm": pa.array(cols["p_ppm"], pa.int64()),
+                     "n": pa.array(cols["n"], pa.int64()),
+                     "est_cents": pa.array(cols["est_cents"], pa.int64()),
+                     "exact_cents": pa.array(cols["exact_cents"],
+                                             pa.int64()),
+                     "err_ppm": pa.array(cols["err_ppm"], pa.int64())})

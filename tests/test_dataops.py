@@ -2995,3 +2995,43 @@ def test_dense_topk_int_orders_and_excludes(ray_session):
                          np.array([1.0, 0.0]), k=3, exclude_ids=(0,))
     assert out.column("vec_id").to_pylist() == [3, 1, 2]
     assert out.column("rank").to_pylist() == [1, 2, 3]
+
+
+def test_hdr_quantiles_error_bound_and_partition_invariance(ray_session):
+    """HDR sketch invariants: est <= exact for every (key, p); relative
+    error of positive quantiles bounded by 2^-sub_bits; zero/negative
+    values pass through the zero bucket exactly; block layout never
+    changes the result."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.sketches import hdr_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 1.5, 4000).round(2) + 0.01,
+        np.zeros(5),                     # zero bucket
+        np.array([-1.25, -0.03]),        # negative passthrough
+    ])
+    keys = np.where(np.arange(vals.size) % 3 == 0, "a", "b")
+    t = pa.table({"k": pa.array(keys), "value": pa.array(vals)})
+
+    out = hdr_quantiles(rd.from_arrow(t).repartition(5), key="k",
+                        value_col="value", sub_bits=3).to_pandas()
+    assert len(out) == 6  # 2 keys x 3 quantiles
+    assert (out["est_cents"] <= out["exact_cents"]).all()
+    pos = out[out["exact_cents"] > 0]
+    assert (pos["err_ppm"] <= 1_000_000 // 8).all()
+    assert (pos["err_ppm"] >= 0).all()
+
+    out2 = hdr_quantiles(rd.from_arrow(t).repartition(11), key="k",
+                         value_col="value", sub_bits=3).to_pandas()
+    assert out.equals(out2)
+
+    # exact below the bucketing threshold: a corpus whose cents all fit
+    # in sub_bits+1 bits must sketch with zero error
+    small = pa.table({"k": pa.array(["s"] * 50),
+                      "value": pa.array((rng.integers(1, 16, 50)
+                                         / 100).astype(float))})
+    outs = hdr_quantiles(rd.from_arrow(small), key="k",
+                         value_col="value", sub_bits=3).to_pandas()
+    assert (outs["err_ppm"] == 0).all()
