@@ -9113,6 +9113,83 @@ ORDER BY 1, 2
 """
 
 
+_GINI_MIN_N, _GINI_K = 20, 20
+
+
+def events_gini(sf_dir: str):
+    """Per-user behavioral-diversity Gini impurity — the exact integer
+    segmentation statistic (1 - sum p_i^2 as ``(n^2 - sum c_i^2) * 1e6
+    // n^2``, no float probabilities): users with >= 20 events ranked
+    by most-diverse-first. The entropy cousin without the libm seam.
+
+    Scale shape: ONE user-hash fat-bucket shuffle of per-block
+    (user, type, cnt) partials; each bucket owns its users outright,
+    folds counts, computes gini in Python bigints (overflow-free at
+    any per-user volume, mirroring the oracle's HUGEINT), and emits
+    only its local top-20 — the driver merges #buckets x 20 rows."""
+    import ray  # noqa: F401  (ray.data via _rd)
+
+    from ..stages.text_analysis import _mix64_np
+    from ..stages.window import _default_buckets
+
+    rd = _rd()
+    nb = _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = (pa.table({"u": batch.column("user_id"),
+                       "s": batch.column("event_type")})
+             .group_by(["u", "s"]).aggregate([([], "count_all")])
+             .rename_columns(["u", "s", "cnt"]))
+        uv = np.asarray(t.column("u"), dtype=np.int64)
+        kb = (_mix64_np(uv.view(np.uint64)) % np.uint64(nb)) \
+            .astype(np.int64)
+        return t.append_column("_kb", pa.array(kb, pa.int64()))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        c = group.groupby(["u", "s"], as_index=False)["cnt"].sum()
+        rows = []
+        for u, g in c.groupby("u"):
+            cs = [int(x) for x in g["cnt"]]
+            n = sum(cs)
+            if n < _GINI_MIN_N:
+                continue
+            c2 = sum(x * x for x in cs)
+            rows.append((int(u), n,
+                         (n * n - c2) * 1_000_000 // (n * n)))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        rows = rows[:_GINI_K]
+        return pd.DataFrame({"user_id": [r[0] for r in rows],
+                             "n": [r[1] for r in rows],
+                             "gini_ppm": [r[2] for r in rows]})
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = (ev.map_batches(prep, batch_format="pyarrow")
+           .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values(["gini_ppm", "user_id"],
+                          ascending=[False, True]).head(_GINI_K)
+    return pa.table({"user_id": pa.array(out["user_id"].astype("int64"),
+                                         pa.int64()),
+                     "n": pa.array(out["n"].astype("int64"), pa.int64()),
+                     "gini_ppm": pa.array(out["gini_ppm"].astype("int64"),
+                                          pa.int64())})
+
+
+_EVENTS_GINI_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1, 2),
+u AS (
+  SELECT user_id, SUM(c) AS n, SUM(c * c) AS c2
+  FROM c GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST((n * n - c2) * 1000000 // (n * n) AS BIGINT) AS gini_ppm
+FROM u WHERE n >= {_GINI_MIN_N}
+ORDER BY gini_ppm DESC, user_id LIMIT {_GINI_K}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9289,6 +9366,7 @@ QUERIES = {
     "events_autocorr": events_autocorr,
     "embeddings_pca_power": embeddings_pca_power,
     "events_hdr_quantiles": events_hdr_quantiles,
+    "events_gini": events_gini,
 }
 
 ORACLE_SQL = {
@@ -9492,6 +9570,7 @@ ORACLE_SQL = {
     "events_autocorr": _AUTOCORR_SQL,
     "embeddings_pca_power": _pca_power_sql(),
     "events_hdr_quantiles": _hdr_quantiles_sql(),
+    "events_gini": _EVENTS_GINI_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
