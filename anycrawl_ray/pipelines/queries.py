@@ -9190,6 +9190,69 @@ ORDER BY gini_ppm DESC, user_id LIMIT {_GINI_K}
 """
 
 
+def docs_textrank(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — integer
+    PageRank over the adjacent-token co-occurrence graph, top-20 terms
+    (graph.textrank_keywords). The corpus-sized work is the distributed
+    edge extraction (per-block distinct pairs, one vocab-bounded
+    groupby); the 10-round rank iteration runs on the vocab graph in
+    the corpus-size-free centroid shape. Oracle = positional-token
+    adjacency replay + the unrolled-CTE integer recurrence."""
+    rd = _rd()
+    from ..stages.graph import textrank_keywords
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return textrank_keywords(docs, iters=_TEXTRANK_ITERS,
+                             scale=_PAGERANK_SCALE, topk=20)
+
+
+_TEXTRANK_ITERS = 10
+
+
+def _textrank_sql(iters: int = _TEXTRANK_ITERS,
+                  scale: int = _PAGERANK_SCALE) -> str:
+    parts = [f"""
+WITH tl AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS i
+  FROM tl),
+tf AS (SELECT doc_id, tok, i FROM tok WHERE tok <> ''),
+seq AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM tf),
+edges AS MATERIALIZED (
+  SELECT DISTINCT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+  FROM seq x JOIN seq y
+    ON x.doc_id = y.doc_id AND y.j = x.j + 1 AND x.tok <> y.tok),
+dir AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b, a FROM edges),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1),
+nodes AS MATERIALIZED (SELECT DISTINCT tok AS node FROM tf),
+n AS (SELECT COUNT(*) AS c FROM nodes),
+r0 AS (SELECT node, CAST({scale} // n.c AS BIGINT) AS r FROM nodes, n)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+s{k} AS (
+  SELECT d.dst AS node, SUM(r.r // g.deg) AS s
+  FROM dir d JOIN r{k - 1} r ON r.node = d.src
+  JOIN deg g ON g.src = d.src GROUP BY 1),
+r{k} AS MATERIALIZED (
+  SELECT p.node,
+         CAST((15 * ({scale} // n.c) + 85 * coalesce(s.s, 0)) // 100
+              AS BIGINT) AS r
+  FROM r0 p CROSS JOIN n LEFT JOIN s{k} s ON s.node = p.node)""")
+    parts.append(f"""
+SELECT node AS term, r AS rank_scaled FROM r{iters}
+ORDER BY r DESC, term LIMIT 20
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9367,6 +9430,7 @@ QUERIES = {
     "embeddings_pca_power": embeddings_pca_power,
     "events_hdr_quantiles": events_hdr_quantiles,
     "events_gini": events_gini,
+    "docs_textrank": docs_textrank,
 }
 
 ORACLE_SQL = {
@@ -9571,6 +9635,7 @@ ORACLE_SQL = {
     "embeddings_pca_power": _pca_power_sql(),
     "events_hdr_quantiles": _hdr_quantiles_sql(),
     "events_gini": _EVENTS_GINI_SQL,
+    "docs_textrank": _textrank_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

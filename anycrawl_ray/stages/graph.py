@@ -928,3 +928,71 @@ def graph_walks(edges_ds, n_nodes: int, walk_len: int = 4,
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64")),
                      "visits": pa.array(out["visits"].astype("int64"))})
+
+
+def textrank_keywords(docs_ds, iters: int = 10, scale: int = 10 ** 12,
+                      topk: int = 20) -> pa.Table:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    integer PageRank over the word co-occurrence graph — an undirected
+    edge for every pair of ADJACENT whitespace tokens (the window-2
+    variant), ranks via the house fixed-point recurrence
+    ``r' = (15 * (scale // n) + 85 * sum(r_src // deg_src)) // 100``
+    from the uniform start, top-k terms by (rank desc, term asc).
+
+    Scale shape: the corpus-sized work is the edge extraction — one
+    map pass emits per-block DISTINCT (a, b) pairs and distinct tokens
+    (tagged kinds on one stream), one groupby folds them to the global
+    edge/vocab sets, both vocabulary-bounded (corpus-sublinear), never
+    row-count-bounded. The 10-iteration PageRank then runs on the
+    vocab graph driver-side in vectorized int64 — the k-means-centroid
+    /pca_power shape: corpus-size-free state, one numpy add.at kernel
+    per iteration (exact integer, no float bincount weights)."""
+    from ray.data.aggregate import Count
+
+    def extract(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        pairs: set = set()
+        toks: set = set()
+        for t in col.to_pylist():
+            ws = t.split()
+            toks.update(ws)
+            for x, y in zip(ws, ws[1:]):
+                if x != y:
+                    pairs.add((x, y) if x < y else (y, x))
+        a = [p[0] for p in pairs] + sorted(toks)
+        b = [p[1] for p in pairs] + [""] * len(toks)
+        kind = [0] * len(pairs) + [1] * len(toks)
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string()),
+                         "kind": pa.array(kind, pa.int8())})
+
+    folded = (docs_ds.map_batches(extract, batch_format="pyarrow")
+              .groupby(["a", "b", "kind"])
+              .aggregate(Count(alias_name="_n"))
+              .to_pandas())
+    nodes = sorted(folded.loc[folded["kind"] == 1, "a"])
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "rank_scaled": pa.array([], pa.int64())})
+    idx = {t: i for i, t in enumerate(nodes)}
+    ed = folded[folded["kind"] == 0]
+    ea = np.asarray([idx[t] for t in ed["a"]], dtype=np.int64)
+    eb = np.asarray([idx[t] for t in ed["b"]], dtype=np.int64)
+    src = np.concatenate([ea, eb])
+    dst = np.concatenate([eb, ea])
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    base = scale // n
+    r = np.full(n, base, dtype=np.int64)
+    safe_deg = np.maximum(deg, 1)
+    for _ in range(iters):
+        contrib = r[src] // safe_deg[src]
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, contrib)
+        r = (15 * base + 85 * s) // 100
+    order = np.lexsort((np.asarray(nodes, dtype=object), -r))[:topk]
+    return pa.table({"term": pa.array([nodes[i] for i in order],
+                                      pa.string()),
+                     "rank_scaled": pa.array(r[order], pa.int64())})

@@ -3035,3 +3035,29 @@ def test_hdr_quantiles_error_bound_and_partition_invariance(ray_session):
     outs = hdr_quantiles(rd.from_arrow(small), key="k",
                          value_col="value", sub_bits=3).to_pandas()
     assert (outs["err_ppm"] == 0).all()
+
+
+def test_textrank_hub_ranks_first_and_partition_invariance(ray_session):
+    """TextRank sanity on a hand-built corpus: a token adjacent to every
+    other token (the hub) must rank first; result is independent of the
+    block layout; isolated tokens (single-token docs) keep the
+    teleport-only rank, strictly below connected nodes."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import textrank_keywords
+
+    docs = pa.table({"text": pa.array([
+        "hub alpha hub beta hub gamma hub delta",
+        "alpha beta",
+        "lonely",
+    ])})
+    out = textrank_keywords(rd.from_arrow(docs), iters=10, topk=10) \
+        .to_pandas()
+    assert out.iloc[0]["term"] == "hub"
+    lonely = out[out["term"] == "lonely"]["rank_scaled"].iloc[0]
+    assert lonely < out[out["term"] == "hub"]["rank_scaled"].iloc[0]
+    assert (out["rank_scaled"] > 0).all()
+
+    out2 = textrank_keywords(rd.from_arrow(docs).repartition(3),
+                             iters=10, topk=10).to_pandas()
+    assert out.equals(out2)
