@@ -9253,6 +9253,57 @@ ORDER BY r DESC, term LIMIT 20
     return "".join(parts)
 
 
+_MARKOV_ITERS, _MARKOV_VSCALE = 8, 10_000
+
+
+def events_markov_stationary(sf_dir: str):
+    """Stationary distribution of the user event-type Markov chain
+    (window.markov_stationary): transition counts via the proven
+    fat-bucket bigram kernel (the only corpus-sized pass), then integer
+    power iteration on the |types|^2 chain driver-side — behavioral
+    steady-state weights per event type. Oracle = the LAG transition
+    replay + unrolled HUGEINT recurrence CTEs."""
+    rd = _rd()
+    from ..stages.window import markov_stationary
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return markov_stationary(ds, iters=_MARKOV_ITERS,
+                             v_scale=_MARKOV_VSCALE)
+
+
+def _markov_stationary_sql(iters: int = _MARKOV_ITERS,
+                           v_scale: int = _MARKOV_VSCALE) -> str:
+    parts = [f"""
+WITH s AS (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events),
+c AS MATERIALIZED (
+    SELECT prev AS a, event_type AS b, CAST(COUNT(*) AS HUGEINT) AS cnt
+    FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+rs AS MATERIALIZED (SELECT a, SUM(cnt) AS rs FROM c GROUP BY 1),
+st AS MATERIALIZED (
+    SELECT a AS t FROM c UNION SELECT b FROM c),
+v0 AS (SELECT t, CAST({v_scale} AS HUGEINT) AS v FROM st)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT c.b AS t, SUM(v.v * c.cnt // rs.rs) AS wv
+  FROM c JOIN v{k - 1} v ON v.t = c.a JOIN rs ON rs.a = c.a
+  GROUP BY 1),
+mx{k} AS (SELECT greatest(MAX(wv), 1) AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT st.t, coalesce(w.wv, 0) * {v_scale} // mx.m AS v
+  FROM st LEFT JOIN w{k} w ON w.t = st.t, mx{k} mx)""")
+    parts.append(f"""
+SELECT t AS state, CAST(v AS BIGINT) AS v FROM v{iters} ORDER BY state
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9431,6 +9482,7 @@ QUERIES = {
     "events_hdr_quantiles": events_hdr_quantiles,
     "events_gini": events_gini,
     "docs_textrank": docs_textrank,
+    "events_markov_stationary": events_markov_stationary,
 }
 
 ORACLE_SQL = {
@@ -9636,6 +9688,7 @@ ORACLE_SQL = {
     "events_hdr_quantiles": _hdr_quantiles_sql(),
     "events_gini": _EVENTS_GINI_SQL,
     "docs_textrank": _textrank_sql(),
+    "events_markov_stationary": _markov_stationary_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -1914,3 +1914,51 @@ def autocorr_hourly(ds, group_col: str = "event_type", ts_col: str = "ts",
         "cov_n": pa.array(out_cov, pa.int64()),
         "varx_n": pa.array(out_vx, pa.int64()),
         "vary_n": pa.array(out_vy, pa.int64())})
+
+
+def markov_stationary(ds, iters: int = 8, v_scale: int = 10_000,
+                      **tm_kwargs) -> pa.Table:
+    """Stationary distribution of the per-key event-type Markov chain
+    by deterministic integer power iteration: transition counts come
+    from ``transition_matrix`` (the one fat-bucket shuffle — the only
+    corpus-sized work), then the |types| x |types| chain iterates
+    driver-side in Python bigints:
+
+        w(b) = sum_a  v(a) * cnt(a, b) // rowsum(a)
+        v    = w * v_scale // max(w)     (trunc division, all >= 0)
+
+    from the all-``v_scale`` start. Dangling states (no outgoing
+    transitions) contribute nothing and keep whatever inbound mass the
+    normalization assigns. The |types|^2 matrix is corpus-size-free —
+    the k-means-centroid / pca_power shape — and the whole recurrence
+    replays verbatim as unrolled HUGEINT CTEs in the oracle.
+
+    Returns (state, v) over every state seen on either side of a
+    transition, ordered by state."""
+    tm = transition_matrix(ds, **tm_kwargs).to_pandas()
+    states = sorted(set(tm["prev_type"]) | set(tm["next_type"]))
+    if not states:
+        return pa.table({"state": pa.array([], pa.string()),
+                         "v": pa.array([], pa.int64())})
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    cnt = [[0] * n for _ in range(n)]
+    rowsum = [0] * n
+    for p, q, c in zip(tm["prev_type"], tm["next_type"], tm["cnt"]):
+        cnt[idx[p]][idx[q]] = int(c)
+        rowsum[idx[p]] += int(c)
+    v = [v_scale] * n
+    for _ in range(iters):
+        w = [0] * n
+        for a in range(n):
+            if rowsum[a] == 0:
+                continue
+            va = v[a]
+            row = cnt[a]
+            for b in range(n):
+                if row[b]:
+                    w[b] += va * row[b] // rowsum[a]
+        mx = max(max(w), 1)
+        v = [x * v_scale // mx for x in w]
+    return pa.table({"state": pa.array(states, pa.string()),
+                     "v": pa.array(v, pa.int64())})

@@ -210,3 +210,37 @@ def test_autocorr_hourly_exact(ray_session):
         assert row.varx_n == m * (x * x).sum() - x.sum() ** 2
         assert row.vary_n == m * (y * y).sum() - y.sum() ** 2
     assert set(res.lag) == {1, 2}
+
+
+def test_markov_stationary_two_state_chain(ray_session):
+    """Hand-checkable chain: a->b always, b->a always — the stationary
+    distribution is uniform, so both states converge to v_scale; a
+    dangling state (only inbound) keeps only normalized inbound mass;
+    block layout never changes the result."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import markov_stationary
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        for i, t in enumerate(["a", "b"] * 6):
+            rows.append((eid, u, 1_000_000 * (i + 1), t))
+            eid += 1
+    # one user ends on a dangling state c (b -> c transition, c emits none)
+    rows.append((eid, 99, 1_000_000, "a"))
+    rows.append((eid + 1, 99, 2_000_000, "b"))
+    rows.append((eid + 2, 99, 3_000_000, "c"))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = markov_stationary(rd.from_arrow(t).repartition(4),
+                            iters=8).to_pandas().set_index("state")["v"]
+    assert out["a"] == out["b"] == 10_000  # symmetric max -> both at scale
+    assert 0 <= out["c"] < out["a"]
+    out2 = markov_stationary(rd.from_arrow(t).repartition(9),
+                             iters=8).to_pandas().set_index("state")["v"]
+    assert out.equals(out2)
