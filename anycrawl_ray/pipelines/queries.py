@@ -9304,6 +9304,61 @@ SELECT t AS state, CAST(v AS BIGINT) AS v FROM v{iters} ORDER BY state
     return "".join(parts)
 
 
+_KMVOPS_K = 256
+
+
+def events_kmv_setops(sf_dir: str):
+    """KMV set-operation sketch (Beyer et al. 2007): distinct-user
+    union/intersection estimates between the click and purchase
+    audiences from two bottom-256 mix64 sketches (sketches.kmv_set_ops)
+    — audience-overlap estimation without co-locating the sets. The
+    exact intersection rides along as the error report; the oracle
+    replays sketches, estimators and the Jaccard read-off with the
+    shared u64 macro kernel."""
+    from ..stages.sketches import kmv_set_ops
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return kmv_set_ops(ev, "user_id", "event_type", "click", "purchase",
+                       k=_KMVOPS_K)
+
+
+def _kmv_setops_sql(k: int = _KMVOPS_K) -> str:
+    from . import oracle_kernels as _ok
+
+    est = ("CASE WHEN (SELECT COUNT(*) FROM {t}) < {k} "
+           "THEN (SELECT COUNT(*) FROM {t}) "
+           "ELSE CAST(({k} - 1) * 18446744073709551616::HUGEINT "
+           "// CAST((SELECT MAX(h) FROM {t}) AS HUGEINT) AS BIGINT) END")
+    return f"""{_ok.U64_PRELUDE}
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'),
+ka AS (SELECT mix64(CAST(user_id AS UBIGINT)) AS h FROM a
+       ORDER BY 1 LIMIT {k}),
+kb AS (SELECT mix64(CAST(user_id AS UBIGINT)) AS h FROM b
+       ORDER BY 1 LIMIT {k}),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       ORDER BY h LIMIT {k}),
+stats AS (
+  SELECT {est.format(t="ka", k=k)} AS est_a,
+         {est.format(t="kb", k=k)} AS est_b,
+         {est.format(t="ku", k=k)} AS est_union,
+         (SELECT COUNT(*) FROM ku
+          WHERE h IN (SELECT h FROM ka)
+            AND h IN (SELECT h FROM kb)) AS n_both,
+         (SELECT COUNT(*) FROM ku) AS ku_n,
+         (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS exact_inter)
+SELECT est_a, est_b, est_union,
+       CAST(n_both * est_union // greatest(ku_n, 1) AS BIGINT)
+           AS est_inter,
+       CAST(exact_inter AS BIGINT) AS exact_inter
+FROM stats
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9483,6 +9538,7 @@ QUERIES = {
     "events_gini": events_gini,
     "docs_textrank": docs_textrank,
     "events_markov_stationary": events_markov_stationary,
+    "events_kmv_setops": events_kmv_setops,
 }
 
 ORACLE_SQL = {
@@ -9689,6 +9745,7 @@ ORACLE_SQL = {
     "events_gini": _EVENTS_GINI_SQL,
     "docs_textrank": _textrank_sql(),
     "events_markov_stationary": _markov_stationary_sql(),
+    "events_kmv_setops": _kmv_setops_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

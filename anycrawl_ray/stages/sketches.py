@@ -379,3 +379,98 @@ def hdr_quantiles(ds, key: str, value_col: str, sub_bits: int = 3,
                      "exact_cents": pa.array(cols["exact_cents"],
                                              pa.int64()),
                      "err_ppm": pa.array(cols["err_ppm"], pa.int64())})
+
+
+def kmv_set_ops(ds, col: str, filter_col: str, val_a: str, val_b: str,
+                k: int = 256) -> pa.Table:
+    """KMV set-operation estimates (Beyer et al., SIGMOD'07) between two
+    sub-populations: the distinct-``col`` sets A (rows where
+    ``filter_col == val_a``) and B (``== val_b``) each keep a bottom-k
+    mix64 sketch; bottom-k of the UNION of two bottom-k sets IS the
+    union's bottom-k, and the intersection estimate is the Jaccard
+    read-off ``|K_U ∩ K_A ∩ K_B| * est_union // |K_U|`` — below k
+    distinct the sketches are exact and every estimate collapses to the
+    true value. The exact intersection rides along as the error report.
+
+    Scale shape: sketches build map-side (per-block bottom-k per tag,
+    O(k) output, ZERO shuffle — the kmv_distinct idiom) with one tiny
+    driver merge; only the exact-intersection report takes a shuffle,
+    one groupby over DISTINCT values (drop it at true scale and the
+    sketch path is shuffle-free). Integer arithmetic end-to-end."""
+    from ray.data.aggregate import Max
+
+    def bottom_k(batch: pa.Table, val: str) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(batch.column(filter_col), val)
+        v = batch.filter(mask).column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        iv = np.unique(np.asarray(v.cast(pa.int64()), dtype=np.int64))
+        h = np.unique(_mix64_np(iv.view(np.uint64)))
+        return h[:k] if h.size > k else h
+
+    def local(batch: pa.Table) -> pa.Table:
+        ha, hb = bottom_k(batch, val_a), bottom_k(batch, val_b)
+        return pa.table({
+            "tag": pa.array([0] * ha.size + [1] * hb.size, pa.int8()),
+            "h": pa.array(np.concatenate([ha, hb]).astype(np.int64)
+                          .view(np.uint64), pa.uint64())})
+
+    merged: dict = {0: set(), 1: set()}
+    for b in ds.map_batches(local, batch_format="pyarrow") \
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for t, h in zip(b.column("tag").to_pylist(),
+                        b.column("h").to_pylist()):
+            merged[t].add(h)
+    ka = sorted(merged[0])[:k]
+    kb = sorted(merged[1])[:k]
+    ku = sorted(set(ka) | set(kb))[:k]
+
+    def est(bk: list) -> int:
+        if len(bk) < k:
+            return len(bk)
+        return (k - 1) * (1 << 64) // bk[-1]
+
+    sa, sb = set(ka), set(kb)
+    both = sum(1 for h in ku if h in sa and h in sb)
+    est_union = est(ku)
+    est_inter = both * est_union // max(len(ku), 1)
+
+    # exact intersection (the error report): one groupby over DISTINCT
+    # values, max-folding per-tag presence bits
+    def presence(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = []
+        for tag, val in ((0, val_a), (1, val_b)):
+            v = batch.filter(pc.equal(batch.column(filter_col), val)) \
+                .column(col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            iv = np.unique(np.asarray(v.cast(pa.int64()), dtype=np.int64))
+            out.append(pa.table({
+                col: pa.array(iv, pa.int64()),
+                "in_a": pa.array(np.full(iv.size, 1 - tag, np.int64)),
+                "in_b": pa.array(np.full(iv.size, tag, np.int64))}))
+        return pa.concat_tables(out)
+
+    pres = (ds.map_batches(presence, batch_format="pyarrow")
+            .groupby(col).aggregate(Max("in_a", alias_name="in_a"),
+                                    Max("in_b", alias_name="in_b")))
+
+    def cnt_both(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("in_a"), dtype=np.int64)
+        b = np.asarray(batch.column("in_b"), dtype=np.int64)
+        return pa.table({"c": pa.array([int((a & b).sum())], pa.int64())})
+
+    exact_inter = int(pres.map_batches(cnt_both, batch_format="pyarrow")
+                      .to_pandas()["c"].sum())
+
+    return pa.table({
+        "est_a": pa.array([est(ka)], pa.int64()),
+        "est_b": pa.array([est(kb)], pa.int64()),
+        "est_union": pa.array([est_union], pa.int64()),
+        "est_inter": pa.array([est_inter], pa.int64()),
+        "exact_inter": pa.array([exact_inter], pa.int64()),
+    })

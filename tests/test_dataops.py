@@ -3061,3 +3061,39 @@ def test_textrank_hub_ranks_first_and_partition_invariance(ray_session):
     out2 = textrank_keywords(rd.from_arrow(docs).repartition(3),
                              iters=10, topk=10).to_pandas()
     assert out.equals(out2)
+
+
+def test_kmv_set_ops_exact_below_k_and_estimates_above(ray_session):
+    """Below k distinct, every KMV set-op estimate is EXACT (the
+    sketches are complete); above k, union/intersection estimates land
+    within the sketch's ~1/sqrt(k) band; partition-invariant."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.sketches import kmv_set_ops
+
+    # small: 60 A-users, 40 B-users, 20 overlap -> all exact at k=256
+    a_ids = list(range(100, 160))
+    b_ids = list(range(140, 180))
+    t = pa.table({
+        "user_id": pa.array(a_ids + b_ids, pa.int64()),
+        "event_type": pa.array(["click"] * len(a_ids)
+                               + ["purchase"] * len(b_ids))})
+    out = kmv_set_ops(rd.from_arrow(t).repartition(4), "user_id",
+                      "event_type", "click", "purchase").to_pandas()
+    assert out.iloc[0].tolist() == [60, 40, 80, 20, 20]
+
+    # large: 6000 vs 4000 with 2000 overlap, k=256 -> within 25%
+    a2 = list(range(0, 6000))
+    b2 = list(range(4000, 8000))
+    t2 = pa.table({
+        "user_id": pa.array(a2 + b2, pa.int64()),
+        "event_type": pa.array(["click"] * len(a2)
+                               + ["purchase"] * len(b2))})
+    o2 = kmv_set_ops(rd.from_arrow(t2).repartition(7), "user_id",
+                     "event_type", "click", "purchase").to_pandas().iloc[0]
+    assert o2["exact_inter"] == 2000
+    assert abs(o2["est_union"] - 8000) <= 2000
+    assert abs(o2["est_inter"] - 2000) <= 800
+    o3 = kmv_set_ops(rd.from_arrow(t2).repartition(13), "user_id",
+                     "event_type", "click", "purchase").to_pandas().iloc[0]
+    assert o2.tolist() == o3.tolist()
