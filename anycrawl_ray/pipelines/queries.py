@@ -9359,6 +9359,45 @@ FROM stats
 """
 
 
+def events_peak_concurrency(sf_dir: str):
+    """Per-day peak concurrent sessions (window.peak_concurrency) —
+    the capacity-planning occupancy statistic: +1/-1 session-boundary
+    sweep with exact cross-midnight carry, peaks read at start
+    instants. Oracle = the house sessionization replay + a global
+    window-SUM sweep (independent plan, same semantics)."""
+    rd = _rd()
+    from ..stages.window import peak_concurrency
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return peak_concurrency(ev)
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER win > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+numbered AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+sess AS (SELECT user_id, sid, MIN(t) AS s, MAX(t) AS e
+         FROM numbered GROUP BY user_id, sid),
+bounds AS (
+  SELECT s AS t, 1 AS d FROM sess
+  UNION ALL SELECT e + 1, -1 FROM sess),
+inst AS (SELECT t, SUM(d) AS nd,
+                MAX(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS st
+         FROM bounds GROUP BY t),
+cum AS (SELECT t, st, SUM(nd) OVER (ORDER BY t) AS c FROM inst)
+SELECT t // 86400000000 AS day, CAST(MAX(c) AS BIGINT) AS peak
+FROM cum WHERE st = 1 GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9539,6 +9578,7 @@ QUERIES = {
     "docs_textrank": docs_textrank,
     "events_markov_stationary": events_markov_stationary,
     "events_kmv_setops": events_kmv_setops,
+    "events_peak_concurrency": events_peak_concurrency,
 }
 
 ORACLE_SQL = {
@@ -9746,6 +9786,7 @@ ORACLE_SQL = {
     "docs_textrank": _textrank_sql(),
     "events_markov_stationary": _markov_stationary_sql(),
     "events_kmv_setops": _kmv_setops_sql(),
+    "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

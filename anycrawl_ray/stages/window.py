@@ -796,6 +796,21 @@ def _epoch_us(ts) -> np.ndarray:
     return t
 
 
+def _session_spans(u: np.ndarray, t: np.ndarray, gap_us: int):
+    """(key, t_us) arrays -> per-session (key, start, end, n_events):
+    lexsort by (key, t), break a session on key change or gap > gap_us
+    (the strict-30-min house rule). Shared by session_window_overlap
+    and peak_concurrency so both sessionize identically."""
+    order = np.lexsort((t, u))
+    u, t = u[order], t[order]
+    new_key = np.concatenate(([True], u[1:] != u[:-1]))
+    gap_brk = np.concatenate(([False], (t[1:] - t[:-1]) > gap_us))
+    idx = np.flatnonzero(new_key | gap_brk)
+    ends = np.append(idx[1:], u.size) - 1
+    sn = np.diff(np.append(idx, u.size)).astype(np.int64)
+    return u[idx], t[idx], t[ends], sn
+
+
 def session_window_overlap(ds, windows: pa.Table, key: str = "user_id",
                            ts_col: str = "ts",
                            gap_us: int = 1_800_000_000,
@@ -836,15 +851,7 @@ def session_window_overlap(ds, windows: pa.Table, key: str = "user_id",
                                  "n_sessions": np.empty(0, np.int64),
                                  "n_users": np.empty(0, np.int64),
                                  "n_events": np.empty(0, np.int64)})
-        order = np.lexsort((t, u))
-        u, t = u[order], t[order]
-        new_key = np.concatenate(([True], u[1:] != u[:-1]))
-        gap_brk = np.concatenate(([False], (t[1:] - t[:-1]) > gap_us))
-        start = new_key | gap_brk
-        idx = np.flatnonzero(start)
-        ends = np.append(idx[1:], u.size) - 1
-        su, ss, se = u[idx], t[idx], t[ends]
-        sn = np.diff(np.append(idx, u.size)).astype(np.int64)
+        su, ss, se, sn = _session_spans(u, t, gap_us)
         n_sess = np.empty(wid.size, np.int64)
         n_ev = np.empty(wid.size, np.int64)
         n_usr = np.empty(wid.size, np.int64)
@@ -1962,3 +1969,76 @@ def markov_stationary(ds, iters: int = 8, v_scale: int = 10_000,
         v = [x * v_scale // mx for x in w]
     return pa.table({"state": pa.array(states, pa.string()),
                      "v": pa.array(v, pa.int64())})
+
+
+def peak_concurrency(ds, key: str = "user_id", ts_col: str = "ts",
+                     gap_us: int = 1_800_000_000,
+                     n_buckets: int | None = None) -> pa.Table:
+    """Per-day PEAK CONCURRENT SESSIONS — the capacity-planning /
+    occupancy statistic: sessionize every key (the strict-30-min house
+    rule, closed [first, last] intervals), sweep +1/-1 boundaries
+    (+1 at start, -1 at end + 1us), and report, for each UTC day with
+    at least one session start, the maximum of the running active
+    count at start instants. Concurrency only rises at a start, so the
+    per-day max over start instants IS the day's peak (carry-in from
+    sessions spanning midnight is exact via cross-day offsets;
+    carry-only days without a start don't emit a row).
+
+    Scale shape: shuffle 1 is the fat-bucket sessionize (per-key
+    lexsort, all-numpy); the boundary stream (2 rows per session) then
+    day-buckets — shuffle 2 — and each day folds to FOUR scalars (net
+    delta, max prefix at starts, start flag); the driver stitches the
+    tiny per-day table with one cumulative-sum pass, exactly the
+    running_total carry-in idiom. No global sort, nothing
+    row-count-sized on the driver."""
+    nb = n_buckets or _default_buckets()
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out = pa.table({key: batch.column(key),
+                        "t_us": pa.array(_epoch_us(batch.column(ts_col)),
+                                         pa.int64())})
+        return _bucket_col(out, key, nb)
+
+    def bucket_bounds(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[key].to_numpy(dtype=np.int64)
+        t = group["t_us"].to_numpy(dtype=np.int64)
+        if u.size == 0:
+            return pd.DataFrame({"t": np.empty(0, np.int64),
+                                 "d": np.empty(0, np.int64),
+                                 "day": np.empty(0, np.int64)})
+        _, ss, se, _ = _session_spans(u, t, gap_us)
+        bt = np.concatenate([ss, se + 1])
+        bd = np.concatenate([np.ones(ss.size, np.int64),
+                             np.full(se.size, -1, np.int64)])
+        return pd.DataFrame({"t": bt, "d": bd, "day": bt // day_us})
+
+    def per_day(group: pd.DataFrame) -> pd.DataFrame:
+        day = int(group["day"].iloc[0])
+        g = group.groupby("t", as_index=False).agg(
+            nd=("d", "sum"), st=("d", "max"))
+        g = g.sort_values("t")
+        cum = g["nd"].to_numpy(np.int64).cumsum()
+        starts = g["st"].to_numpy(np.int64) == 1
+        maxp = int(cum[starts].max()) if starts.any() else 0
+        return pd.DataFrame({"day": [day],
+                             "net": [int(cum[-1])],
+                             "maxp": [maxp],
+                             "has_start": [bool(starts.any())]})
+
+    days = (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("_kb").map_groups(bucket_bounds,
+                                       batch_format="pandas")
+            .groupby("day").map_groups(per_day, batch_format="pandas")
+            .to_pandas())
+    if len(days) == 0:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "peak": pa.array([], pa.int64())})
+    days = days.sort_values("day").reset_index(drop=True)
+    carry = np.concatenate(([0], days["net"].to_numpy(np.int64)
+                            .cumsum()[:-1]))
+    peak = carry + days["maxp"].to_numpy(np.int64)
+    keep = days["has_start"].to_numpy(bool)
+    return pa.table({"day": pa.array(days["day"].to_numpy(np.int64)[keep],
+                                     pa.int64()),
+                     "peak": pa.array(peak[keep], pa.int64())})

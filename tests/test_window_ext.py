@@ -244,3 +244,33 @@ def test_markov_stationary_two_state_chain(ray_session):
     out2 = markov_stationary(rd.from_arrow(t).repartition(9),
                              iters=8).to_pandas().set_index("state")["v"]
     assert out.equals(out2)
+
+
+def test_peak_concurrency_cross_midnight_carry(ray_session):
+    """Hand-built schedule: 3 users overlap within day 0 (peak 3); one
+    session spans midnight so day 1's single-session start counts the
+    carried-over session too (peak 2); a day with only session ENDS
+    emits no row; partition-invariant."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import peak_concurrency
+
+    day = 86_400_000_000
+    rows = [
+        (1, 1_000_000), (1, 10_000_000),           # u1: short session
+        (2, 2_000_000), (2, 11_000_000),           # u2 overlaps u1
+        (3, 3_000_000),                            # u3 point session
+        # u4 spans midnight: events 10 min apart across the boundary
+        (4, day - 300_000_000), (4, day + 300_000_000),
+        (5, day + 100_000_000),                    # u5 starts day 1
+    ]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows],
+                                 pa.timestamp("us"))})
+    out = peak_concurrency(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().set_index("day")["peak"]
+    assert out[0] == 3  # u1+u2+u3 overlap at t=3s; u4 starts after they end
+    assert out[1] == 2  # u5 starts while u4's session is still open
+    out2 = peak_concurrency(rd.from_arrow(t).repartition(7)) \
+        .to_pandas().set_index("day")["peak"]
+    assert out.equals(out2)
