@@ -9398,6 +9398,79 @@ FROM cum WHERE st = 1 GROUP BY 1 ORDER BY 1
 """
 
 
+_PROFILE_SPEC = {
+    "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+    "l_quantity": "cents", "l_extendedprice": "cents",
+    "l_discount": "cents", "l_returnflag": "str", "l_linestatus": "str",
+    "l_shipdate": "ts",
+}
+
+
+def lineitem_profile(sf_dir: str):
+    """Data-quality column profiler over lineitem (sketches.
+    profile_table): per column, rows / nulls / HLL-256 distinct
+    estimate / integer-view min-max — the standard first pass of a
+    100-TB ingest, one map + one bounded groupby. The oracle replays
+    the integer views, the mix64/fnv1a hashing and the rational-alpha
+    HLL estimator per column."""
+    from ..stages.sketches import profile_table
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=sorted(_PROFILE_SPEC))
+    return profile_table(ds, _PROFILE_SPEC)
+
+
+def _profile_sql(p: int = 8) -> str:
+    from . import oracle_kernels as _ok
+
+    m, q = 1 << p, 64 - p
+    iv_expr = {
+        "int": "CAST({c} AS BIGINT)",
+        "cents": "CAST(round_even({c} * 100, 0) AS BIGINT)",
+        "ts": "epoch_us({c})",
+        "str": "CAST(length({c}) AS BIGINT)",
+    }
+    sels = []
+    for c, kind in sorted(_PROFILE_SPEC.items()):
+        iv = iv_expr[kind].format(c=c)
+        h = (f"mix64(fnv1a({c}))" if kind == "str"
+             else f"mix64(CAST({iv} AS UBIGINT))")
+        sels.append(f"""SELECT '{c}' AS col, {iv} AS iv, {h} AS h
+  FROM lineitem WHERE {c} IS NOT NULL""")
+        sels.append(f"""SELECT '{c}' AS col, NULL AS iv, NULL AS h
+  FROM lineitem WHERE {c} IS NULL""")
+    unioned = "\n  UNION ALL ".join(sels)
+    return f"""{_ok.U64_PRELUDE}
+WITH v AS ({unioned}),
+base AS (
+  SELECT col, COUNT(*) AS n, COUNT(*) - COUNT(iv) AS n_null,
+         COALESCE(MIN(iv), 0) AS min_i, COALESCE(MAX(iv), 0) AS max_i
+  FROM v GROUP BY col),
+r AS (SELECT col, CAST(h >> {q} AS BIGINT) AS reg0,
+             h & {(1 << q) - 1}::UBIGINT AS w
+      FROM v WHERE h IS NOT NULL),
+rr AS (SELECT col, reg0,
+              CASE WHEN w > 0 THEN {q} - (length(bin(w)) - 1)
+                   ELSE {q} + 1 END AS rho
+       FROM r),
+regs AS (SELECT col, reg0, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+sk AS (SELECT col, COUNT(*) AS filled,
+              ({m} - COUNT(*)) * (1::HUGEINT << {q + 1})
+              + SUM(1::HUGEINT << ({q + 1} - rho)) AS s_val
+       FROM regs GROUP BY col)
+SELECT b.col AS "column", CAST(b.n AS BIGINT) AS n,
+       CAST(b.n_null AS BIGINT) AS n_null,
+       CAST(COALESCE(
+           7213::HUGEINT * {m ** 3} * (1::HUGEINT << {q + 1})
+           // (10::HUGEINT * {1000 * m + 1079} * sk.s_val), 0)
+           AS BIGINT) AS n_distinct_est,
+       b.min_i, b.max_i
+FROM base b LEFT JOIN sk ON sk.col = b.col
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9579,6 +9652,7 @@ QUERIES = {
     "events_markov_stationary": events_markov_stationary,
     "events_kmv_setops": events_kmv_setops,
     "events_peak_concurrency": events_peak_concurrency,
+    "lineitem_profile": lineitem_profile,
 }
 
 ORACLE_SQL = {
@@ -9787,6 +9861,7 @@ ORACLE_SQL = {
     "events_markov_stationary": _markov_stationary_sql(),
     "events_kmv_setops": _kmv_setops_sql(),
     "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
+    "lineitem_profile": _profile_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

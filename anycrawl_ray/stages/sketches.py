@@ -474,3 +474,123 @@ def kmv_set_ops(ds, col: str, filter_col: str, val_a: str, val_b: str,
         "est_inter": pa.array([est_inter], pa.int64()),
         "exact_inter": pa.array([exact_inter], pa.int64()),
     })
+
+
+_PROFILE_KINDS = ("int", "cents", "ts", "str")
+
+
+def profile_table(ds, spec: dict, p: int = 8) -> pa.Table:
+    """Data-quality column profiler — the first pass of any large-scale
+    ingest: for every column, row count, null count, HLL distinct-count
+    estimate (p=8, the hll_distinct integer estimator) and integer
+    min/max over the column's canonical integer view (``spec`` maps
+    column -> 'int' | 'cents' (round_even x100) | 'ts' (epoch us) |
+    'str' (byte length for min/max; fnv1a for hashing)).
+
+    Scale shape: ONE map pass emits, per block and column, <= 2^p
+    register partials plus four scalar partials (tagged kinds on one
+    stream); ONE bounded groupby (|cols| x (2^p + 4) keys) folds them
+    with kind-appropriate aggregates (Max for registers/max, Sum for
+    counts, Min for min); the driver assembles |cols| rows and runs
+    the rational-alpha HLL estimator in Python bigints. Nothing
+    row-count-sized moves or lands on the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .text_analysis import _fnv1a_bulk
+
+    m = 1 << p
+    q = 64 - p
+    mask = np.uint64((1 << q) - 1)
+    cols = sorted(spec)
+    I64MAX = np.iinfo(np.int64).max
+    I64MIN = np.iinfo(np.int64).min
+
+    def int_view(arr: pa.ChunkedArray, kind: str) -> np.ndarray:
+        """Null-free canonical int64 view of a column."""
+        arr = arr.drop_null()
+        if kind == "cents":
+            return np.rint(np.asarray(arr, dtype=np.float64) * 100) \
+                .astype(np.int64)
+        if kind == "str":
+            return np.asarray(pc.binary_length(arr).cast(pa.int64()),
+                              dtype=np.int64)
+        return np.asarray(arr.cast(pa.int64()), dtype=np.int64)
+
+    def hashes(arr: pa.ChunkedArray, kind: str,
+               iv: np.ndarray) -> np.ndarray:
+        if kind == "str":
+            f = np.asarray(_fnv1a_bulk(arr.drop_null().to_pylist()),
+                           dtype=np.uint64)
+            return _mix64_np(f)
+        if iv.size and iv.min() < 0:
+            raise ValueError("profile_table requires a non-negative "
+                             "integer view for HLL hashing")
+        return _mix64_np(iv.view(np.uint64))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out_c, out_k, out_r = [], [], []
+        out_s, out_mx, out_mn = [], [], []
+
+        def emit(c, k, r, s=0, mx=I64MIN, mn=I64MAX):
+            out_c.append(c); out_k.append(k); out_r.append(r)
+            out_s.append(s); out_mx.append(mx); out_mn.append(mn)
+
+        for c in cols:
+            col = batch.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            kind = spec[c]
+            iv = int_view(col, kind)
+            emit(c, 1, 0, s=len(col))
+            emit(c, 2, 0, s=col.null_count)
+            if iv.size:
+                emit(c, 3, 0, mn=int(iv.min()))
+                emit(c, 4, 0, mx=int(iv.max()))
+                h = hashes(col, kind, iv)
+                reg = (h >> np.uint64(q)).astype(np.int64)
+                w = h & mask
+                rho = np.where(w > 0,
+                               q - (_bit_length_np(
+                                   w.astype(np.int64)) - 1),
+                               q + 1).astype(np.int64)
+                order = np.lexsort((-rho, reg))
+                first = np.concatenate(
+                    ([True], reg[order][1:] != reg[order][:-1]))
+                for r, rh in zip(reg[order][first],
+                                 rho[order][first]):
+                    emit(c, 0, int(r), mx=int(rh))
+        return pa.table({"col": pa.array(out_c, pa.string()),
+                         "kind": pa.array(out_k, pa.int8()),
+                         "reg": pa.array(out_r, pa.int64()),
+                         "vs": pa.array(out_s, pa.int64()),
+                         "vmax": pa.array(out_mx, pa.int64()),
+                         "vmin": pa.array(out_mn, pa.int64())})
+
+    folded = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["col", "kind", "reg"])
+              .aggregate(Sum("vs", alias_name="vs"),
+                         Max("vmax", alias_name="vmax"),
+                         Min("vmin", alias_name="vmin"))
+              .to_pandas())
+    rows = {"column": [], "n": [], "n_null": [], "n_distinct_est": [],
+            "min_i": [], "max_i": []}
+    for c in cols:
+        g = folded[folded["col"] == c]
+        sc = {int(k): r for k, r in
+              g[g["kind"] > 0].set_index("kind").iterrows()}
+        regs = g[g["kind"] == 0]
+        filled = len(regs)
+        s_val = ((m - filled) * (1 << (q + 1))
+                 + sum(1 << (q + 1 - int(r)) for r in regs["vmax"]))
+        est = (7213 * m ** 3 * (1 << (q + 1))
+               // (10 * (1000 * m + 1079) * s_val))
+        rows["column"].append(c)
+        rows["n"].append(int(sc[1]["vs"]))
+        rows["n_null"].append(int(sc[2]["vs"]))
+        rows["n_distinct_est"].append(est if filled else 0)
+        rows["min_i"].append(int(sc[3]["vmin"]) if 3 in sc else 0)
+        rows["max_i"].append(int(sc[4]["vmax"]) if 4 in sc else 0)
+    return pa.table({k: pa.array(v, pa.string() if k == "column"
+                                 else pa.int64())
+                     for k, v in rows.items()})

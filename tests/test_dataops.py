@@ -3097,3 +3097,56 @@ def test_kmv_set_ops_exact_below_k_and_estimates_above(ray_session):
     o3 = kmv_set_ops(rd.from_arrow(t2).repartition(13), "user_id",
                      "event_type", "click", "purchase").to_pandas().iloc[0]
     assert o2.tolist() == o3.tolist()
+
+
+def test_profile_table_nulls_views_and_estimates(ray_session):
+    """Profiler invariants on a hand-built table: null counting per
+    column, cents/str/ts integer views for min-max, HLL estimate exact
+    at tiny cardinality (all registers distinct below saturation is not
+    guaranteed, but the estimator must be within the p=8 band),
+    partition-invariant."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.sketches import profile_table
+
+    n = 3000
+    t = pa.table({
+        "a": pa.array(list(range(n)), pa.int64()),
+        "b": pa.array([None if i % 10 == 0 else round(i * 0.01, 2)
+                       for i in range(n)], pa.float64()),
+        "s": pa.array(["x" * (i % 7) for i in range(n)], pa.string()),
+    })
+    spec = {"a": "int", "b": "cents", "s": "str"}
+    out = profile_table(rd.from_arrow(t).repartition(6), spec) \
+        .to_pandas().set_index("column")
+    assert out.loc["a", "n"] == n and out.loc["a", "n_null"] == 0
+    assert out.loc["b", "n_null"] == n // 10
+    assert out.loc["a", "min_i"] == 0 and out.loc["a", "max_i"] == n - 1
+    # cents view: non-null b values are i*0.01 for i not divisible by 10
+    assert out.loc["b", "min_i"] == 1 and out.loc["b", "max_i"] == n - 1
+    assert out.loc["s", "min_i"] == 0 and out.loc["s", "max_i"] == 6
+    # HLL p=8 relative error ~6.5% on high cardinality; allow 3 sigma
+    assert abs(out.loc["a", "n_distinct_est"] - n) < 0.2 * n
+    # low cardinality: the profiler reports the RAW estimator (the
+    # events_hll house convention, no linear-counting correction) —
+    # pin it against an independent scalar reimplementation
+    from anycrawl_ray.stages.text_analysis import _fnv1a_bulk, _mix64_np
+    h = _mix64_np(np.asarray(_fnv1a_bulk(sorted({"x" * k for k in
+                                                 range(7)})),
+                             dtype=np.uint64))
+    m, q = 256, 56
+    regs = {}
+    for hv in h.tolist():
+        w = hv & ((1 << q) - 1)
+        rho = q - (w.bit_length() - 1) if w > 0 else q + 1
+        r = hv >> q
+        regs[r] = max(regs.get(r, 0), rho)
+    s_val = (m - len(regs)) * (1 << (q + 1)) \
+        + sum(1 << (q + 1 - r) for r in regs.values())
+    exp = 7213 * m ** 3 * (1 << (q + 1)) \
+        // (10 * (1000 * m + 1079) * s_val)
+    assert out.loc["s", "n_distinct_est"] == exp
+
+    out2 = profile_table(rd.from_arrow(t).repartition(13), spec) \
+        .to_pandas().set_index("column")
+    assert out.equals(out2)
