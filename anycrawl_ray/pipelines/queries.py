@@ -9471,6 +9471,82 @@ ORDER BY 1
 """
 
 
+def events_orc_roundtrip(sf_dir: str):
+    """ORC source/sink coverage (this Ray build has no read_orc, so the
+    reader is read_binary_files + a vectorized pyarrow.orc decode stage
+    — the docs_ipc_roundtrip contract with a columnar-warehouse
+    format): write events as one ORC file per block worker-side,
+    re-ingest, and aggregate per-type stats from the re-read dataset;
+    any row loss, type mangling or timestamp-unit drift in the ORC
+    writer/reader breaks the value hash against the parquet-direct
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    rd = _rd()
+    out = tempfile.mkdtemp(prefix="orc_rt_", dir="/tmp")
+    try:
+        def write_part(batch: pa.Table) -> pa.Table:
+            from pyarrow import orc
+
+            path = os.path.join(out, f"part-{uuid.uuid4().hex}.orc")
+            orc.write_table(batch, path)
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+        def prep(batch: pa.Table) -> pa.Table:
+            cents = np.rint(np.asarray(batch.column("value"),
+                                       dtype=np.float64) * 100) \
+                .astype(np.int64)
+            return pa.table({"event_id": batch.column("event_id"),
+                             "event_type": batch.column("event_type"),
+                             "cents": pa.array(cents, pa.int64())})
+
+        (rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+         .map_batches(prep, batch_format="pyarrow")
+         .map_batches(write_part, batch_format="pyarrow").materialize())
+
+        def decode(batch: pa.Table) -> pa.Table:
+            from pyarrow import orc
+
+            tables = [orc.read_table(pa.BufferReader(b))
+                      for b in batch.column("bytes").to_pylist()]
+            return pa.concat_tables(tables) if tables else pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "event_type": pa.array([], pa.string()),
+                 "cents": pa.array([], pa.int64())})
+
+        back = rd.read_binary_files(out).map_batches(
+            decode, batch_format="pyarrow")
+        res = (back.groupby("event_type")
+               .aggregate(Count(alias_name="n"),
+                          Sum("cents", alias_name="sum_cents"),
+                          Min("event_id", alias_name="min_event"))
+               .to_pandas().sort_values("event_type")
+               .reset_index(drop=True))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table({
+        "event_type": pa.array(res["event_type"].astype(str), pa.string()),
+        "n": pa.array(res["n"].astype("int64"), pa.int64()),
+        "sum_cents": pa.array(res["sum_cents"].astype("int64"), pa.int64()),
+        "min_event": pa.array(res["min_event"].astype("int64"),
+                              pa.int64())})
+
+
+_ORC_ROUNDTRIP_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(MIN(event_id) AS BIGINT) AS min_event
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9653,6 +9729,7 @@ QUERIES = {
     "events_kmv_setops": events_kmv_setops,
     "events_peak_concurrency": events_peak_concurrency,
     "lineitem_profile": lineitem_profile,
+    "events_orc_roundtrip": events_orc_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -9862,6 +9939,7 @@ ORACLE_SQL = {
     "events_kmv_setops": _kmv_setops_sql(),
     "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
     "lineitem_profile": _profile_sql(),
+    "events_orc_roundtrip": _ORC_ROUNDTRIP_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
