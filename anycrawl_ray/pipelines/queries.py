@@ -9547,6 +9547,94 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+_HAAR_PAD, _HAAR_LEVELS, _HAAR_K = 64, 6, 10
+
+
+def events_haar(sf_dir: str):
+    """Integer Haar wavelet energy audit of the daily event-count
+    series — which time scales (daily vs weekly vs monthly) carry the
+    signal, the seasonality-detection primitive without any float
+    normalization: unnormalized Haar (sum / difference pairs, exact in
+    integers) over the zero-padded 64-day grid, top-10 coefficients by
+    |value|. The corpus-sized work is the daily-count fold (map-side
+    partials + one tiny groupby); the 64-point transform is
+    corpus-size-free driver arithmetic, and the oracle unrolls all 6
+    levels as CTEs."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        from ..stages.window import _epoch_us
+
+        day = _epoch_us(batch.column("ts")) // 86_400_000_000
+        d, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    daily = (rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+             .map_batches(day_partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    if len(daily) == 0:
+        return pa.table({"level": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "coef": pa.array([], pa.int64())})
+    d0 = int(daily["day"].min())
+    idx = daily["day"].to_numpy(np.int64) - d0
+    if idx.max() >= _HAAR_PAD:
+        raise ValueError(f"event span exceeds the {_HAAR_PAD}-day grid")
+    series = [0] * _HAAR_PAD
+    for i, n in zip(idx, daily["n"].to_numpy(np.int64)):
+        series[int(i)] = int(n)
+    coefs = []  # (level, pos, coef)
+    cur = series
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        nxt, diffs = [], []
+        for j in range(len(cur) // 2):
+            nxt.append(cur[2 * j] + cur[2 * j + 1])
+            diffs.append(cur[2 * j] - cur[2 * j + 1])
+        coefs.extend((lvl, j, c) for j, c in enumerate(diffs))
+        cur = nxt
+    coefs.append((_HAAR_LEVELS + 1, 0, cur[0]))  # the final smooth
+    coefs.sort(key=lambda r: (-abs(r[2]), r[0], r[1]))
+    top = coefs[:_HAAR_K]
+    return pa.table({"level": pa.array([r[0] for r in top], pa.int64()),
+                     "pos": pa.array([r[1] for r in top], pa.int64()),
+                     "coef": pa.array([r[2] for r in top], pa.int64())})
+
+
+def _haar_sql(pad: int = _HAAR_PAD, levels: int = _HAAR_LEVELS,
+              k: int = _HAAR_K) -> str:
+    parts = [f"""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT)
+      AS n
+  FROM events GROUP BY 1),
+m AS (SELECT MIN(day) AS d0 FROM d),
+grid AS (SELECT unnest(range(0, {pad})) AS i),
+s0 AS (
+  SELECT g.i, COALESCE(x.n, 0) AS v
+  FROM grid g LEFT JOIN (SELECT day - m.d0 AS i, n FROM d, m) x
+    USING (i))"""]
+    for lv in range(1, levels + 1):
+        parts.append(f""",
+s{lv} AS (SELECT i // 2 AS i, SUM(v) AS v FROM s{lv - 1} GROUP BY 1),
+d{lv} AS (SELECT i // 2 AS pos,
+                 SUM(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS coef
+          FROM s{lv - 1} GROUP BY 1)""")
+    coefs = " UNION ALL ".join(
+        [f"SELECT {lv} AS level, pos, coef FROM d{lv}"
+         for lv in range(1, levels + 1)]
+        + [f"SELECT {levels + 1}, 0, v FROM s{levels}"])
+    parts.append(f"""
+SELECT CAST(level AS BIGINT) AS level, CAST(pos AS BIGINT) AS pos,
+       CAST(coef AS BIGINT) AS coef
+FROM ({coefs}) ORDER BY ABS(coef) DESC, level, pos LIMIT {k}
+""")
+    return "".join(parts)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9730,6 +9818,7 @@ QUERIES = {
     "events_peak_concurrency": events_peak_concurrency,
     "lineitem_profile": lineitem_profile,
     "events_orc_roundtrip": events_orc_roundtrip,
+    "events_haar": events_haar,
 }
 
 ORACLE_SQL = {
@@ -9940,6 +10029,7 @@ ORACLE_SQL = {
     "events_peak_concurrency": _PEAK_CONCURRENCY_SQL,
     "lineitem_profile": _profile_sql(),
     "events_orc_roundtrip": _ORC_ROUNDTRIP_SQL,
+    "events_haar": _haar_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
