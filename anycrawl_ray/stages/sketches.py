@@ -315,25 +315,28 @@ def hdr_quantiles(ds, key: str, value_col: str, sub_bits: int = 3,
     """
     from ray.data.aggregate import Sum
 
-    def bucketize(batch: pa.Table, exact: bool) -> pa.Table:
+    def bucketize(batch: pa.Table) -> pa.Table:
+        """ONE pass emits BOTH histograms as tagged kinds (ex=0 sketch
+        buckets, ex=1 exact cents) so the input is read once."""
         v = batch.column(value_col)
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         cents = np.rint(np.asarray(v, dtype=np.float64) * scale) \
             .astype(np.int64)
-        if exact:
-            lo = cents
-        else:
-            m = _bit_length_np(np.maximum(cents, 0)) - 1   # msb position
-            sh = np.maximum(m - sub_bits, 0)
-            lo = np.where(cents >= 1, (cents >> sh) << sh, cents)
+        m = _bit_length_np(np.maximum(cents, 0)) - 1       # msb position
+        sh = np.maximum(m - sub_bits, 0)
+        lo = np.where(cents >= 1, (cents >> sh) << sh, cents)
         k = batch.column(key)
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
         import pandas as pd
-        g = pd.DataFrame({key: np.asarray(k), "lo": lo}) \
-            .groupby([key, "lo"], as_index=False).size()
+        kv = np.asarray(k)
+        g = pd.DataFrame({key: np.concatenate([kv, kv]),
+                          "ex": np.repeat([0, 1], cents.size),
+                          "lo": np.concatenate([lo, cents])}) \
+            .groupby([key, "ex", "lo"], as_index=False).size()
         return pa.table({key: pa.array(g[key]),
+                         "ex": pa.array(g["ex"].to_numpy(np.int64)),
                          "lo": pa.array(g["lo"].to_numpy(np.int64)),
                          "cnt": pa.array(g["size"].to_numpy(np.int64))})
 
@@ -351,14 +354,12 @@ def hdr_quantiles(ds, key: str, value_col: str, sub_bits: int = 3,
             out[(kv, "n")] = n
         return out
 
-    sketch = (ds.map_batches(lambda b: bucketize(b, exact=False),
-                             batch_format="pyarrow")
-              .groupby([key, "lo"]).aggregate(Sum("cnt", alias_name="cnt"))
-              .to_pandas())
-    exact = (ds.map_batches(lambda b: bucketize(b, exact=True),
-                            batch_format="pyarrow")
-             .groupby([key, "lo"]).aggregate(Sum("cnt", alias_name="cnt"))
-             .to_pandas())
+    hist = (ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby([key, "ex", "lo"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    sketch = hist[hist["ex"] == 0]
+    exact = hist[hist["ex"] == 1]
     cols = {key: [], "p_ppm": [], "n": [], "est_cents": [],
             "exact_cents": [], "err_ppm": []}
     if len(sketch):
@@ -520,7 +521,11 @@ def profile_table(ds, spec: dict, p: int = 8) -> pa.Table:
     def hashes(arr: pa.ChunkedArray, kind: str,
                iv: np.ndarray) -> np.ndarray:
         if kind == "str":
-            f = np.asarray(_fnv1a_bulk(arr.drop_null().to_pylist()),
+            # registers only need DISTINCT hashes — dedupe in C first
+            # (low-cardinality string columns hash a handful of values
+            # per block instead of every row)
+            uniq = pc.unique(arr.drop_null())
+            f = np.asarray(_fnv1a_bulk(uniq.to_pylist()),
                            dtype=np.uint64)
             return _mix64_np(f)
         if iv.size and iv.min() < 0:

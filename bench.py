@@ -222,6 +222,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("embeddings_hard_negatives", Q.embeddings_hard_negatives)
     timed("events_user_streaks", Q.events_user_streaks)
     timed("docs_heaps_law", Q.docs_heaps_law)
+    timed("lineitem_profile", Q.lineitem_profile)
+    timed("events_hdr_quantiles", Q.events_hdr_quantiles)
+    timed("docs_textrank", Q.docs_textrank)
+    timed("embeddings_pca_power", Q.embeddings_pca_power)
     timings["crawl_full_site"] = round(crawl_sec, 3)
 
     return {
