@@ -8831,7 +8831,6 @@ def docs_ipc_roundtrip(sf_dir: str):
     import os
     import shutil
     import tempfile
-    import uuid
 
     from ray.data.aggregate import Count, Min, Sum
 
@@ -8839,7 +8838,12 @@ def docs_ipc_roundtrip(sf_dir: str):
     out = tempfile.mkdtemp(prefix="ipc_rt_", dir="/tmp")
     try:
         def write_part(batch: pa.Table) -> pa.Table:
-            path = os.path.join(out, f"part-{uuid.uuid4().hex}.arrow")
+            import hashlib
+
+            # content-derived name: retry-idempotent (see the ORC row)
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            tag = hashlib.md5(ids.tobytes()).hexdigest()[:16]
+            path = os.path.join(out, f"part-{tag}.arrow")
             with pa.OSFile(path, "wb") as f:
                 with pa.ipc.new_file(f, batch.schema) as w:
                     w.write_table(batch)
@@ -9127,8 +9131,6 @@ def events_gini(sf_dir: str):
     folds counts, computes gini in Python bigints (overflow-free at
     any per-user volume, mirroring the oracle's HUGEINT), and emits
     only its local top-20 — the driver merges #buckets x 20 rows."""
-    import ray  # noqa: F401  (ray.data via _rd)
-
     from ..stages.text_analysis import _mix64_np
     from ..stages.window import _default_buckets
 
@@ -9483,7 +9485,6 @@ def events_orc_roundtrip(sf_dir: str):
     import os
     import shutil
     import tempfile
-    import uuid
 
     from ray.data.aggregate import Count, Min, Sum
 
@@ -9491,9 +9492,15 @@ def events_orc_roundtrip(sf_dir: str):
     out = tempfile.mkdtemp(prefix="orc_rt_", dir="/tmp")
     try:
         def write_part(batch: pa.Table) -> pa.Table:
+            import hashlib
+
             from pyarrow import orc
 
-            path = os.path.join(out, f"part-{uuid.uuid4().hex}.orc")
+            # content-derived name: a retried block overwrites its own
+            # file instead of double-counting under a fresh uuid
+            ids = np.asarray(batch.column("event_id"), dtype=np.int64)
+            tag = hashlib.md5(ids.tobytes()).hexdigest()[:16]
+            path = os.path.join(out, f"part-{tag}.orc")
             orc.write_table(batch, path)
             return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
 
@@ -9582,11 +9589,11 @@ def events_haar(sf_dir: str):
                          "coef": pa.array([], pa.int64())})
     d0 = int(daily["day"].min())
     idx = daily["day"].to_numpy(np.int64) - d0
-    if idx.max() >= _HAAR_PAD:
-        raise ValueError(f"event span exceeds the {_HAAR_PAD}-day grid")
     series = [0] * _HAAR_PAD
     for i, n in zip(idx, daily["n"].to_numpy(np.int64)):
-        series[int(i)] = int(n)
+        if i < _HAAR_PAD:  # beyond-grid days drop, like the oracle's
+            series[int(i)] = int(n)  # grid LEFT JOIN
+    
     coefs = []  # (level, pos, coef)
     cur = series
     for lvl in range(1, _HAAR_LEVELS + 1):

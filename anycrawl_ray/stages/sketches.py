@@ -329,16 +329,15 @@ def hdr_quantiles(ds, key: str, value_col: str, sub_bits: int = 3,
         k = batch.column(key)
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
-        import pandas as pd
-        kv = np.asarray(k)
-        g = pd.DataFrame({key: np.concatenate([kv, kv]),
-                          "ex": np.repeat([0, 1], cents.size),
-                          "lo": np.concatenate([lo, cents])}) \
-            .groupby([key, "ex", "lo"], as_index=False).size()
-        return pa.table({key: pa.array(g[key]),
-                         "ex": pa.array(g["ex"].to_numpy(np.int64)),
-                         "lo": pa.array(g["lo"].to_numpy(np.int64)),
-                         "cnt": pa.array(g["size"].to_numpy(np.int64))})
+        both = pa.table({
+            key: pa.concat_arrays([k, k]),
+            "ex": pa.array(np.repeat(np.array([0, 1], np.int64),
+                                     cents.size), pa.int64()),
+            "lo": pa.array(np.concatenate([lo, cents]), pa.int64())})
+        g = (both.group_by([key, "ex", "lo"])
+             .aggregate([([], "count_all")])
+             .rename_columns([key, "ex", "lo", "cnt"]))
+        return g
 
     def readoff(hist, name: str) -> dict:
         """(key, lo, cnt) pandas -> {(key, p_ppm): quantile}."""
@@ -400,30 +399,43 @@ def kmv_set_ops(ds, col: str, filter_col: str, val_a: str, val_b: str,
     sketch path is shuffle-free). Integer arithmetic end-to-end."""
     from ray.data.aggregate import Max
 
-    def bottom_k(batch: pa.Table, val: str) -> np.ndarray:
+    def local(batch: pa.Table) -> pa.Table:
+        """ONE pass emits both the bottom-k sketch partials (kind 0,
+        value = hash) and the distinct-value presence partials
+        (kind 1, value = raw id, in_a/in_b bits) so the input is read
+        once — the tagged-kind idiom."""
         import pyarrow.compute as pc
 
-        mask = pc.equal(batch.column(filter_col), val)
-        v = batch.filter(mask).column(col)
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        iv = np.unique(np.asarray(v.cast(pa.int64()), dtype=np.int64))
-        h = np.unique(_mix64_np(iv.view(np.uint64)))
-        return h[:k] if h.size > k else h
+        parts = []
+        for tag, val in ((0, val_a), (1, val_b)):
+            v = batch.filter(pc.equal(batch.column(filter_col), val)) \
+                .column(col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            iv = np.unique(np.asarray(v.cast(pa.int64()), dtype=np.int64))
+            h = np.unique(_mix64_np(iv.view(np.uint64)))
+            h = h[:k] if h.size > k else h
+            parts.append(pa.table({
+                "kind": pa.array(np.zeros(h.size, np.int8), pa.int8()),
+                "tag": pa.array(np.full(h.size, tag, np.int8), pa.int8()),
+                "v": pa.array(h.astype(np.int64), pa.int64()),
+                "in_a": pa.array(np.zeros(h.size, np.int64)),
+                "in_b": pa.array(np.zeros(h.size, np.int64))}))
+            parts.append(pa.table({
+                "kind": pa.array(np.ones(iv.size, np.int8), pa.int8()),
+                "tag": pa.array(np.zeros(iv.size, np.int8), pa.int8()),
+                "v": pa.array(iv, pa.int64()),
+                "in_a": pa.array(np.full(iv.size, 1 - tag, np.int64)),
+                "in_b": pa.array(np.full(iv.size, tag, np.int64))}))
+        return pa.concat_tables(parts)
 
-    def local(batch: pa.Table) -> pa.Table:
-        ha, hb = bottom_k(batch, val_a), bottom_k(batch, val_b)
-        return pa.table({
-            "tag": pa.array([0] * ha.size + [1] * hb.size, pa.int8()),
-            "h": pa.array(np.concatenate([ha, hb]).astype(np.int64)
-                          .view(np.uint64), pa.uint64())})
-
+    stream = ds.map_batches(local, batch_format="pyarrow").materialize()
     merged: dict = {0: set(), 1: set()}
-    for b in ds.map_batches(local, batch_format="pyarrow") \
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+    sk = stream.filter(expr="kind == 0")
+    for b in sk.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
         for t, h in zip(b.column("tag").to_pylist(),
-                        b.column("h").to_pylist()):
-            merged[t].add(h)
+                        b.column("v").to_pylist()):
+            merged[t].add(h if h >= 0 else h + (1 << 64))
     ka = sorted(merged[0])[:k]
     kb = sorted(merged[1])[:k]
     ku = sorted(set(ka) | set(kb))[:k]
@@ -438,26 +450,10 @@ def kmv_set_ops(ds, col: str, filter_col: str, val_a: str, val_b: str,
     est_union = est(ku)
     est_inter = both * est_union // max(len(ku), 1)
 
-    # exact intersection (the error report): one groupby over DISTINCT
-    # values, max-folding per-tag presence bits
-    def presence(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        out = []
-        for tag, val in ((0, val_a), (1, val_b)):
-            v = batch.filter(pc.equal(batch.column(filter_col), val)) \
-                .column(col)
-            if isinstance(v, pa.ChunkedArray):
-                v = v.combine_chunks()
-            iv = np.unique(np.asarray(v.cast(pa.int64()), dtype=np.int64))
-            out.append(pa.table({
-                col: pa.array(iv, pa.int64()),
-                "in_a": pa.array(np.full(iv.size, 1 - tag, np.int64)),
-                "in_b": pa.array(np.full(iv.size, tag, np.int64))}))
-        return pa.concat_tables(out)
-
-    pres = (ds.map_batches(presence, batch_format="pyarrow")
-            .groupby(col).aggregate(Max("in_a", alias_name="in_a"),
+    # exact intersection (the error report): one groupby over the same
+    # stream's DISTINCT-value presence rows, max-folding per-tag bits
+    pres = (stream.filter(expr="kind == 1")
+            .groupby("v").aggregate(Max("in_a", alias_name="in_a"),
                                     Max("in_b", alias_name="in_b")))
 
     def cnt_both(batch: pa.Table) -> pa.Table:
@@ -500,6 +496,9 @@ def profile_table(ds, spec: dict, p: int = 8) -> pa.Table:
 
     from .text_analysis import _fnv1a_bulk
 
+    bad = {c: k for c, k in spec.items() if k not in _PROFILE_KINDS}
+    if bad:
+        raise ValueError(f"unknown profile kinds: {bad}")
     m = 1 << p
     q = 64 - p
     mask = np.uint64((1 << q) - 1)
@@ -509,13 +508,19 @@ def profile_table(ds, spec: dict, p: int = 8) -> pa.Table:
 
     def int_view(arr: pa.ChunkedArray, kind: str) -> np.ndarray:
         """Null-free canonical int64 view of a column."""
+        from .window import _epoch_us
+
         arr = arr.drop_null()
         if kind == "cents":
             return np.rint(np.asarray(arr, dtype=np.float64) * 100) \
                 .astype(np.int64)
         if kind == "str":
-            return np.asarray(pc.binary_length(arr).cast(pa.int64()),
+            # CHARACTER length (pc.utf8_length), matching DuckDB's
+            # length() — binary_length would diverge on non-ASCII
+            return np.asarray(pc.utf8_length(arr).cast(pa.int64()),
                               dtype=np.int64)
+        if kind == "ts":
+            return _epoch_us(arr)  # unit-aware, matches SQL epoch_us
         return np.asarray(arr.cast(pa.int64()), dtype=np.int64)
 
     def hashes(arr: pa.ChunkedArray, kind: str,

@@ -3115,8 +3115,11 @@ def test_profile_table_nulls_views_and_estimates(ray_session):
         "b": pa.array([None if i % 10 == 0 else round(i * 0.01, 2)
                        for i in range(n)], pa.float64()),
         "s": pa.array(["x" * (i % 7) for i in range(n)], pa.string()),
+        # non-ASCII: char-length view (max 2 CHARS, 4 bytes) pins the
+        # utf8_length-vs-binary_length choice against DuckDB length()
+        "u": pa.array(["é", "éé"] * (n // 2), pa.string()),
     })
-    spec = {"a": "int", "b": "cents", "s": "str"}
+    spec = {"a": "int", "b": "cents", "s": "str", "u": "str"}
     out = profile_table(rd.from_arrow(t).repartition(6), spec) \
         .to_pandas().set_index("column")
     assert out.loc["a", "n"] == n and out.loc["a", "n_null"] == 0
@@ -3125,6 +3128,7 @@ def test_profile_table_nulls_views_and_estimates(ray_session):
     # cents view: non-null b values are i*0.01 for i not divisible by 10
     assert out.loc["b", "min_i"] == 1 and out.loc["b", "max_i"] == n - 1
     assert out.loc["s", "min_i"] == 0 and out.loc["s", "max_i"] == 6
+    assert out.loc["u", "min_i"] == 1 and out.loc["u", "max_i"] == 2
     # HLL p=8 relative error ~6.5% on high cardinality; allow 3 sigma
     assert abs(out.loc["a", "n_distinct_est"] - n) < 0.2 * n
     # low cardinality: the profiler reports the RAW estimator (the
