@@ -9642,6 +9642,49 @@ FROM ({coefs}) ORDER BY ABS(coef) DESC, level, pos LIMIT {k}
     return "".join(parts)
 
 
+def events_pit_join(sf_dir: str):
+    """Point-in-time-correct feature join (window.pit_join) — the
+    label-leakage guard every feature store needs: each purchase joins
+    the SCD2 run-state of the user's NON-purchase activity valid AT the
+    purchase timestamp (never a later version), one key-hash fat-bucket
+    shuffle co-locating facts and dimension, merge-order forward-fill
+    probe. Oracle = islands SCD2 + interval non-equi join."""
+    rd = _rd()
+    from ..stages.window import pit_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id", "value"])
+    return pit_join(ev)
+
+
+_PIT_JOIN_SQL = """
+WITH np AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+  FROM events WHERE event_type <> 'purchase'),
+c AS (SELECT *, CASE WHEN LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY t, event_id)
+          IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM np),
+r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+          ROWS UNBOUNDED PRECEDING) AS run FROM c),
+g AS (SELECT user_id, event_type, run, MIN(t) AS vf
+      FROM r GROUP BY user_id, event_type, run),
+iv AS (SELECT user_id, event_type, vf,
+              COALESCE(LEAD(vf) OVER (PARTITION BY user_id
+                                      ORDER BY vf, run),
+                       9223372036854775807) AS vt
+       FROM g),
+p AS (SELECT user_id, epoch_us(ts) AS t,
+             CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+SELECT iv.event_type AS state, CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+FROM p JOIN iv ON iv.user_id = p.user_id
+               AND p.t >= iv.vf AND p.t < iv.vt
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9826,6 +9869,7 @@ QUERIES = {
     "lineitem_profile": lineitem_profile,
     "events_orc_roundtrip": events_orc_roundtrip,
     "events_haar": events_haar,
+    "events_pit_join": events_pit_join,
 }
 
 ORACLE_SQL = {
@@ -10037,6 +10081,7 @@ ORACLE_SQL = {
     "lineitem_profile": _profile_sql(),
     "events_orc_roundtrip": _ORC_ROUNDTRIP_SQL,
     "events_haar": _haar_sql(),
+    "events_pit_join": _PIT_JOIN_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

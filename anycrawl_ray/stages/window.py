@@ -2042,3 +2042,110 @@ def peak_concurrency(ds, key: str = "user_id", ts_col: str = "ts",
     return pa.table({"day": pa.array(days["day"].to_numpy(np.int64)[keep],
                                      pa.int64()),
                      "peak": pa.array(peak[keep], pa.int64())})
+
+
+def pit_join(ds, key: str = "user_id", ts_col: str = "ts",
+             type_col: str = "event_type", order_col: str = "event_id",
+             value_col: str = "value", fact_type: str = "purchase",
+             n_buckets: int | None = None) -> pa.Table:
+    """POINT-IN-TIME-correct fact-to-dimension join — the
+    label-leakage-safe feature join every ML feature store needs: the
+    dimension is the SCD2 run-history of each key's NON-fact activity
+    (runs of consecutive identical types, valid [run_start, next_run_
+    start)), and each fact row (``fact_type`` events) joins the
+    dimension version valid AT ITS TIMESTAMP — never a later one.
+    Facts before any dimension row drop (inner-join contract). Output:
+    per dimension state, fact count + exact cents sum.
+
+    Scale shape: ONE key-hash fat-bucket shuffle co-locates each key's
+    facts AND dimension events, so the interval build and the as-of
+    probe are both bucket-local: one lexsort, vectorized run
+    boundaries, then a merge-order forward-fill (no per-key loop —
+    the interval index propagates with np.maximum.accumulate and a
+    same-key validity check). Each bucket emits |types|-bounded
+    partials; the driver folds a tiny table."""
+    nb = n_buckets or _default_buckets()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = np.rint(np.asarray(batch.column(value_col),
+                                   dtype=np.float64) * 100) \
+            .astype(np.int64)
+        out = pa.table({key: batch.column(key),
+                        "t": pa.array(_epoch_us(batch.column(ts_col)),
+                                      pa.int64()),
+                        "o": pc.cast(batch.column(order_col), pa.int64()),
+                        type_col: batch.column(type_col),
+                        "cents": pa.array(cents, pa.int64())})
+        return _bucket_col(out, key, nb)
+
+    empty = pd.DataFrame({"state": pd.Series([], dtype=object),
+                          "n_facts": pd.Series([], dtype=np.int64),
+                          "sum_cents": pd.Series([], dtype=np.int64)})
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        u = group[key].to_numpy(np.int64)
+        t = group["t"].to_numpy(np.int64)
+        o = group["o"].to_numpy(np.int64)
+        typ = group[type_col].to_numpy()
+        cents = group["cents"].to_numpy(np.int64)
+        if u.size == 0:
+            return empty.copy()
+        order = np.lexsort((o, t, u))
+        u, t, typ, cents = u[order], t[order], typ[order], cents[order]
+        is_fact = typ == fact_type
+        # dimension: runs over the NON-fact stream, per key
+        du, dt, dtyp = u[~is_fact], t[~is_fact], typ[~is_fact]
+        if du.size == 0 or not is_fact.any():
+            return empty.copy()
+        new = np.concatenate(([True], (du[1:] != du[:-1])
+                              | (dtyp[1:] != dtyp[:-1])))
+        starts = np.flatnonzero(new)
+        iu, ivf, ityp = du[starts], dt[starts], dtyp[starts]
+        # merge-order forward fill: at equal (key, time) the interval
+        # start sorts BEFORE the fact (kind 0 < 1), so a fact at the
+        # exact run-start instant sees that run — the t >= vf rule
+        fu, ft, fc = u[is_fact], t[is_fact], cents[is_fact]
+        mk = np.concatenate([np.zeros(iu.size, np.int64),
+                             np.ones(fu.size, np.int64)])
+        mu = np.concatenate([iu, fu])
+        mt = np.concatenate([ivf, ft])
+        morder = np.lexsort((mk, mt, mu))
+        marker = np.where(mk[morder] == 0,
+                          np.concatenate([np.arange(iu.size),
+                                          np.zeros(fu.size,
+                                                   np.int64)])[morder],
+                          -1)
+        ff = np.maximum.accumulate(marker)
+        fact_pos = mk[morder] == 1
+        fidx = ff[fact_pos]
+        fu_s, fc_s = mu[morder][fact_pos], np.concatenate(
+            [np.zeros(iu.size, np.int64), fc])[morder][fact_pos]
+        ok = (fidx >= 0) & (iu[np.maximum(fidx, 0)] == fu_s)
+        if not ok.any():
+            return empty.copy()
+        st = ityp[fidx[ok]]
+        import pandas as _pd
+        g = _pd.DataFrame({"state": st, "c": fc_s[ok]}) \
+            .groupby("state", as_index=False).agg(
+                n_facts=("c", "size"), sum_cents=("c", "sum"))
+        return _pd.DataFrame({"state": g["state"],
+                              "n_facts": g["n_facts"].astype(np.int64),
+                              "sum_cents": g["sum_cents"]
+                              .astype(np.int64)})
+
+    parts = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    if len(parts) == 0:
+        return pa.table({"state": pa.array([], pa.string()),
+                         "n_facts": pa.array([], pa.int64()),
+                         "sum_cents": pa.array([], pa.int64())})
+    fin = (parts.groupby("state", as_index=False).sum()
+           .sort_values("state").reset_index(drop=True))
+    return pa.table({"state": pa.array(fin["state"], pa.string()),
+                     "n_facts": pa.array(fin["n_facts"].astype("int64"),
+                                         pa.int64()),
+                     "sum_cents": pa.array(fin["sum_cents"]
+                                           .astype("int64"), pa.int64())})

@@ -274,3 +274,41 @@ def test_peak_concurrency_cross_midnight_carry(ray_session):
     out2 = peak_concurrency(rd.from_arrow(t).repartition(7)) \
         .to_pandas().set_index("day")["peak"]
     assert out.equals(out2)
+
+
+def test_pit_join_never_sees_future_dimension(ray_session):
+    """The leakage guard itself: a purchase BETWEEN two dimension runs
+    must join the EARLIER run even though the later one is closer in
+    time; a purchase before any dimension row drops; a purchase at the
+    exact run-start instant sees that run; partition-invariant."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import pit_join
+
+    rows = [
+        # (event_id, user, t_us, type, value)
+        (1, 7, 1_000, "purchase", 5.00),    # before any state -> drops
+        (2, 7, 2_000, "click", 0.0),        # state click @2ms
+        (3, 7, 9_000, "view", 0.0),         # state view @9ms
+        (4, 7, 8_000, "purchase", 1.00),    # closer to view(9ms) but
+                                            # must join click (no future)
+        (5, 7, 9_000, "purchase", 2.00),    # exact run-start -> view
+        (6, 7, 20_000, "purchase", 4.00),   # open interval -> view
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    out = pit_join(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .set_index("state")
+    assert out.loc["click", "n_facts"] == 1
+    assert out.loc["click", "sum_cents"] == 100
+    assert out.loc["view", "n_facts"] == 2
+    assert out.loc["view", "sum_cents"] == 600
+    assert out["n_facts"].sum() == 3  # the pre-state purchase dropped
+    out2 = pit_join(rd.from_arrow(t).repartition(6)).to_pandas() \
+        .set_index("state")
+    assert out.equals(out2)
