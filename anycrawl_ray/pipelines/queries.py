@@ -9685,6 +9685,45 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_holt(sf_dir: str):
+    """Holt double-exponential smoothing per event type (window.
+    holt_daily, alpha = beta = 1/8, 1e6 fixed point): level + trend +
+    one-step forecast over daily counts — EWMA's trend-aware sibling.
+    Negative trends divide trunc-toward-zero on both engines; the
+    oracle replays the two-state recurrence in one recursive CTE."""
+    rd = _rd()
+    from ..stages.window import holt_daily
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return holt_daily(ev)
+
+
+_HOLT_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn FROM d),
+rec(event_type, rn, day, n, l, b) AS (
+  SELECT event_type, rn, day, n, n * 1000000, CAST(0 AS BIGINT)
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.rn, r.day, r.n,
+         (r.n * 1000000 + 7 * (rec.l + rec.b)) // 8,
+         (((r.n * 1000000 + 7 * (rec.l + rec.b)) // 8 - rec.l)
+          + 7 * rec.b) // 8
+  FROM rec JOIN r ON r.event_type = rec.event_type
+               AND r.rn = rec.rn + 1)
+SELECT event_type, CAST(day AS BIGINT) AS day, n,
+       CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+       CAST(l + b AS BIGINT) AS forecast
+FROM rec ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9870,6 +9909,7 @@ QUERIES = {
     "events_orc_roundtrip": events_orc_roundtrip,
     "events_haar": events_haar,
     "events_pit_join": events_pit_join,
+    "events_holt": events_holt,
 }
 
 ORACLE_SQL = {
@@ -10082,6 +10122,7 @@ ORACLE_SQL = {
     "events_orc_roundtrip": _ORC_ROUNDTRIP_SQL,
     "events_haar": _haar_sql(),
     "events_pit_join": _PIT_JOIN_SQL,
+    "events_holt": _HOLT_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

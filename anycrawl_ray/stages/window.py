@@ -2149,3 +2149,69 @@ def pit_join(ds, key: str = "user_id", ts_col: str = "ts",
                                          pa.int64()),
                      "sum_cents": pa.array(fin["sum_cents"]
                                            .astype("int64"), pa.int64())})
+
+
+def holt_daily(ds, group_col: str = "event_type", ts_col: str = "ts",
+               denom: int = 8, scale: int = 10**6) -> pa.Table:
+    """Per-group Holt double-exponential smoothing (level + trend,
+    alpha = beta = 1/denom) over observed daily counts — EWMA's
+    trend-aware sibling, the standard short-horizon forecaster. Exact
+    integer fixed point; the trend term goes NEGATIVE on declines, so
+    every division is explicit trunc-toward-zero (``-((-x) // d)`` for
+    negative numerators), matching DuckDB's truncating ``//`` bit for
+    bit:
+
+        l_1 = n_1 * scale;  b_1 = 0
+        l_t = trunc((n_t * scale + (denom-1) * (l + b)) / denom)
+        b_t = trunc(((l_t - l) + (denom-1) * b) / denom)
+
+    Output rows also carry forecast = l + b (the one-step-ahead).
+    Scale shape: identical to ewma_daily — one (group, day) groupby-
+    Count shuffle reduces the corpus; the sequential recurrence runs
+    over the tiny groups x days table."""
+    from ray.data.aggregate import Count
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        day = np.asarray(ts.cast(pa.int64()), dtype=np.int64) \
+            // (86400 * per)
+        return pa.table({group_col: batch.column(group_col),
+                         "day": pa.array(day, pa.int64())})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby([group_col, "day"])
+             .aggregate(Count(alias_name="n"))
+             .to_pandas())
+    daily = daily.sort_values([group_col, "day"]).reset_index(drop=True)
+    d1 = denom - 1
+    out = {"g": [], "day": [], "n": [], "level": [], "trend": [],
+           "forecast": []}
+    for grp, sub in daily.groupby(group_col, sort=True):
+        n = sub["n"].to_numpy(dtype=np.int64)
+        d = sub["day"].to_numpy(dtype=np.int64)
+        lv, tr = int(n[0]) * scale, 0
+        for i in range(n.size):
+            if i:
+                p = lv + tr
+                nl = tdiv(int(n[i]) * scale + d1 * p, denom)
+                tr = tdiv((nl - lv) + d1 * tr, denom)
+                lv = nl
+            out["g"].append(grp)
+            out["day"].append(int(d[i]))
+            out["n"].append(int(n[i]))
+            out["level"].append(lv)
+            out["trend"].append(tr)
+            out["forecast"].append(lv + tr)
+    return pa.table({
+        group_col: pa.array(out["g"], pa.string()),
+        "day": pa.array(out["day"], pa.int64()),
+        "n": pa.array(out["n"], pa.int64()),
+        "level": pa.array(out["level"], pa.int64()),
+        "trend": pa.array(out["trend"], pa.int64()),
+        "forecast": pa.array(out["forecast"], pa.int64())})

@@ -312,3 +312,32 @@ def test_pit_join_never_sees_future_dimension(ray_session):
     out2 = pit_join(rd.from_arrow(t).repartition(6)).to_pandas() \
         .set_index("state")
     assert out.equals(out2)
+
+
+def test_holt_negative_trend_trunc_parity(ray_session):
+    """A steep decline drives the trend state negative — the exact seam
+    where Python floor division and DuckDB's truncating // diverge.
+    Pin the kernel against a direct DuckDB replay of the recurrence on
+    the same synthetic series."""
+    import duckdb
+    import ray.data as rd
+
+    from anycrawl_ray.stages.window import holt_daily
+
+    # one event on day d repeated n(d) times: 100, 80, 10, 5, 5, 60
+    counts = [100, 80, 10, 5, 5, 60]
+    ts, us_day = [], 86_400_000_000
+    for d, n in enumerate(counts):
+        ts.extend([d * us_day + i for i in range(n)])
+    t = pa.table({"event_type": pa.array(["x"] * len(ts)),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = holt_daily(rd.from_arrow(t).repartition(4)).to_pandas()
+    assert (out["trend"] < 0).any()  # the decline really goes negative
+
+    con = duckdb.connect()
+    con.register("events", t.to_pandas())
+    from anycrawl_ray.pipelines.queries import _HOLT_SQL
+    exp = con.execute(_HOLT_SQL).fetch_df()
+    assert out["level"].tolist() == exp["level"].tolist()
+    assert out["trend"].tolist() == exp["trend"].tolist()
+    assert out["forecast"].tolist() == exp["forecast"].tolist()
