@@ -9724,6 +9724,90 @@ FROM rec ORDER BY event_type, day
 """
 
 
+def events_winsorize(sf_dir: str):
+    """Winsorized robust preprocessing per event type: EXACT p1/p99
+    cents bounds from the fixed-point histogram machinery (no sort, no
+    sampling — window.group_quantiles), then one clipping pass with the
+    tiny per-type bounds broadcast map-side: rows clipped low/high and
+    the winsorized sum. The standard outlier-taming step before any
+    mean-based statistic; oracle = quantile_disc + LEAST/GREATEST."""
+    import ray
+
+    from ..stages.window import group_quantiles
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    q = group_quantiles(ev, key="event_type", value_col="value",
+                        ps=[0.01, 0.99]).to_pandas()
+    bounds = {r["event_type"]: (int(r["q1_cents"]), int(r["q99_cents"]))
+              for _, r in q.iterrows()}
+    ref = ray.put(bounds)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import _cached_get
+
+        b = _cached_get(ref)
+        typ = batch.column("event_type")
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        tl = typ.to_pylist()
+        cents = np.rint(np.asarray(batch.column("value"),
+                                   dtype=np.float64) * 100) \
+            .astype(np.int64)
+        lo = np.asarray([b[t][0] for t in tl], dtype=np.int64)
+        hi = np.asarray([b[t][1] for t in tl], dtype=np.int64)
+        w = np.clip(cents, lo, hi)
+        part = pa.table({
+            "event_type": typ,
+            "n": pa.array(np.ones(cents.size, np.int64)),
+            "n_lo": pa.array((cents < lo).astype(np.int64)),
+            "n_hi": pa.array((cents > hi).astype(np.int64)),
+            "wsum_cents": pa.array(w, pa.int64())})
+        return (part.group_by(["event_type"])
+                .aggregate([("n", "sum"), ("n_lo", "sum"),
+                            ("n_hi", "sum"), ("wsum_cents", "sum")])
+                .rename_columns(["event_type", "n", "n_lo", "n_hi",
+                                 "wsum_cents"]))
+
+    from ray.data.aggregate import Sum
+
+    out = (ev.map_batches(clip, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_lo", alias_name="n_lo"),
+                      Sum("n_hi", alias_name="n_hi"),
+                      Sum("wsum_cents", alias_name="wsum_cents"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    return pa.table({
+        "event_type": pa.array(out["event_type"].astype(str), pa.string()),
+        "n": pa.array(out["n"].astype("int64"), pa.int64()),
+        "n_lo": pa.array(out["n_lo"].astype("int64"), pa.int64()),
+        "n_hi": pa.array(out["n_hi"].astype("int64"), pa.int64()),
+        "wsum_cents": pa.array(out["wsum_cents"].astype("int64"),
+                               pa.int64())})
+
+
+_WINSORIZE_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+b AS (
+  SELECT event_type,
+         quantile_disc(cents, 0.01) AS lo,
+         quantile_disc(cents, 0.99) AS hi
+  FROM c GROUP BY 1)
+SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (c.cents < b.lo) AS BIGINT) AS n_lo,
+       CAST(COUNT(*) FILTER (c.cents > b.hi) AS BIGINT) AS n_hi,
+       CAST(SUM(LEAST(GREATEST(c.cents, b.lo), b.hi)) AS BIGINT)
+           AS wsum_cents
+FROM c JOIN b USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9910,6 +9994,7 @@ QUERIES = {
     "events_haar": events_haar,
     "events_pit_join": events_pit_join,
     "events_holt": events_holt,
+    "events_winsorize": events_winsorize,
 }
 
 ORACLE_SQL = {
@@ -10123,6 +10208,7 @@ ORACLE_SQL = {
     "events_haar": _haar_sql(),
     "events_pit_join": _PIT_JOIN_SQL,
     "events_holt": _HOLT_SQL,
+    "events_winsorize": _WINSORIZE_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
