@@ -9808,6 +9808,64 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_KNNLAB_Q, _KNNLAB_K = 20, 10
+
+
+def embeddings_knn_label(sf_dir: str):
+    """kNN majority-vote label propagation (similarity.knn_label) —
+    classify the first 20 vectors by the majority label of their 10
+    nearest candidates (exact integer dots, probes excluded from the
+    pool): the weak-supervision primitive. Broadcast probe matrix,
+    map-side local top-k, tiny driver vote; exact window-function
+    oracle."""
+    from ..stages.similarity import knn_label
+
+    rd = _rd()
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl.column("vec_id").to_pylist()))
+    order = order[:_KNNLAB_Q]
+    ids = [int(tbl.column("vec_id")[int(i)].as_py()) for i in order]
+    probes = np.asarray(
+        [tbl.column("embedding")[int(i)].as_py() for i in order],
+        dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return knn_label(ds, probes, ids, k=_KNNLAB_K)
+
+
+_KNN_LABEL_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, label, list_transform(embedding,
+         x -> CAST(round_even(CAST(x AS DOUBLE) * 100, 0) AS BIGINT))
+      AS q
+  FROM embeddings),
+probes AS (SELECT * FROM qv ORDER BY vec_id LIMIT {_KNNLAB_Q}),
+cands AS (SELECT * FROM qv
+          WHERE vec_id NOT IN (SELECT vec_id FROM probes)),
+dots AS (
+  SELECT p.vec_id AS pid, c.vec_id AS cid, c.label,
+         list_sum(list_transform(list_zip(p.q, c.q),
+                  s -> s[1] * s[2])) AS dot
+  FROM probes p, cands c),
+top AS (
+  SELECT * FROM (
+    SELECT pid, cid, label, dot,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY dot DESC, cid) AS rn
+    FROM dots) WHERE rn <= {_KNNLAB_K}),
+votes AS (SELECT pid, label, COUNT(*) AS v FROM top GROUP BY 1, 2)
+SELECT pid AS vec_id,
+       CAST(label AS BIGINT) AS pred_label,
+       CAST(v AS BIGINT) AS votes
+FROM (SELECT pid, label, v,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY v DESC, label) AS rn
+      FROM votes)
+WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -9995,6 +10053,7 @@ QUERIES = {
     "events_pit_join": events_pit_join,
     "events_holt": events_holt,
     "events_winsorize": events_winsorize,
+    "embeddings_knn_label": embeddings_knn_label,
 }
 
 ORACLE_SQL = {
@@ -10209,6 +10268,7 @@ ORACLE_SQL = {
     "events_pit_join": _PIT_JOIN_SQL,
     "events_holt": _HOLT_SQL,
     "events_winsorize": _WINSORIZE_SQL,
+    "embeddings_knn_label": _KNN_LABEL_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

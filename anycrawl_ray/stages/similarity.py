@@ -1072,3 +1072,61 @@ def pca_power(ds, iters: int = 8, scale: int = 100,
              for x in w]
     return pa.table({"dim": pa.array(range(1, d + 1), pa.int64()),
                      "v": pa.array(v, pa.int64())})
+
+
+def knn_label(ds, probes: np.ndarray, probe_ids: list[int],
+              k: int = 10, scale: int = 100) -> pa.Table:
+    """kNN majority-vote label propagation — the weak-supervision
+    primitive: each probe vector takes the majority label of its k
+    nearest candidates (exact integer dots, rint(float64(x) * scale)
+    quantization per the repo convention; candidate ties by smaller
+    vec_id, vote ties by smaller label). Probes are excluded from the
+    candidate pool.
+
+    Scale shape: the probe matrix broadcasts into map_batches closures
+    (Q is a caller constant); each block emits its local top-k
+    (cand_id, label, dot) rows per probe and the driver merges
+    O(Q x k x blocks) rows then votes — one streaming pass, no
+    shuffle (the knn_brute idiom with labels riding along)."""
+    qp = np.rint(np.asarray(probes, dtype=np.float64) * scale) \
+        .astype(np.int64)
+    pid = np.asarray(probe_ids, dtype=np.int64)
+    excl = np.sort(pid)
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        q = np.rint(_batch_embeddings(batch) * scale).astype(np.int64)
+        ids = np.asarray(batch.column("vec_id").to_pylist(),
+                         dtype=np.int64)
+        labs = np.asarray(batch.column("label").to_pylist(),
+                          dtype=np.int64)
+        keep = ~np.isin(ids, excl)
+        q, ids, labs = q[keep], ids[keep], labs[keep]
+        cols = {"pid": [], "cid": [], "lab": [], "dot": []}
+        if ids.size:
+            dots = qp @ q.T  # (Q, n) exact int64
+            kk = min(k, ids.size)
+            for i in range(pid.size):
+                row = dots[i]
+                top = np.lexsort((ids, -row))[:kk]
+                cols["pid"].extend([int(pid[i])] * kk)
+                cols["cid"].extend(ids[top].tolist())
+                cols["lab"].extend(labs[top].tolist())
+                cols["dot"].extend(row[top].tolist())
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in cols.items()})
+
+    parts = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    out = {"vec_id": [], "pred_label": [], "votes": []}
+    for p in sorted(pid.tolist()):
+        g = parts[parts["pid"] == p]
+        if len(g) == 0:
+            continue
+        g = g.sort_values(["dot", "cid"], ascending=[False, True]) \
+            .head(k)
+        counts = g.groupby("lab").size().reset_index(name="v") \
+            .sort_values(["v", "lab"], ascending=[False, True])
+        out["vec_id"].append(p)
+        out["pred_label"].append(int(counts.iloc[0]["lab"]))
+        out["votes"].append(int(counts.iloc[0]["v"]))
+    return pa.table({c: pa.array(v, pa.int64())
+                     for c, v in out.items()})
