@@ -9866,6 +9866,72 @@ WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def events_props_extract(sf_dir: str):
+    """Semi-structured ETL: extract the integer ``k`` property from the
+    JSON ``props`` column with a VECTORIZED Arrow regex kernel
+    (pc.extract_regex — no per-row json.loads) and fold per-type stats.
+    The oracle parses the same column through DuckDB's real JSON
+    extension (json_extract_string) — two independent parsers must
+    agree on every value."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    rd = _rd()
+
+    def extract(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+        kv = np.asarray(k.fill_null(0), dtype=np.int64)
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "ok": pa.array(valid.astype(np.int64)),
+                      "k": pa.array(np.where(valid, kv, 0), pa.int64()),
+                      "kmin": pa.array(
+                          np.where(valid, kv, np.iinfo(np.int64).max),
+                          pa.int64()),
+                      "kmax": pa.array(
+                          np.where(valid, kv, np.iinfo(np.int64).min),
+                          pa.int64())})
+        return (t.group_by(["event_type"])
+                .aggregate([("ok", "sum"), ("k", "sum"),
+                            ("kmin", "min"), ("kmax", "max")])
+                .rename_columns(["event_type", "n_parsed", "sum_k",
+                                 "min_k", "max_k"]))
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    out = (ev.map_batches(extract, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_parsed", alias_name="n_parsed"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    return pa.table({
+        "event_type": pa.array(out["event_type"].astype(str), pa.string()),
+        "n_parsed": pa.array(out["n_parsed"].astype("int64"), pa.int64()),
+        "sum_k": pa.array(out["sum_k"].astype("int64"), pa.int64()),
+        "min_k": pa.array(out["min_k"].astype("int64"), pa.int64()),
+        "max_k": pa.array(out["max_k"].astype("int64"), pa.int64())})
+
+
+_PROPS_EXTRACT_SQL = """
+WITH j AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_parsed,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -10054,6 +10120,7 @@ QUERIES = {
     "events_holt": events_holt,
     "events_winsorize": events_winsorize,
     "embeddings_knn_label": embeddings_knn_label,
+    "events_props_extract": events_props_extract,
 }
 
 ORACLE_SQL = {
@@ -10269,6 +10336,7 @@ ORACLE_SQL = {
     "events_holt": _HOLT_SQL,
     "events_winsorize": _WINSORIZE_SQL,
     "embeddings_knn_label": _KNN_LABEL_SQL,
+    "events_props_extract": _PROPS_EXTRACT_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
