@@ -9932,6 +9932,89 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+_KS_A, _KS_B = "click", "purchase"
+
+
+def events_ks_drift(sf_dir: str):
+    """EXACT two-sample Kolmogorov-Smirnov distance between the click
+    and purchase value distributions — the standard dataset-drift
+    detector, computed in pure integers on the value-range-bounded
+    cents histogram (no sort of raw rows, no float CDFs):
+    D_ppm = max_x |cumA(x) * nB - cumB(x) * nA| * 1e6 // (nA * nB),
+    reported with the smallest cents attaining the max. One map pass
+    emits per-block (cents, a, b) partials; one bounded groupby folds
+    them; the driver scans the tiny histogram."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        typ = batch.column("event_type")
+        cents = np.rint(np.asarray(batch.column("value"),
+                                   dtype=np.float64) * 100) \
+            .astype(np.int64)
+        is_a = pc.equal(typ, _KS_A).to_numpy(zero_copy_only=False)
+        is_b = pc.equal(typ, _KS_B).to_numpy(zero_copy_only=False)
+        keep = is_a | is_b
+        t = pa.table({"cents": pa.array(cents[keep], pa.int64()),
+                      "a": pa.array(is_a[keep].astype(np.int64)),
+                      "b": pa.array(is_b[keep].astype(np.int64))})
+        return (t.group_by(["cents"])
+                .aggregate([("a", "sum"), ("b", "sum")])
+                .rename_columns(["cents", "a", "b"]))
+
+    hist = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("cents").aggregate(Sum("a", alias_name="a"),
+                                        Sum("b", alias_name="b"))
+            .to_pandas().sort_values("cents").reset_index(drop=True))
+    na = int(hist["a"].sum())
+    nb = int(hist["b"].sum())
+    if na == 0 or nb == 0:
+        return pa.table({"n_a": pa.array([na], pa.int64()),
+                         "n_b": pa.array([nb], pa.int64()),
+                         "d_ppm": pa.array([0], pa.int64()),
+                         "at_cents": pa.array([0], pa.int64())})
+    ca = cb = 0
+    best, at = -1, 0
+    for cents, a, b in zip(hist["cents"], hist["a"], hist["b"]):
+        ca += int(a)
+        cb += int(b)
+        num = abs(ca * nb - cb * na)
+        if num > best:
+            best, at = num, int(cents)
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "d_ppm": pa.array([best * 1_000_000 // (na * nb)], pa.int64()),
+        "at_cents": pa.array([at], pa.int64())})
+
+
+_KS_DRIFT_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+h AS (
+  SELECT cents,
+         CAST(COUNT(*) FILTER (event_type = '{_KS_A}') AS HUGEINT) AS a,
+         CAST(COUNT(*) FILTER (event_type = '{_KS_B}') AS HUGEINT) AS b
+  FROM c GROUP BY 1),
+n AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM h),
+cum AS (
+  SELECT cents, SUM(a) OVER w AS ca, SUM(b) OVER w AS cb
+  FROM h WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+d AS (SELECT cents, ABS(ca * n.nb - cb * n.na) AS num FROM cum, n),
+mx AS (SELECT MAX(num) AS m FROM d)
+SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+       CAST(mx.m * 1000000 // (n.na * n.nb) AS BIGINT) AS d_ppm,
+       (SELECT MIN(cents) FROM d, mx WHERE d.num = mx.m) AS at_cents
+FROM n, mx
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -10121,6 +10204,7 @@ QUERIES = {
     "events_winsorize": events_winsorize,
     "embeddings_knn_label": embeddings_knn_label,
     "events_props_extract": events_props_extract,
+    "events_ks_drift": events_ks_drift,
 }
 
 ORACLE_SQL = {
@@ -10337,6 +10421,7 @@ ORACLE_SQL = {
     "events_winsorize": _WINSORIZE_SQL,
     "embeddings_knn_label": _KNN_LABEL_SQL,
     "events_props_extract": _PROPS_EXTRACT_SQL,
+    "events_ks_drift": _KS_DRIFT_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
