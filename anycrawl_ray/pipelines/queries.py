@@ -9935,15 +9935,11 @@ FROM j GROUP BY 1 ORDER BY 1
 _KS_A, _KS_B = "click", "purchase"
 
 
-def events_ks_drift(sf_dir: str):
-    """EXACT two-sample Kolmogorov-Smirnov distance between the click
-    and purchase value distributions — the standard dataset-drift
-    detector, computed in pure integers on the value-range-bounded
-    cents histogram (no sort of raw rows, no float CDFs):
-    D_ppm = max_x |cumA(x) * nB - cumB(x) * nA| * 1e6 // (nA * nB),
-    reported with the smallest cents attaining the max. One map pass
-    emits per-block (cents, a, b) partials; one bounded groupby folds
-    them; the driver scans the tiny histogram."""
+def _ab_cents_hist(sf_dir: str):
+    """Shared two-sample fold for the drift rows (KS + Mann-Whitney):
+    one map pass emits per-block (cents, a, b) count partials for the
+    click/purchase populations, one value-range-bounded groupby folds
+    them; returns the tiny sorted histogram DataFrame."""
     from ray.data.aggregate import Sum
 
     rd = _rd()
@@ -9965,12 +9961,24 @@ def events_ks_drift(sf_dir: str):
                 .aggregate([("a", "sum"), ("b", "sum")])
                 .rename_columns(["cents", "a", "b"]))
 
-    hist = (rd.read_parquet(f"{sf_dir}/events.parquet",
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_type", "value"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("cents").aggregate(Sum("a", alias_name="a"),
                                         Sum("b", alias_name="b"))
             .to_pandas().sort_values("cents").reset_index(drop=True))
+
+
+def events_ks_drift(sf_dir: str):
+    """EXACT two-sample Kolmogorov-Smirnov distance between the click
+    and purchase value distributions — the standard dataset-drift
+    detector, computed in pure integers on the value-range-bounded
+    cents histogram (no sort of raw rows, no float CDFs):
+    D_ppm = max_x |cumA(x) * nB - cumB(x) * nA| * 1e6 // (nA * nB),
+    reported with the smallest cents attaining the max. One map pass
+    emits per-block (cents, a, b) partials; one bounded groupby folds
+    them; the driver scans the tiny histogram."""
+    hist = _ab_cents_hist(sf_dir)
     na = int(hist["a"].sum())
     nb = int(hist["b"].sum())
     if na == 0 or nb == 0:
@@ -10012,6 +10020,60 @@ SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
        CAST(mx.m * 1000000 // (n.na * n.nb) AS BIGINT) AS d_ppm,
        (SELECT MIN(cents) FROM d, mx WHERE d.num = mx.m) AS at_cents
 FROM n, mx
+"""
+
+
+def events_rank_drift(sf_dir: str):
+    """EXACT Mann-Whitney rank-sum drift between the click and purchase
+    value distributions — KS's effect-size sibling: U counts
+    cross-pairs where a click value beats a purchase value (ties worth
+    a half, so everything carries a 2x scale to stay integer):
+    U2 = sum_x a(x) * (2 * cumB(x-1) + b(x)). The common-language
+    effect size cles_ppm = U2 * 1e6 // (2 * nA * nB) (500000 = no
+    drift). Same value-range-bounded histogram fold as the KS row —
+    one map pass, one bounded groupby, driver scan in Python bigints.
+    """
+    hist = _ab_cents_hist(sf_dir)
+    na, nb = int(hist["a"].sum()), int(hist["b"].sum())
+    if na == 0 or nb == 0:
+        return pa.table({"n_a": pa.array([na], pa.int64()),
+                         "n_b": pa.array([nb], pa.int64()),
+                         "u2": pa.array([0], pa.int64()),
+                         "cles_ppm": pa.array([0], pa.int64())})
+    cb = 0
+    u2 = 0
+    for a, b in zip(hist["a"], hist["b"]):
+        u2 += int(a) * (2 * cb + int(b))
+        cb += int(b)
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "cles_ppm": pa.array([u2 * 1_000_000 // (2 * na * nb)],
+                             pa.int64())})
+
+
+_RANK_DRIFT_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round_even(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+h AS (
+  SELECT cents,
+         CAST(COUNT(*) FILTER (event_type = '{_KS_A}') AS HUGEINT) AS a,
+         CAST(COUNT(*) FILTER (event_type = '{_KS_B}') AS HUGEINT) AS b
+  FROM c GROUP BY 1),
+n AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM h),
+cum AS (
+  SELECT a, b,
+         COALESCE(SUM(b) OVER (ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cb
+  FROM h),
+u AS (SELECT SUM(a * (2 * cb + b)) AS u2 FROM cum)
+SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+       CAST(u.u2 AS BIGINT) AS u2,
+       CAST(u.u2 * 1000000 // (2 * n.na * n.nb) AS BIGINT) AS cles_ppm
+FROM n, u
 """
 
 
@@ -10205,6 +10267,7 @@ QUERIES = {
     "embeddings_knn_label": embeddings_knn_label,
     "events_props_extract": events_props_extract,
     "events_ks_drift": events_ks_drift,
+    "events_rank_drift": events_rank_drift,
 }
 
 ORACLE_SQL = {
@@ -10422,6 +10485,7 @@ ORACLE_SQL = {
     "embeddings_knn_label": _KNN_LABEL_SQL,
     "events_props_extract": _PROPS_EXTRACT_SQL,
     "events_ks_drift": _KS_DRIFT_SQL,
+    "events_rank_drift": _RANK_DRIFT_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
