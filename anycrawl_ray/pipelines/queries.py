@@ -10077,6 +10077,123 @@ FROM n, u
 """
 
 
+def _pk_dup_rows(ds, keys: list) -> int:
+    """Rows beyond the first per key (sum of max(c-1, 0)): map-side
+    per-block (key, cnt) partials, one groupby-Sum, map-side fold."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.select(keys).group_by(keys)
+                .aggregate([([], "count_all")])
+                .rename_columns(keys + ["c"]))
+
+    def excess(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("c"), dtype=np.int64)
+        return pa.table({"v": pa.array([int((c - 1).clip(0).sum())],
+                                       pa.int64())})
+
+    return int(ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(keys).aggregate(Sum("c", alias_name="c"))
+               .map_batches(excess, batch_format="pyarrow")
+               .to_pandas()["v"].sum())
+
+
+def _fk_orphan_rows(child, key_c: str, parent, key_p: str) -> int:
+    """Child rows whose key has no parent: both sides reduce to
+    per-block (key, child_rows, parent_hits) partials on ONE tagged
+    stream, one groupby-Sum co-locates them, orphans fold map-side —
+    the distributed anti-join count (no broadcast, no driver set)."""
+    from ray.data.aggregate import Sum
+
+    def side(keys_col: str, is_child: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            k, c = np.unique(np.asarray(batch.column(keys_col),
+                                        dtype=np.int64),
+                             return_counts=True)
+            return pa.table({
+                "k": pa.array(k, pa.int64()),
+                "child_rows": pa.array(
+                    c.astype(np.int64) if is_child
+                    else np.zeros(k.size, np.int64)),
+                "parent_hits": pa.array(
+                    np.zeros(k.size, np.int64) if is_child
+                    else np.ones(k.size, np.int64))})
+        return f
+
+    stream = (child.map_batches(side(key_c, True),
+                                batch_format="pyarrow")
+              .union(parent.map_batches(side(key_p, False),
+                                        batch_format="pyarrow")))
+
+    def orphans(batch: pa.Table) -> pa.Table:
+        cr = np.asarray(batch.column("child_rows"), dtype=np.int64)
+        ph = np.asarray(batch.column("parent_hits"), dtype=np.int64)
+        return pa.table({"v": pa.array([int(cr[ph == 0].sum())],
+                                       pa.int64())})
+
+    return int(stream.groupby("k")
+               .aggregate(Sum("child_rows", alias_name="child_rows"),
+                          Sum("parent_hits", alias_name="parent_hits"))
+               .map_batches(orphans, batch_format="pyarrow")
+               .to_pandas()["v"].sum())
+
+
+def integrity_checks(sf_dir: str):
+    """Referential-integrity audit — the constraint-validation pass a
+    100-TB ingest runs before anything else: primary-key uniqueness
+    (duplicate rows beyond the first) for orders and lineitem, and
+    foreign-key orphan rows for lineitem -> orders and orders ->
+    customer. Each check is one bounded shuffle (count partials or the
+    tagged-stream distributed anti-join); nothing corpus-sized touches
+    the driver. All-zero on clean TPC-H data — the oracle proves the
+    CHECKS compute the right thing, the pytest proves they FIRE."""
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    checks = [
+        ("pk_orders", _pk_dup_rows(orders, ["o_orderkey"])),
+        ("pk_lineitem", _pk_dup_rows(li, ["l_orderkey",
+                                          "l_linenumber"])),
+        ("fk_lineitem_orders", _fk_orphan_rows(
+            li, "l_orderkey", orders, "o_orderkey")),
+        ("fk_orders_customer", _fk_orphan_rows(
+            orders, "o_custkey", cust, "c_custkey")),
+    ]
+    return pa.table({
+        "check": pa.array([c[0] for c in checks], pa.string()),
+        "n_violations": pa.array([c[1] for c in checks], pa.int64())})
+
+
+_INTEGRITY_SQL = """
+SELECT 'fk_lineitem_orders' AS check,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'fk_orders_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'pk_lineitem',
+       CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
+           SELECT COUNT(*) AS c FROM lineitem
+           GROUP BY l_orderkey, l_linenumber) WHERE c > 1) AS BIGINT)
+UNION ALL
+SELECT 'pk_orders',
+       CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
+           SELECT COUNT(*) AS c FROM orders
+           GROUP BY o_orderkey) WHERE c > 1) AS BIGINT)
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -10268,6 +10385,7 @@ QUERIES = {
     "events_props_extract": events_props_extract,
     "events_ks_drift": events_ks_drift,
     "events_rank_drift": events_rank_drift,
+    "integrity_checks": integrity_checks,
 }
 
 ORACLE_SQL = {
@@ -10486,6 +10604,7 @@ ORACLE_SQL = {
     "events_props_extract": _PROPS_EXTRACT_SQL,
     "events_ks_drift": _KS_DRIFT_SQL,
     "events_rank_drift": _RANK_DRIFT_SQL,
+    "integrity_checks": _INTEGRITY_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

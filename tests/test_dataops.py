@@ -3154,3 +3154,28 @@ def test_profile_table_nulls_views_and_estimates(ray_session):
     out2 = profile_table(rd.from_arrow(t).repartition(13), spec) \
         .to_pandas().set_index("column")
     assert out.equals(out2)
+
+
+def test_integrity_checks_fire_on_dirty_data(ray_session):
+    """The audit kernels must actually FIRE (the sf fixtures are clean,
+    so their oracle rows are all-zero): duplicate PKs count rows beyond
+    the first, FK orphans count CHILD ROWS (not distinct keys), and
+    both are partition-layout invariant."""
+    import ray.data as rd
+
+    from anycrawl_ray.pipelines.queries import _fk_orphan_rows, _pk_dup_rows
+
+    dirty = pa.table({"k": pa.array([1, 1, 1, 2, 3, 3], pa.int64())})
+    assert _pk_dup_rows(rd.from_arrow(dirty).repartition(3),
+                        ["k"]) == 3  # (3-1) + (2-1)
+
+    child = pa.table({"ck": pa.array([10, 10, 11, 12, 12, 12],
+                                     pa.int64())})
+    parent = pa.table({"pk": pa.array([10, 99], pa.int64())})
+    # keys 11 (1 row) and 12 (3 rows) are orphans -> 4 child rows
+    n = _fk_orphan_rows(rd.from_arrow(child).repartition(3), "ck",
+                        rd.from_arrow(parent).repartition(2), "pk")
+    assert n == 4
+    n2 = _fk_orphan_rows(rd.from_arrow(child).repartition(5), "ck",
+                         rd.from_arrow(parent), "pk")
+    assert n2 == 4
