@@ -9395,7 +9395,9 @@ inst AS (SELECT t, SUM(d) AS nd,
                 MAX(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS st
          FROM bounds GROUP BY t),
 cum AS (SELECT t, st, SUM(nd) OVER (ORDER BY t) AS c FROM inst)
-SELECT t // 86400000000 AS day, CAST(MAX(c) AS BIGINT) AS peak
+SELECT -- FLOOR division (numpy semantics, the locf idiom)
+       ((t) - (((t) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
+       CAST(MAX(c) AS BIGINT) AS peak
 FROM cum WHERE st = 1 GROUP BY 1 ORDER BY 1
 """
 
@@ -9615,8 +9617,9 @@ def _haar_sql(pad: int = _HAAR_PAD, levels: int = _HAAR_LEVELS,
               k: int = _HAAR_K) -> str:
     parts = [f"""
 WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT)
-      AS n
+  SELECT -- FLOOR division (numpy semantics, the locf idiom)
+         ((epoch_us(ts)) - (((epoch_us(ts)) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
   FROM events GROUP BY 1),
 m AS (SELECT MIN(day) AS d0 FROM d),
 grid AS (SELECT unnest(range(0, {pad})) AS i),
@@ -9701,7 +9704,9 @@ def events_holt(sf_dir: str):
 
 _HOLT_SQL = """
 WITH RECURSIVE d AS (
-  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+  SELECT event_type,
+         -- FLOOR division (numpy semantics, the locf idiom)
+         ((epoch_us(ts)) - (((epoch_us(ts)) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2),
 r AS (SELECT event_type, day, n,
@@ -9751,12 +9756,19 @@ def events_winsorize(sf_dir: str):
         typ = batch.column("event_type")
         if isinstance(typ, pa.ChunkedArray):
             typ = typ.combine_chunks()
-        tl = typ.to_pylist()
+        # dictionary-encode once per batch: the per-row lookup is two
+        # numpy gathers over |types|-sized bound arrays, not a Python
+        # dict probe per row
+        enc = typ.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        lo_v = np.asarray([b[t][0] for t in vocab], dtype=np.int64)
+        hi_v = np.asarray([b[t][1] for t in vocab], dtype=np.int64)
+        idx = np.asarray(enc.indices, dtype=np.int64)
         cents = np.rint(np.asarray(batch.column("value"),
                                    dtype=np.float64) * 100) \
             .astype(np.int64)
-        lo = np.asarray([b[t][0] for t in tl], dtype=np.int64)
-        hi = np.asarray([b[t][1] for t in tl], dtype=np.int64)
+        lo = lo_v[idx]
+        hi = hi_v[idx]
         w = np.clip(cents, lo, hi)
         part = pa.table({
             "event_type": typ,
@@ -9885,18 +9897,18 @@ def events_props_extract(sf_dir: str):
         m = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
         valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
-        kv = np.asarray(k.fill_null(0), dtype=np.int64)
-        t = pa.table({"event_type": batch.column("event_type"),
-                      "ok": pa.array(valid.astype(np.int64)),
-                      "k": pa.array(np.where(valid, kv, 0), pa.int64()),
-                      "kmin": pa.array(
-                          np.where(valid, kv, np.iinfo(np.int64).max),
-                          pa.int64()),
-                      "kmax": pa.array(
-                          np.where(valid, kv, np.iinfo(np.int64).min),
-                          pa.int64())})
+        kv = np.asarray(k.fill_null(0), dtype=np.int64)[valid]
+        typ = batch.column("event_type")
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        # unparsed rows DROP before grouping: a type with zero parsed
+        # values emits no row on either engine (no NULL/sentinel seam)
+        t = pa.table({"event_type": typ.filter(pa.array(valid)),
+                      "k": pa.array(kv, pa.int64()),
+                      "kmin": pa.array(kv, pa.int64()),
+                      "kmax": pa.array(kv, pa.int64())})
         return (t.group_by(["event_type"])
-                .aggregate([("ok", "sum"), ("k", "sum"),
+                .aggregate([([], "count_all"), ("k", "sum"),
                             ("kmin", "min"), ("kmax", "max")])
                 .rename_columns(["event_type", "n_parsed", "sum_k",
                                  "min_k", "max_k"]))
@@ -9924,11 +9936,11 @@ WITH j AS (
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events)
 SELECT event_type,
-       CAST(COUNT(k) AS BIGINT) AS n_parsed,
+       CAST(COUNT(*) AS BIGINT) AS n_parsed,
        CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(MIN(k) AS BIGINT) AS min_k,
        CAST(MAX(k) AS BIGINT) AS max_k
-FROM j GROUP BY 1 ORDER BY 1
+FROM j WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
@@ -10010,15 +10022,20 @@ h AS (
          CAST(COUNT(*) FILTER (event_type = '{_KS_A}') AS HUGEINT) AS a,
          CAST(COUNT(*) FILTER (event_type = '{_KS_B}') AS HUGEINT) AS b
   FROM c GROUP BY 1),
-n AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM h),
+n AS (SELECT COALESCE(SUM(a), 0) AS na, COALESCE(SUM(b), 0) AS nb
+      FROM h),
 cum AS (
   SELECT cents, SUM(a) OVER w AS ca, SUM(b) OVER w AS cb
   FROM h WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
 d AS (SELECT cents, ABS(ca * n.nb - cb * n.na) AS num FROM cum, n),
 mx AS (SELECT MAX(num) AS m FROM d)
 SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
-       CAST(mx.m * 1000000 // (n.na * n.nb) AS BIGINT) AS d_ppm,
-       (SELECT MIN(cents) FROM d, mx WHERE d.num = mx.m) AS at_cents
+       CAST(CASE WHEN n.na = 0 OR n.nb = 0 THEN 0
+                 ELSE mx.m * 1000000 // (n.na * n.nb) END AS BIGINT)
+           AS d_ppm,
+       CASE WHEN n.na = 0 OR n.nb = 0 THEN 0
+            ELSE (SELECT MIN(cents) FROM d, mx WHERE d.num = mx.m)
+       END AS at_cents
 FROM n, mx
 """
 
@@ -10062,17 +10079,21 @@ h AS (
          CAST(COUNT(*) FILTER (event_type = '{_KS_A}') AS HUGEINT) AS a,
          CAST(COUNT(*) FILTER (event_type = '{_KS_B}') AS HUGEINT) AS b
   FROM c GROUP BY 1),
-n AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM h),
+n AS (SELECT COALESCE(SUM(a), 0) AS na, COALESCE(SUM(b), 0) AS nb
+      FROM h),
 cum AS (
   SELECT a, b,
          COALESCE(SUM(b) OVER (ORDER BY cents
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND 1 PRECEDING), 0) AS cb
   FROM h),
-u AS (SELECT SUM(a * (2 * cb + b)) AS u2 FROM cum)
+u AS (SELECT COALESCE(SUM(a * (2 * cb + b)), 0) AS u2 FROM cum)
 SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
-       CAST(u.u2 AS BIGINT) AS u2,
-       CAST(u.u2 * 1000000 // (2 * n.na * n.nb) AS BIGINT) AS cles_ppm
+       CAST(CASE WHEN n.na = 0 OR n.nb = 0 THEN 0 ELSE u.u2 END
+            AS BIGINT) AS u2,
+       CAST(CASE WHEN n.na = 0 OR n.nb = 0 THEN 0
+                 ELSE u.u2 * 1000000 // (2 * n.na * n.nb) END
+            AS BIGINT) AS cles_ppm
 FROM n, u
 """
 

@@ -1779,6 +1779,31 @@ def cusum_drift(ds, group_col: str = "event_type", ts_col: str = "ts"):
         "n_events": pa.array(out_n, pa.int64())})
 
 
+def _daily_counts(ds, group_col: str, ts_col: str):
+    """(group, epoch-day) -> count: the shared reduction under
+    ewma_daily / holt_daily (map-side day derivation honoring the
+    column's tick unit, one groupby-Count shuffle, sorted tiny table).
+    Day = floor division, numpy semantics — oracles replay it with the
+    locf floor idiom."""
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+        day = np.asarray(ts.cast(pa.int64()), dtype=np.int64) \
+            // (86400 * per)
+        return pa.table({group_col: batch.column(group_col),
+                         "day": pa.array(day, pa.int64())})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby([group_col, "day"])
+             .aggregate(Count(alias_name="n"))
+             .to_pandas())
+    return daily.sort_values([group_col, "day"]).reset_index(drop=True)
+
+
 def ewma_daily(ds, group_col: str = "event_type", ts_col: str = "ts",
                alpha_denom: int = 8, scale: int = 10**6) -> pa.Table:
     """Per-group exponentially-weighted moving average over observed
@@ -1794,22 +1819,7 @@ def ewma_daily(ds, group_col: str = "event_type", ts_col: str = "ts",
     partials (one groupby-Count shuffle); the merged histogram is tiny
     (groups x days), so the sequential per-group recurrence runs over
     that reduced table — the cusum_drift pattern."""
-    from ray.data.aggregate import Count
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col)
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
-        day = np.asarray(ts.cast(pa.int64()), dtype=np.int64) // (86400 * per)
-        return pa.table({group_col: batch.column(group_col),
-                         "day": pa.array(day, pa.int64())})
-
-    daily = (ds.map_batches(prep, batch_format="pyarrow")
-             .groupby([group_col, "day"])
-             .aggregate(Count(alias_name="n"))
-             .to_pandas())
-    daily = daily.sort_values([group_col, "day"]).reset_index(drop=True)
+    daily = _daily_counts(ds, group_col, ts_col)
     out_g, out_day, out_n, out_s = [], [], [], []
     a1 = alpha_denom - 1
     for grp, sub in daily.groupby(group_col, sort=True):
@@ -2126,14 +2136,13 @@ def pit_join(ds, key: str = "user_id", ts_col: str = "ts",
         if not ok.any():
             return empty.copy()
         st = ityp[fidx[ok]]
-        import pandas as _pd
-        g = _pd.DataFrame({"state": st, "c": fc_s[ok]}) \
+        g = pd.DataFrame({"state": st, "c": fc_s[ok]}) \
             .groupby("state", as_index=False).agg(
                 n_facts=("c", "size"), sum_cents=("c", "sum"))
-        return _pd.DataFrame({"state": g["state"],
-                              "n_facts": g["n_facts"].astype(np.int64),
-                              "sum_cents": g["sum_cents"]
-                              .astype(np.int64)})
+        return pd.DataFrame({"state": g["state"],
+                             "n_facts": g["n_facts"].astype(np.int64),
+                             "sum_cents": g["sum_cents"]
+                             .astype(np.int64)})
 
     parts = (ds.map_batches(prep, batch_format="pyarrow")
              .groupby("_kb").map_groups(per_bucket, batch_format="pandas")
@@ -2169,26 +2178,10 @@ def holt_daily(ds, group_col: str = "event_type", ts_col: str = "ts",
     Scale shape: identical to ewma_daily — one (group, day) groupby-
     Count shuffle reduces the corpus; the sequential recurrence runs
     over the tiny groups x days table."""
-    from ray.data.aggregate import Count
-
     def tdiv(a: int, b: int) -> int:
         return -((-a) // b) if a < 0 else a // b
 
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col)
-        if isinstance(ts, pa.ChunkedArray):
-            ts = ts.combine_chunks()
-        per = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
-        day = np.asarray(ts.cast(pa.int64()), dtype=np.int64) \
-            // (86400 * per)
-        return pa.table({group_col: batch.column(group_col),
-                         "day": pa.array(day, pa.int64())})
-
-    daily = (ds.map_batches(prep, batch_format="pyarrow")
-             .groupby([group_col, "day"])
-             .aggregate(Count(alias_name="n"))
-             .to_pandas())
-    daily = daily.sort_values([group_col, "day"]).reset_index(drop=True)
+    daily = _daily_counts(ds, group_col, ts_col)
     d1 = denom - 1
     out = {"g": [], "day": [], "n": [], "level": [], "trend": [],
            "forecast": []}
