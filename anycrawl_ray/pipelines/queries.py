@@ -9010,7 +9010,8 @@ _PCA_VSCALE = 10_000
 
 
 def _pca_power_sql(iters: int = _PCA_ITERS, scale: int = 100,
-                   v_scale: int = _PCA_VSCALE) -> str:
+                   v_scale: int = _PCA_VSCALE,
+                   final: str | None = None) -> str:
     ctes = [f"""qv AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding,
          x -> CAST(round_even(CAST(x AS DOUBLE) * {scale}, 0)
@@ -9042,9 +9043,12 @@ v{k} AS MATERIALIZED (
               ELSE wv * {v_scale} // mx.m END AS val
   FROM w{k}, mx{k} mx)""")
     chain = ",\n".join(ctes)
+    if final is None:
+        final = (f"SELECT CAST(dim AS BIGINT) AS dim, "
+                 f"CAST(val AS BIGINT) AS v\n"
+                 f"FROM v{iters} ORDER BY dim")
     return f"""WITH {chain}
-SELECT CAST(dim AS BIGINT) AS dim, CAST(val AS BIGINT) AS v
-FROM v{iters} ORDER BY dim
+{final}
 """
 
 
@@ -10215,6 +10219,69 @@ ORDER BY 1
 """
 
 
+def embeddings_pca_scores(sf_dir: str):
+    """Linear-probe readout composing the PCA row: every embedding
+    projects onto the top principal direction (similarity.pca_power's
+    integer iterate, broadcast into one map pass — NOT recomputed per
+    batch), folded to per-label (n, sum of integer projections) — do
+    the class labels separate along the corpus's top direction? The
+    oracle re-derives the identical direction through the unrolled
+    HUGEINT CTE chain and replays the projection join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.similarity import pca_power
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    direction = np.asarray(
+        pca_power(ds, iters=_PCA_ITERS, scale=100,
+                  v_scale=_PCA_VSCALE).column("v"), dtype=np.int64)
+    ref = ray.put(direction)
+
+    def project(batch: pa.Table) -> pa.Table:
+        from ..stages.dedup import _cached_get
+        from ..stages.similarity import _batch_embeddings
+
+        v = _cached_get(ref)
+        q = np.rint(_batch_embeddings(batch) * 100).astype(np.int64)
+        proj = q @ v  # exact int64 (|q| <= ~4e2, |v| <= 1e4, d = 64)
+        labs = np.asarray(batch.column("label").to_pylist(),
+                          dtype=np.int64)
+        return pa.table({"label": pa.array(labs, pa.int64()),
+                         "proj": pa.array(proj, pa.int64())})
+
+    full = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding", "label"])
+    out = (full.map_batches(project, batch_format="pyarrow")
+           .groupby("label").aggregate(Count(alias_name="n"),
+                                       Sum("proj", alias_name="sum_proj"))
+           .to_pandas().sort_values("label").reset_index(drop=True))
+    return pa.table({
+        "label": pa.array(out["label"].astype("int64"), pa.int64()),
+        "n": pa.array(out["n"].astype("int64"), pa.int64()),
+        "sum_proj": pa.array(out["sum_proj"].astype("int64"),
+                             pa.int64())})
+
+
+def _pca_scores_sql() -> str:
+    """The pca_power CTE chain with a projection tail: two extra CTEs
+    (final iterate as a list, per-vector HUGEINT dot) and the per-label
+    fold, spliced in through _pca_power_sql's final-SELECT hook."""
+    tail = f"""lv AS (SELECT list(val ORDER BY dim) AS vl
+      FROM v{_PCA_ITERS}),
+pr AS (
+  SELECT e.label,
+         list_sum(list_transform(list_zip(q.q, lv.vl),
+                  s -> CAST(s[1] AS HUGEINT) * s[2])) AS proj
+  FROM qv q JOIN embeddings e USING (vec_id), lv)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(proj) AS BIGINT) AS sum_proj
+FROM pr GROUP BY 1 ORDER BY 1"""
+    return _pca_power_sql(final=", " + tail)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -10407,6 +10474,7 @@ QUERIES = {
     "events_ks_drift": events_ks_drift,
     "events_rank_drift": events_rank_drift,
     "integrity_checks": integrity_checks,
+    "embeddings_pca_scores": embeddings_pca_scores,
 }
 
 ORACLE_SQL = {
@@ -10626,6 +10694,7 @@ ORACLE_SQL = {
     "events_ks_drift": _KS_DRIFT_SQL,
     "events_rank_drift": _RANK_DRIFT_SQL,
     "integrity_checks": _INTEGRITY_SQL,
+    "embeddings_pca_scores": _pca_scores_sql(),
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
