@@ -10282,6 +10282,59 @@ FROM pr GROUP BY 1 ORDER BY 1"""
     return _pca_power_sql(final=", " + tail)
 
 
+def docs_assortativity(sf_dir: str):
+    """Degree assortativity of the site link graph as exact integer
+    sufficient statistics + assembled r_ppm (graph.degree_
+    assortativity): do high-degree pages link to high-degree pages?
+    The only pair-level term (sxy) takes one hash join + groupby-Sum
+    (neighbor-degree sums); sx/sxx fold straight off the degree
+    table. Oracle replays the 4-arm edge rule, degrees and the
+    trunc-division assembly."""
+    rd = _rd()
+    from ..stages.graph import degree_assortativity, site_edges
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    return degree_assortativity(site_edges(ids, n))
+
+
+_ASSORTATIVITY_SQL = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+    SELECT d.doc_id AS a, 2 * d.doc_id + 1 AS b
+    FROM documents d, n WHERE 2 * d.doc_id + 1 < n.n
+    UNION ALL
+    SELECT d.doc_id, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT 2 * d.doc_id + 1, 2 * d.doc_id + 2
+    FROM documents d, n WHERE 2 * d.doc_id + 2 < n.n
+    UNION ALL
+    SELECT least(d.doc_id, (7 * d.doc_id + 3) % n.n),
+           greatest(d.doc_id, (7 * d.doc_id + 3) % n.n)
+    FROM documents d, n WHERE (7 * d.doc_id + 3) % n.n <> d.doc_id
+),
+edges AS (SELECT DISTINCT a, b FROM raw),
+dir AS (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT s AS node, CAST(COUNT(*) AS HUGEINT) AS deg
+        FROM dir GROUP BY 1),
+sv AS (SELECT d.d AS node, SUM(g.deg) AS sn
+       FROM dir d JOIN deg g ON g.node = d.s GROUP BY 1),
+agg AS (SELECT SUM(deg) AS m2, SUM(deg * deg) AS sx,
+               SUM(deg * deg * deg) AS sxx FROM deg),
+xy AS (SELECT SUM(g.deg * s.sn) AS sxy
+       FROM deg g JOIN sv s USING (node))
+SELECT CAST(agg.m2 AS BIGINT) AS m2, CAST(agg.sx AS BIGINT) AS sx,
+       CAST(agg.sxx AS BIGINT) AS sxx, CAST(xy.sxy AS BIGINT) AS sxy,
+       CAST(CASE WHEN agg.m2 * agg.sxx - agg.sx * agg.sx = 0 THEN 0
+                 ELSE (agg.m2 * xy.sxy - agg.sx * agg.sx) * 1000000
+                      // (agg.m2 * agg.sxx - agg.sx * agg.sx)
+            END AS BIGINT) AS r_ppm
+FROM agg, xy
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -10475,6 +10528,7 @@ QUERIES = {
     "events_rank_drift": events_rank_drift,
     "integrity_checks": integrity_checks,
     "embeddings_pca_scores": embeddings_pca_scores,
+    "docs_assortativity": docs_assortativity,
 }
 
 ORACLE_SQL = {
@@ -10695,6 +10749,7 @@ ORACLE_SQL = {
     "events_rank_drift": _RANK_DRIFT_SQL,
     "integrity_checks": _INTEGRITY_SQL,
     "embeddings_pca_scores": _pca_scores_sql(),
+    "docs_assortativity": _ASSORTATIVITY_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/

@@ -996,3 +996,91 @@ def textrank_keywords(docs_ds, iters: int = 10, scale: int = 10 ** 12,
     return pa.table({"term": pa.array([nodes[i] for i in order],
                                       pa.string()),
                      "rank_scaled": pa.array(r[order], pa.int64())})
+
+
+def degree_assortativity(edges_ds, n_parts: int | None = None) -> pa.Table:
+    """Degree assortativity of an undirected graph as EXACT sufficient
+    statistics (the autocorr convention — no float Pearson): over the
+    2|E| directed edge endpoints, sx = sum deg(src), sxx = sum
+    deg(src)^2, sxy = sum deg(src) * deg(dst) (sy/syy equal sx/sxx by
+    symmetry), plus the assembled r_ppm = (m2 * sxy - sx^2) * 1e6 //
+    (m2 * sxx - sx^2), trunc-toward-zero to match DuckDB.
+
+    Scale shape: distinct-ify the raw edge stream (one bounded
+    groupby), fold degrees (one groupby), then the ONLY pair-level
+    term (sxy) comes from one hash join dir x deg + a groupby-Sum —
+    sum_v deg(v) * s(v) where s(v) is the neighbor-degree sum; sx/sxx
+    fold straight off the degree table as sum deg^2 / deg^3. No
+    broadcast, nothing corpus-sized on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..util import join_parts
+
+    n_parts = n_parts or join_parts()
+    edges = (edges_ds.groupby(["a", "b"]).aggregate(Count())
+             .select_columns(["a", "b"]).materialize())
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    def _compact(ds):
+        # Ray 2.49's hash join crashes when a partition receives only
+        # EMPTY blocks (column-less table reaches acero) — compact
+        # every join input to ceil(rows / 4096) blocks, the
+        # dedup-incremental fix
+        n = ds.count()
+        return ds.repartition(max(1, min(n_parts, (n + 4095) // 4096)))
+
+    dir_ds = _compact(
+        edges.map_batches(both, batch_format="pyarrow").materialize())
+    deg = _compact(dir_ds.groupby("src")
+                   .aggregate(Count(alias_name="deg")).materialize())
+
+    def deg_folds(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("deg"), dtype=np.int64)
+        return pa.table({"m2": pa.array([int(d.sum())], pa.int64()),
+                         "sx": pa.array([int((d * d).sum())], pa.int64()),
+                         "sxx": pa.array([int((d * d * d).sum())],
+                                         pa.int64())})
+
+    base = deg.map_batches(deg_folds, batch_format="pyarrow").to_pandas()
+    m2, sx, sxx = (int(base["m2"].sum()), int(base["sx"].sum()),
+                   int(base["sxx"].sum()))
+
+    nbr = _compact(
+        dir_ds.join(deg, "inner", n_parts, on=("src",))
+        .map_batches(lambda b: pa.table(
+            {"node": b.column("dst"), "s": b.column("deg")}),
+            batch_format="pyarrow")
+        .groupby("node").aggregate(Sum("s", alias_name="s"))
+        .materialize())
+    joined = nbr.join(
+        deg.map_batches(lambda b: pa.table(
+            {"node": b.column("src"), "deg": b.column("deg")}),
+            batch_format="pyarrow"),
+        "inner", n_parts, on=("node",))
+
+    def xy_fold(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("s"), dtype=np.int64)
+        d = np.asarray(batch.column("deg"), dtype=np.int64)
+        return pa.table({"sxy": pa.array([int((s * d).sum())],
+                                         pa.int64())})
+
+    sxy = int(joined.map_batches(xy_fold, batch_format="pyarrow")
+              .to_pandas()["sxy"].sum())
+    num = m2 * sxy - sx * sx
+    den = m2 * sxx - sx * sx
+    if den == 0:
+        r_ppm = 0
+    elif num < 0:
+        r_ppm = -((-num) * 1_000_000 // den)
+    else:
+        r_ppm = num * 1_000_000 // den
+    return pa.table({"m2": pa.array([m2], pa.int64()),
+                     "sx": pa.array([sx], pa.int64()),
+                     "sxx": pa.array([sxx], pa.int64()),
+                     "sxy": pa.array([sxy], pa.int64()),
+                     "r_ppm": pa.array([r_ppm], pa.int64())})

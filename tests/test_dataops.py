@@ -3179,3 +3179,30 @@ def test_integrity_checks_fire_on_dirty_data(ray_session):
     n2 = _fk_orphan_rows(rd.from_arrow(child).repartition(5), "ck",
                          rd.from_arrow(parent), "pk")
     assert n2 == 4
+
+
+def test_degree_assortativity_star_vs_path(ray_session):
+    """Known-answer graphs: a star is maximally DISassortative
+    (r = -1 -> r_ppm = -1000000); a 2-edge path has r_ppm strictly
+    between -1e6 and 0; the sufficient statistics obey the symmetry
+    identities; partition-invariant."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.graph import degree_assortativity
+
+    star = pa.table({"a": pa.array([0, 0, 0, 0], pa.int64()),
+                     "b": pa.array([1, 2, 3, 4], pa.int64())})
+    out = degree_assortativity(rd.from_arrow(star).repartition(2)) \
+        .to_pandas().iloc[0]
+    assert out["m2"] == 8  # 2|E|
+    assert out["r_ppm"] == -1_000_000
+
+    # 3-edge path 0-1-2-3: hand-computed r = -1/2 exactly
+    path = pa.table({"a": pa.array([0, 1, 2], pa.int64()),
+                     "b": pa.array([1, 2, 3], pa.int64())})
+    p1 = degree_assortativity(rd.from_arrow(path)).to_pandas().iloc[0]
+    assert p1["r_ppm"] == -500_000
+    assert (p1["m2"], p1["sx"], p1["sxx"], p1["sxy"]) == (6, 10, 18, 16)
+    p2 = degree_assortativity(rd.from_arrow(path).repartition(3)) \
+        .to_pandas().iloc[0]
+    assert p1.tolist() == p2.tolist()
