@@ -10335,6 +10335,90 @@ FROM agg, xy
 """
 
 
+def events_best_streak(sf_dir: str):
+    """Maximum-sum contiguous streak (Kadane / max-subarray) of daily
+    purchase revenue ABOVE the period average, division-free: each
+    observed day's value is ``day_cents * n_days - total_cents`` (the
+    mean-deviation scaled by n_days, exact in integers), and the best
+    above-average run is ``max_j (cum_j - min_{i<j} cum_i)`` — the
+    classic hot-period detector. One (day -> cents) groupby fold is the
+    corpus work; the day-ordered scan is driver arithmetic. Oracle =
+    cumulative window + prefix-MIN window + earliest-day argmax."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.window import _epoch_us
+
+        keep = pc.equal(batch.column("event_type"),
+                        "purchase").to_numpy(zero_copy_only=False)
+        day = (_epoch_us(batch.column("ts")) // 86_400_000_000)[keep]
+        cents = np.rint(np.asarray(batch.column("value"),
+                                   dtype=np.float64) * 100) \
+            .astype(np.int64)[keep]
+        d, inv = np.unique(day, return_inverse=True)
+        csum = np.zeros(d.size, np.int64)
+        np.add.at(csum, inv, cents)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "cents": pa.array(csum, pa.int64())})
+
+    daily = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    if len(daily) == 0:
+        return pa.table({"best_scaled": pa.array([0], pa.int64()),
+                         "end_day": pa.array([0], pa.int64()),
+                         "n_days": pa.array([0], pa.int64())})
+    nd = len(daily)
+    total = int(daily["cents"].sum())
+    best, end_day = None, 0
+    cum, minpre = 0, 0
+    for day, cents in zip(daily["day"], daily["cents"]):
+        v = int(cents) * nd - total
+        cum += v
+        cand = cum - minpre
+        if best is None or cand > best:
+            best, end_day = cand, int(day)
+        minpre = min(minpre, cum)
+    return pa.table({"best_scaled": pa.array([best], pa.int64()),
+                     "end_day": pa.array([end_day], pa.int64()),
+                     "n_days": pa.array([nd], pa.int64())})
+
+
+_BEST_STREAK_SQL = """
+WITH d AS (
+  SELECT -- FLOOR division (numpy semantics, the locf idiom)
+         (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000)
+          % 86400000000) // 86400000000 AS day,
+         CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT))
+              AS HUGEINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd, SUM(cents) AS total FROM d),
+v AS (SELECT day, cents * n.nd - n.total AS v FROM d, n),
+c AS (SELECT day, SUM(v) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM v),
+k AS (SELECT day, cum,
+             COALESCE(MIN(cum) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS minpre
+      FROM c),
+best AS (SELECT MAX(cum - LEAST(minpre, 0)) AS b
+         FROM k)
+SELECT CAST(best.b AS BIGINT) AS best_scaled,
+       CAST((SELECT MIN(day) FROM k, best
+             WHERE cum - LEAST(minpre, 0) = best.b) AS BIGINT)
+           AS end_day,
+       CAST(n.nd AS BIGINT) AS n_days
+FROM best, n
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_brand": revenue_by_brand,
@@ -10529,6 +10613,7 @@ QUERIES = {
     "integrity_checks": integrity_checks,
     "embeddings_pca_scores": embeddings_pca_scores,
     "docs_assortativity": docs_assortativity,
+    "events_best_streak": events_best_streak,
 }
 
 ORACLE_SQL = {
@@ -10750,6 +10835,7 @@ ORACLE_SQL = {
     "integrity_checks": _INTEGRITY_SQL,
     "embeddings_pca_scores": _pca_scores_sql(),
     "docs_assortativity": _ASSORTATIVITY_SQL,
+    "events_best_streak": _BEST_STREAK_SQL,
 }
 
 # Control-plane driver rows (T7-T9, M21-M23): real scheduler/webhook/
