@@ -1031,32 +1031,25 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
 
     import pandas as pd
 
-    from .text_analysis import _fnv1a_bulk
+    from .text_analysis import _explode_distinct_grams
 
     if mode not in ("jaccard", "containment"):
         raise ValueError(f"unknown mode {mode!r}: "
                          "expected 'jaccard' or 'containment'")
 
-    def explode(batch: pa.Table) -> pa.Table:
-        out_id, out_gram, out_ng = [], [], []
-        for d, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            grams = _word_ngrams(t, n)
-            out_id.extend([d] * len(grams))
-            out_gram.extend(grams)
-            out_ng.extend([len(grams)] * len(grams))
-        return pa.table({"doc": pa.array(out_id),
-                         "gram": pa.array(out_gram, pa.string()),
-                         "ng": pa.array(out_ng, pa.int64())})
-
     nb = max(16, min(256,
                      int(ray.cluster_resources().get("CPU", 8)) * 2))
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        grams = batch.column("gram").to_pylist()
-        gh = np.asarray(_fnv1a_bulk(grams), dtype=np.uint64)
-        kb = (gh % np.uint64(nb)).astype(np.int64)
-        return batch.append_column("_kb", pa.array(kb, pa.int64()))
+    def explode(batch: pa.Table) -> pa.Table:
+        # Arrow-native distinct-gram kernel; bucket id rides from the
+        # same pass (dictionary-level FNV), so no second hashing stage
+        out = _explode_distinct_grams(batch, id_col, text_col, n)
+        return pa.table({
+            "doc": out["doc"],
+            "gram": out["gram"],
+            "ng": pa.array(out["n_grams"], pa.int64()),
+            "_kb": pa.array((out["hash"] % np.uint64(nb)).astype(np.int64),
+                            pa.int64())})
 
     def emit_pair_counts_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["gram", "doc"], kind="mergesort")
@@ -1109,7 +1102,6 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     qual = (ds.map_batches(explode, batch_format="pyarrow")
-            .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_kb").map_groups(emit_pair_counts_bucket,
                                        batch_format="pandas")
             .map_batches(add_pair_bucket, batch_format="pyarrow")
@@ -1659,7 +1651,7 @@ def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
 
     import pandas as pd
 
-    from .text_analysis import _fnv1a_bulk
+    from .text_analysis import _explode_distinct_grams
 
     n_docs = ds.count()
     if n_docs * idf_scale >= 1 << 62:  # raw w must stay int64 pre-clip
@@ -1669,18 +1661,11 @@ def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
                      int(ray.cluster_resources().get("CPU", 8)) * 2))
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_id, out_tok = [], []
-        for d, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            toks = (set(t.split()) if gram_n == 1
-                    else _word_ngrams(t, gram_n))
-            out_id.extend([d] * len(toks))
-            out_tok.extend(toks)
-        th = np.asarray(_fnv1a_bulk(out_tok), dtype=np.uint64)
+        out = _explode_distinct_grams(batch, id_col, text_col, gram_n)
         return pa.table({
-            "doc": pa.array(out_id, pa.int64()),
-            "tok": pa.array(out_tok, pa.string()),
-            "_kb": pa.array((th % np.uint64(nb)).astype(np.int64),
+            "doc": out["doc"],
+            "tok": out["gram"],
+            "_kb": pa.array((out["hash"] % np.uint64(nb)).astype(np.int64),
                             pa.int64())})
 
     def per_term_bucket(group: pd.DataFrame) -> pd.DataFrame:

@@ -162,6 +162,125 @@ def _fnv1a_bulk(tokens: list[str]) -> list[int]:
     return out
 
 
+def _ws_explode(texts) -> tuple[np.ndarray, pa.Array]:
+    """THE Arrow-native whitespace-split explode: texts (StringArray /
+    ChunkedArray) -> (parent_row int64 np, tokens StringArray), exact
+    ``str.split()`` parity — ``pc.utf8_split_whitespace`` splits on the
+    same Unicode whitespace set (incl. \\x1c-\\x1f, \\x85, \\xa0,
+    \\u2009, \\u3000; verified against CPython) and leading/trailing
+    runs yield empty strings which are filtered here. No per-row
+    Python; the flatten and filter are Arrow kernels."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(lst)
+    parent = pc.list_parent_indices(lst).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = pc.greater(pc.binary_length(flat), 0)
+    if len(flat) and not pc.all(nonempty).as_py():
+        mask = nonempty.to_numpy(zero_copy_only=False)
+        flat = flat.filter(nonempty)
+        parent = parent[mask]
+    return parent, flat
+
+
+def _join_word_grams(parent: np.ndarray, flat: pa.Array,
+                     n: int) -> tuple[np.ndarray, pa.Array]:
+    """(parent, word) rows -> (parent, n-gram) rows: grams are the
+    within-row length-n windows joined with a single space — exact
+    ``dedup._word_ngrams`` string parity (repeats kept; dedup is the
+    caller's job). Window membership is index arithmetic; the join is
+    one ``pc.binary_join_element_wise`` over n shifted slices."""
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return (np.empty(0, dtype=np.int64),
+                pa.array([], type=pa.string()))
+    valid = parent[:m] == parent[n - 1:]
+    parts = [flat.slice(j, m) for j in range(n)]
+    grams = pc.binary_join_element_wise(
+        *parts, pa.scalar(" ", type=flat.type))
+    grams = grams.filter(pa.array(valid))
+    return parent[:m][valid], grams
+
+
+def _dict_fnv1a(de: pa.DictionaryArray,
+                codes: np.ndarray) -> np.ndarray:
+    """Per-row FNV-1a(+nothing — raw FNV, the pinned `_fnv1a` value) of a
+    dictionary-encoded string column: hash only the (Zipf-small) batch
+    dictionary once, gather through the codes. Returns uint64 per row."""
+    dict_h = np.asarray(_fnv1a_bulk(de.dictionary.to_pylist()),
+                        dtype=np.uint64)
+    return dict_h[codes]
+
+
+def _explode_distinct_grams(batch: pa.Table, id_col: str, text_col: str,
+                            gram_n: int = 1):
+    """Arrow-native DISTINCT word-n-gram explode — the shared kernel for
+    the tfidf/ngram/vocab family (replaces the per-doc Python
+    ``set(t.split())`` loops; same string semantics as
+    ``dedup._word_ngrams``). Returns a dict of aligned columns:
+    ``doc`` (id_col values, Arrow), ``gram`` (StringArray), ``hash``
+    (uint64 np, pinned FNV-1a of the gram), ``parent`` (batch row index
+    int64 np, ascending), ``n_grams`` (per-row distinct-gram count of
+    the row's doc, int64 np). Distinctness is exact string equality via
+    per-batch dictionary encoding (no hash-collision exposure); the
+    dedup itself is one numpy lexsort + boundary scan."""
+    parent, toks = _ws_explode(batch.column(text_col))
+    if gram_n > 1:
+        parent, toks = _join_word_grams(parent, toks, gram_n)
+    if len(toks) == 0:
+        return {"doc": batch.column(id_col).slice(0, 0).combine_chunks()
+                if isinstance(batch.column(id_col), pa.ChunkedArray)
+                else batch.column(id_col).slice(0, 0),
+                "gram": pa.array([], pa.string()),
+                "hash": np.empty(0, dtype=np.uint64),
+                "parent": np.empty(0, dtype=np.int64),
+                "n_grams": np.empty(0, dtype=np.int64)}
+    de = toks.dictionary_encode()
+    codes = np.asarray(de.indices, dtype=np.int64)
+    order = np.lexsort((codes, parent))
+    ps, cs = parent[order], codes[order]
+    first = np.concatenate(([True],
+                            (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])))
+    parent_sel, codes_sel = ps[first], cs[first]
+    # per-doc distinct-gram counts (parent_sel is sorted ascending)
+    db = np.concatenate(([True], parent_sel[1:] != parent_sel[:-1]))
+    starts = np.flatnonzero(db)
+    sizes = np.diff(np.append(starts, parent_sel.size))
+    n_grams = np.repeat(sizes, sizes)
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return {"doc": ids.take(pa.array(parent_sel)),
+            "gram": de.dictionary.take(pa.array(codes_sel)),
+            "hash": _dict_fnv1a(de, codes_sel),
+            "parent": parent_sel,
+            "n_grams": n_grams}
+
+
+def _segment_all_pairs(seg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment index pairs (i < j) of a sorted segment-id
+    array, by pure index arithmetic (np.repeat + within-row arange) —
+    the PMI per-doc pair-emission kernel. Returns (a_idx, b_idx) global
+    row indices; a row in a segment of size s emits s-1-local pairs."""
+    n = seg.size
+    if n == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    boundary = np.concatenate(([True], seg[1:] != seg[:-1]))
+    starts = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(starts, n))
+    seg_id = np.cumsum(boundary) - 1
+    local = np.arange(n, dtype=np.int64) - starts[seg_id]
+    out_per_row = sizes[seg_id] - 1 - local
+    total = int(out_per_row.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    a_idx = np.repeat(np.arange(n, dtype=np.int64), out_per_row)
+    cum = np.concatenate(([0], np.cumsum(out_per_row)[:-1]))
+    k = np.arange(total, dtype=np.int64) - np.repeat(cum, out_per_row)
+    return a_idx, a_idx + 1 + k
+
+
 class Fingerprinter:
     """Rolling-hash document fingerprint (polynomial over token hashes) —
     order-sensitive, whitespace-insensitive; uint64 per doc."""
@@ -999,48 +1118,73 @@ def cooccurrence_pmi(ds, max_tokens: int = 32, min_cooc: int = 3,
     nb = n_buckets or max(16, min(256, int(
         ray.cluster_resources().get("CPU", 8)) * 2))
 
-    def tokenize(batch: pa.Table) -> pa.Table:
-        toks_doc, toks_tok = [], []
-        pair_a, pair_b = [], []
-        for d, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            seen: dict = {}
-            for w in t.split():
-                if w not in seen:
-                    seen[w] = None
-                    if len(seen) >= max_tokens:
-                        break
-            toks = sorted(seen)  # lexicographic == SQL a.tok < b.tok
-            toks_doc.extend([d] * len(toks))
-            toks_tok.extend(toks)
-            for i in range(len(toks)):
-                for j in range(i + 1, len(toks)):
-                    pair_a.append(toks[i])
-                    pair_b.append(toks[j])
-        tok_tbl = pa.table({"doc": pa.array(toks_doc, pa.int64()),
-                            "tok": pa.array(toks_tok, pa.string())})
-        pair_tbl = pa.table({"tok_a": pa.array(pair_a, pa.string()),
-                             "tok_b": pa.array(pair_b, pa.string())})
-        return tok_tbl, pair_tbl
-
     # one tokenize pass feeds both sides: tag rows so a single
-    # map_batches output carries tokens (for df) and pairs
+    # map_batches output carries tokens (for df) and pairs. Fully
+    # Arrow/numpy: ws-split explode, appearance-order distinct cap via
+    # one lexsort over (parent, code, pos), per-doc lexicographic token
+    # order via a sorted-dictionary rank gather, and pair emission by
+    # the _segment_all_pairs index kernel — the per-doc Python loop and
+    # the O(pairs) Python string joins are gone. Pair bucket ids mix
+    # the two token FNVs (routing only; counting inside a bucket groups
+    # by the actual strings, so any deterministic mix is sound).
     def emit_tagged(batch: pa.Table) -> pa.Table:
-        tok_tbl, pair_tbl = tokenize(batch)
-        toks = tok_tbl.column("tok").to_pylist()
-        th = np.asarray(_fnv1a_bulk(toks), dtype=np.uint64)
-        pa_l = pair_tbl.column("tok_a").to_pylist()
-        pb_l = pair_tbl.column("tok_b").to_pylist()
-        ph = np.asarray(_fnv1a_bulk([x + "\x1f" + y
-                                     for x, y in zip(pa_l, pb_l)]),
-                        dtype=np.uint64)
+        empty = pa.table({
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string()),
+            "is_pair": pa.array([], pa.int8()),
+            "_kb": pa.array([], pa.int64())})
+        parent, flat = _ws_explode(batch.column(text_col))
+        if len(flat) == 0:
+            return empty
+        de = flat.dictionary_encode()
+        codes = np.asarray(de.indices, dtype=np.int64)
+        pos = np.arange(codes.size, dtype=np.int64)
+        # first occurrence of each (doc, token); stable on position
+        order = np.lexsort((pos, codes, parent))
+        ps, cs = parent[order], codes[order]
+        first = np.concatenate(([True],
+                                (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])))
+        sel = order[first]
+        p_f, c_f = parent[sel], codes[sel]
+        # appearance rank within doc; keep the first max_tokens distinct
+        # (== the reference loop's break-after-add cap semantics)
+        order2 = np.lexsort((sel, p_f))
+        p2, c2 = p_f[order2], c_f[order2]
+        b2 = np.concatenate(([True], p2[1:] != p2[:-1]))
+        rank = np.arange(p2.size, dtype=np.int64) \
+            - np.flatnonzero(b2)[np.cumsum(b2) - 1]
+        p3, c3 = p2[rank < max_tokens], c2[rank < max_tokens]
+        if p3.size == 0:
+            return empty
+        # lexicographic order within doc: UTF-8 byte order (Arrow sort)
+        # == codepoint order (Python sorted) for valid UTF-8
+        d = de.dictionary
+        lexrank = np.empty(len(d), dtype=np.int64)
+        lexrank[np.asarray(pc.sort_indices(d), dtype=np.int64)] = \
+            np.arange(len(d), dtype=np.int64)
+        order3 = np.lexsort((lexrank[c3], p3))
+        p4, c4 = p3[order3], c3[order3]
+        tok_str = d.take(pa.array(c4))
+        dict_h = np.asarray(_fnv1a_bulk(d.to_pylist()), dtype=np.uint64)
+        th = dict_h[c4]
+        a_idx, b_idx = _segment_all_pairs(p4)
+        ca, cb = c4[a_idx], c4[b_idx]
+        with np.errstate(over="ignore"):
+            ph = _mix64_np(dict_h[ca]) \
+                + dict_h[cb] * np.uint64(0x9E3779B97F4A7C15)
+        n_tok = c4.size
+        tok_a = pa.concat_arrays([tok_str, d.take(pa.array(ca))])
+        tok_b = pa.concat_arrays([
+            pc.utf8_slice_codeunits(tok_str, 0, 0),  # "" per token row
+            d.take(pa.array(cb))])
+        kb = np.concatenate([th, ph]) % np.uint64(nb)
         return pa.table({
-            "tok_a": pa.array(toks + pa_l, pa.string()),
-            "tok_b": pa.array([""] * len(toks) + pb_l, pa.string()),
-            "is_pair": pa.array([0] * len(toks) + [1] * len(pa_l),
-                                pa.int8()),
-            "_kb": pa.array(np.concatenate([th, ph]).astype(np.int64)
-                            % nb, pa.int64()),
+            "tok_a": tok_a,
+            "tok_b": tok_b,
+            "is_pair": pa.array(np.concatenate(
+                [np.zeros(n_tok, np.int8),
+                 np.ones(ca.size, np.int8)]), pa.int8()),
+            "_kb": pa.array(kb.astype(np.int64), pa.int64()),
         })
 
     tagged = ds.map_batches(emit_tagged, batch_format="pyarrow")
@@ -1701,17 +1845,11 @@ def postings_size_topk(ds, k: int = 10, id_col: str = "doc_id",
         ray.cluster_resources().get("CPU", 8)) * 2))
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_id, out_tok = [], []
-        for d, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            toks = set(t.split())
-            out_id.extend([d] * len(toks))
-            out_tok.extend(toks)
-        th = np.asarray(_fnv1a_bulk(out_tok), dtype=np.uint64)
+        out = _explode_distinct_grams(batch, id_col, text_col, 1)
         return pa.table({
-            "doc": pa.array(out_id, pa.int64()),
-            "tok": pa.array(out_tok, pa.string()),
-            "_kb": pa.array((th % np.uint64(nb)).astype(np.int64),
+            "doc": out["doc"],
+            "tok": out["gram"],
+            "_kb": pa.array((out["hash"] % np.uint64(nb)).astype(np.int64),
                             pa.int64())})
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
