@@ -423,7 +423,12 @@ LIMIT 10
 
 
 def top_users_by_value(sf_dir: str):
-    """Aggregate + global sort + limit (top-k)."""
+    """Aggregate + top-k WITHOUT a global sort: the groupby output has
+    unbounded key cardinality at scale, so the top-10 is a map-side
+    per-block local top-k (one Arrow sort_indices + take per block)
+    followed by a driver merge of <= 10*n_blocks rows — the knn_graph /
+    docs_textrank shape. The all-to-all ``sort().limit(10)`` this
+    replaces moved every aggregated row for a 10-row answer."""
     rd = _rd()
     from ray.data.aggregate import Count, Sum
 
@@ -438,15 +443,24 @@ def top_users_by_value(sf_dir: str):
             [("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["user_id", "total_value", "n_events"])
 
+    keys = [("total_value", "descending"), ("user_id", "ascending")]
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= 10:
+            return b
+        return b.take(pc.sort_indices(b, sort_keys=keys)[:10])
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
-    out = (
+    cand = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Sum("total_value", alias_name="total_value"),
                    Sum("n_events", alias_name="n_events"))
-        .sort(["total_value", "user_id"], descending=[True, False])
-        .limit(10)
+        .map_batches(local_topk, batch_format="pyarrow")
     )
+    tops = pa.concat_tables([b for b in cand.iter_batches(
+        batch_size=None, batch_format="pyarrow")])
+    out = tops.take(pc.sort_indices(tops, sort_keys=keys)[:10])
     pdf = out.to_pandas()
     pdf["n_events"] = pdf["n_events"].astype("int64")
     # report at the 1e-4 scale (cents * 100 == ROUND(SUM(value)*1e4) exactly)

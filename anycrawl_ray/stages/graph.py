@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def synthetic_degrees(ids: np.ndarray, n: int) -> np.ndarray:
@@ -697,6 +698,99 @@ def hits_int(n_nodes: int, iters: int = 4,
     })
 
 
+def _kcore_join(n_nodes: int, k: int, rounds: int,
+                num_partitions: int | None = None) -> pa.Table:
+    """kcore_rounds above ``broadcast_limit``: the hits_int edge-join
+    gather shape. The edge table is distinct-ed ONCE distributedly
+    (per-block np.unique partials on packed a*n+b, then one groupby —
+    never a driver-side concat); each round keeps both-endpoints-active
+    edges via two vertex-id hash semi-joins against the (node-bounded)
+    active set, pre-aggregates degree partials per block, and one
+    groupby-Sum yields the round's degree table. The active set stays a
+    Dataset between rounds. Round 1 skips the semi-joins (everyone is
+    active). Requires ``k >= 1`` (with k<=0 the dense path keeps
+    zero-degree nodes, which never appear in an edge-derived degree
+    table). Output == dense path: post-round active nodes with their
+    last-round in-core degree, ascending doc_id."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..util import join_parts
+
+    if k < 1:
+        raise ValueError("_kcore_join needs k >= 1 (zero-degree nodes "
+                         "are invisible to the edge-derived degree "
+                         "table; the dense path keeps them when k<=0)")
+    n_parts = num_partitions or join_parts()
+
+    def to_doc_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("id").cast(pa.int64())})
+
+    raw = site_edges(rd.range(n_nodes).map_batches(
+        to_doc_ids, batch_format="pyarrow"), n_nodes)
+
+    # global edge distinct, distributed: pack (a,b) -> a*n+b (fits
+    # int64 for n_nodes < ~3e9), block-local unique partial, one
+    # groupby-Sum dedup shuffle keyed on the packed id
+    def pack(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        p = np.unique(a * n_nodes
+                      + np.asarray(batch.column("b"), dtype=np.int64))
+        return pa.table({"p": pa.array(p, pa.int64()),
+                         "one": pa.array(np.ones(p.size, np.int64),
+                                         pa.int64())})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch.column("p"), dtype=np.int64)
+        return pa.table({"a": pa.array(p // n_nodes, pa.int64()),
+                         "b": pa.array(p % n_nodes, pa.int64())})
+
+    edges = (raw.map_batches(pack, batch_format="pyarrow")
+             .groupby("p").aggregate(Sum("one", alias_name="c"))
+             .map_batches(unpack, batch_format="pyarrow")
+             .materialize())
+
+    def partial_deg(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            np.asarray(batch.column("a"), dtype=np.int64),
+            np.asarray(batch.column("b"), dtype=np.int64)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "d": pa.array(c.astype(np.int64), pa.int64())})
+
+    def to_active(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("d"), dtype=np.int64)
+        m = d >= k
+        return pa.table({"a": pa.array(
+            np.asarray(batch.column("node"), dtype=np.int64)[m],
+            pa.int64())})
+
+    active = None  # None == all nodes (round-1 semi-joins are no-ops)
+    deg = None
+    for _ in range(rounds):
+        e = edges
+        if active is not None:
+            e = e.join(active, "inner", n_parts, on=("a",))
+            act_b = active.map_batches(
+                lambda t: pa.table({"b": t.column("a")}),
+                batch_format="pyarrow")
+            e = e.join(act_b, "inner", n_parts, on=("b",))
+        deg = (e.map_batches(partial_deg, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("d", alias_name="d"))
+               .materialize())
+        active = deg.map_batches(to_active,
+                                 batch_format="pyarrow").materialize()
+
+    parts = [pa.table({"doc_id": b.column("node"), "deg": b.column("d")})
+             for b in deg.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow")]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts) if parts else empty
+    m = pc.greater_equal(out.column("deg"), pa.scalar(k, pa.int64()))
+    return out.filter(m).sort_by("doc_id")
+
+
 def kcore_rounds(n_nodes: int, k: int = 3, rounds: int = 4,
                  broadcast_limit: int = 10_000_000) -> pa.Table:
     """Fixed-round k-core peeling over the undirected site graph
@@ -711,10 +805,13 @@ def kcore_rounds(n_nodes: int, k: int = 3, rounds: int = 4,
     output), so under ``broadcast_limit`` it rides as a broadcast bool
     mask and each round is ONE shuffle-free map over the materialized
     edge table (per-block degree bincount partials, driver folds O(n)
-    ints — the hits_int dense-gather duality). Above the limit the
-    round becomes the canonical pair of semi-join + groupby-count; that
-    path shares hits_int's edge-join shape and is deliberately not
-    duplicated here (raise instead of silently materializing)."""
+    ints — the hits_int dense-gather duality). Above the limit each
+    round is the canonical distributed shape (hits_int's edge-join
+    gather): two vertex-id hash semi-joins keep only both-endpoints-
+    active edges, per-block bincount partials pre-aggregate, and one
+    groupby-Sum yields the degree table; the next round's active set IS
+    that table filtered to ``d >= k`` (never driver-materialized). Both
+    paths are pinned equal in pytest across the guard."""
     import ray as _ray
     import ray.data as rd
 
@@ -725,9 +822,7 @@ def kcore_rounds(n_nodes: int, k: int = 3, rounds: int = 4,
         # the shared contract instead of diverging on it
         raise ValueError("kcore_rounds needs rounds >= 1")
     if n_nodes > broadcast_limit:
-        raise NotImplementedError(
-            "kcore_rounds dense path needs n_nodes <= broadcast_limit; "
-            "use the hits_int join-gather shape for larger graphs")
+        return _kcore_join(n_nodes, k, rounds)
 
     def to_doc_ids(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch.column("id").cast(pa.int64())})

@@ -2722,6 +2722,26 @@ def test_kcore_matches_numpy_peel(ray_session):
     assert 0 < got.num_rows < n  # the fixture actually peels
 
 
+def test_kcore_join_path_crosses_guard(ray_session):
+    """kcore_rounds above broadcast_limit == dense path bit-for-bit:
+    force a tiny limit so the distributed edge-join fallback runs on a
+    graph that is 'too big' for the dense mask, and pin it to the
+    dense result on the same fixture (the hits_int dual-path pin)."""
+    from anycrawl_ray.stages.graph import kcore_rounds
+
+    n, k, rounds = 61, 4, 3
+    dense = kcore_rounds(n, k=k, rounds=rounds,
+                         broadcast_limit=10_000_000)
+    joined = kcore_rounds(n, k=k, rounds=rounds, broadcast_limit=16)
+    assert joined.equals(dense)
+    assert 0 < joined.num_rows < n
+
+    # k<1 on the join path keeps zero-degree nodes invisible — refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kcore_rounds(n, k=0, rounds=1, broadcast_limit=16)
+
+
 def test_first_touch_attribution_empty(ray_session):
     import ray.data as rd
 
