@@ -74,6 +74,18 @@ WAVE_SCHEMA = pa.schema(
 
 _WAVE_FIELDS = WAVE_SCHEMA.names
 
+# shard take_wave output: _ENTRY_FIELDS columns + host (job_id implied)
+_EMPTY_SHARD_WAVE = pa.table({
+    "depth": pa.array([], pa.int32()),
+    "host_seq": pa.array([], pa.int64()),
+    "discovered_seq": pa.array([], pa.int64()),
+    "url": pa.array([], pa.string()),
+    "canonical_url": pa.array([], pa.string()),
+    "url_key": pa.array([], pa.uint64()),
+    "parent_url": pa.array([], pa.string()),
+    "host": pa.array([], pa.string()),
+})
+
 # process-unique spill-file naming: id(self) alone collides across actor
 # processes sharing one spill_dir (identically-initialized workers reuse
 # addresses); pid + a per-process counter is unique while processes live
@@ -355,21 +367,43 @@ class ShardState:
             self.queues[(job, rows["host"][i])].appendleft(_entry_from_rows(rows, i))
         return n
 
-    def take_wave(self, job_id: str, per_host_budget: int) -> list[tuple]:
-        """Pop up to ``per_host_budget`` entries per host (FIFO). No shard-
+    def take_wave(self, job_id: str, per_host_budget: int) -> pa.Table:
+        """Pop up to ``per_host_budget`` entries per host (FIFO) and return
+        them as an Arrow table SORTED by (depth, discovered_seq). No shard-
         local total cap: a cap here would select by queue-insertion order
         and starve earlier-discovered URLs on later-created queues (the
-        facade is the only truncation point — it sorts globally by
-        (depth, seq) and front-requeues overflow). Wave size is bounded by
-        budget x live hosts; finite politeness bounds it at scale."""
-        out: list[tuple] = []
+        facade is the only truncation point — it merges the pre-sorted
+        shard tables and front-requeues overflow). Returning Arrow keeps
+        wave assembly off the driver: the per-entry Python cost (queue
+        tuples -> columns) is paid HERE, in parallel across shards, and
+        the facade only does vectorized merges/gathers. Wave size is
+        bounded by budget x live hosts; finite politeness bounds it."""
+        entries: list[tuple] = []
+        hosts: list[str] = []
         for (job, host), q in list(self.queues.items()):
             if job != job_id or not q:
                 continue
             take = min(per_host_budget, len(q))
             for _ in range(take):
-                out.append(q.popleft() + (host,))
-        return out
+                entries.append(q.popleft())
+            hosts.extend([host] * take)
+        if not entries:
+            return _EMPTY_SHARD_WAVE
+        depth, hseq, seq, url, canon, key, parent = map(list, zip(*entries))
+        t = pa.table({
+            "depth": pa.array(depth, pa.int32()),
+            "host_seq": pa.array(hseq, pa.int64()),
+            "discovered_seq": pa.array(seq, pa.int64()),
+            "url": pa.array(url, pa.string()),
+            "canonical_url": pa.array(canon, pa.string()),
+            "url_key": pa.array(key, pa.uint64()),
+            "parent_url": pa.array(parent, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+        })
+        order = np.lexsort((np.asarray(t.column("discovered_seq"),
+                                       dtype=np.int64),
+                            np.asarray(t.column("depth"), dtype=np.int64)))
+        return t.take(pa.array(order))
 
     def pending_count(self, job_id: str) -> int:
         return sum(len(q) for (job, _h), q in self.queues.items() if job == job_id)
@@ -1138,35 +1172,50 @@ class Frontier:
             self._call(s, "take_wave", job_id, per_host_budget)
             for s in range(self.num_shards)
         ]
-        all_rows: list[tuple] = []
-        for rows in self._gather(futures):
-            all_rows.extend(rows)
-        # entry tuple layout per _ENTRY_FIELDS, + (host,) appended by take_wave
-        all_rows.sort(key=lambda r: (r[_E_DEPTH], r[_E_SEQ]))
-        if max_pages is not None and len(all_rows) > max_pages:
-            self._requeue_front(job_id, all_rows[max_pages:])
-            all_rows = all_rows[:max_pages]
+        # shards return Arrow tables pre-sorted by (depth, seq); the
+        # facade's wave assembly is one concat + one vectorized lexsort
+        # merge + (maybe) one slice — no Python tuple lists, no
+        # driver-side per-row work, no ceiling from the job limit
+        parts = [t for t in self._gather(futures) if t.num_rows]
+        if not parts:
+            merged = _EMPTY_SHARD_WAVE
+        else:
+            merged = pa.concat_tables(parts).combine_chunks()
+            order = np.lexsort((
+                np.asarray(merged.column("discovered_seq"), dtype=np.int64),
+                np.asarray(merged.column("depth"), dtype=np.int64)))
+            merged = merged.take(pa.array(order))
+        if max_pages is not None and merged.num_rows > max_pages:
+            self._requeue_front(job_id, merged.slice(max_pages))
+            merged = merged.slice(0, max_pages)
         return pa.table(
             {
-                "url": [r[3] for r in all_rows],
-                "canonical_url": [r[4] for r in all_rows],
-                "url_key": pa.array([r[5] for r in all_rows], pa.uint64()),
-                "host": [r[7] for r in all_rows],
-                "depth": pa.array([r[0] for r in all_rows], pa.int32()),
-                "job_id": [job_id] * len(all_rows),
-                "parent_url": [r[6] for r in all_rows],
-                "discovered_seq": pa.array([r[2] for r in all_rows], pa.int64()),
-                "host_seq": pa.array([r[1] for r in all_rows], pa.int64()),
+                "url": merged.column("url"),
+                "canonical_url": merged.column("canonical_url"),
+                "url_key": merged.column("url_key"),
+                "host": merged.column("host"),
+                "depth": merged.column("depth"),
+                "job_id": pa.array([job_id] * merged.num_rows, pa.string()),
+                "parent_url": merged.column("parent_url"),
+                "discovered_seq": merged.column("discovered_seq"),
+                "host_seq": merged.column("host_seq"),
             },
             schema=WAVE_SCHEMA,
         )
 
-    def _requeue_front(self, job_id: str, rows: list[tuple]) -> None:
+    def _requeue_front(self, job_id: str, overflow: pa.Table) -> None:
         by_shard: dict[int, dict[str, list]] = defaultdict(_empty_rows)
-        for depth, hseq, seq, url, canon, key, parent, host in rows:
-            _append_wave_row(by_shard[self._host_shard(host, hseq)], url=url,
-                             canon=canon, key=key, host=host, depth=depth,
-                             job_id=job_id, parent=parent, seq=seq, hseq=hseq)
+        cols = {n: overflow.column(n).to_pylist()
+                for n in overflow.column_names}
+        for i in range(overflow.num_rows):
+            host, hseq = cols["host"][i], cols["host_seq"][i]
+            _append_wave_row(by_shard[self._host_shard(host, hseq)],
+                             url=cols["url"][i],
+                             canon=cols["canonical_url"][i],
+                             key=cols["url_key"][i], host=host,
+                             depth=cols["depth"][i], job_id=job_id,
+                             parent=cols["parent_url"][i],
+                             seq=cols["discovered_seq"][i], hseq=hseq)
         self._gather([self._call(s, "enqueue_front", r) for s, r in by_shard.items()])
 
     def pending(self, job_id: str) -> int:
