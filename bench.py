@@ -261,6 +261,45 @@ def _run_at(ncpu: int, sf_dir: str, trials: int = 3) -> dict:
     return best
 
 
+def _run_once(ncpu: int, sf_dir: str) -> dict:
+    """One fresh-process crawl-only run (no best-of selection)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+               GRAFT_CRAWL_ONLY="1")
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True, check=True,
+                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_scaling_interleaved(sf_dir: str, lo: int = 2, hi: int = 8,
+                            n_pairs: int = 5) -> dict:
+    """The VERDICT-r4 interleaved protocol: alternate T{lo}/T{hi} fresh-
+    process trials within ONE window (lo, hi, lo, hi, ...) so slow drift
+    in shared-VM load hits both levels equally — no quiet-window
+    selection is possible. Each adjacent (lo, hi) pair yields one
+    efficiency reading eff_i = (t_lo_i / t_hi_i) / (hi / lo); the
+    headline number is the MEDIAN of the n_pairs readings (paired
+    median), reported alongside every raw trial."""
+    trials: list[dict] = []
+    effs: list[float] = []
+    for i in range(n_pairs):
+        r_lo = _run_once(lo, sf_dir)
+        r_hi = _run_once(hi, sf_dir)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        effs.append(eff)
+        trials.append({"pair": i, f"sec_{lo}": r_lo["value"],
+                       f"sec_{hi}": r_hi["value"],
+                       f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
+                       f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
+                       "eff": round(eff, 3)})
+        _eprint(f"[scaling-interleaved] pair {i}: {lo}cpu={r_lo['value']}s "
+                f"{hi}cpu={r_hi['value']}s eff={eff:.3f}")
+    med = sorted(effs)[len(effs) // 2]
+    return {"lo": lo, "hi": hi, "n_pairs": n_pairs, "trials": trials,
+            "paired_median_efficiency": round(med, 3),
+            "min_eff": round(min(effs), 3), "max_eff": round(max(effs), 3)}
+
+
 def run_scaling(sf_dir: str) -> dict:
     """N -> 4N scaling in fresh processes on identical input, at two pairs:
 
@@ -271,28 +310,38 @@ def run_scaling(sf_dir: str) -> dict:
       multi-node cluster adds memory bandwidth with every node, which this
       box cannot emulate.
     - (2, 8): the bandwidth-unconstrained pair — the closer proxy for
-      multi-node scaling where per-node resources are private.
+      multi-node scaling where per-node resources are private. This pair
+      runs the INTERLEAVED protocol (>=5 alternating T2/T8 trials, paired
+      median) so shared-VM drift cannot bias the reading either way.
     """
-    pairs = [(8, 32), (2, 8)]
     results = {}
     cache: dict[int, dict] = {}
-    for lo, hi in pairs:
-        for n in (lo, hi):
-            if n not in cache:
-                cache[n] = _run_at(n, sf_dir)
-        eff = (cache[lo]["value"] / cache[hi]["value"]) / (hi / lo)
-        results[f"{lo}to{hi}"] = {
-            f"sec_{lo}": cache[lo]["value"],
-            f"sec_{hi}": cache[hi]["value"],
-            f"pages_per_sec_{lo}": cache[lo]["pages_per_sec"],
-            f"pages_per_sec_{hi}": cache[hi]["pages_per_sec"],
-            "scaling_efficiency": round(eff, 3),
-        }
+    for n in (8, 32):
+        cache[n] = _run_at(n, sf_dir)
+    eff = (cache[8]["value"] / cache[32]["value"]) / 4
+    results["8to32"] = {
+        "sec_8": cache[8]["value"], "sec_32": cache[32]["value"],
+        "pages_per_sec_8": cache[8]["pages_per_sec"],
+        "pages_per_sec_32": cache[32]["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    inter = run_scaling_interleaved(sf_dir, lo=2, hi=8, n_pairs=5)
+    best2 = min(t["sec_2"] for t in inter["trials"])
+    best8 = min(t["sec_8"] for t in inter["trials"])
+    results["2to8"] = {
+        "sec_2": best2, "sec_8": best8,
+        "pages_per_sec_2": max(t["pages_per_sec_2"] for t in inter["trials"]),
+        "pages_per_sec_8": max(t["pages_per_sec_8"] for t in inter["trials"]),
+        "scaling_efficiency": inter["paired_median_efficiency"],
+        "interleaved": inter,
+    }
     return {
         "metric": "crawl throughput scaling efficiency, N -> 4N cpus, fresh sessions",
         "pairs": results,
         "scaling_efficiency": results["2to8"]["scaling_efficiency"],
         "scaling_efficiency_8to32": results["8to32"]["scaling_efficiency"],
+        "protocol": "2to8 = interleaved paired-median over 5 alternating "
+                    "fresh-process pairs; 8to32 = best-of-3 per level",
         "sf": sf_dir,
     }
 
