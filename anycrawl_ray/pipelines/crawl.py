@@ -619,35 +619,24 @@ def run_crawl(
                 arrive in admission (discovered_seq) order."""
                 nonlocal done
                 # completion accounting (per host shard -> lineage partitions)
-                statuses = parsed.column("status").to_pylist()
-                hosts = parsed.column("host").to_pylist()
-                nbytes = parsed.column("content_bytes").to_pylist()
-                ok = [s == "completed" for s in statuses]
+                import pyarrow.compute as _pc
+
+                ok = _pc.equal(parsed.column("status"), "completed") \
+                    .combine_chunks().to_numpy(zero_copy_only=False)
+                hosts = parsed.column("host").to_numpy(zero_copy_only=False)
+                nbytes = parsed.column("content_bytes").to_numpy(
+                    zero_copy_only=False)
                 frontier.mark_done_batch(job.job_id, hosts, ok, nbytes)
                 done += parsed.num_rows
-                # link admission in deterministic parent order; canonical forms
-                # and xxh64 keys were computed worker-side in the parse stage,
-                # so the driver's gate below does no per-URL string work
-                groups = []
-                urls = parsed.column("url").to_pylist()
-                depths = parsed.column("depth").to_pylist()
-                cands = parsed.column("candidates").to_pylist()
-                canons = parsed.column("cand_canon").to_pylist()
-                keys = parsed.column("cand_key").to_pylist()
-                hostsc = parsed.column("cand_host").to_pylist()
-                for u, d, c, cc, ck, ch in zip(urls, depths, cands, canons, keys,
-                                               hostsc):
-                    if c:
-                        if robots is not None:
-                            allowed = robots.allowed_batch(c)
-                            c = [link for link, ok in zip(c, allowed) if ok]
-                            cc = [x for x, ok in zip(cc, allowed) if ok]
-                            ck = [x for x, ok in zip(ck, allowed) if ok]
-                            ch = [x for x, ok in zip(ch, allowed) if ok]
-                            if not c:
-                                continue
-                        groups.append((u, c, d + 1, cc, ck, ch))
-                frontier.offer_groups(job.job_id, groups, limit=job.limit)
+                # link admission in deterministic parent order; canonical
+                # forms and xxh64 keys were computed worker-side in the
+                # parse stage, and offer_table flattens the candidate list
+                # columns with Arrow kernels — the driver's serial
+                # admission prep does no nested to_pylist or per-page loop
+                frontier.offer_table(
+                    job.job_id, parsed, limit=job.limit,
+                    allowed_fn=(robots.allowed_batch
+                                if robots is not None else None))
                 if not dist_write:
                     epoch_docs.append(make_doc_table(parsed, job.job_id))
 

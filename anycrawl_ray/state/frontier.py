@@ -54,6 +54,7 @@ from collections import defaultdict, deque
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.urls import canonicalize, host_of, xxh64
 from .cuckoo import CuckooFilter
@@ -849,6 +850,14 @@ class Frontier:
         self.admission_log = AdmissionLog(
             enabled=record_admissions, spool_dir=spill_dir,
             spool_threshold=admission_spool_threshold)
+        # write RPCs whose results nobody reads (insert_seen / enqueue /
+        # mark_done) are NOT gathered synchronously — Ray executes actor
+        # tasks from one caller in submission order, so any later read on
+        # the same shard observes them; gathering is deferred to the next
+        # read barrier purely to bound in-flight futures and surface
+        # errors. This takes the pass-2 RPC round-trip out of the driver's
+        # serial admission path (the Amdahl term the 2->8 scaling pays).
+        self._pending_writes: list = []
 
     # -- shard RPC helpers -------------------------------------------------
     def _call(self, shard_idx: int, method: str, *args):
@@ -863,6 +872,19 @@ class Frontier:
 
             return ray.get(futures)
         return futures
+
+    def _defer(self, futures) -> None:
+        """Queue write futures for a later barrier gather (actor mode);
+        in local mode the calls already ran synchronously."""
+        if self.use_actors:
+            self._pending_writes.extend(futures)
+            if len(self._pending_writes) > 4096:
+                self._drain_writes()
+
+    def _drain_writes(self) -> None:
+        if self._pending_writes:
+            pending, self._pending_writes = self._pending_writes, []
+            self._gather(pending)
 
     def _key_shard(self, k: int) -> int:
         return k % self.num_shards
@@ -938,6 +960,69 @@ class Frontier:
         """
         (urls_a, canons_a, keys, hosts_a, gis, glens, parents_g, depths_g
          ) = self._flatten_groups(groups, limit)
+        return self._offer_flat(job_id, urls_a, canons_a, keys, hosts_a,
+                                gis, glens, parents_g, depths_g, limit)
+
+    def offer_table(self, job_id: str, parsed: pa.Table,
+                    limit: int | None = None, allowed_fn=None) -> int:
+        """``offer_groups`` over a parse-result wave table, flattened with
+        Arrow kernels instead of nested ``to_pylist`` + a per-page Python
+        loop (the driver's serial admission-prep cost — the Amdahl term
+        the N->4N crawl scaling pays). One row = one parent page with
+        ``url``/``depth`` and parallel list columns ``candidates`` /
+        ``cand_canon`` / ``cand_key`` / ``cand_host`` (the parse stage's
+        worker-side precompute); child depth = page depth + 1.
+
+        ``allowed_fn`` (e.g. ``RobotsCache.allowed_batch``) maps the flat
+        candidate-URL list to a keep-mask, applied BEFORE the per-call
+        ``[:limit]`` slice — exactly where the per-group path filtered.
+        Pinned equivalent to building one group per row and calling
+        offer_groups (tests)."""
+        cands = parsed.column("candidates").combine_chunks()
+        flat_urls = pc.list_flatten(cands)
+        if len(flat_urls) == 0:
+            return 0
+        gis = pc.list_parent_indices(cands).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_groups = parsed.num_rows
+        urls_a = flat_urls.to_numpy(zero_copy_only=False)
+        canons_a = pc.list_flatten(
+            parsed.column("cand_canon").combine_chunks()).to_numpy(
+            zero_copy_only=False)
+        keys = pc.list_flatten(
+            parsed.column("cand_key").combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        hosts_a = pc.list_flatten(
+            parsed.column("cand_host").combine_chunks()).to_numpy(
+            zero_copy_only=False)
+        if allowed_fn is not None:
+            keep = np.asarray(allowed_fn(urls_a.tolist()), dtype=bool)
+            urls_a, canons_a = urls_a[keep], canons_a[keep]
+            keys, hosts_a, gis = keys[keep], hosts_a[keep], gis[keep]
+            if gis.size == 0:
+                return 0
+        if limit is not None and gis.size:
+            # per-call Crawlee slice: first `limit` candidates PER GROUP
+            # (gis is ascending; rank = position within its group run)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(gis[1:] != gis[:-1]) + 1))
+            run_id = np.cumsum(np.concatenate(
+                ([True], gis[1:] != gis[:-1]))) - 1
+            rank = np.arange(gis.size, dtype=np.int64) - starts[run_id]
+            m = rank < limit
+            if not m.all():
+                urls_a, canons_a = urls_a[m], canons_a[m]
+                keys, hosts_a, gis = keys[m], hosts_a[m], gis[m]
+        glens = np.bincount(gis, minlength=n_groups).astype(np.int64)
+        parents_g = parsed.column("url").to_numpy(zero_copy_only=False)
+        depths_g = parsed.column("depth").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        return self._offer_flat(job_id, urls_a, canons_a, keys, hosts_a,
+                                gis, glens, parents_g, depths_g, limit)
+
+    def _offer_flat(self, job_id: str, urls_a, canons_a, keys, hosts_a,
+                    gis, glens, parents_g, depths_g,
+                    limit: int | None) -> int:
         n = keys.size
         if n == 0:
             return 0
@@ -1034,7 +1119,7 @@ class Frontier:
                 "host_seq": hseqs[m].tolist(),
             }
             futures.append(self._call(int(s), "enqueue", rows))
-        self._gather(futures)
+        self._defer(futures)
         return n_adm
 
     @staticmethod
@@ -1160,7 +1245,7 @@ class Frontier:
             for s, r in insert_rows.items()
         ]
         futures += [self._call(s, "enqueue", r) for s, r in admit_rows.items()]
-        self._gather(futures)
+        self._defer(futures)
         return admitted
 
     def next_wave(self, job_id: str, per_host_budget: int = 1_000_000,
@@ -1168,6 +1253,9 @@ class Frontier:
         """Collect the next BFS wave, globally sorted by
         ``(depth, discovered_seq)`` — the deterministic admission order.
         Overflow beyond ``max_pages`` is pushed back to queue FRONTS."""
+        # barrier: surface any deferred-write failures before reading.
+        # (Visibility needs no wait — actor tasks run in submission order.)
+        self._drain_writes()
         futures = [
             self._call(s, "take_wave", job_id, per_host_budget)
             for s in range(self.num_shards)
@@ -1219,25 +1307,36 @@ class Frontier:
         self._gather([self._call(s, "enqueue_front", r) for s, r in by_shard.items()])
 
     def pending(self, job_id: str) -> int:
+        self._drain_writes()
         return sum(self._gather(
             [self._call(s, "pending_count", job_id) for s in range(self.num_shards)]
         ))
 
-    def mark_done_batch(self, job_id: str, hosts: list[str], ok: list[bool],
-                        nbytes: list[int], credits_each: int = 1) -> None:
+    def mark_done_batch(self, job_id: str, hosts, ok,
+                        nbytes, credits_each: int = 1) -> None:
         """Completion accounting, attributed to the host-owning shard so the
-        lineage table stays per-partition (Progress.ts:143-265 analogue)."""
-        per_shard: dict[int, list[int]] = defaultdict(lambda: [0, 0, 0])
-        for h, is_ok, b in zip(hosts, ok, nbytes):
-            acc = per_shard[self._host_shard(h)]
-            acc[0] += int(is_ok)
-            acc[1] += int(not is_ok)
-            acc[2] += b
-        self._gather([
-            self._call(s, "mark_done", job_id, a[0], a[1], a[2],
-                       (a[0] + a[1]) * credits_each)
-            for s, a in per_shard.items()
-        ])
+        lineage table stays per-partition (Progress.ts:143-265 analogue).
+        Accepts lists or numpy arrays; reduction is vectorized per UNIQUE
+        host (one xxh64 per host, not per page) — this runs on the
+        driver's serial admission path once per consumed slice."""
+        hosts_a = np.asarray(hosts, dtype=object)
+        if hosts_a.size == 0:
+            return
+        ok_a = np.asarray(ok, dtype=bool).astype(np.int64)
+        nb_a = np.asarray(nbytes, dtype=np.int64)
+        uniq, inv = np.unique(hosts_a, return_inverse=True)
+        shard_u = np.array([self._host_shard(h) for h in uniq.tolist()],
+                           dtype=np.int64)
+        sh = shard_u[inv]
+        futures = []
+        for s in np.unique(sh):
+            m = sh == s
+            n_ok = int(ok_a[m].sum())
+            n_all = int(m.sum())
+            futures.append(self._call(
+                int(s), "mark_done", job_id, n_ok, n_all - n_ok,
+                int(nb_a[m].sum()), n_all * credits_each))
+        self._defer(futures)
 
     def stats(self, job_id: str) -> dict[str, int]:
         """Global counters = reduce over shard counters (replaces the Redis
@@ -1245,6 +1344,7 @@ class Frontier:
         termination needs no in-flight gauge — SURVEY.md §2.5 A2)."""
         totals = {"enqueued": 0, "done": 0, "succeeded": 0, "failed": 0,
                   "bytes_fetched": 0, "credits_used": 0}
+        self._drain_writes()
         for st in self._gather([self._call(s, "stats", job_id) for s in range(self.num_shards)]):
             for k, v in st.items():
                 totals[k] += v
@@ -1253,6 +1353,7 @@ class Frontier:
 
     def lineage_rows(self, job_id: str, epoch: int) -> pa.Table:
         """Per-shard lineage/metrics rows (schemas.LINEAGE shape)."""
+        self._drain_writes()
         stats = self._gather([self._call(s, "stats", job_id) for s in range(self.num_shards)])
         return pa.table(
             {
@@ -1269,6 +1370,7 @@ class Frontier:
         )
 
     def seen_table(self, job_id: str) -> pa.Table:
+        self._drain_writes()
         parts = self._gather(
             [self._call(s, "seen_rows", job_id) for s in range(self.num_shards)]
         )
@@ -1308,6 +1410,7 @@ class Frontier:
         """Unlink all shards' live spill files (call when the frontier is
         no longer needed — restored ``restored_*`` copies otherwise
         accumulate in a shared spill_dir across restore cycles)."""
+        self._drain_writes()
         if self.use_actors:
             import ray
 
@@ -1322,6 +1425,13 @@ class Frontier:
         """Return this frontier's memoized shard pool (if any) to the
         cache. Idempotent; safe to call from error paths that skip
         dispose_spill_files."""
+        # error paths must not hand a pool back with failed writes
+        # unsurfaced — but they also must not raise here and mask the
+        # original error; drop the refs (gathering best-effort)
+        try:
+            self._drain_writes()
+        except Exception:  # noqa: BLE001 — pool return must not raise
+            self._pending_writes = []
         if self._pool_key is not None:
             _release_shard_pool(self._pool_key, self.shards)
             self._pool_key = None
@@ -1335,6 +1445,7 @@ class Frontier:
         torn LATEST can still fall back one epoch) — without pruning, a long
         crawl with per-epoch checkpoints grows the dir without bound.
         """
+        self._drain_writes()  # a failed deferred write must fail the ckpt
         os.makedirs(ckpt_dir, exist_ok=True)
         tmp = os.path.join(ckpt_dir, f".epoch_{epoch}.tmp")
         final = os.path.join(ckpt_dir, f"epoch_{epoch}")

@@ -148,6 +148,91 @@ def test_restore_preserves_spill_config(tmp_path):
     assert any(q.spilled_entries > 0 for s in g.shards for q in s.queues.values())
 
 
+def test_deferred_writes_visible_and_drained(ray_session):
+    """offer_groups/mark_done defer their write-RPC gathers (actor tasks
+    execute in submission order, so later reads on the same shard see
+    them without waiting); read barriers drain the future backlog."""
+    f = Frontier(num_shards=4, use_actors=True)
+    f.add_seeds("dw", ["http://s.test/"])
+    f.offer_groups("dw", [("http://s.test/",
+                           [f"http://h{i % 5}.test/p{i}" for i in range(50)],
+                           1)])
+    f.mark_done_batch("dw", ["h0.test"], [True], [123])
+    assert f._pending_writes, "writes were gathered synchronously"
+    # reads see the deferred writes (per-actor ordering), and drain them
+    st = f.stats("dw")
+    assert st["enqueued"] == 51 and st["done"] == 1
+    assert st["bytes_fetched"] == 123
+    assert not f._pending_writes
+    f.offer_groups("dw", [("http://s.test/",
+                           ["http://h0.test/p0", "http://hNEW.test/x"], 1)])
+    w = f.next_wave("dw")  # drains again; dedup saw the deferred inserts
+    assert not f._pending_writes
+    urls = set(w.column("url").to_pylist())
+    assert "http://hNEW.test/x" in urls
+    assert w.num_rows == 52  # 1 seed + 50 + 1 new (p0 deduped)
+    f.release_pool()
+
+
+def test_offer_table_matches_offer_groups(ray_session):
+    """offer_table (Arrow-kernel flatten) == offer_groups (per-group
+    tuples) admission-for-admission, including empty candidate lists,
+    an allowed_fn mask, and the per-call [:limit] slice."""
+    import pyarrow as pa
+
+    def parsed_tbl():
+        urls = ["http://a.test/", "http://b.test/", "http://c.test/"]
+        cands = [
+            [f"http://h{i % 3}.test/p{i}" for i in range(6)],
+            [],
+            ["http://h0.test/p0", "http://h9.test/only",
+             "http://blockme.test/x", "http://h9.test/extra"],
+        ]
+        from anycrawl_ray.functions.urls import canonicalize, host_of, xxh64
+        canon = [[canonicalize(u) for u in c] for c in cands]
+        key = [[xxh64(x) for x in cc] for cc in canon]
+        host = [[host_of(x) for x in cc] for cc in canon]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "depth": pa.array([0, 1, 1], pa.int32()),
+            "candidates": pa.array(cands, pa.list_(pa.string())),
+            "cand_canon": pa.array(canon, pa.list_(pa.string())),
+            "cand_key": pa.array(key, pa.list_(pa.uint64())),
+            "cand_host": pa.array(host, pa.list_(pa.string())),
+        })
+
+    def blockfn(urls):
+        return ["blockme" not in u for u in urls]
+
+    t = parsed_tbl()
+    for lim, fn in [(None, None), (3, None), (2, blockfn), (None, blockfn)]:
+        fa = Frontier(num_shards=3, use_actors=False)
+        fb = Frontier(num_shards=3, use_actors=False)
+        for f in (fa, fb):
+            f.add_seeds("j", ["http://a.test/"])
+        groups = []
+        for i in range(t.num_rows):
+            c = t.column("candidates")[i].as_py()
+            cc = t.column("cand_canon")[i].as_py()
+            ck = t.column("cand_key")[i].as_py()
+            ch = t.column("cand_host")[i].as_py()
+            if fn is not None:
+                keep = fn(c)
+                c = [x for x, k in zip(c, keep) if k]
+                cc = [x for x, k in zip(cc, keep) if k]
+                ck = [x for x, k in zip(ck, keep) if k]
+                ch = [x for x, k in zip(ch, keep) if k]
+            if c:
+                groups.append((t.column("url")[i].as_py(), c,
+                               t.column("depth")[i].as_py() + 1,
+                               cc, ck, ch))
+        na = fa.offer_groups("j", groups, limit=lim)
+        nb = fb.offer_table("j", t, limit=lim, allowed_fn=fn)
+        assert na == nb, (lim, fn)
+        wa, wb = fa.next_wave("j"), fb.next_wave("j")
+        assert wa.equals(wb), (lim, fn)
+
+
 def test_spill_with_actor_shards(ray_session, tmp_path):
     """Review regression: shards are separate PROCESSES sharing one
     spill_dir — segment filenames must not collide across them (id(self)
@@ -182,6 +267,9 @@ def test_spill_with_actor_shards(ray_session, tmp_path):
     f.offer_groups("fn", [("http://s.test/",
                            [f"http://h{i % 7}.test/p{i}" for i in range(400)],
                            1)])
+    # enqueue writes are deferred futures now; any read barrier (here:
+    # pending) guarantees they executed before out-of-band FS inspection
+    assert f.pending("fn") == 401
     names = os.listdir(live)
     assert names, "no spill files were produced by live actor shards"
     pat = re.compile(r"^[A-Za-z]+_(\d+)_(\d+)\.pkl$")
