@@ -1253,26 +1253,45 @@ def decontaminate(ds, benchmark_ds, n: int = 5, min_shared: int = 1,
     corpus scan. Tokenization matches ``ngram_jaccard_pairs`` (''.split
     == DuckDB ``regexp_split_to_array(text,'\\s+')`` sans empties), so
     the op is exactly SQL-oracle-checkable."""
+    import pyarrow.compute as pc
     import ray
 
-    bench_grams: set = set()
+    from .text_analysis import _explode_distinct_grams, _ws_explode
+    from .text_analysis import _join_word_grams
+
+    # benchmark distinct-gram set, built with the same Arrow kernel and
+    # broadcast as ONE Arrow StringArray (zero-copy via plasma)
+    bench_parts: list[pa.Array] = []
     for b in benchmark_ds.iter_batches(batch_size=4096,
                                        batch_format="pyarrow"):
-        for t in b.column(text_col).to_pylist():
-            bench_grams.update(_word_ngrams(t, n))
-    ref = ray.put(bench_grams)
+        par, toks = _ws_explode(b.column(text_col))
+        _par, grams = _join_word_grams(par, toks, n)
+        if len(grams):
+            bench_parts.append(grams.unique())
+    bench_arr = (pa.concat_arrays(bench_parts).unique() if bench_parts
+                 else pa.array([], pa.string()))
+    ref = ray.put(bench_arr)
 
     def score(batch: pa.Table) -> pa.Table:
-        grams_set = _cached_get(ref)
-        ids, shared = [], []
-        for d, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            k = len(_word_ngrams(t, n) & grams_set)
-            if k >= min_shared:
-                ids.append(d)
-                shared.append(k)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_shared": pa.array(shared, pa.int64())})
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_shared": pa.array([], pa.int64())})
+        vs = _cached_get(ref)
+        if len(vs) == 0:
+            return empty
+        out = _explode_distinct_grams(batch, id_col, text_col, n)
+        if len(out["gram"]) == 0:
+            return empty
+        hit = pc.is_in(out["gram"], value_set=vs).to_numpy(
+            zero_copy_only=False)
+        k = np.bincount(out["parent"][hit], minlength=batch.num_rows)
+        keep = np.flatnonzero(k >= min_shared)
+        if keep.size == 0:
+            return empty
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(pa.array(keep)),
+                         "n_shared": pa.array(k[keep], pa.int64())})
 
     res = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     if len(res) == 0:

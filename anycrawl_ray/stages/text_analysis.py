@@ -258,6 +258,37 @@ def _explode_distinct_grams(batch: pa.Table, id_col: str, text_col: str,
             "n_grams": n_grams}
 
 
+def _term_tf_rows(batch: pa.Table, id_col: str, text_col: str,
+                  terms: list[str]):
+    """Arrow-native query-term-restricted term-frequency rows — the
+    shared inverted-index kernel for keyword_topk / bm25_topk (replaces
+    per-doc Python ``dict`` counting): ws-explode, ``pc.is_in`` term
+    filter, and one lexsort boundary scan for per-(doc, term) counts.
+    Returns (parent int64 np — batch row index per emitted row, term
+    StringArray, tf int64 np, dl int64 np — per-BATCH-ROW token count,
+    length == batch.num_rows)."""
+    parent, flat = _ws_explode(batch.column(text_col))
+    dl = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
+    empty = (np.empty(0, dtype=np.int64), pa.array([], pa.string()),
+             np.empty(0, dtype=np.int64), dl)
+    if len(flat) == 0:
+        return empty
+    mask = pc.is_in(flat, value_set=pa.array(terms, pa.string()))
+    keep = mask.to_numpy(zero_copy_only=False)
+    if not keep.any():
+        return empty
+    p2 = parent[keep]
+    de = flat.filter(mask).dictionary_encode()
+    codes = np.asarray(de.indices, dtype=np.int64)
+    order = np.lexsort((codes, p2))
+    ps, cs = p2[order], codes[order]
+    bound = np.concatenate(([True],
+                            (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])))
+    starts = np.flatnonzero(bound)
+    tf = np.diff(np.append(starts, ps.size)).astype(np.int64)
+    return (ps[bound], de.dictionary.take(pa.array(cs[bound])), tf, dl)
+
+
 def _segment_all_pairs(seg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """All within-segment index pairs (i < j) of a sorted segment-id
     array, by pure index arithmetic (np.repeat + within-row arange) —
@@ -416,23 +447,15 @@ def keyword_topk(ds, terms: list[str], k: int = 10,
     import ray
     from ray.data.aggregate import Count, Sum
 
-    term_set = set(terms)
-
     def tf_rows(batch: pa.Table) -> pa.Table:
-        out_id, out_t, out_tf = [], [], []
-        for d, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            counts: dict[str, int] = {}
-            for tok in t.split():
-                if tok in term_set:
-                    counts[tok] = counts.get(tok, 0) + 1
-            for term, tf in counts.items():
-                out_id.append(d)
-                out_t.append(term)
-                out_tf.append(tf)
-        return pa.table({"doc_id": pa.array(out_id),
-                         "term": pa.array(out_t, pa.string()),
-                         "tf": pa.array(out_tf, pa.int64())})
+        p_sel, term_arr, tf, _dl = _term_tf_rows(batch, id_col, text_col,
+                                                 terms)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({"doc_id": ids.take(pa.array(p_sel)),
+                         "term": term_arr,
+                         "tf": pa.array(tf, pa.int64())})
 
     n_docs = ds.count()
     tf_m = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
@@ -482,19 +505,30 @@ def repetition_scores_batch(batch: pa.Table, n: int = 3,
     docs with fewer than ``n`` tokens emit nothing (no grams to score —
     the SQL oracle's empty-UNNEST behavior). Tokenization is THE pinned
     kernel: ``str.split()`` == DuckDB regexp_split ``\\s+`` (see
-    dedup._word_ngrams)."""
-    ids, reps = [], []
-    for d, t in zip(batch.column(id_col).to_pylist(),
-                    batch.column(text_col).to_pylist()):
-        words = t.split()
-        total = len(words) - n + 1
-        if total <= 0:
-            continue
-        distinct = len({" ".join(words[i:i + n]) for i in range(total)})
-        ids.append(d)
-        reps.append((total - distinct) * scale // total)
-    return pa.table({id_col: pa.array(ids, pa.int64()),
-                     "rep_scaled": pa.array(reps, pa.int64())})
+    dedup._word_ngrams). Arrow/numpy all the way: one ws-explode +
+    n-gram window pass for totals, one dictionary-dedup pass for
+    distincts — no per-doc Python."""
+    parent, toks = _ws_explode(batch.column(text_col))
+    parent, grams = _join_word_grams(parent, toks, n)
+    n_rows = batch.num_rows
+    if len(grams) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "rep_scaled": pa.array([], pa.int64())})
+    total = np.bincount(parent, minlength=n_rows)
+    de = grams.dictionary_encode()
+    codes = np.asarray(de.indices, dtype=np.int64)
+    order = np.lexsort((codes, parent))
+    ps, cs = parent[order], codes[order]
+    first = np.concatenate(([True],
+                            (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])))
+    distinct = np.bincount(ps[first], minlength=n_rows)
+    keep = np.flatnonzero(total > 0)
+    rep = (total[keep] - distinct[keep]) * scale // total[keep]
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({id_col: ids.take(pa.array(keep)),
+                     "rep_scaled": pa.array(rep, pa.int64())})
 
 
 def bm25_topk(ds, terms: list[str], k: int = 10, scale: int = 1_000_000,
@@ -523,31 +557,27 @@ def bm25_topk(ds, terms: list[str], k: int = 10, scale: int = 1_000_000,
     import ray
     from ray.data.aggregate import Count, Sum
 
-    term_set = set(terms)
-
     def index_rows(batch: pa.Table) -> pa.Table:
-        out_id, out_t, out_tf, out_dl = [], [], [], []
-        for d, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            toks = t.split()
-            dl = len(toks)
-            out_id.append(d)       # sentinel row: term "" carries dl
-            out_t.append("")
-            out_tf.append(0)
-            out_dl.append(dl)
-            counts: dict[str, int] = {}
-            for tok in toks:
-                if tok in term_set:
-                    counts[tok] = counts.get(tok, 0) + 1
-            for term, tf in counts.items():
-                out_id.append(d)
-                out_t.append(term)
-                out_tf.append(tf)
-                out_dl.append(dl)
-        return pa.table({"doc_id": pa.array(out_id),
-                         "term": pa.array(out_t, pa.string()),
-                         "tf": pa.array(out_tf, pa.int64()),
-                         "dl": pa.array(out_dl, pa.int64())})
+        # sentinel row per doc (term "" carries dl) + term-filtered
+        # (doc, term, tf, dl) rows — one Arrow kernel pass, no per-doc
+        # Python dict counting. Row order (sentinels first) differs
+        # from the old interleaving; every consumer below is a
+        # groupby/filter, so order is immaterial.
+        p_sel, term_arr, tf, dl = _term_tf_rows(batch, id_col, text_col,
+                                                terms)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = batch.num_rows
+        doc_col = pa.concat_arrays([ids, ids.take(pa.array(p_sel))])
+        term_col = pa.concat_arrays([
+            pa.array([""] * n, pa.string()), term_arr])
+        tf_col = np.concatenate([np.zeros(n, dtype=np.int64), tf])
+        dl_col = np.concatenate([dl, dl[p_sel]])
+        return pa.table({"doc_id": doc_col,
+                         "term": term_col,
+                         "tf": pa.array(tf_col, pa.int64()),
+                         "dl": pa.array(dl_col, pa.int64())})
 
     idx = ds.map_batches(index_rows, batch_format="pyarrow").materialize()
     stats = idx.filter(expr="term == ''") \
@@ -909,19 +939,26 @@ def _bpe_train_loop(seq, n_merges: int, n_buckets: int):
     prime = np.uint64(1099511628211)
     nb = n_buckets
 
+    def _flat_hs(batch: pa.Table):
+        """hs list<uint64> -> (flat values, parent row index) — one
+        Arrow flatten, no per-doc loop."""
+        col = batch.column("hs")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(pc.list_flatten(col), dtype=np.uint64)
+        parent = pc.list_parent_indices(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return flat, parent
+
     def pair_partials(batch: pa.Table) -> pa.Table:
-        p1s, p2s = [], []
-        for hs in batch.column("hs").to_pylist():
-            if len(hs) >= 2:
-                h = np.asarray(hs, dtype=np.uint64)
-                p1s.append(h[:-1])
-                p2s.append(h[1:])
-        if not p1s:
+        h, parent = _flat_hs(batch)
+        m = (parent[:-1] == parent[1:]) if h.size >= 2 else \
+            np.zeros(0, dtype=bool)
+        p1, p2 = h[:-1][m], h[1:][m]
+        if p1.size == 0:
             u = pa.array([], pa.uint64())
             z = pa.array([], pa.int64())
             return pa.table({"p1": u, "p2": u, "c": z, "_kb": z})
-        p1 = np.concatenate(p1s)
-        p2 = np.concatenate(p2s)
         order = np.lexsort((p2, p1))
         p1, p2 = p1[order], p2[order]
         b = np.concatenate(([True],
@@ -969,21 +1006,28 @@ def _bpe_train_loop(seq, n_merges: int, n_buckets: int):
         merges.append((r, int(p1), int(p2), int(merged), cnt))
 
         def rewrite(batch: pa.Table, a=p1, b=p2, m=merged) -> pa.Table:
-            out = []
-            for hs in batch.column("hs").to_pylist():
-                h = np.asarray(hs, dtype=np.uint64)
-                if h.size >= 2:
-                    hit = (h[:-1] == a) & (h[1:] == b)
-                    kept = _greedy_merge_positions(np.flatnonzero(hit))
-                    if kept.size:
-                        h = h.copy()
-                        h[kept] = m
-                        drop = np.zeros(h.size, dtype=bool)
-                        drop[kept + 1] = True
-                        h = h[~drop]
-                out.append(h.tolist())
+            # flat greedy replace: a hit needs both symbols in ONE doc,
+            # so hit runs never span docs and the global
+            # _greedy_merge_positions == the per-doc scan
+            h, parent = _flat_hs(batch)
+            if h.size >= 2:
+                hitm = (h[:-1] == a) & (h[1:] == b) \
+                    & (parent[:-1] == parent[1:])
+                kept = _greedy_merge_positions(np.flatnonzero(hitm))
+            else:
+                kept = np.empty(0, dtype=np.int64)
+            if kept.size:
+                h = h.copy()
+                h[kept] = m
+                dropm = np.zeros(h.size, dtype=bool)
+                dropm[kept + 1] = True
+                h, parent = h[~dropm], parent[~dropm]
+            counts = np.bincount(parent, minlength=batch.num_rows)
+            offsets = np.concatenate(([0], np.cumsum(counts)))
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(h, pa.uint64()))
             return pa.table({"doc_id": batch.column("doc_id"),
-                             "hs": pa.array(out, pa.list_(pa.uint64())),
+                             "hs": lists,
                              "n0": batch.column("n0")})
 
         seq = seq.map_batches(rewrite, batch_format="pyarrow").materialize()
@@ -1684,22 +1728,35 @@ class TextIndex:
         import os
 
         def postings(batch: pa.Table) -> pa.Table:
-            out_t, out_id, out_tf = [], [], []
-            for d, t in zip(batch.column(id_col).to_pylist(),
-                            batch.column(text_col).to_pylist()):
-                counts: dict[str, int] = {}
-                for tok in t.split():
-                    counts[tok] = counts.get(tok, 0) + 1
-                out_t.extend(counts.keys())
-                out_tf.extend(counts.values())
-                out_id.extend([d] * len(counts))
-            if out_t:
-                bucket = cls._term_buckets(out_t, n_buckets)
-            else:
-                bucket = np.empty(0, dtype=np.int64)
-            return pa.table({"term": pa.array(out_t, pa.string()),
-                             id_col: pa.array(out_id, pa.int64()),
-                             "tf": pa.array(out_tf, pa.int64()),
+            # Arrow explode + dictionary counts; bucket ids come from
+            # dictionary-level FNV+mix64 (hash each distinct term once
+            # per batch) — same values as _term_buckets on the strings,
+            # so query-side bucket lookups stay consistent
+            parent, flat = _ws_explode(batch.column(text_col))
+            if len(flat) == 0:
+                return pa.table({"term": pa.array([], pa.string()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "tf": pa.array([], pa.int64()),
+                                 "bucket": pa.array([], pa.int64())})
+            de = flat.dictionary_encode()
+            codes = np.asarray(de.indices, dtype=np.int64)
+            order = np.lexsort((codes, parent))
+            ps, cs = parent[order], codes[order]
+            bound = np.concatenate(([True],
+                                    (ps[1:] != ps[:-1])
+                                    | (cs[1:] != cs[:-1])))
+            starts = np.flatnonzero(bound)
+            tf = np.diff(np.append(starts, ps.size)).astype(np.int64)
+            p_sel, c_sel = ps[bound], cs[bound]
+            dict_h = _mix64_np(np.asarray(
+                _fnv1a_bulk(de.dictionary.to_pylist()), dtype=np.uint64))
+            bucket = (dict_h[c_sel] % np.uint64(n_buckets)).astype(np.int64)
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table({"term": de.dictionary.take(pa.array(c_sel)),
+                             id_col: ids.take(pa.array(p_sel)),
+                             "tf": pa.array(tf, pa.int64()),
                              "bucket": pa.array(bucket, pa.int64())})
 
         os.makedirs(index_dir, exist_ok=True)
