@@ -116,6 +116,31 @@ def site_edges(ds, n_nodes: int):
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
+def _wedge_core_np(u: np.ndarray, rv: np.ndarray, vid: np.ndarray,
+                   n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rank-ordered per-source neighbor pairs via pure index arithmetic
+    over (u, rv, v) arrays SORTED by (u, rv); returns (closing-key =
+    v_i*n + v_j, center = u) candidate arrays — the degree-oriented
+    wedge kernel shared by triangle_counts' bucketed and dense paths."""
+    m = u.size
+    if m == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    boundary = np.concatenate(([True], u[1:] != u[:-1]))
+    starts = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(starts, m))
+    seg_id = np.cumsum(boundary) - 1
+    local = np.arange(m) - starts[seg_id]
+    counts = sizes[seg_id] - 1 - local
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ai = np.repeat(np.arange(m), counts)
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                        counts)
+    bj = ai + 1 + offs
+    return vid[ai] * n + vid[bj], u[ai]
+
+
 def triangle_counts(edges_ds, n_nodes: int,
                     num_partitions: int | None = None,
                     broadcast_limit: int = 2_000_000) -> pa.Table:
@@ -174,6 +199,96 @@ def triangle_counts(edges_ds, n_nodes: int,
               ).astype(np.int64)
         return pa.table({"e": pa.array(e, pa.int64()),
                          "_kb": pa.array(kb, pa.int64())})
+
+    empty_out = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tri": pa.array([], pa.int64())})
+
+    if n <= broadcast_limit:
+        # ---- dense driver-fold fast path (node count under the guard,
+        # so the distinct edge / degree arrays are node-bounded driver
+        # state — the kcore/hits dense-gather duality): edge distinct,
+        # degrees, orientation and the closing-key sort fold on the
+        # driver in numpy; the O(m^1.5) wedge generation — the only
+        # real compute — distributes over contiguous source ranges
+        # balanced by per-source wedge volume, closing in-map against
+        # the broadcast sorted oriented keys. ZERO shuffles; the
+        # bucketed paths below pay 3-4 groupby rounds of fixed actor
+        # cost, which dominates wall time on small-to-medium graphs.
+        import ray as _ray
+        import ray.data as rd
+
+        from .dedup import _cached_get
+
+        parts = []
+        for bt in edges_ds.map_batches(pack, batch_format="pyarrow") \
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            parts.append(np.asarray(bt.column("e"), dtype=np.int64))
+        if not parts:
+            return empty_out
+        e = np.unique(np.concatenate(parts))
+        if e.size == 0:
+            return empty_out
+        a, b = e // n, e % n
+        deg_np = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+        ra, rb = (deg_np[a] << 32) | a, (deg_np[b] << 32) | b
+        a_first = ra < rb
+        u = np.where(a_first, a, b)
+        vid = np.where(a_first, b, a)
+        rv = np.where(a_first, rb, ra)
+        order = np.lexsort((rv, u))
+        u, vid, rv = u[order], vid[order], rv[order]
+        ekeys = np.sort(u * n + vid)
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        sizes = np.diff(np.append(seg_starts, u.size))
+        wvol = sizes * (sizes - 1) // 2
+        cw = np.cumsum(wvol)
+        total_w = int(cw[-1]) if cw.size else 0
+        if total_w == 0:
+            return empty_out
+        n_tasks = max(1, min(64, int(
+            ray.cluster_resources().get("CPU", 8)) * 2))
+        targets = (np.arange(1, n_tasks) * total_w) // n_tasks
+        seg_cuts = np.minimum(
+            np.searchsorted(cw, targets, side="left") + 1, sizes.size)
+        seg_bounds = np.unique(np.concatenate(
+            ([0], seg_cuts, [sizes.size])))
+        row_bounds = np.append(seg_starts[seg_bounds[:-1]], u.size)
+        ref = _ray.put((u, rv, vid, ekeys, row_bounds))
+
+        def gen(batch: pa.Table) -> pa.Table:
+            u_, rv_, vid_, keys, rb_ = _cached_get(ref)
+            outs_n, outs_c = [], []
+            for bi in np.asarray(batch.column("id"), dtype=np.int64):
+                s, t = int(rb_[bi]), int(rb_[bi + 1])
+                c, ctr = _wedge_core_np(u_[s:t], rv_[s:t], vid_[s:t], n)
+                if c.size == 0:
+                    continue
+                idx = np.minimum(np.searchsorted(keys, c), keys.size - 1)
+                hit = keys[idx] == c
+                c, ctr = c[hit], ctr[hit]
+                if c.size == 0:
+                    continue
+                nodes = np.concatenate([c // n, c % n, ctr])
+                un, cnt = np.unique(nodes, return_counts=True)
+                outs_n.append(un)
+                outs_c.append(cnt.astype(np.int64))
+            if not outs_n:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({
+                "node": pa.array(np.concatenate(outs_n), pa.int64()),
+                "cnt": pa.array(np.concatenate(outs_c), pa.int64())})
+
+        tri = np.zeros(n, dtype=np.int64)
+        for bt in rd.range(row_bounds.size - 1) \
+                .map_batches(gen, batch_format="pyarrow") \
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            np.add.at(tri, np.asarray(bt.column("node"), dtype=np.int64),
+                      np.asarray(bt.column("cnt"), dtype=np.int64))
+        ids = np.flatnonzero(tri).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tri": pa.array(tri[ids], pa.int64())})
 
     def uniq_bucket(df):
         import pandas as pd
@@ -263,31 +378,14 @@ def triangle_counts(edges_ds, n_nodes: int,
 
     def _wedge_arrays(df):
         """Per-source candidate (closing-key, center) arrays from one
-        oriented fat bucket — rank-ordered neighbor pairs via pure
-        index arithmetic, no per-source Python loop."""
+        oriented fat bucket."""
         u = df["u"].to_numpy(np.int64)
         if u.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         rv = df["rv"].to_numpy(np.int64)
         vid = df["v"].to_numpy(np.int64)
         order = np.lexsort((rv, u))
-        u, rv, vid = u[order], rv[order], vid[order]
-        m = u.size
-        boundary = np.concatenate(([True], u[1:] != u[:-1]))
-        starts = np.flatnonzero(boundary)
-        sizes = np.diff(np.append(starts, m))
-        seg_id = np.cumsum(boundary) - 1
-        local = np.arange(m) - starts[seg_id]
-        counts = sizes[seg_id] - 1 - local
-        total = int(counts.sum())
-        if total == 0:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        ai = np.repeat(np.arange(m), counts)
-        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
-                                            counts)
-        bj = ai + 1 + offs
-        # rank order within the segment -> candidate oriented edge
-        return vid[ai] * n + vid[bj], u[ai]
+        return _wedge_core_np(u[order], rv[order], vid[order], n)
 
     def edge_keys(batch: pa.Table) -> pa.Table:
         u = np.asarray(batch.column("u"), dtype=np.int64)

@@ -1353,6 +1353,13 @@ def test_triangle_counts_random_graph(ray_session):
     # join path (broadcast guard forced off) must match byte-for-byte
     forced = triangle_counts(ds, n, broadcast_limit=0).to_pandas()
     assert forced.values.tolist() == got.values.tolist()
+    # middle (bucketed-broadcast) path: n above the guard but the
+    # degree table below it (only nodes WITH edges count) — pad the id
+    # space with isolated nodes so n=80 > limit=60 >= deg rows
+    mid = triangle_counts(ds, 80, broadcast_limit=60).to_pandas()
+    assert dict(zip(mid["doc_id"], mid["n_tri"])) == want
+    dense80 = triangle_counts(ds, 80).to_pandas()
+    assert dense80.values.tolist() == mid.values.tolist()
 
 
 def test_triangle_counts_complete_and_star(ray_session):
