@@ -404,7 +404,14 @@ def _collapse_tree_whitespace(root: Node) -> None:
             if child.kind == "text":
                 if not child.text.strip():
                     continue
-                child.text = _ASCII_WS.sub(" ", child.text)
+                t = child.text
+                # identity fast path (C-level scans beat regex setup on
+                # the short, already-clean text nodes that dominate):
+                # the sub only changes t when it has a non-space ASCII
+                # ws char or a double space
+                if ("  " in t or "\n" in t or "\t" in t or "\r" in t
+                        or "\f" in t or "\v" in t):
+                    child.text = _ASCII_WS.sub(" ", t)
             kept.append(child)
         node.children = kept
         stack.extend(kept)

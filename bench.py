@@ -226,6 +226,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("events_hdr_quantiles", Q.events_hdr_quantiles)
     timed("docs_textrank", Q.docs_textrank)
     timed("embeddings_pca_power", Q.embeddings_pca_power)
+    # the Arrow distinct-gram/tf kernel family (round-5 rewrites)
+    timed("docs_repetition_scores", Q.docs_repetition_scores)
+    timed("docs_keyword_topk", Q.docs_keyword_topk)
+    timed("docs_postings_size", Q.docs_postings_size)
+    timed("docs_vocab", Q.docs_vocab)
+    timed("top_users_by_value", Q.top_users_by_value)
     timings["crawl_full_site"] = round(crawl_sec, 3)
 
     return {
