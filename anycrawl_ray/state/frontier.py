@@ -350,6 +350,20 @@ class ShardState:
                     self.overflow.add(k)
                 job_seen.add(k, u, s)
 
+    def apply_writes(self, job_id: str, insert, enq_rows, done) -> None:
+        """Fused write RPC: one round carries this shard's seen inserts
+        (``insert`` = (keys, urls, seqs) or None), queue enqueues
+        (``enq_rows`` dict or None) and completion accounting (``done`` =
+        (n_ok, n_fail, nbytes, credits) or None). Exactly equivalent to
+        the three separate calls — fusing only cuts driver dispatch count
+        (the serial Amdahl term of the crawl's consume path)."""
+        if insert is not None:
+            self.insert_seen(job_id, *insert)
+        if enq_rows is not None:
+            self.enqueue(enq_rows)
+        if done is not None:
+            self.mark_done(job_id, *done)
+
     # -- queues (host-sharded calls) -------------------------------------
     def enqueue(self, rows: dict) -> int:
         n = len(rows["url"])
@@ -666,6 +680,9 @@ def _make_actor_class():
         def insert_seen(self, job_id, keys, urls, seqs):
             return self.state.insert_seen(job_id, keys, urls, seqs)
 
+        def apply_writes(self, job_id, insert, enq_rows, done):
+            return self.state.apply_writes(job_id, insert, enq_rows, done)
+
         def enqueue(self, rows):
             return self.state.enqueue(rows)
 
@@ -796,7 +813,8 @@ class Frontier:
                  spill_segment_size: int = 4096,
                  seen_spill_threshold: int = 1 << 30,
                  record_admissions: bool = True,
-                 admission_spool_threshold: int = 1 << 20) -> None:
+                 admission_spool_threshold: int = 1 << 20,
+                 seen_mirror_limit: int = 8_000_000) -> None:
         """``hot_host_lane_size``: north_rule skew control — a host's queue
         entries are split into lanes of this many URLs, lane ``k`` routed to
         shard ``hash(host + '#' + k)``. A hot domain therefore spreads over
@@ -858,6 +876,24 @@ class Frontier:
         # errors. This takes the pass-2 RPC round-trip out of the driver's
         # serial admission path (the Amdahl term the 2->8 scaling pays).
         self._pending_writes: list = []
+        # -- driver-side exact seen MIRROR: this facade is the seen-set's
+        # SINGLE WRITER (every insert_seen RPC originates here; seeds
+        # bypass seen by reference semantics), so a sorted-uint64 mirror
+        # of the keys it has inserted is exact and lets the admission
+        # probe run as a local searchsorted instead of a synchronous
+        # per-key-shard RPC round (measured ~0.3 s/run of the crawl
+        # driver's serial time at 8 cpus). Dual path, broadcast-limit
+        # style: past ``seen_mirror_limit`` keys (8 bytes each; default
+        # 64 MB) or after ``restore`` (shards hold state the driver never
+        # saw) the mirror disables itself and probes fall back to the
+        # sharded RPC pass — shards stay authoritative either way.
+        self.seen_mirror_limit = seen_mirror_limit
+        self._seen_mirror: dict[str, np.ndarray] = {}
+        self._mirror_ok = True
+        # accumulated completion accounting, flushed as a piggyback field
+        # of the next fused apply_writes round (or at any read barrier):
+        # (job_id, shard) -> [n_ok, n_fail, nbytes, credits]
+        self._done_acc: dict[tuple[str, int], list[int]] = {}
 
     # -- shard RPC helpers -------------------------------------------------
     def _call(self, shard_idx: int, method: str, *args):
@@ -882,9 +918,50 @@ class Frontier:
                 self._drain_writes()
 
     def _drain_writes(self) -> None:
+        self._flush_done()
         if self._pending_writes:
             pending, self._pending_writes = self._pending_writes, []
             self._gather(pending)
+
+    def _flush_done(self) -> None:
+        """Ship any accumulated mark_done counters that no apply_writes
+        round has piggybacked yet (read barriers and job-boundary calls)."""
+        if self._done_acc:
+            acc, self._done_acc = self._done_acc, {}
+            if self.use_actors:
+                self._pending_writes.extend(
+                    self._call(s, "mark_done", job, *vals)
+                    for (job, s), vals in acc.items())
+            else:
+                for (job, s), vals in acc.items():
+                    self._call(s, "mark_done", job, *vals)
+
+    # -- seen mirror (driver-exact probe fast path) ------------------------
+    def _mirror_contains(self, job_id: str, keys: np.ndarray):
+        """Exact membership against the driver mirror, or None when the
+        mirror is unavailable (post-restore / over the memory guard) and
+        the caller must run the sharded RPC probe."""
+        if not self._mirror_ok:
+            return None
+        arr = self._seen_mirror.get(job_id)
+        if arr is None or arr.size == 0:
+            return np.zeros(keys.size, dtype=bool)
+        idx = np.searchsorted(arr, keys)
+        hit = idx < arr.size
+        hit[hit] = arr[idx[hit]] == keys[hit]
+        return hit
+
+    def _mirror_insert(self, job_id: str, keys_new: np.ndarray) -> None:
+        if not self._mirror_ok or keys_new.size == 0:
+            return
+        arr = self._seen_mirror.get(job_id)
+        merged = (np.sort(np.asarray(keys_new, dtype=np.uint64))
+                  if arr is None else np.union1d(arr, keys_new))
+        if merged.size > self.seen_mirror_limit:
+            self._mirror_ok = False
+            self._seen_mirror.clear()
+        else:
+            self._seen_mirror[job_id] = merged
 
     def _key_shard(self, k: int) -> int:
         return k % self.num_shards
@@ -1026,17 +1103,22 @@ class Frontier:
         n = keys.size
         if n == 0:
             return 0
-        # pass 1: vectorized read-only membership probe per key shard
+        # pass 1: membership probe — local searchsorted against the exact
+        # driver mirror when available (no RPC round-trip at all), else
+        # the vectorized read-only probe per key shard
         shard_ids = (keys % np.uint64(self.num_shards)).astype(np.int64)
-        in_seen = np.zeros(n, dtype=bool)
-        futures, order = [], []
-        for s in range(self.num_shards):
-            idx = np.flatnonzero(shard_ids == s)
-            if idx.size:
-                futures.append(self._call(s, "contains_np", job_id, keys[idx]))
-                order.append(idx)
-        for idx, res in zip(order, self._gather(futures)):
-            in_seen[idx] = res
+        in_seen = self._mirror_contains(job_id, keys)
+        if in_seen is None:
+            in_seen = np.zeros(n, dtype=bool)
+            futures, order = [], []
+            for s in range(self.num_shards):
+                idx = np.flatnonzero(shard_ids == s)
+                if idx.size:
+                    futures.append(
+                        self._call(s, "contains_np", job_id, keys[idx]))
+                    order.append(idx)
+            for idx, res in zip(order, self._gather(futures)):
+                in_seen[idx] = res
         # within-batch first occurrence per key (stable sort = flat order)
         sort_idx = np.argsort(keys, kind="stable")
         sk = keys[sort_idx]
@@ -1097,17 +1179,20 @@ class Frontier:
                 host_shards[i] = xxh64(
                     f"{hosts_adm[i]}#{lanes[i]}") % self.num_shards
         # pass 2: persist seen inserts (key shards) + enqueue (host shards)
-        futures = []
+        # + any accumulated completion counters, fused into ONE apply_writes
+        # RPC per touched shard (driver dispatch is the serial cost here)
+        self._mirror_insert(job_id, keys_adm)
         key_shards = shard_ids[adm]
+        inserts: dict[int, tuple] = {}
         for s in np.unique(key_shards):
             m = key_shards == s
-            futures.append(self._call(
-                int(s), "insert_seen", job_id, keys_adm[m].tolist(),
-                canons_adm[m].tolist(), seqs[m].tolist()))
+            inserts[int(s)] = (keys_adm[m].tolist(), canons_adm[m].tolist(),
+                               seqs[m].tolist())
         nj = [job_id]  # broadcast-multiply below keeps one string object
+        enqueues: dict[int, dict] = {}
         for s in np.unique(host_shards):
             m = host_shards == s
-            rows = {
+            enqueues[int(s)] = {
                 "url": urls_adm[m].tolist(),
                 "canonical_url": canons_adm[m].tolist(),
                 "url_key": keys_adm[m].tolist(),
@@ -1118,7 +1203,14 @@ class Frontier:
                 "discovered_seq": seqs[m].tolist(),
                 "host_seq": hseqs[m].tolist(),
             }
-            futures.append(self._call(int(s), "enqueue", rows))
+        dones = {s: self._done_acc.pop((job_id, s))
+                 for (j, s) in list(self._done_acc)
+                 if j == job_id}
+        futures = [
+            self._call(s, "apply_writes", job_id, inserts.get(s),
+                       enqueues.get(s), tuple(dones[s]) if s in dones else None)
+            for s in sorted(set(inserts) | set(enqueues) | set(dones))
+        ]
         self._defer(futures)
         return n_adm
 
@@ -1246,6 +1338,11 @@ class Frontier:
         ]
         futures += [self._call(s, "enqueue", r) for s, r in admit_rows.items()]
         self._defer(futures)
+        # keep the driver mirror coherent (the vectorized path may run
+        # next on this same frontier)
+        self._mirror_insert(job_id, np.array(
+            [k for r in insert_rows.values() for k in r["keys"]],
+            dtype=np.uint64))
         return admitted
 
     def next_wave(self, job_id: str, per_host_budget: int = 1_000_000,
@@ -1328,15 +1425,17 @@ class Frontier:
         shard_u = np.array([self._host_shard(h) for h in uniq.tolist()],
                            dtype=np.int64)
         sh = shard_u[inv]
-        futures = []
         for s in np.unique(sh):
             m = sh == s
             n_ok = int(ok_a[m].sum())
             n_all = int(m.sum())
-            futures.append(self._call(
-                int(s), "mark_done", job_id, n_ok, n_all - n_ok,
-                int(nb_a[m].sum()), n_all * credits_each))
-        self._defer(futures)
+            acc = self._done_acc.setdefault((job_id, int(s)), [0, 0, 0, 0])
+            acc[0] += n_ok
+            acc[1] += n_all - n_ok
+            acc[2] += int(nb_a[m].sum())
+            acc[3] += n_all * credits_each
+        # counters ride the next fused apply_writes round (or flush at the
+        # next read barrier) — zero standalone RPCs on the consume path
 
     def stats(self, job_id: str) -> dict[str, int]:
         """Global counters = reduce over shard counters (replaces the Redis
@@ -1559,6 +1658,10 @@ class Frontier:
                     obj._seen_spill_threshold, file_dir=path)
                 for b in blobs
             ]
+        # restored shards hold seen keys this driver never inserted — the
+        # exact-mirror invariant (driver = single writer) no longer holds,
+        # so probes fall back to the sharded RPC pass
+        obj._mirror_ok = False
         obj.next_seq.update(manifest["next_seq"])
         for k, v in manifest["host_seq"].items():
             j, h = k.split("\t", 1)
