@@ -57,17 +57,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                     formats=["markdown", "html", "text"])
     run_crawl(warm, pages, use_ray=True, ray_wave_threshold=32, batch_size=128,
               num_shards=8)
-    job = CrawlJob(job_id="bench", seed_urls=seeds, strategy="all",
-                   max_depth=30, limit=50_000,
-                   formats=["markdown", "html", "text"])
-    t0 = time.perf_counter()
-    res = run_crawl(job, pages, use_ray=True, ray_wave_threshold=32,
-                    batch_size=128, num_shards=8, out_dir=out_dir)
-    crawl_sec = time.perf_counter() - t0
-    done = res.stats["done"]
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # GRAFT_CRAWL_REPS > 1 (scaling children): repeat the timed crawl and
+    # take the MEDIAN — single ~4 s runs on this shared VM swing ±30%
+    # (THP compaction / co-tenant bursts), so per-trial medians are what
+    # make the interleaved efficiency pairs readable
+    reps = max(1, int(os.environ.get("GRAFT_CRAWL_REPS", "1")))
+    rep_secs: list[float] = []
+    done = 0
+    for ri in range(reps):
+        job = CrawlJob(job_id=f"bench{ri}", seed_urls=seeds, strategy="all",
+                       max_depth=30, limit=50_000,
+                       formats=["markdown", "html", "text"])
+        t0 = time.perf_counter()
+        res = run_crawl(job, pages, use_ray=True, ray_wave_threshold=32,
+                        batch_size=128, num_shards=8, out_dir=out_dir)
+        rep_secs.append(time.perf_counter() - t0)
+        done = res.stats["done"]
+        shutil.rmtree(out_dir, ignore_errors=True)
+    crawl_sec = sorted(rep_secs)[len(rep_secs) // 2]
     _eprint(f"crawl: {done}/{n_pages} pages in {crawl_sec:.2f}s "
-            f"({done / crawl_sec:.1f} pages/s, {res.epochs} epochs)")
+            f"({done / crawl_sec:.1f} pages/s, {res.epochs} epochs, "
+            f"median of {reps})")
 
     # scaling children measure ONLY the headline crawl (the efficiency
     # metric) — skip the untimed-for-them frontier microbench + queries
@@ -81,6 +91,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "num_cpus": num_cpus,
             "pages": int(done),
             "pages_per_sec": round(done / crawl_sec, 1),
+            "reps": [round(s, 3) for s in rep_secs],
         }
 
     # ---- frontier ops/sec (BASELINE metric component): admission
@@ -267,10 +278,14 @@ def _run_at(ncpu: int, sf_dir: str, trials: int = 3) -> dict:
     return best
 
 
-def _run_once(ncpu: int, sf_dir: str) -> dict:
-    """One fresh-process crawl-only run (no best-of selection)."""
+def _run_once(ncpu: int, sf_dir: str, reps: int = 3) -> dict:
+    """One fresh-process crawl-only trial. The child repeats the timed
+    crawl ``reps`` times in its one session and reports the median —
+    short single runs swing ±30% on this shared VM, and the median is
+    computed symmetrically at both parallelism levels (no best-of
+    selection)."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-               GRAFT_CRAWL_ONLY="1")
+               GRAFT_CRAWL_ONLY="1", GRAFT_CRAWL_REPS=str(reps))
     proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                           env=env, capture_output=True, text=True, check=True,
                           cwd=os.path.dirname(os.path.abspath(__file__)))
