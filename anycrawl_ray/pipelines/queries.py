@@ -1121,6 +1121,93 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def corpus_build(sf_dir: str):
+    """END-TO-END training-corpus build — the composition row tying the
+    crawl engine to the LLM-data stages in ONE pipeline: (1) crawl the
+    synthetic site from a non-root seed through the real frontier /
+    fetch / parse engine (markdown format, ``include_tags=['p']`` so
+    extraction keeps only the article paragraphs — the reference's
+    include_tags semantics, HTMLTransformer.ts); (2) reassemble each
+    page's markdown spans and quality-gate on whitespace-token count
+    (>= 40); (3) pack survivors into 512-token training sequences with
+    the distributed prefix-sum packer (stages/text_analysis.py
+    ``pack_sequences``). Returns the packing manifest (bin, n_docs,
+    sum_tokens).
+
+    Oracle exactness: paragraph-only extraction is TOKEN-exact against
+    ``documents.text`` (the page body is the source text split into two
+    <p> halves — splitting at a space and markdown escaping both
+    preserve whitespace tokenization; pinned empirically 499/499 and by
+    the equality of this row's hash to the SQL replay), so the DuckDB
+    twin is a recursive-CTE reachability pass over the shared graph
+    rule + token arithmetic + the pack window formula. Span assembly is
+    Arrow kernels (flatten / parent-indices / binary_join) — no
+    per-row Python."""
+    import ray
+
+    from ..sources.synthetic_site import build_site_table, page_url
+    from ..stages.text_analysis import pack_sequences
+    from .crawl import CrawlJob, run_crawl
+
+    rd = _rd()
+    pages = build_site_table(f"{sf_dir}/documents.parquet")
+    job = CrawlJob(job_id="corpus", seed_urls=[page_url(1)], strategy="all",
+                   max_depth=20, limit=50_000, formats=["markdown"],
+                   include_tags=["p"])
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(),
+                    ray_wave_threshold=64)
+
+    def assemble(b: pa.Table) -> pa.Table:
+        spans = b.column("spans").combine_chunks()
+        flat = spans.flatten()
+        m = pc.equal(flat.field("kind"), "markdown")
+        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        texts_md = flat.field("text").filter(m)
+        counts = np.bincount(par[m.to_numpy(zero_copy_only=False)],
+                             minlength=b.num_rows)
+        joined = pc.binary_join(pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32()),
+            texts_md), " ")
+        idx = pc.cast(pc.list_element(
+            pc.split_pattern(b.column("url"), "/p/"), 1), pa.int64())
+        keep = pc.and_(
+            pc.equal(b.column("status"), "completed"),
+            pc.greater_equal(pc.cast(pc.count_substring_regex(
+                joined, r"\S+"), pa.int64()), pa.scalar(40, pa.int64())))
+        return pa.table({"doc_id": idx, "text": joined}).filter(keep)
+
+    kept = rd.from_arrow(res.documents).map_batches(
+        assemble, batch_format="pyarrow")
+    return pack_sequences(kept, budget=512)
+
+
+_CORPUS_BUILD_SQL = f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (
+{_EDGES_CTE_BODY}
+),
+reach(id, depth) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20
+),
+t AS (SELECT d.doc_id,
+        len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                        x -> x <> '')) AS n_tokens
+      FROM documents d
+      JOIN (SELECT DISTINCT id FROM reach) r ON d.doc_id = r.id),
+q AS (SELECT * FROM t WHERE n_tokens >= 40),
+c AS (SELECT doc_id, n_tokens,
+        SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before
+      FROM q)
+SELECT CAST(COALESCE(before, 0) // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 def docs_neardup_clusters(sf_dir: str):
     """Near-dup cluster canonicalization: MinHash-LSH verified pairs
     (Jaccard >= 0.5, same parameters as docs_minhash_pairs) -> connected
@@ -10471,6 +10558,7 @@ QUERIES = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_decontaminate": docs_decontaminate,
     "docs_pack_sequences": docs_pack_sequences,
+    "corpus_build": corpus_build,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_neardup_clusters": docs_neardup_clusters,
     "embeddings_neardup": embeddings_neardup,
@@ -10698,6 +10786,7 @@ ORACLE_SQL = {
     "docs_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,
     "docs_pack_sequences": _PACK_SEQUENCES_SQL,
+    "corpus_build": _CORPUS_BUILD_SQL,
     "docs_sample_stratified": _sample_stratified_sql(),
     "docs_neardup_clusters": _neardup_clusters_sql(),
     "crawl_reachable": _CRAWL_REACHABLE_SQL,

@@ -243,6 +243,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("docs_postings_size", Q.docs_postings_size)
     timed("docs_vocab", Q.docs_vocab)
     timed("top_users_by_value", Q.top_users_by_value)
+    timed("corpus_build", Q.corpus_build)
     timings["crawl_full_site"] = round(crawl_sec, 3)
 
     return {

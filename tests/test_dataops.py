@@ -3233,3 +3233,49 @@ def test_degree_assortativity_star_vs_path(ray_session):
     p2 = degree_assortativity(rd.from_arrow(path).repartition(3)) \
         .to_pandas().iloc[0]
     assert p1.tolist() == p2.tolist()
+
+
+def test_corpus_build_composition(ray_session):
+    """The end-to-end corpus row composes crawl -> paragraph extraction ->
+    token quality gate -> packing, and its invariants hold against an
+    independent driver-side replay of the same graph + token rules."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from anycrawl_ray.pipelines.queries import corpus_build
+    from anycrawl_ray.sources.synthetic_site import page_links
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_build(sf).to_pylist()
+    assert out, "non-empty manifest"
+    bins = [r["bin"] for r in out]
+    assert bins == list(range(len(bins))), "bins contiguous from 0"
+
+    # independent replay: BFS reachability from page 1 over the shared
+    # graph rule, token counts straight from documents.text, gate >= 40,
+    # cumulative // 512 binning
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    texts = {d["doc_id"]: d["text"] for d in docs}
+    n = len(docs)
+    reach, frontier = {1}, [1]
+    while frontier:
+        nxt = []
+        for i in frontier:
+            for j in page_links(i, n):
+                if j not in reach:
+                    reach.add(j)
+                    nxt.append(j)
+        frontier = nxt
+    before, expect = 0, {}
+    for i in sorted(reach):
+        t = len(texts[i].split())
+        if t < 40:
+            continue
+        b = before // 512
+        e = expect.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += t
+        before += t
+    assert out == [{"bin": b, "n_docs": v[0], "sum_tokens": v[1]}
+                   for b, v in sorted(expect.items())]

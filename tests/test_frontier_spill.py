@@ -548,3 +548,76 @@ def test_shard_pool_not_memoized_with_spill(ray_session, tmp_path):
                     spill_dir=str(tmp_path))
     assert fr._pool_key is None
     fr.dispose_spill_files()
+
+
+def test_seen_mirror_guard_crossing_matches_rpc_probe():
+    """Admission is identical whether the probe runs on the driver-exact
+    seen mirror or on the sharded RPC fallback: a frontier whose mirror
+    guard disables after the first insert batch must admit exactly what
+    the default (mirror-on) frontier admits, across multiple calls with
+    cross-call duplicates."""
+    import random
+
+    rng = random.Random(20260819)
+    f_mir = Frontier(num_shards=3, use_actors=False)
+    f_rpc = Frontier(num_shards=3, use_actors=False, seen_mirror_limit=1)
+    for f in (f_mir, f_rpc):
+        f.add_seeds("j", ["http://h0.test/"])
+    urls_pool = [f"http://h{i % 4}.test/p{i % 50}" for i in range(400)]
+    for call in range(5):
+        sample = rng.sample(urls_pool, 60)
+        groups = [(f"http://h0.test/parent{call}", sample[k:k + 15], 1)
+                  for k in range(0, 60, 15)]
+        a = f_mir.offer_groups("j", groups, limit=200)
+        b = f_rpc.offer_groups("j", groups, limit=200)
+        assert a == b, call
+    assert not f_rpc._mirror_ok and f_mir._mirror_ok
+    assert f_mir.next_wave("j").equals(f_rpc.next_wave("j"))
+    assert f_mir.admission_table("j").equals(f_rpc.admission_table("j"))
+
+
+def test_seen_mirror_disabled_after_restore(tmp_path):
+    """A restored frontier holds seen keys the (new) driver never
+    inserted — the mirror must disable itself and later offers must still
+    dedup against the restored shard state via the RPC probe."""
+    f1 = Frontier(num_shards=2, use_actors=False)
+    f1.add_seeds("j", ["http://h0.test/"])
+    f1.offer_groups("j", [("http://h0.test/", ["http://h0.test/a",
+                                               "http://h0.test/b"], 1)])
+    f1.checkpoint(str(tmp_path), epoch=0)
+    f2, manifest = Frontier.restore(str(tmp_path), use_actors=False)
+    assert manifest["epoch"] == 0
+    assert not f2._mirror_ok
+    # re-offering the same URLs must admit nothing (restored seen set)
+    admitted = f2.offer_groups("j", [("http://h0.test/",
+                                      ["http://h0.test/a",
+                                       "http://h0.test/b"], 1)])
+    assert admitted == 0
+    # a genuinely new URL still admits
+    assert f2.offer_groups("j", [("http://h0.test/",
+                                  ["http://h0.test/new"], 1)]) == 1
+
+
+def test_mark_done_accumulates_and_flushes_at_barriers():
+    """mark_done_batch accumulates driver-side (zero standalone RPCs on
+    the consume path) and every read barrier — stats, lineage — observes
+    the full counts."""
+    import numpy as np
+
+    f = Frontier(num_shards=4, use_actors=False)
+    f.add_seeds("j", ["http://h0.test/"])
+    hosts = np.array(["h0.test", "h1.test", "h0.test", "h2.test"],
+                     dtype=object)
+    f.mark_done_batch("j", hosts, [True, False, True, True],
+                      [100, 0, 50, 25])
+    # accumulated, not yet shipped
+    assert f._done_acc
+    st = f.stats("j")
+    assert not f._done_acc  # barrier flushed
+    assert st["done"] == 4 and st["succeeded"] == 3 and st["failed"] == 1
+    assert st["bytes_fetched"] == 175 and st["credits_used"] == 4
+    # a second batch rides the next fused offer round
+    f.mark_done_batch("j", hosts[:2], [True, True], [10, 10])
+    f.offer_groups("j", [("http://h0.test/", ["http://h0.test/x"], 1)])
+    lin = f.lineage_rows("j", epoch=0)
+    assert sum(lin.column("done").to_pylist()) == 6
