@@ -1157,28 +1157,108 @@ def corpus_build(sf_dir: str):
     res = run_crawl(job, pages, use_ray=ray.is_initialized(),
                     ray_wave_threshold=64)
 
-    def assemble(b: pa.Table) -> pa.Table:
-        spans = b.column("spans").combine_chunks()
-        flat = spans.flatten()
-        m = pc.equal(flat.field("kind"), "markdown")
-        par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
-        texts_md = flat.field("text").filter(m)
-        counts = np.bincount(par[m.to_numpy(zero_copy_only=False)],
-                             minlength=b.num_rows)
-        joined = pc.binary_join(pa.ListArray.from_arrays(
-            pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32()),
-            texts_md), " ")
-        idx = pc.cast(pc.list_element(
-            pc.split_pattern(b.column("url"), "/p/"), 1), pa.int64())
-        keep = pc.and_(
-            pc.equal(b.column("status"), "completed"),
-            pc.greater_equal(pc.cast(pc.count_substring_regex(
-                joined, r"\S+"), pa.int64()), pa.scalar(40, pa.int64())))
-        return pa.table({"doc_id": idx, "text": joined}).filter(keep)
-
     kept = rd.from_arrow(res.documents).map_batches(
-        assemble, batch_format="pyarrow")
+        _assemble_md_paragraphs, batch_format="pyarrow")
     return pack_sequences(kept, budget=512)
+
+
+def _assemble_md_paragraphs(b: pa.Table, min_tokens: int = 40) -> pa.Table:
+    """Crawl span documents -> (doc_id = page index, text = joined
+    markdown paragraphs) rows passing the whitespace-token quality gate.
+    Pure Arrow kernels: struct-list flatten + parent-index counts rebuild
+    the per-doc list, ``binary_join`` concatenates, and the token count is
+    one vectorized regex. Shared by the corpus composition rows."""
+    spans = b.column("spans").combine_chunks()
+    flat = spans.flatten()
+    m = pc.equal(flat.field("kind"), "markdown")
+    par = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    texts_md = flat.field("text").filter(m)
+    counts = np.bincount(par[m.to_numpy(zero_copy_only=False)],
+                         minlength=b.num_rows)
+    joined = pc.binary_join(pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int32()),
+        texts_md), " ")
+    idx = pc.cast(pc.list_element(
+        pc.split_pattern(b.column("url"), "/p/"), 1), pa.int64())
+    keep = pc.and_(
+        pc.equal(b.column("status"), "completed"),
+        pc.greater_equal(pc.cast(pc.count_substring_regex(
+            joined, r"\S+"), pa.int64()),
+            pa.scalar(min_tokens, pa.int64())))
+    return pa.table({"doc_id": idx, "text": joined}).filter(keep)
+
+
+def corpus_dedup_build(sf_dir: str):
+    """corpus_build with a REAL dedup stage: the site doubles its page
+    count by cycling texts (``build_site_table(total_pages=2n)`` — page
+    ``i`` carries ``documents.text[i %% n]``), so the crawl yields exact
+    duplicate pages; crawl -> paragraph extraction -> token gate ->
+    EXACT first-wins dedup (stages/dedup.exact_dedup: min page index per
+    identical text survives) -> 512-token packing. Gate and dedup
+    commute here (identical texts have identical token counts), so the
+    oracle replays: reachability over the DOUBLED graph (ids =
+    documents twice, shifted), survivor = min reachable id per DISTINCT
+    TEXT (not per id%%n class — the source corpus itself carries a few
+    naturally duplicated texts at sf0.1, and exact dedup merges those
+    too; caught by the oracle at sf0.1), token arithmetic, pack
+    window."""
+    import ray
+
+    from ..sources.synthetic_site import build_site_table, page_url
+    from ..stages.dedup import exact_dedup
+    from ..stages.text_analysis import pack_sequences
+    from .crawl import CrawlJob, run_crawl
+
+    rd = _rd()
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    pages = build_site_table(f"{sf_dir}/documents.parquet",
+                             total_pages=2 * n_docs)
+    job = CrawlJob(job_id="corpusd", seed_urls=[page_url(1)],
+                   strategy="all", max_depth=20, limit=50_000,
+                   formats=["markdown"], include_tags=["p"])
+    res = run_crawl(job, pages, use_ray=ray.is_initialized(),
+                    ray_wave_threshold=64)
+    kept = rd.from_arrow(res.documents).map_batches(
+        _assemble_md_paragraphs, batch_format="pyarrow")
+    survivors = exact_dedup(kept).drop_columns(["text_hash", "n_copies"])
+    return pack_sequences(survivors, budget=512)
+
+
+_CORPUS_DEDUP_SQL = """
+WITH RECURSIVE nn AS (SELECT 2 * COUNT(*) AS c, COUNT(*) AS nd
+                      FROM documents),
+ids AS (SELECT doc_id AS i FROM documents
+        UNION ALL SELECT d.doc_id + nn.nd FROM documents d, nn),
+edges AS (
+  SELECT i AS src, 2 * i + 1 AS dst FROM ids, nn WHERE 2 * i + 1 < nn.c
+  UNION ALL
+  SELECT i, 2 * i + 2 FROM ids, nn WHERE 2 * i + 2 < nn.c
+  UNION ALL
+  SELECT i, (7 * i + 3) % nn.c FROM ids, nn WHERE i % 3 = 0
+),
+reach(id, depth) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 20
+),
+surv AS (SELECT MIN(r.id) AS keep_id,
+                len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                x -> x <> '')) AS n_tokens
+         FROM (SELECT DISTINCT id FROM reach) r
+         CROSS JOIN nn
+         JOIN documents d ON d.doc_id = r.id % nn.nd
+         GROUP BY d.text),
+t AS (SELECT keep_id AS doc_id, n_tokens FROM surv),
+q AS (SELECT * FROM t WHERE n_tokens >= 40),
+c AS (SELECT doc_id, n_tokens,
+        SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before
+      FROM q)
+SELECT CAST(COALESCE(before, 0) // 512 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY 1
+"""
 
 
 _CORPUS_BUILD_SQL = f"""
@@ -10559,6 +10639,7 @@ QUERIES = {
     "docs_decontaminate": docs_decontaminate,
     "docs_pack_sequences": docs_pack_sequences,
     "corpus_build": corpus_build,
+    "corpus_dedup_build": corpus_dedup_build,
     "docs_sample_stratified": docs_sample_stratified,
     "docs_neardup_clusters": docs_neardup_clusters,
     "embeddings_neardup": embeddings_neardup,
@@ -10787,6 +10868,7 @@ ORACLE_SQL = {
     "docs_decontaminate": _DECONTAMINATE_SQL,
     "docs_pack_sequences": _PACK_SEQUENCES_SQL,
     "corpus_build": _CORPUS_BUILD_SQL,
+    "corpus_dedup_build": _CORPUS_DEDUP_SQL,
     "docs_sample_stratified": _sample_stratified_sql(),
     "docs_neardup_clusters": _neardup_clusters_sql(),
     "crawl_reachable": _CRAWL_REACHABLE_SQL,

@@ -3279,3 +3279,56 @@ def test_corpus_build_composition(ray_session):
         before += t
     assert out == [{"bin": b, "n_docs": v[0], "sum_tokens": v[1]}
                    for b, v in sorted(expect.items())]
+
+
+def test_corpus_dedup_build_merges_text_groups(ray_session):
+    """The dedup composition row: the doubled site carries exact duplicate
+    pages (text cycles), and exact first-wins dedup keeps min page index
+    per DISTINCT TEXT — including texts the source corpus itself
+    duplicates across doc_ids (the sf0.1 oracle catch). Independent
+    driver-side replay."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from anycrawl_ray.pipelines.queries import corpus_dedup_build
+    from anycrawl_ray.sources.synthetic_site import page_links
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_dedup_build(sf).to_pylist()
+    assert out
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    texts = {d["doc_id"]: d["text"] for d in docs}
+    n = len(docs)
+    c = 2 * n
+    dist = {1: 0}
+    dq = collections.deque([1])
+    while dq:
+        i = dq.popleft()
+        if dist[i] >= 20:
+            continue
+        for j in page_links(i, c):
+            if j not in dist:
+                dist[j] = dist[i] + 1
+                dq.append(j)
+    keep = {}
+    for i in sorted(dist):
+        t = texts[i % n]
+        if t not in keep:
+            keep[t] = i
+    before, expect = 0, {}
+    for i in sorted(keep.values()):
+        tcount = len(texts[i % n].split())
+        if tcount < 40:
+            continue
+        b = before // 512
+        e = expect.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += tcount
+        before += tcount
+    assert out == [{"bin": b, "n_docs": v[0], "sum_tokens": v[1]}
+                   for b, v in sorted(expect.items())]
+    # the doubled graph really crawled duplicates: survivors < reachable
+    assert len(keep) < len(dist)
