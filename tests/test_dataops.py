@@ -3332,3 +3332,39 @@ def test_corpus_dedup_build_merges_text_groups(ray_session):
                    for b, v in sorted(expect.items())]
     # the doubled graph really crawled duplicates: survivors < reachable
     assert len(keep) < len(dist)
+
+
+def test_corpus_build_resumes_to_identical_manifest(ray_session, tmp_path):
+    """The corpus composition survives a mid-crawl crash: crash after
+    epoch 2, resume from the checkpoint, feed the resumed crawl's
+    documents through the same extraction/gate/pack stages — the packing
+    manifest must equal the uninterrupted run's, byte for byte."""
+    import pytest
+    import ray.data as rd
+
+    from anycrawl_ray.pipelines.crawl import CrawlJob, run_crawl
+    from anycrawl_ray.pipelines.queries import _assemble_md_paragraphs
+    from anycrawl_ray.sources.synthetic_site import build_site_table, page_url
+    from anycrawl_ray.stages.text_analysis import pack_sequences
+
+    sf = "/root/testdata/sf0.001"
+    pages = build_site_table(f"{sf}/documents.parquet")
+
+    def mk():
+        return CrawlJob(job_id="cres", seed_urls=[page_url(1)],
+                        strategy="all", max_depth=20, limit=50_000,
+                        formats=["markdown"], include_tags=["p"])
+
+    def manifest(res):
+        kept = rd.from_arrow(res.documents).map_batches(
+            _assemble_md_paragraphs, batch_format="pyarrow")
+        return pack_sequences(kept, budget=512)
+
+    golden = manifest(run_crawl(mk(), pages, use_ray=False))
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_crawl(mk(), pages, use_ray=False, out_dir=out,
+                  checkpoint_dir=ckpt, crash_after_epoch=2)
+    resumed = run_crawl(mk(), pages, use_ray=False, out_dir=out,
+                        checkpoint_dir=ckpt, resume=True)
+    assert manifest(resumed).equals(golden)
