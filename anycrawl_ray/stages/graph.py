@@ -143,7 +143,8 @@ def _wedge_core_np(u: np.ndarray, rv: np.ndarray, vid: np.ndarray,
 
 def triangle_counts(edges_ds, n_nodes: int,
                     num_partitions: int | None = None,
-                    broadcast_limit: int = 2_000_000) -> pa.Table:
+                    broadcast_limit: int = 2_000_000,
+                    wedge_driver_limit: int = 1 << 21) -> pa.Table:
     """Per-node triangle counts over an undirected edge Dataset — the
     degree-oriented node-iterator (Schank & Wagner 2005 / Cohen's
     MapReduce formulation): orient every edge from its lower
@@ -246,6 +247,24 @@ def triangle_counts(edges_ds, n_nodes: int,
         total_w = int(cw[-1]) if cw.size else 0
         if total_w == 0:
             return empty_out
+        if total_w <= wedge_driver_limit:
+            # tiny wedge volume: closing is microseconds of numpy, and
+            # a second Dataset execution costs >1 s of fixed scheduler
+            # time — fold it here (same guard family as the dense path
+            # itself; the distributed generation below is the scale
+            # shape and is exercised by the guard-crossing test)
+            c, ctr = _wedge_core_np(u, rv, vid, n)
+            idx = np.minimum(np.searchsorted(ekeys, c), ekeys.size - 1)
+            hit = ekeys[idx] == c
+            c, ctr = c[hit], ctr[hit]
+            if c.size == 0:
+                return empty_out
+            tri = np.bincount(
+                np.concatenate([c // n, c % n, ctr]), minlength=n)
+            ids = np.flatnonzero(tri).astype(np.int64)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tri": pa.array(tri[ids].astype(np.int64), pa.int64())})
         n_tasks = max(1, min(64, int(
             ray.cluster_resources().get("CPU", 8)) * 2))
         targets = (np.arange(1, n_tasks) * total_w) // n_tasks

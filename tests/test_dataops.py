@@ -1360,6 +1360,10 @@ def test_triangle_counts_random_graph(ray_session):
     assert dict(zip(mid["doc_id"], mid["n_tri"])) == want
     dense80 = triangle_counts(ds, 80).to_pandas()
     assert dense80.values.tolist() == mid.values.tolist()
+    # distributed wedge generation inside the dense path (driver-fold
+    # guard forced off) must also match byte-for-byte
+    dist = triangle_counts(ds, n, wedge_driver_limit=0).to_pandas()
+    assert dist.values.tolist() == got.values.tolist()
 
 
 def test_triangle_counts_complete_and_star(ray_session):
