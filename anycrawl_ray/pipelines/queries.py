@@ -51,10 +51,29 @@ _EDGES_CTE_BODY = """  SELECT d.doc_id AS src, 2 * d.doc_id + 1 AS dst FROM docu
 
 
 
-def _rd():
-    import ray.data as rd
+class _SizedData:
+    """``ray.data`` proxy returned by :func:`_rd`: ``read_parquet``
+    gains the ``util.auto_blocks`` small-input block sizing (explicit
+    ``override_num_blocks`` from a caller always wins); everything else
+    delegates to the real module."""
 
-    return rd
+    def __getattr__(self, name):
+        import ray.data as rd
+
+        return getattr(rd, name)
+
+    @staticmethod
+    def read_parquet(paths, **kw):
+        from ..util import sized_read_parquet
+
+        return sized_read_parquet(paths, **kw)
+
+
+_SIZED_DATA = _SizedData()
+
+
+def _rd():
+    return _SIZED_DATA
 
 
 def _conc(want: int = 2) -> int:

@@ -249,7 +249,9 @@ class IVFIndex:
         # query then scores ONLY its own probed clusters (same semantics
         # as ivf_knn — re-assignment over the pruned subset is exact, so
         # no cross-query candidate bleed from the union of paths)
-        sub = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+        from ..util import sized_read_parquet
+
+        sub = sized_read_parquet(paths, columns=["vec_id", "embedding"])
         return _probed_topk(sub, self.centroids, qn, query_ids, probe, k)
 
 

@@ -1802,7 +1802,9 @@ class TextIndex:
         if not paths:
             return empty
         term_arr = pa.array(sorted(set(terms)), pa.string())
-        sub = rd.read_parquet(paths, columns=["term", id_col, "tf"])
+        from ..util import sized_read_parquet
+
+        sub = sized_read_parquet(paths, columns=["term", id_col, "tf"])
 
         def only_terms(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch.column("term"),

@@ -87,7 +87,9 @@ def read_dataset(paths: list[str]):
     pq_paths = [p for p in paths if not p.endswith(".lance")]
     parts = []
     if pq_paths:
-        parts.append(rd.read_parquet(pq_paths))
+        from ..util import sized_read_parquet
+
+        parts.append(sized_read_parquet(pq_paths))
     for lp in lance_paths:  # pragma: no cover - needs lance
         parts.append(rd.read_lance(lp))
     if not parts:

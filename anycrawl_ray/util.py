@@ -47,3 +47,54 @@ def join_parts(cap: int = 8) -> int:
     import ray
 
     return max(2, min(cap, int(ray.cluster_resources().get("CPU", 8))))
+
+
+def auto_blocks(paths) -> int | None:
+    """Size-aware read parallelism for SMALL inputs. Ray Data's default
+    splits every read into ~2x-CPU blocks regardless of size, so a 2 MB
+    table becomes 64 ~300-row blocks and per-task fixed cost dominates
+    the whole pipeline. Measured at sf0.1/32cpu (min of interleaved
+    trials, block-count sweep 4/8/16/32/64): events running-total
+    3.49 s @ 64 -> 1.21 s @ 8; decontaminate 2.33 s @ 64 -> 0.88 s @ 8;
+    q1 1.21 s @ 64 -> 0.50 s @ 8; even the per-row-CPU-heavy minhash
+    prefers 4-32 blocks over 64 (9.1 s @ 64 -> ~4 s). Rule: leave Ray's
+    sizing alone once the input can feed every core an 8 MiB block (the
+    100-TB regime); below that target ~1 MiB of file per block with a
+    floor of 8 blocks (so per-row-heavy stages keep parallelism), and
+    for near-empty inputs (< 256 KiB — dimension tables) 32 KiB per
+    block with no floor. Returns None for "don't override"."""
+    import os
+
+    import ray
+
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    total = 0
+    try:
+        for p in paths:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f))
+                                 for f in files)
+            else:
+                total += os.path.getsize(p)
+    except OSError:
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if total >= cpus * (8 << 20):
+        return None
+    if total < 256 << 10:
+        return max(1, min(8, -(-total // (32 << 10))))
+    return max(min(8, 2 * cpus), min(2 * cpus, -(-total // (1 << 20))))
+
+
+def sized_read_parquet(paths, **kw):
+    """``ray.data.read_parquet`` with :func:`auto_blocks` small-input
+    block sizing; an explicit ``override_num_blocks`` always wins."""
+    import ray.data as rd
+
+    if "override_num_blocks" not in kw:
+        nb = auto_blocks(paths)
+        if nb is not None:
+            kw["override_num_blocks"] = nb
+    return rd.read_parquet(paths, **kw)

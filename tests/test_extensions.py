@@ -1265,3 +1265,35 @@ def test_s3_storage_adapter():
                 _os.environ.pop(k, None)
             else:
                 _os.environ[k] = v
+
+
+def test_auto_blocks_sizing(ray_session, tmp_path):
+    """Small inputs get a size-proportional block count (floor 1, cap
+    2x CPUs); inputs past cpus*8MiB return None (Ray's own sizing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from anycrawl_ray.util import auto_blocks, sized_read_parquet
+
+    f = tmp_path / "t.parquet"
+    pqt.write_table(pa.table({"x": list(range(1000))}), f)
+    nb = auto_blocks(str(f))
+    assert nb is not None and 1 <= nb <= 2 * 32
+    sz = f.stat().st_size
+    assert sz < 256 << 10 and nb == max(1, min(8, -(-sz // (32 << 10))))
+    # list + directory forms count the same bytes
+    assert auto_blocks([str(f)]) == nb
+    assert auto_blocks(str(tmp_path)) == nb
+    # missing file -> don't override
+    assert auto_blocks(str(tmp_path / "nope.parquet")) is None
+    # the read applies it (1 block for a tiny file) and an explicit
+    # caller override always wins
+    assert sized_read_parquet(str(f)).materialize().num_blocks() == nb
+    assert sized_read_parquet(
+        str(f), override_num_blocks=3).materialize().num_blocks() == 3
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # big-input threshold: fake via a paths list long enough to cross it
+    many = [str(f)] * (cpus * (8 << 20) // sz + 1)
+    assert auto_blocks(many) is None
