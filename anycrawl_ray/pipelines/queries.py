@@ -1176,8 +1176,10 @@ def corpus_build(sf_dir: str):
     res = run_crawl(job, pages, use_ray=ray.is_initialized(),
                     ray_wave_threshold=64)
 
-    kept = rd.from_arrow(res.documents).map_batches(
-        _assemble_md_paragraphs, batch_format="pyarrow")
+    kept = rd.from_arrow(
+        res.documents,
+        override_num_blocks=max(8, min(64, res.documents.num_rows // 64)),
+    ).map_batches(_assemble_md_paragraphs, batch_format="pyarrow")
     return pack_sequences(kept, budget=512)
 
 
@@ -1237,8 +1239,10 @@ def corpus_dedup_build(sf_dir: str):
                    formats=["markdown"], include_tags=["p"])
     res = run_crawl(job, pages, use_ray=ray.is_initialized(),
                     ray_wave_threshold=64)
-    kept = rd.from_arrow(res.documents).map_batches(
-        _assemble_md_paragraphs, batch_format="pyarrow")
+    kept = rd.from_arrow(
+        res.documents,
+        override_num_blocks=max(8, min(64, res.documents.num_rows // 64)),
+    ).map_batches(_assemble_md_paragraphs, batch_format="pyarrow")
     survivors = exact_dedup(kept).drop_columns(["text_hash", "n_copies"])
     return pack_sequences(survivors, budget=512)
 
@@ -1994,9 +1998,11 @@ def training_pipeline(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "text": pa.array(texts, pa.string())})
 
-    ds = rd.from_arrow(res.documents).map_batches(
-        spans_to_text, batch_format="pyarrow"
-    ).map_batches(text_stats_batch, batch_format="pyarrow")
+    ds = rd.from_arrow(
+        res.documents,
+        override_num_blocks=max(8, min(64, res.documents.num_rows // 64)),
+    ).map_batches(spans_to_text, batch_format="pyarrow").map_batches(
+        text_stats_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: b.filter(pc.greater(b.column("quality"), 0.3)),
         batch_format="pyarrow",

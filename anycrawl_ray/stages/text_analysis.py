@@ -349,8 +349,8 @@ def analyze_documents(ds, include_lang: bool = True):
 
 
 def pack_sequences(ds, budget: int = 512, bucket_size: int = 256,
-                   id_col: str = "doc_id", text_col: str = "text"
-                   ) -> "pa.Table":
+                   id_col: str = "doc_id", text_col: str = "text",
+                   driver_limit: int = 1 << 22) -> "pa.Table":
     """Greedy sequence packing for pre-training batches: walking docs in
     id order, doc d goes to bin ``floor(tokens_before_d / budget)`` —
     i.e. a new bin opens whenever the running token total crosses the
@@ -378,9 +378,8 @@ def pack_sequences(ds, budget: int = 512, bucket_size: int = 256,
 
     def tokens(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        n_tok = np.fromiter(
-            (len(t.split()) for t in batch.column(text_col).to_pylist()),
-            count=len(ids), dtype=np.int64)
+        parent, _flat = _ws_explode(batch.column(text_col))
+        n_tok = np.bincount(parent, minlength=len(ids)).astype(np.int64)
         return pa.table({
             "doc_id": pa.array(ids.astype(np.int64)),
             "n_tokens": pa.array(n_tok),
@@ -388,6 +387,25 @@ def pack_sequences(ds, budget: int = 512, bucket_size: int = 256,
         })
 
     tok = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+
+    if tok.count() <= driver_limit:
+        # per-doc rows are 3 int64 columns — under the guard (32 MB at
+        # the default) the manifest folds on the driver in numpy; the
+        # distributed prefix-sum below (pinned equal by the
+        # driver_limit=0 test) is the >4M-doc shape
+        df = tok.to_pandas()
+        order = np.argsort(df["doc_id"].to_numpy(), kind="stable")
+        n = df["n_tokens"].to_numpy()[order]
+        before = np.concatenate(([0], np.cumsum(n)[:-1]))
+        bins = before // budget
+        uniq, n_docs = np.unique(bins, return_counts=True)
+        sums = np.bincount(
+            np.searchsorted(uniq, bins), weights=n).astype(np.int64)
+        return pa.table({
+            "bin": pa.array(uniq.astype(np.int64)),
+            "n_docs": pa.array(n_docs.astype(np.int64)),
+            "sum_tokens": pa.array(sums),
+        })
 
     bucket_sums = tok.groupby("bucket").aggregate(
         Sum("n_tokens", alias_name="total")).to_pandas()

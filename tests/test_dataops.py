@@ -463,6 +463,18 @@ def test_pack_sequences_prefix_sum(ray_session):
     expect = [{"bin": b, "n_docs": v[0], "sum_tokens": v[1]}
               for b, v in sorted(bins.items())]
     assert rows == expect
+    # distributed prefix-sum path (driver-fold guard forced off) is
+    # pinned equal to the driver fold; unicode whitespace + empty docs
+    # keep the Arrow tokenizer on split() parity
+    texts2 = ["a　b  c ", "", "  ", "x y", "one"] * 4
+    ds2 = rd.from_arrow(pa.table({"doc_id": list(range(20)),
+                                  "text": texts2})).repartition(3)
+    fold = pack_sequences(ds2, budget=5, bucket_size=4).to_pylist()
+    dist = pack_sequences(ds2, budget=5, bucket_size=4,
+                          driver_limit=0).to_pylist()
+    assert fold == dist
+    serial_counts = [len(t.split()) for t in texts2]
+    assert sum(r["sum_tokens"] for r in fold) == sum(serial_counts)
 
 
 def test_neardup_components_vs_union_find(ray_session):
