@@ -221,7 +221,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         docs = _pq.read_table(f"{sf}/documents.parquet",
                               columns=["doc_id", "text"]).slice(0, 1000)
-        ngram_jaccard_pairs(_rd.from_arrow(docs))
+        # from_arrow yields ONE block — split so the gram explode
+        # parallelizes (same rule as the crawl-output feeds)
+        ngram_jaccard_pairs(_rd.from_arrow(docs, override_num_blocks=16))
 
     timed("docs_ngram_jaccard_1k", _ngram_1k)
     timed("media_features", Q.media_features)
