@@ -1178,7 +1178,7 @@ def corpus_build(sf_dir: str):
 
     kept = rd.from_arrow(
         res.documents,
-        override_num_blocks=max(8, min(64, res.documents.num_rows // 64)),
+        override_num_blocks=max(8, min(64, res.documents.num_rows // 256)),
     ).map_batches(_assemble_md_paragraphs, batch_format="pyarrow")
     return pack_sequences(kept, budget=512)
 
@@ -1241,7 +1241,7 @@ def corpus_dedup_build(sf_dir: str):
                     ray_wave_threshold=64)
     kept = rd.from_arrow(
         res.documents,
-        override_num_blocks=max(8, min(64, res.documents.num_rows // 64)),
+        override_num_blocks=max(8, min(64, res.documents.num_rows // 256)),
     ).map_batches(_assemble_md_paragraphs, batch_format="pyarrow")
     survivors = exact_dedup(kept).drop_columns(["text_hash", "n_copies"])
     return pack_sequences(survivors, budget=512)
@@ -2000,7 +2000,7 @@ def training_pipeline(sf_dir: str):
 
     ds = rd.from_arrow(
         res.documents,
-        override_num_blocks=max(8, min(64, res.documents.num_rows // 64)),
+        override_num_blocks=max(8, min(64, res.documents.num_rows // 256)),
     ).map_batches(spans_to_text, batch_format="pyarrow").map_batches(
         text_stats_batch, batch_format="pyarrow")
     ds = ds.map_batches(
