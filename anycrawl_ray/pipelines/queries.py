@@ -9424,7 +9424,7 @@ _TEXTRANK_ITERS = 10
 
 def _textrank_sql(iters: int = _TEXTRANK_ITERS,
                   scale: int = _PAGERANK_SCALE) -> str:
-    parts = [f"""
+    parts = [rf"""
 WITH tl AS (
   SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
   FROM documents),

@@ -290,7 +290,8 @@ def _bit_length_np(v: np.ndarray) -> np.ndarray:
 
 def hdr_quantiles(ds, key: str, value_col: str, sub_bits: int = 3,
                   ps_ppm: tuple = (500_000, 950_000, 990_000),
-                  scale: int = 100) -> pa.Table:
+                  scale: int = 100,
+                  driver_limit: int = 1 << 22) -> pa.Table:
     """HDR-histogram quantile sketch (Tene's HdrHistogram bucketing) per
     ``key`` over strictly-positive ``value_col``: cents quantize via the
     house round_even convention, then each value collapses to its
@@ -310,8 +311,12 @@ def hdr_quantiles(ds, key: str, value_col: str, sub_bits: int = 3,
     Scale shape: one map pass emits per-block (key, bucket_lo, cnt)
     partials — value-range-bounded, NOT row-count-bounded — plus exact
     (key, cents, cnt) partials (cents cardinality is range-bounded
-    too); one slim groupby-Sum each; the driver reads off quantiles
-    from the two tiny histograms. No sort, no all-to-all of raw rows.
+    too). The partials are materialized (tiny — the histogram, never
+    the rows); under ``driver_limit`` total partial rows the driver
+    folds them with one pyarrow group_by (no all-to-all at all),
+    above it one slim distributed groupby-Sum folds them first. The
+    driver reads off quantiles from the two tiny histograms either
+    way. No sort, no all-to-all of raw rows.
     """
     from ray.data.aggregate import Sum
 
@@ -353,10 +358,25 @@ def hdr_quantiles(ds, key: str, value_col: str, sub_bits: int = 3,
             out[(kv, "n")] = n
         return out
 
-    hist = (ds.map_batches(bucketize, batch_format="pyarrow")
-            .groupby([key, "ex", "lo"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-            .to_pandas())
+    parts = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
+    if parts.count() <= driver_limit:
+        raw = pa.concat_tables(
+            [pa.Table.from_pandas(b) if not isinstance(b, pa.Table) else b
+             for b in parts.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")]) \
+            if parts.count() else pa.table(
+                {key: pa.array([], pa.string()),
+                 "ex": pa.array([], pa.int64()),
+                 "lo": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())})
+        hist = (raw.group_by([key, "ex", "lo"])
+                .aggregate([("cnt", "sum")])
+                .rename_columns([key, "ex", "lo", "cnt"])
+                .to_pandas())
+    else:
+        hist = (parts.groupby([key, "ex", "lo"])
+                .aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas())
     sketch = hist[hist["ex"] == 0]
     exact = hist[hist["ex"] == 1]
     cols = {key: [], "p_ppm": [], "n": [], "est_cents": [],

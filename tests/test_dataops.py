@@ -3079,6 +3079,13 @@ def test_hdr_quantiles_error_bound_and_partition_invariance(ray_session):
                          value_col="value", sub_bits=3).to_pandas()
     assert (outs["err_ppm"] == 0).all()
 
+    # guard crossing: driver_limit=0 forces the distributed groupby-Sum
+    # fold; it must equal the default driver-side pyarrow fold exactly
+    out3 = hdr_quantiles(rd.from_arrow(t).repartition(5), key="k",
+                         value_col="value", sub_bits=3,
+                         driver_limit=0).to_pandas()
+    assert out.equals(out3)
+
 
 def test_textrank_hub_ranks_first_and_partition_invariance(ray_session):
     """TextRank sanity on a hand-built corpus: a token adjacent to every
