@@ -312,29 +312,98 @@ def _empty_pairs_ds():
                                    "b": pa.array([], pa.int64())}))
 
 
-def _pairs_from_buckets(ds_bands, max_bucket: int = 200):
+def _bucket_pairs_np(bucket: np.ndarray, doc: np.ndarray,
+                     max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized within-bucket all-pairs: dedup (bucket, doc) rows, drop
+    segments outside [2, max_bucket] distinct docs, then the
+    ``_segment_all_pairs`` index kernel emits (a < b) doc-id pairs — no
+    per-bucket Python. Rows of one bucket must all be present (the caller
+    co-locates them)."""
+    from .text_analysis import _segment_all_pairs
+
+    if bucket.size == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    order = np.lexsort((doc, bucket))
+    b, d = bucket[order], doc[order]
+    # the _collision_rows contract first: bucket ROW count in
+    # [2, max_bucket] (idempotent when the caller pre-filtered)
+    boundary = np.concatenate(([True], b[1:] != b[:-1]))
+    starts = np.flatnonzero(boundary)
+    rows = np.diff(np.append(starts, b.size))
+    seg_id = np.cumsum(boundary) - 1
+    m = ((rows >= 2) & (rows <= max_bucket))[seg_id]
+    b, d = b[m], d[m]
+    if b.size == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    keep = np.concatenate(([True], (b[1:] != b[:-1]) | (d[1:] != d[:-1])))
+    b, d = b[keep], d[keep]
+    boundary = np.concatenate(([True], b[1:] != b[:-1]))
+    starts = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(starts, b.size))
+    seg_id = np.cumsum(boundary) - 1
+    # distinct-doc gate — oversized segment = degenerate band (e.g.
+    # all-empty docs); skip (matches the old per-bucket unique() gate)
+    m = ((sizes >= 2) & (sizes <= max_bucket))[seg_id]
+    b, d = b[m], d[m]
+    a_idx, b_idx = _segment_all_pairs(b)
+    return d[a_idx], d[b_idx]
+
+
+def _pairs_from_buckets(ds_bands, max_bucket: int = 200,
+                        driver_limit: int = 1 << 21,
+                        n_buckets: int | None = None):
     """band rows -> candidate (a, b) pairs (a < b), possibly duplicated
-    across buckets. Collision pre-filter first; ``map_groups`` only ever
-    sees buckets that actually collide."""
+    across buckets. Under ``driver_limit`` TOTAL band rows the whole
+    (bucket, doc_id) table folds on the driver — row-count gate, dedup
+    and pair emission are one vectorized index kernel, zero shuffles.
+    Above it, the collision Count pre-filter keeps only colliding rows
+    (O(candidates), << corpus x bands), one fat-bucket shuffle
+    co-locates each true bucket, and the same kernel runs per fat group
+    (n_buckets groups, each fully vectorized — never per-true-bucket
+    pandas)."""
     import pandas as pd
+    import ray.data as rd
 
     bands_m = ds_bands.materialize()
+    if bands_m.count() <= driver_limit:
+        tbl = pa.concat_tables(
+            list(bands_m.select_columns(["bucket", "doc_id"])
+                 .iter_batches(batch_size=None, batch_format="pyarrow")))
+        a, b = _bucket_pairs_np(
+            tbl.column("bucket").to_numpy(zero_copy_only=False),
+            tbl.column("doc_id").to_numpy(zero_copy_only=False),
+            max_bucket)
+        if a.size == 0:
+            return _empty_pairs_ds()
+        return rd.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
+                                       "b": pa.array(b, pa.int64())}))
+
     hot_rows = _collision_rows(bands_m, max_bucket)
     if hot_rows is None:
         return _empty_pairs_ds()
+    hot_m = hot_rows.materialize()
+
+    from .window import _default_buckets
+
+    nb = n_buckets or _default_buckets()
+
+    def to_fat(batch: pa.Table) -> pa.Table:
+        fat = (_mix64_np(batch.column("bucket")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.int64).view(np.uint64))
+               % np.uint64(nb)).astype(np.int64)
+        return batch.append_column("fat", pa.array(fat))
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            # oversized bucket = degenerate band (e.g. all-empty docs); skip
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame(pairs, columns=["a", "b"])
+        a, b = _bucket_pairs_np(group["bucket"].to_numpy(np.int64),
+                                group["doc_id"].to_numpy(np.int64),
+                                max_bucket)
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64")})
 
-    return hot_rows.groupby("bucket").map_groups(
-        emit_pairs, batch_format="pandas"
-    )
+    return (hot_m.map_batches(to_fat, batch_format="pyarrow")
+            .groupby("fat").map_groups(emit_pairs, batch_format="pandas")
+            .select_columns(["a", "b"]))
 
 
 def _dedup_pairs(cand_ds, agg=None):

@@ -95,6 +95,52 @@ def test_minhash_lsh_finds_planted_near_dups(ray_session):
     assert jac[(100, 101)] == pytest.approx(jaccard(BASE, BASE + " tail"))
 
 
+def test_pairs_from_buckets_guard_crossing(ray_session):
+    """The driver-fold pair kernel, the fat-bucket distributed path
+    (driver_limit=0) and a brute per-bucket Python reference must agree
+    exactly — including the row-count [2, max_bucket] gate (applied to
+    RAW rows, before the distinct-doc dedup) and the distinct-doc gate."""
+    import ray.data as rd
+
+    from anycrawl_ray.stages.dedup import _pairs_from_buckets
+
+    rng = np.random.default_rng(3)
+    buckets = rng.integers(0, 40, 500).astype(np.int64)
+    docs = rng.integers(0, 60, 500).astype(np.int64)
+    # plant an oversized bucket (row count > max_bucket) and a singleton
+    buckets = np.concatenate([buckets, np.full(30, 777), [888]])
+    docs = np.concatenate([docs, rng.integers(0, 60, 30), [5]])
+    t = pa.table({"bucket": pa.array(buckets), "doc_id": pa.array(docs),
+                  "band_id": pa.array(np.zeros(buckets.size, np.int32))})
+    max_bucket = 25
+
+    def brute():
+        out = set()
+        import collections
+        by = collections.defaultdict(list)
+        for bk, d in zip(buckets.tolist(), docs.tolist()):
+            by[bk].append(d)
+        for bk, ds_ in by.items():
+            if not (2 <= len(ds_) <= max_bucket):
+                continue
+            ids = sorted(set(ds_))
+            if len(ids) < 2 or len(ids) > max_bucket:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.add((ids[i], ids[j]))
+        return out
+
+    def run(**kw):
+        got = _pairs_from_buckets(rd.from_arrow(t).repartition(7),
+                                  max_bucket=max_bucket, **kw).to_pandas()
+        return set(zip(got["a"], got["b"]))
+
+    want = brute()
+    assert run() == want                     # driver fold
+    assert run(driver_limit=0) == want       # fat-bucket distributed path
+
+
 def test_simhash_blocking_finds_hamming_neighbors(ray_session):
     s1 = simhash64(BASE)
     s2 = simhash64(BASE + " tail")
