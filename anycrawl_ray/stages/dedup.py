@@ -375,8 +375,16 @@ def _pairs_from_buckets(ds_bands, max_bucket: int = 200,
             max_bucket)
         if a.size == 0:
             return _empty_pairs_ds()
+        # split the pair feed so downstream per-pair verification
+        # parallelizes (a single from_arrow block would serialize it —
+        # degenerate few-bit bands can emit 10^6+ candidates)
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        nb = max(1, min(2 * cpus, -(-a.size // 8192)))
         return rd.from_arrow(pa.table({"a": pa.array(a, pa.int64()),
-                                       "b": pa.array(b, pa.int64())}))
+                                       "b": pa.array(b, pa.int64())}),
+                             override_num_blocks=nb)
 
     hot_rows = _collision_rows(bands_m, max_bucket)
     if hot_rows is None:
@@ -473,7 +481,8 @@ def _cached_payload_lookup(ref_keys, block_refs, id_col, payload_col):
 def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
                     verify_fn, score_col: str, threshold: float,
                     score_type=pa.float64(), payload_encoder=None,
-                    broadcast_limit: int = 100_000):
+                    broadcast_limit: int = 100_000,
+                    verify_batch_fn=None):
     """Verify candidate (a, b) pairs against per-id payloads, worker-side.
 
     1. dedup pairs (vectorized groupby-aggregate), materialize (small);
@@ -487,7 +496,10 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
          the pairs — no shuffle;
        - above the limit: two hash-``join``s (the all-scale path);
     5. per-pair ``verify_fn(payload_a, payload_b)`` in the same stage,
-       keep score >= threshold.
+       keep score >= threshold. An optional ``verify_batch_fn(payloads_a,
+       payloads_b) -> scores ndarray`` replaces the per-pair loop with
+       one vectorized kernel per batch (the embedding-cosine path —
+       degenerate few-bit bands can emit 10^6+ candidates).
 
     Returns the (small) verified pa.Table sorted by (a, b).
     """
@@ -504,20 +516,31 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
     cand = cand_ds.materialize()
     if cand.count() == 0:
         return empty
-    # distinct candidate ids as a DATASET (groupby-distinct over the
-    # pairs-sized data — Dataset.unique's set-aggregate chokes on many
-    # tiny blocks); only its COUNT reaches the driver, so the path choice
-    # never materializes an O(pairs) Python set
-    from ray.data.aggregate import Count
+    # distinct candidate ids: when 2 x pairs already fits the broadcast
+    # guard, the pair table is driver-held anyway — one pc.unique, no
+    # shuffle. Otherwise a groupby-distinct DATASET over the pairs-sized
+    # data (Dataset.unique's set-aggregate chokes on many tiny blocks);
+    # only its COUNT reaches the driver, so the path choice never
+    # materializes an O(pairs) Python set above the guard.
+    ids_ds, need_list = None, None
+    if 2 * cand.count() <= broadcast_limit:
+        tbl = pa.concat_tables(
+            list(cand.iter_batches(batch_size=None,
+                                   batch_format="pyarrow")))
+        need_list = sorted(pc.unique(pa.chunked_array(
+            [tbl.column("a"), tbl.column("b")])).to_pylist())
+        n_need = len(need_list)
+    else:
+        from ray.data.aggregate import Count
 
-    def ids_of(batch: pa.Table) -> pa.Table:
-        return pa.concat_tables([pa.table({id_col: batch.column("a")}),
-                                 pa.table({id_col: batch.column("b")})])
+        def ids_of(batch: pa.Table) -> pa.Table:
+            return pa.concat_tables([pa.table({id_col: batch.column("a")}),
+                                     pa.table({id_col: batch.column("b")})])
 
-    ids_ds = (cand.map_batches(ids_of, batch_format="pyarrow")
-              .groupby(id_col).aggregate(Count(alias_name="_n"))
-              .select_columns([id_col]).materialize())
-    n_need = ids_ds.count()
+        ids_ds = (cand.map_batches(ids_of, batch_format="pyarrow")
+                  .groupby(id_col).aggregate(Count(alias_name="_n"))
+                  .select_columns([id_col]).materialize())
+        n_need = ids_ds.count()
 
     def encode_payloads(batch: pa.Table) -> pa.Table:
         kept = batch.select([id_col, payload_col])
@@ -530,11 +553,19 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
             kept = kept.set_column(1, payload_col, enc)
         return kept
 
-    def emit_verified(batch: pa.Table, lookup) -> pa.Table:
+    def _emit(ids_a, ids_b, pay_a, pay_b) -> pa.Table:
+        if verify_batch_fn is not None and ids_a:
+            scores = np.asarray(verify_batch_fn(pay_a, pay_b))
+            keep = scores >= threshold
+            ia = np.asarray(ids_a, np.int64)[keep]
+            ib = np.asarray(ids_b, np.int64)[keep]
+            return pa.table({"a": pa.array(ia, pa.int64()),
+                             "b": pa.array(ib, pa.int64()),
+                             score_col: pa.array(scores[keep])
+                             .cast(score_type)})
         out_a, out_b, out_s = [], [], []
-        for a, b in zip(batch.column("a").to_pylist(),
-                        batch.column("b").to_pylist()):
-            s = verify_fn(lookup(a), lookup(b))
+        for a, b, qa, qb in zip(ids_a, ids_b, pay_a, pay_b):
+            s = verify_fn(qa, qb)
             if s >= threshold:
                 out_a.append(int(a))
                 out_b.append(int(b))
@@ -543,16 +574,25 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
                          "b": pa.array(out_b, pa.int64()),
                          score_col: pa.array(out_s, score_type)})
 
+    def emit_verified(batch: pa.Table, lookup) -> pa.Table:
+        ids_a = batch.column("a").to_pylist()
+        ids_b = batch.column("b").to_pylist()
+        return _emit(ids_a, ids_b,
+                     [lookup(a) for a in ids_a],
+                     [lookup(b) for b in ids_b])
+
     if n_need <= broadcast_limit:
         # broadcast path: pull the (guard-bounded) id list driver-side,
         # is_in-filter the corpus MAP-SIDE (no corpus shuffle); payload
         # blocks stay in the object store and each worker assembles the
         # id->payload dict once (cached on the ref key)
-        need: list = []
-        for b in ids_ds.iter_batches(batch_size=65536,
-                                     batch_format="pyarrow"):
-            need.extend(b.column(id_col).to_pylist())
-        need_ref = ray.put(pa.array(sorted(need)))
+        if need_list is None:
+            need_list = []
+            for b in ids_ds.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow"):
+                need_list.extend(b.column(id_col).to_pylist())
+            need_list = sorted(need_list)
+        need_ref = ray.put(pa.array(need_list))
 
         def semi_join_filter(batch: pa.Table) -> pa.Table:
             mask = pc.is_in(batch.column(id_col),
@@ -594,19 +634,10 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
             side_b, "inner", n_parts, on=("b",))
 
         def verify_joined(batch: pa.Table) -> pa.Table:
-            pay_a = batch.column("payload_a").to_pylist()
-            pay_b = batch.column("payload_b").to_pylist()
-            out_a, out_b, out_s = [], [], []
-            for i, (a, b) in enumerate(zip(batch.column("a").to_pylist(),
-                                           batch.column("b").to_pylist())):
-                s = verify_fn(pay_a[i], pay_b[i])
-                if s >= threshold:
-                    out_a.append(int(a))
-                    out_b.append(int(b))
-                    out_s.append(s)
-            return pa.table({"a": pa.array(out_a, pa.int64()),
-                             "b": pa.array(out_b, pa.int64()),
-                             score_col: pa.array(out_s, score_type)})
+            return _emit(batch.column("a").to_pylist(),
+                         batch.column("b").to_pylist(),
+                         batch.column("payload_a").to_pylist(),
+                         batch.column("payload_b").to_pylist())
 
         verified = joined.map_batches(verify_joined, batch_format="pyarrow")
 
@@ -929,10 +960,22 @@ def embedding_neardup_pairs(ds_embeddings, threshold: float = 0.95,
         denom = np.linalg.norm(va) * np.linalg.norm(vb)
         return float(va @ vb / denom) if denom else 0.0
 
+    def cosine_batch(pay_a: list, pay_b: list) -> np.ndarray:
+        """Row-wise cosine over the whole candidate batch in one numpy
+        pass (frombuffer on the joined byte payloads — zero per-pair
+        Python). Summation-order drift vs the scalar path is ~1e-16,
+        far inside every consumer's threshold margin (>= 3.5e-5)."""
+        va = np.frombuffer(b"".join(pay_a), np.float64).reshape(len(pay_a), -1)
+        vb = np.frombuffer(b"".join(pay_b), np.float64).reshape(len(pay_b), -1)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        num = np.einsum("ij,ij->i", va, vb)
+        return np.where(den > 0, num / np.where(den == 0, 1.0, den), 0.0)
+
     return _verified_pairs(
         ds_embeddings, cand, id_col="vec_id", payload_col="embedding",
         verify_fn=cosine, score_col="cosine", threshold=threshold,
-        payload_encoder=encode_vec, broadcast_limit=broadcast_limit)
+        payload_encoder=encode_vec, broadcast_limit=broadcast_limit,
+        verify_batch_fn=cosine_batch)
 
 
 def embedding_brute_pairs(ds_embeddings, threshold: float = 0.4):
