@@ -172,6 +172,33 @@ def test_embedding_neardup_planted(ray_session):
     assert (4, 10) in pairs
 
 
+def test_embedding_verify_batch_matches_scalar(ray_session):
+    """The vectorized cosine verify (verify_batch_fn) and the scalar
+    per-pair path must admit the SAME pair set (scores agree to float
+    drift far inside every consumer's threshold margin) across both the
+    broadcast and join attach plans."""
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((60, 16))
+    for j in range(0, 20, 2):  # plant near-dups so the set is non-trivial
+        mat[j + 1] = mat[j] + 0.05 * rng.standard_normal(16)
+    outs = []
+    for bl in (100_000, 0):  # broadcast plan, then forced join plan
+        out = embedding_neardup_pairs(_emb_ds(mat), threshold=0.9,
+                                      broadcast_limit=bl)
+        outs.append(set(zip(out.column("a").to_pylist(),
+                            out.column("b").to_pylist())))
+    assert outs[0] == outs[1]
+    # scalar ground truth
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    want = {(a, b) for a in range(60) for b in range(a + 1, 60)
+            if sims[a, b] >= 0.9}
+    # LSH may miss pairs (recall < 1) but never invent them; planted
+    # near-identical pairs must all surface
+    assert outs[0] <= want
+    assert {(j, j + 1) for j in range(0, 20, 2)} <= outs[0]
+
+
 def test_knn_brute_matches_numpy(ray_session):
     rng = np.random.default_rng(1)
     mat = rng.standard_normal((200, 16))
