@@ -307,14 +307,17 @@ GROUP BY n.n_name
 """
 
 
-def q3_shipping_priority(sf_dir: str):
+def q3_shipping_priority(sf_dir: str, driver_limit: int = 1 << 22):
     """TPC-H Q3 shape: segment gate (broadcast dense custkey mask) +
     date-filtered orders ⋈ date-filtered lineitem — the big-big join
-    class with ONE all-to-all for the whole query: lineitem revenue is
-    pre-aggregated map-side per l_orderkey, the PARTIALS feed the
-    distributed hash join (whose partitioning co-locates every row of a
-    key), and the final per-key sum + top-k happen per joined block.
-    Verified Ray 2.49 invariant this relies on (probed incl. forced-tiny
+    class. Under ``driver_limit`` lineitem rows both map-side outputs
+    (revenue partials per orderkey; the date+segment-filtered slim
+    orders) are guard-bounded small, so the driver folds them with one
+    pyarrow group_by + join — zero shuffles. Above the guard, ONE
+    all-to-all for the whole query: the PARTIALS feed the distributed
+    hash join (whose partitioning co-locates every row of a key), and
+    the final per-key sum + top-k happen per joined block. Verified Ray
+    2.49 invariant the join path relies on (probed incl. forced-tiny
     target_max_block_size): the hash-shuffle join emits each partition
     as one block, so no key spans blocks — and any regression would land
     as an oracle value mismatch, not silent skew. Top-10 = per-block
@@ -387,6 +390,30 @@ def q3_shipping_priority(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"],
     ).map_batches(lineitem_partial, batch_format="pyarrow")
+
+    if pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
+        parts = pa.concat_tables(list(
+            rev.iter_batches(batch_size=None, batch_format="pyarrow")))
+        tot = (parts.group_by("l_orderkey").aggregate([("rev", "sum")])
+               .rename_columns(["l_orderkey", "rev"]))
+        ords = pa.concat_tables(list(
+            orders_f.iter_batches(batch_size=None,
+                                  batch_format="pyarrow")))
+        df = tot.join(ords, keys=["l_orderkey"],
+                      join_type="inner").to_pandas()
+        if len(df) == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.int64()),
+                             "order_epoch": pa.array([], pa.int64()),
+                             "o_orderpriority": pa.array([], pa.string())})
+        df["revenue"] = (df["rev"] * 10_000).round().astype("int64")
+        final = df.sort_values(["revenue", "order_epoch", "l_orderkey"],
+                               ascending=[False, True, True]).head(10)
+        return pa.Table.from_pandas(
+            final[["l_orderkey", "revenue", "order_epoch",
+                   "o_orderpriority"]].reset_index(drop=True),
+            preserve_index=False)
 
     # each partition = one hash-shuffle aggregator ACTOR (a fresh worker
     # process): cap low — spawn cost dominates at bench scale, and at
@@ -3009,7 +3036,7 @@ FROM r ORDER BY doc_id
 """
 
 
-def q5_local_supplier(sf_dir: str):
+def q5_local_supplier(sf_dir: str, driver_limit: int = 1 << 22):
     """TPC-H Q5 shape (local supplier volume): revenue by nation for
     ASIA-region nations where the supplying supplier and the ordering
     customer share the nation, orders in [1995, 1997).
@@ -3018,7 +3045,10 @@ def q5_local_supplier(sf_dir: str):
     suppkey→nation and custkey→nation as int8 arrays (-1 = out of
     region), the q3 customer-mask precedent; orders prune to (orderkey,
     c_nat) map-side; lineitem prunes to in-region suppliers and
-    pre-aggregates exact fixed-point revenue per (orderkey, s_nat); ONE
+    pre-aggregates exact fixed-point revenue per (orderkey, s_nat).
+    Under ``driver_limit`` lineitem rows both guard-bounded map outputs
+    fold on the driver (one pyarrow join + group_by, zero shuffles —
+    integer arithmetic, so the fold order is immaterial); above it ONE
     all-to-all (the hash join on orderkey) co-locates them, the
     same-nation filter and per-nation partials finish per joined block,
     and the driver folds ≤ |nations| rows. Revenue is scaled to integer
@@ -3102,6 +3132,24 @@ def q5_local_supplier(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                  "l_discount"],
     ).map_batches(lineitem_partial, batch_format="pyarrow")
+
+    if pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
+        parts_t = pa.concat_tables(list(
+            rev.iter_batches(batch_size=None, batch_format="pyarrow")))
+        ords = pa.concat_tables(list(
+            orders_f.iter_batches(batch_size=None,
+                                  batch_format="pyarrow")))
+        j = parts_t.join(ords, keys=["l_orderkey"], join_type="inner")
+        j = j.filter(pc.equal(j.column("s_nat"), j.column("c_nat")))
+        fin = (j.group_by("s_nat").aggregate([("rev", "sum")])
+               .rename_columns(["nat", "rev"]).to_pandas())
+        fin["n_name"] = [nat_names[int(n)] for n in fin["nat"]]
+        fin = fin.sort_values(["rev", "n_name"],
+                              ascending=[False, True]).reset_index(drop=True)
+        return pa.table({"n_name": pa.array(fin["n_name"], pa.string()),
+                         "revenue_scaled": pa.array(
+                             fin["rev"].astype("int64"), pa.int64())})
 
     n_parts = _join_parts()
     joined = rev.join(orders_f, "inner", n_parts, on=("l_orderkey",))
@@ -3232,16 +3280,20 @@ ORDER BY doc_id
 """
 
 
-def q18_large_orders(sf_dir: str):
+def q18_large_orders(sf_dir: str, driver_limit: int = 1 << 22):
     """TPC-H Q18 shape (large-volume orders): orders whose total lineitem
     quantity exceeds 200, with customer name, top 10 by total price.
 
     Plan: lineitem pre-aggregates integer qty partials per orderkey
-    map-side; ONE hash join against slim orders co-locates every
-    partial of a key (join partitioning doubles as the final
-    aggregation, the q3 shape), so the HAVING gate and the per-block
-    top-10 run inside each joined block; customer names attach from a
-    broadcast dim LUT and the driver merges <= 10 rows per block."""
+    map-side; under ``driver_limit`` lineitem rows the driver folds the
+    partials with one pyarrow group_by, gates HAVING > 200 (a handful
+    of orderkeys) and attaches order/customer attributes from the
+    driver-read dimension tables — zero shuffles. Above the guard, ONE
+    hash join against slim orders co-locates every partial of a key
+    (join partitioning doubles as the final aggregation, the q3 shape),
+    so the HAVING gate and the per-block top-10 run inside each joined
+    block; customer names attach from a broadcast dim LUT and the
+    driver merges <= 10 rows per block."""
     import ray
 
     from ..stages.dedup import _cached_get
@@ -3266,6 +3318,54 @@ def q18_large_orders(sf_dir: str):
                          columns=["c_custkey", "c_name"])
     names = dict(zip(cust.column("c_custkey").to_pylist(),
                      cust.column("c_name").to_pylist()))
+
+    if pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
+        # driver fold: partial rows are bounded by lineitem rows (and in
+        # practice by blocks x |orders|); the HAVING gate leaves a
+        # handful of keys, so the dimension attach is a driver is_in
+        parts = pa.concat_tables(list(
+            qtys.iter_batches(batch_size=None, batch_format="pyarrow")))
+        tot = (parts.group_by("l_orderkey").aggregate([("qty", "sum")])
+               .rename_columns(["l_orderkey", "sum_qty"]))
+        tot = tot.filter(pc.greater(tot.column("sum_qty"),
+                                    pa.scalar(qty_threshold, pa.int64())))
+        od = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"])
+        od = od.filter(pc.is_in(pc.cast(od.column("o_orderkey"), pa.int64()),
+                                value_set=pc.cast(tot.column("l_orderkey"),
+                                                  pa.int64())))
+        per = {"s": 1, "ms": 10**3, "us": 10**6,
+               "ns": 10**9}[od.column("o_orderdate").type.unit]
+        fin = (tot.join(pa.table({
+            "l_orderkey": pc.cast(od.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(od.column("o_custkey"), pa.int64()),
+            "order_epoch": pc.divide(pc.cast(od.column("o_orderdate"),
+                                             pa.int64()), per),
+            "totalprice_cents": pa.array(
+                np.rint(od.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64), pa.int64()),
+        }), keys=["l_orderkey"], join_type="inner").to_pandas()
+            .sort_values(["totalprice_cents", "l_orderkey"],
+                         ascending=[False, True]).head(10)
+            .reset_index(drop=True))
+        return pa.table({
+            "c_name": pa.array([names[int(c)] for c in fin["o_custkey"]],
+                               pa.string()),
+            "o_custkey": pa.array(fin["o_custkey"].astype("int64"),
+                                  pa.int64()),
+            "l_orderkey": pa.array(fin["l_orderkey"].astype("int64"),
+                                   pa.int64()),
+            "order_epoch": pa.array(fin["order_epoch"].astype("int64"),
+                                    pa.int64()),
+            "totalprice_cents": pa.array(
+                fin["totalprice_cents"].astype("int64"), pa.int64()),
+            "sum_qty": pa.array(fin["sum_qty"].astype("int64"), pa.int64()),
+        })
+
     names_ref = ray.put(names)
 
     def orders_slim(b: pa.Table) -> pa.Table:
@@ -3517,7 +3617,7 @@ ORDER BY hour_epoch
 """
 
 
-def q4_order_priority(sf_dir: str):
+def q4_order_priority(sf_dir: str, driver_limit: int = 1 << 22):
     """TPC-H Q4 shape (order-priority checking): orders placed in 1996
     counted per priority when at least one of their lineitems shipped
     AFTER the order date (EXISTS semi-join; the reference predicate uses
@@ -3566,9 +3666,6 @@ def q4_order_priority(sf_dir: str):
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(orders_slim, batch_format="pyarrow")
 
-    n_parts = _join_parts()
-    joined = ships.join(orders_f, "inner", n_parts, on=("l_orderkey",))
-
     def block_counts(b: pa.Table) -> pa.Table:
         # all ship partials of a key are co-located here: finish the
         # per-order max, apply the EXISTS predicate, count per priority
@@ -3582,8 +3679,22 @@ def q4_order_priority(sf_dir: str):
                                                         "count")])
         return c.rename_columns(["o_orderpriority", "order_count"])
 
-    parts = joined.map_batches(block_counts, batch_format="pyarrow",
-                               batch_size=None).to_pandas()
+    if pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
+        # driver fold (guard-bounded map outputs): pyarrow join + the
+        # same block_counts kernel over the single joined table
+        sh = pa.concat_tables(list(
+            ships.iter_batches(batch_size=None, batch_format="pyarrow")))
+        of = pa.concat_tables(list(
+            orders_f.iter_batches(batch_size=None,
+                                  batch_format="pyarrow")))
+        parts = block_counts(sh.join(of, keys=["l_orderkey"],
+                                     join_type="inner")).to_pandas()
+    else:
+        n_parts = _join_parts()
+        joined = ships.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+        parts = joined.map_batches(block_counts, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
     if len(parts) == 0:
         return pa.table({"o_orderpriority": pa.array([], pa.string()),
                          "order_count": pa.array([], pa.int64())})
@@ -3760,7 +3871,7 @@ ORDER BY s_suppkey
 """
 
 
-def q22_sales_opportunity(sf_dir: str):
+def q22_sales_opportunity(sf_dir: str, driver_limit: int = 1 << 22):
     """TPC-H Q22 shape (global sales opportunity): per-nation count and
     balance of above-average-balance customers with NO urgent orders —
     the scalar-subquery broadcast + NOT EXISTS anti-join shape. (The
@@ -3818,18 +3929,31 @@ def q22_sales_opportunity(sf_dir: str):
         columns=["o_custkey", "o_orderpriority"],
     ).map_batches(urgent, batch_format="pyarrow")
 
-    n_parts = _join_parts()
-    kept = cands.join(urgent_keys, "left_anti", n_parts,
-                      on=("c_custkey",))
-
     def nation_partial(b: pa.Table) -> pa.Table:
         g = b.group_by("c_nationkey").aggregate([("c_custkey", "count"),
                                                  ("cents", "sum")])
         return g.rename_columns(["c_nationkey", "numcust",
                                  "totacctbal_cents"])
 
-    parts = kept.map_batches(nation_partial, batch_format="pyarrow",
-                             batch_size=None).to_pandas()
+    if pq.ParquetFile(
+            f"{sf_dir}/orders.parquet").metadata.num_rows <= driver_limit:
+        # driver fold: the anti-join is one sorted-membership probe
+        # (np.isin) over the guard-bounded candidate/urgent key sets
+        ct = pa.concat_tables(list(
+            cands.iter_batches(batch_size=None, batch_format="pyarrow")))
+        uk = np.unique(pa.concat_tables(list(
+            urgent_keys.iter_batches(batch_size=None,
+                                     batch_format="pyarrow")))
+            .column("c_custkey").to_numpy(zero_copy_only=False))
+        keep = ~np.isin(ct.column("c_custkey")
+                        .to_numpy(zero_copy_only=False), uk)
+        parts = nation_partial(ct.filter(pa.array(keep))).to_pandas()
+    else:
+        n_parts = _join_parts()
+        kept = cands.join(urgent_keys, "left_anti", n_parts,
+                          on=("c_custkey",))
+        parts = kept.map_batches(nation_partial, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
     if len(parts) == 0:
         return pa.table({"c_nationkey": pa.array([], pa.int64()),
                          "numcust": pa.array([], pa.int64()),
@@ -4073,7 +4197,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
-def q10_returned_items(sf_dir: str):
+def q10_returned_items(sf_dir: str, driver_limit: int = 1 << 22):
     """TPC-H Q10 shape (returned-item reporting): top 20 customers by
     revenue lost to returned lineitems for orders placed in a quarter.
 
@@ -4129,27 +4253,40 @@ def q10_returned_items(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(orders_slim, batch_format="pyarrow")
 
-    n_parts = _join_parts()
-    joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+    if pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
+        # driver fold (guard-bounded integer partials): pyarrow join +
+        # one group_by — zero shuffles, exact integer revenue
+        li_t = pa.concat_tables(list(
+            li.iter_batches(batch_size=None, batch_format="pyarrow")))
+        of = pa.concat_tables(list(
+            orders_f.iter_batches(batch_size=None,
+                                  batch_format="pyarrow")))
+        tops = (li_t.join(of, keys=["l_orderkey"], join_type="inner")
+                .group_by("c_custkey").aggregate([("revenue", "sum")])
+                .rename_columns(["c_custkey", "revenue"]).to_pandas())
+    else:
+        n_parts = _join_parts()
+        joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
 
-    def rekey(b: pa.Table) -> pa.Table:
-        g = b.group_by("c_custkey").aggregate([("revenue", "sum")])
-        return g.rename_columns(["c_custkey", "revenue"])
+        def rekey(b: pa.Table) -> pa.Table:
+            g = b.group_by("c_custkey").aggregate([("revenue", "sum")])
+            return g.rename_columns(["c_custkey", "revenue"])
 
-    per_cust = (joined.map_batches(rekey, batch_format="pyarrow",
-                                   batch_size=None)
-                .groupby("c_custkey")
-                .aggregate(Sum("revenue", alias_name="revenue")))
+        per_cust = (joined.map_batches(rekey, batch_format="pyarrow",
+                                       batch_size=None)
+                    .groupby("c_custkey")
+                    .aggregate(Sum("revenue", alias_name="revenue")))
 
-    def local_top(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        return pa.Table.from_pandas(
-            df.sort_values(["revenue", "c_custkey"],
-                           ascending=[False, True]).head(20),
-            preserve_index=False)
+        def local_top(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            return pa.Table.from_pandas(
+                df.sort_values(["revenue", "c_custkey"],
+                               ascending=[False, True]).head(20),
+                preserve_index=False)
 
-    tops = per_cust.map_batches(local_top, batch_format="pyarrow",
-                                batch_size=None).to_pandas()
+        tops = per_cust.map_batches(local_top, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
     if len(tops) == 0:
         return pa.table({"c_custkey": pa.array([], pa.int64()),
                          "c_name": pa.array([], pa.string()),
@@ -4191,7 +4328,7 @@ LIMIT 20
 """
 
 
-def q7_volume_shipping(sf_dir: str):
+def q7_volume_shipping(sf_dir: str, driver_limit: int = 1 << 22):
     """TPC-H Q7 shape (volume shipping): revenue between two nations by
     (supplier nation, customer nation, ship year) for 1996-1997, the
     directional nation-pair filter. Supplier and customer nations are
@@ -4270,9 +4407,6 @@ def q7_volume_shipping(sf_dir: str):
     if li.count() == 0:  # all-empty map output drops the join schema
         return empty
 
-    n_parts = _join_parts()
-    joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
-
     def block_agg(b: pa.Table) -> pa.Table:
         m = pc.invert(pc.equal(b.column("supp_nation"),
                                b.column("cust_nation")))
@@ -4282,8 +4416,23 @@ def q7_volume_shipping(sf_dir: str):
         return g.rename_columns(["supp_nation", "cust_nation", "l_year",
                                  "revenue"])
 
-    parts = joined.map_batches(block_agg, batch_format="pyarrow",
-                               batch_size=None).to_pandas()
+    if pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
+        # driver fold (guard-bounded nation-filtered map outputs):
+        # pyarrow join + the same block kernel — zero shuffles, exact
+        # integer revenue
+        li_t = pa.concat_tables(list(
+            li.iter_batches(batch_size=None, batch_format="pyarrow")))
+        of = pa.concat_tables(list(
+            orders_f.iter_batches(batch_size=None,
+                                  batch_format="pyarrow")))
+        parts = block_agg(li_t.join(of, keys=["l_orderkey"],
+                                    join_type="inner")).to_pandas()
+    else:
+        n_parts = _join_parts()
+        joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+        parts = joined.map_batches(block_agg, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
     if len(parts) == 0:
         return empty
     fin = (parts.groupby(["supp_nation", "cust_nation", "l_year"],
@@ -4401,15 +4550,17 @@ LIMIT 50
 """
 
 
-def q8_market_share(sf_dir: str):
+def q8_market_share(sf_dir: str, driver_limit: int = 1 << 22):
     """TPC-H Q8 shape (national market share): per order-year, the ppm
     share of PROMO-part revenue to region-1 customers that was supplied
     by nation 3. All dimension hops (part type, supplier nation,
     customer nation -> region) collapse into dense broadcast numpy
-    gathers; the ONLY all-to-all is the lineitem x orders hash join,
-    and each joined block emits (year, total, national) integer
-    partials — the share is the exact integer num * 1e6 // den at the
-    driver (the q14 ppm convention)."""
+    gathers. Under ``driver_limit`` lineitem rows the two filtered map
+    outputs fold on the driver (pyarrow join + integer year bincount,
+    zero shuffles); above it the ONLY all-to-all is the lineitem x
+    orders hash join, and each joined block emits (year, total,
+    national) integer partials — the share is the exact integer
+    num * 1e6 // den at the driver (the q14 ppm convention)."""
     import ray
 
     rd = _rd()
@@ -4478,9 +4629,6 @@ def q8_market_share(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(orders_slim, batch_format="pyarrow")
 
-    n_parts = _join_parts()
-    joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
-
     def block_agg(b: pa.Table) -> pa.Table:
         rev = b.column("revenue").to_numpy(zero_copy_only=False)
         isn = b.column("is_nation").to_numpy(zero_copy_only=False)
@@ -4499,8 +4647,20 @@ def q8_market_share(sf_dir: str):
             "national": pa.array(nat, pa.int64()),
         })
 
-    parts = joined.map_batches(block_agg, batch_format="pyarrow",
-                               batch_size=None).to_pandas()
+    if pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
+        li_t = pa.concat_tables(list(
+            li.iter_batches(batch_size=None, batch_format="pyarrow")))
+        ords = pa.concat_tables(list(
+            orders_f.iter_batches(batch_size=None,
+                                  batch_format="pyarrow")))
+        parts = block_agg(li_t.join(ords, keys=["l_orderkey"],
+                                    join_type="inner")).to_pandas()
+    else:
+        n_parts = _join_parts()
+        joined = li.join(orders_f, "inner", n_parts, on=("l_orderkey",))
+        parts = joined.map_batches(block_agg, batch_format="pyarrow",
+                                   batch_size=None).to_pandas()
     if len(parts) == 0:
         return pa.table({"o_year": pa.array([], pa.int64()),
                          "mkt_share_ppm": pa.array([], pa.int64())})
@@ -5145,20 +5305,50 @@ def media_phash_pairs(sf_dir: str):
                          "anchor": pa.array(ids - ids % 3, pa.int64())})
 
     sigs = docs.map_batches(anchor_sigs, batch_format="pyarrow")
-    mem = docs.map_batches(members, batch_format="pyarrow")
-    joined = mem.join(sigs, "inner", _join_parts(), on=("anchor",))
+    if docs.count() <= (1 << 22):
+        # driver fold: the sig table is anchor-count-bounded; assigning
+        # each member its triple's signature is one searchsorted against
+        # the sorted anchor ids — no hash join, no shuffle
+        st = pa.concat_tables(list(
+            sigs.iter_batches(batch_size=None, batch_format="pyarrow")))
+        anchors = st.column("anchor").to_numpy(zero_copy_only=False)
+        sv = (st.column("simhash").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        order = np.argsort(anchors, kind="stable")
+        anchors, sv = anchors[order], sv[order]
+        ids = pa.concat_tables(list(
+            docs.select_columns(["doc_id"])
+            .iter_batches(batch_size=None, batch_format="pyarrow"))) \
+            .column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        want = ids - ids % 3
+        pos = np.searchsorted(anchors, want)
+        ok = (pos < anchors.size)
+        ok[ok] = anchors[pos[ok]] == want[ok]  # inner-join contract
+        import ray as _ray
 
-    def as_sig_rows(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
-            "simhash": pa.array(
-                np.asarray(b.column("simhash"), dtype=np.int64)
-                .view(np.uint64), pa.uint64()),
-        })
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        sig_rows = _rd().from_arrow(pa.table({
+            "doc_id": pa.array(ids[ok], pa.int64()),
+            "simhash": pa.array(sv[pos[ok]].view(np.uint64), pa.uint64()),
+        }), override_num_blocks=max(1, min(2 * cpus,
+                                           int(ok.sum()) // 8192 or 1)))
+        pairs = hamming_pairs_from_sigs(sig_rows, max_hamming=3)
+    else:
+        mem = docs.map_batches(members, batch_format="pyarrow")
+        joined = mem.join(sigs, "inner", _join_parts(), on=("anchor",))
 
-    pairs = hamming_pairs_from_sigs(
-        joined.map_batches(as_sig_rows, batch_format="pyarrow"),
-        max_hamming=3)
+        def as_sig_rows(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "simhash": pa.array(
+                    np.asarray(b.column("simhash"), dtype=np.int64)
+                    .view(np.uint64), pa.uint64()),
+            })
+
+        pairs = hamming_pairs_from_sigs(
+            joined.map_batches(as_sig_rows, batch_format="pyarrow"),
+            max_hamming=3)
     return pa.table({
         "a": pairs.column("a"),
         "b": pairs.column("b"),

@@ -873,48 +873,113 @@ def hamming_pairs_from_sigs(sig_ds, max_hamming: int = 3,
     return _hamming_pairs_from_bands(band_ds, max_hamming, max_bucket)
 
 
-def _hamming_pairs_from_bands(band_ds, max_hamming: int, max_bucket: int):
+def _sig_bucket_pairs_np(bucket: np.ndarray, doc: np.ndarray,
+                         sig: np.ndarray, max_bucket: int,
+                         max_hamming: int):
+    """Vectorized in-bucket Hamming verify: the ``_bucket_pairs_np``
+    gates (raw row count then distinct docs, both [2, max_bucket]) +
+    ``_segment_all_pairs`` emission, with the 8-byte signature carried
+    through so the pair distances are ONE SWAR popcount over the xor —
+    no per-bucket Python, no dict. A doc's signature is globally unique
+    so carrying the first row per (bucket, doc) is exact."""
+    from .similarity import _popcount64
+    from .text_analysis import _segment_all_pairs
+
+    e = (np.empty(0, dtype=np.int64),) * 3
+    if bucket.size == 0:
+        return e
+    order = np.lexsort((doc, bucket))
+    b, d, s = bucket[order], doc[order], sig[order]
+    boundary = np.concatenate(([True], b[1:] != b[:-1]))
+    starts = np.flatnonzero(boundary)
+    rows = np.diff(np.append(starts, b.size))
+    seg_id = np.cumsum(boundary) - 1
+    m = ((rows >= 2) & (rows <= max_bucket))[seg_id]
+    b, d, s = b[m], d[m], s[m]
+    if b.size == 0:
+        return e
+    keep = np.concatenate(([True], (b[1:] != b[:-1]) | (d[1:] != d[:-1])))
+    b, d, s = b[keep], d[keep], s[keep]
+    boundary = np.concatenate(([True], b[1:] != b[:-1]))
+    starts = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(starts, b.size))
+    seg_id = np.cumsum(boundary) - 1
+    m = ((sizes >= 2) & (sizes <= max_bucket))[seg_id]
+    b, d, s = b[m], d[m], s[m]
+    a_idx, b_idx = _segment_all_pairs(b)
+    h = _popcount64(s[a_idx] ^ s[b_idx]).astype(np.int64)
+    keep = h <= max_hamming
+    return d[a_idx][keep], d[b_idx][keep], h[keep]
+
+
+def _hamming_pairs_from_bands(band_ds, max_hamming: int, max_bucket: int,
+                              driver_limit: int = 1 << 21):
     import pandas as pd
     from ray.data.aggregate import Min
 
-    hot_rows = _collision_rows(band_ds.materialize(), max_bucket)
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int32())})
+
+    def finish(df: "pd.DataFrame") -> pa.Table:
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["a", "b"]).reset_index(drop=True)
+        return pa.table({"a": pa.array(df["a"], pa.int64()),
+                         "b": pa.array(df["b"], pa.int64()),
+                         "hamming": pa.array(df["hamming"], pa.int32())})
+
+    bands_m = band_ds.materialize()
+    if bands_m.count() <= driver_limit:
+        # driver fold: one vectorized kernel over the whole band table,
+        # pair dedup (min hamming — identical wherever a pair recurs)
+        # in pandas; zero shuffles
+        tbl = pa.concat_tables(list(
+            bands_m.select_columns(["bucket", "doc_id", "simhash"])
+            .iter_batches(batch_size=None, batch_format="pyarrow")))
+        a, b, h = _sig_bucket_pairs_np(
+            tbl.column("bucket").to_numpy(zero_copy_only=False),
+            tbl.column("doc_id").to_numpy(zero_copy_only=False),
+            tbl.column("simhash").to_numpy(zero_copy_only=False)
+            .astype(np.uint64),
+            max_bucket, max_hamming)
+        if a.size == 0:
+            return empty
+        df = (pd.DataFrame({"a": a, "b": b, "hamming": h})
+              .groupby(["a", "b"], as_index=False)["hamming"].min())
+        return finish(df)
+
+    hot_rows = _collision_rows(bands_m, max_bucket)
     if hot_rows is None:
         return empty
+    from .window import _default_buckets
+
+    nb = _default_buckets()
+
+    def to_fat(batch: pa.Table) -> pa.Table:
+        fat = (_mix64_np(batch.column("bucket")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.int64).view(np.uint64))
+               % np.uint64(nb)).astype(np.int64)
+        return batch.append_column("fat", pa.array(fat))
 
     def emit_verified(group: pd.DataFrame) -> pd.DataFrame:
-        by_id = dict(zip(group["doc_id"], group["simhash"]))
-        ids = sorted(by_id)
-        if len(ids) < 2 or len(ids) > max_bucket:
-            # oversized bucket = degenerate band (e.g. all-empty docs); skip
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = bin(int(by_id[ids[i]]) ^ int(by_id[ids[j]])).count("1")
-                if h <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(h)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "hamming": pd.Series(out_h, dtype="int64")})
+        a, b, h = _sig_bucket_pairs_np(
+            group["bucket"].to_numpy(np.int64),
+            group["doc_id"].to_numpy(np.int64),
+            group["simhash"].to_numpy().astype(np.uint64),
+            max_bucket, max_hamming)
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64"),
+                             "hamming": pd.Series(h, dtype="int64")})
 
-    pairs = hot_rows.groupby("bucket").map_groups(
-        emit_verified, batch_format="pandas")
+    pairs = (hot_rows.map_batches(to_fat, batch_format="pyarrow")
+             .groupby("fat").map_groups(emit_verified,
+                                        batch_format="pandas"))
     # dedup (a Hamming distance is identical wherever the pair recurs)
     res = _dedup_pairs(pairs, agg=[Min("hamming", alias_name="hamming")]
                        ).to_pandas()
-    if len(res) == 0:
-        return empty
-    res = res.sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.table({"a": pa.array(res["a"], pa.int64()),
-                     "b": pa.array(res["b"], pa.int64()),
-                     "hamming": pa.array(res["hamming"], pa.int32())})
+    return finish(res)
 
 
 # ----------------------------------------------------- embedding near-dup

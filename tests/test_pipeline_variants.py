@@ -387,6 +387,28 @@ def test_q13_zero_order_customers(ray_session, tmp_path):
     assert (got[got["c_count"] == 0]["custdist"] == 3).all()
 
 
+def test_join_query_guard_crossing(ray_session):
+    """The TPC-H join rows' driver-fold plan (default) and distributed
+    hash-join plan (driver_limit=0) must return identical rows."""
+    from anycrawl_ray.pipelines.queries import (q3_shipping_priority,
+                                                q4_order_priority,
+                                                q5_local_supplier,
+                                                q7_volume_shipping,
+                                                q8_market_share,
+                                                q10_returned_items,
+                                                q18_large_orders,
+                                                q22_sales_opportunity)
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (q3_shipping_priority, q4_order_priority, q5_local_supplier,
+               q7_volume_shipping, q8_market_share, q10_returned_items,
+               q18_large_orders, q22_sales_opportunity):
+        fold = fn(sf).to_pandas()
+        join = fn(sf, driver_limit=0).to_pandas()
+        assert fold.values.tolist() == join.values.tolist(), fn.__name__
+        assert list(fold.columns) == list(join.columns), fn.__name__
+
+
 def test_q15_revenue_tie_returns_all_max_suppliers(ray_session, tmp_path):
     import pandas as pd
     import pyarrow as pa
