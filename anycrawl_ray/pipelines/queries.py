@@ -10498,9 +10498,12 @@ FROM n, u
 """
 
 
-def _pk_dup_rows(ds, keys: list) -> int:
+def _pk_dup_rows(ds, keys: list, driver_limit: int = 1 << 22) -> int:
     """Rows beyond the first per key (sum of max(c-1, 0)): map-side
-    per-block (key, cnt) partials, one groupby-Sum, map-side fold."""
+    per-block (key, cnt) partials; under ``driver_limit`` input rows
+    the key-bounded partials fold on the driver with one pyarrow
+    group_by (zero shuffles), above it one groupby-Sum + map-side
+    fold."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -10513,17 +10516,26 @@ def _pk_dup_rows(ds, keys: list) -> int:
         return pa.table({"v": pa.array([int((c - 1).clip(0).sum())],
                                        pa.int64())})
 
-    return int(ds.map_batches(partial, batch_format="pyarrow")
-               .groupby(keys).aggregate(Sum("c", alias_name="c"))
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    if ds.count() <= driver_limit:
+        t = pa.concat_tables(list(
+            parts.iter_batches(batch_size=None, batch_format="pyarrow")))
+        tot = t.group_by(keys).aggregate([("c", "sum")])
+        c = np.asarray(tot.column("c_sum"), dtype=np.int64)
+        return int((c - 1).clip(0).sum())
+    return int(parts.groupby(keys).aggregate(Sum("c", alias_name="c"))
                .map_batches(excess, batch_format="pyarrow")
                .to_pandas()["v"].sum())
 
 
-def _fk_orphan_rows(child, key_c: str, parent, key_p: str) -> int:
+def _fk_orphan_rows(child, key_c: str, parent, key_p: str,
+                    driver_limit: int = 1 << 22) -> int:
     """Child rows whose key has no parent: both sides reduce to
     per-block (key, child_rows, parent_hits) partials on ONE tagged
-    stream, one groupby-Sum co-locates them, orphans fold map-side —
-    the distributed anti-join count (no broadcast, no driver set)."""
+    stream. Under ``driver_limit`` total input rows the key-bounded
+    partials fold on the driver (one pyarrow group_by, zero shuffles);
+    above it one groupby-Sum co-locates them and orphans fold map-side
+    — the distributed anti-join count (no broadcast, no driver set)."""
     from ray.data.aggregate import Sum
 
     def side(keys_col: str, is_child: bool):
@@ -10552,6 +10564,14 @@ def _fk_orphan_rows(child, key_c: str, parent, key_p: str) -> int:
         return pa.table({"v": pa.array([int(cr[ph == 0].sum())],
                                        pa.int64())})
 
+    if child.count() + parent.count() <= driver_limit:
+        t = pa.concat_tables(list(
+            stream.iter_batches(batch_size=None, batch_format="pyarrow")))
+        tot = t.group_by("k").aggregate([("child_rows", "sum"),
+                                         ("parent_hits", "sum")])
+        cr = np.asarray(tot.column("child_rows_sum"), dtype=np.int64)
+        ph = np.asarray(tot.column("parent_hits_sum"), dtype=np.int64)
+        return int(cr[ph == 0].sum())
     return int(stream.groupby("k")
                .aggregate(Sum("child_rows", alias_name="child_rows"),
                           Sum("parent_hits", alias_name="parent_hits"))

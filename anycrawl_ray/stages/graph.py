@@ -40,14 +40,43 @@ def synthetic_degrees(ids: np.ndarray, n: int) -> np.ndarray:
 
 
 def pagerank_int(n_nodes: int, iters: int = 10,
-                 scale: int = 10 ** 12) -> pa.Table:
+                 scale: int = 10 ** 12,
+                 broadcast_limit: int = 10_000_000) -> pa.Table:
     """Integer fixed-point PageRank over the synthetic site graph.
-    Returns (doc_id, rank_scaled) sorted by doc_id."""
+    Returns (doc_id, rank_scaled) sorted by doc_id.
+
+    Scale shape (the hits_int/triangle_counts dense duality): under
+    ``broadcast_limit`` nodes the score vector is node-bounded — the
+    same size as this function's own output — so the whole iteration is
+    a dense numpy fold on the driver (10 Ray groupby-Sum shuffles of a
+    tiny table measured ~4.7 s of pure fixed cost; the dense fold is
+    milliseconds). Above the limit, one groupby-Sum per iteration over
+    the emitted contribution rows; both paths pinned equal in pytest."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     scale0 = scale // n_nodes
     base = 15 * scale0
+
+    if n_nodes <= broadcast_limit:
+        node = np.arange(n_nodes, dtype=np.int64)
+        deg = synthetic_degrees(node, n_nodes)
+        c1 = 2 * node + 1
+        m1 = c1 < n_nodes
+        c2 = 2 * node + 2
+        m2 = c2 < n_nodes
+        m3 = node % 3 == 0
+        ch = (7 * node[m3] + 3) % n_nodes
+        r = np.full(n_nodes, scale0, dtype=np.int64)
+        for _ in range(iters):
+            cvals = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+            s = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(s, c1[m1], cvals[m1])
+            np.add.at(s, c2[m2], cvals[m2])
+            np.add.at(s, ch, cvals[m3])
+            r = (base + 85 * s) // 100
+        return pa.table({"doc_id": pa.array(node, pa.int64()),
+                         "rank_scaled": pa.array(r, pa.int64())})
 
     def emit(batch: pa.Table) -> pa.Table:
         node = np.asarray(batch.column("node"), dtype=np.int64)
@@ -991,7 +1020,8 @@ def kcore_rounds(n_nodes: int, k: int = 3, rounds: int = 4,
 
 
 def ppr_int(n_nodes: int, seed_mod: int = 50, iters: int = 8,
-            scale: int = 10 ** 12) -> pa.Table:
+            scale: int = 10 ** 12,
+            broadcast_limit: int = 10_000_000) -> pa.Table:
     """Personalized (topic-sensitive) PageRank: teleport mass
     concentrates on the SEED set (nodes with ``doc_id % seed_mod == 0``)
     instead of spreading uniformly — the crawl-prioritization variant
@@ -1002,12 +1032,37 @@ def ppr_int(n_nodes: int, seed_mod: int = 50, iters: int = 8,
         r'(v) = (15 * (scale // n_seeds) * [v in S] + 85 * s(v)) // 100
 
     One formula-edge map + one groupby-Sum per iteration, no joins;
-    bit-replayable in the unrolled-CTE oracle."""
+    bit-replayable in the unrolled-CTE oracle. Under ``broadcast_limit``
+    nodes the whole iteration is a dense numpy fold on the driver (the
+    pagerank_int dense duality — the score vector is output-sized);
+    both paths pinned equal in pytest."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     n_seeds = max(1, (n_nodes + seed_mod - 1) // seed_mod)
     seed0 = scale // n_seeds
+
+    if n_nodes <= broadcast_limit:
+        node = np.arange(n_nodes, dtype=np.int64)
+        deg = synthetic_degrees(node, n_nodes)
+        c1 = 2 * node + 1
+        m1 = c1 < n_nodes
+        c2 = 2 * node + 2
+        m2 = c2 < n_nodes
+        m3 = node % 3 == 0
+        ch = (7 * node[m3] + 3) % n_nodes
+        is_seed = node % seed_mod == 0
+        base = np.where(is_seed, 15 * seed0, 0).astype(np.int64)
+        r = np.where(is_seed, seed0, 0).astype(np.int64)
+        for _ in range(iters):
+            cvals = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+            s = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(s, c1[m1], cvals[m1])
+            np.add.at(s, c2[m2], cvals[m2])
+            np.add.at(s, ch, cvals[m3])
+            r = (base + 85 * s) // 100
+        return pa.table({"doc_id": pa.array(node, pa.int64()),
+                         "rank_scaled": pa.array(r, pa.int64())})
 
     def emit(batch: pa.Table) -> pa.Table:
         node = np.asarray(batch.column("node"), dtype=np.int64)
@@ -1055,7 +1110,8 @@ def ppr_int(n_nodes: int, seed_mod: int = 50, iters: int = 8,
 
 
 def graph_walks(edges_ds, n_nodes: int, walk_len: int = 4,
-                golden: int = 0x9E3779B97F4A7C15) -> pa.Table:
+                golden: int = 0x9E3779B97F4A7C15,
+                broadcast_limit: int = 2_000_000) -> pa.Table:
     """Deterministic DeepWalk-style random walks (Perozzi et al. 2014
     corpus sampling) over the undirected ``site_edges`` graph: one walk
     of ``walk_len`` steps per node; at step t the walk at node u (seed
@@ -1065,11 +1121,15 @@ def graph_walks(edges_ds, n_nodes: int, walk_len: int = 4,
     (doc_id, visits): how many times each node is visited across all
     walks at steps 1..walk_len (starts excluded).
 
-    Scale shape: adjacency builds with ONE groupby (sorted-unique
-    neighbor index + degree riding each row); each step is one slim hash
-    join of the walk frontier (O(#walks) rows) against adjacency —
-    walk state never touches the driver. At 10^9 nodes the frontier is
-    a constant-width Dataset per step; walk_len bounds the join count."""
+    Scale shape: under ``broadcast_limit`` nodes the edge table is
+    node-bounded (<= 4 edges/node on this graph), so adjacency (CSR:
+    offsets + sorted-unique flat neighbors) and all walk steps fold
+    densely on the driver — zero joins. Above it, adjacency builds with
+    ONE groupby (sorted-unique neighbor index + degree riding each
+    row); each step is one slim hash join of the walk frontier
+    (O(#walks) rows) against adjacency — walk state never touches the
+    driver. At 10^9 nodes the frontier is a constant-width Dataset per
+    step; walk_len bounds the join count. Both paths pinned equal."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1077,6 +1137,42 @@ def graph_walks(edges_ds, n_nodes: int, walk_len: int = 4,
     from .text_analysis import _mix64_np
 
     import pandas as pd
+
+    if n_nodes <= broadcast_limit:
+        et = pa.concat_tables(list(
+            edges_ds.iter_batches(batch_size=None,
+                                  batch_format="pyarrow")))
+        a = et.column("a").to_numpy(zero_copy_only=False)
+        b = et.column("b").to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        keep = np.concatenate(([True], (node[1:] != node[:-1])
+                               | (nbr[1:] != nbr[:-1])))
+        node, nbr = node[keep], nbr[keep]
+        deg = np.bincount(node, minlength=n_nodes).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(deg)[:-1]))
+        s = np.arange(n_nodes, dtype=np.int64)
+        u = s.copy()
+        alive = deg[u] > 0  # inner-join contract: no adjacency row drops
+        visits = np.zeros(n_nodes, dtype=np.int64)
+        for t in range(walk_len):
+            su, uu = s[alive], u[alive]
+            with np.errstate(over="ignore"):
+                key = (uu.view(np.uint64) * np.uint64(golden)
+                       + su.view(np.uint64) * np.uint64(walk_len)
+                       + np.uint64(t))
+            choice = (_mix64_np(key)
+                      % deg[uu].view(np.uint64)).astype(np.int64)
+            nxt = nbr[starts[uu] + choice]
+            u = u.copy()
+            u[alive] = nxt
+            visits += np.bincount(nxt, minlength=n_nodes)
+            alive = alive & (deg[u] > 0)
+        nz = np.flatnonzero(visits)
+        return pa.table({"doc_id": pa.array(nz, pa.int64()),
+                         "visits": pa.array(visits[nz], pa.int64())})
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("a"), dtype=np.int64)

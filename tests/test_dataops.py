@@ -800,6 +800,29 @@ def test_pagerank_int_matches_numpy_reference(ray_session):
     assert got.column("rank_scaled").to_pylist() == r.tolist()
     # sanity: ranks positive, seeds of hubs rank above leaves on average
     assert min(r.tolist()) > 0
+    # guard crossing: broadcast_limit=0 forces the distributed
+    # groupby-Sum iteration; it must equal the dense driver fold
+    dist = pagerank_int(n, iters=iters, scale=scale, broadcast_limit=0)
+    assert dist.equals(got)
+
+
+def test_ppr_and_walks_guard_crossing(ray_session):
+    """ppr_int and graph_walks: dense driver fold (default) ==
+    distributed path (broadcast_limit=0), exactly."""
+    from anycrawl_ray.stages.graph import graph_walks, ppr_int, site_edges
+    import ray.data as rd
+
+    n = 97
+    dense = ppr_int(n, seed_mod=10, iters=4)
+    dist = ppr_int(n, seed_mod=10, iters=4, broadcast_limit=0)
+    assert dist.equals(dense)
+
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(
+        np.arange(n, dtype=np.int64))})).repartition(3)
+    dense_w = graph_walks(site_edges(ids, n), n, walk_len=3)
+    dist_w = graph_walks(site_edges(ids, n), n, walk_len=3,
+                         broadcast_limit=0)
+    assert dist_w.equals(dense_w)
 
 
 def test_pair_ops_empty_and_disjoint_corpora(ray_session):
@@ -3302,6 +3325,13 @@ def test_integrity_checks_fire_on_dirty_data(ray_session):
     n2 = _fk_orphan_rows(rd.from_arrow(child).repartition(5), "ck",
                          rd.from_arrow(parent), "pk")
     assert n2 == 4
+    # guard crossing: driver_limit=0 forces the distributed groupby-Sum
+    # paths; both must equal the driver-fold answers
+    assert _pk_dup_rows(rd.from_arrow(dirty).repartition(3), ["k"],
+                        driver_limit=0) == 3
+    assert _fk_orphan_rows(rd.from_arrow(child).repartition(3), "ck",
+                           rd.from_arrow(parent).repartition(2), "pk",
+                           driver_limit=0) == 4
 
 
 def test_degree_assortativity_star_vs_path(ray_session):
