@@ -1226,7 +1226,10 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
             "gram": out["gram"],
             "ng": pa.array(out["n_grams"], pa.int64()),
             "_kb": pa.array((out["hash"] % np.uint64(nb)).astype(np.int64),
-                            pa.int64())})
+                            pa.int64()),
+            # full gram hash rides along so the driver can estimate the
+            # pair-partial volume without a string sort
+            "_gh": pa.array(out["hash"].view(np.int64), pa.int64())})
 
     def emit_pair_counts_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["gram", "doc"], kind="mergesort")
@@ -1278,12 +1281,32 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
         keep = tot * 100 >= threshold_pct * denom
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
-    qual = (ds.map_batches(explode, batch_format="pyarrow")
-            .groupby("_kb").map_groups(emit_pair_counts_bucket,
-                                       batch_format="pandas")
-            .map_batches(add_pair_bucket, batch_format="pyarrow")
-            .groupby("_pb").map_groups(finish_bucket, batch_format="pandas"))
-    res = qual.to_pandas()
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    fold = None
+    if exploded.count() <= (1 << 21):
+        g = pa.concat_tables(list(
+            exploded.iter_batches(batch_size=None,
+                                  batch_format="pyarrow"))).to_pandas()
+        # pair-partial volume estimate (sum df^2 per gram, by int hash —
+        # no string sort): the driver fold serializes the pair kernel,
+        # so it must only run when that work is small; heavy-df corpora
+        # (e.g. no max_df) keep the 64-way bucket parallelism
+        _, c = np.unique(g["_gh"].to_numpy(np.int64), return_counts=True)
+        if int((c * (c - 1) // 2).sum()) <= (1 << 22):
+            # driver fold: the whole distinct-gram table runs through
+            # the SAME two bucket kernels once (all rows of every gram
+            # present, so partials are already final) — zero shuffles
+            fold = finish_bucket(emit_pair_counts_bucket(g))
+    if fold is not None:
+        res = fold
+    else:
+        qual = (exploded
+                .groupby("_kb").map_groups(emit_pair_counts_bucket,
+                                           batch_format="pandas")
+                .map_batches(add_pair_bucket, batch_format="pyarrow")
+                .groupby("_pb").map_groups(finish_bucket,
+                                           batch_format="pandas"))
+        res = qual.to_pandas()
     if len(res) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})

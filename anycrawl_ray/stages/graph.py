@@ -1306,7 +1306,8 @@ def textrank_keywords(docs_ds, iters: int = 10, scale: int = 10 ** 12,
                      "rank_scaled": pa.array(r[order], pa.int64())})
 
 
-def degree_assortativity(edges_ds, n_parts: int | None = None) -> pa.Table:
+def degree_assortativity(edges_ds, n_parts: int | None = None,
+                         driver_limit: int = 1 << 21) -> pa.Table:
     """Degree assortativity of an undirected graph as EXACT sufficient
     statistics (the autocorr convention — no float Pearson): over the
     2|E| directed edge endpoints, sx = sum deg(src), sxx = sum
@@ -1319,13 +1320,52 @@ def degree_assortativity(edges_ds, n_parts: int | None = None) -> pa.Table:
     term (sxy) comes from one hash join dir x deg + a groupby-Sum —
     sum_v deg(v) * s(v) where s(v) is the neighbor-degree sum; sx/sxx
     fold straight off the degree table as sum deg^2 / deg^3. No
-    broadcast, nothing corpus-sized on the driver."""
+    broadcast, nothing corpus-sized on the driver. Under
+    ``driver_limit`` raw edge rows all four statistics fold densely on
+    the driver (one np.unique + bincounts — the three groupbys and the
+    hash join above measured ~3.2 s of fixed cost on a 20k-edge graph);
+    both paths pinned equal in pytest."""
     from ray.data.aggregate import Count, Sum
 
     from ..util import join_parts
 
+    edges_m = edges_ds.materialize()
+    if edges_m.count() <= driver_limit:
+        et = pa.concat_tables(list(
+            edges_m.iter_batches(batch_size=None,
+                                 batch_format="pyarrow")))
+        a = et.column("a").to_numpy(zero_copy_only=False)
+        b = et.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if a.size:
+            keep = np.concatenate(([True], (a[1:] != a[:-1])
+                                   | (b[1:] != b[:-1])))
+            a, b = a[keep], b[keep]
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        hi = int(src.max()) + 1 if src.size else 1
+        deg = np.bincount(src, minlength=hi).astype(np.int64)
+        m2 = int(deg.sum())
+        sx = int((deg * deg).sum())
+        sxx = int((deg * deg * deg).sum())
+        sxy = int((deg[src] * deg[dst]).sum())
+        num = m2 * sxy - sx * sx
+        den = m2 * sxx - sx * sx
+        if den == 0:
+            r_ppm = 0
+        elif num < 0:
+            r_ppm = -((-num) * 1_000_000 // den)
+        else:
+            r_ppm = num * 1_000_000 // den
+        return pa.table({"m2": pa.array([m2], pa.int64()),
+                         "sx": pa.array([sx], pa.int64()),
+                         "sxx": pa.array([sxx], pa.int64()),
+                         "sxy": pa.array([sxy], pa.int64()),
+                         "r_ppm": pa.array([r_ppm], pa.int64())})
+
     n_parts = n_parts or join_parts()
-    edges = (edges_ds.groupby(["a", "b"]).aggregate(Count())
+    edges = (edges_m.groupby(["a", "b"]).aggregate(Count())
              .select_columns(["a", "b"]).materialize())
 
     def both(batch: pa.Table) -> pa.Table:

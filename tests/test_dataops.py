@@ -3349,6 +3349,14 @@ def test_degree_assortativity_star_vs_path(ray_session):
         .to_pandas().iloc[0]
     assert out["m2"] == 8  # 2|E|
     assert out["r_ppm"] == -1_000_000
+    # guard crossing: driver_limit=0 forces the distributed
+    # groupby/join path; must equal the dense driver fold (incl. with
+    # duplicate edge rows, which both paths distinct-ify)
+    dup = pa.concat_tables([star, star.slice(0, 2)])
+    dd = degree_assortativity(rd.from_arrow(dup).repartition(3))
+    jj = degree_assortativity(rd.from_arrow(dup).repartition(3),
+                              driver_limit=0)
+    assert dd.equals(jj)
 
     # 3-edge path 0-1-2-3: hand-computed r = -1/2 exactly
     path = pa.table({"a": pa.array([0, 1, 2], pa.int64()),
