@@ -2044,7 +2044,8 @@ def tfidf_cosine_pairs(ds, threshold_ppm: int = 250_000,
 
 
 def ngram_novelty(ds, k: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text") -> pa.Table:
+                  text_col: str = "text",
+                  driver_limit: int = 1 << 22) -> pa.Table:
     """Per-document n-gram NOVELTY — the data-pruning signal used by
     RefinedWeb/FineWeb-style curation: how much of a doc's shingle set
     appears for the FIRST time in the corpus (corpus order = doc_id).
@@ -2069,24 +2070,57 @@ def ngram_novelty(ds, k: int = 3, id_col: str = "doc_id",
     from ray.data.aggregate import Min, Sum
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_s, out_d, out_t, out_k = [], [], [], []
-        for d, t in zip(batch.column(id_col).to_pylist(),
-                        batch.column(text_col).to_pylist()):
-            sh = shingle_hashes(t, k).view(np.int64)
-            out_s.extend(sh.tolist())
-            out_d.extend([d] * sh.size)
-            out_t.extend([0] * sh.size)
-            out_k.extend([0] * sh.size)
-            out_s.append(0)
-            out_d.append(d)
-            out_t.append(int(sh.size))
-            out_k.append(1)
-        return pa.table({"s": pa.array(out_s, pa.int64()),
-                         "doc": pa.array(out_d, pa.int64()),
-                         "total": pa.array(out_t, pa.int64()),
-                         "kind": pa.array(out_k, pa.int64())})
+        # numpy assembly (no Python list building): shingle rows first,
+        # then one sentinel row per doc carrying its distinct count
+        d_arr = np.asarray(batch.column(id_col), dtype=np.int64)
+        shs = [shingle_hashes(t, k).view(np.int64)
+               for t in batch.column(text_col).to_pylist()]
+        lens = np.fromiter((x.size for x in shs), np.int64, len(shs))
+        s_all = (np.concatenate(shs) if shs
+                 else np.empty(0, dtype=np.int64))
+        n = len(shs)
+        return pa.table({
+            "s": pa.array(np.concatenate(
+                [s_all, np.zeros(n, np.int64)]), pa.int64()),
+            "doc": pa.array(np.concatenate(
+                [np.repeat(d_arr, lens), d_arr]), pa.int64()),
+            "total": pa.array(np.concatenate(
+                [np.zeros(s_all.size, np.int64), lens]), pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(s_all.size, np.int64),
+                 np.ones(n, np.int64)]), pa.int64())})
 
     posts = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    if posts.count() <= driver_limit:
+        # driver fold: first owners + novel counts are one lexsort +
+        # boundary pass over the gathered postings — zero shuffles
+        t = pa.concat_tables(list(
+            posts.iter_batches(batch_size=None, batch_format="pyarrow")))
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        doc = t.column("doc").to_numpy(zero_copy_only=False)
+        total = t.column("total").to_numpy(zero_copy_only=False)
+        m0 = kind == 0
+        s0, d0 = s[m0], doc[m0]
+        order = np.lexsort((d0, s0))
+        s0, d0 = s0[order], d0[order]
+        first = (np.concatenate(([True], s0[1:] != s0[:-1]))
+                 if s0.size else np.empty(0, bool))
+        ud, novel = np.unique(d0[first], return_counts=True)
+        docs_all = doc[~m0]
+        tot_all = total[~m0]
+        do = np.argsort(docs_all, kind="stable")
+        docs_all, tot_all = docs_all[do], tot_all[do]
+        nov_all = np.zeros(docs_all.size, dtype=np.int64)
+        nov_all[np.searchsorted(docs_all, ud)] = novel
+        ppm = np.where(tot_all > 0,
+                       nov_all * 1_000_000 // np.maximum(tot_all, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(docs_all, pa.int64()),
+            "n_shingles": pa.array(tot_all, pa.int64()),
+            "n_novel": pa.array(nov_all, pa.int64()),
+            "novelty_ppm": pa.array(ppm, pa.int64())})
 
     def novel_partial(batch: pa.Table) -> pa.Table:
         o = np.asarray(batch.column("owner"), dtype=np.int64)

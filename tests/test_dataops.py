@@ -825,6 +825,24 @@ def test_ppr_and_walks_guard_crossing(ray_session):
     assert dist_w.equals(dense_w)
 
 
+def test_ngram_novelty_guard_crossing(ray_session):
+    """ngram_novelty: driver fold (default) == distributed groupby path
+    (driver_limit=0), exactly, including empty docs and full dups."""
+    from anycrawl_ray.stages.dedup import ngram_novelty
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "totally novel text here indeed"), (4, "")]
+    ds = _docs_ds(rows)
+    fold = ngram_novelty(ds, k=3)
+    dist = ngram_novelty(_docs_ds(rows), k=3, driver_limit=0)
+    assert fold.equals(dist)
+    nov = dict(zip(fold.column("doc_id").to_pylist(),
+                   fold.column("novelty_ppm").to_pylist()))
+    assert nov[1] == 1_000_000  # first copy: fully novel
+    assert nov[2] == 0          # exact dup of doc 1: nothing novel
+    assert nov[4] == 0          # empty doc
+
+
 def test_pair_ops_empty_and_disjoint_corpora(ray_session):
     """Clean corpora (no shared grams / fingerprints anywhere) must return
     typed empty pair tables, not crash — regression for the empty-bucket
