@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from . import oracle_kernels as _oracle_kernels
+from ..util import gather_table as _gather
 from ..util import join_parts as _join_parts
 from .control_queries import CONTROL_ORACLE_SQL, CONTROL_QUERIES
 
@@ -393,13 +394,10 @@ def q3_shipping_priority(sf_dir: str, driver_limit: int = 1 << 22):
 
     if pq.ParquetFile(
             f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
-        parts = pa.concat_tables(list(
-            rev.iter_batches(batch_size=None, batch_format="pyarrow")))
+        parts = _gather(rev)
         tot = (parts.group_by("l_orderkey").aggregate([("rev", "sum")])
                .rename_columns(["l_orderkey", "rev"]))
-        ords = pa.concat_tables(list(
-            orders_f.iter_batches(batch_size=None,
-                                  batch_format="pyarrow")))
+        ords = _gather(orders_f)
         df = tot.join(ords, keys=["l_orderkey"],
                       join_type="inner").to_pandas()
         if len(df) == 0:
@@ -3135,11 +3133,8 @@ def q5_local_supplier(sf_dir: str, driver_limit: int = 1 << 22):
 
     if pq.ParquetFile(
             f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
-        parts_t = pa.concat_tables(list(
-            rev.iter_batches(batch_size=None, batch_format="pyarrow")))
-        ords = pa.concat_tables(list(
-            orders_f.iter_batches(batch_size=None,
-                                  batch_format="pyarrow")))
+        parts_t = _gather(rev)
+        ords = _gather(orders_f)
         j = parts_t.join(ords, keys=["l_orderkey"], join_type="inner")
         j = j.filter(pc.equal(j.column("s_nat"), j.column("c_nat")))
         fin = (j.group_by("s_nat").aggregate([("rev", "sum")])
@@ -3324,8 +3319,7 @@ def q18_large_orders(sf_dir: str, driver_limit: int = 1 << 22):
         # driver fold: partial rows are bounded by lineitem rows (and in
         # practice by blocks x |orders|); the HAVING gate leaves a
         # handful of keys, so the dimension attach is a driver is_in
-        parts = pa.concat_tables(list(
-            qtys.iter_batches(batch_size=None, batch_format="pyarrow")))
+        parts = _gather(qtys)
         tot = (parts.group_by("l_orderkey").aggregate([("qty", "sum")])
                .rename_columns(["l_orderkey", "sum_qty"]))
         tot = tot.filter(pc.greater(tot.column("sum_qty"),
@@ -3683,11 +3677,8 @@ def q4_order_priority(sf_dir: str, driver_limit: int = 1 << 22):
             f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
         # driver fold (guard-bounded map outputs): pyarrow join + the
         # same block_counts kernel over the single joined table
-        sh = pa.concat_tables(list(
-            ships.iter_batches(batch_size=None, batch_format="pyarrow")))
-        of = pa.concat_tables(list(
-            orders_f.iter_batches(batch_size=None,
-                                  batch_format="pyarrow")))
+        sh = _gather(ships)
+        of = _gather(orders_f)
         parts = block_counts(sh.join(of, keys=["l_orderkey"],
                                      join_type="inner")).to_pandas()
     else:
@@ -3939,11 +3930,8 @@ def q22_sales_opportunity(sf_dir: str, driver_limit: int = 1 << 22):
             f"{sf_dir}/orders.parquet").metadata.num_rows <= driver_limit:
         # driver fold: the anti-join is one sorted-membership probe
         # (np.isin) over the guard-bounded candidate/urgent key sets
-        ct = pa.concat_tables(list(
-            cands.iter_batches(batch_size=None, batch_format="pyarrow")))
-        uk = np.unique(pa.concat_tables(list(
-            urgent_keys.iter_batches(batch_size=None,
-                                     batch_format="pyarrow")))
+        ct = _gather(cands)
+        uk = np.unique(_gather(urgent_keys)
             .column("c_custkey").to_numpy(zero_copy_only=False))
         keep = ~np.isin(ct.column("c_custkey")
                         .to_numpy(zero_copy_only=False), uk)
@@ -4257,11 +4245,8 @@ def q10_returned_items(sf_dir: str, driver_limit: int = 1 << 22):
             f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
         # driver fold (guard-bounded integer partials): pyarrow join +
         # one group_by — zero shuffles, exact integer revenue
-        li_t = pa.concat_tables(list(
-            li.iter_batches(batch_size=None, batch_format="pyarrow")))
-        of = pa.concat_tables(list(
-            orders_f.iter_batches(batch_size=None,
-                                  batch_format="pyarrow")))
+        li_t = _gather(li)
+        of = _gather(orders_f)
         tops = (li_t.join(of, keys=["l_orderkey"], join_type="inner")
                 .group_by("c_custkey").aggregate([("revenue", "sum")])
                 .rename_columns(["c_custkey", "revenue"]).to_pandas())
@@ -4421,11 +4406,8 @@ def q7_volume_shipping(sf_dir: str, driver_limit: int = 1 << 22):
         # driver fold (guard-bounded nation-filtered map outputs):
         # pyarrow join + the same block kernel — zero shuffles, exact
         # integer revenue
-        li_t = pa.concat_tables(list(
-            li.iter_batches(batch_size=None, batch_format="pyarrow")))
-        of = pa.concat_tables(list(
-            orders_f.iter_batches(batch_size=None,
-                                  batch_format="pyarrow")))
+        li_t = _gather(li)
+        of = _gather(orders_f)
         parts = block_agg(li_t.join(of, keys=["l_orderkey"],
                                     join_type="inner")).to_pandas()
     else:
@@ -4649,11 +4631,8 @@ def q8_market_share(sf_dir: str, driver_limit: int = 1 << 22):
 
     if pq.ParquetFile(
             f"{sf_dir}/lineitem.parquet").metadata.num_rows <= driver_limit:
-        li_t = pa.concat_tables(list(
-            li.iter_batches(batch_size=None, batch_format="pyarrow")))
-        ords = pa.concat_tables(list(
-            orders_f.iter_batches(batch_size=None,
-                                  batch_format="pyarrow")))
+        li_t = _gather(li)
+        ords = _gather(orders_f)
         parts = block_agg(li_t.join(ords, keys=["l_orderkey"],
                                     join_type="inner")).to_pandas()
     else:
@@ -5309,16 +5288,13 @@ def media_phash_pairs(sf_dir: str):
         # driver fold: the sig table is anchor-count-bounded; assigning
         # each member its triple's signature is one searchsorted against
         # the sorted anchor ids — no hash join, no shuffle
-        st = pa.concat_tables(list(
-            sigs.iter_batches(batch_size=None, batch_format="pyarrow")))
+        st = _gather(sigs)
         anchors = st.column("anchor").to_numpy(zero_copy_only=False)
         sv = (st.column("simhash").to_numpy(zero_copy_only=False)
               .astype(np.int64))
         order = np.argsort(anchors, kind="stable")
         anchors, sv = anchors[order], sv[order]
-        ids = pa.concat_tables(list(
-            docs.select_columns(["doc_id"])
-            .iter_batches(batch_size=None, batch_format="pyarrow"))) \
+        ids = _gather(docs.select_columns(["doc_id"])) \
             .column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         want = ids - ids % 3
@@ -10518,8 +10494,7 @@ def _pk_dup_rows(ds, keys: list, driver_limit: int = 1 << 22) -> int:
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     if ds.count() <= driver_limit:
-        t = pa.concat_tables(list(
-            parts.iter_batches(batch_size=None, batch_format="pyarrow")))
+        t = _gather(parts)
         tot = t.group_by(keys).aggregate([("c", "sum")])
         c = np.asarray(tot.column("c_sum"), dtype=np.int64)
         return int((c - 1).clip(0).sum())
@@ -10565,8 +10540,7 @@ def _fk_orphan_rows(child, key_c: str, parent, key_p: str,
                                        pa.int64())})
 
     if child.count() + parent.count() <= driver_limit:
-        t = pa.concat_tables(list(
-            stream.iter_batches(batch_size=None, batch_format="pyarrow")))
+        t = _gather(stream)
         tot = t.group_by("k").aggregate([("child_rows", "sum"),
                                          ("parent_hits", "sum")])
         cr = np.asarray(tot.column("child_rows_sum"), dtype=np.int64)

@@ -40,6 +40,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.urls import xxh64
+from ..util import gather_table as _gather
 from .text_analysis import _mix64_np, token_hashes
 
 # ---------------------------------------------------------------- exact
@@ -366,9 +367,7 @@ def _pairs_from_buckets(ds_bands, max_bucket: int = 200,
 
     bands_m = ds_bands.materialize()
     if bands_m.count() <= driver_limit:
-        tbl = pa.concat_tables(
-            list(bands_m.select_columns(["bucket", "doc_id"])
-                 .iter_batches(batch_size=None, batch_format="pyarrow")))
+        tbl = _gather(bands_m.select_columns(["bucket", "doc_id"]))
         a, b = _bucket_pairs_np(
             tbl.column("bucket").to_numpy(zero_copy_only=False),
             tbl.column("doc_id").to_numpy(zero_copy_only=False),
@@ -524,9 +523,7 @@ def _verified_pairs(source_ds, cand_ds, id_col: str, payload_col: str,
     # materializes an O(pairs) Python set above the guard.
     ids_ds, need_list = None, None
     if 2 * cand.count() <= broadcast_limit:
-        tbl = pa.concat_tables(
-            list(cand.iter_batches(batch_size=None,
-                                   batch_format="pyarrow")))
+        tbl = _gather(cand)
         need_list = sorted(pc.unique(pa.chunked_array(
             [tbl.column("a"), tbl.column("b")])).to_pylist())
         n_need = len(need_list)
@@ -934,9 +931,7 @@ def _hamming_pairs_from_bands(band_ds, max_hamming: int, max_bucket: int,
         # driver fold: one vectorized kernel over the whole band table,
         # pair dedup (min hamming — identical wherever a pair recurs)
         # in pandas; zero shuffles
-        tbl = pa.concat_tables(list(
-            bands_m.select_columns(["bucket", "doc_id", "simhash"])
-            .iter_batches(batch_size=None, batch_format="pyarrow")))
+        tbl = _gather(bands_m.select_columns(["bucket", "doc_id", "simhash"]))
         a, b, h = _sig_bucket_pairs_np(
             tbl.column("bucket").to_numpy(zero_copy_only=False),
             tbl.column("doc_id").to_numpy(zero_copy_only=False),
@@ -1259,6 +1254,9 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
 
     def finish_bucket(group: pd.DataFrame) -> pd.DataFrame:
         a = group["a"].to_numpy(dtype=np.int64)
+        if a.size == 0:  # driver fold may hand an empty pair table
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
         b = group["b"].to_numpy(dtype=np.int64)
         iv = group["inter"].to_numpy(dtype=np.int64)
         na = group["na"].to_numpy(dtype=np.int64)
@@ -1284,9 +1282,7 @@ def ngram_jaccard_pairs(ds, threshold_pct: int = 25, n: int = 2,
     exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
     fold = None
     if exploded.count() <= (1 << 21):
-        g = pa.concat_tables(list(
-            exploded.iter_batches(batch_size=None,
-                                  batch_format="pyarrow"))).to_pandas()
+        g = _gather(exploded).to_pandas()
         # pair-partial volume estimate (sum df^2 per gram, by int hash —
         # no string sort): the driver fold serializes the pair kernel,
         # so it must only run when that work is small; heavy-df corpora
@@ -2095,8 +2091,7 @@ def ngram_novelty(ds, k: int = 3, id_col: str = "doc_id",
     if posts.count() <= driver_limit:
         # driver fold: first owners + novel counts are one lexsort +
         # boundary pass over the gathered postings — zero shuffles
-        t = pa.concat_tables(list(
-            posts.iter_batches(batch_size=None, batch_format="pyarrow")))
+        t = _gather(posts)
         kind = t.column("kind").to_numpy(zero_copy_only=False)
         s = t.column("s").to_numpy(zero_copy_only=False)
         doc = t.column("doc").to_numpy(zero_copy_only=False)

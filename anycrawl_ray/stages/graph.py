@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..util import gather_table as _gather
 import pyarrow.compute as pc
 
 
@@ -1139,9 +1141,7 @@ def graph_walks(edges_ds, n_nodes: int, walk_len: int = 4,
     import pandas as pd
 
     if n_nodes <= broadcast_limit:
-        et = pa.concat_tables(list(
-            edges_ds.iter_batches(batch_size=None,
-                                  batch_format="pyarrow")))
+        et = _gather(edges_ds)
         a = et.column("a").to_numpy(zero_copy_only=False)
         b = et.column("b").to_numpy(zero_copy_only=False)
         node = np.concatenate([a, b])
@@ -1331,9 +1331,7 @@ def degree_assortativity(edges_ds, n_parts: int | None = None,
 
     edges_m = edges_ds.materialize()
     if edges_m.count() <= driver_limit:
-        et = pa.concat_tables(list(
-            edges_m.iter_batches(batch_size=None,
-                                 batch_format="pyarrow")))
+        et = _gather(edges_m)
         a = et.column("a").to_numpy(zero_copy_only=False)
         b = et.column("b").to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))

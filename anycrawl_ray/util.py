@@ -98,3 +98,19 @@ def sized_read_parquet(paths, **kw):
         if nb is not None:
             kw["override_num_blocks"] = nb
     return rd.read_parquet(paths, **kw)
+
+
+def gather_table(ds):
+    """Materialize a (small, guard-bounded) Dataset to ONE pyarrow
+    Table on the driver — the driver-fold gather. Empty datasets yield
+    a typed empty table (pa.concat_tables([]) raises), so fold code
+    never special-cases zero batches."""
+    import pyarrow as pa
+
+    batches = list(ds.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches)
+    sch = ds.schema()
+    return pa.table({n: pa.array([], t)
+                     for n, t in zip(sch.names, sch.types)})
