@@ -1500,8 +1500,8 @@ def decontaminate(ds, benchmark_ds, n: int = 5, min_shared: int = 1,
 
 # ------------------------------------------------- near-dup clustering
 
-def neardup_components(pairs: pa.Table, num_partitions: int = 4
-                       ) -> pa.Table:
+def neardup_components(pairs: pa.Table, num_partitions: int = 4,
+                       driver_limit: int = 1 << 21) -> pa.Table:
     """Verified near-dup pairs -> ``(doc_id, cluster_rep)`` where
     cluster_rep is the MIN doc id of each connected component — the
     canonicalization step that turns pairwise dedup output into
@@ -1529,6 +1529,27 @@ def neardup_components(pairs: pa.Table, num_partitions: int = 4
 
     a = pc.cast(pairs.column("a"), pa.int64()).to_numpy(zero_copy_only=False)
     b = pc.cast(pairs.column("b"), pa.int64()).to_numpy(zero_copy_only=False)
+
+    if pairs.num_rows <= driver_limit:
+        # driver fold: the pair table is already driver-held (it IS this
+        # function's argument), so min-label propagation with pointer
+        # jumping runs as a few vectorized passes — no per-round joins
+        nodes_np = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(nodes_np, a)
+        bi = np.searchsorted(nodes_np, b)
+        lbl = np.arange(nodes_np.size, dtype=np.int64)
+        while True:
+            old = lbl.copy()
+            m = np.minimum(lbl[ai], lbl[bi])
+            np.minimum.at(lbl, ai, m)
+            np.minimum.at(lbl, bi, m)
+            lbl = np.minimum(lbl, lbl[lbl])  # pointer jumping
+            if np.array_equal(lbl, old):
+                break
+        return pa.table({"doc_id": pa.array(nodes_np, pa.int64()),
+                         "cluster_rep": pa.array(nodes_np[lbl],
+                                                 pa.int64())})
+
     sym = pa.table({"x": np.concatenate([a, b]),
                     "y": np.concatenate([b, a])})
     edges = rd.from_arrow(sym)

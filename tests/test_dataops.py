@@ -584,6 +584,13 @@ def test_neardup_components_vs_union_find(ray_session):
     assert out == expect
     assert out[4] == 1 and out[12] == 10 and out[33] == 30
 
+    # guard crossing: driver_limit=0 forces the distributed per-round
+    # join/groupby propagation; must equal the driver fold
+    dist = {r["doc_id"]: r["cluster_rep"]
+            for r in neardup_components(pairs,
+                                        driver_limit=0).to_pylist()}
+    assert dist == expect
+
     # empty input -> typed empty table
     empty = neardup_components(pa.table({"a": pa.array([], pa.int64()),
                                          "b": pa.array([], pa.int64())}))
