@@ -686,7 +686,8 @@ def common_neighbor_pairs(edges_ds, n_nodes: int, adjacent_fn,
 def hits_int(n_nodes: int, iters: int = 4,
              scale: int = 10 ** 9,
              num_partitions: int | None = None,
-             broadcast_limit: int = 10_000_000) -> pa.Table:
+             broadcast_limit: int = 10_000_000,
+             driver_limit: int = 1 << 22) -> pa.Table:
     """Integer fixed-point HITS (Kleinberg hubs & authorities) over the
     synthetic site graph — the OTHER classic link-analysis score next to
     pagerank_int, and the one that needs BOTH gather directions.
@@ -722,6 +723,50 @@ def hits_int(n_nodes: int, iters: int = 4,
     # aggregator-actor spawn IS the wall time, so shrink the fan-in
     n_parts = num_partitions or (2 if n_nodes < 100_000
                                  else join_parts())
+
+    if n_nodes <= driver_limit:
+        # full driver fold (the pagerank_int dense duality): the edge
+        # table is formula-derived and node-bounded, so all 2*iters
+        # gathers are np.add.at passes — zero Dataset executions (the
+        # broadcast path below still pays one map per half-iteration)
+        i = np.arange(n_nodes, dtype=np.int64)
+        srcs, dsts = [], []
+        for child in (2 * i + 1, 2 * i + 2):
+            m = child < n_nodes
+            srcs.append(i[m]); dsts.append(child[m])
+        m = i % 3 == 0
+        srcs.append(i[m]); dsts.append((7 * i[m] + 3) % n_nodes)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+
+        def _vn(s: np.ndarray, total: int) -> np.ndarray:
+            q, rem = s // total, s % total
+            return q * scale + (rem * scale) // total
+
+        def _zero() -> pa.Table:
+            z = np.zeros(n_nodes, dtype=np.int64)
+            return pa.table({"doc_id": pa.array(i, pa.int64()),
+                             "hub_scaled": pa.array(z, pa.int64()),
+                             "auth_scaled": pa.array(z, pa.int64())})
+
+        h_vec = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
+        a_vec = np.zeros(n_nodes, dtype=np.int64)
+        for _ in range(iters):
+            ar = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(ar, dst, h_vec[src])
+            total = int(ar.sum())
+            if total == 0:
+                return _zero()
+            a_vec = _vn(ar, total)
+            hr = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(hr, src, a_vec[dst])
+            total = int(hr.sum())
+            if total == 0:
+                return _zero()
+            h_vec = _vn(hr, total)
+        return pa.table({"doc_id": pa.array(i, pa.int64()),
+                         "hub_scaled": pa.array(h_vec, pa.int64()),
+                         "auth_scaled": pa.array(a_vec, pa.int64())})
 
     def emit_edges(batch: pa.Table) -> pa.Table:
         i = np.asarray(batch.column("id"), dtype=np.int64)

@@ -2806,12 +2806,16 @@ def test_chi2_ab_known_value(ray_session):
 
 
 def test_hits_paths_equal(ray_session):
-    """Dense-broadcast and join-gather HITS paths are byte-equal."""
+    """All three HITS paths — full driver fold (default), dense
+    broadcast (driver_limit=0), join-gather (both limits 0) — are
+    byte-equal."""
     from anycrawl_ray.stages.graph import hits_int
 
     a = hits_int(61, iters=2)
-    b = hits_int(61, iters=2, broadcast_limit=0)
+    b = hits_int(61, iters=2, driver_limit=0)
+    c = hits_int(61, iters=2, driver_limit=0, broadcast_limit=0)
     assert a.equals(b)
+    assert a.equals(c)
 
 
 def test_postings_size_varint_exact(ray_session):
